@@ -1,0 +1,112 @@
+"""Query registry: the single source of truth wiring operators to the
+driver contract (__spark_entry__.py) and to tests.
+
+Each implemented operator from SURVEY.md §2 registers a named ``Query``:
+a ``(spark, sf_dir) -> DataFrame`` callable plus (when the semantics are
+SQL-expressible) the equivalent DuckDB SQL oracle. This mirrors the
+reference's pg_regress strategy (SURVEY.md §5): every operator has a
+golden-comparable end-to-end query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudberry_spark.catalog import ensure_views
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: SparkQuery
+    oracle: str | None = None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query.
+
+    The wrapper registers the fixture temp views first, so query bodies
+    may freely use ``spark.sql`` over the canonical table names.
+    """
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from cloudberry_spark.session import configure_session
+
+            configure_session(spark)
+            ensure_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
+        return wrapped
+
+    return deco
+
+
+def register_sql(
+    name: str,
+    sql: str,
+    oracle: str | None = "same",
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> None:
+    """Register a query whose Spark side is a SQL string. When the text is
+    dialect-portable, ``oracle='same'`` reuses it verbatim for DuckDB."""
+
+    @register(name, oracle=sql if oracle == "same" else oracle, doc=doc, tags=tags)
+    def _q(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        return spark.sql(_sql)
+
+    _q.__name__ = name
+
+
+def _load_all() -> None:
+    """Import every operator module for registration side effects."""
+    import cloudberry_spark.operators.tpch  # noqa: F401
+    import cloudberry_spark.operators.aggregates  # noqa: F401
+    import cloudberry_spark.operators.joins  # noqa: F401
+    import cloudberry_spark.operators.windows  # noqa: F401
+    import cloudberry_spark.operators.setops  # noqa: F401
+    import cloudberry_spark.operators.scalars  # noqa: F401
+    import cloudberry_spark.operators.json_ops  # noqa: F401
+    import cloudberry_spark.operators.arrays  # noqa: F401
+    import cloudberry_spark.operators.recursive  # noqa: F401
+    import cloudberry_spark.operators.sampling  # noqa: F401
+    import cloudberry_spark.pipeline.dedup  # noqa: F401
+    import cloudberry_spark.pipeline.similarity  # noqa: F401
+    import cloudberry_spark.pipeline.text  # noqa: F401
+    import cloudberry_spark.streaming.windows  # noqa: F401
+
+
+_LOADED = False
+
+
+def all_queries() -> dict[str, Query]:
+    global _LOADED
+    if not _LOADED:
+        _load_all()
+        _LOADED = True
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> Query:
+    return all_queries()[name]
