@@ -59,7 +59,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division — ns values exceed double's 53-bit mantissa, so
+        # a float divide here silently corrupts the low microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,267 @@
+"""Aggregation surface (SURVEY.md §2.4).
+
+Covers the reference's nodeAgg.c strategies (plain/sorted/hashed/mixed,
+/root/reference/src/backend/executor/nodeAgg.c:2354), GROUPING SETS /
+CUBE / ROLLUP (planner.c:157-197), distinct-qualified aggregates (the
+TupleSplit 3-stage DQA plan, cdbgroupingpaths.c:74-81 — Catalyst's
+RewriteDistinctAggregates expand is the same strategy), ordered-set
+aggregates (orderedsetaggs.c:426), the statistical aggregate family, and
+string_agg/array_agg (varlena.c / array_userfuncs.c).
+
+Scale: every groupBy here is a partial+final HashAggregate (map-side
+combine), so the shuffle carries group keys not raw rows — the same
+two-stage shape gp_enable_multiphase_agg produces (guc_gp.c:278).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
+
+register_sql(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    doc="ROLLUP grouping sets (preprocess_grouping_sets, planner.c:157).",
+    tags=("agg", "groupingsets"),
+)
+
+register_sql(
+    "agg_cube_grouping_id",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           sum(o_totalprice) AS total, count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, o_orderpriority)
+    ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    doc="CUBE + grouping() marker columns (consider_groupingsets_paths).",
+    tags=("agg", "groupingsets"),
+)
+
+register_sql(
+    "agg_grouping_sets",
+    """
+    SELECT c_mktsegment, o_orderstatus, sum(o_totalprice) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    ORDER BY c_mktsegment NULLS LAST, o_orderstatus NULLS LAST
+    """,
+    doc="Explicit GROUPING SETS list (gram.y:17049).",
+    tags=("agg", "groupingsets"),
+)
+
+register_sql(
+    "agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS distinct_supps,
+           count(DISTINCT l_partkey)  AS distinct_parts,
+           count(*)                   AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Multi-DQA: two distinct-qualified aggregates in one GROUP BY — "
+    "the reference's 3-stage TupleSplit plan (nodeTupleSplit.c:170); "
+    "Catalyst Expand does the identical row replication.",
+    tags=("agg", "dqa"),
+)
+
+register_sql(
+    "agg_stats_family",
+    """
+    SELECT l_returnflag,
+           stddev(l_quantity)                    AS sd_qty,
+           stddev_pop(l_quantity)                AS sdp_qty,
+           variance(l_quantity)                  AS var_qty,
+           var_pop(l_quantity)                   AS varp_qty,
+           corr(l_quantity, l_extendedprice)     AS corr_qe,
+           covar_pop(l_quantity, l_extendedprice) AS covp_qe,
+           covar_samp(l_quantity, l_extendedprice) AS covs_qe,
+           regr_slope(l_extendedprice, l_quantity) AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS icept,
+           regr_r2(l_extendedprice, l_quantity)  AS r2,
+           regr_count(l_extendedprice, l_quantity) AS rn
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates (pg_aggregate.dat: corr/covar/regr_*/"
+    "stddev/variance — adt/float.c float8_accum family).",
+    tags=("agg", "stats"),
+)
+
+register_sql(
+    "agg_minmax_by_bool",
+    """
+    SELECT c_mktsegment,
+           min(c_acctbal)            AS min_bal,
+           max(c_acctbal)            AS max_bal,
+           max_by(c_name, c_acctbal) AS richest,
+           min_by(c_name, c_acctbal) AS poorest,
+           bool_and(c_acctbal > -1000) AS all_above,
+           bool_or(c_acctbal > 9000)   AS any_rich
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="min_by/max_by + bool_and/bool_or (pg_aggregate.dat bool_and).",
+    tags=("agg",),
+)
+
+# percentile_cont / percentile_disc / median: ordered-set aggregates
+# (adt/orderedsetaggs.c:426); Spark `percentile` is the exact
+# interpolated quantile == percentile_cont.
+register(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           percentile_cont(0.5)  WITHIN GROUP (ORDER BY c_acctbal) AS p50,
+           percentile_cont(0.9)  WITHIN GROUP (ORDER BY c_acctbal) AS p90,
+           percentile_disc(0.5)  WITHIN GROUP (ORDER BY c_acctbal) AS p50_disc,
+           median(c_acctbal) AS med
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Ordered-set aggregates percentile_cont/disc + median "
+    "(orderedsetaggs.c:426; GPDB median sugar pg_proc.dat:12948).",
+    tags=("agg", "orderedset"),
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "customer")
+    .groupBy("c_mktsegment")
+    .agg(
+        F.percentile("c_acctbal", 0.5).alias("p50"),
+        F.percentile("c_acctbal", 0.9).alias("p90"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("p50_disc"),
+        F.median("c_acctbal").alias("med"),
+    )
+    .orderBy("c_mktsegment")
+)
+
+register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="string_agg with deterministic ORDER BY (varlena.c string_agg; "
+    "Spark 4 listagg WITHIN GROUP).",
+    tags=("agg",),
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "nation")
+    .groupBy("n_regionkey")
+    .agg(F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"))
+    .orderBy("n_regionkey")
+)
+
+register(
+    "agg_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(array_agg(n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="array_agg (array_userfuncs.c) == collect_list; sorted for "
+    "determinism (MPP row order is nondeterministic — atmsort lesson).",
+    tags=("agg", "array"),
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "nation")
+    .groupBy("n_regionkey")
+    .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+    .orderBy("n_regionkey")
+)
+
+register_sql(
+    "agg_having",
+    """
+    SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 100000
+    ORDER BY total DESC, o_custkey
+    """,
+    doc="HAVING qual over grouped aggregate.",
+    tags=("agg",),
+)
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT n_name,
+           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS f_total,
+           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS o_total,
+           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS p_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="Pivot (adt/pivot.c accumulators → df.groupBy().pivot(), which "
+    "is strictly better: one pass, map-side combine).",
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .select(
+            "n_name",
+            F.col("F").alias("f_total"),
+            F.col("O").alias("o_total"),
+            F.col("P").alias("p_total"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate: engines use different sketches; pytest
+    # asserts the estimate is within rel. error of exact instead.
+    doc="approx_count_distinct == the reference's HyperLogLog aggregate "
+    "(gp_hyperloglog.c:1096 gp_hyperloglog_add_item_agg_default).",
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+    ).orderBy("l_returnflag")
+
+
+register_sql(
+    "agg_distinct_rows",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    doc="DISTINCT row dedup (nodeUnique.c:48 / hashed Agg).",
+    tags=("agg", "distinct"),
+)

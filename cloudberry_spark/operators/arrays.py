@@ -1,0 +1,180 @@
+"""Array function surface (SURVEY.md §2.8 array row) + set-returning
+function scans (§2.1 FunctionScan).
+
+Reference: adt/arrayfuncs.c (7,041 LoC) + array_userfuncs.c — append/
+cat/length/position, unnest, slicing, containment; generate_series
+(FunctionScan, nodeFunctionscan.c:347). PG arrays are 1-based; Spark's
+element_at is also 1-based so the builtins line up.
+
+The ``embeddings.embedding array<float>`` column drives the vector
+cases (≙ gpcontrib/gp_sparse_vector svec ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
+
+register_sql(
+    "array_basic_ops",
+    """
+    SELECT vec_id,
+           size(embedding)                        AS dim,
+           CAST(element_at(embedding, 1) AS DOUBLE)  AS first_elem,
+           CAST(element_at(embedding, 64) AS DOUBLE) AS last_elem,
+           CAST(array_max(embedding) AS DOUBLE)   AS max_elem,
+           CAST(array_min(embedding) AS DOUBLE)   AS min_elem,
+           CAST(slice(embedding, 1, 3) AS ARRAY<DOUBLE>) AS head3
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    oracle="""
+    SELECT vec_id,
+           length(embedding)                      AS dim,
+           CAST(embedding[1] AS DOUBLE)           AS first_elem,
+           CAST(embedding[64] AS DOUBLE)          AS last_elem,
+           CAST(list_max(embedding) AS DOUBLE)    AS max_elem,
+           CAST(list_min(embedding) AS DOUBLE)    AS min_elem,
+           CAST(list_slice(embedding, 1, 3) AS DOUBLE[]) AS head3
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="array length / 1-based element access / min-max / slice "
+    "(arrayfuncs.c; PG 1-based indexing == element_at).",
+    tags=("array",),
+)
+
+register_sql(
+    "array_higher_order",
+    """
+    SELECT vec_id,
+           CAST(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                          (acc, x) -> acc + CAST(x AS DOUBLE)) AS DOUBLE)
+             AS vec_sum,
+           CAST(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                          (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                AS DOUBLE) AS vec_sumsq,
+           size(filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+             AS vec_sum,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS vec_sumsq,
+           length(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="Higher-order array funcs: aggregate/transform/filter — the "
+    "JVM-side way to reduce vectors without a Python UDF.",
+    tags=("array", "hof"),
+)
+
+register_sql(
+    "array_explode_unnest",
+    """
+    SELECT n_regionkey, nation_name
+    FROM (SELECT n_regionkey, collect_list(n_name) AS names
+          FROM nation GROUP BY n_regionkey) t
+    LATERAL VIEW explode(names) AS nation_name
+    ORDER BY n_regionkey, nation_name
+    """,
+    oracle="""
+    SELECT n_regionkey, unnest(names) AS nation_name
+    FROM (SELECT n_regionkey, list(n_name) AS names
+          FROM nation GROUP BY n_regionkey) t
+    ORDER BY n_regionkey, nation_name
+    """,
+    doc="unnest (FunctionScan/ProjectSet, nodeProjectSet.c) == explode; "
+    "round-trips array_agg → unnest.",
+    tags=("array", "srf"),
+)
+
+register_sql(
+    "srf_generate_series",
+    """
+    SELECT CAST(d AS TIMESTAMP) AS month_start,
+           CAST(extract(month FROM d) AS INT) AS m
+    FROM (SELECT explode(sequence(TIMESTAMP '1995-01-01',
+                                  TIMESTAMP '1996-12-01',
+                                  INTERVAL 1 MONTH)) AS d) t
+    ORDER BY month_start
+    """,
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP) AS month_start,
+           CAST(extract(month FROM d) AS INT) AS m
+    FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                        TIMESTAMP '1996-12-01',
+                                        INTERVAL 1 MONTH)) AS d) t
+    ORDER BY month_start
+    """,
+    doc="generate_series over timestamps (FunctionScan, "
+    "nodeFunctionscan.c:347) == sequence()+explode.",
+    tags=("srf",),
+)
+
+register_sql(
+    "srf_generate_series_int",
+    """
+    SELECT CAST(n AS BIGINT) AS n, n * n AS n_sq
+    FROM (SELECT explode(sequence(1, 100)) AS n) t
+    ORDER BY n
+    """,
+    oracle="""
+    SELECT CAST(n AS BIGINT) AS n, n * n AS n_sq
+    FROM (SELECT unnest(generate_series(1, 100)) AS n) t
+    ORDER BY n
+    """,
+    doc="Integer generate_series == spark.range / sequence.",
+    tags=("srf",),
+)
+
+
+@register(
+    "array_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(pos AS INT) - 1 AS pos, CAST(val AS DOUBLE) AS val
+    FROM (SELECT vec_id, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings WHERE vec_id < 5) t
+    ORDER BY vec_id, pos
+    """,
+    doc="posexplode == unnest WITH ORDINALITY (0-based here; PG "
+    "generate_subscripts is 1-based so the oracle subtracts 1).",
+    tags=("array", "srf"),
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("int"), F.col("val").cast("double"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "values_scan",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
+      AS t(id, word)
+    ORDER BY id
+    """,
+    doc="Inline VALUES list (ValuesScan, nodeValuesscan.c) == "
+    "createDataFrame / VALUES.",
+    tags=("scan",),
+)
+def values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id int, word string"
+    ).orderBy("id")

@@ -1,0 +1,252 @@
+"""Join surface (SURVEY.md §2.3).
+
+Join types from /root/reference/src/include/nodes/nodes.h:1024-1048:
+INNER, LEFT, RIGHT, FULL, SEMI, ANTI, LASJ_NOTIN (NOT-IN with null
+semantics). Physical operators (hash/merge/nestloop) are Catalyst's
+choice — AQE picks broadcast vs shuffle at runtime, replacing the
+reference's static cdbpath_motion_for_join (cdb/cdbpath.c:1365).
+
+Includes one genuinely custom operator the reference lacks: an AS-OF
+join implemented as a union + partitioned window scan (single shuffle by
+join key — no per-row lookups), the idiomatic Spark formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
+
+register_sql(
+    "join_full_outer",
+    """
+    SELECT n_name, s_suppkey, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    ORDER BY n_name NULLS LAST, s_suppkey NULLS LAST
+    """,
+    doc="FULL OUTER (MergeJoin supports FULL, nodeMergejoin.c:1532; "
+    "Spark SortMergeJoin).",
+    tags=("join", "outer"),
+)
+
+register_sql(
+    "join_right_outer",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_name, s_suppkey NULLS LAST
+    """,
+    doc="RIGHT OUTER join.",
+    tags=("join", "outer"),
+)
+
+register_sql(
+    "join_semi_in",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 50000)
+    ORDER BY c_custkey
+    """,
+    doc="IN → left-semi join (convert_ANY_sublink_to_join, "
+    "subselect.c:1521).",
+    tags=("join", "semi"),
+)
+
+register_sql(
+    "join_anti_not_exists",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_quantity > 49 AND l_discount > 0.09)
+    ORDER BY s_suppkey
+    """,
+    doc="NOT EXISTS → left-anti join.",
+    tags=("join", "anti"),
+)
+
+# LASJ_NOTIN (nodes.h:1026): NOT IN over a subquery *containing NULLs*
+# must return zero rows once any NULL appears on the inner side unless
+# the outer value matches — the null-semantics trap. The inner CASE
+# injects NULLs to prove both engines implement it.
+register_sql(
+    "join_lasj_notin_nulls",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE c_nationkey NOT IN
+          (SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+           FROM supplier)
+    ORDER BY c_custkey
+    """,
+    doc="NOT IN with NULLs on the inner side — LASJ_NOTIN semantics "
+    "(nodes.h:1026, cdbpath.c LASJ handling). Verified, not assumed "
+    "(SURVEY §7.4 item 4).",
+    tags=("join", "anti", "nulls", "may_be_empty"),
+)
+
+register_sql(
+    "join_theta_range",
+    """
+    SELECT p.p_partkey, p.p_retailprice, b.bucket_lo, b.bucket_hi
+    FROM part p
+    JOIN (SELECT 0.0 AS bucket_lo, 500.0 AS bucket_hi
+          UNION ALL SELECT 500.0, 1000.0
+          UNION ALL SELECT 1000.0, 1500.0
+          UNION ALL SELECT 1500.0, 2500.0) b
+      ON p.p_retailprice >= b.bucket_lo AND p.p_retailprice < b.bucket_hi
+    ORDER BY p.p_partkey
+    """,
+    doc="Theta (band) join: inequality-only condition → "
+    "BroadcastNestedLoopJoin (nodeNestloop.c:382). The tiny build side "
+    "broadcasts, so no shuffle of the probe side.",
+    tags=("join", "theta"),
+)
+
+register_sql(
+    "join_cross_small",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+    doc="Cross join of replicated-class dims (both broadcastable).",
+    tags=("join", "cross"),
+)
+
+register_sql(
+    "join_self_window_pairs",
+    """
+    SELECT o1.o_custkey AS custkey,
+           o1.o_orderkey AS first_order, o2.o_orderkey AS next_order
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+    ORDER BY custkey, first_order, next_order
+    """,
+    oracle="""
+    SELECT o1.o_custkey AS custkey,
+           o1.o_orderkey AS first_order, o2.o_orderkey AS next_order
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+    ORDER BY custkey, first_order, next_order
+    """,
+    doc="Self equi-join with banded time predicate: hash join on "
+    "o_custkey carries the band filter as residual — one shuffle, "
+    "co-partitioned both sides.",
+    tags=("join", "self", "range"),
+)
+
+register_sql(
+    "join_lateral",
+    """
+    SELECT n_name, t.o_orderkey, t.o_totalprice
+    FROM nation,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_nationkey = n_nationkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    ORDER BY n_name, t.o_totalprice DESC, t.o_orderkey
+    """,
+    doc="LATERAL correlated derived table (reference: LATERAL supported "
+    "in joins, SURVEY §2.3) — top-2 orders per nation.",
+    tags=("join", "lateral"),
+)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """AS-OF join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Not in the reference (SURVEY §2.3 notes no as-of joins) — added as a
+    time-series extension. Spark-first formulation: tag and union both
+    inputs, single hash shuffle on the key, then one window pass with
+    ``last(..., ignorenulls)`` — O(n log n) per key, no per-row probes,
+    no skew amplification (contrast a naive range self-join which is
+    quadratic per key).
+    """
+    lt = left.withColumn("_src", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on),
+        F.lit(0).alias("_src"),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    lcols = [c for c in lt.columns if c not in ("_src", "_ts")]
+    unioned = lt.select(
+        *[F.col(c) for c in lcols],
+        "_src",
+        "_ts",
+        *[F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols],
+    ).unionByName(
+        rt.select(
+            *[F.lit(None).cast(lt.schema[c].dataType).alias(c) for c in lcols if c != on],
+            F.col(on),
+            "_src",
+            "_ts",
+            *[F.col(f"_r_{c}") for c in right_cols],
+        ),
+        allowMissingColumns=False,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_src",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.where(F.col("_src") == 1).drop("_src")
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+    doc="AS-OF join: each purchase matched to the user's latest prior "
+    "click. Spark impl is union+window (one shuffle); oracle is the "
+    "equivalent correlated max() subquery.",
+    tags=("join", "asof", "events"),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("click_ts").alias("last_click_ts")
+    ).orderBy("event_id")

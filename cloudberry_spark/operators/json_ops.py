@@ -1,0 +1,117 @@
+"""JSON function surface (SURVEY.md §2.8 json row).
+
+Reference: adt/json.c / jsonb.c / jsonfuncs.c (5,687 LoC) / jsonpath —
+operators `->`, `->>`, `#>`, jsonb_extract_path, json_array_elements,
+row_to_json, json_agg. Spark maps them onto get_json_object /
+from_json / to_json / json_tuple; the ``events.props`` fixture column
+carries the JSON payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
+
+register_sql(
+    "json_extract_scalar",
+    """
+    SELECT event_id,
+           get_json_object(props, '$.k')                  AS k_str,
+           CAST(get_json_object(props, '$.k') AS INT)     AS k_int,
+           CAST(get_json_object(props, '$.missing') AS INT) AS missing
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')              AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing,
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+    doc="`->>` / jsonb_extract_path_text (jsonfuncs.c) == "
+    "get_json_object; missing key → NULL.",
+    tags=("json",),
+)
+
+register_sql(
+    "json_group_by_value",
+    """
+    SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n, avg(value) AS avg_value
+    FROM events
+    GROUP BY CAST(get_json_object(props, '$.k') AS INT) % 10
+    ORDER BY k_mod
+    """,
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n, avg(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+    doc="Aggregation keyed on an extracted JSON value.",
+    tags=("json", "agg"),
+)
+
+
+@register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE event_type = 'purchase' AND event_id < 500
+    ORDER BY event_id
+    """,
+    doc="from_json with declared schema (≙ jsonb_populate_record, "
+    "jsonfuncs.c): parse once into a typed struct, then project fields "
+    "— the scalable pattern vs repeated get_json_object calls.",
+    tags=("json",),
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    return (
+        ev.where((F.col("event_type") == "purchase") & (F.col("event_id") < 500))
+        .select("event_id", F.from_json("props", schema).alias("p"))
+        .select("event_id", F.col("p.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "json_to_json_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="json_agg-style rollup reduced to comparable scalars (raw "
+    "json_agg text differs in key ordering/whitespace across engines; "
+    "the values inside are what is verified).",
+    tags=("json", "agg"),
+)
+def json_to_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,136 @@
+"""CTEs and recursive queries (SURVEY.md §2.1 CteScan / WorktableScan /
+RecursiveUnion rows).
+
+Plain CTEs are Catalyst-native (inlined or reused). WITH RECURSIVE
+(/root/reference/src/backend/executor/nodeRecursiveunion.c:75) has two
+implementations here:
+
+1. ``recursive_union`` — a driver-side fixpoint loop (union-accumulate
+   until the step produces no new rows), the SURVEY §7.3 plan. Each
+   iteration is lazy DataFrame algebra; localCheckpoint() every few
+   rounds truncates the lineage so plans don't grow unboundedly —
+   required for deep recursions on a real cluster.
+2. Spark 4's native ``WITH RECURSIVE`` where the SQL form suffices.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.registry import register, register_sql
+
+
+def recursive_union(
+    seed: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    max_iterations: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixpoint iteration: result = seed ∪ step(seed) ∪ step²(seed) ∪ …
+
+    UNION ALL semantics (like WITH RECURSIVE ... UNION ALL); the caller
+    dedups if UNION-distinct semantics are wanted. Stops when a step
+    yields zero rows. The per-iteration count() forces evaluation, which
+    is inherent to recursion (the reference's WorktableScan does the
+    same materialize-per-iteration).
+    """
+    acc = seed
+    frontier = seed
+    for i in range(max_iterations):
+        frontier = step(frontier)
+        if (i + 1) % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            return acc
+        acc = acc.unionByName(frontier)
+    raise RuntimeError(f"recursive_union did not converge in {max_iterations} iterations")
+
+
+@register(
+    "recursive_month_series",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1996-12-01'
+    )
+    SELECT m AS month_start, CAST(extract(year FROM m) AS INT) AS y
+    FROM months ORDER BY m
+    """,
+    doc="RecursiveUnion (nodeRecursiveunion.c:75) via the driver-side "
+    "fixpoint loop: month dimension 1995-01..1996-12.",
+    tags=("recursive", "cte"),
+)
+def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = spark.sql("SELECT TIMESTAMP '1995-01-01' AS m")
+
+    def step(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("m")
+        ).where(F.col("m") <= F.lit("1996-12-01").cast("timestamp"))
+
+    out = recursive_union(seed, step, max_iterations=30)
+    return out.select(
+        F.col("m").alias("month_start"),
+        F.year("m").cast("int").alias("y"),
+    ).orderBy("month_start")
+
+
+@register(
+    "recursive_cumulative_thresholds",
+    oracle="""
+    WITH RECURSIVE t(lvl, threshold) AS (
+      SELECT 0, CAST(1000.0 AS DOUBLE)
+      UNION ALL
+      SELECT lvl + 1, threshold * 2 FROM t WHERE lvl < 8
+    )
+    SELECT t.lvl, t.threshold,
+           (SELECT count(*) FROM orders WHERE o_totalprice > t.threshold)
+             AS orders_above
+    FROM t ORDER BY t.lvl
+    """,
+    doc="Recursive generator driving a probe into a fact table "
+    "(WorktableScan feeding a join).",
+    tags=("recursive", "cte"),
+)
+def recursive_cumulative_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = spark.createDataFrame([(0, 1000.0)], "lvl int, threshold double")
+
+    def step(df: DataFrame) -> DataFrame:
+        return df.where(F.col("lvl") < 8).select(
+            (F.col("lvl") + 1).alias("lvl"),
+            (F.col("threshold") * 2).alias("threshold"),
+        )
+
+    levels = recursive_union(seed, step, max_iterations=20)
+    orders = spark.table("orders")
+    joined = levels.join(
+        orders, orders.o_totalprice > levels.threshold, "left"
+    )
+    return (
+        joined.groupBy("lvl", "threshold")
+        .agg(F.count("o_orderkey").alias("orders_above"))
+        .orderBy("lvl")
+    )
+
+
+register_sql(
+    "cte_reuse",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, avg(c_acctbal) AS avg_bal, count(*) AS n
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+           a.avg_bal - b.avg_bal AS bal_gap
+    FROM seg a JOIN seg b ON a.avg_bal > b.avg_bal
+    ORDER BY seg_a, seg_b
+    """,
+    doc="CTE consumed twice (ShareInputScan, nodeShareInputScan.c:347; "
+    "Catalyst CTE reuse/inlining).",
+    tags=("cte",),
+)

@@ -1,0 +1,249 @@
+"""Scalar function surface (SURVEY.md §2.8) — string / math / datetime /
+conditional families, verified value-by-value against DuckDB.
+
+The reference has ~3,546 builtins (pg_proc.dat); the correctness bar is
+the analytically reachable subset (varlena.c strings, oracle_compat.c
+lpad/rpad/translate, formatting.c to_char, float.c/numeric.c math,
+date.c/timestamp.c datetime). Where Spark and DuckDB names differ the
+two texts diverge but compute identical values — that IS the compat
+check.
+
+All expressions are JVM-evaluated Catalyst builtins (whole-stage
+codegen); none of this drops to Python.
+"""
+
+from __future__ import annotations
+
+from cloudberry_spark.registry import register_sql
+
+register_sql(
+    "scalar_string_family",
+    """
+    SELECT p_partkey,
+           upper(p_name)                          AS up,
+           lower(p_brand)                         AS lo,
+           substr(p_name, 2, 5)                   AS sub,
+           length(p_name)                         AS len,
+           trim('  ' || p_name || ' ')            AS trimmed,
+           lpad(p_brand, 12, '*')                 AS lpadded,
+           rpad(p_brand, 12, '*')                 AS rpadded,
+           replace(p_name, ' ', '_')              AS replaced,
+           reverse(p_type)                        AS rev,
+           repeat(p_brand, 2)                     AS rep,
+           concat_ws('|', p_brand, p_type)        AS joined,
+           left(p_name, 4)                        AS l4,
+           right(p_name, 4)                       AS r4,
+           translate(p_type, 'AEO', 'aeo')        AS translated,
+           split_part(p_name, ' ', 2)             AS second_word,
+           position('a' IN p_name)                AS pos_a,
+           md5(p_name)                            AS hash_hex,
+           levenshtein(p_brand, 'Brand#7')        AS lev
+    FROM part
+    WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+    doc="String family: varlena.c (substr/position/split_part/concat), "
+    "oracle_compat.c (lpad/rpad/translate), levenshtein.c.",
+    tags=("scalar", "string"),
+)
+
+register_sql(
+    "scalar_regex_family",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '*')         AS starred,
+           CAST(p_name LIKE '%wid%' AS INT)               AS like_wid,
+           CAST(regexp_like(p_name, '^[cs]')  AS INT)     AS starts_cs
+    FROM part
+    WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')    AS starred,
+           CAST(p_name LIKE '%wid%' AS INT)               AS like_wid,
+           CAST(regexp_matches(p_name, '^[cs]') AS INT)   AS starts_cs
+    FROM part
+    WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+    doc="Regex family (adt/regexp.c, adt/like.c): extract group, global "
+    "replace (Spark replaces all by default; DuckDB needs 'g').",
+    tags=("scalar", "regex"),
+)
+
+register_sql(
+    "scalar_math_family",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)        AS r1,
+           round(l_extendedprice / 7, 3)    AS r3,
+           floor(l_extendedprice)           AS fl,
+           ceil(l_extendedprice)            AS ce,
+           abs(l_extendedprice - 1000)      AS ab,
+           sqrt(l_quantity)                 AS sq,
+           power(l_quantity, 2)             AS pw,
+           exp(l_discount)                  AS ex,
+           ln(l_extendedprice)              AS lnp,
+           log10(l_extendedprice)           AS lg10,
+           mod(CAST(l_quantity AS INT), 7)  AS md,
+           sign(l_discount - 0.05)          AS sg,
+           CAST(sin(l_discount) AS DOUBLE)  AS sn,
+           CAST(cos(l_discount) AS DOUBLE)  AS cs,
+           atan2(l_discount, l_tax + 0.001) AS at2,
+           greatest(l_discount, l_tax)      AS gr,
+           least(l_discount, l_tax)         AS le
+    FROM lineitem
+    WHERE l_orderkey < 60
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Math family (adt/float.c, adt/numeric.c): rounding, powers, "
+    "logs, trig, greatest/least.",
+    tags=("scalar", "math"),
+)
+
+register_sql(
+    "scalar_datetime_family",
+    """
+    SELECT o_orderkey,
+           date_trunc('year',    o_orderdate) AS y_trunc,
+           date_trunc('quarter', o_orderdate) AS q_trunc,
+           date_trunc('month',   o_orderdate) AS m_trunc,
+           date_trunc('day',     o_orderdate) AS d_trunc,
+           CAST(extract(year  FROM o_orderdate) AS INT) AS yy,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mm,
+           CAST(extract(day   FROM o_orderdate) AS INT) AS dd,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qq,
+           dayofweek(o_orderdate) - 1      AS dw,
+           CAST(extract(doy   FROM o_orderdate) AS INT) AS dy,
+           o_orderdate + INTERVAL 3 MONTH  AS plus3m,
+           o_orderdate - INTERVAL 90 DAY   AS minus90d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+           make_date(2024, 2, 29)          AS leap
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('year',    o_orderdate) AS TIMESTAMP) AS y_trunc,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_trunc,
+           CAST(date_trunc('month',   o_orderdate) AS TIMESTAMP) AS m_trunc,
+           CAST(date_trunc('day',     o_orderdate) AS TIMESTAMP) AS d_trunc,
+           CAST(extract(year  FROM o_orderdate) AS INT) AS yy,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mm,
+           CAST(extract(day   FROM o_orderdate) AS INT) AS dd,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qq,
+           CAST(extract(dow   FROM o_orderdate) AS INT) AS dw,
+           CAST(extract(doy   FROM o_orderdate) AS INT) AS dy,
+           o_orderdate + INTERVAL 3 MONTH  AS plus3m,
+           o_orderdate - INTERVAL 90 DAY   AS minus90d,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           make_date(2024, 2, 29)          AS leap
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    doc="Datetime family (adt/date.c, adt/timestamp.c): date_trunc "
+    "(PG/Spark return timestamp, DuckDB returns date — oracle re-casts), "
+    "extract incl. dow/doy (PG dow is Sunday=0; Spark dayofweek is "
+    "Sunday=1, hence the -1), interval arithmetic, last_day, make_date.",
+    tags=("scalar", "datetime"),
+)
+
+register_sql(
+    "scalar_datediff_formats",
+    """
+    SELECT o_orderkey,
+           datediff(CAST(o_orderdate + INTERVAL 45 DAY AS DATE),
+                    CAST(o_orderdate AS DATE))       AS dd45,
+           months_between(date_trunc('month', o_orderdate) + INTERVAL 3 MONTH,
+                          date_trunc('month', o_orderdate)) AS mb3,
+           date_format(o_orderdate, 'yyyy-MM')       AS ym,
+           date_format(o_orderdate, 'yyyy-MM-dd HH') AS ymdh
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS dd45,
+           3.0                                        AS mb3,
+           strftime(o_orderdate, '%Y-%m')             AS ym,
+           strftime(o_orderdate, '%Y-%m-%d %H')       AS ymdh
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    doc="Date difference + to_char-style formatting (formatting.c "
+    "to_char → date_format/strftime). months_between of an exact "
+    "+3-month shift is 3.0 by definition in both engines.",
+    tags=("scalar", "datetime"),
+)
+
+register_sql(
+    "scalar_conditional_family",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                    AS bal_class,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           nullif(c_nationkey, 7)                  AS natkey_not7,
+           CAST(c_acctbal > 0 AS INT)              AS is_pos,
+           if(c_acctbal > 0, 'pos', 'nonpos')      AS pos_str
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                    AS bal_class,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           nullif(c_nationkey, 7)                  AS natkey_not7,
+           CAST(c_acctbal > 0 AS INT)              AS is_pos,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS pos_str
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    doc="Conditionals: CASE / coalesce / nullif / boolean cast / if().",
+    tags=("scalar", "conditional"),
+)
+
+register_sql(
+    "scalar_cast_family",
+    """
+    SELECT c_custkey,
+           CAST(c_custkey AS STRING)    AS key_str,
+           CAST(floor(c_acctbal) AS INT)    AS bal_floor_int,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(CAST(c_custkey AS STRING) AS BIGINT) AS roundtrip,
+           CAST(c_acctbal AS DECIMAL(12, 2)) AS bal_dec
+    FROM customer
+    WHERE c_custkey < 200 AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR)   AS key_str,
+           CAST(floor(c_acctbal) AS INT)    AS bal_floor_int,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS roundtrip,
+           CAST(c_acctbal AS DECIMAL(12, 2)) AS bal_dec
+    FROM customer
+    WHERE c_custkey < 200 AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+    doc="Cast semantics (pg_cast catalog): string roundtrips, decimal "
+    "rescale. Double→int is floored explicitly before the cast because "
+    "the raw cast genuinely differs (Spark truncates toward zero, "
+    "DuckDB/PG round) — SURVEY §7.4 item 6; engine users should round "
+    "or floor explicitly, as here.",
+    tags=("scalar", "cast"),
+)

@@ -1,0 +1,85 @@
+"""Set operations (SURVEY.md §2.7).
+
+Reference executor: nodeSetOp.c:190 (INTERSECT[_ALL]/EXCEPT[_ALL],
+hashed or sorted), UNION dedup via nodeUnique.c/nodeAgg.c, Append /
+MergeAppend inputs (nodeAppend.c:295). Spark has all of them built in
+as DataFrame ops; SQL text is dialect-portable so each query doubles as
+its own oracle.
+"""
+
+from __future__ import annotations
+
+from cloudberry_spark.registry import register_sql
+
+register_sql(
+    "setop_union_all",
+    """
+    SELECT c_custkey AS key, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000
+    ORDER BY kind, key
+    """,
+    doc="UNION ALL (Append, nodeAppend.c:295) — no dedup, no shuffle.",
+    tags=("setop",),
+)
+
+register_sql(
+    "setop_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
+    ORDER BY nationkey
+    """,
+    doc="UNION with dedup (Append + hashed Unique).",
+    tags=("setop",),
+)
+
+register_sql(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="INTERSECT (SETOPCMD_INTERSECT, nodeSetOp.c:190).",
+    tags=("setop",),
+)
+
+register_sql(
+    "setop_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY custkey
+    """,
+    doc="INTERSECT ALL: bag semantics, min(multiplicity) per value.",
+    tags=("setop",),
+)
+
+register_sql(
+    "setop_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    doc="EXCEPT (SETOPCMD_EXCEPT) — nations with customers but no "
+    "suppliers.",
+    tags=("setop", "may_be_empty"),
+)
+
+register_sql(
+    "setop_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ORDER BY custkey
+    """,
+    doc="EXCEPT ALL: bag difference of multiplicities.",
+    tags=("setop",),
+)

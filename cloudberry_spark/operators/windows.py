@@ -1,0 +1,234 @@
+"""Window function surface (SURVEY.md §2.5).
+
+All 15 builtin window functions of the reference
+(/root/reference/src/backend/utils/adt/windowfuncs.c:84-665) plus
+aggregates-as-window-functions, ROWS and RANGE frames
+(parsenodes.h:631-655), and the derived idioms: DISTINCT ON,
+LIMIT WITH TIES, top-k per group. Executor parity target:
+nodeWindowAgg.c:2418.
+
+Scale: each window spec is one hash shuffle on PARTITION BY + in-
+partition sort — identical to the reference's redistribute-by-
+partition-clause plan (ORCA CXformSplitWindowFunc.cpp). Consecutive
+windows over the same partitioning reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
+
+register_sql(
+    "win_ranking_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           CAST(percent_rank() OVER w AS DOUBLE) AS prnk,
+           CAST(cume_dist()    OVER w AS DOUBLE) AS cd,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="row_number/rank/dense_rank/percent_rank/cume_dist/ntile "
+    "(windowfuncs.c:84-370) over one named window.",
+    tags=("window",),
+)
+
+register_sql(
+    "win_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)     OVER w AS prev_price,
+           lead(o_totalprice)    OVER w AS next_price,
+           lag(o_totalprice, 2, -1.0)  OVER w AS prev2_price,
+           lead(o_totalprice, 2, -1.0) OVER w AS next2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="lag/lead with offset and default (windowfuncs.c:388-511).",
+    tags=("window",),
+)
+
+register_sql(
+    "win_value_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="first/last/nth_value (windowfuncs.c:519-665); last_value gets "
+    "the full frame (the classic default-frame trap).",
+    tags=("window",),
+)
+
+
+@register(
+    "win_running_and_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_total,
+           avg(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           count(*) OVER (PARTITION BY o_custkey) AS orders_per_cust
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Aggregates as window functions: running sum (cumulative ROWS "
+    "frame), 3-row moving average, partition-wide count.",
+    tags=("window", "frame"),
+)
+def win_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice")
+            .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running_total"),
+            F.avg("o_totalprice")
+            .over(ordered.rowsBetween(-2, Window.currentRow))
+            .alias("moving_avg3"),
+            F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("orders_per_cust"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+register_sql(
+    "win_range_frame",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           count(*) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal
+              RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)
+             AS peers_within_100
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    doc="RANGE frame with numeric offsets (parsenodes.h:631 frame "
+    "options) — value-based, not row-based.",
+    tags=("window", "frame"),
+)
+
+register_sql(
+    "win_distinct_on",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey)
+                   AS rn
+          FROM orders) t
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    doc="DISTINCT ON (latest order per customer) via row_number()=1 — "
+    "the SURVEY §2.4 emulation.",
+    tags=("window", "distinct_on"),
+)
+
+register_sql(
+    "win_limit_with_ties",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice,
+                 rank() OVER (ORDER BY o_totalprice DESC) AS rnk
+          FROM orders) t
+    WHERE rnk <= 10
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="FETCH FIRST 10 ROWS WITH TIES (nodes.h:1174 LIMIT_OPTION_TIES) "
+    "emulated via rank() — may return >10 rows on ties.",
+    tags=("window", "limit"),
+)
+
+register_sql(
+    "win_topk_per_group",
+    """
+    SELECT n_name, c_custkey, c_acctbal
+    FROM (SELECT n_name, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+    WHERE rn <= 3
+    ORDER BY n_name, rn
+    """,
+    doc="Top-k per group: the reference plans this as WindowAgg under a "
+    "filter; Spark pushes the rank filter into the window sort "
+    "(WindowGroupLimit since 3.5).",
+    tags=("window", "topk"),
+)
+
+
+@register(
+    "win_linear_interpolate",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, ts, user_id, value,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ), marked AS (
+      SELECT event_id, ts, user_id, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v
+      FROM s
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN (prev_v + next_v) / 2.0
+                ELSE coalesce(prev_v, next_v) END AS filled_value
+    FROM marked
+    ORDER BY event_id
+    """,
+    doc="linear_interpolate gap-fill (GPDB time-series extension, "
+    "adt/interpolate.c:276-421): NULL runs filled from nearest non-null "
+    "neighbors via IGNORE NULLS window scans (midpoint variant).",
+    tags=("window", "timeseries"),
+)
+def win_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    base = ev.select("event_id", "ts", "user_id", v.alias("v"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.last("v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_v = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(), (prev_v + next_v) / 2.0
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return base.select(
+        "event_id", "user_id", filled.alias("filled_value")
+    ).orderBy("event_id")
