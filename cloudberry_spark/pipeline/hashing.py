@@ -1,0 +1,65 @@
+"""Cross-engine deterministic hashing primitives.
+
+MinHash/SimHash/LSH need hash functions that produce IDENTICAL values in
+Spark (the engine) and DuckDB (the oracle), or the sketches could never
+be differentially tested. ``xxhash64``/``hash`` differ across engines,
+but ``md5`` is bit-identical everywhere, so:
+
+    base_hash(s) = int(md5(s)[lower 15 hex chars])       -- 60-bit, >= 0
+
+Spark:  CAST(conv(substr(md5(s), 18, 15), 16, 10) AS BIGINT)
+DuckDB: CAST(concat('0x', substr(md5(s), 18, 15)) AS BIGINT)
+
+Universal-hash permutations stay in signed-64 range by reducing into the
+Mersenne prime P = 2^31 - 1 first:
+
+    perm_i(x) = (a_i * (x % P) + b_i) % P      -- a_i,b_i < P, product < 2^62
+
+md5 is ~10x slower than xxhash64; at 100 TB swap BASE_HASH for
+F.xxhash64 (one-line change here) and lose only the cross-engine oracle,
+not correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: keeps a*(x%P)+b inside signed 64-bit.
+MERSENNE_P = 2_147_483_647
+
+#: (a, b) parameters for the universal-hash permutation family, fixed so
+#: signatures are reproducible across runs and engines. Generated once
+#: from digits of pi (public, arbitrary); any fixed a in [1,P), b in [0,P) works.
+PERM_PARAMS: tuple[tuple[int, int], ...] = (
+    (314159265, 358979323),
+    (846264338, 327950288),
+    (419716939, 937510582),
+    (97494459, 230781640),
+    (628620899, 862803482),
+    (534211706, 798214808),
+    (651328230, 664709384),
+    (460955058, 223172535),
+)
+
+
+def spark_base_hash(col: Column) -> Column:
+    """60-bit non-negative integer hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("bigint")
+
+
+def duckdb_base_hash(expr: str) -> str:
+    """The identical hash as DuckDB SQL text (oracle side)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 18, 15)) AS BIGINT)"
+
+
+def spark_perm(col: Column, i: int) -> Column:
+    """i-th universal-hash permutation of a base-hash column (Spark)."""
+    a, b = PERM_PARAMS[i]
+    return (F.lit(a) * (col % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+
+def duckdb_perm(expr: str, i: int) -> str:
+    """i-th permutation as DuckDB SQL text."""
+    a, b = PERM_PARAMS[i]
+    return f"(({a} * (({expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed through Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED with deterministic fakes (clearly marked below) — but the
+Spark-side machinery is real and tested: schemas, mapInPandas batch
+iteration, Arrow transfer, partition sizing. Swapping a stub for a real
+``PIL.Image.open`` / ``soundfile.read`` call changes only the kernel
+body.
+
+Scale design:
+- binary payloads ride in their own column; metadata-only filters prune
+  before any decode runs (column pruning keeps the bytes unread).
+- decode is mapInPandas (stream of Arrow batches) so one task never
+  holds more than spark.sql.execution.arrow.maxRecordsPerBatch images.
+- repartition before decode spreads byte-heavy rows; at 100 TB you'd
+  also cap bytes/task via maxPartitionBytes on the source.
+
+Reference parity: none (the reference is SQL-only); this is the build
+brief's multimodal extension. bytea storage ≙ BinaryType
+(/root/reference/src/include/catalog/pg_type.dat bytea).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+#: Output schema of the decode stage: typed metadata + feature vector.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def fake_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a multimodal table from ``documents``: utf-8 payload
+    bytes standing in for encoded media, plus metadata columns. (The
+    fixtures ship no binary column; payload content is irrelevant to the
+    plumbing under test.)"""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").cast(BinaryType()).alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, list[float]]:
+    """STUB decode kernel — deterministic fake.
+
+    A real deployment replaces this body with PIL/libsndfile/ffmpeg
+    decoding; everything around it (batching, schema, partitioning) is
+    production-shaped. Raises for unknown media types, mirroring a real
+    codec error path.
+    """
+    if media_type not in ("image/png", "audio/wav", "video/mp4"):
+        raise NotImplementedError(f"no codec for {media_type}")
+    n = len(payload)
+    width = (n % 64) + 1
+    height = (n % 48) + 1
+    # 8-dim fake feature: byte-histogram moments, deterministic.
+    if n:
+        step = max(n // 8, 1)
+        feats = [float(sum(payload[i : i + step]) % 997) / 997.0 for i in range(0, min(n, 8 * step), step)][:8]
+    else:
+        feats = []
+    feats += [0.0] * (8 - len(feats))
+    return width, height, feats
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched, streaming, per-partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+            }
+            decoded = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
+            out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
+            out["features"] = pd.Series([d[2] for d in decoded])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode is a Python kernel — no SQL expression exists;
+    # pytest checks determinism, schema, and batch behavior instead.
+    doc="Multimodal decode pipeline: binary payload + metadata → "
+    "mapInPandas(stub codec) → typed features. Metadata filter prunes "
+    "before decode (bytes never deserialized for filtered rows).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = fake_media(docs).where(F.col("media_type") != "video/mp4")
+    return decode_media(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,
+    doc="Frame sampling plumbing: one row per sampled frame index "
+    "(every ~Nth 'frame' of video payloads), exploded JVM-side so the "
+    "per-frame decode UDF fans out across tasks.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = fake_media(docs).where(F.col("media_type") == "video/mp4")
+    # n_frames ∝ payload size; sample every 10th frame.
+    with_frames = media.select(
+        "doc_id",
+        "payload",
+        (F.col("n_bytes") / 10).cast("int").alias("n_frames"),
+    ).where(F.col("n_frames") > 0)
+    frames = with_frames.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(10))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.crc32(F.concat(F.col("payload"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
+            "frame_checksum"
+        ),
+    ).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,247 @@
+"""Similarity search over the ``embeddings`` table (array<float>, d=64).
+
+Three operators, all shaped for a 1000-executor cluster:
+
+- ``sim_knn_brute``: exact cosine top-k. The query set is broadcast
+  (small by construction); the corpus is scanned once, scored JVM-side
+  with higher-order array functions (zip_with + aggregate — no Python,
+  no UDF), and reduced per-query with a window top-k. Linear in corpus
+  size, embarrassingly parallel.
+- ``sim_ivf_knn``: IVF-style ANN. Coarse quantizer = per-label centroid
+  (computed by posexplode + groupBy — deterministic); each query probes
+  only its nearest centroid's partition. The scale path: probe cost is
+  corpus/nprobe, and the centroid table is tiny and broadcast.
+- ``sim_cosine_neardup``: embedding near-duplicate pairs above a cosine
+  threshold, LSH-free exact variant for the fixture scale; the banded
+  path reuses dedup's LSH machinery.
+
+Reference parity: closest native feature is gp_sparse_vector's svec
+dot/l2 ops (/root/reference/gpcontrib/gp_sparse_vector/) — extended here
+to full ANN per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+K = 5
+N_QUERIES = 10  # vec_id < 10 are the query set in the fixture demos
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    d = _DUCK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT.format(a=b, b=b)})"
+    return f"({d}) / ({na} * {nb})"
+
+
+def knn_brute(
+    corpus: DataFrame, queries: DataFrame, k: int = K, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast; ranking uses one window shuffle keyed on the
+    (small) query id — corpus-side work is a single scan.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = corpus.alias("c").join(q, F.col(f"c.{id_col}") != F.col("query_id")).select(
+        "query_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "sim_knn_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'c.embedding')} AS cos_sim
+      FROM embeddings c JOIN q ON c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY query_id, rnk
+    """,
+    doc="Brute-force exact cosine top-k (baseline ANN). Scoring is "
+    "zip_with+aggregate (whole-stage codegen), queries broadcast.",
+    tags=("pipeline", "similarity", "bench"),
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return knn_brute(emb, queries).orderBy("query_id", "rnk")
+
+
+@register(
+    "sim_ivf_knn",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, avg(val) AS cval
+      FROM (SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) t
+      GROUP BY label, pos),
+    centroids AS (
+      SELECT label, list(cval ORDER BY pos) AS c_emb FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, q_emb, label AS probe_label
+      FROM (SELECT query_id, q_emb, label,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_duck_cosine('q_emb', 'c_emb')} DESC, label) AS r
+            FROM q CROSS JOIN centroids) t
+      WHERE r = 1),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'c.embedding')} AS cos_sim
+      FROM probe JOIN embeddings c
+        ON c.label = probe_label AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF-style ANN: coarse quantizer = per-label centroids "
+    "(posexplode+groupBy, deterministic), nprobe=1 — each query scores "
+    "only its nearest centroid's inverted list. The 100TB path: "
+    "centroids broadcast, corpus pre-partitioned by list id.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Coarse quantizer: element-wise mean per label.
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+            ).alias("pairs")
+        )
+        .select(
+            "label", F.transform("pairs", lambda p: p.cval).alias("c_emb")
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") == 1)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    scored = probe.join(
+        emb.alias("c"),
+        (F.col("c.label") == F.col("probe_label"))
+        & (F.col("c.vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sim_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} > 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine similar pairs (>0.35; fixture vectors are near-random so true near-dup thresholds are empty) within label "
+    "blocks — blocked exact search; the label join key bounds the "
+    "pair count (at scale: LSH bands or IVF lists as blocks).",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("e_b")
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.35)
+        .orderBy("id_a", "id_b")
+    )

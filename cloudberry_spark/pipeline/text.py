@@ -1,0 +1,252 @@
+"""Text-analysis operators over ``documents`` (language ID, quality
+scoring, token counting, fingerprinting).
+
+Reference parity: the closest native surface is full-text search
+(/root/reference/src/backend/utils/adt/tsvector_op.c to_tsvector + ts_rank)
+— re-expressed here as tokenize→array ops, then extended with the
+LLM-pipeline scoring heuristics from the build brief. Everything is
+built-in Catalyst expressions (split/filter/size/regexp) — zero Python
+in the row path, so throughput is codegen-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+#: Tiny per-language stopword lists (public, standard function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "y", "es", "en", "un", "una", "que", "los"),
+    "fr": ("le", "la", "de", "et", "est", "en", "un", "une", "que", "les"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation /
+    digit boundaries (a cheap proxy for BPE token counts when budgeting
+    context windows)."""
+    pieces = F.split(
+        F.trim(F.lower(text)), r"(\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^\w\s])|(?<=[^\w\s]))"
+    )
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    t = tokens(text)
+    return F.size(F.filter(t, lambda w: F.array_contains(stops, w))) / F.size(t)
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS n_tokens,
+           length(text) AS n_chars,
+           CAST(length(text) AS DOUBLE)
+             / length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS chars_per_token,
+           length(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+             AS n_unique_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting (whitespace tokenizer): counts, char ratio, "
+    "vocabulary size per doc.",
+    tags=("pipeline", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text") / F.size(t)).alias("chars_per_token"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks)
+             AS uniq_ratio,
+           CAST(n_chars AS DOUBLE) / length(toks) AS mean_token_len,
+           CAST(length(toks) BETWEEN 20 AND 1000 AS INT)
+             * CAST(CAST(n_punct AS DOUBLE) / n_chars < 0.1 AS INT)
+             * CAST(CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks) > 0.2 AS INT)
+             AS passes_quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: length band, punctuation ratio, lexical "
+    "diversity — the Gopher/C4-style rule filters, as one projection.",
+    tags=("pipeline", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = n_punct / F.col("n_chars")
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    mean_token_len = F.col("n_chars") / n_tokens
+    passes = (
+        n_tokens.between(20, 1000).cast("int")
+        * (punct_ratio < 0.1).cast("int")
+        * (uniq_ratio > 0.2).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        mean_token_len.alias("mean_token_len"),
+        passes.alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_spark(lang: str) -> Column:
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    t = tokens(F.col("text"))
+    return (F.size(F.filter(t, lambda w: F.array_contains(stops, w))) / F.size(t)).alias(
+        f"score_{lang}"
+    )
+
+
+def _lang_score_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "CAST(length(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"w -> list_contains([{lst}], w))) AS DOUBLE) / "
+        "length(regexp_split_to_array(trim(lower(text)), '\\s+')) "
+        f"AS score_{lang}"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_lang_score_duck('en')},
+             {_lang_score_duck('de')},
+             {_lang_score_duck('es')},
+             {_lang_score_duck('fr')},
+             CAST(regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS INT) AS has_cjk
+      FROM documents)
+    SELECT doc_id, labeled_lang,
+           CASE WHEN has_cjk = 1 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language ID heuristic: per-language stopword hit-rate + CJK "
+    "codepoint detection, argmax with deterministic tie-break. (The "
+    "fixture text is synthetic vocabulary, so 'und' dominates — the "
+    "operator's determinism, not its accuracy, is what's oracle-checked.)",
+    tags=("pipeline", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _lang_score_spark("en"),
+        _lang_score_spark("de"),
+        _lang_score_spark("es"),
+        _lang_score_spark("fr"),
+        F.when(F.col("text").rlike("[一-鿿]"), 1).otherwise(0).alias("has_cjk"),
+    )
+    best = F.greatest("score_en", "score_de", "score_es", "score_fr")
+    detected = (
+        F.when(F.col("has_cjk") == 1, "zh")
+        .when(best == 0, "und")
+        .when(F.col("score_en") >= F.greatest("score_de", "score_es", "score_fr"), "en")
+        .when(F.col("score_de") >= F.greatest("score_es", "score_fr"), "de")
+        .when(F.col("score_es") >= F.col("score_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", detected.alias("detected_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))
+             AS bag_fingerprint,
+           CAST(concat('0x', substr(md5(array_to_string(
+             list_sort(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')), 18, 15))
+             AS BIGINT) AS fingerprint_int
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: canonical bag-of-words hash (order-"
+    "insensitive content identity — catches shuffled/duplicated docs "
+    "that exact hashing misses). Companion to MinHash for joins that "
+    "need a single 64-bit key.",
+    tags=("pipeline", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    return docs.select(
+        "doc_id",
+        canon.alias("bag_fingerprint"),
+        F.conv(F.substring(canon, 18, 15), 16, 10).cast("bigint").alias("fingerprint_int"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_bpeish_token_count",
+    oracle=None,  # regex split boundary semantics differ across engines;
+    # pytest cross-checks against a Python reference tokenizer instead.
+    doc="BPE-ish sub-word token counting (whitespace + punctuation + "
+    "letter/digit boundaries) for context-window budgeting.",
+    tags=("pipeline", "text"),
+)
+def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpeish_tokens"),
+    ).orderBy("doc_id")
