@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query suite and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default all cores)
+
+Methodology: each query's DataFrame is materialized with a noop-format
+write (full pipeline execution, no driver collect bottleneck, no disk
+sink cost) — the same way Spark's own SQL benchmarks measure. One
+untimed session warmup (tiny query) amortizes JVM/codegen startup out of
+the per-query numbers, mirroring how BASELINE.md's reference numbers
+were taken on a warm cluster (contrib/pax_storage/doc/performance.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+#: TPC-H headliners, named to match BASELINE.md's per-query table.
+TPCH = {f"q{i}": f"tpch_q{i}" for i in range(1, 23)}
+
+#: Pipeline / scale-path headliners beyond the reference's surface.
+PIPELINE = {
+    "dedup_minhash": "dedup_minhash_lsh_pairs",
+    "knn_brute": "sim_knn_brute",
+    "text_quality": "text_quality_score",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cloudberry_spark.registry import all_queries
+    from cloudberry_spark.session import get_session
+
+    spark = get_session("cloudberry-spark-bench")
+    queries = all_queries()
+
+    # Warmup: trivial query spins up executors + codegen paths, untimed.
+    queries["tpch_q6"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for label, name in {**TPCH, **PIPELINE}.items():
+        df = queries[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[label] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "tpch22+pipeline total wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
