@@ -1,0 +1,245 @@
+"""Event-time windowing over the ``events`` table — the engine's
+streaming surface (SURVEY.md §2.10).
+
+The reference is batch-only: its closest streaming features are
+incremental materialized views (trigger-maintained delta propagation,
+/root/reference/src/backend/commands/matview.c:129-151) and
+cron-refreshed dynamic tables (commands/createas.c:1858-1890). This
+module is therefore a *superset*: the same windowed aggregations exposed
+both as batch DataFrame ops (oracle-checkable vs DuckDB) and as true
+Structured Streaming jobs (file source → watermark → windowed agg →
+sink), the Spark-native realization of an incrementally-maintained
+materialized view.
+
+Semantics notes (all verified against the DuckDB oracle):
+- ``window()`` buckets are epoch-aligned in the session timezone (UTC
+  here), so the oracle reproduces them with integer epoch arithmetic.
+- ``session_window(ts, gap)`` ends at ``max(ts) + gap``; two events
+  exactly ``gap`` apart do NOT merge (overlap is strict), hence the
+  oracle's ``>=`` split condition.
+
+Scale notes: a streaming windowed agg shuffles by (window ⊕ grouping
+key) exactly like the batch groupBy — partial aggregation map-side,
+state store per key. At 100 TB/day the watermark bounds state size;
+without it session state grows unboundedly — so every streaming entry
+point here requires an explicit watermark.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Batch windowing (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _duck_bucket(col: str, seconds: int) -> str:
+    """Epoch-aligned bucket start as a µs TIMESTAMP, matching Spark's
+    ``window()`` alignment under a UTC session timezone."""
+    return (
+        f"make_timestamp(((epoch({col})::BIGINT // {seconds}) * {seconds}) "
+        f"* 1000000)"
+    )
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle=f"""
+        SELECT {_duck_bucket('ts', 86400)} AS win_start,
+               {_duck_bucket('ts', 86400)} + INTERVAL 1 DAY AS win_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1-day event-time windows per event_type.",
+    tags=("streaming", "window", "events"),
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return ev.groupBy(w, "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+        WITH starts AS (
+            SELECT e.*, make_timestamp(
+                       (((epoch(e.ts)::BIGINT // 43200) - s.k) * 43200)
+                       * 1000000) AS win_start
+            FROM events e,
+                 (SELECT unnest(generate_series(0, 1)) AS k) s
+        )
+        SELECT win_start,
+               win_start + INTERVAL 1 DAY AS win_end,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM starts
+        WHERE ts >= win_start AND ts < win_start + INTERVAL 1 DAY
+        GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) windows: 1-day length, 12-hour slide.",
+    tags=("streaming", "window", "events"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day", "12 hours")
+    return ev.groupBy(w).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "n_events",
+        "n_users",
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS sess_start,
+               max(ts) + INTERVAL 1 HOUR AS sess_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered
+        GROUP BY user_id, sess_id
+    """,
+    doc="Session windows (1h inactivity gap) per user: gaps-and-islands "
+    "in the oracle, session_window() in Spark.",
+    tags=("streaming", "window", "session", "events"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.session_window("ts", "1 hour"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        F.col("session_window.end").alias("sess_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming path
+# ---------------------------------------------------------------------------
+
+#: File-source schema: ts is int64 NANOS in the fixture parquet (read
+#: via nanosAsLong on the batch path; the stream source gets it declared).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """events.parquet as a watermarked file-source stream.
+
+    The file source is the availableNow/backfill pattern: at production
+    scale the same plan runs over a landing directory with new files
+    appearing continuously; locally it replays the fixture.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        # File source requires a directory; glob-filter to the events table.
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("ts", watermark)
+
+
+def run_stream_once(result: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming aggregation to completion (Trigger.AvailableNow)
+    into a memory sink; return the sink contents as a DataFrame.
+
+    Memory sink is test/dev only — production writes parquet/Kafka. The
+    plan (source → watermarked window agg → sink) is identical.
+    """
+    name = f"strm_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+@register(
+    "stream_live_tumbling",
+    oracle=f"""
+        SELECT {_duck_bucket('ts', 86400)} AS win_start,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Structured Streaming job (file source, 1h watermark, complete "
+    "mode) whose converged output equals the batch/oracle aggregation — "
+    "the IVM equivalence (matview.c:129) realized on Spark.",
+    tags=("streaming", "live", "events"),
+)
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    out = run_stream_once(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n_events"
+    )
