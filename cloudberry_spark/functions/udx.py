@@ -1,0 +1,180 @@
+"""User-defined function surface (SURVEY.md §2.11), Spark-first.
+
+Reference surface re-expressed:
+- scalar UDFs in SQL / PL/Python / C
+  (/root/reference/src/pl/plpython/, commands/functioncmds.c) →
+  Arrow-vectorized ``pandas_udf`` (the fast path) and SQL-bodied
+  ``CREATE FUNCTION`` (Spark 4 SQL UDF); row-at-a-time Python UDF shown
+  once, on a bounded dim, as the documented slow path.
+- ``CREATE AGGREGATE`` with sfunc/prelimfn/finalfunc
+  (/root/reference/src/backend/commands/aggregatecmds.c) →
+  ``applyInPandas`` per-group aggregation. The reference's ``prelimfn``
+  is what makes an aggregate partial-izable across segments; the
+  docstring of ``udaf_geomean`` shows the same split (log-sum partials
+  combine by addition) even though this demo keeps whole groups.
+- set-returning functions / UDTF over ``anytable`` with ``SCATTER BY``
+  (/root/reference/src/backend/executor/nodeTableFunction.c:1-45,
+  src/include/tablefuncapi.h) → ``repartition(keys).mapInPandas(fn)``.
+
+Scale: pandas_udf/mapInPandas move data Python-side in Arrow batches —
+~10-100× over per-row pickling, but still off the codegen path; every
+operator here exists because the semantics genuinely need Python, and
+each docstring says what the JVM-side alternative would be.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+
+@F.pandas_udf(DoubleType())
+def log_disc_price(extprice: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF (PL/Python analog): log1p of the discounted
+    price. Pure-SQL equivalent: ``ln(1 + l_extendedprice*(1-l_discount))``
+    — used as the oracle; a real deployment keeps such arithmetic
+    JVM-side, this exists to exercise the Arrow scalar path."""
+    import numpy as np
+
+    return pd.Series(np.log1p(extprice.to_numpy() * (1.0 - discount.to_numpy())))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(ln(1 + l_extendedprice * (1 - l_discount))), 4)
+                   AS sum_logprice
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Arrow-vectorized pandas_udf scalar (§2.11 PL/Python analog).",
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(log_disc_price("l_extendedprice", "l_discount")), 4).alias(
+            "sum_logprice"
+        )
+    )
+
+
+@register(
+    "udf_python_rowwise",
+    oracle="SELECT 'R:' || r_name || ':' || length(r_name) AS tag FROM region",
+    doc="Row-at-a-time Python UDF — the documented SLOW path, applied "
+    "only to a replicated-class dim (5 rows at any SF).",
+    tags=("udf", "python", "slowpath"),
+)
+def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = F.udf(lambda s: f"R:{s}:{len(s)}", StringType())
+    return load_table(spark, sf_dir, "region").select(tag("r_name").alias("tag"))
+
+
+@register(
+    "udf_sql_function",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="SQL-bodied CREATE FUNCTION (functioncmds.c LANGUAGE SQL analog) "
+    "— inlined by Catalyst, zero Python overhead.",
+    tags=("udf", "sql"),
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+    """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
+    The prelimfn (partial combine) would be '+' over (log_sum, n) —
+    associative, hence segment-parallel in the reference and
+    partial-aggregatable on Spark."""
+    import numpy as np
+
+    logs = np.log(pdf["o_totalprice"].to_numpy())
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "geomean_price": [float(np.exp(logs.mean()))],
+            "n_orders": [len(pdf)],
+        }
+    )
+
+
+@register(
+    "udaf_geomean",
+    oracle="""
+        SELECT o_orderpriority,
+               exp(avg(ln(o_totalprice))) AS geomean_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="CREATE AGGREGATE analog (aggregatecmds.c): per-group pandas "
+    "aggregation via applyInPandas.",
+    tags=("udaf", "pandas"),
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").applyInPandas(
+        _geomean,
+        schema="o_orderpriority string, geomean_price double, n_orders long",
+    )
+
+
+def _doc_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """UDTF body: one output row per distinct word per document."""
+    for pdf in batches:
+        words = (
+            pdf.assign(word=pdf["text"].str.lower().str.strip().str.split(r"\s+"))
+            .explode("word")[["doc_id", "word"]]
+            .drop_duplicates()
+        )
+        yield words
+
+
+@register(
+    "udtf_doc_words",
+    oracle="""
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))) AS word
+        FROM documents
+        WHERE doc_id % 20 = 0
+    """,
+    doc="Set-returning table function over anytable with SCATTER BY "
+    "(nodeTableFunction.c:1) → repartition(keys).mapInPandas: explode "
+    "documents into distinct words.",
+    tags=("udtf", "pandas", "pipeline"),
+)
+def udtf_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        # SCATTER BY doc_id: co-locate each doc's rows before the TVF.
+        .repartition("doc_id")
+    )
+    return docs.mapInPandas(_doc_words, schema="doc_id long, word string")

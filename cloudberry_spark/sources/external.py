@@ -1,0 +1,206 @@
+"""COPY in/out, external tables and reject-limit handling, Spark-first.
+
+Reference surface being re-expressed (not ported):
+- COPY FROM/TO — bulk CSV/text load-unload, parallel ``ON SEGMENT``
+  (/root/reference/src/backend/commands/copy.c:1243,
+  copyfrom.c / copyto.c). Spark: distributed ``df.write.csv`` /
+  ``spark.read.csv`` — every task is a "segment" writer/reader, so the
+  parallel path is the only path.
+- Single-row-error handling ``SEGMENT REJECT LIMIT``
+  (/root/reference/src/backend/cdb/cdbsreh.c:392): Spark's PERMISSIVE
+  parse mode + ``columnNameOfCorruptRecord`` keeps bad rows as data
+  (≙ error table), DROPMALFORMED discards (≙ reject limit), FAILFAST
+  errors (≙ no reject clause).
+- External web tables over gpfdist/http/file URLs
+  (/root/reference/src/backend/access/external/external.c:382-505):
+  Spark data-source reads over a path/URL; JSONL here stands in for the
+  text-protocol feed.
+
+Scale: writers shard by partition (one file per task — the exact
+``COPY ON SEGMENT`` layout); readers split files by
+``spark.sql.files.maxPartitionBytes``, so a single 10 TB CSV still
+parallelizes. Parquet remains the engine-native format; CSV/JSON are
+interchange only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+#: Scratch area for sink/roundtrip queries (gitignored, inside the repo).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH, tag, name)
+
+
+def copy_to(df: DataFrame, path: str, fmt: str = "csv", **options: str) -> None:
+    """COPY TO: distributed unload. ``header`` defaults on for CSV."""
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.format(fmt).save(path)
+
+
+def copy_from(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "csv",
+    mode: str = "PERMISSIVE",
+    **options: str,
+) -> DataFrame:
+    """COPY FROM: declared-schema bulk read; ``mode`` is the reject policy."""
+    r = spark.read.schema(schema).option("mode", mode)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.format(fmt).load(path)
+
+
+@register(
+    "copy_csv_roundtrip",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey % 7 = 0
+        GROUP BY l_returnflag
+    """,
+    doc="COPY TO csv → COPY FROM csv → aggregate; proves a lossless "
+    "distributed CSV unload/load path (copy.c:1243 ON SEGMENT shape).",
+    tags=("source", "copy", "csv"),
+)
+def copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    path = _scratch(sf_dir, "lineitem_csv")
+    copy_to(li, path, "csv")
+    back = copy_from(spark, path, li.schema, "csv")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "copy_jsonl_external",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+        GROUP BY o_orderpriority
+    """,
+    doc="JSONL external-table feed (external.c:382 web-table analog): "
+    "unload orders as JSON lines, re-read with declared schema, aggregate.",
+    tags=("source", "external", "json"),
+)
+def copy_jsonl_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    path = _scratch(sf_dir, "orders_jsonl")
+    copy_to(od, path, "json")
+    back = copy_from(spark, path, od.schema, "json")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+REJECT_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_quantity", DoubleType()),
+        StructField("_rejected", StringType()),
+    ]
+)
+
+
+@register(
+    "copy_reject_limit",
+    oracle="""
+        SELECT count(*) FILTER (WHERE l_orderkey % 10 <> 3) AS n_good,
+               count(*) FILTER (WHERE l_orderkey % 10 = 3) AS n_rejected,
+               round(sum(l_quantity) FILTER (WHERE l_orderkey % 10 <> 3), 4)
+                   AS sum_good_qty
+        FROM lineitem
+    """,
+    doc="SEGMENT REJECT LIMIT (cdbsreh.c:392): deterministically corrupt "
+    "l_quantity on ~10%% of rows, bulk-load PERMISSIVE, count the error "
+    "table vs clean rows.",
+    tags=("source", "copy", "reject"),
+)
+def copy_reject_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Render rows as raw CSV text, corrupting the numeric field on the
+    # l_orderkey%10==3 slice — a reproducible "dirty feed".
+    lines = li.select(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.when(F.col("l_orderkey") % 10 == 3, F.lit("<corrupt>")).otherwise(
+                F.col("l_quantity").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "lineitem_dirty_csv")
+    lines.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(REJECT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_rejected")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_rejected").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_rejected").isNotNull(), 1)).alias("n_rejected"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_good_qty"),
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+    """,
+    doc="DISTRIBUTED BY + partitioned write (gp_distribution_policy.h:30 "
+    "as physical layout): hive-partition orders by year, read back one "
+    "partition — scan must prune to it (partition pruning ≙ "
+    "gp_partition elimination).",
+    tags=("sink", "partitioning", "pruning"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = _scratch(sf_dir, "orders_by_year")
+    od.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    return back.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
