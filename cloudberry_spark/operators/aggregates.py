@@ -265,3 +265,42 @@ register_sql(
     doc="DISTINCT row dedup (nodeUnique.c:48 / hashed Agg).",
     tags=("agg", "distinct"),
 )
+
+
+@register(
+    "agg_hypothetical_set",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_totalprice < 30000.0) + 1 AS hyp_rank,
+               count(DISTINCT o_totalprice)
+                   FILTER (WHERE o_totalprice < 30000.0) + 1 AS hyp_dense_rank,
+               round((count(*) FILTER (WHERE o_totalprice < 30000.0))
+                     / count(*)::DOUBLE, 6) AS hyp_percent_rank,
+               round((count(*) FILTER (WHERE o_totalprice <= 30000.0) + 1)
+                     / (count(*) + 1)::DOUBLE, 6) AS hyp_cume_dist
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Hypothetical-set aggregates rank/dense_rank/percent_rank/"
+    "cume_dist(v) WITHIN GROUP (adt/orderedsetaggs.c:426): expressed as "
+    "the defining count arithmetic — rank(v)=|{x<v}|+1 etc. — which is a "
+    "single partial-aggregatable pass, no sort, unlike the reference's "
+    "sort-based implementation.",
+    tags=("agg", "orderedset", "hypothetical"),
+)
+def agg_hypothetical_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = F.lit(30000.0)
+    below = F.count(F.when(F.col("o_totalprice") < v, 1))
+    at_or_below = F.count(F.when(F.col("o_totalprice") <= v, 1))
+    return od.groupBy("o_orderpriority").agg(
+        (below + 1).alias("hyp_rank"),
+        (
+            F.count_distinct(
+                F.when(F.col("o_totalprice") < v, F.col("o_totalprice"))
+            )
+            + 1
+        ).alias("hyp_dense_rank"),
+        F.round(below / F.count("*"), 6).alias("hyp_percent_rank"),
+        F.round((at_or_below + 1) / (F.count("*") + 1), 6).alias("hyp_cume_dist"),
+    )

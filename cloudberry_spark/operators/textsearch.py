@@ -1,0 +1,145 @@
+"""Full-text search and fuzzy string matching (SURVEY.md §2.8).
+
+Reference surface re-expressed:
+- ``tsvector``/``tsquery``/``@@``/``ts_rank``
+  (/root/reference/src/backend/utils/adt/tsvector_op.c, tsrank.c):
+  tokenize → distinct term array → containment match → frequency rank.
+  We define the rank as matched-term-count / total-token-count — a
+  documented simplification of ts_rank's weighted cover density (the
+  reference's default weights are positional, which needs proximity
+  data a bag-of-words index doesn't keep).
+- trigram similarity (pg_trgm, /root/reference/contrib/pg_trgm/):
+  PG-style padded character trigrams ('  s', ' sp', …) and
+  ``|A∩B| / |A∪B|`` set similarity — same formula as trgm_ops.
+
+Both are pure JVM-side array expressions (higher-order functions), no
+Python: at 100 TB the tokenize+match plan is a single scan with
+whole-stage codegen, and an inverted-index variant is the explode →
+(term → doc list) aggregation, which is ``udtf_doc_words`` + groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# tsvector-style search
+# ---------------------------------------------------------------------------
+
+
+def tsvector_col(text: Column) -> Column:
+    """Distinct lowercase word tokens — the tsvector lexeme set (without
+    stemming; the reference's dictionaries are locale config, not core
+    executor semantics)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
+    )
+
+
+@register(
+    "text_tsquery_rank",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               w -> w <> '') AS words
+            FROM documents
+        ), v AS (
+            SELECT doc_id, words, list_distinct(words) AS lex FROM toks
+        )
+        SELECT doc_id,
+               round(len(list_intersect(lex, ['data', 'model', 'learning']))
+                     / len(words)::DOUBLE, 6) AS rank,
+               len(list_intersect(lex, ['data', 'model', 'learning']))
+                   AS n_matched
+        FROM v
+        WHERE len(list_intersect(lex, ['data', 'model', 'learning'])) > 0
+    """,
+    doc="tsvector @@ tsquery + ts_rank analog (tsvector_op.c, tsrank.c): "
+    "OR-match any of 3 query terms, rank by matched/total tokens.",
+    tags=("textsearch", "pipeline"),
+)
+def text_tsquery_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in ("data", "model", "learning")])
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != F.lit("")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_intersect(F.array_distinct(words), terms)).alias("n_matched"),
+    )
+    return d.filter(F.col("n_matched") > 0).select(
+        "doc_id",
+        F.round(F.col("n_matched") / F.col("n_words"), 6).alias("rank"),
+        "n_matched",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pg_trgm
+# ---------------------------------------------------------------------------
+
+
+def trigrams_col(s: Column) -> Column:
+    """PG-trgm-style padded character trigram set: lower(s) wrapped in
+    '  …' + ' ' so word boundaries contribute trigrams."""
+    padded = F.concat(F.lit("  "), F.lower(s), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: F.substring(padded, i, 3),
+        )
+    )
+
+
+def trigram_similarity(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over trigram sets (contrib/pg_trgm similarity())."""
+    ta, tb = trigrams_col(a), trigrams_col(b)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return inter / union
+
+
+def _duck_trigrams(expr: str) -> str:
+    padded = f"('  ' || lower({expr}) || ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, length({padded}) - 2), "
+        f"i -> substring({padded}, i, 3)))"
+    )
+
+
+@register(
+    "scalar_trigram_similarity",
+    oracle=f"""
+        WITH t AS (
+            SELECT s_name,
+                   {_duck_trigrams('s_name')} AS ta,
+                   {_duck_trigrams("'Supplier#000000010'")} AS tb
+            FROM supplier
+        )
+        SELECT s_name,
+               round(len(list_intersect(ta, tb))::DOUBLE
+                     / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6)
+                   AS sim
+        FROM t
+        WHERE len(list_intersect(ta, tb))::DOUBLE
+              / (len(ta) + len(tb) - len(list_intersect(ta, tb))) > 0.3
+    """,
+    doc="pg_trgm similarity() as JVM-side trigram-set Jaccard; fuzzy "
+    "match supplier names above the 0.3 similarity threshold "
+    "(pg_trgm's default similarity_threshold).",
+    tags=("textsearch", "fuzzy", "scalar"),
+)
+def scalar_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    sim = trigram_similarity(F.col("s_name"), F.lit("Supplier#000000010"))
+    return sup.select(
+        "s_name", F.round(sim, 6).alias("sim")
+    ).filter(sim > 0.3)

@@ -91,6 +91,8 @@ def _load_all() -> None:
     import cloudberry_spark.operators.arrays  # noqa: F401
     import cloudberry_spark.operators.recursive  # noqa: F401
     import cloudberry_spark.operators.sampling  # noqa: F401
+    import cloudberry_spark.operators.textsearch  # noqa: F401
+    import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
