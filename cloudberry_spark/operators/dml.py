@@ -1,0 +1,237 @@
+"""DML — the ModifyTable surface (SURVEY.md §2.1), copy-on-write style.
+
+Reference: INSERT/UPDATE/DELETE/MERGE all execute through ModifyTable
+(/root/reference/src/backend/executor/nodeModifyTable.c:3957, 5482 LoC),
+with MPP routing of each row to its distribution segment and
+SplitUpdate turning distribution-key updates into DELETE+INSERT pairs
+(/root/reference/src/backend/executor/nodeSplitUpdate.c:28).
+
+Spark has no in-place mutation, so the idiomatic realization is the
+lakehouse copy-on-write transaction, which is also what SplitUpdate
+foreshadows — every UPDATE *is* a delete+insert here:
+
+    read current files → transform (filter / conditional-assign /
+    outer-join with source) → write new fileset → atomic swap (rename).
+
+At 100 TB the rewrite cost is bounded by partitioning: a predicate
+confined to a partition (`o_year=1995`) rewrites only that directory —
+the same reason the reference prunes ModifyTable to leaf partitions.
+Delta/Iceberg add snapshot isolation on top; the plan shape is
+identical.
+
+Each registered query rebuilds its scratch target from the fixtures
+first, so runs are deterministic and oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+from cloudberry_spark.sources.external import _scratch
+
+
+def overwrite_inplace(df: DataFrame, path: str) -> None:
+    """Commit a rewritten table: write a staged fileset, then swap.
+
+    The rename is the commit point — readers see old or new, never a
+    torn mix (single-writer; multi-writer needs a real table format).
+    """
+    staged = path + ".staged"
+    df.write.mode("overwrite").parquet(staged)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staged, path)
+
+
+def insert_into(spark: SparkSession, path: str, rows: DataFrame) -> None:
+    """INSERT INTO ... SELECT — pure file append, no rewrite."""
+    rows.write.mode("append").parquet(path)
+
+
+def update_table(
+    spark: SparkSession, path: str, cond: Column, assignments: dict[str, Column]
+) -> None:
+    """UPDATE t SET col=expr WHERE cond — conditional projection rewrite."""
+    cur = spark.read.parquet(path)
+    for col, expr in assignments.items():
+        cur = cur.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+    overwrite_inplace(cur, path)
+
+
+def delete_from(spark: SparkSession, path: str, cond: Column) -> None:
+    """DELETE FROM t WHERE cond — anti-filter rewrite."""
+    cur = spark.read.parquet(path)
+    overwrite_inplace(cur.filter(~cond), path)
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_set: dict[str, Column],
+    insert_when_not_matched: bool = True,
+) -> None:
+    """MERGE INTO target USING source ON target.k = source.k
+    WHEN MATCHED THEN UPDATE SET ... WHEN NOT MATCHED THEN INSERT *.
+
+    One full-outer join on the merge key — the identical shuffle the
+    reference's ModifyTable MERGE performs after motioning source rows
+    to their target segments.
+    """
+    tgt = spark.read.parquet(path)
+    src = source.select(
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+    )
+    j = tgt.join(src, tgt[on] == src[f"__src_{on}"], "full_outer")
+    matched = tgt[on].isNotNull() & src[f"__src_{on}"].isNotNull()
+    src_only = tgt[on].isNull()
+    out_cols = []
+    for c in tgt.columns:
+        updated = (
+            matched_set[c] if c in matched_set else F.col(c)
+        )
+        val = (
+            F.when(matched, updated)
+            .when(src_only, F.col(f"__src_{c}"))
+            .otherwise(F.col(c))
+        )
+        out_cols.append(val.alias(c))
+    result = j.select(*out_cols)
+    if not insert_when_not_matched:
+        result = j.filter(~src_only).select(*out_cols)
+    overwrite_inplace(result, path)
+
+
+# ---------------------------------------------------------------------------
+# Registered end-to-end DML scenarios
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dml_insert_select",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2)
+                   AS total
+        FROM (
+            SELECT * FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 4 = 1
+        )
+        GROUP BY o_orderpriority
+    """,
+    doc="INSERT INTO ... SELECT (nodeModifyTable.c INSERT path) as "
+    "distributed append: seed a table, append a second slice, aggregate.",
+    tags=("dml", "insert"),
+)
+def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "dml_orders_ins")
+    overwrite_inplace(od.filter(F.col("o_orderkey") % 4 == 0), path)
+    insert_into(spark, path, od.filter(F.col("o_orderkey") % 4 == 1))
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "dml_update_delete",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(CASE WHEN l_returnflag = 'R'
+                              THEN l_quantity * 2 ELSE l_quantity END), 4)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey % 3 = 0 AND NOT l_discount > 0.08
+        GROUP BY l_returnflag
+    """,
+    doc="UPDATE + DELETE (nodeModifyTable.c:3957; every Spark UPDATE is "
+    "the reference's SplitUpdate DELETE+INSERT, nodeSplitUpdate.c:28): "
+    "double returned quantities, purge deep discounts, re-aggregate.",
+    tags=("dml", "update", "delete"),
+)
+def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    path = _scratch(sf_dir, "dml_lineitem_ud")
+    overwrite_inplace(li, path)
+    update_table(
+        spark,
+        path,
+        F.col("l_returnflag") == "R",
+        {"l_quantity": F.col("l_quantity") * 2},
+    )
+    delete_from(spark, path, F.col("l_discount") > 0.08)
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "dml_merge",
+    oracle="""
+        WITH target AS (
+            SELECT * FROM customer WHERE c_custkey % 3 = 0
+        ), source AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   'MERGED' AS c_mktsegment
+            FROM customer WHERE c_custkey % 2 = 0
+        ), merged AS (
+            SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment,
+                   CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+                        THEN t.c_acctbal + 100.0
+                        WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                        ELSE t.c_acctbal END AS c_acctbal
+            FROM target t FULL OUTER JOIN source s USING (c_custkey)
+        )
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM merged GROUP BY c_mktsegment
+    """,
+    doc="MERGE INTO (ModifyTable MERGE path): matched rows get segment "
+    "overwritten + balance bump, unmatched source rows insert; one "
+    "full-outer shuffle on the merge key.",
+    tags=("dml", "merge"),
+)
+def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "dml_customer_merge")
+    overwrite_inplace(cust.filter(F.col("c_custkey") % 3 == 0), path)
+    source = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_mktsegment", F.lit("MERGED")
+    )
+    merge_into(
+        spark,
+        path,
+        source,
+        on="c_custkey",
+        matched_set={
+            "c_mktsegment": F.lit("MERGED"),
+            "c_acctbal": F.col("c_acctbal") + 100.0,
+        },
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )

@@ -91,6 +91,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.arrays  # noqa: F401
     import cloudberry_spark.operators.recursive  # noqa: F401
     import cloudberry_spark.operators.sampling  # noqa: F401
+    import cloudberry_spark.operators.dml  # noqa: F401
     import cloudberry_spark.operators.textsearch  # noqa: F401
     import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
@@ -100,6 +101,7 @@ def _load_all() -> None:
     import cloudberry_spark.pipeline.text  # noqa: F401
     import cloudberry_spark.pipeline.multimodal  # noqa: F401
     import cloudberry_spark.streaming.windows  # noqa: F401
+    import cloudberry_spark.streaming.ivm  # noqa: F401
 
 
 _LOADED = False

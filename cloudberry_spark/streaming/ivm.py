@@ -1,0 +1,112 @@
+"""Incremental materialized views (SURVEY.md §2.10).
+
+Reference: trigger-maintained delta propagation — inserts/deletes on the
+base table produce IVM_ADD / IVM_SUB delta rows that are merged into
+the stored aggregate without rescanning the base
+(/root/reference/src/backend/commands/matview.c:129-151; trigger wiring
+commands/createas.c:565-570,1084-1230). "Dynamic tables" add a cron
+refresh schedule on top (createas.c:1858-1890) — on Spark that schedule
+belongs to an external orchestrator or a Structured Streaming
+``Trigger.AvailableNow`` job; the maintenance algebra is identical and
+lives here.
+
+The algebra: keep the matview in *partial-aggregate* form
+(group, count, sum, …). A delta batch aggregates to the same shape with
+a sign (+1 insert, −1 delete); merging is a groupBy-sum of the union,
+dropping groups whose count reaches zero. Exactly the reference's
+aggregate-delta rules, and exactly Spark's partial/final aggregation
+split — which is why refresh cost is O(|delta| + |groups|), never
+O(|base|). avg/stddev derive from (count, sum, sum_sq) at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.operators.dml import overwrite_inplace
+from cloudberry_spark.registry import register
+from cloudberry_spark.sources.external import _scratch
+
+#: Matview storage schema: group key(s) + mergeable partials.
+PARTIALS = ("mv_count", "mv_sum")
+
+
+def _partials(df: DataFrame, keys: list[str], value: str, sign: int) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        (F.lit(sign) * F.count("*")).alias("mv_count"),
+        (F.lit(sign) * F.sum(value)).alias("mv_sum"),
+    )
+
+
+def create_matview(
+    spark: SparkSession, path: str, base: DataFrame, keys: list[str], value: str
+) -> None:
+    """REFRESH MATERIALIZED VIEW (full): materialize partial aggregates."""
+    overwrite_inplace(_partials(base, keys, value, +1), path)
+
+
+def apply_delta(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    value: str,
+    sign: int,
+) -> None:
+    """IVM_ADD (sign=+1) / IVM_SUB (sign=-1): merge a delta batch.
+
+    Scans only the stored groups and the delta — the base table is never
+    touched (matview.c:129 delta-propagation contract).
+    """
+    cur = spark.read.parquet(path)
+    d = _partials(delta, keys, value, sign)
+    merged = (
+        cur.unionByName(d)
+        .groupBy(*keys)
+        .agg(F.sum("mv_count").alias("mv_count"), F.sum("mv_sum").alias("mv_sum"))
+        .filter(F.col("mv_count") > 0)
+    )
+    overwrite_inplace(merged, path)
+
+
+def read_matview(spark: SparkSession, path: str) -> DataFrame:
+    """Final-aggregate view over the stored partials (avg derives)."""
+    return spark.read.parquet(path).select(
+        "*", (F.col("mv_sum") / F.col("mv_count")).alias("mv_avg")
+    )
+
+
+@register(
+    "ivm_incremental_refresh",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS mv_count,
+               round(sum(o_totalprice), 2) AS mv_sum,
+               round(sum(o_totalprice) / count(*), 4) AS mv_avg
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 2)
+        GROUP BY o_orderpriority
+    """,
+    doc="Incremental matview maintenance (matview.c:129 IVM_ADD/IVM_SUB): "
+    "seed on slices {0,1}, insert-delta slice {2}, delete-delta slice "
+    "{1}; the refreshed view must equal a full recompute of {0,2} — "
+    "without the refresh ever rescanning the base.",
+    tags=("ivm", "matview", "streaming"),
+)
+def ivm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "mv_orders_rev")
+    keys, value = ["o_orderpriority"], "o_totalprice"
+    slice_of = lambda k: od.filter(F.col("o_orderkey") % 4 == k)  # noqa: E731
+    create_matview(spark, path, slice_of(0).union(slice_of(1)), keys, value)
+    apply_delta(spark, path, slice_of(2), keys, value, +1)  # IVM_ADD
+    apply_delta(spark, path, slice_of(1), keys, value, -1)  # IVM_SUB
+    mv = read_matview(spark, path)
+    return mv.select(
+        "o_orderpriority",
+        "mv_count",
+        F.round("mv_sum", 2).alias("mv_sum"),
+        F.round("mv_avg", 4).alias("mv_avg"),
+    )
