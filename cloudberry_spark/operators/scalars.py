@@ -247,3 +247,26 @@ register_sql(
     "or floor explicitly, as here.",
     tags=("scalar", "cast"),
 )
+
+
+# AssertOp (executor/nodeAssertOp.c:27): runtime constraint check that
+# errors on violation — raise_error() behind a CASE guard; the plan only
+# survives because every row satisfies totalprice > 0.
+register_sql(
+    "scalar_assert_op",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 0 THEN o_totalprice
+                ELSE raise_error('assert violated: o_totalprice <= 0')
+           END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+    doc="AssertOp (nodeAssertOp.c:27) as raise_error behind a CASE guard.",
+    tags=("scalar", "assert"),
+)

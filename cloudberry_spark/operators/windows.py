@@ -232,3 +232,86 @@ def win_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id", "user_id", filled.alias("filled_value")
     ).orderBy("event_id")
+
+
+@register(
+    "win_groups_frame",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   dense_rank() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY date_trunc('month', o_orderdate)) AS dr
+            FROM orders
+            WHERE o_orderkey % 20 = 0
+        )
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY dr
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_sum
+        FROM r
+    """,
+    doc="GROUPS frame emulation (parsenodes.h:631-655; Spark has no "
+    "GROUPS mode): a GROUPS frame over ORDER BY k is a RANGE frame over "
+    "dense_rank() of k — peers share a rank, so rank distance == group "
+    "distance. DuckDB lacks GROUPS too, so the oracle applies the same "
+    "identity — the differential check covers the rank-range arithmetic.",
+    tags=("window", "frame", "groups"),
+)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    part = Window.partitionBy("o_orderpriority").orderBy(month)
+    ranked = od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.dense_rank().over(part).alias("__dr"),
+    )
+    grp = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__dr")
+        .rangeBetween(-1, 1)
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(grp), 2).alias("grp_sum"),
+    )
+
+
+@register(
+    "win_exclude_current_row",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   EXCLUDE CURRENT ROW), 4) AS peer_avg
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+    """,
+    doc="EXCLUDE CURRENT ROW emulation (parsenodes.h:631-655; no Spark "
+    "analog): subtract the current row from the inclusive frame's "
+    "(sum, count) and re-derive the aggregate. DuckDB runs the native "
+    "EXCLUDE clause as the oracle.",
+    tags=("window", "frame", "exclude"),
+)
+def win_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, 3)
+    )
+    peer_avg = (F.sum("o_totalprice").over(w) - F.col("o_totalprice")) / (
+        F.count("*").over(w) - 1
+    )
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(peer_avg, 4).alias("peer_avg"),
+    )
