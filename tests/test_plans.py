@@ -85,3 +85,24 @@ def test_minhash_single_shuffle_signature(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+
+
+def test_bucketed_join_is_colocated(spark):
+    """DISTRIBUTED BY co-location: both sides bucketed by the join key
+    must join with no exchange below the join — only the post-join
+    aggregation may shuffle (cdbpath.c:1365 no-Motion fast path)."""
+    # At fixture scale AQE would (correctly) broadcast the tiny side;
+    # disable broadcast to exercise the large-table x large-table path
+    # the bucketing exists for.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["bucket_colocated_join"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, (
+        "bucketed join re-shuffled its inputs:\n" + plan[:800]
+    )
