@@ -31,8 +31,11 @@ from cloudberry_spark.pipeline.hashing import (
     PERM_PARAMS,
     duckdb_base_hash,
     duckdb_perm,
+    duckdb_shingle_hashes,
     spark_base_hash,
     spark_perm,
+    spark_shingle_hashes,
+    spark_word_hashes,
 )
 from cloudberry_spark.registry import register
 
@@ -50,68 +53,37 @@ def words_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def shingles_col(text: Column) -> Column:
-    """Word n-gram shingles; whole text if shorter than the window."""
-    w = words_col(text)
-    n = F.size(w)
-    return F.when(
-        n >= SHINGLE_WORDS,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+def shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __sha: array<bigint>): per-document 3-word shingle hashes.
 
-
-def exploded_shingles(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle): one row per shingle occurrence.
-
-    Two-step projection on purpose: materializing the words array as an
-    attribute first keeps CollapseProject from inlining the (expensive)
-    split+lower into every lambda element — measured ~1.5× on the
-    explode stage at sf0.1.
+    Fully row-local: words → per-word md5 hash → polynomial combine of
+    each consecutive triple. No shingle strings are ever built (~35%
+    cheaper than md5-per-shingle) and no explode/shuffle happens.
     """
-    w = F.col("__words")
-    n = F.size(w)
-    shingle = F.when(
-        n >= SHINGLE_WORDS,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
     return docs.select(
-        F.col(id_col), words_col(F.col(text_col)).alias("__words")
-    ).select(id_col, F.explode(shingle).alias("shingle"))
-
-
-def duckdb_shingles(text_expr: str) -> str:
-    """Identical shingling as DuckDB SQL (list of word 3-grams)."""
-    w = f"regexp_split_to_array(trim(lower({text_expr})), '\\s+')"
-    return (
-        f"CASE WHEN length({w}) >= {SHINGLE_WORDS} THEN "
-        f"list_transform(generate_series(1, length({w}) - {SHINGLE_WORDS - 1}), "
-        f"i -> array_to_string(list_slice({w}, i, i + {SHINGLE_WORDS - 1}), ' ')) "
-        f"ELSE [array_to_string({w}, ' ')] END"
-    )
+        F.col(id_col), spark_word_hashes(words_col(F.col(text_col))).alias("__wh")
+    ).select(id_col, spark_shingle_hashes(F.col("__wh")).alias("__sha"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, mh0..mh{k-1}): k-permutation MinHash signature per document.
 
-    Shape: explode shingles → base hash → k min-aggregates. min() is
-    duplicate-insensitive, so no distinct: the only shuffle is the
-    groupBy, and partial aggregation means it moves k partial minima per
-    (partition, doc) — never the shingles themselves. The k permutations
-    are computed map-side on the already-hashed shingle (integer math).
+    Shape: shingle-hash array → array_min over each permutation — pure
+    map-side projection, ZERO shuffles (min is duplicate-insensitive, so
+    no dedup is needed either). The reference has no sketch operators at
+    all; at 100 TB this plan is embarrassingly parallel: signature cost
+    scales with bytes scanned, no exchange, no state.
     """
-    sh = exploded_shingles(docs, id_col, text_col).select(
-        id_col, spark_base_hash(F.col("shingle")).alias("h")
-    )
-    aggs = [
-        F.min(spark_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_HASHES)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    base = shingle_hash_arrays(docs, id_col, text_col)
+
+    def sig(i: int):
+        # Unary lambda on purpose: transform() passes the element index
+        # to binary lambdas, which would shadow the permutation number.
+        return F.array_min(
+            F.transform(F.col("__sha"), lambda h: spark_perm(h, i))
+        ).alias(f"mh{i}")
+
+    return base.select(id_col, *[sig(i) for i in range(N_HASHES)])
 
 
 def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
@@ -160,9 +132,9 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str)
     the cross product).
     """
     sh = (
-        exploded_shingles(docs, id_col, text_col)
+        shingle_hash_arrays(docs, id_col, text_col)
+        .select(id_col, F.explode("__sha").alias("h"))
         .distinct()
-        .select(id_col, spark_base_hash(F.col("shingle")).alias("h"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("h"))
@@ -194,10 +166,8 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str)
 def _duckdb_shingle_cte() -> str:
     return f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id,
-             {duckdb_base_hash('shingle')} AS h
-      FROM (SELECT doc_id, unnest({duckdb_shingles('text')}) AS shingle
-            FROM documents) t
+      SELECT DISTINCT doc_id, unnest({duckdb_shingle_hashes('text')}) AS h
+      FROM documents
     )"""
 
 
@@ -317,9 +287,9 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        exploded_shingles(docs, "doc_id", "text")
+        shingle_hash_arrays(docs, "doc_id", "text")
+        .select("doc_id", F.explode("__sha").alias("h"))
         .distinct()
-        .select("doc_id", spark_base_hash(F.col("shingle")).alias("h"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "h")

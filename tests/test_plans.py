@@ -71,9 +71,11 @@ def test_no_accidental_cartesian(spark, name):
         )
 
 
-def test_minhash_single_shuffle_signature(spark):
-    """MinHash signatures: the only exchange below the final aggregate
-    must be the doc_id hash partitioning — no shingle-dedup shuffle."""
+def test_minhash_signatures_shuffle_free(spark):
+    """MinHash signatures are a pure map-side projection (array_min over
+    row-local shingle hashes): the plan must contain NO exchange at all —
+    the property that makes signature computation embarrassingly parallel
+    at 100 TB."""
     from cloudberry_spark.catalog import load_table
     from cloudberry_spark.pipeline.dedup import minhash_signatures
 
@@ -84,7 +86,7 @@ def test_minhash_single_shuffle_signature(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange") <= 2  # partial->final agg exchange only
+    assert "Exchange" not in plan
 
 
 def test_bucketed_join_is_colocated(spark):
