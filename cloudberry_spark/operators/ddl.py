@@ -1,0 +1,102 @@
+"""DDL & query-lifecycle surface: CTAS, views, parameterized SQL.
+
+Reference mapping:
+- ``CREATE TABLE AS SELECT`` (/root/reference/src/backend/commands/
+  createas.c) → ``df.write.saveAsTable`` / ``spark.sql("CREATE TABLE AS
+  ...")`` into the scratch-located database.
+- views (rewrite/view expansion in the analyzer) → temp views; Catalyst
+  inlines them exactly like the PG rewriter.
+- extended-protocol prepared statements (SURVEY §3.2,
+  tcop/postgres.c:2114 exec_parse_message / exec_bind_message) →
+  ``spark.sql(query, args={...})`` named-parameter binding; plan caching
+  is Catalyst's job, as plan caching was the PG plancache's.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+from cloudberry_spark.sources.external import _scratch
+
+
+@register(
+    "ddl_ctas_and_view",
+    oracle="""
+        SELECT o_orderpriority, n_orders, round(avg_price, 4) AS avg_price
+        FROM (
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   avg(o_totalprice) AS avg_price
+            FROM orders
+            WHERE o_orderkey % 2 = 0
+            GROUP BY o_orderpriority
+        ) v
+        WHERE n_orders > 0
+    """,
+    doc="CTAS + view expansion (commands/createas.c; PG rewriter): "
+    "materialize an aggregate as a table, define a view over it, query "
+    "the view.",
+    tags=("ddl", "ctas", "view"),
+)
+def ddl_ctas_and_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    db = "cb_ddl"
+    loc = os.path.join(os.path.dirname(_scratch(sf_dir, "x")), "ddl_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"{db}.orders_agg_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(loc, tbl.split(".")[1]), ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ddl_orders")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} USING parquet AS
+        SELECT o_orderpriority, count(*) AS n_orders,
+               avg(o_totalprice) AS avg_price
+        FROM __ddl_orders
+        WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderpriority
+        """
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ddl_v AS SELECT * FROM {tbl}"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, n_orders, round(avg_price, 4) AS avg_price
+        FROM ddl_v WHERE n_orders > 0
+        """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE l_quantity >= 30.0 AND l_shipdate >= TIMESTAMP '1995-06-01'
+        GROUP BY l_returnflag
+    """,
+    doc="Prepared-statement binding (tcop/postgres.c:2114 "
+    "exec_parse/bind/execute): named parameters via spark.sql(args=...) "
+    "— plan once, bind per execution.",
+    tags=("ddl", "prepared", "lifecycle"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        WHERE l_quantity >= :min_qty AND l_shipdate >= :min_date
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30.0, "min_date": "1995-06-01 00:00:00"},
+    )

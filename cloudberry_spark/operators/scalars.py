@@ -270,3 +270,39 @@ register_sql(
     doc="AssertOp (nodeAssertOp.c:27) as raise_error behind a CASE guard.",
     tags=("scalar", "assert"),
 )
+
+
+# to_char/to_date formatting (adt/formatting.c): C-style printf and
+# strftime-class date patterns are the cross-engine-stable subset —
+# Spark format_string/date_format ≙ DuckDB printf/strftime.
+register_sql(
+    "scalar_formatting_family",
+    """
+    SELECT o_orderkey,
+           format_string('%.2f', o_totalprice)          AS price_2dp,
+           format_string('%012.2f', o_totalprice)       AS price_padded,
+           format_string('key=%d pri=%s', o_orderkey, o_orderpriority)
+                                                        AS composed,
+           date_format(o_orderdate, 'yyyy-MM')          AS ym,
+           date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS ymdhm,
+           cast(to_date(date_format(o_orderdate, 'yyyy-MM-dd'),
+                        'yyyy-MM-dd') AS DATE)          AS roundtrip_date
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           printf('%.2f', o_totalprice)                  AS price_2dp,
+           printf('%012.2f', o_totalprice)               AS price_padded,
+           printf('key=%d pri=%s', o_orderkey, o_orderpriority)
+                                                         AS composed,
+           strftime(o_orderdate, '%Y-%m')                AS ym,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M')       AS ymdhm,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'),
+                         '%Y-%m-%d') AS DATE)            AS roundtrip_date
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="to_char/to_date (adt/formatting.c) via format_string/date_format.",
+    tags=("scalar", "formatting"),
+)

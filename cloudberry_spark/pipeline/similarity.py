@@ -245,3 +245,87 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") > 0.35)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine SimHash) — the bucketed ANN scale path
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+#: Knuth multiplicative constant; planes[j][i] derives deterministically
+#: from (j, i) so Spark and DuckDB build bit-identical hyperplanes.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _plane(j: Column, i: Column) -> Column:
+    """Pseudo-random hyperplane component in [-0.5, 0.5)."""
+    return ((j * DIM + i) * _KNUTH % _M32) / F.lit(float(_M32)) - 0.5
+
+
+def hyperplane_bucket(emb: Column) -> Column:
+    """LSH bucket id: sign bits of the embedding against N_PLANES fixed
+    hyperplanes, packed into an int. Cosine-similar vectors collide with
+    probability 1 - theta/pi per bit (Charikar '02 random projection).
+
+    Pure nested higher-order functions — row-local, codegen'd, no UDF;
+    at 100 TB bucketing is a map-only pass and candidate generation is a
+    shuffle on (bucket) exactly like the minhash band join.
+    """
+    def bit(j: Column) -> Column:
+        proj = F.aggregate(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(emb, i).cast("double") * _plane(j, i),
+        )
+        # pow is exact for 2^j, j < 53; shiftleft needs a literal shift.
+        return F.when(proj > 0, F.pow(F.lit(2.0), j.cast("double"))).otherwise(
+            F.lit(0.0)
+        )
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(N_PLANES - 1)), bit),
+        F.lit(0.0),
+        lambda acc, b: acc + b,
+    ).cast("int")
+
+
+_DUCK_BUCKET = f"""
+    list_sum(list_transform(generate_series(0, {N_PLANES - 1}), j ->
+        CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), i ->
+                 CAST({{e}}[i] AS DOUBLE) *
+                 (((j * {DIM} + i) * {_KNUTH}) % {_M32} / {float(_M32)} - 0.5)
+             )) > 0
+        THEN 1 << j ELSE 0 END))
+"""
+
+
+@register(
+    "sim_lsh_hyperplane",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, {_DUCK_BUCKET.format(e='embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT bucket,
+           count(*) AS n_vectors,
+           count(*) * (count(*) - 1) / 2 AS n_candidate_pairs,
+           min(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH (cosine SimHash, Charikar '02): "
+    "deterministic 8-plane sign signature → bucket histogram. The "
+    "bucketed ANN scale path: candidates come from equi-joining on "
+    "bucket instead of an all-pairs compare; bit-identical to the "
+    "DuckDB oracle via integer-derived hyperplanes.",
+    tags=("pipeline", "similarity", "ann", "lsh"),
+)
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", hyperplane_bucket(F.col("embedding")).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
