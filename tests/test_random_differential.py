@@ -1,0 +1,108 @@
+"""Randomized differential testing (SURVEY.md §5, adopted strategy #3):
+hypothesis generates queries from a dialect-portable SQL subset; each
+runs on Spark AND DuckDB and must match row-for-row.
+
+This is the generative version of pg_regress: instead of 623 hand-written
+.sql files, a constrained grammar over the lineitem/orders fixtures
+explores predicate/aggregate/grouping combinations the hand-written
+suite doesn't. derandomize=True keeps runs reproducible (same corpus
+every CI run — golden behavior, like checked-in expected/ files).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cloudberry_spark.catalog import ensure_views
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_PREDS = [
+    "l_returnflag = 'A'",
+    "l_returnflag <> 'N'",
+    "l_linestatus = 'O'",
+    "l_returnflag IN ('A', 'R')",
+]
+DATE_PREDS = [
+    "l_shipdate >= TIMESTAMP '1994-01-01'",
+    "l_shipdate < TIMESTAMP '1997-06-01'",
+]
+OPS = ["<", "<=", ">", ">=", "<>"]
+GROUPS = [None, "l_returnflag", "l_linestatus", "l_linenumber"]
+AGGS = ["count(*)", "sum", "avg", "min", "max"]
+
+
+@st.composite
+def predicates(draw) -> str:
+    kind = draw(st.sampled_from(["num", "int", "str", "date"]))
+    if kind == "num":
+        col = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(OPS))
+        if col == "l_quantity":
+            val = draw(st.integers(1, 50))
+        elif col in ("l_discount", "l_tax"):
+            val = round(draw(st.sampled_from([0.01, 0.03, 0.05, 0.07, 0.09])), 2)
+        else:
+            val = draw(st.integers(1000, 90000))
+        return f"{col} {op} {val}"
+    if kind == "int":
+        col = draw(st.sampled_from(INT_COLS))
+        op = draw(st.sampled_from(OPS))
+        return f"{col} {op} {draw(st.integers(1, 5000))}"
+    if kind == "str":
+        return draw(st.sampled_from(STR_PREDS))
+    return draw(st.sampled_from(DATE_PREDS))
+
+
+@st.composite
+def agg_queries(draw) -> str:
+    preds = draw(st.lists(predicates(), min_size=1, max_size=3))
+    conj = draw(st.sampled_from([" AND ", " OR "])).join(f"({p})" for p in preds)
+    group = draw(st.sampled_from(GROUPS))
+    agg = draw(st.sampled_from(AGGS))
+    col = draw(st.sampled_from(NUM_COLS))
+    expr = "count(*)" if agg == "count(*)" else f"{agg}({col})"
+    if group is None:
+        return f"SELECT count(*) AS n, {expr} AS v FROM lineitem WHERE {conj}"
+    return (
+        f"SELECT {group} AS g, count(*) AS n, {expr} AS v "
+        f"FROM lineitem WHERE {conj} GROUP BY {group}"
+    )
+
+
+@st.composite
+def join_queries(draw) -> str:
+    pred = draw(predicates())
+    group = draw(st.sampled_from(["o_orderpriority", "o_orderstatus"]))
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    return (
+        f"SELECT {group} AS g, count(*) AS n, "
+        f"round(sum(o_totalprice), 2) AS v "
+        f"FROM orders {how} lineitem ON l_orderkey = o_orderkey "
+        f"AND ({pred}) GROUP BY {group}"
+    )
+
+
+COMMON = dict(
+    deadline=None,
+    max_examples=20,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**COMMON)
+@given(sql=agg_queries())
+def test_random_agg_query_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@settings(**COMMON)
+@given(sql=join_queries())
+def test_random_join_query_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
