@@ -306,3 +306,62 @@ register_sql(
     doc="to_char/to_date (adt/formatting.c) via format_string/date_format.",
     tags=("scalar", "formatting"),
 )
+
+
+# Second string family: overlay/initcap/instr/ascii/chr (varlena.c,
+# oracle_compat.c). DuckDB lacks overlay and initcap — the oracle
+# emulates both from substr/upper primitives, which is itself a
+# cross-engine check of the definition.
+register_sql(
+    "scalar_string_family2",
+    """
+    SELECT p_partkey,
+           overlay(p_name, 'XX', 3, 2)     AS ov,
+           initcap(p_name)                 AS ic,
+           instr(p_name, 'a')              AS ins,
+           ascii(p_brand)                  AS asc_first,
+           char(CAST(65 + p_partkey % 26 AS BIGINT)) AS chr_cycle,
+           substring(p_name, 1, 3)         AS sub3
+    FROM part
+    WHERE p_partkey % 40 = 0
+    """,
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS ov,
+           list_aggregate(list_transform(
+               regexp_split_to_array(p_name, ' '),
+               w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))),
+               'string_agg', ' ')          AS ic,
+           instr(p_name, 'a')              AS ins,
+           ascii(substr(p_brand, 1, 1))    AS asc_first,
+           chr(CAST(65 + p_partkey % 26 AS INT)) AS chr_cycle,
+           substring(p_name, 1, 3)         AS sub3
+    FROM part
+    WHERE p_partkey % 40 = 0
+    """,
+    doc="overlay/initcap/instr/ascii/chr (varlena.c, oracle_compat.c).",
+    tags=("scalar", "string"),
+)
+
+# width_bucket (adt/numeric.c width_bucket): equi-width histogram
+# bucketing; DuckDB lacks it, the oracle computes the defining formula
+# (exact for the integer-valued l_quantity domain).
+register_sql(
+    "scalar_width_bucket",
+    """
+    SELECT width_bucket(l_quantity, 0, 50, 10) AS bucket,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    oracle="""
+    SELECT CASE WHEN l_quantity < 0 THEN 0
+                WHEN l_quantity >= 50 THEN 11
+                ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    doc="width_bucket histogram bucketing (numeric.c).",
+    tags=("scalar", "math"),
+)
