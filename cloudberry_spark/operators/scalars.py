@@ -365,3 +365,56 @@ register_sql(
     doc="width_bucket histogram bucketing (numeric.c).",
     tags=("scalar", "math"),
 )
+
+
+# SURVEY §7.4 known-hard #6: integer division & modulo sign semantics.
+# PG int/int truncates toward zero; Spark's `div` and DuckDB's `//`
+# agree; `%` keeps the dividend's sign in all three. Negative operands
+# included on purpose — that's where floor-vs-trunc implementations
+# diverge.
+register_sql(
+    "scalar_int_division",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INT) - 25                  AS shifted,
+           (CAST(l_quantity AS INT) - 25) div 4          AS int_div,
+           (CAST(l_quantity AS INT) - 25) % 4            AS int_mod,
+           CAST(l_quantity AS INT) div l_linenumber      AS div_by_line,
+           l_quantity / 4                                AS frac_div
+    FROM lineitem
+    WHERE l_orderkey < 120
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS INT) - 25                  AS shifted,
+           (CAST(l_quantity AS INT) - 25) // 4           AS int_div,
+           (CAST(l_quantity AS INT) - 25) % 4            AS int_mod,
+           CAST(l_quantity AS INT) // l_linenumber       AS div_by_line,
+           l_quantity / 4                                AS frac_div
+    FROM lineitem
+    WHERE l_orderkey < 120
+    """,
+    doc="Integer division/modulo with negative operands (int.c/int8.c; "
+    "truncation toward zero, not floor).",
+    tags=("scalar", "math", "semantics"),
+)
+
+# SURVEY §7.4 known-hard #3: NULL ordering. PG defaults NULLS LAST on
+# ASC; Spark defaults NULLS FIRST; DuckDB NULLS LAST everywhere. Any
+# ORDER BY feeding a LIMIT must pin the placement explicitly — this
+# query breaks on either engine's default if the explicit clause is
+# dropped.
+register_sql(
+    "scalar_null_ordering_limit",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_or_null
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY disc_or_null ASC NULLS LAST, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    doc="Explicit NULLS LAST under LIMIT — the cross-engine default-"
+    "divergence trap (nulls sort last in PG ASC, first in Spark ASC).",
+    tags=("scalar", "nulls", "semantics", "limit"),
+)
