@@ -33,6 +33,7 @@ PIPELINE = {
     "dedup_minhash": "dedup_minhash_lsh_pairs",
     "knn_brute": "sim_knn_brute",
     "text_quality": "text_quality_score",
+    "curate_e2e": "pipeline_end_to_end",
 }
 
 
