@@ -243,3 +243,97 @@ def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n_events"
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+                   min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_view,
+               count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+               count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                          THEN 1 END) AS n_full_funnel
+        FROM firsts
+    """,
+    doc="Ordered funnel analysis (view → click → purchase by first-"
+    "occurrence time per user): the event-analytics workload the "
+    "reference would hand-write with subqueries; here one conditional-"
+    "aggregation pass — single shuffle on user_id, no self-joins.",
+    tags=("events", "funnel", "analytics"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id,
+                   make_timestamp(((epoch(min(ts))::BIGINT // 604800) * 604800)
+                                  * 1000000) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, c.cohort_week,
+                   CAST((epoch(e.ts)::BIGINT // 604800)
+                        - (epoch(c.cohort_week)::BIGINT // 604800) AS BIGINT)
+                       AS week_offset
+            FROM events e JOIN cohorts c ON e.user_id = c.user_id
+        )
+        SELECT cohort_week, week_offset, count(*) AS n_active
+        FROM activity
+        GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly retention cohorts: first-seen week per user, distinct "
+    "active (cohort, offset) cells — two shuffles (user_id, then "
+    "cohort/offset), both key-bounded.",
+    tags=("events", "retention", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: (F.unix_timestamp(c) / 604800).cast("bigint")  # noqa: E731
+    cohorts = ev.groupBy("user_id").agg(
+        F.timestamp_seconds(week(F.min("ts")) * 604800).alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - week(F.col("cohort_week"))).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
