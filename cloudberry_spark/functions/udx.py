@@ -178,3 +178,44 @@ def udtf_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
     )
     return docs.mapInPandas(_doc_words, schema="doc_id long, word string")
+
+
+@F.udtf(returnType="ngram: string, pos: int")
+class WordNGrams:
+    """Python UDTF (Spark 3.5+ native table function — the modern form
+    of CREATE FUNCTION ... RETURNS TABLE, funcapi.h): one output row per
+    word bigram with its position."""
+
+    def eval(self, text: str, n: int):
+        words = text.lower().split()
+        for i in range(len(words) - n + 1):
+            yield (" ".join(words[i : i + n]), i)
+
+
+@register(
+    "udtf_python_ngrams",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id,
+               words[i] || ' ' || words[i + 1] AS ngram,
+               CAST(i - 1 AS INT) AS pos
+        FROM w, unnest(generate_series(1, len(words) - 1)) t(i)
+    """,
+    doc="Native Python UDTF in a LATERAL join (nodeFunctionscan.c set-"
+    "returning function): word bigrams per document.",
+    tags=("udtf", "python", "lateral"),
+)
+def udtf_python_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("word_ngrams", WordNGrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM documents d, LATERAL word_ngrams(d.text, 2) g
+        WHERE d.doc_id % 25 = 0
+        """
+    )

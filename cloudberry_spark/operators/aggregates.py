@@ -304,3 +304,22 @@ def agg_hypothetical_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(below / F.count("*"), 6).alias("hyp_percent_rank"),
         F.round((at_or_below + 1) / (F.count("*") + 1), 6).alias("hyp_cume_dist"),
     )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # sketch-based: engines use different algorithms; the
+    # pytest bound test asserts the estimate is within tolerance of exact.
+    doc="percentile_approx (KLL/GK-class sketch): the scale path for "
+    "quantiles — mergeable partials, bounded memory; vs the reference's "
+    "exact sort-based percentile_cont (orderedsetaggs.c:426).",
+    tags=("agg", "approx", "orderedset"),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
+    ).orderBy("l_returnflag")

@@ -115,3 +115,65 @@ def json_to_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "json_nested_path",
+    oracle="""
+        WITH nested AS (
+            SELECT o_orderkey,
+                   to_json(struct_pack(
+                       orderkey := o_orderkey,
+                       -- (ln, qty) is a TOTAL order: the fixture has
+                   -- duplicate line numbers within an order, and a
+                   -- partial sort key would leave tie order
+                   -- engine-defined.
+                   items := list(struct_pack(ln := l_linenumber,
+                                                 qty := l_quantity)
+                                     ORDER BY l_linenumber, l_quantity)
+                   )) AS doc
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey % 200 = 0
+            GROUP BY o_orderkey
+        )
+        SELECT o_orderkey,
+               CAST(json_extract(doc, '$.items[0].qty') AS DOUBLE)
+                   AS first_qty,
+               CAST(json_array_length(json_extract(doc, '$.items')) AS INT)
+                   AS n_items,
+               CAST(json_extract(doc, '$.orderkey') AS BIGINT) AS key_back
+        FROM nested
+    """,
+    doc="jsonpath over nested documents (adt/jsonpath_exec.c "
+    "jsonb_path_query): build order→items JSON, extract nested paths. "
+    "Spark's get_json_object implements the JSONPath subset; DuckDB's "
+    "json_extract is the oracle (each engine parses its own rendering — "
+    "the extracted VALUES are compared). Array index is 0-based in both, "
+    "unlike PG jsonpath's; documented divergence.",
+    tags=("json", "jsonpath"),
+)
+def json_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    j = od.join(li, od.o_orderkey == li.l_orderkey)
+    nested = j.groupBy("o_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_quantity").alias("qty"),
+                        )
+                    )
+                ).alias("items"),
+            )
+        ).alias("doc")
+    )
+    return nested.select(
+        "o_orderkey",
+        F.get_json_object("doc", "$.items[0].qty").cast("double").alias("first_qty"),
+        F.json_array_length(F.get_json_object("doc", "$.items")).alias("n_items"),
+        F.get_json_object("doc", "$.orderkey").cast("bigint").alias("key_back"),
+    )

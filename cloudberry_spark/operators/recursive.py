@@ -134,3 +134,38 @@ register_sql(
     "Catalyst CTE reuse/inlining).",
     tags=("cte",),
 )
+
+
+@register(
+    "recursive_tree_closure",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT n AS node, n // 2 AS anc, 1 AS depth
+      FROM generate_series(2, 200) t(n)
+      UNION ALL
+      SELECT node, anc // 2, depth + 1 FROM anc WHERE anc > 1
+    )
+    SELECT node, count(*) AS n_ancestors, max(depth) AS depth_to_root
+    FROM anc GROUP BY node
+    """,
+    doc="Transitive closure over a binary-heap tree (node -> node div 2): "
+    "WITH RECURSIVE (nodeRecursiveunion.c:75) as the driver-side fixpoint "
+    "loop; ~log2(N) iterations, frontier shrinks monotonically.",
+    tags=("recursive", "cte", "graph"),
+)
+def recursive_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = spark.range(2, 201).select(
+        F.col("id").alias("node"),
+        F.expr("id div 2").alias("anc"),
+        F.lit(1).alias("depth"),
+    )
+    closure = recursive_union(
+        seed,
+        lambda fr: fr.filter(F.col("anc") > 1).select(
+            "node", F.expr("anc div 2").alias("anc"), (F.col("depth") + 1).alias("depth")
+        ),
+        max_iterations=12,
+    )
+    return closure.groupBy("node").agg(
+        F.count("*").alias("n_ancestors"), F.max("depth").alias("depth_to_root")
+    )

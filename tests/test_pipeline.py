@@ -102,3 +102,14 @@ def test_ivf_recall_against_brute(spark):
         by_q.setdefault(r.query_id, []).append(r.cos_sim)
     for q, sims in by_q.items():
         assert sims == sorted(sims, reverse=True), (q, sims)
+
+
+def test_percentile_approx_within_bounds(spark):
+    """percentile_approx(acc=1000) must land within 2% relative error of
+    the exact sort-based percentile (the GK sketch's rank-error bound is
+    1/accuracy of the row count — far tighter than 2% here)."""
+    rows = QUERIES["agg_percentile_approx"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.p50_approx - r.p50_exact) <= 0.02 * r.p50_exact, r
+        assert abs(r.p95_approx - r.p95_exact) <= 0.02 * r.p95_exact, r
