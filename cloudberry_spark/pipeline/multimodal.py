@@ -163,3 +163,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_checksum"
         ),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               count(*) AS n_docs,
+               sum(octet_length(encode(text))) AS total_bytes,
+               sum(octet_length(encode(text)) % 64 + 1) AS sum_width,
+               sum(octet_length(encode(text)) % 48 + 1) AS sum_height
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Oracle-checked slice of the multimodal path: the decode stub's "
+    "metadata outputs (byte counts, fake dimensions) are deterministic "
+    "arithmetic on payload length, so the full mapInPandas round trip — "
+    "Arrow batch in, decoded schema out — is differentially verified "
+    "even though the feature vectors (rows-only queries) are not "
+    "SQL-expressible.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(fake_media(docs))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+    )
