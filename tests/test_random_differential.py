@@ -106,3 +106,68 @@ def test_random_agg_query_matches(sql, spark, ddb):
 def test_random_join_query_matches(sql, spark, ddb):
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def window_queries(draw) -> str:
+    """Window functions over a provably TOTAL order (the fixture has
+    duplicate (orderkey, linenumber) pairs, but no full-row dupes, so
+    the 5-column key is unique) — the subtle
+    frame/ordering semantics the hand-written suite samples only
+    pointwise."""
+    agg = draw(st.sampled_from(["sum", "avg", "min", "max", "count"]))
+    col = draw(st.sampled_from(NUM_COLS))
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    lo = draw(st.integers(0, 5))
+    hi = draw(st.integers(0, 3))
+    frame = draw(
+        st.sampled_from(
+            [
+                f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+                f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ]
+        )
+    )
+    rank_fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+    pred = draw(predicates())
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"round({agg}({col}) OVER w, 4) AS wv, "
+        f"{rank_fn} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount) AS rk "
+        f"FROM lineitem WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount {frame})"
+    )
+
+
+@st.composite
+def having_subquery_queries(draw) -> str:
+    """GROUP BY ... HAVING plus an IN/NOT IN subquery — the semi/anti
+    join rewrite path (subselect.c:1521) under generated predicates."""
+    pred = draw(predicates())
+    inq = draw(st.sampled_from(["IN", "NOT IN"]))
+    n_min = draw(st.integers(1, 30))
+    return (
+        f"SELECT l_returnflag, l_linenumber, count(*) AS n, "
+        f"round(sum(l_quantity), 4) AS sq "
+        f"FROM lineitem WHERE l_orderkey {inq} "
+        f"(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
+        f"AND ({pred}) "
+        f"GROUP BY l_returnflag, l_linenumber HAVING count(*) > {n_min}"
+    )
+
+
+@settings(**COMMON)
+@given(sql=window_queries())
+def test_random_window_query_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@settings(**COMMON)
+@given(sql=having_subquery_queries())
+def test_random_having_subquery_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
