@@ -323,3 +323,18 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
     ).orderBy("l_returnflag")
+
+
+register_sql(
+    "agg_bitwise",
+    """
+    SELECT l_returnflag,
+           bit_and(CAST(l_quantity AS BIGINT)) AS band,
+           bit_or(CAST(l_quantity AS BIGINT))  AS bor,
+           bit_xor(CAST(l_quantity AS BIGINT)) AS bxor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregates bit_and/bit_or/bit_xor (pg_aggregate.dat).",
+    tags=("agg", "bitwise"),
+)
