@@ -222,7 +222,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
-def _lsh_pairs_oracle() -> str:
+def lsh_oracle_ctes() -> str:
+    """CTE body ``sh AS (...), sig AS (...), bands AS (...)`` shared by the
+    LSH-pairs oracle here and the connected-components oracle
+    (pipeline.components)."""
     rows_per_band = N_HASHES // N_BANDS
     mh = ",\n             ".join(
         f"min({duckdb_perm('h', i)}) AS mh{i}" for i in range(N_HASHES)
@@ -238,7 +241,11 @@ def _lsh_pairs_oracle() -> str:
     )
     return f"""{_duckdb_shingle_cte()},
     sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-    bands AS ({band_rows})
+    bands AS ({band_rows})"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return f"""{lsh_oracle_ctes()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

@@ -113,3 +113,20 @@ def test_percentile_approx_within_bounds(spark):
     for r in rows:
         assert abs(r.p50_approx - r.p50_exact) <= 0.02 * r.p50_exact, r
         assert abs(r.p95_approx - r.p95_exact) <= 0.02 * r.p95_exact, r
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter 4, needs multiple propagation rounds) must
+    collapse to one component; isolated nodes stay singletons."""
+    from cloudberry_spark.pipeline.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    # chain 0-1-2-3-4, pair 6-7, node 5 isolated
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges, "id").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
