@@ -108,3 +108,24 @@ def test_bucketed_join_is_colocated(spark):
     assert "Exchange" not in join_part, (
         "bucketed join re-shuffled its inputs:\n" + plan[:800]
     )
+
+
+def test_eager_agg_is_below_join(spark):
+    """agg_eager_pushdown must aggregate lineitem BEFORE the join (the
+    ORCA CXformEagerAgg shape): in the plan tree string, an aggregate on
+    the pre-agg partial columns appears, and the raw-lineitem join of the
+    naive form (join followed by a single aggregate over l_extendedprice)
+    is absent — i.e. the join's fact input is the aggregated frame."""
+    plan = _plan(spark, "agg_eager_pushdown")
+    assert "p_price" in plan  # partial agg columns exist => pre-agg happened
+    # the pre-agg must be on the build/stream side of the join: the first
+    # HashAggregate in tree order sits deeper than the join node
+    join_pos = min(
+        (plan.find(t) for t in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin") if plan.find(t) >= 0),
+        default=-1,
+    )
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos >= 0 and agg_pos >= 0
+    assert "l_extendedprice" not in plan.split("Join")[0], (
+        "raw fact columns should be aggregated away before the join"
+    )
