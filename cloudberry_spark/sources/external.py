@@ -204,3 +204,65 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     od.write.mode("overwrite").partitionBy("o_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
     return back.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "copy_orc_roundtrip",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="ORC interchange: write lineitem columns to ORC (zstd), read back "
+    "and aggregate. The reference's pluggable table-AM surface "
+    "(appendonlyam_handler.c / aocsam_handler.c) maps to Spark's "
+    "pluggable columnar formats; ORC is the second columnar format "
+    "beside parquet, exercised end-to-end.",
+    tags=("source", "sink", "orc"),
+)
+def copy_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    path = _scratch(sf_dir, "lineitem_orc")
+    li.write.mode("overwrite").option("compression", "zstd").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scan_dpp_join",
+    oracle="""
+        SELECT o_year, count(*) AS n_orders
+        FROM (SELECT year(o_orderdate) AS o_year FROM orders) o
+        JOIN (VALUES (1994, 'keep'), (1995, 'keep'), (1997, 'drop')) d(y, tag)
+          ON o.o_year = d.y AND d.tag = 'keep'
+        GROUP BY o_year ORDER BY o_year
+    """,
+    doc="Join-driven dynamic partition pruning (PartitionSelector, "
+    "executor/nodePartitionSelector.c:20): orders hive-partitioned by "
+    "year joins a filtered dim on the partition column; the fact scan "
+    "must prune to the dim's surviving years at runtime "
+    "(dynamicpruningexpression in the scan's PartitionFilters — "
+    "asserted in tests/test_plans.py::test_dpp_prunes_fact_scan).",
+    tags=("source", "partitioning", "pruning", "dpp"),
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = _scratch(sf_dir, "orders_by_year_dpp")
+    od.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1994, "keep"), (1995, "keep"), (1997, "drop")], ["y", "tag"]
+    ).where(F.col("tag") == "keep")
+    return (
+        fact.join(dim, fact.o_year == dim.y)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_year")
+    )

@@ -129,3 +129,13 @@ def test_eager_agg_is_below_join(spark):
     assert "l_extendedprice" not in plan.split("Join")[0], (
         "raw fact columns should be aggregated away before the join"
     )
+
+
+def test_dpp_prunes_fact_scan(spark):
+    """scan_dpp_join: the partitioned fact scan must carry a runtime
+    dynamicpruning filter fed by the dim-side broadcast (Spark's DPP ≙
+    the reference's join-driven PartitionSelector)."""
+    df = all_queries()["scan_dpp_join"].fn(spark, SF_DIR)
+    df.collect()  # DPP subquery materializes on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "IN dynamicpruning#" in plan, plan[:800]
