@@ -125,6 +125,28 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_brute(emb, queries).orderBy("query_id", "rnk")
 
 
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, c_emb): element-wise mean vector per label.
+
+    posexplode + two-level groupBy — deterministic and JVM-side; the
+    result is tiny (|labels| rows) and meant to be broadcast.
+    """
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+            ).alias("pairs")
+        )
+        .select(
+            "label", F.transform("pairs", lambda p: p.cval).alias("c_emb")
+        )
+    )
+
+
 @register(
     "sim_ivf_knn",
     oracle=f"""
@@ -168,20 +190,7 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Coarse quantizer: element-wise mean per label.
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("cval")))
-            ).alias("pairs")
-        )
-        .select(
-            "label", F.transform("pairs", lambda p: p.cval).alias("c_emb")
-        )
-    )
+    cent = label_centroids(emb)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -328,4 +337,54 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
         F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register(
+    "sim_embedding_outliers",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, avg(val) AS cval
+      FROM (SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) t
+      GROUP BY label, pos),
+    centroids AS (
+      SELECT label, list(cval ORDER BY pos) AS c_emb FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_duck_cosine('e.embedding', 'c.c_emb')} AS cos_to_centroid
+      FROM embeddings e JOIN centroids c USING (label)),
+    ranked AS (
+      SELECT vec_id, label, cos_to_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_to_centroid ASC, vec_id) AS r
+      FROM scored)
+    SELECT vec_id, label, cos_to_centroid, r AS outlier_rank
+    FROM ranked WHERE r <= 5
+    ORDER BY label, outlier_rank
+    """,
+    doc="Embedding-quality outlier detection: score every vector by "
+    "cosine to its label centroid, keep the 5 least-typical per label — "
+    "the standard 'mislabeled / junk embedding' sweep before training. "
+    "Centroids are tiny and broadcast; corpus work is one scan plus a "
+    "per-label window top-k.",
+    tags=("pipeline", "similarity", "quality"),
+)
+def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb)
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_to_centroid").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .where(F.col("outlier_rank") <= 5)
+        .select("vec_id", "label", "cos_to_centroid", "outlier_rank")
+        .orderBy("label", "outlier_rank")
     )

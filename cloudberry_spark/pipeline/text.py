@@ -250,3 +250,58 @@ def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_ws_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpeish_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_top_ngrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents) t
+    ),
+    bigrams AS (
+      SELECT a.w || ' ' || b.w AS bigram
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    ),
+    counted AS (
+      SELECT bigram, count(*) AS n FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n
+    FROM (SELECT bigram, n,
+                 row_number() OVER (ORDER BY n DESC, bigram) AS r
+          FROM counted) t
+    WHERE r <= 20
+    ORDER BY n DESC, bigram
+    """,
+    doc="Corpus vocabulary statistics: top-20 word bigrams by frequency. "
+    "Bigrams are built row-locally (slice+zip over the words array — no "
+    "self-join, unlike the oracle), counted with a partial/final hash "
+    "agg, reduced with a single top-k window. At 100 TB the only "
+    "exchange carries (bigram, partial count) pairs.",
+    tags=("pipeline", "text"),
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(tokens(F.col("text")).alias("ws"))
+    bigrams = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select("bigram", "n")
+        .orderBy(F.col("n").desc(), "bigram")
+    )

@@ -266,3 +266,39 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_year")
     )
+
+
+@register(
+    "sink_range_sorted_parquet",
+    oracle="""
+        SELECT count(*) AS n, sum(l_extendedprice) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
+    """,
+    doc="Range-distributed, sorted layout: repartitionByRange(l_shipdate) "
+    "+ sortWithinPartitions before the parquet write gives every file a "
+    "narrow shipdate min/max band, so a date-range scan row-group-skips "
+    "everything outside the band (the columnar analog of the reference's "
+    "range partitioning + brin-style pruning). Readback aggregates a "
+    "3-month window; the pushed filter hits the sorted stats.",
+    tags=("sink", "partitioning", "sorted"),
+)
+def sink_range_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    path = _scratch(sf_dir, "lineitem_range_sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        (F.col("l_shipdate") >= F.lit("1995-06-01"))
+        & (F.col("l_shipdate") < F.lit("1995-09-01"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
