@@ -257,9 +257,16 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "orders_by_year_dpp")
     od.write.mode("overwrite").partitionBy("o_year").parquet(path)
     fact = spark.read.parquet(path)
-    dim = spark.createDataFrame(
+    # The dim must be a file scan (not a LogicalRDD): a parquet-backed dim
+    # has an exact sizeInBytes at planning time, so the planner knows it is
+    # broadcastable and inserts the DPP subquery (reuseBroadcastOnly)
+    # deterministically; a createDataFrame dim's unknown size makes the
+    # pruningHasBenefit heuristic flip under JVM state.
+    dim_path = _scratch(sf_dir, "dpp_dim_years")
+    spark.createDataFrame(
         [(1994, "keep"), (1995, "keep"), (1997, "drop")], ["y", "tag"]
-    ).where(F.col("tag") == "keep")
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
     return (
         fact.join(dim, fact.o_year == dim.y)
         .groupBy("o_year")

@@ -138,4 +138,8 @@ def test_dpp_prunes_fact_scan(spark):
     df = all_queries()["scan_dpp_join"].fn(spark, SF_DIR)
     df.collect()  # DPP subquery materializes on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "IN dynamicpruning#" in plan, plan[:800]
+    # match "dynamicpruningexpression", not "IN dynamicpruning#NNN": plan
+    # toString truncates long PartitionFilters fields, and late in a long
+    # session expression IDs grow to 5 digits and push the "#NNN" past the
+    # truncation boundary.
+    assert "dynamicpruning" in plan, plan[:800]
