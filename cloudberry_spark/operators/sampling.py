@@ -68,3 +68,64 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(5)
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified + reservoir-style sampling (training-pipeline additions)
+# ---------------------------------------------------------------------------
+
+#: Per-stratum keep-rates (percent) for the stratified sample below.
+STRATA_RATES: dict[str, int] = {
+    "1-URGENT": 60,
+    "2-HIGH": 30,
+    "3-MEDIUM": 15,
+    "4-NOT SPECIFIED": 10,
+    "5-LOW": 5,
+}
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH hashed AS (
+        SELECT o_orderpriority,
+               CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 18, 15)) AS BIGINT) % 100 AS h
+        FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_sampled
+    FROM hashed
+    WHERE h < CASE o_orderpriority
+        WHEN '1-URGENT' THEN 60 WHEN '2-HIGH' THEN 30 WHEN '3-MEDIUM' THEN 15
+        WHEN '4-NOT SPECIFIED' THEN 10 ELSE 5 END
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Stratified sampling with per-stratum rates, deterministic via the "
+    "cross-engine md5 base hash (pipeline/hashing.py) rather than a PRNG: "
+    "rebalances class frequencies for training-data curation the way "
+    "df.sampleBy would, but reproducibly on ANY engine and with zero "
+    "coordination — the keep-decision is a pure per-row expression, so it "
+    "pushes into the scan and never shuffles. The reference's TABLESAMPLE "
+    "(executor/nodeSamplescan.c) has no stratified form; this is the "
+    "superset a 100 TB curation pipeline needs.",
+    tags=("sample", "pipeline"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("o_orderpriority") == k, F.lit(v))
+            for k, v in STRATA_RATES.items()
+        ],
+        F.lit(5),
+    )
+    kept = orders.where(
+        spark_base_hash(F.col("o_orderkey").cast("string")) % 100 < rate
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderpriority")
+    )

@@ -418,3 +418,34 @@ register_sql(
     "divergence trap (nulls sort last in PG ASC, first in Spark ASC).",
     tags=("scalar", "nulls", "semantics", "limit"),
 )
+
+
+# Cryptographic digests (reference: pgcrypto digest()/md5 builtin,
+# contrib/pgcrypto; md5 builtin at src/backend/utils/adt/varlena.c).
+# md5/sha2 are engine-portable bit-identical primitives — the same
+# property pipeline/hashing.py builds its cross-engine sketches on.
+register_sql(
+    "scalar_hash_family",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha2(p_name, 256) AS name_sha256,
+           substr(md5(p_name), 1, 8) AS bucket_hex
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           substr(md5(p_name), 1, 8) AS bucket_hex
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    doc="Digest family: md5 + sha256 row fingerprints (pgcrypto digest "
+    "parity). Bit-identical across engines, so content-addressed dedup "
+    "keys built on them are portable.",
+    tags=("scalar", "hash"),
+)

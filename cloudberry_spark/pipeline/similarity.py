@@ -388,3 +388,87 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "cos_to_centroid", "outlier_rank")
         .orderBy("label", "outlier_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: symmetric int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+        FROM embeddings
+    ), err AS (
+        SELECT label,
+               list_max(list_transform(v, x -> abs(
+                 least(greatest(CAST(floor(x / scale + 0.5) AS BIGINT), -127), 127)
+                   * scale - x))) AS max_err,
+               list_sum(list_transform(v, x -> (
+                 least(greatest(CAST(floor(x / scale + 0.5) AS BIGINT), -127), 127)
+                   * scale - x)
+                 * (least(greatest(CAST(floor(x / scale + 0.5) AS BIGINT), -127), 127)
+                   * scale - x))) / len(v) AS mse
+        FROM q
+    )
+    SELECT label, count(*) AS n_vecs,
+           avg(max_err) AS avg_max_err, avg(mse) AS avg_mse
+    FROM err GROUP BY label ORDER BY label
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = max|x|/127, "
+    "q = clamp(round(x/scale))) with reconstruction-error audit per "
+    "label: the embedding-compression step a 100 TB vector pipeline runs "
+    "before ANN indexing (4x smaller than float32, dot products in "
+    "int8). Entirely higher-order array expressions (transform/aggregate "
+    "— JVM codegen, no shuffle except the final per-label partial-agg "
+    "exchange). Rounding is floor(x+0.5) in BOTH engines so the oracle "
+    "is bit-comparable (banker's-rounding differences would flip "
+    "boundary cells). Reference parity: gpcontrib/gp_sparse_vector is "
+    "the closest surface (SURVEY §2.8); quantization itself is "
+    "beyond-reference pipeline scope.",
+    tags=("pipeline", "similarity", "compression"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    q = emb.select("label", v.alias("v"), scale.alias("scale"))
+
+    def dequant_err(x: Column) -> Column:
+        quant = F.least(
+            F.greatest(F.floor(x / F.col("scale") + 0.5).cast("bigint"), F.lit(-127)),
+            F.lit(127),
+        )
+        return quant * F.col("scale") - x
+
+    err = q.select(
+        "label",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(dequant_err(x)))).alias("max_err"),
+        (
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: dequant_err(x) * dequant_err(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("v")
+        ).alias("mse"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("max_err").alias("avg_max_err"),
+            F.avg("mse").alias("avg_mse"),
+        )
+        .orderBy("label")
+    )

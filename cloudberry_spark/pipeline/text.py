@@ -305,3 +305,97 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", "n")
         .orderBy(F.col("n").desc(), "bigram")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (no lookarounds — portable to the
+#: DuckDB oracle and to any engine this runs against).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact(text: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholder tokens."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT source,
+               concat(text,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' contact u' || doc_id || '@example.com' ELSE '' END,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN ' call 555-867-5309' ELSE '' END) AS t
+        FROM documents
+    ), counted AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phone,
+               regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+           sum(n_email) AS n_emails,
+           sum(n_phone) AS n_phones,
+           sum(CASE WHEN clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'
+                    THEN 1 ELSE 0 END) AS n_docs_redacted
+    FROM counted
+    GROUP BY source ORDER BY source
+    """,
+    doc="PII redaction for training-data curation: detect + mask emails "
+    "and phone numbers with regexp_replace (JVM codegen, no Python in the "
+    "row path — at 100 TB this runs at scan speed and the only exchange "
+    "carries per-source partial counts). The fixture corpus is synthetic, "
+    "so deterministic PII is first seeded into a subset of rows from "
+    "doc_id (both engines seed identically), making the redaction "
+    "differentially testable. Patterns are RE2-compatible (no "
+    "lookarounds). Reference parity: nearest surface is regexp_replace "
+    "(src/backend/utils/adt/regexp.c); the curation op itself is part of "
+    "the beyond-reference pipeline scope.",
+    tags=("pipeline", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counted = seeded.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), 0)).alias("n_phone"),
+        redact(F.col("t")).alias("clean"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0)).alias("n_docs_with_pii"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum(
+                F.when(
+                    F.col("clean").contains("<EMAIL>") | F.col("clean").contains("<PHONE>"), 1
+                ).otherwise(0)
+            ).alias("n_docs_redacted"),
+        )
+        .orderBy("source")
+    )

@@ -143,3 +143,47 @@ def test_dpp_prunes_fact_scan(spark):
     # session expression IDs grow to 5 digits and push the "#NNN" past the
     # truncation boundary.
     assert "dynamicpruning" in plan, plan[:800]
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime filter parity (executor/nodeRuntimeFilter.c: bloom filter
+    built from the hash-join build side, pushed into the probe scan):
+    Spark's InjectRuntimeFilter must add a bloom_filter_agg subquery on
+    the dim side and a BloomFilterMightContain predicate on the fact
+    scan when the dim carries a selective filter. Thresholds are floored
+    for the tiny fixture; broadcast is disabled because the rule only
+    fires for shuffle joins (a broadcast join already prunes at probe)."""
+    from cloudberry_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        part = load_table(spark, SF_DIR, "part").where(F.col("p_size") == 1)
+        df = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_size")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
