@@ -374,3 +374,83 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select(
         "doc_id", fingerprint.cast("bigint").alias("simhash")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (shingle-overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_contamination_check",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({duckdb_shingle_hashes('text')}) AS sl
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(sl) AS s FROM sh WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT c.doc_id, count(*) AS n_hit
+      FROM corpus c JOIN bench b USING (s) GROUP BY c.doc_id
+    ), doc AS (
+      SELECT sh.source,
+             coalesce(h.n_hit, 0) * 1.0 / greatest(len(sh.sl), 1) AS ratio
+      FROM sh LEFT JOIN hits h USING (doc_id) WHERE sh.doc_id % 97 <> 0
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+           avg(ratio) AS avg_overlap
+    FROM doc GROUP BY source ORDER BY source
+    """,
+    doc="Benchmark decontamination: flag training documents whose 3-word "
+    "shingle sets overlap a held-out evaluation set (here the doc_id%97 "
+    "slice stands in for the benchmark suite). The benchmark side is "
+    "distinct-exploded and BROADCAST — real benchmark suites are MBs "
+    "against a 100 TB corpus, so the corpus is scanned exactly once "
+    "map-side with no corpus shuffle except the final per-source "
+    "partial agg; per-doc overlap ratio = |shingles ∩ bench| / "
+    "|shingles|, shingles via the cross-engine md5 pipeline "
+    "(pipeline/hashing.py) so the oracle is bit-identical.",
+    tags=("pipeline", "dedup", "contamination", "scale"),
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            spark_shingle_hashes(spark_word_hashes(words_col(F.col("text"))))
+        ).alias("sl"),
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sl").alias("s"))
+        .distinct()
+    )
+    corpus_docs = sh.where(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus_docs.select("doc_id", F.explode("sl").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    doc = corpus_docs.join(hits, "doc_id", "left").select(
+        "source",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            / F.greatest(F.size("sl"), F.lit(1))
+        ).alias("ratio"),
+    )
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ratio") >= 0.5, 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.avg("ratio").alias("avg_overlap"),
+        )
+        .orderBy("source")
+    )

@@ -399,3 +399,91 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing (distributed global prefix sum)
+# ---------------------------------------------------------------------------
+
+#: Token budget per training shard.
+SHARD_TOKEN_BUDGET = 2_500
+
+
+@register(
+    "text_token_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS tok,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok,
+               sum(tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT CAST(floor(CAST(cum - tok AS DOUBLE) / {SHARD_TOKEN_BUDGET})
+                AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           sum(tok) AS tokens
+    FROM c GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc="Token-budget shard packing: order documents by a deterministic "
+    "hash (portable pseudo-shuffle), take a GLOBAL running token count, "
+    "and cut contiguous ~budget-sized training shards — the step that "
+    "turns a curated corpus into fixed-size pretraining shards. The "
+    "global prefix sum is computed WITHOUT the single-partition global "
+    "window (which would serialize 100 TB through one task): "
+    "repartitionByRange on the sort key, per-partition partial sums "
+    "(metadata-sized, #partitions rows), an exclusive scan over those "
+    "partials on the tiny side, broadcast back, then per-partition "
+    "running sums in parallel — the same partial/final split the "
+    "reference applies to aggregates (cdb/cdbgroupingpaths.c), applied "
+    "to a window. Result is invariant to partition boundaries, so the "
+    "oracle is the plain SQL window.",
+    tags=("pipeline", "text", "sharding", "scale"),
+)
+def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok"),
+        spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    part = (
+        t.repartitionByRange(16, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ptot = part.groupBy("pid").agg(F.sum("tok").alias("ptok"))
+    # exclusive scan over per-partition totals: #partitions rows, so the
+    # single-partition window here is metadata-scale (like the slice table)
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid", F.coalesce(F.sum("ptok").over(woff), F.lit(0)).alias("offset")
+    )
+    wrun = (
+        Window.partitionBy("pid")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        part.join(F.broadcast(off), "pid")
+        .withColumn("cum", F.sum("tok").over(wrun) + F.col("offset"))
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor((F.col("cum") - F.col("tok")).cast("double") / SHARD_TOKEN_BUDGET),
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
+        .orderBy("shard_id")
+    )
