@@ -338,3 +338,24 @@ register_sql(
     doc="Bitwise aggregates bit_and/bit_or/bit_xor (pg_aggregate.dat).",
     tags=("agg", "bitwise"),
 )
+
+
+register_sql(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           sum(l_extendedprice) FILTER (WHERE l_quantity >= 25) AS rev_bulk,
+           avg(l_discount) FILTER (WHERE l_shipdate >= DATE '1995-01-01')
+             AS avg_disc_95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Aggregate FILTER (WHERE ...) clause (PG parse_agg.c aggfilter; "
+    "SQL:2003 T612): per-aggregate predicates in one pass — the "
+    "conditional-aggregation form that replaces N self-joins. Identical "
+    "syntax on Spark and DuckDB.",
+    tags=("agg", "filter"),
+)

@@ -100,3 +100,40 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30.0, "min_date": "1995-06-01 00:00:00"},
     )
+
+
+@register(
+    "ddl_analyze_stats",
+    oracle="SELECT count(*) AS n_rows FROM orders",
+    doc="ANALYZE parity (commands/analyze.c → pg_class.reltuples / "
+    "pg_statistic): saveAsTable + ANALYZE TABLE COMPUTE STATISTICS "
+    "writes row-count/size stats into the catalog, which is what "
+    "activates CBO join reordering (SURVEY §4.1 — "
+    "optimizer/path/allpaths.c DP search needs cardinalities; Spark's "
+    "CostBasedJoinReorder needs these stats the same way). The query "
+    "reads the optimizer-visible row count back out of the catalog "
+    "relation's plan statistics and checks it against the true COUNT(*).",
+    tags=("ddl", "stats", "cbo"),
+)
+def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    db = "cb_ddl"
+    loc = os.path.join(os.path.dirname(_scratch(sf_dir, "x")), "ddl_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"{db}.stats_demo_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # the location may survive a previous session whose catalog forgot it
+    shutil.rmtree(os.path.join(loc, tbl.split(".")[1]), ignore_errors=True)
+    orders.write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    # the row count the OPTIMIZER sees (catalog stats), not a recount
+    # the exact catalog statistic ("N bytes, M rows"), not a recount —
+    # (optimizedPlan().stats() displays the same number but rounded to 3
+    # significant digits, so it can't be compared exactly)
+    stat = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .where(F.col("col_name") == "Statistics")
+        .select(F.regexp_extract("data_type", r"(\d+) rows", 1).cast("bigint").alias("n_rows"))
+    )
+    return stat

@@ -177,3 +177,64 @@ def json_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(F.get_json_object("doc", "$.items")).alias("n_items"),
         F.get_json_object("doc", "$.orderkey").cast("bigint").alias("key_back"),
     )
+
+
+@register(
+    "json_variant_binary",
+    oracle="""
+    WITH j AS (
+        SELECT to_json(struct_pack(
+                   k := o_orderkey,
+                   p := o_totalprice,
+                   pr := o_orderpriority,
+                   arr := [o_orderkey % 10, o_orderkey % 7])) AS doc
+        FROM orders
+    )
+    SELECT CAST(doc->>'$.pr' AS VARCHAR) AS priority,
+           count(*) AS n,
+           sum(CAST(doc->>'$.p' AS DOUBLE)) AS sum_price,
+           sum(CAST(doc->>'$.arr[1]' AS BIGINT)) AS sum_arr1
+    FROM j
+    GROUP BY priority ORDER BY priority
+    """,
+    doc="Binary JSON (jsonb) parity via Spark's VariantType: parse_json "
+    "builds the decoded binary form once, then typed path extraction "
+    "(variant_get) replaces repeated string re-parsing — exactly the "
+    "json-vs-jsonb split in the reference (adt/json.c text type vs "
+    "adt/jsonb.c binary tree; operators ->/->> in jsonfuncs.c). DuckDB's "
+    "JSON type is likewise binary-parsed, and both paths are 0-based "
+    "(the PG jsonpath 1-based divergence is documented at "
+    "json_nested_path). Variant shreds into columnar storage at scale "
+    "— the semi-structured path a 100 TB log pipeline needs.",
+    tags=("json", "variant"),
+)
+def json_variant_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.select(
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("p"),
+                    F.col("o_orderpriority").alias("pr"),
+                    F.array(F.col("o_orderkey") % 10, F.col("o_orderkey") % 7).alias(
+                        "arr"
+                    ),
+                )
+            )
+        ).alias("v")
+    )
+    typed = j.select(
+        F.expr("variant_get(v, '$.pr', 'string')").alias("priority"),
+        F.expr("variant_get(v, '$.p', 'double')").alias("p"),
+        F.expr("variant_get(v, '$.arr[1]', 'bigint')").alias("a1"),
+    )
+    return (
+        typed.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sum_price"),
+            F.sum("a1").alias("sum_arr1"),
+        )
+        .orderBy("priority")
+    )

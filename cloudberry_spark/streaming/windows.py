@@ -337,3 +337,27 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active")
     )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming exact deduplication: dropDuplicates on (event_type, "
+    "user_id) under a watermark, then a downstream count — chained "
+    "stateful operators (dedup state + agg state), the streaming form "
+    "of the pipeline's exact-dedup stage. The watermark bounds the "
+    "dedup state: at 100 TB/day the state store holds only keys inside "
+    "the lateness horizon instead of the full history. Converged "
+    "availableNow output equals the batch COUNT(DISTINCT) oracle.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.dropDuplicates(["event_type", "user_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    out = run_stream_once(agg, "complete")
+    return out.select("event_type", "n_users").orderBy("event_type")
