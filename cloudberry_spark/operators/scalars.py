@@ -449,3 +449,41 @@ register_sql(
     "keys built on them are portable.",
     tags=("scalar", "hash"),
 )
+
+
+# Error-safe evaluation: PG ERRORS on bad casts / overflow
+# (int8_div at adt/int8.c raises division_by_zero; numeric overflow at
+# adt/numeric.c). The analytic engine must instead degrade per-row —
+# Spark's try_* family / DuckDB's TRY_CAST — so one malformed row in
+# 100 TB doesn't kill the job (same motivation as COPY's SEGMENT
+# REJECT LIMIT, cdb/cdbsreh.c:392, but for expressions).
+register_sql(
+    "scalar_try_family",
+    """
+    SELECT o_orderkey % 5 AS k,
+           count(*) AS n,
+           count(try_divide(o_totalprice, o_orderkey % 3)) AS n_div_ok,
+           sum(try_divide(o_totalprice, o_orderkey % 3)) AS sum_div,
+           count(try_cast(o_orderpriority AS INT)) AS n_bad_cast,
+           count(try_cast(substr(o_orderpriority, 1, 1) AS INT)) AS n_good_cast
+    FROM orders
+    GROUP BY o_orderkey % 5
+    ORDER BY k
+    """,
+    oracle="""
+    SELECT o_orderkey % 5 AS k,
+           count(*) AS n,
+           count(CASE WHEN o_orderkey % 3 <> 0
+                      THEN o_totalprice / (o_orderkey % 3) END) AS n_div_ok,
+           sum(CASE WHEN o_orderkey % 3 <> 0
+                    THEN o_totalprice / (o_orderkey % 3) END) AS sum_div,
+           count(TRY_CAST(o_orderpriority AS INT)) AS n_bad_cast,
+           count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS n_good_cast
+    FROM orders
+    GROUP BY o_orderkey % 5
+    ORDER BY k
+    """,
+    doc="try_divide / try_cast error-safe family: NULL-on-failure "
+    "semantics per row instead of PG's statement-aborting errors.",
+    tags=("scalar", "try", "semantics"),
+)
