@@ -99,3 +99,73 @@ def agg_eager_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# AQUMV: answer-query-using-materialized-view (rollup compatibility)
+# ---------------------------------------------------------------------------
+
+
+def rollup_from_matview(mv: DataFrame, keep_keys: list[str]) -> DataFrame:
+    """Answer a coarser aggregate from a finer matview.
+
+    Valid when the query's GROUP BY is a subset of the matview's and its
+    aggregates are derivable from the matview's partials: sum←sum(sum),
+    count←sum(count), min←min(min), max←max(max), avg←sum(sum)/sum(count)
+    — the compatibility check aqumv.c performs against the view's target
+    list before substituting the view for the base relation.
+    """
+    return mv.groupBy(*keep_keys).agg(
+        F.sum("s_price").alias("sum_price"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_disc").alias("min_disc"),
+        F.max("max_disc").alias("max_disc"),
+        (F.sum("s_price") / F.sum("n_rows")).alias("avg_price"),
+    )
+
+
+@register(
+    "aqumv_rollup_answer",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_extendedprice) AS sum_price,
+           count(*) AS n_rows,
+           min(l_discount) AS min_disc,
+           max(l_discount) AS max_disc,
+           avg(l_extendedprice) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="AQUMV (optimizer/plan/aqumv.c, GUC guc_gp.c:476): answer a "
+    "query from a materialized view instead of the base table. The "
+    "matview holds partials grouped by (l_returnflag, l_linestatus); "
+    "the query wants only l_returnflag, so it is answered by rolling "
+    "the matview's partials up — never touching lineitem. The oracle "
+    "computes from the base table, proving the rewrite is lossless. "
+    "At 100 TB the matview is ~|group keys| rows, so the answered "
+    "query reads KBs instead of the fact table; the same partial "
+    "algebra drives ivm_incremental_refresh (streaming/ivm.py).",
+    tags=("rewrite", "aqumv", "matview"),
+)
+def aqumv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cloudberry_spark.sources.external import _scratch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mv_path = _scratch(sf_dir, "aqumv_mv")
+    # matview definition: finer grouping with decomposable partials
+    (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_extendedprice").alias("s_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_discount").alias("max_disc"),
+        )
+        .write.mode("overwrite")
+        .parquet(mv_path)
+    )
+    mv = spark.read.parquet(mv_path)
+    return rollup_from_matview(mv, ["l_returnflag"]).orderBy("l_returnflag")

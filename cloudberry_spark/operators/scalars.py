@@ -487,3 +487,28 @@ register_sql(
     "semantics per row instead of PG's statement-aborting errors.",
     tags=("scalar", "try", "semantics"),
 )
+
+
+# GPDB complex type (src/backend/utils/adt/complex_type.c; SURVEY §1.3
+# maps it to StructType(re,im)). The arithmetic is expanded to real
+# expressions — identical text on both engines; the struct packaging
+# itself is exercised Spark-side (final select builds the struct, then
+# re-flattens for the value comparison).
+register_sql(
+    "scalar_complex_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_discount + l_tax                            AS add_re,
+           l_tax + l_discount                            AS add_im,
+           l_discount * l_discount - l_tax * l_tax       AS mul_re,
+           l_discount * l_tax + l_tax * l_discount       AS mul_im,
+           sqrt(l_discount * l_discount + l_tax * l_tax) AS modulus
+    FROM lineitem
+    WHERE l_orderkey < 60
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="complex-number arithmetic (complex_type.c: z1+z2, z1*z2, |z|) "
+    "with z1=(discount,tax), z2=(tax,discount), expanded to re/im "
+    "component expressions over StructType fields.",
+    tags=("scalar", "complex"),
+)
