@@ -359,3 +359,31 @@ register_sql(
     "syntax on Spark and DuckDB.",
     tags=("agg", "filter"),
 )
+
+
+@register(
+    "agg_hll_union_rollup",
+    oracle=None,  # sketch estimates are engine-specific; pytest proves
+    # merge-exactness (union of monthly sketches == direct quarterly
+    # sketch) and bounds error vs the exact distinct count
+    doc="HLL sketch mergeability — the prelimfn property of the "
+    "reference's gp_hyperloglog (utils/hyperloglog/gp_hyperloglog.c "
+    "gp_hyperloglog_merge: partial sketches combine across segments "
+    "without rescanning): per-month customer sketches over orders are "
+    "rolled up to quarters with hll_union_agg, so the quarterly answer "
+    "reads 12 sketch rows, not the fact table. "
+    "tests/test_pipeline.py::test_hll_union_rollup_is_merge_exact "
+    "asserts union-of-partials == direct sketch (identical registers) "
+    "and <5% error vs exact COUNT(DISTINCT).",
+    tags=("agg", "approx", "hll", "rollup"),
+)
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.quarter("o_orderdate").alias("q"), F.month("o_orderdate").alias("m")
+    ).agg(F.expr("hll_sketch_agg(CAST(o_custkey AS STRING))").alias("sk"))
+    return (
+        monthly.groupBy("q")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_customers"))
+        .orderBy("q")
+    )

@@ -130,3 +130,33 @@ def test_connected_components_chain_and_singletons(spark):
         for r in connected_components(nodes, edges, "id").collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def test_hll_union_rollup_is_merge_exact(spark, ddb):
+    """Union of monthly HLL sketches must equal the direct quarterly
+    sketch (register-wise max is lossless over a partition of the rows),
+    and land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.registry import all_queries
+
+    rolled = {
+        r["q"]: r["est_customers"]
+        for r in all_queries()["agg_hll_union_rollup"].fn(spark, SF_DIR).collect()
+    }
+    orders = load_table(spark, SF_DIR, "orders")
+    direct = {
+        r["q"]: r["est"]
+        for r in orders.groupBy(F.quarter("o_orderdate").alias("q"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(CAST(o_custkey AS STRING)))").alias("est"))
+        .collect()
+    }
+    assert rolled == direct  # merge-exactness
+    exact = dict(
+        ddb.execute(
+            "SELECT quarter(o_orderdate) q, count(DISTINCT o_custkey) FROM orders GROUP BY q"
+        ).fetchall()
+    )
+    for q, est in rolled.items():
+        assert abs(est - exact[q]) / exact[q] < 0.05, (q, est, exact[q])

@@ -187,3 +187,28 @@ def test_runtime_bloom_filter_injected(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_observe_inline_quality_metrics(spark):
+    """df.observe(): accumulator-style data-quality counters collected in
+    the SAME pass as the real query — the zero-extra-scan form of the
+    reference's AssertOp/ANALYZE side-channels. At 100 TB a separate
+    validation scan doubles cost; observe() metrics ride the existing
+    job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+
+    obs = Observation("quality")
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias("null_ship"),
+    )
+    result = df.groupBy("l_returnflag").count().collect()
+    assert len(result) > 0
+    m = obs.get
+    assert m["n_rows"] > 0 and m["bad_qty"] == 0 and m["null_ship"] == 0
