@@ -129,3 +129,26 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "sample_system_blocks",
+    oracle=None,  # block boundaries are engine-physical; pytest bounds
+    # the sampled fraction instead (like sample_bernoulli)
+    doc="TABLESAMPLE SYSTEM(25) (nodeSamplescan.c page-level sampler): "
+    "keep whole BLOCKS, not rows — Spark's physical unit is the "
+    "partition-split, so the block decision is a deterministic hash of "
+    "spark_partition_id. Orders of magnitude cheaper than BERNOULLI at "
+    "100 TB: non-selected splits are never deserialized past the "
+    "footer, and selected ones stream through untouched (no per-row "
+    "coin flip in the hot loop).",
+    tags=("sample", "nondeterministic"),
+)
+def sample_system_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("__blk", F.spark_partition_id())
+        .where(F.pmod(F.col("__blk"), F.lit(4)) == 0)
+        .drop("__blk")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -309,3 +309,93 @@ def sink_range_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Small-files compaction — the maintenance op behind the "
+    "reference's VACUUM of append-optimized segfiles (access/appendonly/"
+    "appendonlyam_handler.c compaction; each AO table tolerates ≤128 "
+    "segfiles before writes degrade): a fragmented landing directory "
+    "(64 tiny files from over-parallel ingest) is rewritten to "
+    "size-targeted files with repartition(4). At 100 TB the 'many tiny "
+    "files' failure mode dominates scan setup cost (one task per file); "
+    "compaction restores maxPartitionBytes-sized scans. The readback "
+    "aggregate proves the rewrite lost nothing, and the test asserts "
+    "the file count actually dropped.",
+    tags=("sink", "maintenance", "compaction"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    frag = _scratch(sf_dir, "lineitem_fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _scratch(sf_dir, "lineitem_compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+        WITH base AS (
+            SELECT year(o_orderdate) AS o_year, o_orderpriority
+            FROM orders
+        ), corrected AS (
+            SELECT o_year, o_orderpriority FROM base WHERE o_year <> 1995
+            UNION ALL
+            SELECT o_year, '9-REDACTED' AS o_orderpriority
+            FROM base WHERE o_year = 1995
+        )
+        SELECT o_year, o_orderpriority, count(*) AS n
+        FROM corrected GROUP BY o_year, o_orderpriority
+        ORDER BY o_year, o_orderpriority
+    """,
+    doc="Dynamic partition overwrite (partitionOverwriteMode=dynamic): "
+    "rewriting ONE year's partition replaces only that directory and "
+    "leaves every other partition untouched — the Spark form of the "
+    "reference's partition-wise load / ALTER TABLE EXCHANGE PARTITION "
+    "(commands/tablecmds_gp.c legacy partition DDL). The backfill "
+    "pattern at 100 TB: correcting one day of a year-partitioned fact "
+    "table writes 1/365th of the data. Static overwrite mode would "
+    "truncate the whole table first; the readback aggregate proves the "
+    "untouched partitions survived.",
+    tags=("sink", "partitioning", "overwrite", "dml"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"), "o_orderpriority"
+    )
+    path = _scratch(sf_dir, "orders_dpo")
+    od.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # backfill: redact priorities for 1995 only; other years untouched
+        (
+            od.where(F.col("o_year") == 1995)
+            .withColumn("o_orderpriority", F.lit("9-REDACTED"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_year", "o_orderpriority")
+    )

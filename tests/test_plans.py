@@ -212,3 +212,19 @@ def test_observe_inline_quality_metrics(spark):
     assert len(result) > 0
     m = obs.get
     assert m["n_rows"] > 0 and m["bad_qty"] == 0 and m["null_ship"] == 0
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compact_small_files must actually shrink the file inventory:
+    64 fragment files in, <=4 compacted files out (the VACUUM-style
+    guarantee, not just a lossless aggregate)."""
+    import glob
+    import os
+
+    from cloudberry_spark.registry import all_queries
+    from cloudberry_spark.sources.external import _scratch
+
+    all_queries()["sink_compact_small_files"].fn(spark, SF_DIR).collect()
+    n_frag = len(glob.glob(os.path.join(_scratch(SF_DIR, "lineitem_fragmented"), "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(_scratch(SF_DIR, "lineitem_compacted"), "*.parquet")))
+    assert n_frag == 64 and n_comp <= 4, (n_frag, n_comp)
