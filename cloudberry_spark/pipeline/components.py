@@ -57,10 +57,15 @@ def connected_components(
     undirected edge list (columns ``src``, ``dst``). Isolated nodes form
     singleton components.
     """
+    # Materialize the edge list ONCE: without this, the (expensive)
+    # edge-producing pipeline upstream — for dedup, the whole
+    # minhash+LSH candidate generation — re-executes on every round's
+    # every action (measured 20s -> ~5s at sf0.1).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
@@ -74,18 +79,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("v_label").alias("nbr_label"))
         )
-        proposed = labels.join(nbr_min, "u", "left").select(
-            "u",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
+        # one checkpoint carries (old_label, label); both the convergence
+        # probe and the next round read IT, so the join+agg above runs
+        # exactly once per round
+        proposed = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
-        new_labels = proposed.select("u", "label").localCheckpoint()
         changed = (
             proposed.where(F.col("label") < F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = proposed.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

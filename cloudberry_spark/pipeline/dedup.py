@@ -24,11 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cloudberry_spark.catalog import load_table
 from cloudberry_spark.pipeline.hashing import (
     MERSENNE_P,
     PERM_PARAMS,
+    _comb3,
     duckdb_base_hash,
     duckdb_perm,
     duckdb_shingle_hashes,
@@ -63,6 +65,46 @@ def shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     return docs.select(
         F.col(id_col), spark_word_hashes(words_col(F.col(text_col))).alias("__wh")
     ).select(id_col, spark_shingle_hashes(F.col("__wh")).alias("__sha"))
+
+
+def exploded_shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, h): one row per shingle hash — the explode-safe form.
+
+    Exploding the ready-made shingle array (``explode(__sha)`` over a
+    projection that computes it) is a 20x trap: Catalyst inlines the
+    array expression into the Generate node and re-evaluates the FULL
+    word-hash pipeline once per emitted element (measured 50s vs 2.7s
+    at sf0.1). Instead, materialize the per-word hash array as a column,
+    explode only the cheap shingle POSITIONS, and combine the 3 word
+    hashes per output row with element_at — per-row work is then O(1).
+    Semantics identical to spark_shingle_hashes including the <3-word
+    degenerate forms (sentinel positions -1/-2).
+    """
+    wh_df = docs.select(
+        F.col(id_col), spark_word_hashes(words_col(F.col(text_col))).alias("__wh")
+    )
+    n = F.size("__wh")
+    idx = (
+        F.when(n >= 3, F.sequence(F.lit(1), n - 2))
+        .when(n == 2, F.array(F.lit(-2)))
+        .otherwise(F.array(F.lit(-1)))
+    )
+    pos = wh_df.select(F.col(id_col), "__wh", F.explode(idx).alias("__i"))
+    i = F.col("__i")
+    h = (
+        F.when(i == -1, _comb3(F.lit(0), F.lit(0), F.element_at("__wh", 1)))
+        .when(i == -2, _comb3(F.lit(0), F.element_at("__wh", 1), F.element_at("__wh", 2)))
+        .otherwise(
+            _comb3(
+                F.element_at("__wh", i),
+                F.element_at("__wh", i + 1),
+                F.element_at("__wh", i + 2),
+            )
+        )
+    )
+    return pos.select(id_col, h.alias("h"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -131,11 +173,7 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str)
     intersects via an equi-join on the shingle hash (never materializes
     the cross product).
     """
-    sh = (
-        shingle_hash_arrays(docs, id_col, text_col)
-        .select(id_col, F.explode("__sha").alias("h"))
-        .distinct()
-    )
+    sh = exploded_shingle_hashes(docs, id_col, text_col).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("h"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("h"))
@@ -293,17 +331,39 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        shingle_hash_arrays(docs, "doc_id", "text")
-        .select("doc_id", F.explode("__sha").alias("h"))
+    sh = exploded_shingle_hashes(docs, "doc_id", "text").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Prefix filtering (PPJoin family, exact): if J(A,B) >= t, A and B
+    # share a token among their RAREST |s|-ceil(t|s|)+1 tokens (rank all
+    # tokens by global document frequency, rare first). Candidate
+    # generation joins only on prefix tokens, so the c_h^2 blowup on hot
+    # shingles (tiny shared vocabulary => some shingles appear in
+    # thousands of docs) never happens; exact intersection counting then
+    # runs only on surviving candidate pairs. Lossless: the oracle is
+    # still the naive all-pairs form.
+    t = 0.2
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        sh.join(dfreq, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.alias("pa")
+        .select(F.col("doc_id").alias("id_a"), "h")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "h"), "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "h")
     b = sh.select(F.col("doc_id").alias("id_b"), "h")
     inter = (
-        a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
