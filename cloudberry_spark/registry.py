@@ -98,6 +98,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.textsearch  # noqa: F401
     import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
+    import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401

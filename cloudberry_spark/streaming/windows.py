@@ -361,3 +361,52 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     out = run_stream_once(agg, "complete")
     return out.select("event_type", "n_users").orderBy("event_type")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT CAST(date_trunc('day', v.ts) AS DATE) AS day,
+               count(*) AS n_pairs
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view'
+         AND c.event_type = 'click'
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 1 HOUR
+        GROUP BY day ORDER BY day
+    """,
+    doc="Stream-stream interval join (beyond the batch-only reference; "
+    "the streaming analog of its theta joins): the views stream joins "
+    "the clicks stream per user with click in [view_ts, view_ts+1h]. "
+    "Both sides carry watermarks, so each side's join state is evicted "
+    "once the other's watermark passes the interval bound — bounded "
+    "memory at 100 TB/day, where an unwatermarked join would buffer "
+    "both firehoses forever. Converged availableNow output equals the "
+    "batch interval-join oracle; the per-day count is aggregated in a "
+    "follow-up batch pass over the sink (pairs are append-mode output).",
+    tags=("streaming", "join", "stateful"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = stream_events(spark, sf_dir).where(F.col("event_type") == "view")
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = run_stream_once(joined.select("user_id", "ts", "c_ts"), "append")
+    return (
+        pairs.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("day")
+    )
