@@ -334,3 +334,50 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("range_id")
     )
+
+
+register_sql(
+    "subq_any_all_quantified",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT max(o2.o_totalprice) * 0.98 FROM orders o2)
+       OR o_totalprice < (SELECT min(o2.o_totalprice) * 1.02 FROM orders o2)
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (SELECT o2.o_totalprice * 0.98 FROM orders o2)
+       OR o_totalprice < ALL (SELECT o2.o_totalprice * 1.02 FROM orders o2)
+    ORDER BY o_orderkey
+    """,
+    doc="Quantified comparisons x > ALL(subquery) / < ALL(subquery) "
+    "(PG parse_expr.c SubLink ANY/ALL forms): Spark has no ANY/ALL "
+    "subquery syntax, so the engine rewrites ALL to the extremal "
+    "aggregate (x > ALL(S) == x > max(S) for non-empty S without NULLs "
+    "— the same transform subselect.c applies); the oracle runs "
+    "DuckDB's NATIVE ALL form, proving the rewrite equivalent.",
+    tags=("subquery", "quantified", "semantics"),
+)
+
+register_sql(
+    "subq_select_list_correlated",
+    """
+    SELECT o_orderkey,
+           (SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+           (SELECT max(l.l_extendedprice) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS max_price
+    FROM orders o
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated scalar subqueries in the SELECT list (subselect.c "
+    "SubPlan execution; ORCA CSubqueryHandler): Catalyst decorrelates "
+    "both into left outer aggregate-joins — one shuffle each, no "
+    "per-row re-execution (the reference executes uncorrelatable "
+    "SubPlans per outer row, which at 100 TB is a disaster; the "
+    "decorrelated plan is the only scalable form).",
+    tags=("subquery", "correlated", "scalar"),
+)

@@ -512,3 +512,19 @@ register_sql(
     "component expressions over StructType fields.",
     tags=("scalar", "complex"),
 )
+
+
+register_sql(
+    "scalar_ilike_ordinal",
+    """
+    SELECT p_brand, count(*) AS n, sum(p_retailprice) AS sum_price
+    FROM part
+    WHERE p_name ILIKE '%GREEN%' OR p_name ILIKE 'sm%'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="ILIKE case-insensitive matching (PG like.c iclike) plus "
+    "GROUP BY / ORDER BY ordinal positions (PG parse_clause.c "
+    "targetlist ordinals; Spark groupByOrdinal/orderByOrdinal).",
+    tags=("scalar", "like", "ordinal"),
+)
