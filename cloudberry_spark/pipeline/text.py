@@ -487,3 +487,88 @@ def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher-style corpus rules)
+# ---------------------------------------------------------------------------
+
+#: Flag a document when its most frequent bigram exceeds this fraction
+#: of all bigrams (the published Gopher repetition-rule family).
+TOP_BIGRAM_FRAC_MAX = 0.1
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1]) AS bgs
+        FROM toks WHERE len(w) >= 2
+    ), ex AS (
+        SELECT doc_id, source, unnest(bgs) AS g FROM bg
+    ), cnt AS (
+        SELECT doc_id, source, g, count(*) AS c
+        FROM ex GROUP BY doc_id, source, g
+    ), perdoc AS (
+        SELECT doc_id, source,
+               CAST(max(c) AS DOUBLE) / sum(c) AS top_bg_frac,
+               1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dup_bg_frac
+        FROM cnt GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           avg(top_bg_frac) AS avg_top_bg_frac,
+           avg(dup_bg_frac) AS avg_dup_bg_frac,
+           sum(CASE WHEN top_bg_frac > {TOP_BIGRAM_FRAC_MAX}
+                    THEN 1 ELSE 0 END) AS n_flagged
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    doc="Repetition-based quality filter (the Gopher corpus-rule "
+    "family: a document dominated by one repeated n-gram is boilerplate "
+    "or spam): per doc, the top-bigram fraction and duplicate-bigram "
+    "fraction, flagged against a threshold and audited per source. "
+    "Bigrams are built row-locally (zip_with over the words array — no "
+    "self-join), counted with one partial/final agg keyed (doc_id, "
+    "bigram), reduced per doc, then per source: three exchanges total, "
+    "each carrying aggregates, never raw text.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+    bg = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("doc_id", "source", "g").agg(F.count(F.lit(1)).alias("c"))
+    perdoc = cnt.groupBy("doc_id", "source").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bg_frac"),
+        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "dup_bg_frac"
+        ),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("top_bg_frac").alias("avg_top_bg_frac"),
+            F.avg("dup_bg_frac").alias("avg_dup_bg_frac"),
+            F.sum(
+                F.when(F.col("top_bg_frac") > TOP_BIGRAM_FRAC_MAX, 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
