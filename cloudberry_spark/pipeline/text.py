@@ -572,3 +572,85 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (Arrow-batched Python — Spark has no NFC builtin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unicode_normalize",
+    oracle="""
+    WITH seeded AS (
+        SELECT source,
+               text || CASE WHEN doc_id % 5 = 0
+                            THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+                            ELSE '' END AS t
+        FROM documents
+    ), norm AS (
+        SELECT source, length(t) AS len_raw,
+               length(nfc_normalize(t)) AS len_nfc
+        FROM seeded
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN len_nfc <> len_raw THEN 1 ELSE 0 END) AS n_changed,
+           sum(len_raw) AS total_raw,
+           sum(len_nfc) AS total_nfc
+    FROM norm GROUP BY source ORDER BY source
+    """,
+    doc="Unicode NFC normalization — the canonicalization step before "
+    "any hashing/dedup on multilingual corpora (decomposed accents hash "
+    "differently from composed ones, silently splitting duplicate "
+    "groups). Spark has no NFC builtin, so this is the documented "
+    "slow-path pattern done right: an Arrow-batched pandas_udf "
+    "(unicodedata.normalize per batch, zero per-row Python overhead) — "
+    "the one place in the text pipeline where Python touches rows. "
+    "Decomposed sequences are seeded deterministically (both engines "
+    "seed identically via the combining codepoints U+0301/U+0308); the "
+    "oracle is DuckDB's native nfc_normalize.",
+    tags=("pipeline", "text", "unicode", "pandas-udf"),
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(col):  # pd.Series -> pd.Series, one Arrow batch at a time
+        import unicodedata
+
+        return col.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s)
+        )
+
+    # explicit functionType form: `from __future__ import annotations`
+    # stringifies type hints, which the decorator's hint inference rejects
+    nfc = pandas_udf(_nfc_batch, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" cafe\u0301 nai\u0308ve"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    norm = seeded.select(
+        "source",
+        F.length("t").alias("len_raw"),
+        F.length(nfc(F.col("t"))).alias("len_nfc"),
+    )
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("len_nfc") != F.col("len_raw"), 1).otherwise(0)).alias(
+                "n_changed"
+            ),
+            F.sum("len_raw").alias("total_raw"),
+            F.sum("len_nfc").alias("total_nfc"),
+        )
+        .orderBy("source")
+    )
