@@ -178,3 +178,44 @@ def values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(1, "one"), (2, "two"), (3, "three")], "id int, word string"
     ).orderBy("id")
+
+
+register_sql(
+    "array_set_operations",
+    """
+    SELECT l_orderkey,
+           array_sort(array_union(a1, a2))     AS u,
+           array_sort(array_intersect(a1, a2)) AS i,
+           array_sort(array_except(a1, a2))    AS e,
+           size(array_distinct(a1))            AS nd
+    FROM (
+        SELECT l_orderkey,
+               collect_set(CAST(l_quantity AS BIGINT)) AS a1,
+               collect_set(CAST(l_linenumber * 5 AS BIGINT)) AS a2
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+    )
+    ORDER BY l_orderkey
+    """,
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list_distinct(list_concat(a1, a2)))    AS u,
+           list_sort(list_intersect(a1, a2))                AS i,
+           list_sort(list_filter(a1, x -> NOT list_contains(a2, x))) AS e,
+           len(list_distinct(a1))                           AS nd
+    FROM (
+        SELECT l_orderkey,
+               list_distinct(list(CAST(l_quantity AS BIGINT))) AS a1,
+               list_distinct(list(CAST(l_linenumber * 5 AS BIGINT))) AS a2
+        FROM lineitem
+        WHERE l_orderkey < 200
+        GROUP BY l_orderkey
+    )
+    ORDER BY l_orderkey
+    """,
+    doc="Array set algebra (arrayfuncs.c union/intersect/except over PG "
+    "arrays; `@>`/`&&` family): array_union/intersect/except + distinct "
+    "over per-group collected sets.",
+    tags=("array", "setops"),
+)

@@ -410,3 +410,151 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_batch_sessionize",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events
+        ), marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               count(DISTINCT session_id) AS n_sessions,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Batch sessionization — the lag/gap-flag/running-sum idiom "
+    "(30-min inactivity gap): the SQL-expressible twin of "
+    "stream_stateful_sessionize, so its oracle is exact instead of "
+    "rows-only. One shuffle on user_id; both windows share the same "
+    "partitioning so Catalyst plans a single exchange.",
+    tags=("events", "sessionize", "window"),
+)
+def events_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w_lag).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.select(
+        "user_id", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ), daily AS (
+            SELECT user_id, day, value AS day_last FROM ranked WHERE rn = 1
+        ), spans AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ), grid AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM spans
+        ), joined AS (
+            SELECT g.user_id, g.day, d.day_last,
+                   last_value(d.day_last IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS UNBOUNDED PRECEDING) AS filled
+            FROM grid g LEFT JOIN daily d
+              ON d.user_id = g.user_id AND d.day = g.day
+        )
+        SELECT user_id,
+               count(*) AS n_grid_days,
+               count(day_last) AS n_observed_days,
+               round(sum(filled), 6) AS sum_filled
+        FROM joined GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-series resample to a daily grid with forward fill (LOCF) — "
+    "the gap-fill sibling of linear_interpolate (adt/interpolate.c): "
+    "per-entity calendar spine via sequence+explode, left join of "
+    "observed last-of-day values, then last(... ignorenulls) carries "
+    "observations forward. The spine is generated per user (no "
+    "cross-join against a global calendar), and every window shares the "
+    "user_id partitioning — one exchange end-to-end.",
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_last"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "filled", F.last("day_last", ignorenulls=True).over(w_fill)
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grid_days"),
+            F.count("day_last").alias("n_observed_days"),
+            F.round(F.sum("filled"), 6).alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )
