@@ -315,3 +315,68 @@ def win_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(peer_avg, 4).alias("peer_avg"),
     )
+
+
+@register(
+    "win_topk_two_level",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM (SELECT n_name, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+    WHERE rn <= 3
+    ORDER BY n_name, rn
+    """,
+    doc="Exact top-k per group with BOUNDED partial state — the "
+    "two-level form of win_topk_per_group (same oracle, different "
+    "physical shape). Level 1: a local rank inside each input "
+    "partition, kept to k rows per (partition, group) — the analog of "
+    "the reference's pre-unique-below-Motion optimization "
+    "(gp_enable_preunique, cdb/cdbgroup.c) applied to ranking. Level "
+    "2: the global rank over only those survivors. The exchange moves "
+    "<= k * n_partitions rows per group instead of every row; at "
+    "SF1000 the full-window form shuffles 150M customers to rank them, "
+    "this shuffles ~3 per (partition, nation). Correct because a row "
+    "outside its partition-local top-k can never enter the global "
+    "top-k (rank is monotone under union).",
+    tags=("window", "topk", "scale"),
+)
+def win_topk_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+    # level 1: bounded local top-k per (input partition, group), truly
+    # map-side via mapInPandas (a window partitioned by
+    # spark_partition_id would itself insert an exchange and shuffle
+    # every row — the trap this operator exists to avoid; the plan audit
+    # in tests/test_plans.py pins exactly one hash exchange)
+    def local_topk(batches):
+        import pandas as pd
+
+        acc = []
+        for pdf in batches:
+            acc.append(pdf)
+        if not acc:
+            return
+        allp = pd.concat(acc, ignore_index=True)
+        allp = allp.sort_values(
+            ["n_name", "c_acctbal", "c_custkey"],
+            ascending=[True, False, True],
+        )
+        yield allp.groupby("n_name", sort=False).head(k)
+
+    survivors = joined.mapInPandas(local_topk, joined.schema)
+    # level 2: global rank over the k * n_partitions survivors
+    w_global = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w_global))
+        .where(F.col("rn") <= k)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", F.col("c_acctbal").desc(), "c_custkey")
+    )

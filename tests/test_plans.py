@@ -243,3 +243,16 @@ def test_coverage_doc_lists_every_query():
         cov = fh.read()
     missing = [n for n in sorted(all_queries()) if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_two_level_topk_single_exchange(spark):
+    """win_topk_two_level's whole point: exactly ONE hash exchange (the
+    level-2 window over bounded survivors). The naive window form
+    shuffles every row; a window keyed by spark_partition_id would too."""
+    df = all_queries()["win_topk_two_level"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints Final AND Initial plans; count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    n_hash_exchanges = final.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, final[:1200]
