@@ -229,3 +229,49 @@ def test_random_setop_query_matches(sql, spark, ddb):
 def test_random_grouping_sets_matches(sql, spark, ddb):
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def dqa_queries(draw) -> str:
+    """Distinct-qualified aggregates — the reference's 3-stage TupleSplit
+    plans (cdbgroupingpaths.c DQAType, nodeTupleSplit.c) vs Catalyst's
+    RewriteDistinctAggregates expand — single and multi-DQA mixes."""
+    pred = draw(predicates())
+    group = draw(st.sampled_from(["l_returnflag", "l_linestatus", None]))
+    d1 = draw(st.sampled_from(["l_partkey", "l_suppkey", "l_quantity"]))
+    d2 = draw(st.sampled_from(["l_orderkey", "l_linenumber"]))
+    aggs = (
+        f"count(DISTINCT {d1}) AS nd1, count(DISTINCT {d2}) AS nd2, "
+        f"round(sum(DISTINCT l_quantity), 4) AS sd, count(*) AS n"
+    )
+    if group is None:
+        return f"SELECT {aggs} FROM lineitem WHERE {pred}"
+    return f"SELECT {group} AS g, {aggs} FROM lineitem WHERE {pred} GROUP BY {group}"
+
+
+@st.composite
+def outer_join_queries(draw) -> str:
+    """RIGHT/FULL outer joins with an ON-clause predicate — the
+    null-extension semantics corner (predicate in ON vs WHERE differs
+    for outer joins; both engines must agree row for row)."""
+    pred = draw(predicates())
+    how = draw(st.sampled_from(["RIGHT JOIN", "FULL JOIN"]))
+    return (
+        f"SELECT o_orderstatus AS g, count(*) AS n, count(l_orderkey) AS n_li "
+        f"FROM lineitem {how} orders ON l_orderkey = o_orderkey AND ({pred}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+@settings(**COMMON)
+@given(sql=dqa_queries())
+def test_random_dqa_query_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@settings(**COMMON)
+@given(sql=outer_join_queries())
+def test_random_outer_join_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
