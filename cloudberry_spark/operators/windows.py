@@ -380,3 +380,26 @@ def win_topk_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "c_custkey", "c_acctbal")
         .orderBy("n_name", F.col("c_acctbal").desc(), "c_custkey")
     )
+
+
+register_sql(
+    "win_time_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 6)
+             AS sum_1d,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+             AS n_7d
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Time-interval RANGE frames (nodeWindowAgg.c RANGE with offset "
+    "PRECEDING over timestamps): trailing 1-day sums and 7-day counts "
+    "per entity — the time-decayed rollup idiom; same syntax both "
+    "engines.",
+    tags=("window", "range", "timeseries"),
+)
