@@ -403,3 +403,55 @@ register_sql(
     "engines.",
     tags=("window", "range", "timeseries"),
 )
+
+
+register_sql(
+    "analytics_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT n_name, year(o_orderdate) AS yr,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+    )
+    SELECT n_name, yr,
+           round(revenue, 2) AS revenue,
+           round(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY yr), 2)
+             AS yoy_delta,
+           round((revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)
+                  - 1) * 100, 4) AS yoy_pct
+    FROM yearly
+    ORDER BY n_name, yr
+    """,
+    doc="Year-over-year growth: yearly revenue per nation with "
+    "lag-window deltas — aggregate-then-window, the standard "
+    "time-comparison report shape (one agg shuffle + one window "
+    "shuffle over the already-aggregated rows).",
+    tags=("analytics", "window", "join"),
+)
+
+register_sql(
+    "analytics_part_cooccurrence",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, count(*) AS n_orders_together
+    FROM pairs
+    GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY n_orders_together DESC, p1, p2
+    LIMIT 50
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing in the same "
+    "order (equi self-join on the order key — pair blowup is bounded "
+    "per order by its line count, never global), counted and "
+    "thresholded. The self-join shuffles lineitem once on l_orderkey; "
+    "both sides share the exchange (ReuseExchange).",
+    tags=("analytics", "join", "selfjoin"),
+)
