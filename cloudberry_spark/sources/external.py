@@ -399,3 +399,80 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_year", "o_orderpriority")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END) AS sum_new
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Schema evolution on read (ALTER TABLE ADD COLUMN parity, "
+    "commands/tablecmds.c — PG backfills nothing and treats missing as "
+    "NULL; parquet mergeSchema does exactly that): v1 files carry "
+    "(o_orderkey, o_orderpriority), later v2 files add o_totalprice; "
+    "one mergeSchema read unifies both generations, old files "
+    "producing NULL for the new column. The aggregate sums the new "
+    "column — non-NULL only for rows written after the 'DDL'.",
+    tags=("source", "schema-evolution", "ddl"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_evolving")
+    # generation 1: before the ADD COLUMN
+    (
+        od.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # generation 2: schema grew a column
+    (
+        od.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("append")
+        .parquet(path)
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_new"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+        SELECT 4 AS n_files, count(*) AS n_rows, count(*) / 4.0 AS avg_rows_per_file
+        FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+    doc="Physical row provenance via the hidden _metadata column "
+    "(closest Spark analog of the reference's TID/ctid addressing, "
+    "nodeTidscan.c — SURVEY marks Tid scans n/a; file+offset is the "
+    "columnar world's row address): write 4 files, read back grouping "
+    "by _metadata.file_path. Provenance columns cost nothing unless "
+    "selected (generated at scan time, not stored).",
+    tags=("source", "metadata", "provenance"),
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    path = _scratch(sf_dir, "lineitem_4files")
+    li.select("l_orderkey", "l_quantity").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(F.col("_metadata.file_path").alias("f")).agg(
+        F.count(F.lit(1)).alias("rows_in_file")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows_in_file").alias("n_rows"),
+        (F.sum("rows_in_file") / F.count(F.lit(1))).alias("avg_rows_per_file"),
+    )
