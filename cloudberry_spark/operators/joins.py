@@ -381,3 +381,32 @@ register_sql(
     "decorrelated plan is the only scalable form).",
     tags=("subquery", "correlated", "scalar"),
 )
+
+
+register_sql(
+    "join_lasj_notin_multicol",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE (l_orderkey, l_linenumber) NOT IN
+          (SELECT o_orderkey, 1 FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderstatus = 'F'
+                        AND o_orderkey = l_orderkey
+                        AND 1 = l_linenumber)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Multi-column NOT IN (row-constructor LASJ_NOTIN, nodes.h:1026 "
+    "— the anti join with NOT-IN null semantics over a composite key): "
+    "line 1 of every F-status order is excluded. DuckDB has no tuple "
+    "NOT IN, so the oracle is the NOT EXISTS form — equivalent here "
+    "because all key columns are non-null.",
+    tags=("join", "anti", "notin", "semantics"),
+)

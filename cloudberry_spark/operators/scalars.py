@@ -528,3 +528,28 @@ register_sql(
     "targetlist ordinals; Spark groupByOrdinal/orderByOrdinal).",
     tags=("scalar", "like", "ordinal"),
 )
+
+
+# SURVEY §7.4 known-hard #1: numeric exactness. Fixture money columns
+# are doubles; this query casts them into DecimalType and aggregates in
+# exact decimal arithmetic — the sums must match the oracle to the last
+# digit (no float tolerance applies: the comparison sees Decimal cells).
+register_sql(
+    "scalar_decimal_exact",
+    """
+    SELECT l_returnflag,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+             AS sum_price_exact,
+           sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,2)))
+             AS sum_qty_exact,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact DECIMAL aggregation (numeric.c arbitrary-precision "
+    "parity, capped at Spark's DecimalType(38)): cast-to-decimal sums "
+    "are bit-exact across engines — summation order cannot perturb "
+    "them, unlike the double path.",
+    tags=("scalar", "decimal", "semantics"),
+)
