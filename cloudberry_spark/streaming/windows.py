@@ -558,3 +558,54 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_checkpoint_exactly_once",
+    oracle="""
+        SELECT event_type, count(*) AS n_events
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exactly-once file sink via checkpointed source offsets: the "
+    "same availableNow stream runs TWICE against one "
+    "checkpointLocation — the second run finds the source offsets "
+    "already committed and processes nothing, so the parquet sink "
+    "holds exactly one copy of every event (the batch-count oracle "
+    "proves no duplication). This is the recovery contract a 100 "
+    "TB/day ingest needs: a crashed/restarted job resumes from the "
+    "offset log instead of re-ingesting (the reference's closest "
+    "analog is WAL-replayed COPY, but with at-least-once semantics).",
+    tags=("streaming", "checkpoint", "exactly-once"),
+)
+def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from cloudberry_spark.sources.external import _scratch
+
+    sink = _scratch(sf_dir, "stream_eo_sink")
+    ckpt = _scratch(sf_dir, "stream_eo_ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def run_once() -> None:
+        q = (
+            stream_events(spark, sf_dir)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # must be a no-op: offsets already committed
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

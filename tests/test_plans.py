@@ -256,3 +256,60 @@ def test_two_level_topk_single_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     n_hash_exchanges = final.count("Exchange hashpartitioning")
     assert n_hash_exchanges == 1, final[:1200]
+
+
+def test_aqe_skew_join_splits(spark):
+    """AQE skew-join handling (SURVEY §4.2: 'AQE is better' than the
+    reference's static cdbpath_motion_for_join — it re-plans at runtime
+    and SPLITS oversized partitions): join a deliberately skewed fact
+    (35% of rows share one key) against orders under lowered skew
+    thresholds; the executed plan must mark the sort-merge join
+    skew-handled ("skew=true")."""
+    from cloudberry_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # coalescing merges the tiny fixture partitions before the skew
+        # rule can see them; at real scale both coexist
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 16 map tasks: a skewed reduce partition is splittable only at
+        # map-output granularity, and the single-file fixture scan is one
+        # mapper (at real scale the scan has thousands)
+        li = load_table(spark, SF_DIR, "lineitem").repartition(16)
+        skewed = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        od = load_table(spark, SF_DIR, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_orderpriority"
+        )
+        df = (
+            skewed.join(od, "k")
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
