@@ -313,3 +313,16 @@ def test_aqe_skew_join_splits(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_every_query_documented_and_tagged():
+    """Registry hygiene: every query carries a non-empty doc (with the
+    reference citation convention) and at least one tag."""
+    from cloudberry_spark.registry import all_queries
+
+    bad = [
+        q.name
+        for q in all_queries().values()
+        if not (q.doc and q.doc.strip()) or not q.tags
+    ]
+    assert not bad, f"undocumented/untagged queries: {bad}"
