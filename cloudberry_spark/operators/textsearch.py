@@ -143,3 +143,55 @@ def scalar_trigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.select(
         "s_name", F.round(sim, 6).alias("sim")
     ).filter(sim > 0.3)
+
+
+@register(
+    "join_fuzzy_trigram",
+    oracle=f"""
+        WITH t AS (
+            SELECT p_partkey, {_duck_trigrams('p_name')} AS tg
+            FROM part WHERE p_partkey <= 500
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               round(len(list_intersect(a.tg, b.tg))::DOUBLE
+                     / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))),
+                     6) AS sim
+        FROM t a JOIN t b ON a.p_partkey < b.p_partkey
+        WHERE len(list_intersect(a.tg, b.tg))::DOUBLE
+              / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.55
+        ORDER BY id_a, id_b
+    """,
+    doc="Fuzzy JOIN on trigram similarity (beyond the reference: "
+    "pg_trgm only offers the scalar + GiST index lookup, and SURVEY "
+    "§2.3 notes the reference has no fuzzy join operator): part-name "
+    "pairs with trigram Jaccard >= 0.55. Spark-first shape: candidate "
+    "pairs come from an equi-join on EXPLODED shared trigrams (only "
+    "pairs sharing a trigram are ever formed — the oracle's quadratic "
+    "cross-pair form is exactly what this avoids), then the exact "
+    "similarity is verified from the two materialized trigram arrays.",
+    tags=("textsearch", "fuzzy", "join"),
+)
+def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    parts = part.select(
+        "p_partkey", trigrams_col(F.col("p_name")).alias("tg")
+    )
+    ex = parts.select("p_partkey", F.explode("tg").alias("t"))
+    cand = (
+        ex.select(F.col("p_partkey").alias("id_a"), "t")
+        .join(ex.select(F.col("p_partkey").alias("id_b"), "t"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = parts.select(F.col("p_partkey").alias("id_a"), F.col("tg").alias("tg_a"))
+    b = parts.select(F.col("p_partkey").alias("id_b"), F.col("tg").alias("tg_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("tg_a", "tg_b"))
+    union = F.size("tg_a") + F.size("tg_b") - inter
+    sim = inter / union
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .where(sim >= 0.55)
+        .orderBy("id_a", "id_b")
+    )
