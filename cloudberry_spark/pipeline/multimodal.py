@@ -195,3 +195,49 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("width").alias("sum_width"),
         F.sum("height").alias("sum_height"),
     )
+
+
+@register(
+    "multimodal_binary_dedup",
+    oracle="""
+    WITH typed AS (
+        SELECT md5(text) AS fp,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type
+        FROM documents
+    ), groups AS (
+        SELECT media_type, fp, count(*) AS c
+        FROM typed GROUP BY media_type, fp
+    )
+    SELECT media_type,
+           sum(c) AS n_payloads,
+           count(*) AS n_distinct,
+           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+           max(c) AS max_group
+    FROM groups GROUP BY media_type ORDER BY media_type
+    """,
+    doc="Content-addressed dedup of BINARY media payloads: md5 over the "
+    "raw bytes (computed JVM-side on the binary column — payloads are "
+    "never decoded, never leave the executor, and the exchange carries "
+    "16-byte fingerprints + counts, not blobs). The dedup-by-digest "
+    "step every multimodal ingest runs before storing media; the "
+    "oracle hashes the identical bytes via the text column the fake "
+    "payloads are encoded from.",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = fake_media(load_table(spark, sf_dir, "documents"))
+    groups = media.groupBy(
+        "media_type", F.md5("payload").alias("fp")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("c").alias("n_payloads"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+            F.max("c").alias("max_group"),
+        )
+        .orderBy("media_type")
+    )
