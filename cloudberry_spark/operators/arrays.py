@@ -219,3 +219,38 @@ register_sql(
     "over per-group collected sets.",
     tags=("array", "setops"),
 )
+
+
+register_sql(
+    "array_explode_outer",
+    """
+    SELECT o_orderkey, elem
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0
+                    THEN CAST(array() AS ARRAY<BIGINT>)
+                    ELSE array(o_orderkey % 7, o_orderkey % 5) END AS arr
+        FROM orders WHERE o_orderkey < 400
+    )
+    LATERAL VIEW OUTER explode(arr) AS elem
+    ORDER BY o_orderkey, elem NULLS FIRST
+    """,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN CAST([] AS BIGINT[])
+                    ELSE [o_orderkey % 7, o_orderkey % 5] END AS arr
+        FROM orders WHERE o_orderkey < 400
+    )
+    SELECT b.o_orderkey AS o_orderkey, u.elem AS elem
+    FROM base b LEFT JOIN
+         (SELECT o_orderkey, unnest(arr) AS elem FROM base) u
+      ON b.o_orderkey = u.o_orderkey
+    ORDER BY b.o_orderkey, u.elem NULLS FIRST
+    """,
+    doc="explode_outer / LATERAL VIEW OUTER (ProjectSet null-row "
+    "semantics for empty SRF input, nodeProjectSet.c: an empty array "
+    "still yields one row with NULL — plain explode would drop the "
+    "parent row entirely). Oracle re-expresses it as LEFT JOIN unnest.",
+    tags=("array", "srf", "semantics"),
+)
