@@ -135,3 +135,118 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def _oracle_v2() -> str:
+    """curate chain → seeded-PII redaction → token-budget shard packing."""
+    base = _oracle().split("SELECT source,")[0]  # reuse through `final`
+    from cloudberry_spark.pipeline.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        SHARD_TOKEN_BUDGET,
+    )
+
+    return f"""{base.rstrip()},
+    redacted AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 text || CASE WHEN doc_id % 7 = 0
+                              THEN ' contact u' || doc_id || '@example.com'
+                              ELSE '' END,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS t
+      FROM final
+    ),
+    counted AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(t)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(t)), '\\s+')) END AS tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                  AS BIGINT) AS hsh
+      FROM redacted
+    ),
+    cum AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY hsh, doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM counted
+    )
+    SELECT CAST(floor(CAST(c - tok AS DOUBLE) / {SHARD_TOKEN_BUDGET}) AS BIGINT)
+             AS shard_id,
+           count(*) AS n_docs,
+           sum(tok) AS tokens
+    FROM cum GROUP BY shard_id ORDER BY shard_id
+    """
+
+
+@register(
+    "pipeline_curate_to_shards",
+    oracle=_oracle_v2(),
+    doc="Curation v2, corpus → training shards in ONE DataFrame graph: "
+    "quality filter → exact dedup → LSH near-dup removal (curate()) → "
+    "PII redaction (seeded emails, regexp masked) → token-budget shard "
+    "packing via the distributed prefix sum of text_token_shards — the "
+    "complete path from raw corpus to fixed-size pretraining shards, "
+    "with a single composed DuckDB oracle across all six stages.",
+    tags=("pipeline", "dedup", "text", "pii", "sharding"),
+)
+def pipeline_curate_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+    from cloudberry_spark.pipeline.text import (
+        SHARD_TOKEN_BUDGET,
+        redact,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    final = curate(docs)
+    seeded = final.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    red = seeded.select("doc_id", redact(F.col("raw")).alias("t"))
+    t = red.select(
+        "doc_id",
+        token_count(F.col("t")).alias("tok"),
+        spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    part = (
+        t.repartitionByRange(16, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ptot = part.groupBy("pid").agg(F.sum("tok").alias("ptok"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid", F.coalesce(F.sum("ptok").over(woff), F.lit(0)).alias("offset")
+    )
+    wrun = (
+        Window.partitionBy("pid")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = part.join(F.broadcast(off), "pid").withColumn(
+        "cum", F.sum("tok").over(wrun) + F.col("offset")
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum") - F.col("tok")).cast("double") / SHARD_TOKEN_BUDGET
+            ),
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
+        .orderBy("shard_id")
+    )
