@@ -553,3 +553,37 @@ register_sql(
     "them, unlike the double path.",
     tags=("scalar", "decimal", "semantics"),
 )
+
+
+# Modern SQL ergonomics both engines share (and the reference lacks):
+# GROUP BY ALL infers the grouping keys from the non-aggregate select
+# items; * EXCEPT projects away named columns.
+register_sql(
+    "sql_group_by_all_star_except",
+    """
+    SELECT * EXCEPT (sum_qty)
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, sum(l_quantity) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem
+        GROUP BY ALL
+    )
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    oracle="""
+    SELECT * EXCLUDE (sum_qty)
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, sum(l_quantity) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price
+        FROM lineitem
+        GROUP BY ALL
+    )
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="GROUP BY ALL + SELECT * EXCEPT/EXCLUDE (post-PG SQL "
+    "ergonomics; beyond reference): inferred grouping keys and "
+    "projection-by-exclusion.",
+    tags=("sql", "ergonomics"),
+)
