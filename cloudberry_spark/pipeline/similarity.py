@@ -472,3 +472,119 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (the real IVF index builder): 2 Lloyd iterations, exact oracle
+# ---------------------------------------------------------------------------
+
+_KM_K = 4  # clusters
+_KM_ITERS = 2  # unrolled Lloyd iterations (so the oracle can unroll too)
+
+
+def _km_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+
+    def assign(vecs: str, cents: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+        SELECT a.vec_id, a.v, c.cid, {dist} AS dist,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM {vecs} a CROSS JOIN {cents} c
+    ), {out} AS (
+        SELECT vec_id, v, cid, dist FROM {out}_d WHERE rn = 1
+    )"""
+
+    def recompute(assigned: str, out: str) -> str:
+        return f"""
+    {out}_dims AS (
+        SELECT cid, i, avg(v[i]) AS m
+        FROM {assigned}, generate_series(1, 64) t(i)
+        GROUP BY cid, i
+    ), {out} AS (
+        SELECT cid, list(m ORDER BY i) AS cv FROM {out}_dims GROUP BY cid
+    )"""
+
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {_KM_K}
+    ),{assign("vecs", "c0", "a1")},{recompute("a1", "c1")},
+    {assign("vecs", "c1", "a2")},{recompute("a2", "c2")},
+    {assign("vecs", "c2", "afinal")}
+    SELECT cid, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
+    FROM afinal GROUP BY cid ORDER BY cid
+    """
+
+
+@register(
+    "sim_kmeans_index_build",
+    oracle=_km_oracle(),
+    doc="K-means Lloyd iterations as DataFrame algebra — the actual IVF "
+    "index builder (sim_ivf_knn's centroid stage done properly): "
+    "deterministic init (first K vec_ids), two unrolled "
+    "assign/recompute rounds, final assignment with per-cluster count "
+    "+ inertia. Ties break on (dist, cid) via an explicit rank so both "
+    "engines pick identical clusters. Each assignment is a "
+    "broadcast(K centroids) x vectors map-side pass (never a vector-"
+    "vector shuffle); recompute is one (cid, dim) partial/final agg — "
+    "at 100 TB the exchanges carry K*64 partial means, nothing else. "
+    "The oracle unrolls the identical two rounds in SQL.",
+    tags=("pipeline", "similarity", "kmeans", "iterative"),
+)
+def sim_kmeans_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = vecs.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs = vecs.crossJoin(F.broadcast(c)).withColumn("dist", d)
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("i0", "x")
+        ).groupBy("cid", "i0").agg(F.avg("x").alias("m"))
+        return dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+
+    c = cents
+    for _ in range(_KM_ITERS):
+        c = recompute(assign(c))
+    final = assign(c)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
