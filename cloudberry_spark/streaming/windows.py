@@ -609,3 +609,54 @@ def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id, event_id, value,
+                   avg(value) OVER (PARTITION BY user_id) AS mu,
+                   stddev_samp(value) OVER (PARTITION BY user_id) AS sigma
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               sum(CASE WHEN abs(value - mu) > 3 * sigma THEN 1 ELSE 0 END)
+                 AS n_anomalies,
+               round(max(abs(value - mu) / sigma), 6) AS max_z
+        FROM stats
+        GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-entity z-score anomaly detection (3-sigma rule over an "
+    "unbounded window): whole-partition mean/stddev as window "
+    "aggregates — one shuffle on user_id, stats and flags in the same "
+    "pass (no stats-then-rejoin round trip). The telemetry QA sweep a "
+    "training pipeline runs over metric streams.",
+    tags=("events", "anomaly", "window", "stats"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stats = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+            F.round(F.max(z), 6).alias("max_z"),
+        )
+        .orderBy("user_id")
+    )
