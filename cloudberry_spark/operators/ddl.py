@@ -137,3 +137,40 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.regexp_extract("data_type", r"(\d+) rows", 1).cast("bigint").alias("n_rows"))
     )
     return stat
+
+
+@register(
+    "ddl_column_profile",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderpriority) AS ndv_priority,
+               count(DISTINCT o_custkey) AS ndv_custkey,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               min(o_orderdate) AS min_date,
+               max(o_orderdate) AS max_date
+        FROM orders
+    """,
+    doc="Column profiling — the pg_statistic / ANALYZE FOR ALL COLUMNS "
+    "surface (commands/analyze.c compute_scalar_stats: null fraction, "
+    "n_distinct, min/max) as one exact aggregation pass. These are the "
+    "numbers the CBO consumes (ddl_analyze_stats stores the table-level "
+    "subset in the catalog); profiling at 100 TB is one scan with "
+    "partial aggs — the exchange carries a single row of statistics.",
+    tags=("ddl", "stats", "profiling"),
+)
+def ddl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("ndv_priority"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "nulls_price"
+        ),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
