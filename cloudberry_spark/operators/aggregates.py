@@ -387,3 +387,30 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_customers"))
         .orderBy("q")
     )
+
+
+register(
+    "agg_string_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="string_agg(DISTINCT ... ORDER BY) (varlena.c string_agg with "
+    "DISTINCT qualifier): Spark expresses it as "
+    "concat_ws(array_sort(collect_set)) — set-dedup before the ordered "
+    "join, partial-aggregated like any collect.",
+    tags=("agg", "distinct"),
+)(
+    lambda spark, sf_dir: load_table(spark, sf_dir, "orders")
+    .groupBy("o_orderpriority")
+    .agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        )
+    )
+    .orderBy("o_orderpriority")
+)

@@ -587,3 +587,23 @@ register_sql(
     "projection-by-exclusion.",
     tags=("sql", "ergonomics"),
 )
+
+
+register_sql(
+    "scalar_split_to_table",
+    """
+    SELECT p_partkey, w
+    FROM (SELECT p_partkey, explode(split(p_type, ' ')) AS w
+          FROM part WHERE p_partkey <= 100)
+    ORDER BY p_partkey, w
+    """,
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w
+    FROM part WHERE p_partkey <= 100
+    ORDER BY p_partkey, w
+    """,
+    doc="regexp_split_to_table / string_to_table SRF (adt/varlena.c "
+    "split_text + FunctionScan): explode(split()) — the set-returning "
+    "string splitter.",
+    tags=("scalar", "srf", "string"),
+)
