@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 )
 
 from cloudberry_spark.catalog import load_table
-from cloudberry_spark.registry import register
+from cloudberry_spark.registry import register, register_sql
 
 # ---------------------------------------------------------------------------
 # Batch windowing (oracle-checkable)
@@ -660,3 +660,44 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+register_sql(
+    "events_top_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 15
+    """,
+    doc="Behavioral path mining: most frequent 3-event sequences per "
+    "user via lead() windows (no self-joins — the naive form is two "
+    "self-joins on (user, seq+1)); one shuffle on user_id, then a "
+    "count-topk. Identical SQL both engines.",
+    tags=("events", "paths", "window", "analytics"),
+)
+
+register_sql(
+    "agg_corr_matrix",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS c_qty_price,
+           round(corr(l_quantity, l_discount), 6)      AS c_qty_disc,
+           round(corr(l_quantity, l_tax), 6)           AS c_qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS c_price_disc,
+           round(corr(l_extendedprice, l_tax), 6)      AS c_price_tax,
+           round(corr(l_discount, l_tax), 6)           AS c_disc_tax
+    FROM lineitem
+    """,
+    doc="Pairwise correlation matrix (regr_*/corr family, "
+    "adt/float.c): all 6 pairs among 4 measures in ONE scan — partial "
+    "moment aggregation, a single exchange carrying 6 moment tuples.",
+    tags=("agg", "stats", "analytics"),
+)
