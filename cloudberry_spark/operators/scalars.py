@@ -607,3 +607,63 @@ register_sql(
     "string splitter.",
     tags=("scalar", "srf", "string"),
 )
+
+
+# SURVEY §1.3: bpchar (blank-padded CHAR) equality ignores trailing
+# spaces in PG; Spark/DuckDB string equality does not. The engine's
+# normalization rule: rtrim at comparison sites. This query shows the
+# divergence and the fix side by side on synthesized padded values.
+register_sql(
+    "scalar_bpchar_padding",
+    """
+    SELECT p_brand,
+           count(*) AS n,
+           sum(CASE WHEN rpad(p_brand, 12, ' ') = p_brand
+                    THEN 1 ELSE 0 END) AS n_raw_equal,
+           sum(CASE WHEN rtrim(rpad(p_brand, 12, ' ')) = rtrim(p_brand)
+                    THEN 1 ELSE 0 END) AS n_bpchar_equal
+    FROM part
+    WHERE p_partkey <= 200
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="bpchar blank-padded equality (SURVEY §1.3 semantic trap): raw "
+    "string equality distinguishes 'Brand#13' from its CHAR(12)-padded "
+    "form (n_raw_equal = 0), while the engine's rtrim-normalized "
+    "comparison reproduces PG's bpchar '=' (n_bpchar_equal = n).",
+    tags=("scalar", "bpchar", "semantics"),
+)
+
+register_sql(
+    "scalar_epoch_conversions",
+    """
+    SELECT o_orderkey,
+           CAST(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+             AS epoch_s,
+           CAST(from_unixtime(unix_timestamp(CAST(o_orderdate AS TIMESTAMP)))
+                AS TIMESTAMP) AS roundtrip,
+           CAST(extract(year FROM
+                to_timestamp('1995-03-15 12:34:56', 'yyyy-MM-dd HH:mm:ss'))
+                AS INT) AS parsed_year
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           to_timestamp(epoch(CAST(o_orderdate AS TIMESTAMP)))::TIMESTAMP
+             AS roundtrip,
+           CAST(extract(year FROM
+                strptime('1995-03-15 12:34:56', '%Y-%m-%d %H:%M:%S'))
+                AS INT) AS parsed_year
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    doc="Epoch conversions (adt/timestamp.c extract(epoch), "
+    "to_timestamp(double)): seconds-since-epoch round trip under the "
+    "pinned UTC session zone, plus format-string timestamp parsing "
+    "(PG to_timestamp masks ≙ Spark patterns ≙ DuckDB strptime).",
+    tags=("scalar", "datetime", "epoch"),
+)
