@@ -410,3 +410,54 @@ register_sql(
     "because all key columns are non-null.",
     tags=("join", "anti", "notin", "semantics"),
 )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts >= p.ts) AS next_click_ts
+    FROM events p
+    WHERE p.event_type = 'view'
+    ORDER BY p.event_id
+    """,
+    doc="Forward AS-OF join (direction='forward': each view matched to "
+    "the user's NEXT click at-or-after it — the attribution mirror of "
+    "join_asof_events). Same union+window shape scanned in descending "
+    "time order with clicks sorting before views on ties (inclusive "
+    "match); one shuffle on user_id, no per-row subquery.",
+    tags=("join", "asof", "events"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit("v").alias("side"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit("c").alias("side"),
+    )
+    rows = views.unionByName(clicks)
+    # scan latest → earliest; clicks at equal ts come first so the match
+    # is inclusive (c.ts >= v.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = rows.withColumn(
+        "next_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("side") == "v")
+        .select("event_id", "user_id", "ts", "next_click_ts")
+        .orderBy("event_id")
+    )
