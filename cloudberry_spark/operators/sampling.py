@@ -152,3 +152,65 @@ def sample_system_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__blk")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@register(
+    "sample_importance",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                 * 100 / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS uniq_pct
+        FROM documents
+    ), rated AS (
+        SELECT doc_id, source,
+               least(greatest(CAST(floor(uniq_pct) AS BIGINT) - 20, 5), 60) AS rate,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                    AS BIGINT) % 100 AS h
+        FROM scored
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS n_sampled,
+           round(avg(rate), 4) AS avg_rate
+    FROM rated GROUP BY source ORDER BY source
+    """,
+    doc="Importance sampling for curation: per-document keep-rate "
+    "derived from a quality signal (vocabulary-uniqueness percent, "
+    "clamped to [5,60]%), decided by the cross-engine md5 hash — "
+    "higher-quality documents are kept proportionally more often, "
+    "reproducibly, with zero coordination (pure per-row expressions "
+    "that push into the scan). The quality-weighted twin of "
+    "sample_stratified; integer percent arithmetic keeps the "
+    "rate bit-identical across engines.",
+    tags=("sample", "pipeline", "quality"),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table as _lt
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+    from cloudberry_spark.pipeline.text import tokens
+
+    docs = _lt(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    uniq_pct = F.size(F.array_distinct(t)) * 100 / F.size(t)
+    rated = docs.select(
+        "source",
+        # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+        # Spark's truncates — floor on both sides pins the semantics
+        F.least(
+            F.greatest(F.floor(uniq_pct).cast("bigint") - 20, F.lit(5)), F.lit(60)
+        ).alias("rate"),
+        (spark_base_hash(F.col("doc_id").cast("string")) % 100).alias("h"),
+    )
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("h") < F.col("rate"), 1).otherwise(0)).alias(
+                "n_sampled"
+            ),
+            F.round(F.avg("rate"), 4).alias("avg_rate"),
+        )
+        .orderBy("source")
+    )
