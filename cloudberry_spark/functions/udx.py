@@ -219,3 +219,59 @@ def udtf_python_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 25 = 0
         """
     )
+
+
+@register(
+    "udaf_regression_per_label",
+    oracle="""
+        SELECT label,
+               count(*) AS n,
+               round(regr_slope(v2, v1), 6) AS slope,
+               round(regr_intercept(v2, v1), 6) AS intercept
+        FROM (SELECT label,
+                     CAST(embedding[1] AS DOUBLE) AS v1,
+                     CAST(embedding[2] AS DOUBLE) AS v2
+              FROM embeddings)
+        GROUP BY label ORDER BY label
+    """,
+    doc="Grouped-map UDAF (applyInPandas ≙ CREATE AGGREGATE over a "
+    "grouped relation, commands/aggregatecmds.c): per-label ordinary "
+    "least squares fit of embedding dim2 on dim1, computed in numpy "
+    "inside an Arrow batch per group — and proven EQUAL to SQL's "
+    "closed-form regr_slope/regr_intercept by the oracle. The pattern "
+    "for per-group model fitting at scale: one shuffle on the group "
+    "key, each group fit in one Python call, formulas written in the "
+    "population-moment form regr_* uses.",
+    tags=("udaf", "applyInPandas", "regression", "pipeline"),
+)
+def udaf_regression_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.element_at("embedding", 1).cast("double").alias("v1"),
+        F.element_at("embedding", 2).cast("double").alias("v2"),
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        x, y = pdf["v1"], pdf["v2"]
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum() / n
+        var = ((x - mx) ** 2).sum() / n
+        slope = cov / var
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [n],
+                "slope": [round(slope, 6)],
+                "intercept": [round(my - slope * mx, 6)],
+            }
+        )
+
+    return (
+        pts.groupBy("label")
+        .applyInPandas(fit, "label int, n bigint, slope double, intercept double")
+        .orderBy("label")
+    )
