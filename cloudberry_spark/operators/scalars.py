@@ -667,3 +667,34 @@ register_sql(
     "(PG to_timestamp masks ≙ Spark patterns ≙ DuckDB strptime).",
     tags=("scalar", "datetime", "epoch"),
 )
+
+
+register_sql(
+    "scalar_bitwise_ops",
+    """
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT)  AS band,
+           CAST(l_orderkey | 16 AS BIGINT)   AS bor,
+           CAST(l_orderkey ^ 85 AS BIGINT)   AS bxor,
+           CAST(shiftleft(l_linenumber, 3) AS BIGINT)  AS shl,
+           CAST(shiftright(l_orderkey, 2) AS BIGINT)   AS shr
+    FROM lineitem
+    WHERE l_orderkey < 200 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT)  AS band,
+           CAST(l_orderkey | 16 AS BIGINT)   AS bor,
+           CAST(xor(l_orderkey, 85) AS BIGINT) AS bxor,
+           CAST(l_linenumber << 3 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 2 AS BIGINT)   AS shr
+    FROM lineitem
+    WHERE l_orderkey < 200 AND l_linenumber = 1
+    ORDER BY l_orderkey
+    """,
+    doc="Scalar bitwise operators (PG int.c and/or/xor/shift `&,|,#,"
+    "<<,>>`): and/or/xor plus shifts; Spark spells shifts as functions, "
+    "DuckDB as operators.",
+    tags=("scalar", "bitwise"),
+)

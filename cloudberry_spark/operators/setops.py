@@ -9,7 +9,11 @@ its own oracle.
 
 from __future__ import annotations
 
-from cloudberry_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register, register_sql
 
 register_sql(
     "setop_union_all",
@@ -83,3 +87,36 @@ register_sql(
     doc="EXCEPT ALL: bag difference of multiplicities.",
     tags=("setop",),
 )
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS k, o_totalprice AS price, NULL AS qty FROM orders
+    WHERE o_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey AS k, NULL AS price, l_quantity AS qty FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY k, price NULLS LAST, qty NULLS LAST
+    """,
+    doc="Schema-aligning union (unionByName with allowMissingColumns — "
+    "beyond the reference's positional UNION, prepunion.c): columns "
+    "match by NAME and absent ones null-fill, the safe form when the "
+    "two sides evolved different schemas.",
+    tags=("setop", "union", "schema"),
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 100)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_quantity").alias("qty"))
+    )
+    u = od.unionByName(li, allowMissingColumns=True)
+    return u.orderBy(
+        "k", F.col("price").asc_nulls_last(), F.col("qty").asc_nulls_last()
+    )

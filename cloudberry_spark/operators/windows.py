@@ -455,3 +455,22 @@ register_sql(
     "both sides share the exchange (ReuseExchange).",
     tags=("analytics", "join", "selfjoin"),
 )
+
+
+register_sql(
+    "win_percent_of_total",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment, sum(c_acctbal) AS bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, round(bal, 2) AS bal,
+           round(bal * 100.0 / sum(bal) OVER (), 6) AS pct_of_total
+    FROM seg
+    ORDER BY c_mktsegment
+    """,
+    doc="Percent-of-total via an empty-frame window (sum OVER ()): the "
+    "share-of-whole report idiom — the OVER () total is computed on the "
+    "already-aggregated groups (6 rows), not the base table.",
+    tags=("window", "analytics"),
+)
