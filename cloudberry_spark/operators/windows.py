@@ -474,3 +474,56 @@ register_sql(
     "already-aggregated groups (6 rows), not the base table.",
     tags=("window", "analytics"),
 )
+
+
+register_sql(
+    "analytics_gaps_islands",
+    """
+    WITH present AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderstatus = 'F'
+    ), grp AS (
+        SELECT k, k - row_number() OVER (ORDER BY k) AS island
+        FROM present
+    )
+    SELECT min(k) AS island_start, max(k) AS island_end,
+           count(*) AS island_len
+    FROM grp
+    GROUP BY island
+    ORDER BY island_start
+    """,
+    doc="Gaps-and-islands: contiguous key runs via the k - row_number() "
+    "constant-per-island trick — sequence integrity auditing (finding "
+    "holes in an ingest) in one window and one agg, no self-joins; the "
+    "F-status filter makes the key set genuinely gappy. "
+    "Identical SQL both engines.",
+    tags=("analytics", "window", "islands"),
+)
+
+register_sql(
+    "events_dau_stickiness",
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT day, count(*) AS dau FROM daily GROUP BY day
+    ), wau AS (
+        SELECT d.day, count(DISTINCT a.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM daily) d
+        JOIN daily a
+          ON a.day > d.day - INTERVAL 7 DAY AND a.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness: day-level user dedup "
+    "first (the only pass over raw events), then the 7-day window as a "
+    "range join over the TINY (day, user) distinct relation — never a "
+    "distinct-over-window on the event stream. Identical SQL both "
+    "engines.",
+    tags=("events", "analytics", "retention"),
+)
