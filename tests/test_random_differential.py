@@ -275,3 +275,56 @@ def test_random_dqa_query_matches(sql, spark, ddb):
 def test_random_outer_join_matches(sql, spark, ddb):
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def scalar_exprs(draw, depth: int = 0) -> str:
+    """Random scalar expression tree over DOUBLE-cast measures —
+    execExprInterp.c vs Catalyst codegen, value for value. All leaves
+    cast to DOUBLE (int overflow wraps in Spark but errors in DuckDB);
+    round() excluded (HALF_UP vs half-even on doubles); div-by-zero is
+    NULL on both engines."""
+    leaves = [
+        "CAST(l_quantity AS DOUBLE)",
+        "CAST(l_extendedprice AS DOUBLE)",
+        "CAST(l_discount AS DOUBLE)",
+        "CAST(l_tax AS DOUBLE)",
+        "CAST(l_linenumber AS DOUBLE)",
+        "1.5",
+        "0.0",
+        "-2.0",
+    ]
+    if depth >= 3 or draw(st.booleans()):
+        return draw(st.sampled_from(leaves))
+    a = draw(scalar_exprs(depth=depth + 1))
+    b = draw(scalar_exprs(depth=depth + 1))
+    form = draw(
+        st.sampled_from(
+            [
+                "({a} + {b})",
+                "({a} - {b})",
+                "({a} * {b})",
+                "({a} / nullif({b}, 0.0))",
+                "abs({a})",
+                "floor({a})",
+                "ceil({a})",
+                "least({a}, {b})",
+                "greatest({a}, {b})",
+                "coalesce(nullif({a}, 0.0), {b})",
+                "(CASE WHEN {a} > {b} THEN {a} ELSE {b} END)",
+            ]
+        )
+    )
+    return form.format(a=a, b=b)
+
+
+@settings(**COMMON)
+@given(expr=scalar_exprs())
+def test_random_scalar_expr_matches(expr, spark, ddb):
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS v "
+        f"FROM lineitem WHERE l_orderkey < 300 "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
