@@ -328,3 +328,33 @@ def test_random_scalar_expr_matches(expr, spark, ddb):
     )
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def datetime_exprs(draw) -> str:
+    """Datetime arithmetic fuzz: date_trunc units x interval offsets x
+    extract fields (adt/timestamp.c vs Catalyst datetime rules). 'week'
+    is included deliberately — both engines truncate to ISO Monday; the
+    oracle catches any regression in that assumption."""
+    unit = draw(st.sampled_from(["year", "quarter", "month", "week", "day"]))
+    field = draw(st.sampled_from(["year", "quarter", "month", "day", "doy"]))
+    n = draw(st.integers(1, 400))
+    iunit = draw(st.sampled_from(["DAY", "MONTH"]))
+    sign = draw(st.sampled_from(["+", "-"]))
+    pred = draw(predicates())
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(date_trunc('{unit}', l_shipdate {sign} INTERVAL {n} {iunit}) "
+        f"  AS TIMESTAMP) AS dt, "
+        f"CAST(extract({field} FROM l_shipdate {sign} INTERVAL {n} {iunit}) "
+        f"  AS BIGINT) AS f "
+        f"FROM lineitem WHERE {pred} "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(**COMMON)
+@given(sql=datetime_exprs())
+def test_random_datetime_expr_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
