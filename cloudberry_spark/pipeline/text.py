@@ -654,3 +654,76 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality signal: unigram surprisal against the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(regexp_split_to_array(trim(lower(text)),
+                                                            '\\s+')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), total AS (
+        SELECT sum(c) AS n FROM freq
+    ), scored AS (
+        SELECT t.doc_id, t.source,
+               -ln(CAST(f.c AS DOUBLE) / (SELECT n FROM total)) AS surprisal
+        FROM tok t JOIN freq f ON t.w = f.w
+    ), perdoc AS (
+        SELECT doc_id, source, avg(surprisal) AS avg_surprisal,
+               count(*) AS n_tokens
+        FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(avg_surprisal), 6) AS mean_surprisal,
+           round(max(avg_surprisal), 6) AS max_surprisal,
+           round(min(avg_surprisal), 6) AS min_surprisal
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    doc="Unigram-LM surprisal scoring (perplexity-family quality "
+    "signal): every token scored by -ln(corpus probability), averaged "
+    "per document — documents of improbable vocabulary float to the "
+    "top for review, the statistical cousin of the rule-based "
+    "text_quality_score. Two aggregation passes over exploded tokens "
+    "plus a broadcast of the vocabulary table (tiny vs the corpus; at "
+    "100 TB the vocab is millions of rows against billions of docs). "
+    "The corpus total rides along as a broadcast scalar subquery.",
+    tags=("pipeline", "text", "quality", "lm"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            (-F.log(F.col("c").cast("double") / F.col("n"))).alias("surprisal"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.avg("surprisal").alias("avg_surprisal")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_surprisal"), 6).alias("mean_surprisal"),
+            F.round(F.max("avg_surprisal"), 6).alias("max_surprisal"),
+            F.round(F.min("avg_surprisal"), 6).alias("min_surprisal"),
+        )
+        .orderBy("source")
+    )
