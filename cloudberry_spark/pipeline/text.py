@@ -727,3 +727,61 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE doc_id < 100
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+        SELECT tf.doc_id, tf.w,
+               tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df)
+                 AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) DESC,
+                                           tf.w) AS rk
+        FROM tf JOIN df ON tf.w = df.w
+    )
+    SELECT doc_id, w AS term, round(tfidf, 6) AS tfidf, rk
+    FROM scored WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="TF-IDF top-3 terms per document (ts_rank's statistical "
+    "cousin, adt/tsrank.c): term frequency x inverse document "
+    "frequency, ranked per doc with a deterministic (score, term) "
+    "tie-break. The df table is vocabulary-sized and broadcast; the "
+    "per-doc rank partitions by doc_id — no global sort. Keyword "
+    "extraction for corpus exploration and near-dup explainability.",
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), F.round("tfidf", 6).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
