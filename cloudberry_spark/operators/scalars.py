@@ -698,3 +698,37 @@ register_sql(
     "DuckDB as operators.",
     tags=("scalar", "bitwise"),
 )
+
+
+def _register_row_ids() -> None:
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.registry import register
+
+    @register(
+        "misc_row_ids",
+        oracle=None,  # ids are engine/partition-dependent; pytest asserts
+        # uniqueness and density invariants instead
+        doc="Row-id generation (commands/sequence.c nextval parity): "
+        "monotonically_increasing_id embeds the partition ordinal in the "
+        "high bits — unique and ordered WITHIN a partition but gappy "
+        "across (documented non-gapless, SURVEY §2.8 misc row); uuid() "
+        "gives globally unique opaque ids. For a gapless sequence use "
+        "row_number() over a total order (win_ranking_family) and pay "
+        "its global sort. tests/test_pipeline.py::"
+        "test_row_ids_unique_and_dense asserts uniqueness of both and "
+        "the per-partition density invariant.",
+        tags=("misc", "sequence", "nondeterministic"),
+    )
+    def misc_row_ids(spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.monotonically_increasing_id().alias("row_id"),
+            F.expr("uuid()").alias("row_uuid"),
+        )
+
+
+_register_row_ids()

@@ -160,3 +160,24 @@ def test_hll_union_rollup_is_merge_exact(spark, ddb):
     )
     for q, est in rolled.items():
         assert abs(est - exact[q]) / exact[q] < 0.05, (q, est, exact[q])
+
+
+def test_row_ids_unique_and_dense(spark):
+    """misc_row_ids: both id kinds globally unique; monotonically
+    increasing ids are dense (0..n-1) within each partition."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["misc_row_ids"].fn(spark, SF_DIR)
+    n = df.count()
+    assert df.select("row_id").distinct().count() == n
+    assert df.select("row_uuid").distinct().count() == n
+    # density: per 33-bit partition block, ids are 0..count-1
+    blocks = (
+        df.select((F.col("row_id").bitwiseAND(F.lit((1 << 33) - 1))).alias("lo"),
+                  (F.col("row_id") / F.lit(1 << 33)).cast("long").alias("hi"))
+        .groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("lo").alias("mx"))
+        .collect()
+    )
+    for r in blocks:
+        assert r["mx"] == r["c"] - 1, r
