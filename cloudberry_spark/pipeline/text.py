@@ -785,3 +785,84 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), F.round("tfidf", 6).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "text_bm25_rank",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(len) AS avg_len FROM dl
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM tok
+        WHERE w IN ('spark', 'hash', 'join') GROUP BY doc_id, w
+    ), df AS (
+        SELECT w, count(DISTINCT doc_id) AS df FROM tok
+        WHERE w IN ('spark', 'hash', 'join') GROUP BY w
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avg_len)))
+                 AS bm25
+        FROM tf
+        JOIN df ON tf.w = df.w
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 25
+    """,
+    doc="BM25 ranking (k1=1.2, b=0.75) for the query {spark, hash, "
+    "join} — the retrieval scorer ts_rank approximates "
+    "(adt/tsrank.c's cover-density ranking; BM25 is its modern "
+    "replacement). Corpus stats (N, avgdl) ride as a broadcast scalar; "
+    "df per term is vocabulary-sized and broadcast; scoring touches "
+    "only rows containing query terms (the IN pushes into the scan).",
+    tags=("pipeline", "text", "retrieval", "bm25"),
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TERMS = ["spark", "hash", "join"]
+    K1, B = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    qtok = tok.where(F.col("w").isin(TERMS))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (K1 + 1)
+                / (
+                    F.col("tf")
+                    + K1 * (1 - B + B * F.col("len") / F.col("avg_len"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )

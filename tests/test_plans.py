@@ -326,3 +326,26 @@ def test_every_query_documented_and_tagged():
         if not (q.doc and q.doc.strip()) or not q.tags
     ]
     assert not bad, f"undocumented/untagged queries: {bad}"
+
+
+def test_broadcast_hint_forces_bhj(spark):
+    """Join-strategy hints (ORCA exposes these via GUCs; Spark via
+    .hint): broadcast() must force a BroadcastHashJoin even when the
+    threshold is disabled — the operator-level escape hatch when the
+    optimizer's size estimate is wrong."""
+    from cloudberry_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        part = load_table(spark, SF_DIR, "part")
+        df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy(
+            "p_brand"
+        ).count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
