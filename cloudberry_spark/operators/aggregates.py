@@ -414,3 +414,40 @@ register(
     )
     .orderBy("o_orderpriority")
 )
+
+
+register_sql(
+    "agg_unpivot_melt",
+    """
+    SELECT l_returnflag, measure, round(value, 4) AS value
+    FROM (
+        SELECT l_returnflag,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_price,
+               sum(l_discount) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    ORDER BY l_returnflag, measure
+    """,
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_price,
+               sum(l_discount) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, round(sum_qty, 4) AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', round(sum_price, 4) FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', round(sum_disc, 4) FROM wide
+    ORDER BY l_returnflag, measure
+    """,
+    doc="UNPIVOT / melt — the inverse of agg_pivot (the reference has "
+    "pivot accumulators, adt/pivot.c, but no unpivot; PG idiom is a "
+    "LATERAL VALUES join): wide measure columns to (measure, value) "
+    "rows. Spark's UNPIVOT is a zero-shuffle Expand node; the oracle "
+    "is the manual UNION ALL form.",
+    tags=("agg", "unpivot", "reshape"),
+)
