@@ -176,7 +176,26 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = part.select(
         "p_partkey", trigrams_col(F.col("p_name")).alias("tg")
     )
-    ex = parts.select("p_partkey", F.explode("tg").alias("t"))
+    # position-explode over the materialized padded string, not
+    # explode(tg): a Project directly under Generate gets inlined and
+    # re-evaluates the whole trigram transform per emitted element
+    # (the 20x trap documented at pipeline/dedup.exploded_shingle_hashes)
+    padded = part.select(
+        "p_partkey",
+        F.concat(F.lit("  "), F.lower("p_name"), F.lit(" ")).alias("__pad"),
+    )
+    ex = (
+        padded.select(
+            "p_partkey",
+            "__pad",
+            F.explode(F.sequence(F.lit(1), F.length("__pad") - 2)).alias("__i"),
+        )
+        .select(
+            "p_partkey",
+            F.substring(F.col("__pad"), F.col("__i"), F.lit(3)).alias("t"),
+        )
+        .distinct()
+    )
     cand = (
         ex.select(F.col("p_partkey").alias("id_a"), "t")
         .join(ex.select(F.col("p_partkey").alias("id_b"), "t"), "t")
