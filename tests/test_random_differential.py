@@ -131,12 +131,15 @@ def window_queries(draw) -> str:
     )
     rank_fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
     pred = draw(predicates())
-    # floor(x*1e4+0.5), not round(x,4): round() is HALF_UP in Spark but
-    # half-even in DuckDB/PG-on-doubles, and running averages of
-    # 2-decimal fixture values land exactly on .5 boundaries
+    # round(...,4): windowed running sums accumulate cross-engine
+    # float noise beyond the 8-significant-digit normalization, and any
+    # finer discretization sits on boundary cliffs (see the COVERAGE
+    # "discretization at float boundaries" note). 4-decimal absolute
+    # rounding is the comparison-stable middle ground for ROWS frames
+    # over these magnitudes.
     return (
         f"SELECT l_orderkey, l_linenumber, "
-        f"CAST(floor({agg}({col}) OVER w * 10000 + 0.5) / 10000 AS DOUBLE) AS wv, "
+        f"round({agg}({col}) OVER w, 4) AS wv, "
         f"{rank_fn} OVER (PARTITION BY {part} "
         f"ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount) AS rk "
         f"FROM lineitem WHERE {pred} "
