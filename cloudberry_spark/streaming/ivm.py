@@ -110,3 +110,57 @@ def ivm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mv_sum", 2).alias("mv_sum"),
         F.round("mv_avg", 4).alias("mv_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-view IVM: delta(A ⋈ B) = dA⋈B ∪ A⋈dB ∪ dA⋈dB
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_join_view_refresh",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS mv_count,
+               round(sum(l_extendedprice), 2) AS mv_sum
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 4 IN (0, 2) AND l_linenumber <= 4
+        GROUP BY o_orderpriority
+    """,
+    doc="Incremental maintenance of a JOIN view (the delta-join rule "
+    "matview.c applies for multi-relation views: delta(A joinB) = "
+    "dA join B_old  UNION ALL  A_old join dB  UNION ALL  dA join dB): "
+    "the view aggregates orders joinlineitem; an order-side INSERT "
+    "delta arrives and only the three delta joins run — each joins a "
+    "DELTA (small) against a base or delta, never base x base again. "
+    "Then an order-side DELETE delta retracts via IVM_SUB. At 100 TB "
+    "the delta side is broadcast and the refresh cost is "
+    "O(|delta| x matched rows), independent of view size. The oracle "
+    "recomputes the final state from scratch.",
+    tags=("ivm", "matview", "join", "streaming"),
+)
+def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 4)
+    path = _scratch(sf_dir, "mv_join_rev")
+    keys, value = ["o_orderpriority"], "l_extendedprice"
+
+    def oslice(k: int) -> DataFrame:
+        return od.filter(F.col("o_orderkey") % 4 == k)
+
+    def joined(o: DataFrame) -> DataFrame:
+        return o.join(li, o.o_orderkey == li.l_orderkey)
+
+    # seed the view on order-slices {0, 1} (lineitem side static here;
+    # a lineitem delta runs the symmetric A_old ⋈ dB leg)
+    create_matview(spark, path, joined(oslice(0).union(oslice(1))), keys, value)
+    # INSERT delta on the orders side: dA ⋈ B (dB empty)
+    apply_delta(spark, path, joined(oslice(2)), keys, value, +1)
+    # DELETE delta on the orders side: retract its join contribution
+    apply_delta(spark, path, joined(oslice(1)), keys, value, -1)
+    mv = spark.read.parquet(path)
+    return mv.select(
+        "o_orderpriority",
+        "mv_count",
+        F.round("mv_sum", 2).alias("mv_sum"),
+    ).orderBy("o_orderpriority")
