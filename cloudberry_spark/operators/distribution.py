@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
-from cloudberry_spark.registry import register
+from cloudberry_spark.registry import register, register_sql
 from cloudberry_spark.sources.external import _scratch
 
 SALT_BUCKETS = 32
@@ -129,3 +129,26 @@ def bucket_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+register_sql(
+    "sql_distribute_sort_by",
+    """
+    SELECT /*+ REPARTITION(8) */ l_returnflag, l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey < 500
+    DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey, l_quantity
+    """,
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="DISTRIBUTE BY / SORT BY — Spark SQL's literal spelling of the "
+    "reference's DISTRIBUTED BY policy (gp_distribution_policy.h:30 + "
+    "per-segment ORDER): rows hash-route on the distribution key and "
+    "sort within each partition, exactly a Motion HASH + per-QE sort. "
+    "Content is order-insensitively identical to the plain SELECT "
+    "(the oracle); the clause controls PHYSICAL layout only.",
+    tags=("distribution", "sql", "layout"),
+)

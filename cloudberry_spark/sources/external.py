@@ -476,3 +476,32 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rows_in_file").alias("n_rows"),
         (F.sum("rows_in_file") / F.count(F.lit(1))).alias("avg_rows_per_file"),
     )
+
+
+@register(
+    "scan_glob_paths",
+    oracle="""
+        SELECT year(o_orderdate) AS o_year, count(*) AS n
+        FROM orders
+        WHERE year(o_orderdate) IN (1995, 1997)
+        GROUP BY o_year ORDER BY o_year
+    """,
+    doc="Glob-pattern path selection (external.c URL wildcards / "
+    "gpfdist multi-file feeds): a year-partitioned layout scanned "
+    "through the brace glob o_year={1995,1997} — partition selection "
+    "expressed in the PATH, before the planner even sees a filter "
+    "(listing-time pruning, zero data files opened outside the glob).",
+    tags=("source", "glob", "partitioning"),
+)
+def scan_glob_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = _scratch(sf_dir, "orders_by_year_glob")
+    od.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.option("basePath", path).parquet(
+        path + "/o_year={1995,1997}"
+    )
+    return (
+        back.groupBy("o_year").agg(F.count(F.lit(1)).alias("n")).orderBy("o_year")
+    )
