@@ -456,7 +456,8 @@ def events_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w_lag).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w_lag).cast("long")
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_lag))
                 > 1800
             ),
             1,
