@@ -17,7 +17,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from cloudberry_spark.registry import all_queries  # noqa: E402
+from cloudberry_spark.registry import all_queries, interleaved_queries  # noqa: E402
 
 FLAGSHIP = "tpch_q5"
 
@@ -28,12 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered round-robin across operator families so any prefix sample
+    spans every family (§2.1 scans … §2.11 UDX + pipeline + streaming).
+    """
+    return {name: q.fn for name, q in interleaved_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle
+        for name, q in interleaved_queries().items()
+        if q.oracle is not None
     }

@@ -174,18 +174,24 @@ register(
     "agg_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS nations
+           array_to_string(list_sort(array_agg(n_name)), ',') AS nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
     doc="array_agg (array_userfuncs.c) == collect_list; sorted for "
-    "determinism (MPP row order is nondeterministic — atmsort lesson).",
+    "determinism (MPP row order is nondeterministic — atmsort lesson). "
+    "Projected through array_join so the result is hashable by pandas-"
+    "based comparators (raw array columns are unhashable numpy arrays).",
     tags=("agg", "array"),
 )(
     lambda spark, sf_dir: load_table(spark, sf_dir, "nation")
     .groupBy("n_regionkey")
-    .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+    .agg(
+        F.array_join(
+            F.array_sort(F.collect_list("n_name")), ","
+        ).alias("nations")
+    )
     .orderBy("n_regionkey")
 )
 
@@ -241,17 +247,31 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate: engines use different sketches; pytest
-    # asserts the estimate is within rel. error of exact instead.
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           1 AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct == the reference's HyperLogLog aggregate "
-    "(gp_hyperloglog.c:1096 gp_hyperloglog_add_item_agg_default).",
+    "(gp_hyperloglog.c:1096 gp_hyperloglog_add_item_agg_default). The "
+    "sketch estimate is engine-specific, so the checkable projection is "
+    "the exact count plus a bound flag: approx within 4×rsd (default "
+    "rsd 5% → 20%) of exact. Oracle asserts the flag is identically 1.",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey")
+    exact = F.count_distinct(F.col("l_partkey"))
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx - exact)
+            <= F.greatest(0.2 * exact, F.lit(8.0))
+        ).cast("int").alias("approx_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -308,20 +328,39 @@ def agg_hypothetical_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # sketch-based: engines use different algorithms; the
-    # pytest bound test asserts the estimate is within tolerance of exact.
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50_exact,
+           quantile_disc(l_extendedprice, 0.95) AS p95_exact,
+           1 AS p50_ok,
+           1 AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="percentile_approx (KLL/GK-class sketch): the scale path for "
     "quantiles — mergeable partials, bounded memory; vs the reference's "
-    "exact sort-based percentile_cont (orderedsetaggs.c:426).",
+    "exact sort-based percentile_cont (orderedsetaggs.c:426). Sketch "
+    "output at low accuracy is engine-specific, so the checkable "
+    "projection is the exact DISCRETE percentile (an actual data value "
+    "— exact-mode GK == DuckDB quantile_disc, verified bit-equal; no "
+    "interpolation-rounding hazard) plus 2%-relative-error bound flags "
+    "for the GK(acc=1000) estimates; the oracle asserts the flags are 1.",
     tags=("agg", "approx", "orderedset"),
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    p50a = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    p95a = F.percentile_approx("l_extendedprice", 0.95, 1000)
+    # accuracy >> group row count => the GK sketch is exact (returns the
+    # true discrete percentile, an actual data value).
+    p50e = F.percentile_approx("l_extendedprice", 0.5, 10_000_000)
+    p95e = F.percentile_approx("l_extendedprice", 0.95, 10_000_000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_exact"),
+        p50e.alias("p50_exact"),
+        p95e.alias("p95_exact"),
+        (F.abs(p50a - p50e) <= 0.02 * p50e).cast("int").alias("p50_ok"),
+        (F.abs(p95a - p95e) <= 0.02 * p95e).cast("int").alias("p95_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -363,18 +402,25 @@ register_sql(
 
 @register(
     "agg_hll_union_rollup",
-    oracle=None,  # sketch estimates are engine-specific; pytest proves
-    # merge-exactness (union of monthly sketches == direct quarterly
-    # sketch) and bounds error vs the exact distinct count
+    oracle="""
+    SELECT CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           count(DISTINCT o_custkey) AS exact_customers,
+           1 AS est_ok
+    FROM orders
+    GROUP BY 1
+    ORDER BY q
+    """,
     doc="HLL sketch mergeability — the prelimfn property of the "
     "reference's gp_hyperloglog (utils/hyperloglog/gp_hyperloglog.c "
     "gp_hyperloglog_merge: partial sketches combine across segments "
     "without rescanning): per-month customer sketches over orders are "
     "rolled up to quarters with hll_union_agg, so the quarterly answer "
-    "reads 12 sketch rows, not the fact table. "
+    "reads 12 sketch rows, not the fact table. Sketch estimates are "
+    "engine-specific, so the checkable projection is the exact distinct "
+    "count plus a 5%-error bound flag on the rolled-up estimate "
+    "(default lgK=12 → ~1.6% rse); the oracle asserts the flag is 1. "
     "tests/test_pipeline.py::test_hll_union_rollup_is_merge_exact "
-    "asserts union-of-partials == direct sketch (identical registers) "
-    "and <5% error vs exact COUNT(DISTINCT).",
+    "additionally asserts union-of-partials == direct sketch.",
     tags=("agg", "approx", "hll", "rollup"),
 )
 def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,9 +428,22 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.quarter("o_orderdate").alias("q"), F.month("o_orderdate").alias("m")
     ).agg(F.expr("hll_sketch_agg(CAST(o_custkey AS STRING))").alias("sk"))
+    rolled = monthly.groupBy("q").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_customers")
+    )
+    exact = orders.groupBy(F.quarter("o_orderdate").alias("q")).agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
     return (
-        monthly.groupBy("q")
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_customers"))
+        rolled.join(exact, "q")
+        .select(
+            "q",
+            "exact_customers",
+            (
+                F.abs(F.col("est_customers") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).cast("int").alias("est_ok"),
+        )
         .orderBy("q")
     )
 

@@ -27,6 +27,7 @@ point here requires an explicit watermark.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from cloudberry_spark.catalog import load_table
@@ -166,18 +168,42 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # True Structured Streaming path
 # ---------------------------------------------------------------------------
 
-#: File-source schema: ts is int64 NANOS in the fixture parquet (read
-#: via nanosAsLong on the batch path; the stream source gets it declared).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(sf_dir: str) -> tuple[StructType, bool]:
+    """File-source schema for events.parquet, probed from the footer.
+
+    The stream source requires a declared schema, and the fixture's ``ts``
+    physical type has varied (timestamp[us] vs int64 nanos). Probe the
+    parquet footer once — exactly the branch the batch path takes at
+    catalog.py — and return (schema, ts_is_int64_nanos). Declaring the
+    wrong type silently mis-times every event (int64 µs read as ns →
+    everything lands in 1970), so this must follow the file, not a guess.
+    """
+    ts_type: object = TimestampType()
+    ts_is_long = False
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(
+            os.path.join(sf_dir, "events.parquet")
+        ).field("ts").type
+        ts_is_long = str(t).startswith("int")
+    except Exception:
+        pass
+    if ts_is_long:
+        ts_type = LongType()
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", ts_type),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def stream_events(
@@ -189,16 +215,20 @@ def stream_events(
     scale the same plan runs over a landing directory with new files
     appearing continuously; locally it replays the fixture.
     """
+    schema, ts_is_long = _events_stream_schema(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # File source requires a directory; glob-filter to the events table.
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withWatermark("ts", watermark)
+    if ts_is_long:
+        # int64 nanos → µs timestamp; integer division (see catalog.py).
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw.withWatermark("ts", watermark)
 
 
 def run_stream_once(result: DataFrame, output_mode: str) -> DataFrame:
