@@ -19,11 +19,12 @@ Scale design (100 TB):
 - Each round is one shuffle (edge join on ``v``) plus one aggregation
   (groupBy ``u``) — both keyed by node id, so the exchange reuses one
   partitioning and AQE coalesces the small label side as it shrinks.
-- ``localCheckpoint()`` after every round truncates lineage; without it
-  the logical plan doubles per iteration and planning time explodes long
-  before data size matters. On a real cluster use a reliable
-  ``checkpoint()`` (HDFS/S3 checkpoint dir) so a lost executor doesn't
-  recompute the whole iteration history.
+- A checkpoint after every round truncates lineage; without it the
+  logical plan doubles per iteration and planning time explodes long
+  before data size matters. ``_truncate_lineage`` picks reliable
+  ``checkpoint()`` (survives executor loss) whenever a checkpoint dir
+  is configured and only falls back to ``localCheckpoint()`` on bare
+  local sessions.
 - Convergence is detected with a count of changed labels — one extra
   job per round, but it reads only the (node, label) frame, which is
   tiny relative to the corpus.
@@ -41,6 +42,24 @@ from pyspark.sql import functions as F
 from cloudberry_spark.catalog import load_table
 from cloudberry_spark.pipeline.dedup import lsh_candidate_pairs, lsh_oracle_ctes
 from cloudberry_spark.registry import register
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint ``df``, truncating its logical plan.
+
+    Iterative algorithms must break lineage every round or planning time
+    doubles per iteration. ``localCheckpoint`` stores blocks in executor
+    memory/disk — fine under local[*], but on a real cluster a lost
+    executor makes the truncated lineage IRRECOVERABLE mid-job. So: use
+    reliable ``checkpoint()`` whenever a checkpoint dir is configured
+    (production posture — call ``sc.setCheckpointDir`` on an HDFS/S3
+    path at session setup), and fall back to localCheckpoint only when
+    none is set (local dev, where executor loss == driver loss anyway).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -65,11 +84,11 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    sym = _truncate_lineage(sym)
+    labels = _truncate_lineage(
+        nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    )
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(
@@ -91,8 +110,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        proposed = _truncate_lineage(proposed)
         changed = (
             proposed.where(F.col("label") < F.col("old_label")).limit(1).count()
         )

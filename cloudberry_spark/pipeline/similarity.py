@@ -235,25 +235,53 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     doc="Embedding-cosine similar pairs (>0.35; fixture vectors are near-random so true near-dup thresholds are empty) within label "
-    "blocks — blocked exact search; the label join key bounds the "
-    "pair count (at scale: LSH bands or IVF lists as blocks).",
+    "blocks — blocked exact search, distributed as a TRIANGULAR GRID "
+    "self-join: each label's rows are split into C chunks and every "
+    "chunk-pair cell (i<=j) becomes an independent join task keyed "
+    "(label, gi, gj), so one hot label fans out over C(C+1)/2 tasks "
+    "instead of landing on a single reducer (the classic exact-APSS "
+    "skew fix; replication factor (C+1)/2 on the shuffle). Note LSH "
+    "bucketing CANNOT serve this query: at t=0.35, P(bit agree)=0.615 "
+    "vs 0.5 for random pairs — no selectivity, and banding loses "
+    "recall; see sim_neardup_lsh_banded for the bucketed shape at the "
+    "same deterministic-candidate semantics.",
     tags=("pipeline", "dedup", "similarity"),
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("e_a")
+    C = 4  # grid chunks per label; scale as sqrt(label_rows²/pairs_per_task)
+    g = emb.select(
+        "vec_id", "label", "embedding", F.pmod("vec_id", F.lit(C)).alias("chunk")
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("e_b")
+    # A row in chunk c is the LEFT side of cells (c, j>=c) and the RIGHT
+    # side of cells (i<=c, c); each unordered chunk pair meets in exactly
+    # one cell.
+    left = g.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("e_a"),
+        F.col("chunk").alias("gi"),
+        F.explode(F.sequence("chunk", F.lit(C - 1))).alias("gj"),
     )
-    return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"))
-        .where(F.col("cos_sim") > 0.35)
-        .orderBy("id_a", "id_b")
+    right = g.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("embedding").alias("e_b"),
+        F.explode(F.sequence(F.lit(0), "chunk")).alias("gi"),
+        F.col("chunk").alias("gj"),
     )
+    pairs = (
+        left.join(right, ["label", "gi", "gj"])
+        # diagonal cells see both orientations — keep one; off-diagonal
+        # cells see each pair once (possibly id_a > id_b — normalize).
+        .where((F.col("gi") != F.col("gj")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") > 0.35).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +365,124 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
         F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+# Banded LSH: B bands of R sign bits each (B*R hyperplanes from the same
+# deterministic _plane family). A pair is a candidate iff it collides in
+# at least one band.
+LSH_BANDS = 8
+LSH_ROWS = 4
+
+
+def band_signatures(emb: Column) -> Column:
+    """array<int> of LSH_BANDS band buckets (LSH_ROWS sign bits each)."""
+
+    def band(b: Column) -> Column:
+        def bit(t: Column) -> Column:
+            proj = F.aggregate(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(emb, i).cast("double")
+                * _plane(b * LSH_ROWS + t, i),
+            )
+            return F.when(
+                proj > 0, F.pow(F.lit(2.0), t.cast("double"))
+            ).otherwise(F.lit(0.0))
+
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(LSH_ROWS - 1)), bit),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)), band)
+
+
+_DUCK_BANDS = f"""
+    list_transform(generate_series(0, {LSH_BANDS - 1}), b ->
+        list_sum(list_transform(generate_series(0, {LSH_ROWS - 1}), t ->
+            CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), i ->
+                     CAST({{e}}[i] AS DOUBLE) *
+                     ((((b * {LSH_ROWS} + t) * {DIM} + i) * {_KNUTH})
+                      % {_M32} / {float(_M32)} - 0.5)
+                 )) > 0
+            THEN 1 << t ELSE 0 END)))
+"""
+
+
+@register(
+    "sim_neardup_lsh_banded",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, label, {_DUCK_BANDS.format(e='embedding')} AS bands
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, label,
+               unnest(bands) AS bucket,
+               generate_subscripts(bands, 1) AS band
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ex a JOIN ex b
+          ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           {_duck_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} > 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Banded-LSH near-duplicate pairs: candidates = pairs colliding "
+    "in >=1 of 8 bands x 4 sign bits (deterministic hyperplanes, so the "
+    "candidate SET itself is engine-reproducible and the DuckDB oracle "
+    "expresses the identical bands->bucket-join->verify pipeline); "
+    "exact cosine verification on candidates only. THE bucketed shape "
+    "for near-dup at scale: signature is map-only, candidate generation "
+    "is an equi-join on (label, band, bucket) — a hot label no longer "
+    "implies a hot reducer unless its vectors genuinely collide. At "
+    "production thresholds (cos>=0.9, P(bit)=0.86) these parameters "
+    "give ~97% per-pair recall per the (1-p^r)^b formula; recall-1 "
+    "semantics at arbitrary thresholds needs the exact grid join "
+    "(sim_cosine_neardup).",
+    tags=("pipeline", "dedup", "similarity", "lsh"),
+)
+def sim_neardup_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "label", band_signatures(F.col("embedding")).alias("bands")
+    )
+    ex = sig.select(
+        "vec_id", "label", F.posexplode("bands").alias("band", "bucket")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.35)
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -693,9 +693,12 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per document — documents of improbable vocabulary float to the "
     "top for review, the statistical cousin of the rule-based "
     "text_quality_score. Two aggregation passes over exploded tokens "
-    "plus a broadcast of the vocabulary table (tiny vs the corpus; at "
-    "100 TB the vocab is millions of rows against billions of docs). "
-    "The corpus total rides along as a broadcast scalar subquery.",
+    "plus a join against the vocabulary table. The vocab side carries "
+    "NO broadcast hint: its cardinality grows with the corpus, so the "
+    "decision belongs to AQE, which broadcasts while the vocab is "
+    "small and falls back to a shuffle join when it outgrows the "
+    "threshold (tests/test_plans.py pins the broadcast choice at "
+    "fixture scale). The corpus total rides as a broadcast scalar.",
     tags=("pipeline", "text", "quality", "lm"),
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,7 +709,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(freq, "w")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -757,8 +760,10 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TF-IDF top-3 terms per document (ts_rank's statistical "
     "cousin, adt/tsrank.c): term frequency x inverse document "
     "frequency, ranked per doc with a deterministic (score, term) "
-    "tie-break. The df table is vocabulary-sized and broadcast; the "
-    "per-doc rank partitions by doc_id — no global sort. Keyword "
+    "tie-break. The df table is vocabulary-sized, so it carries no "
+    "broadcast hint — AQE broadcasts it while small and shuffles when "
+    "it outgrows the threshold (plan pinned in tests/test_plans.py); "
+    "the per-doc rank partitions by doc_id — no global sort. Keyword "
     "extraction for corpus exploration and near-dup explainability.",
     tags=("pipeline", "text", "tfidf"),
 )
@@ -771,7 +776,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -349,3 +349,23 @@ def test_broadcast_hint_forces_bhj(spark):
         assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_vocab_joins_unhinted_but_aqe_broadcasts(spark):
+    """The vocabulary sides of text_unigram_surprisal / text_tfidf_top_terms
+    grow with corpus size, so they must NOT carry a broadcast hint (a hint
+    is a promise AQE can't revoke — at 100 TB it would exceed the
+    broadcast limit). At fixture scale AQE must still CHOOSE broadcast
+    for them from its runtime size estimate."""
+    for name in ("text_unigram_surprisal", "text_tfidf_top_terms"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes join strategies only on execution
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, f"{name}:\n{final[:800]}"
+        # No ResolvedHint should survive in the analyzed vocab join —
+        # the only hinted sides are 1-row scalar aggregates.
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = analyzed.count("UnresolvedHint") + analyzed.count(
+            "ResolvedHint"
+        )
+        assert hints <= 1, f"{name} has {hints} hints (vocab side hinted?)"
