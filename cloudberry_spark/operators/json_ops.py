@@ -238,3 +238,58 @@ def json_variant_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+register_sql(
+    "json_path_filter_predicate",
+    """
+    WITH j AS (
+        SELECT l_orderkey,
+               to_json(named_struct(
+                   'items',
+                   sort_array(collect_list(CAST(l_quantity AS BIGINT)))
+               )) AS doc
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           size(filter(from_json(get_json_object(doc, '$.items'),
+                                 'array<bigint>'),
+                       x -> x > 45)) AS n_hits,
+           aggregate(filter(from_json(get_json_object(doc, '$.items'),
+                                      'array<bigint>'),
+                            x -> x > 45),
+                     0L, (acc, x) -> acc + x) AS sum_hits
+    FROM j
+    WHERE l_orderkey < 5000
+    ORDER BY l_orderkey
+    """,
+    oracle="""
+    WITH j AS (
+        SELECT l_orderkey,
+               to_json(struct_pack(
+                   items := list_sort(list(CAST(l_quantity AS BIGINT)))
+               )) AS doc
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(list_filter(CAST(json_extract(doc, '$.items') AS BIGINT[]),
+                           x -> x > 45)) AS n_hits,
+           coalesce(list_sum(list_filter(
+               CAST(json_extract(doc, '$.items') AS BIGINT[]),
+               x -> x > 45)), 0) AS sum_hits
+    FROM j
+    WHERE l_orderkey < 5000
+    ORDER BY l_orderkey
+    """,
+    doc="jsonpath FILTER predicate subset "
+    "(utils/adt/jsonpath_exec.c: jsonb_path_query('$.items[*] ? (@ > "
+    "45)')): the Spark rewrite is path-extract -> from_json to a typed "
+    "array -> filter(lambda) -> size/aggregate, all JVM higher-order "
+    "functions on a REAL JSON document column (built per order from "
+    "lineitem quantities). Count and sum of matching elements are the "
+    "checkable projection; DuckDB mirrors with json_extract + "
+    "list_filter.",
+    tags=("json", "jsonpath"),
+)

@@ -732,3 +732,69 @@ def _register_row_ids() -> None:
 
 
 _register_row_ids()
+
+
+register_sql(
+    "scalar_soundex_fuzzy",
+    """
+    SELECT r_name,
+           soundex(r_name) AS sx,
+           levenshtein(r_name, 'EUROPE') AS lev_europe
+    FROM region
+    ORDER BY r_name
+    """,
+    oracle="""
+    SELECT r.r_name AS r_name, g.sx,
+           levenshtein(r.r_name, 'EUROPE') AS lev_europe
+    FROM region r
+    JOIN (VALUES ('AFRICA', 'A162'), ('AMERICA', 'A562'),
+                 ('ASIA', 'A200'), ('EUROPE', 'E610'),
+                 ('MIDDLE EAST', 'M342')) AS g(g_name, sx)
+      ON r.r_name = g.g_name
+    ORDER BY r_name
+    """,
+    doc="fuzzystrmatch family (contrib/fuzzystrmatch/): soundex is a "
+    "free Spark builtin (levenshtein already shared with DuckDB). "
+    "DuckDB has no soundex, so its side is a golden VALUES table "
+    "independently validated by a from-the-spec Python implementation "
+    "in tests/test_operators_misc.py (including the multi-word "
+    "MIDDLE EAST -> M342 case: non-alpha separators are skipped, not "
+    "code-breaking).",
+    tags=("scalar", "fuzzystrmatch"),
+)
+
+
+register_sql(
+    "scalar_interval_column",
+    """
+    SELECT o_orderpriority,
+           max(make_dt_interval(datediff(o_orderdate, DATE '1992-01-01')))
+               AS max_age,
+           min(make_dt_interval(datediff(o_orderdate, DATE '1992-01-01')))
+               AS min_age,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY max_age DESC, min_age, o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           max(to_days(CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS INTEGER)))
+               AS max_age,
+           min(to_days(CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS INTEGER)))
+               AS min_age,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY max_age DESC, min_age, o_orderpriority
+    """,
+    doc="Interval-typed COLUMN round-trip (SURVEY §1.3 split mapping: "
+    "PG interval -> DayTimeIntervalType / YearMonthIntervalType): a "
+    "per-row day-time interval flows through min/max aggregation AND "
+    "the ORDER BY comparator as a first-class value — both engines "
+    "return native interval objects (python timedelta) that must agree "
+    "exactly, not a pre-casted day count.",
+    tags=("scalar", "datetime", "interval"),
+)

@@ -505,3 +505,127 @@ def scan_glob_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.groupBy("o_year").agg(F.count(F.lit(1)).alias("n")).orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE command external source (pipe-a-program)
+# ---------------------------------------------------------------------------
+
+
+def execute_pipe(
+    df: DataFrame, cmd: str, out_schema: StructType, to_line: list
+) -> DataFrame:
+    """External ``EXECUTE command`` source: stream rows through an OS
+    program, one process per partition, and parse its stdout back into
+    a DataFrame.
+
+    Re-expresses the reference's EXECUTE-type external tables
+    (src/backend/access/external/external.c:382-505: every segment runs
+    the command and ingests its stdout). Spark shape: serialize each row
+    to one text line, ``rdd.pipe(cmd)`` — the task-per-partition analog
+    of command-per-segment — then ``from_csv`` the output lines. The
+    pipe is the ONLY imperative hop; both serialization and re-parsing
+    stay in DataFrame land, so column pruning happens before the pipe
+    and the parsed side gets a real schema (not a blob).
+    """
+    lines = df.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in to_line]).alias("line")
+    )
+    piped = lines.rdd.map(lambda r: r[0]).pipe(cmd)
+    out = piped.map(lambda s: (s,)).toDF(["line"])
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema)
+    return out.select(
+        F.from_csv(F.col("line"), ddl).alias("r")
+    ).select("r.*")
+
+
+@register(
+    "copy_execute_pipe",
+    oracle="""
+    SELECT n_nationkey * 2 AS key2,
+           lower(n_name) AS lname,
+           n_regionkey
+    FROM nation
+    ORDER BY key2
+    """,
+    doc="EXECUTE-command external table (external.c:382-505 URL type "
+    "EXECUTE; one command per segment == rdd.pipe, one process per "
+    "task): nation rows piped through a deterministic awk transform "
+    "(double the key, lowercase the name) and re-parsed with a typed "
+    "schema. The oracle computes the same transform in SQL.",
+    tags=("source", "external", "pipe"),
+)
+def copy_execute_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    out_schema = StructType(
+        [
+            StructField("key2", LongType()),
+            StructField("lname", StringType()),
+            StructField("n_regionkey", LongType()),
+        ]
+    )
+    piped = execute_pipe(
+        nation,
+        "awk -F, '{print $1 * 2 \",\" tolower($2) \",\" $3}'",
+        out_schema,
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    return piped.orderBy("key2")
+
+
+# ---------------------------------------------------------------------------
+# JDBC foreign scan (postgres_fdw-class source)
+# ---------------------------------------------------------------------------
+
+
+def _derby_url(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"jdbc:derby:{os.path.join(SCRATCH, tag, 'derbydb')};create=true"
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register(
+    "fdw_jdbc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey <= 2
+    ORDER BY n_nationkey
+    """,
+    doc="JDBC foreign scan (contrib/postgres_fdw + nodeForeignscan.c): "
+    "nation is seeded into an embedded Derby database over JDBC write, "
+    "then read back with spark.read.jdbc — a real external-RDBMS "
+    "round-trip (Derby ships in Spark's classpath). The filter is "
+    "pushed into the remote scan as WHERE in the generated SQL "
+    "(JDBCRelation pushes catalyst predicates), matching the "
+    "reference's remote-qual shipping. At scale: partitionColumn/"
+    "lowerBound/upperBound splits the remote read across executors.",
+    tags=("source", "fdw", "jdbc"),
+)
+def fdw_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = _derby_url(sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_fdw")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    remote = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_fdw")
+        .option("driver", _DERBY_DRIVER)
+        .load()
+    )
+    return (
+        remote.where(F.col("n_regionkey") <= 2)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )

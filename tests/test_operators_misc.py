@@ -1,0 +1,65 @@
+"""Independent validations for queries whose oracle embeds golden values
+or whose semantics need a from-the-spec reference implementation."""
+
+from __future__ import annotations
+
+from cloudberry_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+def _soundex_ref(w: str) -> str:
+    """American Soundex, implemented from the published algorithm
+    (independent of both Spark and the golden VALUES in the oracle)."""
+    w = "".join(ch for ch in w.upper() if ch.isalpha())
+    if not w:
+        return ""
+    codes: dict[str, str] = {}
+    for grp, d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                   ("L", "4"), ("MN", "5"), ("R", "6")):
+        for c in grp:
+            codes[c] = d
+    out, prev = w[0], codes.get(w[0], "")
+    for ch in w[1:]:
+        c = codes.get(ch, "")
+        if c and c != prev:
+            out += c
+        if ch not in "HW":  # H/W are transparent: they don't reset runs
+            prev = c
+    return (out + "000")[:4]
+
+
+def test_soundex_golden_matches_independent_reference(spark):
+    """The oracle for scalar_soundex_fuzzy hardcodes soundex codes in a
+    VALUES table (DuckDB has no soundex). Prove those codes against an
+    independent implementation, and prove Spark's builtin agrees."""
+    rows = all_queries()["scalar_soundex_fuzzy"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.sx == _soundex_ref(r.r_name), (r.r_name, r.sx)
+
+
+def test_execute_pipe_runs_one_process_per_partition(spark):
+    """The EXECUTE source must keep partition-parallelism: piping a
+    2-partition frame yields results from both partitions."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from cloudberry_spark.sources.external import execute_pipe
+
+    df = spark.range(0, 100, 1, 2)  # 2 partitions
+    out = execute_pipe(
+        df,
+        "awk -F, '{print $1 * 3}'",
+        StructType([StructField("x3", LongType())]),
+        ["id"],
+    )
+    got = sorted(r.x3 for r in out.collect())
+    assert got == [i * 3 for i in range(100)]
+
+
+def test_interval_column_returns_native_timedelta(spark):
+    """scalar_interval_column must produce DayTimeIntervalType columns
+    (python timedelta on collect), not a day-count integer."""
+    import datetime
+
+    rows = all_queries()["scalar_interval_column"].fn(spark, SF_DIR).collect()
+    assert rows and isinstance(rows[0].max_age, datetime.timedelta)
