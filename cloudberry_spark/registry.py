@@ -134,6 +134,27 @@ def interleaved_queries() -> dict[str, Query]:
     fams: dict[str, list[Query]] = {}
     for q in all_queries().values():
         fams.setdefault(q.tags[0] if q.tags else "misc", []).append(q)
+    # Queries that must lead their family: recently fixed or newly added
+    # operators whose correctness most needs external confirmation.
+    lead = [
+        "agg_array_agg",
+        "agg_approx_distinct",
+        "agg_percentile_approx",
+        "agg_hll_union_rollup",
+        "stream_live_tumbling",
+        "stream_stream_join",
+        "stream_stateful_sessionize",
+        "sim_cosine_neardup",
+        "sim_neardup_lsh_banded",
+        "copy_execute_pipe",
+        "fdw_jdbc",
+        "scalar_soundex_fuzzy",
+        "scalar_interval_column",
+        "json_path_filter_predicate",
+    ]
+    rank = {n: i for i, n in enumerate(lead)}
+    for b in fams.values():
+        b.sort(key=lambda q: rank.get(q.name, len(rank)))
     out: dict[str, Query] = {}
     depth = max(len(b) for b in fams.values())
     for i in range(depth):
