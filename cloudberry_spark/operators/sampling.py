@@ -214,3 +214,79 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, count(*) AS n,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ), planned AS (
+        SELECT s.lang, s.n, s.w,
+               (SELECT sum(w) FROM stats) AS bigw
+        FROM stats s
+    ), budget AS (
+        SELECT min((n * bigw) // w) AS n_out FROM planned
+    ), thresholds AS (
+        SELECT lang, n,
+               (1000000 * w * (SELECT n_out FROM budget)) // (bigw * n)
+                   AS thr
+        FROM planned
+    )
+    SELECT d.lang,
+           t.n AS n_avail,
+           t.thr AS keep_threshold_ppm,
+           sum(CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))
+                    AS BIGINT) % 1000000 < t.thr
+               THEN 1 ELSE 0 END) AS n_kept
+    FROM documents d JOIN thresholds t USING (lang)
+    GROUP BY d.lang, t.n, t.thr
+    ORDER BY d.lang
+    """,
+    doc="Temperature-based source mixing (the multilingual-LLM "
+    "rebalancing rule: target share of stratum s proportional to "
+    "n_s^alpha, alpha=0.5, so head languages are downsampled and tail "
+    "languages keep more mass — exponential smoothing as in XLM-R). "
+    "The output budget is the largest N with no stratum upsampled "
+    "(min_s n_s*W/w_s) and every keep decision is the cross-engine "
+    "md5 hash against an ALL-INTEGER ppm threshold (1e6*w_s*N)/(W*n_s) "
+    "— no floating-point boundary can disagree between engines. One "
+    "aggregation for the recipe (5 rows, broadcast), one scan to "
+    "sample: the decision is a pure row expression, zero extra "
+    "shuffles at 100 TB.",
+    tags=("sample", "pipeline", "mixing"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table as _lt
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = _lt(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        "lang", "n", F.floor(F.sqrt(F.col("n"))).cast("bigint").alias("w")
+    )
+    # integer plan: W = sum(w); N_out = min(n*W div w); thr = 1e6*w*N div (W*n)
+    # `div` (floor division on bigints) on BOTH engines — no doubles anywhere.
+    recipe = stats.crossJoin(
+        F.broadcast(stats.agg(F.sum("w").alias("bigw")))
+    ).select(
+        "lang", "n", "w", "bigw",
+        F.expr("(n * bigw) div w").alias("cap"),
+    )
+    recipe = recipe.crossJoin(
+        F.broadcast(recipe.agg(F.min("cap").alias("n_out")))
+    ).select(
+        "lang",
+        "n",
+        F.expr("(1000000 * w * n_out) div (bigw * n)").alias("thr"),
+    )
+    h = spark_base_hash(F.col("doc_id").cast("string")) % 1000000
+    return (
+        docs.join(F.broadcast(recipe), "lang")
+        .groupBy("lang", F.col("n").alias("n_avail"),
+                 F.col("thr").alias("keep_threshold_ppm"))
+        .agg(F.sum(F.when(h < F.col("thr"), 1).otherwise(0)).alias("n_kept"))
+        .orderBy("lang")
+    )

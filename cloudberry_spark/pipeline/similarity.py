@@ -734,3 +734,113 @@ def sim_kmeans_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.25  # within-cluster cosine threshold for "semantic duplicate"
+
+
+def _semdedup_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {_KM_K}
+    ),
+    ad AS (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM vecs a CROSS JOIN c0 c
+    ),
+    assigned AS (SELECT vec_id, v, cid FROM ad WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE {_duck_cosine('a.v', 'b.v')} > {_SEM_TAU}
+    )
+    SELECT s.cid,
+           count(*) AS n_docs,
+           count(d.vec_id) AS n_dropped,
+           count(*) - count(d.vec_id) AS n_kept
+    FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    GROUP BY s.cid ORDER BY s.cid
+    """
+
+
+@register(
+    "sim_semdedup_clusters",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "deduplication restricted to k-means cluster buckets — embeddings "
+    "are assigned to their nearest of K deterministic centroids "
+    "(broadcast-K map-side pass, identical tie-break to "
+    "sim_kmeans_index_build), then pairwise cosine runs ONLY within a "
+    "cluster and a document is dropped when a same-cluster neighbor "
+    "with a smaller vec_id exceeds the similarity threshold (min-id "
+    "keeper => deterministic survivor set). The cluster bucket is what "
+    "makes semantic dedup feasible at 100 TB: candidate pairs are "
+    "n_c^2 per cluster instead of n^2 global, and the per-cluster "
+    "self-join shuffles on cid exactly like the LSH band join. The "
+    "oracle replays assignment + within-cluster pair scan in SQL.",
+    tags=("pipeline", "dedup", "similarity", "semdedup"),
+)
+def sim_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = vecs.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", d)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cid"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cid"), F.col("v").alias("v_b")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(cosine(F.col("v_a"), F.col("v_b")) > _SEM_TAU)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))))
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
