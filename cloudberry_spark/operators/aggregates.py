@@ -510,3 +510,29 @@ register_sql(
     "is the manual UNION ALL form.",
     tags=("agg", "unpivot", "reshape"),
 )
+
+
+register_sql(
+    "agg_regression_family",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avgy,
+           round(regr_sxx(l_extendedprice, l_quantity), 4)       AS sxx,
+           round(regr_sxy(l_extendedprice, l_quantity), 4)       AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Linear-regression aggregate family regr_slope/intercept/r2/"
+    "count/avgx/avgy/sxx/sxy (PG float.c regr_* accumulators, "
+    "pg_aggregate.dat): dependent-variable-first SQL-standard argument "
+    "order on both engines; single-pass partial-aggregatable moments, "
+    "so the plan is one exchange like any sum/avg. Completes the "
+    "statistics family started by agg_stats_family (corr/covar).",
+    tags=("agg", "stats", "regression"),
+)

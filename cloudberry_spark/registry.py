@@ -100,6 +100,7 @@ def _load_all() -> None:
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
+    import cloudberry_spark.sql.compat_queries  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401

@@ -1,0 +1,93 @@
+"""PG-dialect compatibility demos: each registered query's Spark side is
+the ORIGINAL PostgreSQL text run through ``translate_pg_sql``; the
+oracle is (modulo documented DuckDB divergences) that same PG text run
+natively by DuckDB — proving the shim preserves semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudberry_spark.registry import register
+from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+
+def _pg(name: str, pg_sql: str, doc: str, oracle: str | None = None) -> None:
+    @register(name, oracle=oracle or pg_sql, doc=doc, tags=("sql", "pgcompat"))
+    def _q(spark: SparkSession, sf_dir: str, _s: str = pg_sql) -> DataFrame:
+        return spark.sql(translate_pg_sql(_s))
+
+    _q.__name__ = name
+
+
+_pg(
+    "pgsql_compat_report",
+    """
+    SELECT n_regionkey::int8 AS region_key,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*)::float8 AS n
+    FROM nation
+    WHERE n_name ILIKE 'nation!_1%' ESCAPE '!'
+    GROUP BY n_regionkey
+    ORDER BY region_key
+    """,
+    doc="PG report idioms unmodified: ::int8/::float8 casts, "
+    "string_agg(... ORDER BY), ILIKE with ESCAPE — translated by "
+    "sql/pgcompat.py (gram.y surface; string_agg from varlena.c). "
+    "Oracle runs the identical PG text natively on DuckDB.",
+)
+
+_pg(
+    "pgsql_compat_regex_epoch_json",
+    """
+    SELECT event_id,
+           props ->> 'k' AS k_text,
+           round(extract(epoch FROM ts)::numeric, 1)::float8 AS epoch_s
+    FROM events
+    WHERE event_type ~ 'ic' AND event_id < 100
+    ORDER BY event_id
+    """,
+    doc="PG operator idioms: `~` partial-match regex (PG semantics — "
+    "rewritten to RLIKE; note DuckDB's own `~` is FULL-match, so the "
+    "oracle spells PG semantics as regexp_matches), `->>` json text "
+    "extraction (adt/jsonfuncs.c), extract(epoch FROM ts) "
+    "(timestamp.c) as an epoch-seconds double.",
+    oracle="""
+    SELECT event_id,
+           props ->> 'k' AS k_text,
+           round(extract(epoch FROM ts)::numeric, 1)::float8 AS epoch_s
+    FROM events
+    WHERE regexp_matches(event_type, 'ic') AND event_id < 100
+    ORDER BY event_id
+    """,
+)
+
+_pg(
+    "pgsql_compat_array_series",
+    """
+    SELECT t.i AS i,
+           array_position(ARRAY['view','click','purchase'],
+                          CASE WHEN t.i % 2 = 0 THEN 'click' ELSE 'view' END)
+               ::int8 AS pos,
+           E'odd\\tmark' AS tag
+    FROM generate_series(0, 9) AS t(i)
+    ORDER BY i
+    """,
+    doc="PG constructors: ARRAY[...] literals (-> array()), "
+    "generate_series table function in FROM with column alias "
+    "(-> lateral explode(sequence)), E'' escape strings, 1-based "
+    "array_position (identical on both engines).",
+)
+
+_pg(
+    "pgsql_compat_distinct_on",
+    """
+    SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment, c_acctbal DESC, c_name
+    """,
+    doc="SELECT DISTINCT ON — PG's keep-first-row-per-key idiom "
+    "(gram.y distinct_clause), rewritten to the row_number() window "
+    "form (one shuffle on the DISTINCT ON key; the reference plans a "
+    "unique-on-sort). Oracle runs native DISTINCT ON on DuckDB.",
+)

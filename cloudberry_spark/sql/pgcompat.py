@@ -1,0 +1,168 @@
+"""PostgreSQL-dialect SQL compatibility layer.
+
+The reference's users write PostgreSQL/Greenplum SQL
+(/root/reference/src/backend/parser/gram.y). Spark SQL already accepts a
+large PG subset natively — ``expr::type`` casts, ILIKE, IS DISTINCT
+FROM, ``substring(x FROM i FOR n)``, ``position(a IN b)``, ``listagg()
+WITHIN GROUP`` — so this shim only rewrites the constructs Spark
+spells differently, as a light, string-safe source-to-source pass:
+
+| PG construct                       | Spark rewrite                      |
+|------------------------------------|------------------------------------|
+| ``text/int4/int8/float4/float8/…`` | ``string/int/bigint/float/double`` |
+| ``string_agg(e, d ORDER BY o)``    | ``listagg(e, d) WITHIN GROUP (…)`` |
+| ``ARRAY[a, b, c]``                 | ``array(a, b, c)``                 |
+| ``x ~ p  /  !~  /  ~*  /  !~*``    | ``rlike`` forms (PARTIAL match — PG semantics; note DuckDB's ``~`` is full-match) |
+| ``extract(epoch FROM ts)``         | ``cast(ts AS double)``             |
+| ``j ->> 'k'`` / ``j -> 'k'``       | ``get_json_object(j, '$.k')``      |
+| ``generate_series(a,b) [AS] t(i)`` | lateral ``explode(sequence(a,b))`` |
+| ``E'...'`` escape strings          | plain strings                      |
+| ``SELECT DISTINCT ON (k) …``       | ``row_number()`` window rewrite (simple form) |
+
+String literals are masked with placeholder tokens before any rewrite
+runs and restored afterwards, so no pattern can ever fire inside (or be
+confused by) quoted text. This is intentionally NOT a full parser — it
+covers the high-frequency PG-isms so existing reports run unmodified;
+anything it does not recognize passes through to Spark's own (already
+ANSI/PG-leaning) parser.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: PG type name -> Spark type name (used after :: and CAST(.. AS ..)).
+_TYPE_MAP = {
+    "text": "string",
+    "int2": "smallint",
+    "int4": "int",
+    "int8": "bigint",
+    "float4": "float",
+    "float8": "double",
+    "bool": "boolean",
+    "timestamptz": "timestamp",
+    "bpchar": "string",
+    "name": "string",
+}
+
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+_PH = "\x01{}\x02"
+_PH_RE = re.compile("\x01(\\d+)\x02")
+
+
+def _rewrite_masked(seg: str) -> str:
+    """All rewrites that run on literal-masked text."""
+    # E'...' prefix: the literal is already a placeholder; drop the E.
+    seg = re.sub(r"\bE(?=\x01)", "", seg)
+
+    # numeric without precision -> decimal(38,9); numeric(p,s) -> decimal
+    seg = re.sub(r"\bnumeric\s*\(", "decimal(", seg, flags=re.I)
+    seg = re.sub(r"\bnumeric\b", "decimal(38,9)", seg, flags=re.I)
+    for pg, sp in _TYPE_MAP.items():
+        seg = re.sub(rf"(::\s*|\bAS\s+){pg}\b", rf"\g<1>{sp}", seg, flags=re.I)
+
+    # ARRAY[a, b] -> array(a, b), innermost-out for ARRAY[ARRAY[..], ..]
+    for _ in range(10):  # bounded: malformed input must not loop forever
+        new = re.sub(r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", seg, flags=re.I)
+        if new == seg:
+            break
+        seg = new
+
+    # regex match operators (PG partial-match semantics == Spark RLIKE);
+    # case-insensitive forms leave a placeholder op resolved after unmask.
+    seg = re.sub(r"!~\*", " NOT__RLIKE_CI ", seg)
+    seg = re.sub(r"!~(?![*~])", " NOT RLIKE ", seg)
+    seg = re.sub(r"(?<![!<>=~])~\*", " RLIKE_CI__ ", seg)
+    seg = re.sub(r"(?<![!<>=~])~(?![*~=])", " RLIKE ", seg)
+
+    # extract(epoch from x) -> epoch seconds as double (Spark has no
+    # timestamp->double cast; unix_micros keeps the fraction exactly).
+    # One nesting level of parens supported inside x.
+    seg = re.sub(
+        r"\bextract\s*\(\s*epoch\s+from\s+"
+        r"([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        r"(unix_micros(CAST(\1 AS TIMESTAMP)) / 1000000.0)",
+        seg,
+        flags=re.I,
+    )
+
+    # string_agg(e, d ORDER BY o) -> listagg(e, d) WITHIN GROUP (ORDER BY o)
+    def _string_agg(m: re.Match) -> str:
+        inner = m.group(1)
+        om = re.search(r"\s+ORDER\s+BY\s+(.*)$", inner, flags=re.I | re.S)
+        if om:
+            args = inner[: om.start()]
+            return f"listagg({args}) WITHIN GROUP (ORDER BY {om.group(1)})"
+        return f"listagg({inner})"
+
+    seg = re.sub(r"\bstring_agg\s*\(([^()]*)\)", _string_agg, seg, flags=re.I)
+
+    # generate_series(a, b) [AS] t(i) in FROM -> lateral explode(sequence)
+    seg = re.sub(
+        r"\bgenerate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+        r"(SELECT explode(sequence(\1)) AS \3) AS \2",
+        seg,
+        flags=re.I,
+    )
+    return seg
+
+
+def _rewrite_restored(sql: str) -> str:
+    """Rewrites that need the literal text back in place."""
+    # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
+    sql = re.sub(
+        r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",
+        r"get_json_object(\1, '$.\2')",
+        sql,
+    )
+    # case-insensitive regex placeholder ops
+    sql = re.sub(
+        r"(\S+)\s+NOT__RLIKE_CI\s+('(?:[^']|'')*')",
+        r"NOT regexp_like(lower(\1), lower(\2))",
+        sql,
+    )
+    sql = re.sub(
+        r"(\S+)\s+RLIKE_CI__\s+('(?:[^']|'')*')",
+        r"regexp_like(lower(\1), lower(\2))",
+        sql,
+    )
+    return sql
+
+
+_DISTINCT_ON_RE = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+ON\s*\(([^()]+)\)\s+(.*?)\s+FROM\s+(.*?)"
+    r"\s+ORDER\s+BY\s+(.*?)\s*$",
+    flags=re.I | re.S,
+)
+
+
+def _rewrite_distinct_on(sql: str) -> str | None:
+    """SELECT DISTINCT ON (k) cols FROM t ORDER BY k, rest — the PG
+    keep-first-row-per-key idiom — as a row_number window (the same
+    rewrite the reference's planner performs via a unique-on-sort)."""
+    m = _DISTINCT_ON_RE.match(sql)
+    if not m:
+        return None
+    keys, cols, src, order = (g.strip() for g in m.groups())
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
+        f" AS rn__ FROM {src}) WHERE rn__ = 1"
+    )
+
+
+def translate_pg_sql(sql: str) -> str:
+    """Translate a PostgreSQL-dialect query to Spark SQL."""
+    d = _rewrite_distinct_on(sql)
+    if d is not None:
+        sql = d
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return _PH.format(len(lits) - 1)
+
+    masked = _STRING_RE.sub(_mask, sql)
+    masked = _rewrite_masked(masked)
+    restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
+    return _rewrite_restored(restored)

@@ -1,0 +1,84 @@
+"""Unit tests for the PG-dialect -> Spark SQL translator."""
+
+from __future__ import annotations
+
+from cloudberry_spark.sql.pgcompat import translate_pg_sql as t
+
+
+def test_type_names_mapped_in_casts():
+    assert t("SELECT a::int8, b::float8, c::text FROM x") == (
+        "SELECT a::bigint, b::double, c::string FROM x"
+    )
+    assert "decimal(38,9)" in t("SELECT a::numeric FROM x")
+    assert "decimal(10,2)" in t("SELECT a::numeric(10,2) FROM x")
+    assert "CAST(a AS string)" in t("SELECT CAST(a AS text) FROM x")
+
+
+def test_literals_never_rewritten():
+    # PG-isms INSIDE string literals must survive untouched.
+    src = "SELECT 'a::int8 ~ ARRAY[1]' AS s, b::int4 FROM x"
+    out = t(src)
+    assert "'a::int8 ~ ARRAY[1]'" in out
+    assert "b::int" in out
+
+
+def test_array_literals_and_nested():
+    assert t("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)"
+    assert t("SELECT ARRAY[ARRAY[1], ARRAY[2]]") == (
+        "SELECT array(array(1), array(2))"
+    )
+
+
+def test_regex_operators():
+    assert "RLIKE" in t("SELECT * FROM x WHERE a ~ 'p'")
+    assert "NOT RLIKE" in t("SELECT * FROM x WHERE a !~ 'p'")
+    out = t("SELECT * FROM x WHERE a ~* 'P'")
+    assert "regexp_like(lower(a), lower('P'))" in out
+    out = t("SELECT * FROM x WHERE a !~* 'P'")
+    assert "NOT regexp_like(lower(a), lower('P'))" in out
+    # unary-minus / inequality must not be mangled
+    assert t("SELECT -1 WHERE 2 <> 3") == "SELECT -1 WHERE 2 <> 3"
+
+
+def test_string_agg_to_listagg():
+    out = t("SELECT string_agg(n, ',' ORDER BY n) FROM x GROUP BY g")
+    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n)" in out
+    assert "listagg(n, '|')" in t("SELECT string_agg(n, '|') FROM x")
+
+
+def test_extract_epoch():
+    out = t("SELECT extract(epoch FROM ts) FROM x")
+    assert "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0" in out
+
+
+def test_json_arrows():
+    assert "get_json_object(j, '$.k')" in t("SELECT j ->> 'k' FROM x")
+    assert "get_json_object(j, '$.k')" in t("SELECT j->'k' FROM x")
+
+
+def test_generate_series_tvf():
+    out = t("SELECT t.i FROM generate_series(1, 5) AS t(i)")
+    assert "(SELECT explode(sequence(1, 5)) AS i) AS t" in out
+
+
+def test_e_strings():
+    assert t("SELECT E'a\\tb'") == "SELECT 'a\\tb'"
+
+
+def test_distinct_on_rewrite():
+    out = t(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+    )
+    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+    assert "rn__ = 1" in out
+
+
+def test_passthrough_of_native_pg_subset():
+    # Constructs Spark accepts natively must flow through unchanged.
+    for q in (
+        "SELECT a FROM t WHERE b ILIKE 'x%'",
+        "SELECT a IS DISTINCT FROM b FROM t",
+        "SELECT substring(s FROM 2 FOR 3) FROM t",
+        "SELECT position('l' IN s) FROM t",
+    ):
+        assert t(q) == q
