@@ -241,3 +241,131 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: RIFF/WAV synthesis + decode via the Python stdlib
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 16000
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """Deterministic, VALID RIFF/WAV payload: a mono 16-bit square wave
+    whose length and amplitude derive from doc_id. Unlike the stub
+    codecs above, these are real encoded media bytes."""
+    import io
+    import struct
+    import wave
+
+    n = 160 + (doc_id % 50) * 16
+    amp = 1000 + doc_id % 100
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(_WAV_RATE)
+    w.writeframes(
+        b"".join(
+            struct.pack("<h", amp if (i // 8) % 2 == 0 else -amp)
+            for i in range(n)
+        )
+    )
+    w.close()
+    return buf.getvalue()
+
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", FloatType()),
+        StructField("rms", FloatType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL decode: parse the RIFF container with stdlib ``wave`` and
+    compute sample-rate/length/RMS from the PCM frames. mapInPandas,
+    Arrow-batched — the production shape for any codec kernel; swapping
+    in soundfile/ffmpeg changes only the body of ``one``."""
+    import math
+
+    def one(payload: bytes) -> tuple[int, int, float, float]:
+        import io
+        import wave
+
+        import numpy as np
+
+        w = wave.open(io.BytesIO(bytes(payload)), "rb")
+        rate, n = w.getframerate(), w.getnframes()
+        x = np.frombuffer(w.readframes(n), dtype="<i2").astype("float64")
+        rms = math.sqrt(float((x * x).mean())) if n else 0.0
+        return rate, n, n * 1000.0 / rate, rms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [d[0] for d in decoded], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [d[1] for d in decoded], dtype="int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        [d[2] for d in decoded], dtype="float32"
+                    ),
+                    "rms": pd.Series([d[3] for d in decoded], dtype="float32"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate,
+           160 + (doc_id % 50) * 16 AS n_samples,
+           round((160 + (doc_id % 50) * 16) * 1000.0 / {_WAV_RATE}, 3)
+               AS duration_ms,
+           CAST(1000 + doc_id % 100 AS DOUBLE) AS rms
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc="REAL multimodal decode, end-to-end: deterministic RIFF/WAV "
+    "payloads (true encoded media, not fakes) are synthesized per "
+    "document, then PARSED BACK by a stdlib-wave mapInPandas kernel "
+    "that extracts sample rate, frame count, duration and PCM RMS. "
+    "A square wave's RMS equals its amplitude exactly, so every "
+    "decoded measurement is closed-form arithmetic on doc_id and the "
+    "oracle checks the full synth->encode->decode->measure loop. "
+    "Proves the multimodal plumbing carries real binary media; the "
+    "image/video codecs remain stubbed only because the container "
+    "lacks the libraries (documented above).",
+    tags=("pipeline", "multimodal", "audio"),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _wav_bytes(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select("doc_id", synth(F.col("doc_id")).alias("payload"))
+    out = decode_audio(media)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("duration_ms").cast("double"), 3).alias("duration_ms"),
+        F.round(F.col("rms").cast("double"), 0).alias("rms"),
+    ).orderBy("doc_id")
