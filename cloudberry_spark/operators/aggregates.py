@@ -536,3 +536,59 @@ register_sql(
     "statistics family started by agg_stats_family (corr/covar).",
     tags=("agg", "stats", "regression"),
 )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_disc(o_totalprice, 0.25) AS q1,
+               quantile_disc(o_totalprice, 0.50) AS q2,
+               quantile_disc(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT b.bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders, cuts,
+         LATERAL (SELECT CASE WHEN o_totalprice <= q1 THEN 1
+                              WHEN o_totalprice <= q2 THEN 2
+                              WHEN o_totalprice <= q3 THEN 3
+                              ELSE 4 END AS bucket) b
+    GROUP BY b.bucket
+    ORDER BY b.bucket
+    """,
+    doc="Equi-depth histogram (the reference's optimizer statistics "
+    "form — commands/analyze.c compute_scalar_stats builds equi-height "
+    "buckets for pg_statistic): quartile cut points from the exact "
+    "discrete percentile (cross-engine bit-equal, see "
+    "agg_percentile_approx), then a single bucketing pass. Two scans "
+    "total; the cut table is 1 row, broadcast. At 100 TB swap the "
+    "exact percentile for percentile_approx and keep the same shape.",
+    tags=("agg", "histogram", "stats"),
+)
+def _agg_equidepth_histogram(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders")
+    cuts = od.agg(
+        *[
+            F.percentile_approx("o_totalprice", q, 10_000_000).alias(n)
+            for q, n in [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
+        ]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        od.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

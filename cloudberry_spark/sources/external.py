@@ -629,3 +629,89 @@ def fdw_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints, JVM-side.
+
+    bit i of a lands at position 2i, bit i of b at 2i+1 — a pure
+    shift/or expression tree (whole-stage codegen), no UDF. Clamp/scale
+    inputs to [0, 2^bits) before calling.
+    """
+    # bit positions are disjoint, so + is bitwise-or here (PySpark's `|`
+    # on Columns is logical, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+@register(
+    "sink_zorder_cluster",
+    oracle="""
+        SELECT count(*) AS n,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_suppkey BETWEEN 10 AND 20
+          AND l_partkey BETWEEN 100 AND 300
+    """,
+    doc="Z-order (Morton-curve) clustered layout: l_suppkey and "
+    "l_partkey bits are interleaved into one clustering key "
+    "(shift/or expression tree, codegen'd — no UDF), the table is "
+    "range-partitioned and sorted by it, and written to parquet. "
+    "Because the curve preserves locality in BOTH dimensions, a "
+    "conjunctive range predicate on either column row-group-skips — "
+    "the multi-column data-skipping layout (the reference's multi-col "
+    "btree CLUSTER analog; same idea as Delta/Iceberg Z-ORDER "
+    "OPTIMIZE). Readback aggregates a 2-D box; the oracle recomputes "
+    "from the raw table.",
+    tags=("sink", "partitioning", "zorder"),
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Normalize both dimensions to a common 8-bit width first: raw
+    # domains of very different size would let the wide column's high
+    # bits dominate the curve and destroy locality in the narrow one.
+    ranges = li.agg(
+        F.min("l_suppkey").alias("s_lo"),
+        F.max("l_suppkey").alias("s_hi"),
+        F.min("l_partkey").alias("p_lo"),
+        F.max("l_partkey").alias("p_hi"),
+    )
+    scaled = li.crossJoin(F.broadcast(ranges))
+
+    def norm8(c, lo, hi):
+        return (
+            (c - F.col(lo)) * 255 / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        ).cast("long")
+
+    z = zorder_key(
+        norm8(F.col("l_suppkey"), "s_lo", "s_hi"),
+        norm8(F.col("l_partkey"), "p_lo", "p_hi"),
+        bits=8,
+    )
+    path = _scratch(sf_dir, "lineitem_zorder")
+    (
+        scaled.withColumn("zkey", z)
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .select("l_suppkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("l_suppkey").between(10, 20)
+        & F.col("l_partkey").between(100, 300)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

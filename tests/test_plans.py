@@ -369,3 +369,43 @@ def test_vocab_joins_unhinted_but_aqe_broadcasts(spark):
             "ResolvedHint"
         )
         assert hints <= 1, f"{name} has {hints} hints (vocab side hinted?)"
+
+
+def test_zorder_files_have_narrow_two_dim_stats(spark):
+    """The Z-ordered layout must give each file a min/max band that is
+    narrow in BOTH clustering columns — that's the property row-group
+    skipping exploits for conjunctive 2-D predicates. Compare the mean
+    per-file range against the global range on each dimension."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from cloudberry_spark.sources.external import _scratch
+
+    all_queries()["sink_zorder_cluster"].fn(spark, SF_DIR)  # writes layout
+    files = _glob.glob(_scratch(SF_DIR, "lineitem_zorder") + "/*.parquet")
+    assert len(files) >= 4
+    spans = {"l_suppkey": [], "l_partkey": []}
+    glob_min: dict[str, int] = {}
+    glob_max: dict[str, int] = {}
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        for col in spans:
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans[col].append(hi - lo)
+            glob_min[col] = min(glob_min.get(col, lo), lo)
+            glob_max[col] = max(glob_max.get(col, hi), hi)
+    for col, ss in spans.items():
+        full = glob_max[col] - glob_min[col]
+        mean_span = sum(ss) / len(ss)
+        # Z-order over 8 range partitions: each dimension's per-file span
+        # should be well under the full domain (random layout => ~full).
+        assert mean_span < 0.75 * full, (col, mean_span, full)
