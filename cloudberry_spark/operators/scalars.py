@@ -798,3 +798,55 @@ register_sql(
     "exactly, not a pre-casted day count.",
     tags=("scalar", "datetime", "interval"),
 )
+
+
+register_sql(
+    "scalar_range_ops",
+    """
+    WITH r AS (
+        SELECT o_orderpriority,
+               year(o_orderdate) AS y,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY o_orderpriority, year(o_orderdate)
+    )
+    SELECT o_orderpriority, y,
+           round(lo, 2) AS lo, round(hi, 2) AS hi,
+           CAST(lo < 150000.0 AND 50000.0 < hi AS INT)   AS overlaps_probe,
+           CAST(lo <= 100000.0 AND 100000.0 < hi AS INT) AS contains_100k,
+           CAST(50000.0 <= lo AND hi <= 150000.0 AS INT) AS within_probe,
+           round(greatest(least(hi, 150000.0) - greatest(lo, 50000.0), 0.0), 2)
+               AS isect_width
+    FROM r
+    ORDER BY o_orderpriority, y
+    """,
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority,
+               year(o_orderdate) AS y,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY o_orderpriority, year(o_orderdate)
+    )
+    SELECT o_orderpriority, y,
+           round(lo, 2) AS lo, round(hi, 2) AS hi,
+           CAST(lo < 150000.0 AND 50000.0 < hi AS INT)   AS overlaps_probe,
+           CAST(lo <= 100000.0 AND 100000.0 < hi AS INT) AS contains_100k,
+           CAST(50000.0 <= lo AND hi <= 150000.0 AS INT) AS within_probe,
+           round(greatest(least(hi, 150000.0) - greatest(lo, 50000.0), 0.0), 2)
+               AS isect_width
+    FROM r
+    ORDER BY o_orderpriority, y
+    """,
+    doc="Range-type operator family (adt/rangetypes.c: numrange &&, @>, "
+    "<@, *): ranges carried as (lo, hi) column pairs with half-open "
+    "[lo, hi) semantics, operators rewritten to their defining "
+    "comparisons — overlap = lo1<hi2 AND lo2<hi1, element containment, "
+    "range-in-range, intersection width via greatest/least. Pure "
+    "codegen'd comparisons; a range && range JOIN at scale is "
+    "join_range_binned's bin-explosion equi-join (operators/joins.py), "
+    "never a nested loop.",
+    tags=("scalar", "range"),
+)

@@ -290,10 +290,12 @@ register_sql(
 register_sql(
     "tpch_q7",
     """
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     AS volume
           FROM supplier, lineitem, orders, customer, nation n1, nation n2
           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
             AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey

@@ -81,10 +81,10 @@ register_sql(
     "win_running_and_moving",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(o_totalprice) OVER
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_total,
+             AS DOUBLE) AS running_total,
            avg(o_totalprice) OVER
              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
@@ -103,8 +103,12 @@ def win_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.sum("o_totalprice")
+            # exact decimal accumulation: double running sums diverge
+            # from the oracle in the last ulp (DuckDB windows sum via
+            # segment trees — different association order)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
             .alias("running_total"),
             F.avg("o_totalprice")
             .over(ordered.rowsBetween(-2, Window.currentRow))

@@ -193,3 +193,29 @@ def test_row_ids_unique_and_dense(spark):
     )
     for r in blocks:
         assert r["mx"] == r["c"] - 1, r
+
+
+def test_connected_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured (the production posture),
+    _truncate_lineage must take the reliable checkpoint() path — the
+    lineage survives executor loss — and the result must be unchanged."""
+    from cloudberry_spark.pipeline.components import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+        edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+        got = {
+            r.node: r.component
+            for r in connected_components(nodes, edges, "id").collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+        # reliable checkpoint files actually landed in the dir
+        import glob as _glob
+
+        assert _glob.glob(str(tmp_path / "ckpt") + "/*")
+    finally:
+        # SparkContext.setCheckpointDir(null) clears it (Option(null)=None)
+        sc._jsc.setCheckpointDir(None)
