@@ -364,3 +364,40 @@ def datetime_exprs(draw) -> str:
 def test_random_datetime_expr_matches(sql, spark, ddb):
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def decimal_window_queries(draw) -> str:
+    """Windowed sums over DECIMAL-cast measures compared EXACTLY (no
+    rounding): decimal accumulation is associative, so any cross-engine
+    mismatch is a real bug, not float summation order. Protects the
+    fix class of tpch_q7 / win_running_and_moving (double running sums
+    diverge in the last ulp — DuckDB windows aggregate via segment
+    trees) by fuzzing the exact-accumulation alternative."""
+    col = draw(st.sampled_from(["l_extendedprice", "l_quantity", "l_tax"]))
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus"]))
+    lo = draw(st.integers(0, 6))
+    frame = draw(
+        st.sampled_from(
+            [
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            ]
+        )
+    )
+    pred = draw(predicates())
+    return (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(sum(CAST({col} AS DECIMAL(18,2))) OVER "
+        f"(PARTITION BY {part} ORDER BY l_orderkey, l_linenumber, "
+        f"l_extendedprice, l_quantity, l_discount {frame}) AS DOUBLE) AS rt "
+        f"FROM lineitem WHERE {pred} "
+        f"ORDER BY l_orderkey, l_linenumber"
+    )
+
+
+@settings(**COMMON)
+@given(sql=decimal_window_queries())
+def test_random_decimal_window_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
