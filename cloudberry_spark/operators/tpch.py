@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from cloudberry_spark.catalog import dim, load_table
 from cloudberry_spark.registry import register, register_sql
 
+
+def dsum(col, scale: int = 4):
+    """Exact-decimal sum of a monetary expression, read back as DOUBLE.
+
+    TPC-H money columns are DECIMAL(15,2) by spec; summing them as
+    doubles makes the result depend on accumulation order, which differs
+    across engines (Spark partial aggregation vs DuckDB's orders) — at
+    some scale every such sum lands on an 8-significant-digit rounding
+    boundary and flakes the differential check. Casting each addend to
+    the scale that holds its exact value (2 for prices, 4 for
+    price*(1-disc), 6 for *(1+tax)) makes the sum associative-exact and
+    bit-identical everywhere; the final double cast restores the
+    comparison type.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
 # --------------------------------------------------------------------------
 # q1 — pricing summary report: the flagship full-scan aggregation.
 # --------------------------------------------------------------------------
@@ -42,12 +58,13 @@ from cloudberry_spark.registry import register, register_sql
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_charge,
            avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -66,12 +83,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (dsum(F.col("l_extendedprice"), 2) / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (dsum(F.col("l_discount"), 2) / F.count(F.lit(1)))
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -87,7 +106,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -115,7 +134,11 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -130,7 +153,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -166,7 +190,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supplier.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -179,7 +207,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -199,7 +227,11 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
     )
 
 
@@ -212,7 +244,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -239,7 +271,11 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -316,8 +352,11 @@ register_sql(
     "tpch_q8",
     """
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           CAST(sum(CASE WHEN nation = 'NATION_1'
+                         THEN CAST(volume AS DECIMAL(18,4))
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+             AS mkt_share
     FROM (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume,
                  n2.n_name AS nation
@@ -340,7 +379,8 @@ register_sql(
 register_sql(
     "tpch_q9",
     """
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
                  l_extendedprice * (1 - l_discount)
@@ -361,13 +401,13 @@ register_sql(
     "tpch_q11",
     """
     SELECT l_partkey AS ps_partkey,
-           sum(l_extendedprice * l_quantity) AS part_value
+           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_12'
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) >
-           (SELECT sum(l_extendedprice * l_quantity) * 0.001
+    HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
             FROM lineitem, supplier, nation
             WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
               AND n_name = 'NATION_12')
@@ -417,9 +457,11 @@ register_sql(
     "tpch_q14",
     """
     SELECT 100.00 *
-           sum(CASE WHEN p_type = 'PROMO'
-                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -434,7 +476,8 @@ register_sql(
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -472,7 +515,7 @@ register_sql(
 register_sql(
     "tpch_q17",
     """
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem l1, part
     WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#3' AND p_size = 5
       AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -505,7 +548,7 @@ register_sql(
 register_sql(
     "tpch_q19",
     """
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -565,7 +608,8 @@ register_sql(
 register_sql(
     "tpch_q22",
     """
-    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (SELECT substr(c_name, length(c_name), 1) AS cntrycode, c_acctbal
           FROM customer
           WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
