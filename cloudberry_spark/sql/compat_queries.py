@@ -91,3 +91,25 @@ _pg(
     "form (one shuffle on the DISTINCT ON key; the reference plans a "
     "unique-on-sort). Oracle runs native DISTINCT ON on DuckDB.",
 )
+
+
+_pg(
+    "pgsql_compat_array_operators",
+    """
+    WITH w AS (
+        SELECT doc_id, string_to_array(lower(text), ' ') AS words
+        FROM documents
+        WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           (words && ARRAY['the','a','of'])::int4  AS has_common,
+           (ARRAY['the'] <@ words)::int4           AS contains_the,
+           (words @> ARRAY['xyzzy'])::int4         AS has_xyzzy
+    FROM w
+    ORDER BY doc_id
+    """,
+    doc="PG array operators unmodified: string_to_array (-> split), "
+    "`&&` overlap (-> arrays_overlap), `@>`/`<@` containment "
+    "(-> array_except emptiness; adt/arrayfuncs.c arrayoverlap/"
+    "arraycontains). DuckDB runs the identical PG text natively.",
+)

@@ -68,12 +68,40 @@ def _rewrite_masked(seg: str) -> str:
             break
         seg = new
 
+    # string_to_array(s, d) -> split(s, d) (same empty-element semantics
+    # for consecutive single-char delimiters on both engines)
+    seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
+
+    # array operators: a && b (overlap), a @> b (contains), a <@ b
+    # (contained-by). Operands must be simple identifiers or array(...)
+    # calls — the common report shapes; anything else passes through.
+    _operand = r"(array\([^()]*\)|[A-Za-z_][\w.]*)"
+    seg = re.sub(
+        rf"{_operand}\s*&&\s*{_operand}",
+        r"arrays_overlap(\1, \2)",
+        seg,
+        flags=re.I,
+    )
+    seg = re.sub(
+        rf"{_operand}\s*@>\s*{_operand}",
+        # a contains b <=> b minus a is empty (null-free fixture arrays)
+        r"(size(array_except(\2, \1)) = 0)",
+        seg,
+        flags=re.I,
+    )
+    seg = re.sub(
+        rf"{_operand}\s*<@\s*{_operand}",
+        r"(size(array_except(\1, \2)) = 0)",
+        seg,
+        flags=re.I,
+    )
+
     # regex match operators (PG partial-match semantics == Spark RLIKE);
     # case-insensitive forms leave a placeholder op resolved after unmask.
     seg = re.sub(r"!~\*", " NOT__RLIKE_CI ", seg)
     seg = re.sub(r"!~(?![*~])", " NOT RLIKE ", seg)
     seg = re.sub(r"(?<![!<>=~])~\*", " RLIKE_CI__ ", seg)
-    seg = re.sub(r"(?<![!<>=~])~(?![*~=])", " RLIKE ", seg)
+    seg = re.sub(r"(?<![!<>=~@])~(?![*~=])", " RLIKE ", seg)
 
     # extract(epoch from x) -> epoch seconds as double (Spark has no
     # timestamp->double cast; unix_micros keeps the fraction exactly).
@@ -113,6 +141,12 @@ def _rewrite_restored(sql: str) -> str:
     sql = re.sub(
         r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",
         r"get_json_object(\1, '$.\2')",
+        sql,
+    )
+    # j ->> 0  /  j -> 0 (integer index) -> get_json_object(j, '$[0]')
+    sql = re.sub(
+        r"([A-Za-z_][\w.]*|\))\s*->>?\s*(\d+)",
+        r"get_json_object(\1, '$[\2]')",
         sql,
     )
     # case-insensitive regex placeholder ops

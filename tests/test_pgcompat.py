@@ -82,3 +82,20 @@ def test_passthrough_of_native_pg_subset():
         "SELECT position('l' IN s) FROM t",
     ):
         assert t(q) == q
+
+
+def test_array_operators():
+    assert t("SELECT a && b FROM x") == "SELECT arrays_overlap(a, b) FROM x"
+    assert t("SELECT ARRAY['a'] && tags FROM x") == (
+        "SELECT arrays_overlap(array('a'), tags) FROM x"
+    )
+    assert t("SELECT a @> b FROM x") == (
+        "SELECT (size(array_except(b, a)) = 0) FROM x"
+    )
+    assert t("SELECT a <@ b FROM x") == (
+        "SELECT (size(array_except(a, b)) = 0) FROM x"
+    )
+
+
+def test_json_integer_index():
+    assert "get_json_object(j, '$[0]')" in t("SELECT j ->> 0 FROM x")
