@@ -117,7 +117,8 @@ def merge_into(
 @register(
     "dml_insert_select",
     oracle="""
-        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total
         FROM (
             SELECT * FROM orders WHERE o_orderkey % 4 = 0
@@ -140,7 +141,9 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
         )
     )
 

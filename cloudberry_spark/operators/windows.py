@@ -414,7 +414,8 @@ register_sql(
     """
     WITH yearly AS (
         SELECT n_name, year(o_orderdate) AS yr,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

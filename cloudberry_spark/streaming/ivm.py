@@ -34,9 +34,14 @@ PARTIALS = ("mv_count", "mv_sum")
 
 
 def _partials(df: DataFrame, keys: list[str], value: str, sign: int) -> DataFrame:
+    # exact decimal partials: double partial sums make the refreshed view
+    # differ from a full recompute in the last ulp (summation order), and
+    # the oracle comparison then flakes at rounding boundaries
     return df.groupBy(*keys).agg(
         (F.lit(sign) * F.count("*")).alias("mv_count"),
-        (F.lit(sign) * F.sum(value)).alias("mv_sum"),
+        (F.lit(sign) * F.sum(F.col(value).cast("decimal(18,2)")))
+        .cast("decimal(28,2)")
+        .alias("mv_sum"),
     )
 
 
@@ -83,8 +88,10 @@ def read_matview(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS mv_count,
-               round(sum(o_totalprice), 2) AS mv_sum,
-               round(sum(o_totalprice) / count(*), 4) AS mv_avg
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS mv_sum,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*), 4) AS mv_avg
         FROM orders
         WHERE o_orderkey % 4 IN (0, 2)
         GROUP BY o_orderpriority
@@ -107,8 +114,8 @@ def ivm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.select(
         "o_orderpriority",
         "mv_count",
-        F.round("mv_sum", 2).alias("mv_sum"),
-        F.round("mv_avg", 4).alias("mv_avg"),
+        F.col("mv_sum").cast("double").alias("mv_sum"),
+        F.round(F.col("mv_avg").cast("double"), 4).alias("mv_avg"),
     )
 
 
@@ -122,7 +129,8 @@ def ivm_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS mv_count,
-               round(sum(l_extendedprice), 2) AS mv_sum
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS mv_sum
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE o_orderkey % 4 IN (0, 2) AND l_linenumber <= 4
         GROUP BY o_orderpriority
@@ -162,7 +170,7 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.select(
         "o_orderpriority",
         "mv_count",
-        F.round("mv_sum", 2).alias("mv_sum"),
+        F.col("mv_sum").cast("double").alias("mv_sum"),
     ).orderBy("o_orderpriority")
 
 
@@ -206,7 +214,8 @@ def refresh_dynamic_table(
     oracle="""
         SELECT o_orderpriority,
                count(*) AS mv_count,
-               round(sum(o_totalprice), 2) AS mv_sum,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS mv_sum,
                3 AS n_refreshes,
                2 AS last_tick
         FROM orders
@@ -238,7 +247,7 @@ def dyn_table_scheduled_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "mv_count",
-            F.round("mv_sum", 2).alias("mv_sum"),
+            F.col("mv_sum").cast("double").alias("mv_sum"),
             "n_refreshes",
             "last_tick",
         )
