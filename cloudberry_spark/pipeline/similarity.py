@@ -844,3 +844,86 @@ def sim_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+_NPROBE = 2
+
+
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, pos, avg(val) AS cval
+      FROM (SELECT label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings) t
+      GROUP BY label, pos),
+    centroids AS (
+      SELECT label, list(cval ORDER BY pos) AS c_emb FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probe AS (
+      SELECT query_id, q_emb, label AS probe_label
+      FROM (SELECT query_id, q_emb, label,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_duck_cosine('q_emb', 'c_emb')} DESC, label) AS r
+            FROM q CROSS JOIN centroids) t
+      WHERE r <= {_NPROBE}),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_duck_cosine('q_emb', 'c.embedding')} AS cos_sim
+      FROM probe JOIN embeddings c
+        ON c.label = probe_label AND c.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk
+    FROM ranked WHERE rnk <= {K}
+    ORDER BY query_id, rnk
+    """,
+    doc="Multiprobe IVF ANN (nprobe=2): each query scans its TWO nearest "
+    "centroids' inverted lists instead of one — the standard "
+    "recall/cost dial (FAISS nprobe; recall loss of single-probe IVF "
+    "comes from queries near Voronoi boundaries, exactly what a second "
+    "probe recovers). Probe cost doubles but stays corpus/nlist-"
+    "bounded; the probe fan-out is a 2-row-per-query explode joined on "
+    "the list id, so the plan is the same broadcast-centroid + "
+    "equi-join shape as sim_ivf_knn.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") <= _NPROBE)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    scored = probes.join(
+        emb.alias("c"),
+        (F.col("c.label") == F.col("probe_label"))
+        & (F.col("c.vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("c.embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )
