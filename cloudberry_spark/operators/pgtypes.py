@@ -1,0 +1,272 @@
+"""Deferred PG type families (SURVEY.md §1.3 "defer" rows), closed out:
+geometric, inet/cidr, money, bit strings, uuid, and XMLTABLE.
+
+The reference implements these as first-class types with dedicated C
+operator files; analytically they are all *representable* types whose
+operators are scalar expressions, so the Spark-first mapping is plain
+columns (double pairs, uint32-as-bigint, DECIMAL(18,2), bigint bit
+fields, formatted strings) with Catalyst builtin expressions — no UDFs,
+whole-stage codegen throughout.
+
+Reference parity targets:
+- geometric point/box ops:  src/backend/utils/adt/geo_ops.c
+- inet/cidr/network ops:    src/backend/utils/adt/network.c
+- money (cash) type:        src/backend/utils/adt/cash.c
+- bit strings:              src/backend/utils/adt/varbit.c
+- uuid:                     src/backend/utils/adt/uuid.c
+- XMLTABLE / xpath:         src/backend/executor/nodeTableFuncscan.c,
+                            src/backend/utils/adt/xml.c
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudberry_spark.registry import register, register_sql
+
+# ---------------------------------------------------------------------------
+# Geometric: point <->, box @> / && / area (geo_ops.c)
+# ---------------------------------------------------------------------------
+# Points are (x, y) double pairs derived deterministically from customer
+# columns; the PG operators map to closed-form arithmetic:
+#   point <-> point  = euclidean distance
+#   box @> point     = range containment
+#   box && box       = interval overlap on both axes
+#   area(box)        = width * height (clipped intersection here)
+
+register_sql(
+    "scalar_geometric_ops",
+    """
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(c_acctbal AS DOUBLE) / 100.0          AS x,
+               CAST(c_custkey % 97 AS DOUBLE)             AS y
+        FROM customer
+        WHERE c_custkey <= 300
+    )
+    SELECT c_custkey,
+           round(sqrt(x * x + y * y), 6)                          AS dist_origin,
+           round(abs(x - 50.0) + abs(y - 50.0), 6)                AS dist_manhattan,
+           CAST(x BETWEEN 10 AND 60 AND y BETWEEN 20 AND 80
+                AS INT)                                           AS in_box,
+           CAST(x <= 60 AND x + 5 >= 10 AND
+                y <= 80 AND y + 5 >= 20 AS INT)                   AS box_overlap,
+           round(greatest(least(x + 5, 60.0) - greatest(x, 10.0), 0) *
+                 greatest(least(y + 5, 80.0) - greatest(y, 20.0), 0),
+                 6)                                               AS clip_area
+    FROM pts
+    ORDER BY c_custkey
+    """,
+    doc="Geometric point/box operators (geo_ops.c: point_distance, "
+    "box_contain_pt, box_overlap, box_intersect area) as closed-form "
+    "arithmetic over (x,y) double pairs.",
+    tags=("scalar", "geometric"),
+)
+
+# ---------------------------------------------------------------------------
+# inet / cidr (network.c)
+# ---------------------------------------------------------------------------
+# IPv4 as uint32-in-bigint. masklen/network/broadcast/containment are
+# integer band arithmetic; `&` and `|` are portable Spark/DuckDB.  The
+# dotted-quad parse is split_part + cast (1-based in both engines).
+
+register_sql(
+    "scalar_inet_ops",
+    """
+    WITH ips AS (
+        SELECT c_custkey,
+               concat('10.', CAST(c_custkey % 4 AS STRING), '.',
+                      CAST((c_custkey * 7) % 256 AS STRING), '.',
+                      CAST((c_custkey * 13) % 256 AS STRING))     AS ip,
+               CAST(CASE c_custkey % 3 WHEN 0 THEN 8
+                                       WHEN 1 THEN 16
+                                       ELSE 24 END AS INT)        AS masklen
+        FROM customer
+        WHERE c_custkey <= 300
+    ),
+    parsed AS (
+        SELECT c_custkey, ip, masklen,
+               CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216 +
+               CAST(split_part(ip, '.', 2) AS BIGINT) * 65536 +
+               CAST(split_part(ip, '.', 3) AS BIGINT) * 256 +
+               CAST(split_part(ip, '.', 4) AS BIGINT)             AS ipnum,
+               4294967296 - CAST(power(2, 32 - masklen) AS BIGINT) AS mask
+        FROM ips
+    )
+    SELECT c_custkey, ip, masklen,
+           ipnum,
+           ipnum & mask                                           AS network_num,
+           (ipnum & mask) + CAST(power(2, 32 - masklen) AS BIGINT) - 1
+                                                                  AS broadcast_num,
+           concat(CAST(CAST(floor((ipnum & mask) / 16777216) AS BIGINT) AS STRING), '.',
+                  CAST(CAST(floor((ipnum & mask) / 65536) AS BIGINT) % 256 AS STRING), '.',
+                  CAST(CAST(floor((ipnum & mask) / 256) AS BIGINT) % 256 AS STRING), '.',
+                  CAST((ipnum & mask) % 256 AS STRING))           AS network_addr,
+           CAST((ipnum & 4294901760) = 167837696 AS INT)          AS in_10_1_0_0_16
+    FROM parsed
+    ORDER BY c_custkey
+    """,
+    doc="inet/cidr operators (network.c: inet_in, masklen, network, "
+    "broadcast, `<<` containment) as uint32 band arithmetic; the dotted "
+    "parse/format round-trips through split_part.",
+    tags=("scalar", "inet"),
+)
+
+# ---------------------------------------------------------------------------
+# money (cash.c)
+# ---------------------------------------------------------------------------
+# PG money = fixed-point cents. Mapping: DECIMAL(18,2) + exact decimal
+# aggregation (same policy as the TPC-H monetary columns). cash_in's
+# '$1,234.56' parse = strip '$' and ',', cast.
+
+register_sql(
+    "scalar_money_cash",
+    """
+    WITH raw AS (
+        SELECT * FROM (VALUES
+            ('$1,234.56'), ('$0.07'), ('$99,999.99'), ('$12.30'), ('$8,000.01')
+        ) AS t(m)
+    ),
+    cash AS (
+        SELECT m,
+               CAST(replace(replace(m, '$', ''), ',', '') AS DECIMAL(18,2)) AS amt
+        FROM raw
+    )
+    SELECT m, amt,
+           CAST(amt * 2 AS DECIMAL(18,2))                 AS doubled,
+           CAST(round(amt * 0.0825, 2) AS DECIMAL(18,2))  AS tax,
+           CAST(SUM(amt) OVER () AS DECIMAL(18,2))        AS total
+    FROM cash
+    ORDER BY amt
+    """,
+    doc="money/cash type (cash.c: cash_in '$1,234.56' parse, cash_mul, "
+    "rounding to cents) as exact DECIMAL(18,2) arithmetic.",
+    tags=("scalar", "money"),
+)
+
+# ---------------------------------------------------------------------------
+# bit strings (varbit.c)
+# ---------------------------------------------------------------------------
+# bit(16) fields as bigint values < 2^16: AND/OR/XOR/shift/bit_count and
+# the bit-string text form via lpad(bin()). Spark uses shiftleft/
+# shiftright/^; the oracle spells the same values with DuckDB's <</>>/
+# xor() — the differential IS the semantics check.
+
+register_sql(
+    "scalar_bitstring_ops",
+    """
+    SELECT p_partkey,
+           p_partkey % 65536                                 AS v,
+           lpad(bin(p_partkey % 65536), 16, '0')             AS bits,
+           bit_count(p_partkey % 65536)                      AS n_ones,
+           (p_partkey % 65536) & 43690                       AS band,
+           (p_partkey % 65536) | 21845                       AS bor,
+           (p_partkey % 65536) ^ 65535                       AS bxor,
+           shiftleft(p_partkey % 65536, 2) % 65536           AS shl2,
+           shiftright(p_partkey % 65536, 3)                  AS shr3,
+           getbit(p_partkey % 65536, 3)                      AS bit3
+    FROM part
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           p_partkey % 65536                                 AS v,
+           lpad(bin(p_partkey % 65536), 16, '0')             AS bits,
+           bit_count(p_partkey % 65536)                      AS n_ones,
+           (p_partkey % 65536) & 43690                       AS band,
+           (p_partkey % 65536) | 21845                       AS bor,
+           xor(p_partkey % 65536, 65535)                     AS bxor,
+           ((p_partkey % 65536) << 2) % 65536                AS shl2,
+           (p_partkey % 65536) >> 3                          AS shr3,
+           ((p_partkey % 65536) >> 3) & 1                    AS bit3
+    FROM part
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """,
+    doc="bit-string operators (varbit.c: bit_and/or/xor, shifts, "
+    "bit_count, text form) over bigint bit fields; Spark shiftleft/^/"
+    "getbit vs DuckDB <</xor()/arithmetic differential.",
+    tags=("scalar", "bitstring"),
+)
+
+# ---------------------------------------------------------------------------
+# uuid (uuid.c)
+# ---------------------------------------------------------------------------
+# Deterministic name-based UUIDs (v5-shaped): md5 of the name with
+# version/variant nibbles forced, formatted 8-4-4-4-12. gen_random_uuid
+# maps to Spark's uuid() (nondeterministic — demonstrated in
+# misc_row_ids); this query covers the formatting/ordering semantics.
+
+register_sql(
+    "scalar_uuid_format",
+    """
+    WITH h AS (
+        SELECT n_nationkey, n_name, md5(concat('ns:', n_name)) AS hx
+        FROM nation
+    )
+    SELECT n_nationkey, n_name,
+           concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-4',
+                  substr(hx, 14, 3), '-8', substr(hx, 18, 3), '-',
+                  substr(hx, 21, 12))                            AS uuid5,
+           length(concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-4',
+                  substr(hx, 14, 3), '-8', substr(hx, 18, 3), '-',
+                  substr(hx, 21, 12)))                           AS uuid_len
+    FROM h
+    ORDER BY uuid5
+    """,
+    doc="uuid type (uuid.c): deterministic name-derived v5-shaped UUIDs "
+    "with forced version/variant nibbles; ORDER BY uuid checks the "
+    "lexicographic-sort parity both engines share for the text form.",
+    tags=("scalar", "uuid"),
+)
+
+# ---------------------------------------------------------------------------
+# XMLTABLE / xpath (nodeTableFuncscan.c, xml.c)
+# ---------------------------------------------------------------------------
+# Spark ships Hive's xpath functions (JVM-side, codegen'd). The XML is
+# constructed deterministically from nation/region columns, so the
+# DuckDB oracle (no XML support) recomputes the extracted values from
+# the base columns — the differential checks that xpath really
+# extracted what was encoded.
+
+
+@register(
+    "xml_xpath_table",
+    oracle="""
+    SELECT n.n_nationkey,
+           n.n_name                          AS name,
+           CAST(n.n_regionkey AS INT)        AS region_id,
+           r.r_name                          AS region_name,
+           CAST(2 AS INT)                    AS n_fields,
+           lower(n.n_name)                   AS name_lower
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """,
+    doc="XMLTABLE (nodeTableFuncscan.c / xml.c xpath): shred XML built "
+    "from nation rows via Hive xpath_string/xpath_int/xpath; oracle "
+    "recomputes from the encoded base columns.",
+    tags=("scalar", "xml"),
+)
+def xml_xpath_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH x AS (
+            SELECT n_nationkey,
+                   concat('<nation><name>', n_name, '</name><region id="',
+                          CAST(n_regionkey AS STRING), '">',
+                          (SELECT r_name FROM region r
+                            WHERE r.r_regionkey = n.n_regionkey),
+                          '</region></nation>')                   AS xml
+            FROM nation n
+        )
+        SELECT n_nationkey,
+               xpath_string(xml, '/nation/name')                  AS name,
+               CAST(xpath_int(xml, '/nation/region/@id') AS INT)  AS region_id,
+               xpath_string(xml, '/nation/region')                AS region_name,
+               CAST(size(xpath(xml, '/nation/*')) AS INT)         AS n_fields,
+               lower(xpath_string(xml, '/nation/name'))           AS name_lower
+        FROM x
+        ORDER BY n_nationkey
+        """
+    )
