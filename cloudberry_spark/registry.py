@@ -108,6 +108,7 @@ def _load_all() -> None:
     import cloudberry_spark.pipeline.multimodal  # noqa: F401
     import cloudberry_spark.pipeline.composed  # noqa: F401
     import cloudberry_spark.pipeline.components  # noqa: F401
+    import cloudberry_spark.pipeline.curation  # noqa: F401
     import cloudberry_spark.streaming.windows  # noqa: F401
     import cloudberry_spark.streaming.ivm  # noqa: F401
     import cloudberry_spark.streaming.stateful  # noqa: F401
