@@ -732,3 +732,124 @@ register_sql(
     "moment aggregation, a single exchange carrying 6 moment tuples.",
     tags=("agg", "stats", "analytics"),
 )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch keyed MERGE upsert (streaming DML sink)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    SELECT c.user_id, c.n_events,
+           r.event_id AS last_event_id,
+           round(r.value, 6) AS last_value
+    FROM counts c JOIN ranked r ON r.user_id = c.user_id AND r.rn = 1
+    ORDER BY c.user_id
+    """,
+    doc="Streaming MERGE upsert via foreachBatch: a keyed state table "
+    "(per-user running count + last-write-wins latest event) maintained "
+    "by per-batch copy-on-write MERGE — read current state, full-merge "
+    "the batch delta (sum counts, struct-max recency), write a NEW "
+    "version, atomically flip a pointer file. The source is split into "
+    "2 files with maxFilesPerTrigger=1, so the merge-into-EXISTING-keys "
+    "path genuinely executes across batches; the whole stream then runs "
+    "a SECOND time against the same checkpoint and must be a no-op "
+    "(exactly-once offsets), or counts would double. This is the "
+    "Structured-Streaming analog of the reference's trigger-maintained "
+    "IVM upsert (commands/matview.c IVM_ADD) and the idempotent-restart "
+    "contract of nodeModifyTable.c MERGE.",
+    tags=("streaming", "dml", "exactly-once"),
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from cloudberry_spark.sources.external import _scratch
+
+    src = _scratch(sf_dir, "stream_fb_src")
+    state_root = _scratch(sf_dir, "stream_fb_state")
+    ckpt = _scratch(sf_dir, "stream_fb_ckpt")
+    for p in (src, state_root, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+    ptr = os.path.join(state_root, "_CURRENT")
+
+    # Source prep: events as (event_id, user_id, value, ts_us-long), split
+    # into two files so maxFilesPerTrigger=1 yields two real batches.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        delta = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts_us", "event_id", "value")).alias("last"),
+        )
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                cur = f.read().strip()
+            old = batch.sparkSession.read.parquet(os.path.join(state_root, cur))
+            merged = (
+                old.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last").alias("last"),
+                )
+            )
+        else:
+            merged = delta
+        version = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_root, version))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, ptr)  # atomic pointer flip = commit
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # restart: committed offsets => no-op, counts must not double
+
+    with open(ptr) as f:
+        final = f.read().strip()
+    state = spark.read.parquet(os.path.join(state_root, final))
+    return state.select(
+        "user_id",
+        "n_events",
+        F.col("last.event_id").alias("last_event_id"),
+        F.round(F.col("last.value"), 6).alias("last_value"),
+    ).orderBy("user_id")
