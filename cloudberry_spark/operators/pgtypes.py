@@ -60,7 +60,7 @@ register_sql(
     doc="Geometric point/box operators (geo_ops.c: point_distance, "
     "box_contain_pt, box_overlap, box_intersect area) as closed-form "
     "arithmetic over (x,y) double pairs.",
-    tags=("scalar", "geometric"),
+    tags=("pgtype", "scalar", "geometric"),
 )
 
 # ---------------------------------------------------------------------------
@@ -109,7 +109,7 @@ register_sql(
     doc="inet/cidr operators (network.c: inet_in, masklen, network, "
     "broadcast, `<<` containment) as uint32 band arithmetic; the dotted "
     "parse/format round-trips through split_part.",
-    tags=("scalar", "inet"),
+    tags=("pgtype", "scalar", "inet"),
 )
 
 # ---------------------------------------------------------------------------
@@ -141,7 +141,7 @@ register_sql(
     """,
     doc="money/cash type (cash.c: cash_in '$1,234.56' parse, cash_mul, "
     "rounding to cents) as exact DECIMAL(18,2) arithmetic.",
-    tags=("scalar", "money"),
+    tags=("pgtype", "scalar", "money"),
 )
 
 # ---------------------------------------------------------------------------
@@ -187,7 +187,7 @@ register_sql(
     doc="bit-string operators (varbit.c: bit_and/or/xor, shifts, "
     "bit_count, text form) over bigint bit fields; Spark shiftleft/^/"
     "getbit vs DuckDB <</xor()/arithmetic differential.",
-    tags=("scalar", "bitstring"),
+    tags=("pgtype", "scalar", "bitstring"),
 )
 
 # ---------------------------------------------------------------------------
@@ -218,7 +218,7 @@ register_sql(
     doc="uuid type (uuid.c): deterministic name-derived v5-shaped UUIDs "
     "with forced version/variant nibbles; ORDER BY uuid checks the "
     "lexicographic-sort parity both engines share for the text form.",
-    tags=("scalar", "uuid"),
+    tags=("pgtype", "scalar", "uuid"),
 )
 
 # ---------------------------------------------------------------------------
@@ -246,7 +246,7 @@ register_sql(
     doc="XMLTABLE (nodeTableFuncscan.c / xml.c xpath): shred XML built "
     "from nation rows via Hive xpath_string/xpath_int/xpath; oracle "
     "recomputes from the encoded base columns.",
-    tags=("scalar", "xml"),
+    tags=("pgtype", "scalar", "xml"),
 )
 def xml_xpath_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(

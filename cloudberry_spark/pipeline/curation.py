@@ -70,7 +70,7 @@ def hash_split(df: DataFrame, id_col: str, salt: str = "split:") -> DataFrame:
     "any engine and any run — the leakage-proof split discipline a "
     "training corpus needs. No reference analog (TABLESAMPLE is "
     "nondeterministic across physical layouts).",
-    tags=("sample", "pipeline"),
+    tags=("curation", "sample", "pipeline"),
 )
 def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -119,7 +119,7 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
     "explode factor is len/stride), which is the RAG-ingest shape that "
     "holds at 100 TB. Chunk text is compared by md5 so the oracle "
     "differential pins the exact chunk contents.",
-    tags=("pipeline", "text"),
+    tags=("curation", "pipeline", "text"),
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -193,7 +193,7 @@ SUB_DUP_FRAC = 0.5
     "shared-chunk fraction exceeds 50%. Catches templated boilerplate "
     "that document-level MinHash dilutes away. One shuffle on the chunk "
     "hash; explode factor is len/40.",
-    tags=("pipeline", "dedup"),
+    tags=("curation", "pipeline", "dedup"),
 )
 def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -271,7 +271,7 @@ def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2020): exact tercile thresholds via one tiny percentile aggregate "
     "(broadcast), then a per-row CASE — deliberately NOT a global "
     "ntile() window, which would single-partition the corpus at scale.",
-    tags=("pipeline", "text"),
+    tags=("curation", "pipeline", "text"),
 )
 def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -349,7 +349,7 @@ def _canonical_oracle() -> str:
     "member per duplicate cluster via a per-component window ranked "
     "(n_chars DESC, doc_id) — the survivor policy a curation pipeline "
     "actually ships. Oracle: WITH RECURSIVE closure + the same window.",
-    tags=("pipeline", "dedup", "iterative"),
+    tags=("curation", "pipeline", "dedup", "iterative"),
 )
 def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.components import connected_components
@@ -444,7 +444,7 @@ def _lsh_recall_oracle() -> str:
     "per query. The quality dial that justifies nprobe/band choices at "
     "100 TB, computed with the same deterministic planes the oracle "
     "replays.",
-    tags=("pipeline", "similarity"),
+    tags=("curation", "pipeline", "similarity"),
 )
 def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.similarity import (

@@ -140,6 +140,21 @@ def interleaved_queries() -> dict[str, Query]:
     # Queries that must lead their family: recently fixed or newly added
     # operators whose correctness most needs external confirmation.
     lead = [
+        # round 3 additions first: these most need driver confirmation
+        "scalar_geometric_ops",
+        "scalar_inet_ops",
+        "scalar_money_cash",
+        "scalar_bitstring_ops",
+        "scalar_uuid_format",
+        "xml_xpath_table",
+        "sample_hash_split",
+        "text_chunk_windows",
+        "dedup_substring_chunks",
+        "text_quality_tiers",
+        "dedup_canonical_pick",
+        "sim_lsh_recall",
+        "stream_foreachbatch_upsert",
+        # round 2 additions
         "agg_array_agg",
         "agg_approx_distinct",
         "agg_percentile_approx",
