@@ -409,3 +409,40 @@ def test_zorder_files_have_narrow_two_dim_stats(spark):
         # Z-order over 8 range partitions: each dimension's per-file span
         # should be well under the full domain (random layout => ~full).
         assert mean_span < 0.75 * full, (col, mean_span, full)
+
+
+def test_hash_split_assignment_is_map_only(spark):
+    """The train/val/test split decision must be a pure per-row
+    expression — no exchange — so it composes with any downstream op
+    without forcing a shuffle of the corpus."""
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.curation import hash_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        hash_split(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_chunk_windows_only_final_sort_exchange(spark):
+    """RAG chunking is split→explode→slice, all row-local: the ONLY
+    exchange in the registered query is the final presentation sort
+    (rangepartitioning); no hash exchange may appear, or chunking would
+    shuffle the corpus at 100 TB."""
+    plan = _plan(spark, "text_chunk_windows")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
+def test_substring_dedup_never_shuffles_text(spark):
+    """dedup_substring_chunks must exchange on the md5 chunk hash /
+    doc_id, never on the raw text column — the shuffle-the-bytes
+    mistake that kills text dedup at scale."""
+    plan = _plan(spark, "dedup_substring_chunks")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
