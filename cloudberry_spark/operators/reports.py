@@ -1,0 +1,192 @@
+"""TPC-DS-class report shapes + operational diagnostics.
+
+The reference benchmarks BOTH TPC-H and TPC-DS
+(contrib/pax_storage/doc/performance.md:65-185); operators/tpch.py
+covers the former, this module adds the characteristic TPC-DS query
+shapes — rollup-with-rank (q67), multi-channel union aggregation (q71),
+moving-average deviation (q47), cross-channel customer set algebra
+(q38/q87) — adapted to the reduced fixture schema, plus the
+gp_toolkit-style skew diagnostic a cluster operator runs before
+choosing distribution keys.
+
+All are portable SQL (oracle = same text, modulo decimal-exact money
+sums) executing as Catalyst-native rollup/window/setop plans.
+"""
+
+from __future__ import annotations
+
+from cloudberry_spark.registry import register_sql
+
+register_sql(
+    "tpcds_rollup_rank",
+    """
+    WITH sales AS (
+        SELECT p.p_type, p.p_brand,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               grouping(p.p_type)  AS g_type,
+               grouping(p.p_brand) AS g_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY ROLLUP(p.p_type, p.p_brand)
+    )
+    SELECT p_type, p_brand, revenue, g_type, g_brand,
+           rank() OVER (PARTITION BY g_type, g_brand, p_type
+                        ORDER BY revenue DESC) AS rnk
+    FROM sales
+    ORDER BY g_type, g_brand, p_type NULLS FIRST, rnk, p_brand NULLS FIRST
+    """,
+    doc="TPC-DS q67 shape: revenue ROLLUP over the (p_type, p_brand) "
+    "hierarchy with rank-within-level windows over the rollup output — "
+    "Expand + two-phase agg + partitioned window, no global sort until "
+    "presentation. Exact-decimal money sums.",
+    tags=("reports", "agg", "window"),
+)
+
+register_sql(
+    "tpcds_channel_union",
+    """
+    WITH channels AS (
+        SELECT 'express' AS channel, l.l_partkey,
+               l.l_extendedprice * (1 - l.l_discount) AS amt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'standard', l.l_partkey,
+               l.l_extendedprice * (1 - l.l_discount)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '3-MEDIUM'
+        UNION ALL
+        SELECT 'deferred', l.l_partkey,
+               l.l_extendedprice * (1 - l.l_discount)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    )
+    SELECT c.channel, p.p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(c.amt AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM channels c JOIN part p ON c.l_partkey = p.p_partkey
+    GROUP BY c.channel, p.p_brand
+    ORDER BY c.channel, p.p_brand
+    """,
+    doc="TPC-DS q71 shape: three order-priority 'channels' unioned "
+    "(Append node), one aggregation over the union joined to the part "
+    "dim — the multi-fact-union report pattern. The union branches scan "
+    "the same fact with disjoint pushed predicates.",
+    tags=("reports", "setop", "agg"),
+)
+
+register_sql(
+    "tpcds_moving_avg",
+    """
+    WITH monthly AS (
+        SELECT p.p_brand,
+               year(l.l_shipdate) * 100 + month(l.l_shipdate) AS yyyymm,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, year(l.l_shipdate) * 100 + month(l.l_shipdate)
+    ),
+    ma AS (
+        SELECT p_brand, yyyymm, rev,
+               avg(rev) OVER (PARTITION BY p_brand ORDER BY yyyymm
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                   AS mavg,
+               count(*) OVER (PARTITION BY p_brand ORDER BY yyyymm
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                   AS nw
+        FROM monthly
+    )
+    SELECT p_brand, yyyymm, rev, mavg, rev / mavg AS ratio
+    FROM ma
+    WHERE nw = 5
+    ORDER BY p_brand, yyyymm
+    """,
+    doc="TPC-DS q47 shape: per-brand monthly revenue with a centered "
+    "5-month moving average and deviation ratio — partitioned (never "
+    "global) window over a pre-aggregated frame; only complete windows "
+    "emitted (integer count guard, no float row filters).",
+    tags=("reports", "window", "agg"),
+)
+
+register_sql(
+    "tpcds_cross_shop",
+    """
+    WITH econ AS (
+        SELECT DISTINCT o.o_custkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                      JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'ECONOMY'
+    ),
+    promo AS (
+        SELECT DISTINCT o.o_custkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                      JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+    ),
+    std AS (
+        SELECT DISTINCT o.o_custkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                      JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'STANDARD'
+    )
+    SELECT count(*) AS n_cross_shoppers
+    FROM (
+        (SELECT o_custkey FROM econ INTERSECT SELECT o_custkey FROM promo)
+        EXCEPT
+        SELECT o_custkey FROM std
+    ) t
+    """,
+    doc="TPC-DS q38/q87 shape: customer-set algebra across product "
+    "'channels' — INTERSECT then EXCEPT over distinct customer sets "
+    "(nodeSetOp.c SETOPCMD_INTERSECT/EXCEPT), each branch a "
+    "pushed-predicate join chain.",
+    tags=("reports", "setop", "join"),
+)
+
+register_sql(
+    "events_hierarchical_rollup",
+    """
+    SELECT year(ts)  AS yr,
+           month(ts) AS mo,
+           day(ts)   AS dy,
+           grouping(month(ts)) AS g_mo,
+           grouping(day(ts))   AS g_dy,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (year(ts)),
+        (year(ts), month(ts)),
+        (year(ts), month(ts), day(ts))
+    )
+    ORDER BY yr, g_mo DESC, mo NULLS FIRST, g_dy DESC, dy NULLS FIRST
+    """,
+    doc="Hypertable-style time-hierarchy rollup: one pass over events "
+    "producing day/month/year grains via GROUPING SETS (Expand + "
+    "two-phase agg) — the continuous-aggregate ladder shape; grouping() "
+    "flags disambiguate grain levels.",
+    tags=("reports", "agg", "events"),
+)
+
+register_sql(
+    "diag_key_skew",
+    """
+    WITH per_key AS (
+        SELECT l_partkey AS key, count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*)                                   AS n_keys,
+           min(n)                                     AS min_rows,
+           max(n)                                     AS max_rows,
+           round(avg(n), 6)                           AS avg_rows,
+           round(max(n) / avg(n), 6)                  AS skew_ratio,
+           round(stddev_pop(n) / avg(n), 6)           AS cv
+    FROM per_key
+    """,
+    doc="Distribution-key skew diagnostic (gp_toolkit "
+    "gp_skew_coefficients analog): per-key cardinality profile + "
+    "max/avg skew ratio and coefficient of variation — the check an "
+    "operator runs BEFORE choosing DISTRIBUTED BY / bucketing keys. "
+    "Two-phase count, one exchange on the candidate key.",
+    tags=("reports", "diagnostic", "agg"),
+)
