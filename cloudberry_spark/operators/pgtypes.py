@@ -270,3 +270,84 @@ def xml_xpath_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join (scale path for geometric containment)
+# ---------------------------------------------------------------------------
+# The naive point-in-box join is a nested-loop theta join — quadratic.
+# The scale shape mirrors join_range_binned in 2-D: snap points to grid
+# cells (map-only), explode each box into the cells it covers (tiny),
+# equi-join on the cell, then verify exact containment. The oracle IS
+# the naive theta join, proving the grid decomposition lossless.
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) / 100.0 AS x,
+               CAST(c_custkey % 97 AS DOUBLE) AS y
+        FROM customer
+    ),
+    boxes AS (
+        SELECT n_nationkey AS box_id,
+               CAST((n_nationkey * 37) % 80 AS DOUBLE)      AS x0,
+               CAST((n_nationkey * 53) % 80 AS DOUBLE)      AS y0,
+               CAST((n_nationkey * 37) % 80 + 15 AS DOUBLE) AS x1,
+               CAST((n_nationkey * 53) % 80 + 15 AS DOUBLE) AS y1
+        FROM nation
+    )
+    SELECT b.box_id, count(*) AS n_points,
+           min(p.c_custkey) AS min_cust, max(p.c_custkey) AS max_cust
+    FROM boxes b JOIN pts p
+      ON p.x >= b.x0 AND p.x <= b.x1 AND p.y >= b.y0 AND p.y <= b.y1
+    GROUP BY b.box_id
+    ORDER BY b.box_id
+    """,
+    doc="Spatial point-in-box join via grid binning (geo_ops.c "
+    "box_contain_pt at scale): points snap to one 16x16 cell map-side, "
+    "boxes explode into covered cells (bounded fan-out), cell equi-join "
+    "+ exact containment verify. Replaces the quadratic nested-loop "
+    "theta join with a broadcast/hash equi-join — the 2-D analog of "
+    "join_range_binned. Oracle = the naive theta join (losslessness).",
+    tags=("pgtype", "join", "geometric"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH pts AS (
+            SELECT c_custkey, CAST(c_acctbal AS DOUBLE) / 100.0 AS x,
+                   CAST(c_custkey % 97 AS DOUBLE) AS y
+            FROM customer
+        ),
+        boxes AS (
+            SELECT n_nationkey AS box_id,
+                   CAST((n_nationkey * 37) % 80 AS DOUBLE)      AS x0,
+                   CAST((n_nationkey * 53) % 80 AS DOUBLE)      AS y0,
+                   CAST((n_nationkey * 37) % 80 + 15 AS DOUBLE) AS x1,
+                   CAST((n_nationkey * 53) % 80 + 15 AS DOUBLE) AS y1
+            FROM nation
+        ),
+        box_cells AS (
+            SELECT box_id, x0, y0, x1, y1, cx, cy
+            FROM boxes
+            LATERAL VIEW explode(sequence(CAST(floor(x0 / 16) AS INT),
+                                          CAST(floor(x1 / 16) AS INT))) t1 AS cx
+            LATERAL VIEW explode(sequence(CAST(floor(y0 / 16) AS INT),
+                                          CAST(floor(y1 / 16) AS INT))) t2 AS cy
+        ),
+        pt_cells AS (
+            SELECT c_custkey, x, y,
+                   CAST(floor(x / 16) AS INT) AS cx,
+                   CAST(floor(y / 16) AS INT) AS cy
+            FROM pts
+        )
+        SELECT b.box_id, count(*) AS n_points,
+               min(p.c_custkey) AS min_cust, max(p.c_custkey) AS max_cust
+        FROM box_cells b JOIN pt_cells p ON b.cx = p.cx AND b.cy = p.cy
+        WHERE p.x >= b.x0 AND p.x <= b.x1 AND p.y >= b.y0 AND p.y <= b.y1
+        GROUP BY b.box_id
+        ORDER BY b.box_id
+        """
+    )
