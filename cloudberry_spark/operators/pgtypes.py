@@ -351,3 +351,61 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.box_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match inet routing join (network.c >>= at scale)
+# ---------------------------------------------------------------------------
+# PG users route IPs against CIDR tables with `ip << cidr` + a pick of
+# the most specific match. The scale shape: expand each IP into its
+# (masklen, network-prefix) candidates — one row per masklen present in
+# the rule table, a bounded fan-out — then EQUI-join on
+# (masklen, prefix) and keep the longest match per IP. No theta join,
+# no per-rule scan; the rule side stays broadcastable.
+
+register_sql(
+    "join_inet_lpm",
+    """
+    WITH ips AS (
+        SELECT c_custkey,
+               (c_custkey % 4) * 65536 +
+               ((c_custkey * 7) % 256) * 256 +
+               ((c_custkey * 13) % 256) + 167772160 AS ipnum
+        FROM customer
+    ),
+    rules AS (
+        SELECT * FROM (VALUES
+            (167772160, 8,  'corp-any'),
+            (167837696, 16, 'dc1'),
+            (167903232, 16, 'dc2'),
+            (167839488, 24, 'dc1-rack7')
+        ) AS r(prefix_num, masklen, label)
+    ),
+    cand_pre AS (
+        SELECT c_custkey, 8  AS masklen, ipnum & 4278190080 AS prefix_num FROM ips
+        UNION ALL
+        SELECT c_custkey, 16, ipnum & 4294901760 FROM ips
+        UNION ALL
+        SELECT c_custkey, 24, ipnum & 4294967040 FROM ips
+    ),
+    best AS (
+        SELECT c.c_custkey, max_by(r.label, r.masklen) AS label
+        FROM cand_pre c
+        JOIN rules r ON c.masklen = r.masklen AND c.prefix_num = r.prefix_num
+        GROUP BY c.c_custkey
+    )
+    SELECT coalesce(b.label, 'unrouted') AS route,
+           count(*) AS n_ips,
+           min(i.c_custkey) AS sample_cust
+    FROM ips i LEFT JOIN best b ON i.c_custkey = b.c_custkey
+    GROUP BY coalesce(b.label, 'unrouted')
+    ORDER BY route
+    """,
+    doc="Longest-prefix-match CIDR routing join (network.c `<<=` + most-"
+    "specific pick): IPs expand to per-masklen prefix candidates "
+    "(bounded fan-out = distinct masklens in the rule table), "
+    "EQUI-joined on (masklen, prefix), max_by(label, masklen) keeps the "
+    "most specific route — the GeoIP/firewall-table join as a "
+    "broadcast hash join instead of a per-rule theta scan.",
+    tags=("pgtype", "join", "inet"),
+)
