@@ -871,3 +871,90 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               w[CAST(u.i AS INT)]     AS w1,
+               w[CAST(u.i AS INT) + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    f2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    f1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id, b.source,
+               -ln(CAST(f2.c12 AS DOUBLE) / f1.c1) AS s
+        FROM big b
+        JOIN f2 ON b.w1 = f2.w1 AND b.w2 = f2.w2
+        JOIN f1 ON b.w1 = f1.w1
+    ),
+    perdoc AS (
+        SELECT doc_id, source, avg(s) AS avg_s
+        FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(avg_s), 6) AS mean_surprisal,
+           round(max(avg_s), 6) AS max_surprisal,
+           round(min(avg_s), 6) AS min_surprisal
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+    doc="Bigram-LM conditional surprisal (next step up from "
+    "text_unigram_surprisal toward the CCNet perplexity signal): every "
+    "bigram scored by -ln(c(w1,w2)/c(w1,*)) against corpus-wide bigram "
+    "statistics, averaged per document then profiled per source. "
+    "Bigrams are built row-locally (transform over the token array — "
+    "no shuffle to form pairs); the two LM-table joins carry no "
+    "broadcast hints (vocabulary-sized sides belong to AQE, same "
+    "policy as the unigram scorer).",
+    tags=("pipeline", "text", "quality", "lm"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, "
+                    "element_at(w, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    f2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    f1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(f2, ["w1", "w2"])
+        .join(f1, "w1")
+        .select(
+            "doc_id",
+            "source",
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias("s"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(F.avg("s").alias("avg_s"))
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_s"), 6).alias("mean_surprisal"),
+            F.round(F.max("avg_s"), 6).alias("max_surprisal"),
+            F.round(F.min("avg_s"), 6).alias("min_surprisal"),
+        )
+        .orderBy("source")
+    )
