@@ -532,3 +532,39 @@ register_sql(
     "engines.",
     tags=("events", "analytics", "retention"),
 )
+
+
+register_sql(
+    "win_percentile_partition",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           percentile(o_totalprice, 0.5) OVER (PARTITION BY o_custkey)
+               AS median_price,
+           max(o_totalprice) OVER (PARTITION BY o_custkey)
+               AS max_price,
+           CAST(o_totalprice >
+                percentile(o_totalprice, 0.5) OVER (PARTITION BY o_custkey)
+                AS INT) AS above_median
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_custkey)
+               AS median_price,
+           max(o_totalprice) OVER (PARTITION BY o_custkey)
+               AS max_price,
+           CAST(o_totalprice >
+                quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_custkey)
+                AS INT) AS above_median
+    FROM orders
+    WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Ordered-set aggregate as a WINDOW function (orderedsetaggs.c "
+    "percentile_cont OVER): exact interpolated median per partition "
+    "with a per-row above-median flag — the whole-partition frame "
+    "shape; one shuffle on the partition key, never global.",
+    tags=("window", "agg", "percentile"),
+)
