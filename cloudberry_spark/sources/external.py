@@ -715,3 +715,46 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "sink_multilevel_partitions",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE year(o_orderdate) = 1996 AND month(o_orderdate) IN (1, 2, 3)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Multi-level partitioning (SURVEY §1.1; reference "
+    "tablecmds_gp.c multi-level range/list partitions): hive-partition "
+    "orders by (year, month), read back one quarter — both partition "
+    "levels prune at the directory listing, so the scan touches 3 of "
+    "the ~80 leaf directories. The subdirectory-per-level layout IS "
+    "the reference's partition hierarchy, and pruning on a prefix of "
+    "the levels (year only) or the full path (year+month) both work.",
+    tags=("sink", "partitioning", "pruning"),
+)
+def sink_multilevel_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+    )
+    path = _scratch(sf_dir, "orders_by_year_month")
+    od.write.mode("overwrite").partitionBy("o_year", "o_month").parquet(path)
+    back = spark.read.parquet(path).filter(
+        (F.col("o_year") == 1996) & (F.col("o_month").isin(1, 2, 3))
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
