@@ -507,3 +507,68 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall (the second index type's QA dial, beside sim_lsh_recall)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    from cloudberry_spark.registry import all_queries
+
+    qs = all_queries()
+    brute = qs["sim_knn_brute"].oracle
+    ivf = qs["sim_ivf_knn"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+         ivf AS ({ivf})
+    SELECT b.query_id,
+           count(*) AS k,
+           sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS recall
+    FROM brute b
+    LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=_ivf_recall_oracle(),
+    doc="Recall@k of the IVF (nprobe=1) index vs exact brute force, "
+    "measured in-engine — together with sim_lsh_recall this closes the "
+    "QA loop for BOTH approximate index types: the dial that tells an "
+    "operator whether to raise nprobe (sim_ivf_multiprobe) or add LSH "
+    "bands before scaling the corpus 100x. Composed from the existing "
+    "deterministic index + ground-truth operators.",
+    tags=("curation", "pipeline", "similarity"),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.similarity import knn_brute
+    from cloudberry_spark.registry import all_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    brute = knn_brute(emb, queries)
+    ivf = (
+        all_queries()["sim_ivf_knn"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
