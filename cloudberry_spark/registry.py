@@ -155,6 +155,18 @@ def interleaved_queries() -> dict[str, Query]:
         "dedup_canonical_pick",
         "sim_lsh_recall",
         "stream_foreachbatch_upsert",
+        "join_spatial_grid",
+        "join_inet_lpm",
+        "text_bigram_surprisal",
+        "win_percentile_partition",
+        "sink_multilevel_partitions",
+        "sim_ivf_recall",
+        "tpcds_rollup_rank",
+        "tpcds_channel_union",
+        "tpcds_moving_avg",
+        "tpcds_cross_shop",
+        "events_hierarchical_rollup",
+        "diag_key_skew",
         # round 2 additions
         "agg_array_agg",
         "agg_approx_distinct",
