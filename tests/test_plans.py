@@ -446,3 +446,22 @@ def test_substring_dedup_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_spatial_grid_join_is_equi_broadcast(spark):
+    """The grid decomposition's whole point: point-in-box must run as a
+    broadcast/hash EQUI join on the cell key, never a nested-loop theta
+    join over the raw coordinates."""
+    plan = _plan(spark, "join_spatial_grid")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inet_lpm_join_is_equi_broadcast(spark):
+    """LPM routing joins on (masklen, prefix) equi-keys with the rule
+    table broadcast — no per-rule theta scan."""
+    plan = _plan(spark, "join_inet_lpm")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
