@@ -254,3 +254,34 @@ register_sql(
     "parent row entirely). Oracle re-expresses it as LEFT JOIN unnest.",
     tags=("array", "srf", "semantics"),
 )
+
+
+@register(
+    "array_generate_subscripts",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents WHERE doc_id <= 4
+    ), e AS (
+        SELECT doc_id, unnest(list_zip(arr, range(1, len(arr) + 1))) AS z
+        FROM t
+    )
+    SELECT doc_id, z[2] AS idx, z[1] AS word
+    FROM e
+    ORDER BY doc_id, idx
+    """,
+    doc="generate_subscripts(arr, 1) (PG SRF, src/backend/utils/adt/"
+    "arrayfuncs.c array subscript machinery): 1-based index generation "
+    "over an array column == posexplode shifted to PG's 1-based "
+    "convention. Map-side Generate node, no shuffle; the DuckDB oracle "
+    "derives ordinality via list_zip with a range list.",
+    tags=("array", "srf"),
+)
+def array_generate_subscripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 4)
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(arr).alias("pos", "word"))
+        .select("doc_id", (F.col("pos") + 1).alias("idx"), "word")
+        .orderBy("doc_id", "idx")
+    )

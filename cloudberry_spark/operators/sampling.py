@@ -290,3 +290,52 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(h < F.col("thr"), 1).otherwise(0)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_weighted_ares",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                   AS BIGINT) + 0.5) / 1152921504606846976.0)
+                 / n_chars AS ares_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed
+    ORDER BY ares_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-Res, Inf.Proc.Lett. 2006): each row gets key u^(1/w) with "
+    "u~U(0,1); the top-k keys are an exact weighted sample. Ranking by "
+    "u^(1/w) == ranking by ln(u)/w (monotone), which avoids pow(). u is "
+    "the cross-engine md5 hash scaled into (0,1) — fully deterministic, "
+    "so the DuckDB oracle reproduces the identical sample. Spark plan "
+    "is TakeOrderedAndProject: per-partition top-k then a k-row merge, "
+    "no global sort, no shuffle of the corpus — the scalable way to "
+    "draw a quality-weighted subset from 100 TB in one pass. "
+    "No per-key coordination; weights (n_chars) read straight off the "
+    "scan. Complements sample_importance (keep-rate thinning) with an "
+    "exact-size, exactly-weighted draw.",
+    tags=("sample", "pipeline", "weighted"),
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # u in (0,1): (h + 0.5) / 2^60 — h is the 60-bit md5-derived hash
+    u = (spark_base_hash(F.col("doc_id").cast("string")) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", (F.log(u) / F.col("n_chars")).alias("ares_key")
+    )
+    return (
+        keyed.orderBy(F.desc("ares_key"), "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars")
+    )

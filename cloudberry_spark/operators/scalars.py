@@ -850,3 +850,42 @@ register_sql(
     "never a nested loop.",
     tags=("scalar", "range"),
 )
+
+
+register_sql(
+    "scalar_date_bin",
+    """
+    SELECT CAST(timestamp_micros(
+             unix_micros(CAST(ts AS TIMESTAMP))
+             - pmod(unix_micros(CAST(ts AS TIMESTAMP))
+                    - unix_micros(TIMESTAMP '2024-01-01 00:07:30'), 900000000)
+           ) AS TIMESTAMP_NTZ) AS bin_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    LIMIT 40
+    """,
+    oracle="""
+    SELECT make_timestamp(
+             epoch_us(ts)
+             - ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:07:30'))
+                 % 900000000 + 900000000) % 900000000
+           ) AS bin_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    LIMIT 40
+    """,
+    doc="PG 14 date_bin(stride, ts, origin) (src/backend/utils/adt/"
+    "timestamp.c timestamp_bin): bins timestamps into arbitrary-origin "
+    "15-minute strides — the origin is NOT midnight-aligned, which "
+    "date_trunc/window() cannot express. Pure integer microsecond "
+    "arithmetic (unix_micros + pmod, handling pre-origin timestamps via "
+    "positive modulo on BOTH engines); pushes into the scan, partial "
+    "aggregation map-side, one shuffle on the bin key at any scale.",
+    tags=("scalar", "datetime"),
+)

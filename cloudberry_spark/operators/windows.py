@@ -568,3 +568,27 @@ register_sql(
     "shape; one shuffle on the partition key, never global.",
     tags=("window", "agg", "percentile"),
 )
+
+
+register_sql(
+    "win_named_window_clause",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS price_rank,
+           round(sum(o_totalprice) OVER w, 4) AS running_spend,
+           count(*) OVER w2 AS n_orders
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC,
+                  o_orderkey),
+           w2 AS (PARTITION BY o_custkey)
+    ORDER BY o_custkey, price_rank, o_orderkey
+    """,
+    doc="Named WINDOW clause (PG parse_clause.c transformWindowDefinitions; "
+    "reference grammar gram.y window_clause): one window definition shared "
+    "by several functions — rank + running sum share w, count(*) uses w2. "
+    "Dialect-portable text (oracle='same'); Catalyst collapses same-spec "
+    "window functions into one Window node / one sort, so the shared "
+    "definition costs a single exchange on o_custkey.",
+    tags=("window", "sql"),
+)

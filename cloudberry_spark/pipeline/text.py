@@ -958,3 +958,46 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bpeish_tokens_re2",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(trim(text)),
+                   '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens_per_doc
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Portable sub-word token counting: the lookaround-free core of "
+    "the BPE-ish tokenizer (letter runs | single digits | punctuation), "
+    "expressed with regexp_extract_all in BOTH engines — unlike "
+    "text_bpeish_token_count (Java-regex lookarounds, rows-only check) "
+    "this variant is fully differential. The alternation uses only "
+    "RE2-and-Java-common syntax, so match sets are identical. Map-only "
+    "over the scan + one partial-aggregated shuffle on source; the "
+    "per-row token list never materializes into the shuffle (count "
+    "taken before the groupBy).",
+    tags=("pipeline", "text"),
+)
+def text_bpeish_tokens_re2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(
+        F.expr(r"regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]|[^a-z0-9 \t\n]', 0)")
+    )
+    return (
+        docs.select("source", n.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -95,6 +95,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.ddl  # noqa: F401
     import cloudberry_spark.operators.distribution  # noqa: F401
     import cloudberry_spark.operators.rewrites  # noqa: F401
+    import cloudberry_spark.operators.sketches  # noqa: F401
     import cloudberry_spark.operators.textsearch  # noqa: F401
     import cloudberry_spark.operators.pgtypes  # noqa: F401
     import cloudberry_spark.operators.reports  # noqa: F401
@@ -141,7 +142,14 @@ def interleaved_queries() -> dict[str, Query]:
     # Queries that must lead their family: recently fixed or newly added
     # operators whose correctness most needs external confirmation.
     lead = [
-        # round 3 additions first: these most need driver confirmation
+        # round 4 additions first: these most need driver confirmation
+        "agg_heavy_hitters_mg",
+        "sample_weighted_ares",
+        "scalar_date_bin",
+        "array_generate_subscripts",
+        "win_named_window_clause",
+        "text_bpeish_tokens_re2",
+        # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
         "scalar_money_cash",

@@ -63,3 +63,34 @@ def test_interval_column_returns_native_timedelta(spark):
 
     rows = all_queries()["scalar_interval_column"].fn(spark, SF_DIR).collect()
     assert rows and isinstance(rows[0].max_age, datetime.timedelta)
+
+
+def test_misra_gries_lossy_regime_error_bound(spark):
+    """MG with capacity < NDV: every true heavy hitter (freq > n/capacity)
+    must survive the merge, and reported counts are undercounts by at
+    most n/capacity (Agarwal et al., PODS 2012)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.operators.sketches import misra_gries_topk
+
+    # skewed stream: term_i appears (50-i)^2 times, i in [0,50) -> NDV 50
+    rows = [(f"t{i:02d}",) for i in range(50) for _ in range((50 - i) ** 2)]
+    truth = Counter(t for t, in rows)
+    n = len(rows)
+    capacity = 8
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+    got = {
+        r.term: r.est_count
+        for r in misra_gries_topk(df, capacity=capacity, min_count=1).collect()
+    }
+    bound = n / capacity
+    for term, freq in truth.items():
+        if freq > bound:
+            assert term in got, f"heavy hitter {term} (freq {freq}) lost"
+    for term, est in got.items():
+        assert est <= truth[term], "MG must never overcount"
+        assert truth[term] - est <= bound, (
+            f"{term}: undercount {truth[term] - est} exceeds n/k={bound}"
+        )
