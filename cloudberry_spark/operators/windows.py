@@ -592,3 +592,164 @@ register_sql(
     "definition costs a single exchange on o_custkey.",
     tags=("window", "sql"),
 )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS t_us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                   AS nxt_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum((nxt_us - t_us) * value) / sum(nxt_us - t_us), 6)
+               AS time_weighted_avg,
+           count(*) AS n_intervals
+    FROM seq
+    WHERE nxt_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Time-weighted average (the hypertable/timescale rollup the "
+    "brief calls out; no direct reference analog — metric gauges are "
+    "held constant until the next observation, so each value is "
+    "weighted by its holding interval: sum(dt*v)/sum(dt) with "
+    "dt = lead(ts)-ts). Pure integer microsecond deltas from "
+    "unix_micros; one window sort + one grouped aggregate, both "
+    "partitioned on user_id so the two stages reuse a single exchange "
+    "at any scale.",
+    tags=("window", "timeseries"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(t_us, "event_id")
+    seq = ev.select(
+        "user_id", "value", t_us.alias("t_us"), F.lead(t_us).over(w).alias("nxt_us")
+    ).where(F.col("nxt_us").isNotNull())
+    dt = F.col("nxt_us") - F.col("t_us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(F.sum(dt * F.col("value")) / F.sum(dt), 6).alias(
+                "time_weighted_avg"
+            ),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "win_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                   AS bucket,
+               value
+        FROM events WHERE user_id <= 5
+    ), obs AS (
+        SELECT user_id, bucket, round(avg(value), 4) AS obs_avg
+        FROM ev GROUP BY user_id, bucket
+    ), span AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM ev GROUP BY user_id
+    ), scaffold AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+        FROM span
+    )
+    SELECT s.user_id, s.bucket, o.obs_avg,
+           last_value(o.obs_avg IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_avg
+    FROM scaffold s LEFT JOIN obs o USING (user_id, bucket)
+    ORDER BY user_id, bucket
+    """,
+    doc="Gap-filling + last-observation-carried-forward (timescale "
+    "time_bucket_gapfill/locf — hypertable parity per brief): 6-hour "
+    "buckets, a per-key sequence() scaffold spanning [min,max], LEFT "
+    "JOIN of observed buckets, then F.last(ignorenulls) over an "
+    "unbounded-preceding frame. The scaffold is generated per key "
+    "(dimension-sized, never a global cross join) and the fill is one "
+    "window sort co-partitioned with the join key — at 100 TB the "
+    "dense output is what downstream forecasting reads, built in two "
+    "exchanges. Empty slots keep obs_avg NULL so the fill is visible.",
+    tags=("window", "timeseries", "gapfill"),
+)
+def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 5)
+    stride = 21_600_000_000  # 6h in microseconds
+    bucket = F.timestamp_micros(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / stride).cast("bigint")
+        * stride
+    ).cast("timestamp_ntz")
+    ev = ev.select("user_id", bucket.alias("bucket"), "value")
+    obs = ev.groupBy("user_id", "bucket").agg(
+        F.round(F.avg("value"), 4).alias("obs_avg")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    scaffold = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scaffold.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            "obs_avg",
+            F.last("obs_avg", ignorenulls=True).over(w).alias("locf_avg"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+register_sql(
+    "win_filter_clause",
+    """
+    SELECT user_id, event_id,
+           count(CASE WHEN value > 50 THEN 1 END) OVER w AS n_big_so_far,
+           round(sum(CASE WHEN event_type = 'click' THEN value END) OVER w, 4)
+               AS click_value_so_far
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) FILTER (WHERE value > 50) OVER w AS n_big_so_far,
+           round(sum(value) FILTER (WHERE event_type = 'click') OVER w, 4)
+               AS click_value_so_far
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="FILTER clause on aggregates used as WINDOW functions (PG "
+    "parse_agg.c; the reference supports agg FILTER both grouped and "
+    "windowed — agg_filter_clause covers grouped). Spark's window "
+    "aggregates lack FILTER syntax, so the exact rewrite is "
+    "agg(CASE WHEN pred THEN x END): count skips NULLs => identical "
+    "semantics, proven against DuckDB's native FILTER ... OVER. Both "
+    "functions share one named window => one sort, one exchange.",
+    tags=("window", "filter"),
+)

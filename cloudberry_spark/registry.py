@@ -149,6 +149,9 @@ def interleaved_queries() -> dict[str, Query]:
         "array_generate_subscripts",
         "win_named_window_clause",
         "text_bpeish_tokens_re2",
+        "events_time_weighted_avg",
+        "win_gapfill_locf",
+        "win_filter_clause",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
