@@ -96,6 +96,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.distribution  # noqa: F401
     import cloudberry_spark.operators.rewrites  # noqa: F401
     import cloudberry_spark.operators.sketches  # noqa: F401
+    import cloudberry_spark.operators.contrib  # noqa: F401
     import cloudberry_spark.operators.textsearch  # noqa: F401
     import cloudberry_spark.operators.pgtypes  # noqa: F401
     import cloudberry_spark.operators.reports  # noqa: F401
@@ -152,6 +153,13 @@ def interleaved_queries() -> dict[str, Query]:
         "events_time_weighted_avg",
         "win_gapfill_locf",
         "win_filter_clause",
+        "scalar_crypto_digests",
+        "scalar_citext_semantics",
+        "scalar_earth_distance",
+        "ltree_hierarchy_ops",
+        "scalar_unaccent",
+        "scalar_orafce_compat",
+        "sql_plan_hints",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",

@@ -505,3 +505,11 @@ def test_q1_money_sums_stay_in_codegen(spark):
     plan = _plan(spark, "tpch_q1")
     assert "decimal(38,0)" in plan, "fixed-point accumulator missing"
     assert "decimal(18," not in plan, "legacy decimal cast reappeared"
+
+
+def test_merge_hint_forces_smj(spark):
+    """sql_plan_hints carries /*+ MERGE(orders) */ — the plan must show
+    SortMergeJoin where the unhinted query broadcasts (pg_hint_plan
+    analog: per-query override of the optimizer's join strategy)."""
+    plan = _plan(spark, "sql_plan_hints")
+    assert "SortMergeJoin" in plan
