@@ -409,6 +409,42 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_TOKEN_BUDGET = 2_500
 
 
+def _distributed_prefix_sum(
+    t: DataFrame, val: str, keys: tuple[str, ...], npart: int = 16
+) -> DataFrame:
+    """Global running total of ``val`` in ``keys`` order, WITHOUT the
+    single-partition global window (which would serialize 100 TB through
+    one task): repartitionByRange on the sort key, per-partition partial
+    sums (metadata-sized, #partitions rows), an exclusive scan over
+    those partials on the tiny side, broadcast back, then per-partition
+    running sums in parallel — the same partial/final split the
+    reference applies to aggregates (cdb/cdbgroupingpaths.c), applied
+    to a window. Result (column ``cum``) is invariant to partition
+    boundaries."""
+    from pyspark.sql.window import Window
+
+    part = (
+        t.repartitionByRange(npart, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    ptot = part.groupBy("pid").agg(F.sum(val).alias("ptok"))
+    # exclusive scan over per-partition totals: #partitions rows, so the
+    # single-partition window here is metadata-scale (like the slice table)
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = ptot.select(
+        "pid", F.coalesce(F.sum("ptok").over(woff), F.lit(0)).alias("offset")
+    )
+    wrun = (
+        Window.partitionBy("pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return part.join(F.broadcast(off), "pid").withColumn(
+        "cum", F.sum(val).over(wrun) + F.col("offset")
+    )
+
+
 @register(
     "text_token_shards",
     oracle=f"""
@@ -447,8 +483,6 @@ SHARD_TOKEN_BUDGET = 2_500
     tags=("pipeline", "text", "sharding", "scale"),
 )
 def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from cloudberry_spark.pipeline.hashing import spark_base_hash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -457,27 +491,7 @@ def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("tok"),
         spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
     )
-    part = (
-        t.repartitionByRange(16, "h", "doc_id")
-        .sortWithinPartitions("h", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    ptot = part.groupBy("pid").agg(F.sum("tok").alias("ptok"))
-    # exclusive scan over per-partition totals: #partitions rows, so the
-    # single-partition window here is metadata-scale (like the slice table)
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = ptot.select(
-        "pid", F.coalesce(F.sum("ptok").over(woff), F.lit(0)).alias("offset")
-    )
-    wrun = (
-        Window.partitionBy("pid")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        part.join(F.broadcast(off), "pid")
-        .withColumn("cum", F.sum("tok").over(wrun) + F.col("offset"))
-    )
+    cum = _distributed_prefix_sum(t, val="tok", keys=("h", "doc_id"))
     return (
         cum.withColumn(
             "shard_id",
@@ -1000,4 +1014,74 @@ def text_bpeish_tokens_re2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens_per_doc"),
         )
         .orderBy("source")
+    )
+
+
+SEQUENCE_LENGTH = 512
+
+
+@register(
+    "text_sequence_pack",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS tok,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok,
+               sum(tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                   AS cum
+        FROM t
+    )
+    SELECT doc_id, tok,
+           (cum - tok) // 512 AS seq_id,
+           (cum - tok) % 512 AS offset_in_seq,
+           CASE WHEN tok = 0 THEN 0
+                ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
+           END AS n_boundary_splits
+    FROM c
+    ORDER BY seq_id, offset_in_seq, doc_id
+    """,
+    doc="GPT-style sequence packing (concat-and-chunk): documents are "
+    "concatenated in deterministic-hash order into one global token "
+    "stream, then cut into fixed 512-token training sequences; a "
+    "document's placement is pure arithmetic on the global running "
+    "token count (seq_id = start div L, offset = start mod L, "
+    "n_boundary_splits = how many sequence cuts land inside the doc). "
+    "Zero padding waste by construction — the packing strategy used "
+    "for GPT-class pretraining, vs text_token_shards' whole-document "
+    "bins. Rides the same partial/final distributed prefix sum (no "
+    "single-partition global window); all placement math is integer, "
+    "so the SQL-window oracle matches bit-for-bit.",
+    tags=("pipeline", "text", "sharding", "scale"),
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok"),
+        spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = _distributed_prefix_sum(t, val="tok", keys=("h", "doc_id"))
+    start = F.col("cum") - F.col("tok")
+    L = SEQUENCE_LENGTH
+    return (
+        cum.select(
+            "doc_id",
+            "tok",
+            F.expr(f"(cum - tok) div {L}").alias("seq_id"),
+            (start % L).alias("offset_in_seq"),
+            F.when(F.col("tok") == 0, F.lit(0))
+            .otherwise(
+                F.expr(f"(cum - 1) div {L}") - F.expr(f"(cum - tok) div {L}")
+            )
+            .alias("n_boundary_splits"),
+        )
+        .orderBy("seq_id", "offset_in_seq", "doc_id")
     )

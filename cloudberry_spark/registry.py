@@ -160,6 +160,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_unaccent",
         "scalar_orafce_compat",
         "sql_plan_hints",
+        "text_sequence_pack",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
