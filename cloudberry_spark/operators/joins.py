@@ -461,3 +461,76 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "next_click_ts")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey, o_orderpriority AS prio,
+               o_orderdate AS valid_from,
+               coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                        TIMESTAMP '9999-12-31') AS valid_to
+        FROM orders
+    ), probes AS (
+        SELECT o_custkey AS custkey, l_shipdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber = 1 AND o_custkey <= 100
+    )
+    SELECT v.prio AS prio_at_ship,
+           count(*) AS n_shipments,
+           count(DISTINCT p.custkey) AS n_customers
+    FROM probes p
+    JOIN versions v
+      ON p.custkey = v.o_custkey
+     AND p.l_shipdate >= v.valid_from
+     AND p.l_shipdate <  v.valid_to
+    GROUP BY v.prio
+    ORDER BY prio_at_ship
+    """,
+    doc="SCD Type-2 dimension build + point-in-time join (the "
+    "warehouse pattern the reference serves with partitioned history "
+    "tables + BETWEEN predicates): versions derive valid_from/valid_to "
+    "via lead() over the change stream (one window sort per key), and "
+    "the as-of lookup is an EQUI-join on the surrogate key with the "
+    "interval test as a residual filter — per-key version counts are "
+    "bounded, so the hash join never degenerates to a theta join even "
+    "when one customer has millions of probe rows. Complements "
+    "join_asof_events (nearest-match) with validity-interval "
+    "semantics.",
+    tags=("join", "scd", "temporal"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    probes = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_custkey") <= 100)
+        .select(F.col("o_custkey").alias("custkey"), "l_shipdate")
+    )
+    return (
+        probes.join(
+            versions,
+            (F.col("custkey") == versions.o_custkey)
+            & (F.col("l_shipdate") >= F.col("valid_from"))
+            & (F.col("l_shipdate") < F.col("valid_to")),
+        )
+        .groupBy(F.col("prio").alias("prio_at_ship"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.countDistinct("custkey").alias("n_customers"),
+        )
+        .orderBy("prio_at_ship")
+    )

@@ -161,6 +161,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_orafce_compat",
         "sql_plan_hints",
         "text_sequence_pack",
+        "join_scd2_point_in_time",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
