@@ -401,3 +401,92 @@ def decimal_window_queries(draw) -> str:
 def test_random_decimal_window_matches(sql, spark, ddb):
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def fixed_point_money_queries(draw) -> str:
+    """Fuzz the fixed-point money-sum macro (round->BIGINT->DECIMAL(38,0)
+    sum, operators/tpch.py dsum): random money expression x scale x
+    predicate x grouping. Guards the invariant the TPC-H suite now
+    rides: the scaled double product always rounds to the same integer
+    on both engines. Dialect-portable text — one SQL for both."""
+    expr, scale = draw(
+        st.sampled_from(
+            [
+                ("l_extendedprice", 2),
+                ("l_discount", 2),
+                ("l_tax", 2),
+                ("l_extendedprice * (1 - l_discount)", 4),
+                ("l_extendedprice * l_discount", 4),
+                ("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6),
+                ("l_extendedprice * l_quantity", 2),
+            ]
+        )
+    )
+    f = 10 ** scale
+    msum = (
+        f"(CAST(sum(CAST(CAST(round(({expr}) * {f}) AS BIGINT) "
+        f"AS DECIMAL(38,0))) AS DOUBLE) / {f}.0)"
+    )
+    pred = draw(predicates())
+    grp = draw(st.sampled_from(GROUPS))
+    if grp is None:
+        return f"SELECT {msum} AS m, count(*) AS n FROM lineitem WHERE {pred}"
+    return (
+        f"SELECT {grp} AS g, {msum} AS m, count(*) AS n "
+        f"FROM lineitem WHERE {pred} GROUP BY {grp} ORDER BY {grp}"
+    )
+
+
+@settings(**COMMON)
+@given(sql=fixed_point_money_queries())
+def test_random_fixed_point_money_matches(sql, spark, ddb):
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(sql), ddb, sql, name=sql)
+
+
+@st.composite
+def date_bin_queries(draw):
+    """Fuzz arbitrary-origin time bucketing (scalar_date_bin arithmetic)
+    across strides and origins: integer-microsecond pmod on Spark vs
+    positive-modulo on DuckDB must agree for every (stride, origin),
+    including origins AFTER some events (negative deltas)."""
+    stride_s = draw(st.sampled_from([60, 300, 900, 3600, 21600, 86400]))
+    origin = draw(
+        st.sampled_from(
+            [
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:07:30",
+                "2024-01-15 13:00:05",
+                "2024-02-01 00:00:00",  # after most January events
+            ]
+        )
+    )
+    us = stride_s * 1_000_000
+    spark_sql = f"""
+        SELECT CAST(timestamp_micros(
+                 unix_micros(CAST(ts AS TIMESTAMP))
+                 - pmod(unix_micros(CAST(ts AS TIMESTAMP))
+                        - unix_micros(TIMESTAMP '{origin}'), {us})
+               ) AS TIMESTAMP_NTZ) AS bin_start,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 30
+    """
+    duck_sql = f"""
+        SELECT make_timestamp(
+                 epoch_us(ts)
+                 - ((epoch_us(ts) - epoch_us(TIMESTAMP '{origin}'))
+                     % {us} + {us}) % {us}
+               ) AS bin_start,
+               count(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 30
+    """
+    return spark_sql, duck_sql
+
+
+@settings(**COMMON)
+@given(pair=date_bin_queries())
+def test_random_date_bin_matches(pair, spark, ddb):
+    spark_sql, duck_sql = pair
+    ensure_views(spark, SF_DIR)
+    assert_matches_oracle(spark.sql(spark_sql), ddb, duck_sql, name=spark_sql)
