@@ -927,3 +927,77 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+MATRYOSHKA_DIM = 16
+
+_DUCK_DOT16 = (
+    f"list_sum(list_transform(generate_series(1, {MATRYOSHKA_DIM}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cosine16(a: str, b: str) -> str:
+    d = _DUCK_DOT16.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT16.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT16.format(a=b, b=b)})"
+    return f"({d}) / ({na} * {nb})"
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    fulls AS (
+      SELECT query_id, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_duck_cosine('q_emb', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+      FROM embeddings c JOIN q ON c.vec_id <> query_id),
+    truncs AS (
+      SELECT query_id, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_duck_cosine16('q_emb', 'c.embedding')} DESC,
+                          c.vec_id) AS rnk
+      FROM embeddings c JOIN q ON c.vec_id <> query_id)
+    SELECT f.query_id,
+           count(t.nid) AS n_overlap,
+           CAST(count(t.nid) AS DOUBLE) / {K} AS recall_at_k
+    FROM fulls f LEFT JOIN truncs t
+      ON f.query_id = t.query_id AND f.nid = t.nid AND t.rnk <= {K}
+    WHERE f.rnk <= {K}
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+    doc="Matryoshka-truncation quality audit (Kusupati et al. 2022 MRL): "
+    "search with only the first 16 of 64 dimensions (4x cheaper dot "
+    "products, 4x smaller index) and measure in-engine recall@k against "
+    "full-dimension ground truth — the dimension/recall dial measured "
+    "the same way as sim_lsh_recall/sim_ivf_recall measure their "
+    "bucketing dials. Truncation is F.slice (zero-copy projection, "
+    "map-side); both rankings reuse the broadcast-query knn_brute "
+    "shape: corpus scanned twice, shuffles only on the tiny query key.",
+    tags=("pipeline", "similarity", "recall"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    full_topk = knn_brute(emb, queries).select(
+        "query_id", F.col("neighbor_id").alias("nid")
+    )
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIM).alias("embedding")
+    )
+    trunc_topk = knn_brute(emb_t, emb_t.where(F.col("vec_id") < N_QUERIES)).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.lit(1).alias("hit")
+    )
+    return (
+        full_topk.join(trunc_topk, ["query_id", "nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            (F.count("hit").cast("double") / F.lit(K)).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -162,6 +162,7 @@ def interleaved_queries() -> dict[str, Query]:
         "sql_plan_hints",
         "text_sequence_pack",
         "join_scd2_point_in_time",
+        "emb_matryoshka_recall",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
