@@ -112,6 +112,7 @@ def _load_all() -> None:
     import cloudberry_spark.pipeline.composed  # noqa: F401
     import cloudberry_spark.pipeline.components  # noqa: F401
     import cloudberry_spark.pipeline.curation  # noqa: F401
+    import cloudberry_spark.pipeline.classify  # noqa: F401
     import cloudberry_spark.streaming.windows  # noqa: F401
     import cloudberry_spark.streaming.ivm  # noqa: F401
     import cloudberry_spark.streaming.stateful  # noqa: F401
@@ -163,6 +164,8 @@ def interleaved_queries() -> dict[str, Query]:
         "text_sequence_pack",
         "join_scd2_point_in_time",
         "emb_matryoshka_recall",
+        "ml_naive_bayes_langid",
+        "ml_mad_outliers",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
