@@ -753,3 +753,50 @@ register_sql(
     "functions share one named window => one sort, one exchange.",
     tags=("window", "filter"),
 )
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY cur), 6) AS p_next
+    FROM pairs
+    ORDER BY cur, nxt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (sequence analytics the reference serves with window "
+    "lead() + aggregation; the input to next-event prediction and "
+    "session-flow modeling). One window sort partitioned by user, one "
+    "grouped count over the bounded type x type space, row-normalized "
+    "with a window sum over the tiny result — the heavy shuffle is "
+    "only the per-user ordering, reused from any sessionization run.",
+    tags=("window", "sequence"),
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias(
+            "p_next"
+        ),
+    ).orderBy("cur", "nxt")

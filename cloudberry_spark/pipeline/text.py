@@ -1085,3 +1085,55 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id", "offset_in_seq", "doc_id")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, count(*) AS n FROM words GROUP BY w
+    ), ranked AS (
+        SELECT w, n,
+               row_number() OVER (ORDER BY n DESC, w) AS rnk
+        FROM freq
+    )
+    SELECT count(*) AS vocab_size,
+           round(regr_slope(ln(CAST(n AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_r2(ln(CAST(n AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM ranked
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: log-log regression "
+    "of frequency on rank via the regr_slope/regr_r2 aggregate family "
+    "(src/backend/utils/adt/float.c float8_regr_*) — natural text has "
+    "slope near -1, so the fitted slope is a corpus-health diagnostic "
+    "(synthetic or template-heavy corpora flatten it). One groupBy for "
+    "frequencies; ranking shuffles only vocabulary rows (bounded, not "
+    "corpus-sized); the regression is a single-pass aggregate.",
+    tags=("pipeline", "text", "diagnostics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the global row_number here runs over VOCABULARY rows (bounded),
+    # not corpus rows — acceptable single-partition window
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "w"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6).alias("r2"),
+    )

@@ -166,6 +166,8 @@ def interleaved_queries() -> dict[str, Query]:
         "emb_matryoshka_recall",
         "ml_naive_bayes_langid",
         "ml_mad_outliers",
+        "events_markov_transition",
+        "text_zipf_fit",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
