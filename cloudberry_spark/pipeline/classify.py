@@ -212,3 +212,95 @@ def ml_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ml_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id % 2 AS cohort, event_type, count(*) AS o
+        FROM events GROUP BY user_id % 2, event_type
+    ), tot AS (
+        SELECT sum(o) AS n FROM obs
+    ), margins AS (
+        SELECT o.cohort, o.event_type, o.o,
+               sum(o.o) OVER (PARTITION BY o.cohort) AS row_tot,
+               sum(o.o) OVER (PARTITION BY o.event_type) AS col_tot
+        FROM obs o
+    )
+    SELECT round(sum(pow(o - CAST(row_tot * col_tot AS DOUBLE)
+                              / (SELECT n FROM tot), 2)
+                     / (CAST(row_tot * col_tot AS DOUBLE)
+                        / (SELECT n FROM tot))), 6) AS chi2,
+           (count(DISTINCT cohort) - 1)
+               * (count(DISTINCT event_type) - 1) AS dof,
+           (SELECT n FROM tot) AS n_events
+    FROM margins
+    """,
+    doc="Chi-square test of independence (MADlib hypothesis-test "
+    "family): cohort (user parity) x event_type contingency table, "
+    "expected counts from the margins, one grouped count + window "
+    "margins over the BOUNDED contingency table (|cohorts| x |types| "
+    "rows — the corpus shuffles once into it). The test statistic is "
+    "the screening tool for 'did this pipeline change shift the event "
+    "mix' at any scale.",
+    tags=("pipeline", "ml", "stats"),
+)
+def ml_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        (F.col("user_id") % 2).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = (
+        obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("cohort")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("event_type")))
+    )
+    n = margins.agg(F.sum("o")).collect()[0][0]
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.lit(float(n))
+    return margins.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("cohort") - 1)
+            * (F.countDistinct("event_type") - 1)
+        ).alias("dof"),
+        F.lit(n).alias("n_events"),
+    )
+
+
+@register(
+    "ml_event_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events WHERE user_id <= 50
+        GROUP BY user_id, event_type
+    ), tot AS (
+        SELECT user_id, sum(c) AS n FROM counts GROUP BY user_id
+    )
+    SELECT c.user_id, t.n AS n_events,
+           round(-sum((CAST(c.c AS DOUBLE) / t.n)
+                      * ln(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy
+    FROM counts c JOIN tot t USING (user_id)
+    GROUP BY c.user_id, t.n
+    ORDER BY c.user_id
+    """,
+    doc="Shannon entropy of each user's event-type distribution "
+    "(behavioral-diversity diagnostic; information-theoretic cousin "
+    "of diag_key_skew): two grouped counts co-partitioned on user_id "
+    "(one exchange reused), then -sum(p ln p). Low entropy = "
+    "single-action bots, high = diverse sessions.",
+    tags=("pipeline", "ml", "stats"),
+)
+def ml_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(tot, "user_id")
+        .groupBy("user_id", F.col("n").alias("n_events"))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .orderBy("user_id")
+    )

@@ -168,6 +168,8 @@ def interleaved_queries() -> dict[str, Query]:
         "ml_mad_outliers",
         "events_markov_transition",
         "text_zipf_fit",
+        "ml_chi2_independence",
+        "ml_event_entropy",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
