@@ -49,23 +49,26 @@ PARTIAL_SCHEMA = "term string, partial_count long"
 def _misra_gries_partials(
     batches: Iterator[pd.DataFrame], capacity: int
 ) -> Iterator[pd.DataFrame]:
-    """Arrow-batched MG over one partition's token stream."""
+    """Arrow-batched MG over one partition's token stream.
+
+    Each Arrow batch is first reduced with a vectorized ``value_counts``
+    (exact), then MERGED into the running summary with the PODS'12
+    merge: sum counts, and if the union exceeds ``capacity``, subtract
+    the (capacity+1)-th largest count from everyone and drop the
+    non-positives — a valid MG summary of everything seen, with the
+    same cumulative error bound (<= n/(capacity+1)) as item-at-a-time
+    decrements. Cost is O(batch_vocab + capacity) per batch instead of
+    O(capacity) per overflowing ITEM, which is what survives a 100 TB
+    partition whose tail vocabulary never stops growing."""
     counters: dict[str, int] = {}
     for pdf in batches:
-        for term in pdf["term"]:
-            if term in counters:
-                counters[term] += 1
-            elif len(counters) < capacity:
-                counters[term] = 1
-            else:
-                # full: decrement everyone, drop zeros (amortized O(1)/item)
-                dead = []
-                for t in counters:
-                    counters[t] -= 1
-                    if counters[t] == 0:
-                        dead.append(t)
-                for t in dead:
-                    del counters[t]
+        for term, cnt in pdf["term"].value_counts().items():
+            counters[term] = counters.get(term, 0) + int(cnt)
+        if len(counters) > capacity:
+            thresh = sorted(counters.values(), reverse=True)[capacity]
+            counters = {
+                t: c - thresh for t, c in counters.items() if c - thresh > 0
+            }
     yield pd.DataFrame(
         {"term": list(counters.keys()), "partial_count": list(counters.values())}
     )
