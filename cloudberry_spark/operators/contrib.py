@@ -303,3 +303,29 @@ register_sql(
     "effect.",
     tags=("sql", "contrib", "hints"),
 )
+
+
+register_sql(
+    "scalar_format_sprintf",
+    """
+    SELECT n_nationkey,
+           format_string('%s#%03d', n_name, n_nationkey) AS tagged,
+           format_string('region=%d balance=%.2f', n_regionkey,
+                         CAST(n_nationkey AS DOUBLE) * 1.5) AS report
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           printf('%s#%03d', n_name, n_nationkey) AS tagged,
+           printf('region=%d balance=%.2f', n_regionkey,
+                  CAST(n_nationkey AS DOUBLE) * 1.5) AS report
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="PG format() / sprintf (src/backend/utils/adt/varlena.c "
+    "text_format, orafce printf): C-style formatting via Spark "
+    "format_string == DuckDB printf, identical %s/%03d/%.2f "
+    "renderings. Map-only projection.",
+    tags=("scalar", "contrib", "format"),
+)

@@ -170,6 +170,7 @@ def interleaved_queries() -> dict[str, Query]:
         "text_zipf_fit",
         "ml_chi2_independence",
         "ml_event_entropy",
+        "scalar_format_sprintf",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
