@@ -62,6 +62,30 @@ def main() -> None:
         timings[label] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Multi-stream throughput (the MPP concurrency story): 4 distinct
+    # query streams submitted from 4 threads share the scheduler; wall
+    # clock well under the sum of their solo times shows inter-query
+    # overlap. Reported as its own key, EXCLUDED from `value` so the
+    # headline total stays comparable across rounds.
+    import threading
+
+    streams = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q18"]
+    solo = sum(timings[s.replace("tpch_", "")] for s in streams)
+
+    def _run(name: str) -> None:
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    threads = [threading.Thread(target=_run, args=(s,)) for s in streams]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    timings["concurrent4_wall"] = round(time.perf_counter() - t0, 3)
+    timings["concurrent4_solo_sum"] = round(solo, 3)
     try:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
