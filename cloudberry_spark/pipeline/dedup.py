@@ -514,3 +514,61 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""{_duckdb_shingle_cte()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+           round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6)
+               AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Containment detection (Broder's containment coefficient "
+    "|A∩B| / min|A|,|B| — the sub-document dedup metric: a short doc "
+    "pasted inside a long one scores low Jaccard but high containment, "
+    "so Jaccard-threshold dedup misses it). Same shingle-hash equi-join "
+    "machinery as dedup_ngram_jaccard — intersection counts shuffle on "
+    "the 60-bit shingle hash, never text; at scale feed LSH candidates "
+    "(lsh_candidate_pairs) instead of the open join. Emits which side "
+    "is the contained (smaller) document.",
+    tags=("pipeline", "dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingle_hashes(docs, "doc_id", "text").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
