@@ -329,3 +329,35 @@ register_sql(
     "renderings. Map-only projection.",
     tags=("scalar", "contrib", "format"),
 )
+
+
+register_sql(
+    "scalar_regexp_backrefs",
+    """
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '([0-9])-([A-Z]+)', '$2[$1]')
+               AS pri_rewritten,
+           regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)
+               AS pri_word
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '([0-9])-([A-Z]+)', '\\2[\\1]')
+               AS pri_rewritten,
+           regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2)
+               AS pri_word
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey
+    """,
+    doc="Regex capture-group backreferences (src/backend/utils/adt/"
+    "regexp.c textregexreplace — PG spells groups \\\\1, Spark/Java "
+    "spells them $1; a top migration papercut): identical rewrite "
+    "semantics proven against DuckDB's \\\\1 dialect, plus group "
+    "extraction via regexp_extract(_, _, idx) which both engines "
+    "share. Map-only.",
+    tags=("scalar", "contrib", "regex"),
+)

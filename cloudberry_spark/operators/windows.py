@@ -800,3 +800,7 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     ).orderBy("cur", "nxt")
+
+
+# (three-step path mining already exists as events_top_paths in
+# streaming/windows.py — kept there with the events analytics family)

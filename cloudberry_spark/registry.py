@@ -172,6 +172,7 @@ def interleaved_queries() -> dict[str, Query]:
         "ml_event_entropy",
         "scalar_format_sprintf",
         "dedup_containment_pairs",
+        "scalar_regexp_backrefs",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
