@@ -361,3 +361,40 @@ register_sql(
     "share. Map-only.",
     tags=("scalar", "contrib", "regex"),
 )
+
+
+register_sql(
+    "scalar_horology_fields",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           weekday(o_orderdate) + 1 AS isodow,
+           weekofyear(o_orderdate)  AS iso_week,
+           quarter(o_orderdate)     AS q,
+           dayofyear(o_orderdate)   AS doy,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey <= 300
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY d
+    """,
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           isodow(o_orderdate)     AS isodow,
+           weekofyear(o_orderdate) AS iso_week,
+           quarter(o_orderdate)    AS q,
+           dayofyear(o_orderdate)  AS doy,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey <= 300
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY d
+    """,
+    doc="PG horology field extraction (src/backend/utils/adt/"
+    "timestamp.c timestamp_part: isodow/week/quarter/doy — the "
+    "isodow-vs-dow and ISO-week-vs-calendar-week traps are classic "
+    "migration bugs): Spark's weekday() is 0=Monday so isodow = "
+    "weekday+1, weekofyear is already ISO-8601 on both engines. "
+    "Differentially pinned across year boundaries in the fixture "
+    "range.",
+    tags=("scalar", "contrib", "datetime"),
+)

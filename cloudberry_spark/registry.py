@@ -173,6 +173,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_format_sprintf",
         "dedup_containment_pairs",
         "scalar_regexp_backrefs",
+        "scalar_horology_fields",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
