@@ -592,3 +592,67 @@ def _agg_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(round(l_quantity) AS BIGINT) AS wt
+        FROM lineitem WHERE l_orderkey <= 2000
+    ), c AS (
+        SELECT l_returnflag, v, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY v, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        FROM w
+    )
+    SELECT l_returnflag,
+           min(v) AS weighted_median,
+           max(tot) AS total_weight
+    FROM c
+    WHERE cum * 2 >= tot
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Weighted median (MADlib/analytics staple with no PG-core "
+    "builtin): order values within each group, running weight sum, "
+    "first value whose cumulative weight reaches half the total. "
+    "All-integer weights (round(quantity)) keep the halfway test "
+    "exact on both engines; one window sort per group key, no "
+    "iteration. min(v) over the qualifying suffix picks the boundary "
+    "value deterministically.",
+    tags=("agg", "weighted", "robust"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round("l_quantity").cast("bigint").alias("wt"),
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt_tot = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_tot).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

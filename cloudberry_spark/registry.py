@@ -174,6 +174,7 @@ def interleaved_queries() -> dict[str, Query]:
         "dedup_containment_pairs",
         "scalar_regexp_backrefs",
         "scalar_horology_fields",
+        "agg_weighted_median",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
