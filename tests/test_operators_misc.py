@@ -94,3 +94,26 @@ def test_misra_gries_lossy_regime_error_bound(spark):
         assert truth[term] - est <= bound, (
             f"{term}: undercount {truth[term] - est} exceeds n/k={bound}"
         )
+
+
+def test_weighted_ares_prefers_heavy_weights(spark):
+    """A-Res keys are ln(u)/w: a weight 1000x larger pulls the key
+    toward 0 (the maximum), so overwhelming-weight rows must enter the
+    sample ahead of light rows regardless of their hash draw."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    rows = [(i, 100_000 if i < 5 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    u = (spark_base_hash(F.col("doc_id").cast("string")) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    keyed = df.select(
+        "doc_id", (F.log(u) / F.col("n_chars")).alias("ares_key")
+    )
+    top = {
+        r.doc_id
+        for r in keyed.orderBy(F.desc("ares_key"), "doc_id").limit(20).collect()
+    }
+    assert {0, 1, 2, 3, 4} <= top, f"heavy-weight rows missing from {top}"
