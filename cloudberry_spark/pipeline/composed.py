@@ -250,3 +250,70 @@ def pipeline_curate_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens"))
         .orderBy("shard_id")
     )
+
+
+def _seq_oracle() -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    base = _oracle().rsplit("SELECT source,", 1)[0]  # reuse CTE chain to `final`
+    return f"""{base},
+    t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length({toks}) END AS tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                  AS BIGINT) AS h
+      FROM final
+    ),
+    c AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                 AS cum
+      FROM t
+    )
+    SELECT count(*) AS n_docs,
+           sum(tok) AS total_tokens,
+           (max(cum) + 511) // 512 AS n_sequences,
+           sum(CASE WHEN tok = 0 THEN 0
+                    ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
+               END) AS n_boundary_splits
+    FROM c
+    """
+
+
+@register(
+    "pipeline_curate_to_sequences",
+    oracle=_seq_oracle(),
+    doc="Curation v3: the full curate() graph (quality filter -> exact "
+    "dedup -> LSH near-dup removal) feeding GPT-style 512-token "
+    "sequence packing (text_sequence_pack's concat-and-chunk over the "
+    "SURVIVORS), summarized as corpus -> training-sequence accounting "
+    "(docs, tokens, sequences, boundary splits). One DataFrame graph "
+    "end to end, every stage deterministic and cross-engine-hashed, so "
+    "the five-stage composition still has a single DuckDB oracle. The "
+    "packing rides the partial/final distributed prefix sum — no "
+    "single-partition window even after three upstream shuffles.",
+    tags=("pipeline", "composed", "sharding"),
+)
+def pipeline_curate_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = curate(docs)
+    t = survivors.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok"),
+        spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = _distributed_prefix_sum(t, val="tok", keys=("h", "doc_id"))
+    L = 512
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.expr(f"(max(cum) + {L - 1}) div {L}").alias("n_sequences"),
+        F.sum(
+            F.when(F.col("tok") == 0, F.lit(0)).otherwise(
+                F.expr(f"(cum - 1) div {L}") - F.expr(f"(cum - tok) div {L}")
+            )
+        ).alias("n_boundary_splits"),
+    )

@@ -175,6 +175,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_regexp_backrefs",
         "scalar_horology_fields",
         "agg_weighted_median",
+        "pipeline_curate_to_sequences",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
