@@ -190,3 +190,45 @@ register_sql(
     "Two-phase count, one exchange on the candidate key.",
     tags=("reports", "diagnostic", "agg"),
 )
+
+
+register_sql(
+    "tpcds_rank_delta",
+    """
+    WITH q_rev AS (
+        SELECT p_type,
+               year(o_orderdate) * 10 + quarter(o_orderdate) AS yq,
+               (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount))
+                                          * 10000) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part   ON l_partkey = p_partkey
+        GROUP BY p_type, year(o_orderdate) * 10 + quarter(o_orderdate)
+    ), ranked AS (
+        SELECT p_type, yq, rev,
+               rank() OVER (PARTITION BY yq ORDER BY rev DESC, p_type)
+                   AS rnk
+        FROM q_rev
+    )
+    SELECT cur.yq, cur.p_type,
+           prev.rnk AS rank_prev, cur.rnk AS rank_cur,
+           prev.rnk - cur.rnk AS rank_delta
+    FROM ranked cur
+    JOIN ranked prev
+      ON prev.p_type = cur.p_type
+     AND prev.yq = CASE WHEN cur.yq % 10 = 1 THEN cur.yq - 7
+                        ELSE cur.yq - 1 END
+    WHERE prev.rnk <> cur.rnk
+    ORDER BY cur.yq, cur.p_type
+    """,
+    doc="TPC-DS-class rank-delta movers (the q89/q47 pattern: category "
+    "ranking compared across consecutive periods): per-quarter revenue "
+    "by part type (fixed-point exact sums), rank within quarter, "
+    "self-join consecutive quarters (year-boundary aware) and report "
+    "rank movement. Two window sorts over the BOUNDED (type x quarter) "
+    "aggregate, never over fact rows; the fact shuffle is the single "
+    "grouped aggregation. Dialect-portable text shared with the "
+    "oracle.",
+    tags=("reports", "tpcds", "window"),
+)

@@ -176,6 +176,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_horology_fields",
         "agg_weighted_median",
         "pipeline_curate_to_sequences",
+        "tpcds_rank_delta",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
