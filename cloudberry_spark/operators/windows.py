@@ -804,3 +804,32 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (three-step path mining already exists as events_top_paths in
 # streaming/windows.py — kept there with the events analytics family)
+
+
+register_sql(
+    "win_cumulative_distinct",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+        WHERE user_id <= 20
+    )
+    SELECT user_id, event_id,
+           sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)
+               AS distinct_types_so_far
+    FROM marked
+    ORDER BY user_id, event_id
+    """,
+    doc="Running COUNT(DISTINCT) over a window — not directly "
+    "expressible in PG or Spark (DISTINCT is invalid inside a moving "
+    "frame): the exact rewrite marks each key's FIRST occurrence with "
+    "one window, then running-sums the markers with a second. Both "
+    "windows partition on user_id (the second reuses the first's "
+    "exchange); deterministic tie order via (ts, event_id). "
+    "Dialect-portable text shared with the oracle.",
+    tags=("window", "distinct"),
+)

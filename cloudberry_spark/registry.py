@@ -177,6 +177,7 @@ def interleaved_queries() -> dict[str, Query]:
         "agg_weighted_median",
         "pipeline_curate_to_sequences",
         "tpcds_rank_delta",
+        "win_cumulative_distinct",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
