@@ -232,3 +232,101 @@ register_sql(
     "oracle.",
     tags=("reports", "tpcds", "window"),
 )
+
+
+register_sql(
+    "diag_gini_coefficient",
+    """
+    WITH spend AS (
+        SELECT c_mktsegment AS seg, o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ), ranked AS (
+        SELECT seg, o_custkey, x,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY x, o_custkey) AS i,
+               count(*) OVER (PARTITION BY seg) AS n,
+               sum(x)   OVER (PARTITION BY seg) AS tot
+        FROM spend
+    )
+    SELECT seg,
+           max(n) AS n_customers,
+           round(2.0 * sum(CAST(i * x AS DECIMAL(38,0)))
+                     / (CAST(max(n) AS DOUBLE) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    doc="Gini coefficient of customer spend per market segment (the "
+    "inequality diagnostic; MADlib summary-statistics family): exact "
+    "fixed-point cents per customer, rank-weighted sum identity "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with DECIMAL(38,0) "
+    "accumulation of the integer rank products. One grouped agg + one "
+    "window sort per segment; deterministic tie-break on custkey. "
+    "Dialect-portable text shared with the oracle.",
+    tags=("reports", "diagnostic", "inequality"),
+)
+
+register_sql(
+    "diag_hhi_concentration",
+    """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    ), tot AS (
+        SELECT r_name, n_name, x,
+               sum(x) OVER (PARTITION BY r_name) AS rt
+        FROM rev
+    )
+    SELECT r_name,
+           count(*) AS n_nations,
+           round(sum(pow(100.0 * x / rt, 2)), 4) AS hhi
+    FROM tot
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    doc="Herfindahl-Hirschman concentration index per region (market "
+    "shares of nations by order revenue, shares from exact "
+    "fixed-point cents): sum of squared percentage shares — <1500 "
+    "unconcentrated, >2500 concentrated. One grouped agg over the "
+    "bounded region x nation space + a window share.",
+    tags=("reports", "diagnostic", "inequality"),
+)
+
+register_sql(
+    "diag_pareto_8020",
+    """
+    WITH uv AS (
+        SELECT event_type, user_id, sum(value) AS v
+        FROM events GROUP BY event_type, user_id
+    ), r AS (
+        SELECT event_type, user_id, v,
+               sum(v) OVER (PARTITION BY event_type) AS tot,
+               sum(v) OVER (PARTITION BY event_type
+                            ORDER BY v DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM uv
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           sum(CASE WHEN cum - v < 0.8 * tot THEN 1 ELSE 0 END)
+               AS users_for_80pct
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Pareto 80/20 concentration: per event type, how many heaviest "
+    "users account for 80% of total value — the skew lens operators "
+    "use before partitioning decisions (complement of diag_key_skew's "
+    "coefficient-of-variation view). Descending cumulative-share "
+    "window per type; strict `cum - v < 0.8*tot` counts exactly the "
+    "users needed to first reach the threshold.",
+    tags=("reports", "diagnostic", "inequality"),
+)

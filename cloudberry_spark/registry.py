@@ -178,6 +178,9 @@ def interleaved_queries() -> dict[str, Query]:
         "pipeline_curate_to_sequences",
         "tpcds_rank_delta",
         "win_cumulative_distinct",
+        "diag_gini_coefficient",
+        "diag_hhi_concentration",
+        "diag_pareto_8020",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
