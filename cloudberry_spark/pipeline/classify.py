@@ -304,3 +304,68 @@ def ml_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
         .orderBy("user_id")
     )
+
+
+def _bootstrap_oracle() -> str:
+    h = ("CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 18, 15))"
+         " AS BIGINT)")
+    reps = " UNION ALL ".join(
+        f"SELECT pri, {b} AS b, v FROM base WHERE (h % {1 << (b + 1)}) >= {1 << b}"
+        for b in range(8)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pri, o_totalprice AS v, {h} AS h
+        FROM orders
+    ), reps AS ({reps}),
+    rep_means AS (
+        SELECT pri, b, avg(v) AS m FROM reps GROUP BY pri, b
+    )
+    SELECT pri,
+           round(avg(m), 4) AS boot_mean,
+           round(stddev_samp(m), 4) AS boot_se,
+           count(*) AS n_replicates
+    FROM rep_means
+    GROUP BY pri
+    ORDER BY pri
+    """
+
+
+@register(
+    "ml_halfsample_bootstrap",
+    oracle=_bootstrap_oracle(),
+    doc="Deterministic half-sample bootstrap (in-engine uncertainty "
+    "quantification, MADlib summary-stats adjacent): 8 overlapping "
+    "half-samples selected by BITS of the cross-engine md5 hash (bit b "
+    "set -> row joins replicate b), each replicate's mean computed in "
+    "one grouped pass, spread of the 8 means = the standard-error "
+    "estimate. Fully reproducible (no RNG), one corpus scan fanned "
+    "x8 map-side, shuffle on the bounded (group x replicate) key — "
+    "the scalable alternative to driver-side resampling at 100 TB. "
+    "All-integer bit tests keep replicate membership bit-identical "
+    "across engines.",
+    tags=("pipeline", "ml", "stats"),
+)
+def ml_halfsample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("v"),
+        spark_base_hash(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    bits = spark.range(8).select(F.col("id").cast("int").alias("b"))
+    reps = base.crossJoin(F.broadcast(bits)).where(
+        F.expr("(h % CAST(pow(2, b + 1) AS BIGINT)) >= CAST(pow(2, b) AS BIGINT)")
+    )
+    rep_means = reps.groupBy("pri", "b").agg(F.avg("v").alias("m"))
+    return (
+        rep_means.groupBy("pri")
+        .agg(
+            F.round(F.avg("m"), 4).alias("boot_mean"),
+            F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+            F.count(F.lit(1)).alias("n_replicates"),
+        )
+        .orderBy("pri")
+    )

@@ -181,6 +181,7 @@ def interleaved_queries() -> dict[str, Query]:
         "diag_gini_coefficient",
         "diag_hhi_concentration",
         "diag_pareto_8020",
+        "ml_halfsample_bootstrap",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
