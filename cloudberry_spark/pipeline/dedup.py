@@ -572,3 +572,102 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    est = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""{lsh_oracle_ctes()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             CAST({est} AS DOUBLE) / {N_HASHES} AS jaccard_est
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.id_a
+      JOIN sh s2 ON s2.doc_id = c.id_b AND s2.h = s1.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(e.jaccard_est, 6) AS jaccard_est,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_common, 0)), 6)
+               AS jaccard_exact,
+           round(abs(e.jaccard_est
+                     - CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                       / (sa.n + sb.n - coalesce(i.n_common, 0))), 6)
+               AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    ORDER BY e.id_a, e.id_b
+    """
+
+
+@register(
+    "dedup_minhash_estimator_audit",
+    oracle=_minhash_estimate_oracle(),
+    doc="MinHash estimator-quality audit, in-engine: for every LSH "
+    "candidate pair, the signature-agreement Jaccard ESTIMATE "
+    "(matching components / k — the Broder'97 unbiased estimator the "
+    "whole MinHash stack rests on) side by side with the EXACT shingle "
+    "Jaccard and the absolute error — the sketch-accuracy companion to "
+    "sim_lsh_recall/sim_ivf_recall. Signatures and exact intersection "
+    "both ride existing bit-identical machinery, so the audit itself "
+    "is fully differential; estimate computation joins the tiny "
+    "signature table (k ints/doc), exact verification shuffles only "
+    "candidate shingle hashes.",
+    tags=("pipeline", "dedup", "minhash", "recall"),
+)
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, "doc_id", "text")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (agree.cast("double") / N_HASHES).alias("jaccard_est"),
+        )
+    )
+    exact = ngram_jaccard(docs, cand, "doc_id", "text")
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard_est", 6).alias("jaccard_est"),
+            F.round(F.coalesce("jaccard", F.lit(0.0)), 6).alias("jaccard_exact"),
+            F.round(
+                F.abs(F.col("jaccard_est") - F.coalesce("jaccard", F.lit(0.0))), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -182,6 +182,7 @@ def interleaved_queries() -> dict[str, Query]:
         "diag_hhi_concentration",
         "diag_pareto_8020",
         "ml_halfsample_bootstrap",
+        "dedup_minhash_estimator_audit",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
