@@ -238,3 +238,73 @@ def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("bal"),
         )
     )
+
+
+@register(
+    "dml_cascade_delete",
+    oracle="""
+        WITH doomed AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0
+        ),
+        cust_left AS (
+            SELECT * FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)
+        ),
+        ord_left AS (
+            SELECT * FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM doomed)
+        )
+        SELECT (SELECT count(*) FROM doomed)    AS n_subjects,
+               (SELECT count(*) FROM cust_left) AS customers_remaining,
+               (SELECT count(*) FROM ord_left)  AS orders_remaining,
+               (SELECT count(*) FROM orders)
+                 - (SELECT count(*) FROM ord_left) AS orders_erased
+    """,
+    doc="Right-to-be-forgotten cascade (ON DELETE CASCADE across the "
+    "customer->orders FK, nodeModifyTable.c DELETE + referential "
+    "action): the erasure set is deleted from the parent AND "
+    "anti-joined out of every referencing table via copy-on-write "
+    "rewrites — the compliance workflow a training-data platform runs "
+    "on takedown requests. Both deletes are broadcast anti-joins "
+    "against the (small) subject list; tables rewrite in one pass "
+    "each, no driver-side row handling.",
+    tags=("dml", "delete", "compliance"),
+)
+def dml_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    doomed = cust.where(F.col("c_custkey") % 17 == 0).select("c_custkey")
+
+    cpath = _scratch(sf_dir, "dml_cascade_cust")
+    opath = _scratch(sf_dir, "dml_cascade_ord")
+    overwrite_inplace(cust, cpath)
+    overwrite_inplace(orders, opath)
+
+    n_subjects = doomed.count()
+    n_orders_before = spark.read.parquet(opath).count()
+
+    kept_c = spark.read.parquet(cpath).join(
+        F.broadcast(doomed), "c_custkey", "left_anti"
+    )
+    overwrite_inplace(kept_c, cpath)
+    kept_o = spark.read.parquet(opath).join(
+        F.broadcast(doomed.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    overwrite_inplace(kept_o, opath)
+
+    customers_remaining = spark.read.parquet(cpath).count()
+    orders_remaining = spark.read.parquet(opath).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_subjects,
+                customers_remaining,
+                orders_remaining,
+                n_orders_before - orders_remaining,
+            )
+        ],
+        "n_subjects long, customers_remaining long, "
+        "orders_remaining long, orders_erased long",
+    )

@@ -833,3 +833,45 @@ register_sql(
     "Dialect-portable text shared with the oracle.",
     tags=("window", "distinct"),
 )
+
+
+_EWMA_DECAY = 0.6
+_EWMA_SPAN = 8
+
+def _ewma_sql() -> str:
+    """Shared dialect-portable text: truncated EWMA over the last 8
+    observations as explicit lag() terms with renormalized weights."""
+    num = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {_EWMA_DECAY ** k:.6f} * lag(value, {k}) OVER w "
+        f"ELSE 0 END"
+        for k in range(_EWMA_SPAN)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {_EWMA_DECAY ** k:.6f} ELSE 0 END"
+        for k in range(_EWMA_SPAN)
+    )
+    return f"""
+    SELECT user_id, event_id,
+           round(({num}) / ({den}), 6) AS ewma8
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """
+
+
+register_sql(
+    "events_ewma_smoothing",
+    _ewma_sql(),
+    doc="Exponentially-weighted moving average (the hypertable "
+    "time-series smoother; span 8, decay 0.6): EWMA is a recursion, "
+    "which no window frame expresses directly -- the exact truncated "
+    "form unrolls it into 8 lag() terms sharing ONE named window "
+    "(one sort per user), with weights renormalized over the "
+    "observations actually present at the series head. Weight "
+    "literals are fixed decimals so both engines evaluate identical "
+    "arithmetic. Dialect-portable text shared with the oracle.",
+    tags=("window", "timeseries", "ewma"),
+)

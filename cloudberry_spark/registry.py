@@ -183,6 +183,8 @@ def interleaved_queries() -> dict[str, Query]:
         "diag_pareto_8020",
         "ml_halfsample_bootstrap",
         "dedup_minhash_estimator_audit",
+        "events_ewma_smoothing",
+        "dml_cascade_delete",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
