@@ -185,6 +185,7 @@ def interleaved_queries() -> dict[str, Query]:
         "dedup_minhash_estimator_audit",
         "events_ewma_smoothing",
         "dml_cascade_delete",
+        "events_funnel_time_bounded",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",
