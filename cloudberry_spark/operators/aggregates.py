@@ -656,3 +656,37 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+register_sql(
+    "agg_higher_moments",
+    """
+    WITH m AS (
+        SELECT o_orderpriority AS pri,
+               count(*) AS n,
+               avg(o_totalprice) AS mu,
+               avg(o_totalprice * o_totalprice) AS m2r,
+               avg(o_totalprice * o_totalprice * o_totalprice) AS m3r,
+               avg(o_totalprice * o_totalprice * o_totalprice
+                   * o_totalprice) AS m4r
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT pri, n,
+           round((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+                 / pow(m2r - mu * mu, 1.5), 6) AS skewness_pop,
+           round((m4r - 4 * mu * m3r + 6 * mu * mu * m2r
+                  - 3 * mu * mu * mu * mu)
+                 / pow(m2r - mu * mu, 2) - 3, 6) AS excess_kurtosis_pop
+    FROM m
+    ORDER BY pri
+    """,
+    doc="Higher statistical moments — population skewness and excess "
+    "kurtosis per group (the float8_skewness/kurtosis family next to "
+    "the regr_* aggregates): computed from RAW power sums expanded to "
+    "central moments, so the formula (not an engine's "
+    "bias-correction choice) defines the result and the differential "
+    "is exact under normalization. Single-pass, partial-aggregable "
+    "at any scale. Dialect-portable text shared with the oracle.",
+    tags=("agg", "stats"),
+)

@@ -186,6 +186,8 @@ def interleaved_queries() -> dict[str, Query]:
         "events_ewma_smoothing",
         "dml_cascade_delete",
         "events_funnel_time_bounded",
+        "agg_higher_moments",
+        "events_autocorr_lag1",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",

@@ -894,3 +894,31 @@ register_sql(
     "both engines. Dialect-portable text shared with the oracle.",
     tags=("events", "funnel", "analytics"),
 )
+
+
+register_sql(
+    "events_autocorr_lag1",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ), lagged AS (
+        SELECT user_id, c,
+               lag(c) OVER (PARTITION BY user_id ORDER BY d) AS c_prev
+        FROM daily
+    )
+    SELECT count(*) AS n_pairs,
+           round(corr(c, c_prev), 6) AS lag1_autocorr,
+           round(avg(c), 6) AS mean_daily_events
+    FROM lagged
+    WHERE c_prev IS NOT NULL
+    """,
+    doc="Lag-1 autocorrelation of per-user daily activity (time-series "
+    "burstiness diagnostic; corr() over lag() pairs — the reference's "
+    "float8_corr after a window shift): near 0 = memoryless traffic, "
+    "positive = bursty sessions, negative = alternating. One grouped "
+    "count, one window per user, one corr aggregate. Dialect-portable "
+    "text shared with the oracle.",
+    tags=("events", "timeseries", "analytics"),
+)
