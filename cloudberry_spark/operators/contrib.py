@@ -398,3 +398,43 @@ register_sql(
     "range.",
     tags=("scalar", "contrib", "datetime"),
 )
+
+
+register_sql(
+    "scalar_url_parse",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               concat('https://', source, '.example.com/docs/',
+                      CAST(doc_id AS STRING), '?lang=', lang) AS url
+        FROM documents WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           parse_url(url, 'HOST')  AS host,
+           parse_url(url, 'PATH')  AS path,
+           parse_url(url, 'QUERY', 'lang') AS lang_param
+    FROM urls
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               concat('https://', source, '.example.com/docs/',
+                      CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+        FROM documents WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM urls
+    ORDER BY doc_id
+    """,
+    doc="URL decomposition for web-log/crawl analytics (the gpfdist/"
+    "PXF location-URL parsing surface applied to data): Spark's "
+    "parse_url builtin (host/path/named query param) proven "
+    "value-equal to first-principles regex extraction in the oracle. "
+    "Map-only; the crawl-curation prerequisite for host-level dedup "
+    "and robots filtering.",
+    tags=("scalar", "contrib", "url"),
+)

@@ -188,6 +188,8 @@ def interleaved_queries() -> dict[str, Query]:
         "events_funnel_time_bounded",
         "agg_higher_moments",
         "events_autocorr_lag1",
+        "events_interarrival_buckets",
+        "scalar_url_parse",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",

@@ -922,3 +922,65 @@ register_sql(
     "text shared with the oracle.",
     tags=("events", "timeseries", "analytics"),
 )
+
+
+register_sql(
+    "events_interarrival_buckets",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               gap_us div 1000000 AS gap_s
+        FROM (
+            SELECT event_type,
+                   unix_micros(CAST(ts AS TIMESTAMP))
+                    - lag(unix_micros(CAST(ts AS TIMESTAMP)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        ) t
+        WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           width_bucket(gap_s, 0, 86400, 6) AS gap_bucket,
+           count(*) AS n,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM seq
+    GROUP BY event_type, width_bucket(gap_s, 0, 86400, 6)
+    ORDER BY event_type, gap_bucket
+    """,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               gap_us // 1000000 AS gap_s
+        FROM (
+            SELECT event_type,
+                   epoch_us(ts)
+                    - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap_us
+            FROM events
+        ) t
+        WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CASE WHEN gap_s >= 86400 THEN 7
+                ELSE (gap_s * 6) // 86400 + 1 END AS gap_bucket,
+           count(*) AS n,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM seq
+    GROUP BY event_type,
+             CASE WHEN gap_s >= 86400 THEN 7
+                  ELSE (gap_s * 6) // 86400 + 1 END
+    ORDER BY event_type, gap_bucket
+    """,
+    doc="Inter-arrival time distribution per event type (queueing/"
+    "burstiness profile; width_bucket over per-user lag() deltas — "
+    "the reference's float8 width_bucket on a window shift): 6 "
+    "equal-width buckets across 0-24h plus the overflow bucket. "
+    "Integer-second gaps from integer-microsecond arithmetic keep "
+    "bucket boundaries exact on both engines. One window per user + "
+    "one grouped count over the bounded (type x bucket) space.",
+    tags=("events", "timeseries", "analytics"),
+)
