@@ -117,3 +117,34 @@ def test_weighted_ares_prefers_heavy_weights(spark):
         for r in keyed.orderBy(F.desc("ares_key"), "doc_id").limit(20).collect()
     }
     assert {0, 1, 2, 3, 4} <= top, f"heavy-weight rows missing from {top}"
+
+
+def test_fixed_point_dsum_equals_legacy_decimal_sum(spark):
+    """The fixed-point money sum (round->BIGINT->DECIMAL(38,0)) must be
+    value-identical to the legacy per-row DECIMAL(18,s) cast it replaced
+    for 1.7x speed, across all three TPC-H money scales on real fixture
+    expressions."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.operators.tpch import dsum
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cases = [
+        (F.col("l_extendedprice"), 2),
+        (disc_price, 4),
+        (disc_price * (1 + F.col("l_tax")), 6),
+    ]
+    aggs = []
+    for i, (expr, s) in enumerate(cases):
+        aggs.append(dsum(expr, s).alias(f"fp{i}"))
+        aggs.append(
+            F.sum(expr.cast(f"decimal(18,{s})")).cast("double").alias(f"legacy{i}")
+        )
+    row = li.agg(*aggs).collect()[0]
+    for i in range(len(cases)):
+        assert row[f"fp{i}"] == row[f"legacy{i}"], (
+            f"scale case {i}: {row[f'fp{i}']} != {row[f'legacy{i}']}"
+        )
