@@ -190,6 +190,7 @@ def interleaved_queries() -> dict[str, Query]:
         "events_autocorr_lag1",
         "events_interarrival_buckets",
         "scalar_url_parse",
+        "events_peak_concurrency",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",

@@ -984,3 +984,52 @@ register_sql(
     "one grouped count over the bounded (type x bucket) space.",
     tags=("events", "timeseries", "analytics"),
 )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH bounds AS (
+        SELECT ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 1 HOUR AS t, -1 AS delta FROM events
+    ), sweep AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS active
+        FROM bounds
+    )
+    SELECT CAST(t AS DATE) AS d, max(active) AS peak_concurrent
+    FROM sweep
+    GROUP BY CAST(t AS DATE)
+    ORDER BY d
+    """,
+    doc="Peak concurrency per day via the sweep-line algorithm (max "
+    "simultaneous 1-hour activity windows — the capacity-planning "
+    "query interval self-joins answer quadratically): each interval "
+    "contributes +1 at start and -1 at end, the global running sum of "
+    "deltas IS the live-interval count, max per day. Ends sort before "
+    "starts at identical instants (delta ascending) so touching "
+    "intervals don't double-count. The global cumulative sum runs on "
+    "the partial/final distributed prefix sum (pipeline.text._"
+    "distributed_prefix_sum) — no single-partition window, so the "
+    "sweep scales to 100 TB of intervals; the oracle uses the plain "
+    "SQL window.",
+    tags=("events", "timeseries", "sweep"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionAll(ends)
+    sweep = _distributed_prefix_sum(bounds, val="delta", keys=("t", "delta"))
+    return (
+        sweep.groupBy(F.col("t").cast("date").alias("d"))
+        .agg(F.max("cum").alias("peak_concurrent"))
+        .orderBy("d")
+    )
