@@ -122,3 +122,243 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_topk(terms, capacity=4096, min_count=50).orderBy(
         F.desc("est_count"), "term"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, cross-engine differential)
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: CM_D independent hash rows x CM_W counters.
+CM_D = 4
+CM_W = 256
+
+from cloudberry_spark.pipeline.hashing import (  # noqa: E402
+    duckdb_base_hash,
+    duckdb_perm,
+)
+
+
+def _cm_word_cte() -> str:
+    """Shared oracle CTE: one row per word occurrence + its CM columns."""
+    h = duckdb_base_hash("w")
+    cols = ", ".join(
+        f"({duckdb_perm('h', i)}) % {CM_W} AS c{i}" for i in range(CM_D)
+    )
+    return f"""
+    words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT w, {h} AS h FROM words
+    ), keyed AS (
+        SELECT w, {cols} FROM hashed
+    )"""
+
+
+@register(
+    "sketch_countmin_freq",
+    oracle=f"""
+    WITH {_cm_word_cte()},
+    sketch AS (
+        SELECT r.i AS r, CASE r.i
+                   {" ".join(f"WHEN {i} THEN c{i}" for i in range(CM_D))}
+               END AS col, count(*) AS cnt
+        FROM keyed CROSS JOIN range({CM_D}) r(i)
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT w, count(*) AS exact_count FROM keyed GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT 10
+    ), probes AS (
+        SELECT e.w, e.exact_count, r.i AS r, CASE r.i
+                   {" ".join(f"WHEN {i} THEN ({duckdb_perm(duckdb_base_hash('e.w'), i)}) % {CM_W}" for i in range(CM_D))}
+               END AS col
+        FROM exact e CROSS JOIN range({CM_D}) r(i)
+    )
+    SELECT p.w AS word, CAST(max(p.exact_count) AS BIGINT) AS exact_count,
+           CAST(min(s.cnt) AS BIGINT) AS est_count,
+           CAST(min(s.cnt) - max(p.exact_count) AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.col = p.col
+    GROUP BY p.w
+    ORDER BY exact_count DESC, word
+    """,
+    doc="Count-min sketch (Cormode-Muthukrishnan; the mergeable "
+    "point-frequency companion to the HLL and Misra-Gries sketches "
+    "already in this family): 4 md5-derived universal-hash rows x 256 "
+    "counters, built in ONE groupBy over (row, column) — the sketch "
+    "is 1024 rows regardless of corpus size and merges by addition "
+    "(a second groupBy), exactly the partial/final split Cloudberry "
+    "applies to its own sketch aggregates (gp_hyperloglog). Estimates "
+    "for the top-10 exact words demonstrate the one-sided error "
+    "(est >= exact always). Hashes are the repo's cross-engine md5 "
+    "family (pipeline/hashing.py), so sketch contents are "
+    "bit-identical to the DuckDB oracle — the sketch itself is "
+    "differentially tested, not just the readout.",
+    tags=("agg", "sketch", "pipeline"),
+)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash, spark_perm
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+    )
+    hashed = words.withColumn("h", spark_base_hash(F.col("w")))
+    cms_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (spark_perm(F.col("h"), i) % CM_W).alias("col"),
+            )
+            for i in range(CM_D)
+        ]
+    )
+    keyed = hashed.select("w", F.explode(cms_cols).alias("rc")).select(
+        "w", F.col("rc.r").alias("r"), F.col("rc.col").alias("col")
+    )
+    sketch = keyed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "w")
+        .limit(10)
+    )
+    probes = (
+        exact.withColumn("h", spark_base_hash(F.col("w")))
+        .select(
+            "w",
+            "exact_count",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            (spark_perm(F.col("h"), i) % CM_W).alias("col"),
+                        )
+                        for i in range(CM_D)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .select("w", "exact_count", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    )
+    return (
+        probes.join(sketch, ["r", "col"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cnt").alias("est_count"),
+            (F.min("cnt") - F.max("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (deterministic, cross-engine differential)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: BF_M bit positions, BF_K hash functions.
+BF_M = 4096
+BF_K = 4
+
+
+def _bf_positions_sql(expr: str) -> str:
+    h = duckdb_base_hash(expr)
+    return ", ".join(
+        f"({duckdb_perm(h, i)}) % {BF_M} AS p{i}" for i in range(BF_K)
+    )
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH member_bits AS (
+        SELECT DISTINCT p FROM (
+            SELECT unnest([{", ".join(f"({duckdb_perm(duckdb_base_hash('c_name'), i)}) % {BF_M}" for i in range(BF_K))}]) AS p
+            FROM customer
+        )
+    ), probes AS (
+        SELECT c_name AS probe, 1 AS is_member,
+               {_bf_positions_sql('c_name')}
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT s_name, 0, {_bf_positions_sql('s_name')}
+        FROM supplier
+    ), unpk AS (
+        SELECT probe, is_member, unnest([{", ".join(f"p{i}" for i in range(BF_K))}]) AS p
+        FROM probes
+    ), hits AS (
+        SELECT u.probe, u.is_member,
+               CAST(count(m.p) AS BIGINT) AS bits_set
+        FROM unpk u LEFT JOIN member_bits m ON m.p = u.p
+        GROUP BY u.probe, u.is_member
+    )
+    SELECT is_member,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN bits_set = {BF_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe_present
+    FROM hits GROUP BY is_member ORDER BY is_member
+    """,
+    doc="Bloom-filter membership (the reference engine consumes bloom "
+    "filters as runtime join filters — cdbpath push of "
+    "RuntimeFilter; Spark's own injected version is plan-audited in "
+    "test_plans — this is the USER-LEVEL mergeable-filter form): the "
+    "filter over all customer names is the DISTINCT set of k=4 "
+    "md5-hash bit positions (<= 4096 rows however large the member "
+    "set; built by one groupBy, merged by union). Probes (a held-in "
+    "customer sample + all supplier names) check their 4 positions "
+    "with one equi-join; present iff all 4 hit. Output: "
+    "members-recalled (always all — no false negatives) and the "
+    "false-positive count on true non-members. All-integer, "
+    "bit-exact cross-engine.",
+    tags=("agg", "sketch", "pipeline"),
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash, spark_perm
+
+    def positions(col):
+        h = spark_base_hash(col)
+        return F.array(*[(spark_perm(h, i) % BF_M) for i in range(BF_K)])
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    member_bits = (
+        cust.select(F.explode(positions(F.col("c_name"))).alias("p"))
+        .distinct()
+    )
+    probes = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_name").alias("probe"),
+            F.lit(1).alias("is_member"),
+            positions(F.col("c_name")).alias("ps"),
+        )
+        .unionAll(
+            supp.select(
+                F.col("s_name"),
+                F.lit(0),
+                positions(F.col("s_name")),
+            )
+        )
+    )
+    unpk = probes.select("probe", "is_member", F.explode("ps").alias("p"))
+    hits = (
+        unpk.join(
+            F.broadcast(member_bits.withColumn("hit", F.lit(1))), "p", "left"
+        )
+        .groupBy("probe", "is_member")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("bits_set"))
+    )
+    return (
+        hits.groupBy("is_member")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("bits_set") == BF_K, 1).otherwise(0)
+            ).alias("n_maybe_present"),
+        )
+        .orderBy("is_member")
+    )

@@ -369,3 +369,572 @@ def ml_halfsample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# ---------------------------------------------------------------------------
+# MADlib regression / scoring family (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_multiple_regression",
+    oracle="""
+    WITH s AS (
+        SELECT count(*) AS n,
+               avg(l_quantity)                    AS m1,
+               avg(l_discount)                    AS m2,
+               avg(l_extendedprice)               AS my,
+               sum(l_quantity * l_quantity)       AS s11r,
+               sum(l_quantity * l_discount)       AS s12r,
+               sum(l_discount * l_discount)       AS s22r,
+               sum(l_quantity * l_extendedprice)  AS s1yr,
+               sum(l_discount * l_extendedprice)  AS s2yr,
+               sum(l_extendedprice * l_extendedprice) AS syyr
+        FROM lineitem
+    ), c AS (
+        SELECT n, m1, m2, my,
+               s11r - n * m1 * m1 AS s11,
+               s12r - n * m1 * m2 AS s12,
+               s22r - n * m2 * m2 AS s22,
+               s1yr - n * m1 * my AS s1y,
+               s2yr - n * m2 * my AS s2y,
+               syyr - n * my * my AS syy
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 5) AS b_quantity,
+           round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 5) AS b_discount,
+           round(my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * m1
+                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * m2, 5)
+               AS intercept,
+           round(((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+                  + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y)
+                 / syy, 6) AS r2
+    FROM c
+    """,
+    doc="Multiple linear regression (MADlib linregr_train parity; the "
+    "reference ships MADlib as its in-database ML layer): "
+    "l_extendedprice ~ l_quantity + l_discount solved in closed form "
+    "from the normal equations — ONE distributed aggregation collects "
+    "the 10 sufficient statistics (sums of squares/cross-products), "
+    "then the 2x2 Cramer solve runs on that single row. Training on "
+    "100 TB is therefore exactly one map-side-combined groupBy; no "
+    "iteration, no driver-side data movement. Centered (covariance) "
+    "form keeps the solve well-conditioned.",
+    tags=("pipeline", "ml", "regression"),
+)
+def ml_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11r"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12r"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22r"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1yr"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2yr"),
+        F.sum(F.col("y") * F.col("y")).alias("syyr"),
+    )
+    c = s.select(
+        "n", "m1", "m2", "my",
+        (F.col("s11r") - F.col("n") * F.col("m1") * F.col("m1")).alias("s11"),
+        (F.col("s12r") - F.col("n") * F.col("m1") * F.col("m2")).alias("s12"),
+        (F.col("s22r") - F.col("n") * F.col("m2") * F.col("m2")).alias("s22"),
+        (F.col("s1yr") - F.col("n") * F.col("m1") * F.col("my")).alias("s1y"),
+        (F.col("s2yr") - F.col("n") * F.col("m2") * F.col("my")).alias("s2y"),
+        (F.col("syyr") - F.col("n") * F.col("my") * F.col("my")).alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b1, 5).alias("b_quantity"),
+        F.round(b2, 5).alias("b_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 5
+        ).alias("intercept"),
+        F.round((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+_LOGIT_LR = 1.0  # fixed learning rate on the standardized feature
+
+
+@register(
+    "ml_logistic_regression",
+    oracle="""
+    WITH o AS (
+        SELECT ln(o_totalprice) AS lp,
+               CASE WHEN o_orderpriority < '3' THEN 1.0 ELSE 0.0 END AS y
+        FROM orders
+    ), st AS (
+        SELECT avg(lp) AS mu, stddev_pop(lp) AS sd FROM o
+    ), base AS (
+        SELECT (lp - mu) / sd AS x, y FROM o, st
+    ), g1 AS (
+        SELECT -1.0 * avg(0.5 - y) AS b0, -1.0 * avg((0.5 - y) * x) AS b1
+        FROM base
+    ), g2 AS (
+        SELECT b0 - 1.0 * avg(1.0 / (1.0 + exp(-(b0 + b1 * x))) - y) AS b0,
+               b1 - 1.0 * avg((1.0 / (1.0 + exp(-(b0 + b1 * x))) - y) * x) AS b1
+        FROM base, g1 GROUP BY b0, b1
+    ), g3 AS (
+        SELECT b0 - 1.0 * avg(1.0 / (1.0 + exp(-(b0 + b1 * x))) - y) AS b0,
+               b1 - 1.0 * avg((1.0 / (1.0 + exp(-(b0 + b1 * x))) - y) * x) AS b1
+        FROM base, g2 GROUP BY b0, b1
+    )
+    SELECT round(b0, 6) AS b0,
+           round(b1, 6) AS b1,
+           round(avg(CASE WHEN (1.0 / (1.0 + exp(-(b0 + b1 * x))) > 0.5)
+                               = (y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base, g3 GROUP BY b0, b1
+    """,
+    doc="Logistic regression by batch gradient descent (MADlib "
+    "logregr_train parity), 3 iterations UNROLLED into the plan: "
+    "predict high-priority orders from standardized ln(o_totalprice). "
+    "Each iteration is one full-data aggregation producing the 2-value "
+    "gradient; the 1-row beta estimate cross-joins (broadcast) back "
+    "for the next pass — the exact shape MADlib runs per iteration on "
+    "the reference (in-database iterative ML: data never leaves the "
+    "engine, the model is rows). At 100 TB each epoch is one "
+    "map-side-combined scan; deterministic (no RNG init, fixed lr), "
+    "so the DuckDB oracle replays the identical arithmetic.",
+    tags=("pipeline", "ml", "regression"),
+)
+def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.log("o_totalprice").alias("lp"),
+        F.when(F.col("o_orderpriority") < "3", 1.0).otherwise(0.0).alias("y"),
+    )
+    st = o.agg(
+        F.avg("lp").alias("mu"), F.stddev_pop("lp").alias("sd")
+    )
+    base = o.crossJoin(F.broadcast(st)).select(
+        ((F.col("lp") - F.col("mu")) / F.col("sd")).alias("x"), "y"
+    )
+
+    def _sig(b0, b1):
+        return 1.0 / (1.0 + F.exp(-(b0 + b1 * F.col("x"))))
+
+    lr = F.lit(_LOGIT_LR)
+    beta = base.agg(
+        (-lr * F.avg(0.5 - F.col("y"))).alias("b0"),
+        (-lr * F.avg((0.5 - F.col("y")) * F.col("x"))).alias("b1"),
+    )
+    for _ in range(2):
+        p = _sig(F.col("b0"), F.col("b1"))
+        beta = (
+            base.crossJoin(F.broadcast(beta))
+            .groupBy("b0", "b1")
+            .agg(
+                F.avg(p - F.col("y")).alias("g0"),
+                F.avg((p - F.col("y")) * F.col("x")).alias("g1"),
+            )
+            .select(
+                (F.col("b0") - lr * F.col("g0")).alias("b0"),
+                (F.col("b1") - lr * F.col("g1")).alias("b1"),
+            )
+        )
+    p = _sig(F.col("b0"), F.col("b1"))
+    return (
+        base.crossJoin(F.broadcast(beta))
+        .groupBy("b0", "b1")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when((p > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("train_accuracy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.round("b0", 6).alias("b0"),
+            F.round("b1", 6).alias("b1"),
+            "train_accuracy",
+            "n",
+        )
+    )
+
+
+@register(
+    "ml_auc_roc",
+    oracle="""
+    WITH o AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), g AS (
+        SELECT score, sum(y) AS pos_s, sum(1 - y) AS neg_s
+        FROM o GROUP BY score
+    ), c AS (
+        SELECT score, pos_s, neg_s,
+               coalesce(sum(neg_s) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS neg_below
+        FROM g
+    )
+    SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(neg_s) AS BIGINT) AS n_neg,
+           round((2.0 * sum(pos_s * neg_below) + sum(pos_s * neg_s))
+                 / (2.0 * sum(pos_s) * sum(neg_s)), 6) AS auc
+    FROM c
+    """,
+    doc="Exact ROC AUC at corpus scale (MADlib area_under_roc parity): "
+    "AUC = P(score_pos > score_neg) + P(=)/2 computed from integer "
+    "counts only — group by distinct score, then the cumulative "
+    "negative count below each score via the repo's DISTRIBUTED "
+    "prefix sum (range-repartition + per-partition scan + broadcast "
+    "offsets; no single-partition global window), then one final "
+    "aggregation. The numerator stays integer until the last divide, "
+    "so the result is bit-identical cross-engine — no rank-tie float "
+    "hazards. Scores = o_totalprice predicting high order priority.",
+    tags=("pipeline", "ml", "scoring"),
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("y"),
+    )
+    g = o.groupBy("score").agg(
+        F.sum("y").alias("pos_s"), F.sum(1 - F.col("y")).alias("neg_s")
+    )
+    c = _distributed_prefix_sum(g, val="neg_s", keys=("score",)).withColumn(
+        "neg_below", F.col("cum") - F.col("neg_s")
+    )
+    return c.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum("neg_s").cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("pos_s") * F.col("neg_below"))
+                + F.sum(F.col("pos_s") * F.col("neg_s"))
+            )
+            / (2.0 * F.sum("pos_s") * F.sum("neg_s")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH g AS (
+        SELECT l_quantity AS q,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+        FROM lineitem GROUP BY l_quantity
+    ), c AS (
+        SELECT q,
+               sum(pos) OVER (ORDER BY q) AS lp,
+               sum(neg) OVER (ORDER BY q) AS ln_,
+               sum(pos) OVER () AS tp,
+               sum(neg) OVER () AS tn
+        FROM g
+    ), splits AS (
+        SELECT q AS threshold,
+               lp + ln_ AS n_left, (tp - lp) + (tn - ln_) AS n_right,
+               ((lp + ln_) * (1.0 - pow(CAST(lp AS DOUBLE) / (lp + ln_), 2)
+                                  - pow(CAST(ln_ AS DOUBLE) / (lp + ln_), 2))
+                + ((tp - lp) + (tn - ln_))
+                  * (1.0 - pow(CAST(tp - lp AS DOUBLE)
+                               / ((tp - lp) + (tn - ln_)), 2)
+                         - pow(CAST(tn - ln_ AS DOUBLE)
+                               / ((tp - lp) + (tn - ln_)), 2)))
+               / (tp + tn) AS gini,
+               1.0 - pow(CAST(tp AS DOUBLE) / (tp + tn), 2)
+                   - pow(CAST(tn AS DOUBLE) / (tp + tn), 2) AS gini_root
+        FROM c WHERE lp + ln_ < tp + tn
+    )
+    SELECT threshold, CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round(gini, 6) AS weighted_gini,
+           round(gini_root, 6) AS gini_root
+    FROM splits
+    ORDER BY gini, threshold LIMIT 1
+    """,
+    doc="Decision-tree stump (MADlib tree_train depth=1): best "
+    "'l_quantity <= t' split for predicting returned lineitems by "
+    "minimum weighted Gini impurity. ONE groupBy collapses the corpus "
+    "to the bounded (|distinct quantity| = 50)-row class-count table; "
+    "the windows that sweep candidate thresholds run over that tiny "
+    "table only, so training cost at 100 TB is a single "
+    "map-side-combined aggregation — the C4.5-style threshold sweep "
+    "is metadata-scale. Integer counts make Gini bit-identical "
+    "cross-engine; ties break on the smaller threshold.",
+    tags=("pipeline", "ml", "tree"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1)).alias("neg"),
+    )
+    # 50-row table: the single-partition windows here are metadata-scale.
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = g.select(
+        "q",
+        F.sum("pos").over(w).alias("lp"),
+        F.sum("neg").over(w).alias("ln_"),
+        F.sum("pos").over(wall).alias("tp"),
+        F.sum("neg").over(wall).alias("tn"),
+    )
+    nl = F.col("lp") + F.col("ln_")
+    nr = (F.col("tp") - F.col("lp")) + (F.col("tn") - F.col("ln_"))
+    gini_l = (
+        1.0
+        - F.pow(F.col("lp").cast("double") / nl, 2)
+        - F.pow(F.col("ln_").cast("double") / nl, 2)
+    )
+    gini_r = (
+        1.0
+        - F.pow((F.col("tp") - F.col("lp")).cast("double") / nr, 2)
+        - F.pow((F.col("tn") - F.col("ln_")).cast("double") / nr, 2)
+    )
+    gini_root = (
+        1.0
+        - F.pow(F.col("tp").cast("double") / (F.col("tp") + F.col("tn")), 2)
+        - F.pow(F.col("tn").cast("double") / (F.col("tp") + F.col("tn")), 2)
+    )
+    return (
+        c.where(nl < F.col("tp") + F.col("tn"))
+        .select(
+            F.col("q").alias("threshold"),
+            nl.cast("bigint").alias("n_left"),
+            nr.cast("bigint").alias("n_right"),
+            ((nl * gini_l + nr * gini_r) / (F.col("tp") + F.col("tn"))).alias(
+                "g"
+            ),
+            gini_root.alias("gr"),
+        )
+        .orderBy("g", "threshold")
+        .limit(1)
+        .select(
+            "threshold", "n_left", "n_right",
+            F.round("g", 6).alias("weighted_gini"),
+            F.round("gr", 6).alias("gini_root"),
+        )
+    )
+
+
+_PCA_DIM = 16  # leading dims used for the covariance (fixture vectors: 64)
+
+
+def _pca_oracle() -> str:
+    d = _PCA_DIM
+    return f"""
+    WITH nrows AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    lng AS (
+        SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range({d}) r(i)
+    ), means AS (
+        SELECT i, avg(x) AS mi FROM lng GROUP BY i
+    ), centered AS (
+        SELECT l.vec_id, l.i, l.x - m.mi AS xc
+        FROM lng l JOIN means m USING (i)
+    ), cov AS (
+        SELECT a.i AS i, b.i AS j,
+               sum(a.xc * b.xc) / (SELECT n FROM nrows) AS c
+        FROM centered a JOIN centered b USING (vec_id)
+        GROUP BY a.i, b.i
+    ), v0 AS (
+        SELECT i, 1.0 / sqrt({d}) AS v FROM range({d}) r(i)
+    ), w1 AS (
+        SELECT c.i, sum(c.c * v.v) AS u FROM cov c JOIN v0 v ON c.j = v.i
+        GROUP BY c.i
+    ), v1 AS (
+        SELECT i, u / (SELECT sqrt(sum(u * u)) FROM w1) AS v FROM w1
+    ), w2 AS (
+        SELECT c.i, sum(c.c * v.v) AS u FROM cov c JOIN v1 v ON c.j = v.i
+        GROUP BY c.i
+    ), v2 AS (
+        SELECT i, u / (SELECT sqrt(sum(u * u)) FROM w2) AS v FROM w2
+    ), w3 AS (
+        SELECT c.i, sum(c.c * v.v) AS u FROM cov c JOIN v2 v ON c.j = v.i
+        GROUP BY c.i
+    ), v3 AS (
+        SELECT i, u / (SELECT sqrt(sum(u * u)) FROM w3) AS v FROM w3
+    ), lam AS (
+        SELECT sum(c.c * a.v * b.v) AS l
+        FROM cov c JOIN v3 a ON c.i = a.i JOIN v3 b ON c.j = b.i
+    )
+    SELECT CAST(v3.i AS INT) AS dim, round(v3.v, 5) AS loading,
+           round((SELECT l FROM lam), 6) AS eigenvalue
+    FROM v3 ORDER BY v3.i
+    """
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="PCA leading principal component (MADlib pca_train parity) "
+    "over the first 16 embedding dims: covariance matrix built "
+    "DISTRIBUTED by self-joining the (vec_id, dim, centered-value) "
+    "long form on vec_id — one shuffle on vec_id, d^2-bounded output "
+    "(a 16x16 matrix = 256 rows regardless of corpus size) — then 3 "
+    "unrolled power-iteration steps as joins against the tiny "
+    "(dim, v) vector table, normalizing via a 1-row cross join. "
+    "Deterministic uniform init (no RNG), so the oracle replays the "
+    "identical float path. Output: the eigenvector loadings + "
+    "Rayleigh-quotient eigenvalue. At 100 TB the only data-sized "
+    "cost is the covariance pass; iteration cost is metadata-scale.",
+    tags=("pipeline", "ml", "pca"),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _PCA_DIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = float(emb.count())
+    lng = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, d)).alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    means = lng.groupBy("i").agg(F.avg("x").alias("mi"))
+    centered = lng.join(F.broadcast(means), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mi")).alias("xc")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg((F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n)).alias("c"))
+    )
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0 / d**0.5).alias("v")
+    )
+    for _ in range(3):
+        w = (
+            cov.join(F.broadcast(v), cov["j"] == v["i"])
+            .groupBy(cov["i"].alias("i"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("u"))
+        )
+        nn = w.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nn"))
+        v = w.crossJoin(F.broadcast(nn)).select(
+            "i", (F.col("u") / F.col("nn")).alias("v")
+        )
+    va, vb = v.alias("va"), v.alias("vb")
+    lam = (
+        cov.join(F.broadcast(va), cov["i"] == F.col("va.i"))
+        .join(F.broadcast(vb), cov["j"] == F.col("vb.i"))
+        .agg(F.sum(F.col("c") * F.col("va.v") * F.col("vb.v")).alias("l"))
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round("v", 5).alias("loading"),
+            F.round("l", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+_KNN_K = 5
+
+
+def _knn_oracle() -> str:
+    from cloudberry_spark.pipeline.similarity import _duck_cosine
+
+    k = _KNN_K
+    cos = _duck_cosine("t.embedding", "tr.embedding")
+    return f"""
+    WITH test AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 20 = 0
+    ), train AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 20 <> 0
+    ), scored AS (
+        SELECT t.vec_id AS test_id, t.label AS actual,
+               tr.label AS cand, tr.vec_id AS train_id,
+               {cos} AS sim
+        FROM test t CROSS JOIN train tr
+    ), topk AS (
+        SELECT test_id, actual, cand
+        FROM (SELECT test_id, actual, cand,
+                     row_number() OVER (PARTITION BY test_id
+                                        ORDER BY sim DESC, train_id) AS r
+              FROM scored)
+        WHERE r <= {k}
+    ), votes AS (
+        SELECT test_id, actual, cand, count(*) AS n_votes
+        FROM topk GROUP BY test_id, actual, cand
+    ), winner AS (
+        SELECT test_id, actual, cand AS predicted
+        FROM (SELECT test_id, actual, cand,
+                     row_number() OVER (PARTITION BY test_id
+                                        ORDER BY n_votes DESC, cand) AS r
+              FROM votes)
+        WHERE r = 1
+    )
+    SELECT CAST(actual AS INT) AS actual, CAST(predicted AS INT) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM winner GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """
+
+
+@register(
+    "ml_knn_classifier",
+    oracle=_knn_oracle(),
+    doc="k-NN classification over the embedding column (MADlib knn "
+    "parity): deterministic 5%% holdout (vec_id %% 20), k=5 cosine "
+    "neighbors via the same broadcast-queries/single-corpus-scan "
+    "kernel as sim_knn_brute, majority vote with ties broken on the "
+    "smaller label, output = confusion matrix. The test side "
+    "broadcasts; corpus-side work is one scan + one bounded window "
+    "shuffle keyed on test_id — the scale path swaps the brute "
+    "kernel for the IVF probe (sim_ivf_knn) unchanged. Cosine ties "
+    "at rank k break on train vec_id, keeping the vote set "
+    "deterministic cross-engine.",
+    tags=("pipeline", "ml", "classify"),
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.similarity import knn_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.where(F.col("vec_id") % 20 == 0)
+    train = emb.where(F.col("vec_id") % 20 != 0)
+    topk = knn_brute(train, test, k=_KNN_K).withColumnRenamed(
+        "query_id", "test_id"
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("test_id"), F.col("label").alias("actual")
+    )
+    votes = (
+        topk.join(
+            train.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("cand"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("test_id", "cand")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("n_votes"), "cand")
+    winner = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .join(F.broadcast(labels), "test_id")
+    )
+    return (
+        winner.groupBy(
+            F.col("actual").cast("int").alias("actual"),
+            F.col("cand").cast("int").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("actual", "predicted")
+    )

@@ -1,0 +1,239 @@
+"""In-engine graph algorithms over relational edge lists.
+
+The reference ecosystem runs graph workloads two ways: recursive CTEs
+in SQL (src/backend/executor/nodeRecursiveunion.c — covered by
+operators/recursive.py) and Apache MADlib's graph module (pagerank,
+wcc, triangle counting) executed as iterative SQL over edge tables.
+This module provides the MADlib-graph-class members as deterministic
+DataFrame algebra with exact DuckDB oracles:
+
+- PageRank: damping 0.85, dangling-mass redistribution, 3 unrolled
+  iterations. Each iteration is one join edge⋈rank (shuffle on the
+  src key) + one groupBy dst — the textbook distributed PR step; the
+  rank vector is a (node, pr) table, never driver-side.
+- Triangle counting: degree-ordered edge orientation (each edge
+  directed low-degree → high-degree node) before the wedge join, the
+  standard trick that bounds wedge fan-out by sqrt(m) per node and
+  kills the hot-vertex quadratic blowup at scale.
+
+Graph connectivity (connected components via min-label propagation)
+lives in pipeline/components.py.
+
+Edges derive from the fixtures: customer→supplier from co-occurring
+(orders ⋈ lineitem) rows, supplier—supplier from sharing a part.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudberry_spark.catalog import load_table
+from cloudberry_spark.registry import register
+
+#: PageRank damping factor (the canonical 0.85) and iteration count.
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    d = PR_DAMPING
+    it = """
+    r{k} AS (
+        SELECT n.node,
+               (1 - {d}) / (SELECT n FROM nn)
+               + {d} * (coalesce(c.contrib, 0)
+                        + (SELECT sum(r.pr) FROM r{p} r
+                           LEFT JOIN outdeg o ON o.src = r.node
+                           WHERE o.src IS NULL) / (SELECT n FROM nn)) AS pr
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst, sum(r.pr / o.deg) AS contrib
+            FROM edges e
+            JOIN r{p} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) c ON c.dst = n.node
+    )"""
+    its = ",".join(
+        it.format(k=k, p=k - 1, d=d) for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c:' || o.o_custkey AS src,
+                        's:' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+        SELECT src AS node FROM edges
+        UNION SELECT dst FROM edges
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+    ),{its}
+    SELECT node, round(pr * (SELECT n FROM nn), 6) AS pr_norm
+    FROM r{PR_ITERS}
+    ORDER BY round(pr * (SELECT n FROM nn), 6) DESC, node
+    LIMIT 10
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the customer→supplier purchase graph (MADlib "
+    "graph.pagerank parity; damping 0.85, 3 unrolled iterations, "
+    "dangling-mass redistribution — suppliers have no out-edges, so "
+    "their rank redistributes uniformly, exactly MADlib/Pregel "
+    "semantics). Each iteration: edges ⋈ ranks shuffled on src, "
+    "grouped on dst, plus two metadata-scale aggregates (dangling "
+    "mass, node count) broadcast back — the rank state is a (node, "
+    "pr) table end to end, nothing driver-side, so the same plan "
+    "runs at 10^9 nodes. Output: top-10 nodes by rank normalized to "
+    "mean 1 (ties broken on node id; ranks rounded before the sort "
+    "so the cut is cross-engine stable).",
+    tags=("graph", "pipeline", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    n = float(nodes.count())
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.sum("pr").alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + PR_DAMPING
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / n
+                    )
+                ).alias("pr"),
+            )
+        )
+    return (
+        ranks.select("node", F.round(F.col("pr") * n, 6).alias("pr_norm"))
+        .orderBy(F.desc("pr_norm"), "node")
+        .limit(10)
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), raw_edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+        SELECT u AS node, count(*) AS d FROM (
+            SELECT u FROM raw_edges UNION ALL SELECT v FROM raw_edges
+        ) t(u) GROUP BY u
+    ), oriented AS (
+        -- orient each edge from lower (degree, id) to higher: every
+        -- triangle is counted exactly once, and wedge fan-out per node
+        -- is bounded by its oriented out-degree
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+        FROM raw_edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM raw_edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.a = e1.b
+    JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangle counting on the supplier co-part graph (MADlib "
+    "graph measures parity; suppliers adjacent iff they supply a "
+    "common part). The classic scale trick is structural, not "
+    "incidental: every edge is ORIENTED from its (degree, id)-smaller "
+    "endpoint before the wedge join, so each triangle is enumerated "
+    "exactly once and per-node wedge fan-out is O(sqrt(m)) instead of "
+    "O(max-degree) — the difference between feasible and quadratic on "
+    "a 100 TB power-law graph. Two hash joins on node keys; all "
+    "integer counts, bit-exact oracle.",
+    tags=("graph", "pipeline"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    raw_edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        raw_edges.select(F.col("u").alias("node"))
+        .unionAll(raw_edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        raw_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = raw_edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nn.crossJoin(ne)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

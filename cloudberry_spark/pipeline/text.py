@@ -414,22 +414,47 @@ def _distributed_prefix_sum(
 ) -> DataFrame:
     """Global running total of ``val`` in ``keys`` order, WITHOUT the
     single-partition global window (which would serialize 100 TB through
-    one task): repartitionByRange on the sort key, per-partition partial
-    sums (metadata-sized, #partitions rows), an exclusive scan over
-    those partials on the tiny side, broadcast back, then per-partition
-    running sums in parallel — the same partial/final split the
-    reference applies to aggregates (cdb/cdbgroupingpaths.c), applied
-    to a window. Result (column ``cum``) is invariant to partition
-    boundaries."""
+    one task): bucket rows by quantile boundaries of the leading key,
+    per-bucket partial sums (metadata-sized, ``npart`` rows), an
+    exclusive scan over those partials on the tiny side, broadcast
+    back, then per-bucket running sums in parallel — the same
+    partial/final split the reference applies to aggregates
+    (cdb/cdbgroupingpaths.c), applied to a window. Result (column
+    ``cum``) is invariant to bucket boundaries.
+
+    The bucket id is a PURE FUNCTION of the row (quantile boundaries
+    collected once, embedded as literals) — NOT ``spark_partition_id()``
+    after ``repartitionByRange``. The physical-partition-id form is
+    subtly wrong: the partial-totals branch and the final join branch
+    re-evaluate the exchange independently, and AQE partition
+    coalescing / range-boundary sampling may assign DIFFERENT ids per
+    branch, silently mis-offsetting the scan (observed at sf0.01: a
+    cumulative max exceeding the column total). One extra driver-side
+    approxQuantile action per query is the price of determinism — the
+    same single pass repartitionByRange's sampler would have run.
+    """
     from pyspark.sql.window import Window
 
-    part = (
-        t.repartitionByRange(npart, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("pid", F.spark_partition_id())
-    )
+    k0 = keys[0]
+    dtype = dict(t.dtypes).get(k0)
+    ord_col = F.col(k0)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ord_col = F.unix_micros(ord_col.cast("timestamp"))
+    elif dtype == "date":
+        ord_col = F.datediff(ord_col, F.lit("1970-01-01"))
+    probe = t.select(ord_col.cast("double").alias("_ord"))
+    qs = [i / npart for i in range(1, npart)]
+    bounds = sorted(set(probe.stat.approxQuantile("_ord", qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda b: b < ord_col.cast("double"))
+        )
+    else:
+        bucket = F.lit(0)
+    part = t.withColumn("pid", bucket)
     ptot = part.groupBy("pid").agg(F.sum(val).alias("ptok"))
-    # exclusive scan over per-partition totals: #partitions rows, so the
+    # exclusive scan over per-bucket totals: npart rows, so the
     # single-partition window here is metadata-scale (like the slice table)
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     off = ptot.select(

@@ -113,6 +113,7 @@ def _load_all() -> None:
     import cloudberry_spark.pipeline.components  # noqa: F401
     import cloudberry_spark.pipeline.curation  # noqa: F401
     import cloudberry_spark.pipeline.classify  # noqa: F401
+    import cloudberry_spark.pipeline.graph  # noqa: F401
     import cloudberry_spark.streaming.windows  # noqa: F401
     import cloudberry_spark.streaming.ivm  # noqa: F401
     import cloudberry_spark.streaming.stateful  # noqa: F401
@@ -144,7 +145,23 @@ def interleaved_queries() -> dict[str, Query]:
     # Queries that must lead their family: recently fixed or newly added
     # operators whose correctness most needs external confirmation.
     lead = [
-        # round 4 additions first: these most need driver confirmation
+        # round 5 additions first: these most need driver confirmation
+        "ml_multiple_regression",
+        "ml_logistic_regression",
+        "ml_auc_roc",
+        "ml_decision_stump",
+        "ml_pca_power_iteration",
+        "ml_knn_classifier",
+        "graph_pagerank",
+        "graph_triangle_count",
+        "sketch_countmin_freq",
+        "sketch_bloom_membership",
+        "stream_session_window_native",
+        "stream_static_join",
+        "text_token_shards",
+        "events_peak_concurrency",
+        "text_sequence_pack",
+        # round 4 additions: these most need driver confirmation
         "agg_heavy_hitters_mg",
         "sample_weighted_ares",
         "scalar_date_bin",
@@ -161,7 +178,6 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_unaccent",
         "scalar_orafce_compat",
         "sql_plan_hints",
-        "text_sequence_pack",
         "join_scd2_point_in_time",
         "emb_matryoshka_recall",
         "ml_naive_bayes_langid",
@@ -190,7 +206,6 @@ def interleaved_queries() -> dict[str, Query]:
         "events_autocorr_lag1",
         "events_interarrival_buckets",
         "scalar_url_parse",
-        "events_peak_concurrency",
         # round 3 additions: these most need driver confirmation
         "scalar_geometric_ops",
         "scalar_inet_ops",

@@ -1033,3 +1033,96 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cum").alias("peak_concurrent"))
         .orderBy("d")
     )
+
+
+@register(
+    "stream_session_window_native",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id <= 20
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM u
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM s
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    doc="NATIVE session windows in Structured Streaming "
+    "(F.session_window, 30-minute gap): the built-in state-store "
+    "sessionization — merging windows as events arrive — vs the "
+    "applyInPandasWithState custom operator already covered by "
+    "stream_stateful_sessionize. Converged availableNow output must "
+    "equal the batch gap-islands oracle (lag > gap starts a session; "
+    "session end = last event + gap, Spark's session_window.end "
+    "semantics). State is per (user, open session) — bounded by the "
+    "watermark at production scale.",
+    tags=("streaming", "live", "session"),
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).where(F.col("user_id") <= 20)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    out = run_stream_once(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    SELECT {{bucket}} AS win_start,
+           c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """.format(bucket=_duck_bucket("e.ts", 86400)),
+    doc="Stream-static join: the watermarked event stream joins the "
+    "static customer dimension (broadcast — the dimension is a plain "
+    "batch DataFrame, re-read per micro-batch, so slowly-changing "
+    "dims pick up updates between batches), then a tumbling daily "
+    "aggregation per market segment. This is the streaming half of "
+    "the reference's most common star-join shape; no stream-side "
+    "state beyond the window aggregation.",
+    tags=("streaming", "live", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy(F.window("ts", "1 day"), "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    out = run_stream_once(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        "c_mktsegment",
+        "n_events",
+        "sum_value",
+    ).orderBy("win_start", "c_mktsegment")
