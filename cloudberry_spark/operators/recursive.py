@@ -169,3 +169,80 @@ def recursive_tree_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closure.groupBy("node").agg(
         F.count("*").alias("n_ancestors"), F.max("depth").alias("depth_to_root")
     )
+
+
+#: Bellman-Ford rounds for recursive_shortest_path (bounded-hop form).
+_BF_ROUNDS = 4
+
+
+def _bf_oracle() -> str:
+    step = """
+    d{k} AS (
+        SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{p}
+            UNION ALL
+            SELECT e.dst, p.d + e.w
+            FROM edges e JOIN d{p} p ON p.node = e.src
+        ) GROUP BY node
+    )"""
+    steps = ",".join(
+        step.format(k=k, p=k - 1) for k in range(1, _BF_ROUNDS + 1)
+    )
+    return f"""
+    WITH nat AS (SELECT CAST(n_nationkey AS INT) AS n FROM nation),
+    edges AS (
+        SELECT n AS src, (n + 1) % 25 AS dst,
+               1 + (n * 7 + ((n + 1) % 25) * 3) % 9 AS w FROM nat
+        UNION ALL
+        SELECT n, (n + 5) % 25, 1 + (n * 7 + ((n + 5) % 25) * 3) % 9 FROM nat
+    ),
+    d0 AS (SELECT 0 AS node, 0 AS d),{steps}
+    SELECT CAST(node AS INT) AS node, CAST(d AS BIGINT) AS dist
+    FROM d{_BF_ROUNDS} ORDER BY node
+    """
+
+
+@register(
+    "recursive_shortest_path",
+    oracle=_bf_oracle(),
+    doc="Single-source weighted shortest paths by Bellman-Ford "
+    "relaxation, 4 bounded rounds (the WITH RECURSIVE graph-search "
+    "shape of nodeRecursiveunion.c, generalized to weighted min-"
+    "aggregation — which PG's recursive CTE cannot do directly "
+    "because UNION recursion can't re-aggregate; MADlib's "
+    "graph_sssp runs exactly this relax-iterate loop in-database). "
+    "Edges: a deterministic 2-out ring over the 25 nations with "
+    "hash-derived integer weights. Each round = one join dist⋈edges "
+    "(shuffle on src) + a min groupBy; the frontier table is "
+    "(node, dist) rows, never driver-side. Bounded rounds give "
+    "exact <=4-hop distances — the deterministic contract both "
+    "engines replay; all-integer, bit-exact.",
+    tags=("recursive", "graph"),
+)
+def recursive_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n")
+    )
+    e1 = nat.select(
+        F.col("n").alias("src"), ((F.col("n") + 1) % 25).alias("dst")
+    )
+    e2 = nat.select(F.col("n"), (F.col("n") + 5) % 25)
+    edges = e1.unionAll(e2).withColumn(
+        "w", 1 + (F.col("src") * 7 + F.col("dst") * 3) % 9
+    )
+    dist = nat.where(F.col("n") == 0).select(
+        F.col("n").alias("node"), F.lit(0).alias("d")
+    )
+    for _ in range(_BF_ROUNDS):
+        relax = edges.join(dist, edges["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionAll(relax).groupBy("node").agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        F.col("node").cast("int").alias("node"),
+        F.col("d").cast("bigint").alias("dist"),
+    ).orderBy("node")

@@ -15,7 +15,10 @@ sums) executing as Catalyst-native rollup/window/setop plans.
 
 from __future__ import annotations
 
-from cloudberry_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.registry import register, register_sql
 
 register_sql(
     "tpcds_rollup_rank",
@@ -330,3 +333,88 @@ register_sql(
     "users needed to first reach the threshold.",
     tags=("reports", "diagnostic", "inequality"),
 )
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), bounds AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+               quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM per_cust
+    ), scored AS (
+        SELECT 1 + len(list_filter((SELECT rq FROM bounds),
+                                   q -> q < recency_days)) AS r_score,
+               1 + len(list_filter((SELECT fq FROM bounds),
+                                   q -> q < frequency)) AS f_score,
+               1 + len(list_filter((SELECT mq FROM bounds),
+                                   q -> q < monetary_cents)) AS m_score
+        FROM per_cust
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quintiles — the retail-analytics staple the reference serves "
+    "with window NTILEs): per-customer stats in one groupBy "
+    "(monetary in EXACT integer cents, so every quantity is integer "
+    "and cross-engine bit-stable), quintile boundaries computed once "
+    "by exact percentile and broadcast as literals — never a global "
+    "ntile sort. Score s = 1 + #boundaries strictly below the value "
+    "keeps boundary ties deterministic. Output: customer count per "
+    "(r, f, m) cell.",
+    tags=("analytics", "reports"),
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.datediff(F.col("gmax"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    bounds = per_cust.agg(
+        F.expr(f"percentile(recency_days, {qs})").alias("rq"),
+        F.expr(f"percentile(frequency, {qs})").alias("fq"),
+        F.expr(f"percentile(monetary_cents, {qs})").alias("mq"),
+    )
+    score = lambda col, b: (  # noqa: E731
+        1 + F.size(F.filter(F.col(b), lambda q: q < F.col(col)))
+    ).cast("int")
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            score("recency_days", "rq").alias("r_score"),
+            score("frequency", "fq").alias("f_score"),
+            score("monetary_cents", "mq").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -33,6 +33,10 @@ from cloudberry_spark.catalog import dim, load_table
 from cloudberry_spark.registry import register, register_sql
 
 
+#: divmod radix for dsum's overflow-safe split-long accumulation.
+_DSUM_RADIX = 1_000_000
+
+
 def dsum(col, scale: int = 4):
     """Exact fixed-point sum of a monetary expression, read back as DOUBLE.
 
@@ -42,23 +46,37 @@ def dsum(col, scale: int = 4):
     some scale every such sum lands on an 8-significant-digit rounding
     boundary and flakes the differential check. The exact path here:
 
-      round(expr * 10^s) -> BIGINT -> DECIMAL(38,0) -> sum -> /10^s
+      round(expr * 10^s) -> BIGINT -> split hi/lo -> two LONG sums
+        -> hi*RADIX + lo recombined in DECIMAL -> /10^s
 
     Each addend's true value has <= s decimals (2 for prices, 4 for
     price*(1-disc), 6 for *(1+tax)) and scaled is < 2^53, so the double
     product sits within ~1e-5 of an integer — round() recovers it
     EXACTLY and identically on every engine. Summation is then integer
-    arithmetic: associative, order-independent, bit-identical. The
-    per-row cast chain stays in whole-stage codegen (long-backed
-    Decimal), ~1.7x faster than summing cast(expr AS DECIMAL(18,s))
-    whose double->BigDecimal conversion goes through strings; the
-    DECIMAL(38,0) accumulator (not BIGINT) means no silent 64-bit wrap
-    at 100 TB group sizes. Final double cast is correctly-rounded from
-    the same exact integer on both engines.
+    arithmetic: associative, order-independent, bit-identical.
+
+    The accumulators are PLAIN LONGS, not a DECIMAL(38,0) column: a
+    decimal-38 sum drops Spark's hash aggregate out of the codegen
+    long-sum fast path into per-row java BigDecimal adds (measured 3x
+    on TPC-H q1). Splitting scaled into (hi, lo) = divmod(scaled,
+    10^6) keeps both long sums overflow-safe to ~10^12 rows per group
+    (hi, lo < 10^6 when scaled < 10^12, so each sum < 10^18 < 2^63);
+    the single recombination hi_sum*10^6 + lo_sum runs in DECIMAL on
+    the handful of OUTPUT rows only. The DuckDB oracle keeps its
+    straightforward decimal sum — both engines produce the same exact
+    integer, hence the same correctly-rounded double.
     """
     f = 10 ** scale
-    scaled = F.round(col * F.lit(f)).cast("bigint").cast("decimal(38,0)")
-    return F.sum(scaled).cast("double") / F.lit(float(f))
+    scaled = F.round(col * F.lit(f)).cast("bigint")
+    lo = F.pmod(scaled, F.lit(_DSUM_RADIX))
+    # scaled - lo is an exact multiple of the radix and < 2^53, so the
+    # double division below is exact.
+    hi = ((scaled - lo) / F.lit(_DSUM_RADIX)).cast("bigint")
+    total = (
+        F.sum(hi).cast("decimal(38,0)") * _DSUM_RADIX
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+    return total.cast("double") / F.lit(float(f))
 
 # --------------------------------------------------------------------------
 # q1 — pricing summary report: the flagship full-scan aggregation.

@@ -938,3 +938,155 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "ml_t_test_welch",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+                    ELSE 'other' END AS grp,
+               count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ), w AS (
+        SELECT max(CASE WHEN grp = 'purchase' THEN m END) AS m1,
+               max(CASE WHEN grp = 'purchase' THEN v END) AS v1,
+               max(CASE WHEN grp = 'purchase' THEN n END) AS n1,
+               max(CASE WHEN grp = 'other' THEN m END) AS m2,
+               max(CASE WHEN grp = 'other' THEN v END) AS v2,
+               max(CASE WHEN grp = 'other' THEN n END) AS n2
+        FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_click,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 4) AS welch_df
+    FROM w
+    """,
+    doc="Welch's two-sample t-test (MADlib t_test parity, the unequal-"
+    "variance form used for A/B readouts): purchase vs click event "
+    "values. The whole test is ONE grouped aggregation (count/mean/"
+    "variance per arm — map-side combined) pivoted to a single row; "
+    "t statistic and Welch-Satterthwaite degrees of freedom are "
+    "scalar arithmetic on that row. The canonical experiment-analysis "
+    "query at any scale: one scan, one 2-row shuffle.",
+    tags=("pipeline", "ml", "stats"),
+)
+def ml_t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy(
+        F.when(F.col("event_type") == "purchase", "purchase")
+        .otherwise("other")
+        .alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda c, g: F.max(F.when(F.col("grp") == g, F.col(c)))  # noqa: E731
+    w = s.agg(
+        pick("m", "purchase").alias("m1"),
+        pick("v", "purchase").alias("v1"),
+        pick("n", "purchase").alias("n1"),
+        pick("m", "other").alias("m2"),
+        pick("v", "other").alias("v2"),
+        pick("n", "other").alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "ml_lift_deciles",
+    oracle="""
+    WITH scored AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), bounds AS (
+        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM scored
+    ), binned AS (
+        SELECT y, 10 - len(list_filter((SELECT qs FROM bounds),
+                                       q -> score <= q)) AS decile
+        FROM scored
+    ), agg AS (
+        SELECT decile, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY decile
+    ), tot AS (
+        SELECT CAST(sum(n_pos) AS DOUBLE) / sum(n) AS base_rate FROM agg
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n_pos AS BIGINT) AS n_high_priority,
+           round((CAST(n_pos AS DOUBLE) / n) / (SELECT base_rate FROM tot), 6)
+               AS lift
+    FROM agg ORDER BY decile
+    """,
+    doc="Decile lift table (MADlib/scorecard model-evaluation "
+    "staple): decile 1 = highest scores. Bin boundaries are the nine "
+    "exact score deciles computed ONCE and applied as a broadcast "
+    "literal comparison (the text_quality_tiers percentile-broadcast "
+    "pattern) — NOT a global ntile(), whose single-partition sort "
+    "dies at 100 TB. Per-decile response rate over the base rate = "
+    "lift. Exact percentiles keep the bin edges cross-engine "
+    "identical; counts are integers thereafter.",
+    tags=("pipeline", "ml", "scoring"),
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("y"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            f"percentile(score, array({', '.join(str(q) for q in qs)}))"
+        ).alias("qs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "y",
+        (
+            10
+            - F.size(F.filter(F.col("qs"), lambda q: F.col("score") <= q))
+        ).alias("decile"),
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    tot = agg.agg(
+        (F.sum("n_pos").cast("double") / F.sum("n")).alias("base_rate")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("n_pos").cast("bigint").alias("n_high_priority"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / F.col("base_rate"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

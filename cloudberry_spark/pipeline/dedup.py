@@ -671,3 +671,58 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("id_a", "id_b")
     )
+
+
+#: Per-source document cap for dedup_source_cap (CommonCrawl-style).
+SOURCE_CAP = 15
+
+
+@register(
+    "dedup_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN r > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source document cap (the CommonCrawl/CCNet host-level "
+    "frequency cap: no single domain may dominate the training mix): "
+    "keep the top-{cap} docs per source by (n_chars, doc_id) — a "
+    "deterministic quality proxy — and report kept/dropped per "
+    "source. One window shuffle partitioned on source; a hot domain "
+    "concentrates its own partition only, and since every row beyond "
+    "rank cap is discarded the two-level bounded top-k rewrite "
+    "(win_topk_two_level) drops in unchanged when a single domain "
+    "exceeds a task's memory. All-integer output.",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def dedup_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select("source", F.row_number().over(w).alias("r"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("r") <= SOURCE_CAP, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("r") > SOURCE_CAP, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -237,3 +237,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ), adj AS (
+        SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+        SELECT a AS node, count(*) AS d FROM adj GROUP BY a
+    ), cn AS (
+        SELECT x.b AS u, y.b AS v, count(*) AS common_neighbors
+        FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        GROUP BY x.b, y.b
+    )
+    SELECT cn.u, cn.v,
+           CAST(cn.common_neighbors AS BIGINT) AS common_neighbors,
+           round(CAST(cn.common_neighbors AS DOUBLE)
+                 / (du.d + dv.d - cn.common_neighbors), 6) AS jaccard,
+           CAST(CASE WHEN e.u IS NULL THEN 0 ELSE 1 END AS INT) AS is_edge
+    FROM cn
+    JOIN deg du ON du.node = cn.u
+    JOIN deg dv ON dv.node = cn.v
+    LEFT JOIN edges e ON e.u = cn.u AND e.v = cn.v
+    ORDER BY common_neighbors DESC, cn.u, cn.v
+    LIMIT 10
+    """,
+    doc="Link prediction by neighborhood overlap (MADlib graph-"
+    "measures family): common-neighbor count and Jaccard coefficient "
+    "for every co-wedge supplier pair on the co-part graph, flagged "
+    "is_edge (pairs with is_edge=0 and high overlap are the predicted "
+    "links; the flag keeps the result non-degenerate on the dense "
+    "small-fixture graph). One wedge self-join on the shared-neighbor "
+    "key + a grouped count — the same degree-bounded join shape as "
+    "graph_triangle_count, so the scale ceiling is wedge count, not "
+    "pair count. All-integer CN counts; Jaccard derives from "
+    "integers, bit-stable at 6 digits.",
+    tags=("graph", "pipeline"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v"), F.col("u"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    cn = (
+        x.join(y, (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(F.col("x.b").alias("u"), F.col("y.b").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    flagged = (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .join(edges.withColumn("ise", F.lit(1)), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.coalesce(F.col("ise"), F.lit(0)).cast("int").alias("is_edge"),
+        )
+    )
+    return flagged.orderBy(F.desc("common_neighbors"), "u", "v").limit(10)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -369,3 +370,136 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("duration_ms").cast("double"), 3).alias("duration_ms"),
         F.round(F.col("rms").cast("double"), 0).alias("rms"),
     ).orderBy("doc_id")
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic, VALID 24-bit BMP payload (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding): a solid-color image whose
+    geometry and color derive from doc_id. Real encoded media bytes —
+    any image tool opens them."""
+    import struct
+
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    row = (bytes((b, g, r)) * w) + b"\x00" * (stride - w * 3)
+    return header + info + row * h
+
+
+IMAGE_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL image decode with zero external libraries: parse the BMP
+    container (struct.unpack header, stride-aware bottom-up pixel rows)
+    and compute geometry + per-channel means. mapInPandas,
+    Arrow-batched — identical plumbing to decode_audio; swapping in
+    Pillow/libjpeg changes only the body of ``one``."""
+
+    def one(payload: bytes) -> tuple[int, int, int, float, float, float]:
+        import struct
+
+        import numpy as np
+
+        raw = bytes(payload)
+        assert raw[:2] == b"BM", "not a BMP payload"
+        off = struct.unpack_from("<I", raw, 10)[0]
+        w, h = struct.unpack_from("<ii", raw, 18)
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        assert bpp == 24, "only 24-bit BMP supported"
+        stride = (w * 3 + 3) // 4 * 4
+        rows = [
+            np.frombuffer(raw, dtype=np.uint8, count=w * 3, offset=off + y * stride)
+            .reshape(w, 3)
+            .astype("float64")
+            for y in range(abs(h))
+        ]
+        px = np.vstack(rows)  # columns are B, G, R
+        return (
+            w,
+            abs(h),
+            w * abs(h),
+            float(px[:, 2].mean()),
+            float(px[:, 1].mean()),
+            float(px[:, 0].mean()),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([x[0] for x in d], dtype="int32"),
+                    "height": pd.Series([x[1] for x in d], dtype="int32"),
+                    "n_pixels": pd.Series([x[2] for x in d], dtype="int32"),
+                    "mean_r": [x[3] for x in d],
+                    "mean_g": [x[4] for x in d],
+                    "mean_b": [x[5] for x in d],
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_image_bmp_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS INT) AS n_pixels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc="REAL image decode, zero external libraries: deterministic "
+    "24-bit BMP payloads (true encoded images — header, bottom-up "
+    "rows, 4-byte stride padding) synthesized per document, then "
+    "PARSED BACK by a stride-aware mapInPandas kernel extracting "
+    "geometry and per-channel pixel means. Solid-color fills make "
+    "every decoded measurement closed-form in doc_id, so the oracle "
+    "checks the full synth->encode->decode->measure loop, including "
+    "the row-padding arithmetic a naive parser gets wrong. Upgrades "
+    "the image half of the multimodal family from stubbed to real "
+    "(the audio half is multimodal_audio_decode).",
+    tags=("pipeline", "multimodal", "image"),
+)
+def multimodal_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _bmp_bytes(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select("doc_id", synth(F.col("doc_id")).alias("payload"))
+    return (
+        decode_bmp(media)
+        .select(
+            "doc_id", "width", "height", "n_pixels",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+        .orderBy("doc_id")
+    )

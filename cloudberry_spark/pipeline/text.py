@@ -1162,3 +1162,59 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 6).alias("r2"),
     )
+
+
+@register(
+    "text_bpe_merge_round",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM words WHERE length(w) >= 2)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS INT)
+               AS merge_rank
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 10
+    """,
+    doc="One BPE merge-learning round (the statistic behind training "
+    "the tokenizer whose INFERENCE side is text_bpeish_tokens_re2): "
+    "count every adjacent symbol pair inside every word across the "
+    "corpus; the most frequent pair becomes the next merge rule. "
+    "Pair extraction is a row-local array transform (map-only, no "
+    "Python); the only shuffle is the groupBy on the bounded "
+    "pair-vocabulary (<= |alphabet|^2 keys). Iterating rounds "
+    "re-runs the same plan with the merged symbol substituted — each "
+    "round one scan + one tiny shuffle at any corpus size. Output: "
+    "the top-10 merge candidates with ranks. Integer counts, "
+    "bit-exact.",
+    tags=("text", "pipeline", "tokenizer"),
+)
+def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    )
+    pairs = (
+        words.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(10)
+        .withColumn("merge_rank", F.row_number().over(w_rank).cast("int"))
+    )

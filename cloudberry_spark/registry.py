@@ -152,6 +152,15 @@ def interleaved_queries() -> dict[str, Query]:
         "ml_decision_stump",
         "ml_pca_power_iteration",
         "ml_knn_classifier",
+        "ml_t_test_welch",
+        "ml_lift_deciles",
+        "text_bpe_merge_round",
+        "graph_link_prediction",
+        "dedup_source_cap",
+        "events_attribution_last_touch",
+        "multimodal_image_bmp_decode",
+        "recursive_shortest_path",
+        "analytics_rfm_segments",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

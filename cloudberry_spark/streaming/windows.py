@@ -1126,3 +1126,74 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     ).orderBy("win_start", "c_mktsegment")
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_ts
+        FROM events
+    )
+    SELECT coalesce(CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                         THEN touch_type END, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Last-touch marketing attribution: each purchase credits the "
+    "user's most recent view/click within a 7-day lookback, else "
+    "'unattributed'. One window pass per user (last_value IGNORE "
+    "NULLS over the preceding frame — the reference writes this with "
+    "DISTINCT ON over a LATERAL subquery; here it is a single "
+    "shuffle on user_id, no self-join). The (ts, event_id) ordering "
+    "key makes simultaneous events deterministic cross-engine.",
+    tags=("events", "analytics", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    touch_ts = F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts")
+                    >= F.col("ts") - F.expr("INTERVAL 7 DAY"),
+                    F.col("touch_type"),
+                ),
+                F.lit("unattributed"),
+            ).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )

@@ -503,8 +503,11 @@ def test_q1_money_sums_stay_in_codegen(spark):
     WholeStageCodegen with bigint-rounded addends (no per-row
     double->DECIMAL(18,s) cast, which falls off the fast path)."""
     plan = _plan(spark, "tpch_q1")
-    assert "decimal(38,0)" in plan, "fixed-point accumulator missing"
+    assert "pmod(" in plan, "split-long fixed-point path missing"
     assert "decimal(18," not in plan, "legacy decimal cast reappeared"
+    # the DECIMAL accumulator variant (per-row BigDecimal adds) must not
+    # reappear inside the aggregate functions
+    assert "sum(cast(cast(round" not in plan
 
 
 def test_merge_hint_forces_smj(spark):
@@ -513,3 +516,57 @@ def test_merge_hint_forces_smj(spark):
     analog: per-query override of the optimizer's join strategy)."""
     plan = _plan(spark, "sql_plan_hints")
     assert "SortMergeJoin" in plan
+
+
+def test_lift_deciles_avoids_global_ntile(spark):
+    """Decile binning must come from broadcast percentile boundaries,
+    not ntile() — a global ntile is a single-partition sort of the
+    full corpus. No Window operator should appear at all."""
+    import re
+
+    plan = _plan(spark, "ml_lift_deciles")
+    assert not re.search(r"\bntile\(", plan)  # \b: don't match percentile(
+    assert "Window" not in plan
+
+
+def test_bpe_merge_single_corpus_exchange(spark):
+    """BPE pair counting: extraction is map-only Generates; the only
+    data-sized shuffle is the groupBy on the bounded pair vocabulary,
+    and the top-10 runs as TakeOrderedAndProject (no global sort)."""
+    plan = _plan(spark, "text_bpe_merge_round")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_auc_running_sum_partitions_by_bucket(spark):
+    """Exact AUC's data-sized running sum must window over the quantile
+    bucket id (parallel), never a single global partition; the
+    SinglePartition exchanges that remain feed metadata-scale
+    aggregates (per-bucket totals, final 1-row readout)."""
+    plan = _plan(spark, "ml_auc_roc")
+    assert "windowspecdefinition(pid" in plan
+
+
+def test_source_cap_single_window_on_source(spark):
+    """Per-domain cap: one window shuffle partitioned on source — no
+    join, no second exchange of the corpus."""
+    plan = _plan(spark, "dedup_source_cap")
+    assert "windowspecdefinition(source" in plan
+    assert plan.count("Window") == 1
+
+
+def test_graph_joins_never_cartesian(spark):
+    """Graph family: wedge/contribution joins must all be hash equi-
+    joins; a CartesianProduct on an edge table is the quadratic
+    failure mode at scale."""
+    for q in ("graph_pagerank", "graph_triangle_count", "graph_link_prediction"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_knn_classifier_broadcasts_queries(spark):
+    """kNN classification keeps the corpus-side scan single-pass with
+    the (small) test side broadcast."""
+    plan = _plan(spark, "ml_knn_classifier")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
