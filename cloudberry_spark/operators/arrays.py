@@ -27,7 +27,8 @@ register_sql(
            CAST(element_at(embedding, 64) AS DOUBLE) AS last_elem,
            CAST(array_max(embedding) AS DOUBLE)   AS max_elem,
            CAST(array_min(embedding) AS DOUBLE)   AS min_elem,
-           CAST(slice(embedding, 1, 3) AS ARRAY<DOUBLE>) AS head3
+           CAST(element_at(embedding, 2) AS DOUBLE) AS head2,
+           CAST(element_at(embedding, 3) AS DOUBLE) AS head3
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -39,7 +40,8 @@ register_sql(
            CAST(embedding[64] AS DOUBLE)          AS last_elem,
            CAST(list_max(embedding) AS DOUBLE)    AS max_elem,
            CAST(list_min(embedding) AS DOUBLE)    AS min_elem,
-           CAST(list_slice(embedding, 1, 3) AS DOUBLE[]) AS head3
+           CAST(embedding[2] AS DOUBLE)           AS head2,
+           CAST(embedding[3] AS DOUBLE)           AS head3
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -184,9 +186,12 @@ register_sql(
     "array_set_operations",
     """
     SELECT l_orderkey,
-           array_sort(array_union(a1, a2))     AS u,
-           array_sort(array_intersect(a1, a2)) AS i,
-           array_sort(array_except(a1, a2))    AS e,
+           array_join(transform(array_sort(array_union(a1, a2)),
+                                x -> CAST(x AS STRING)), ',')     AS u,
+           array_join(transform(array_sort(array_intersect(a1, a2)),
+                                x -> CAST(x AS STRING)), ',')     AS i,
+           array_join(transform(array_sort(array_except(a1, a2)),
+                                x -> CAST(x AS STRING)), ',')     AS e,
            size(array_distinct(a1))            AS nd
     FROM (
         SELECT l_orderkey,
@@ -200,9 +205,12 @@ register_sql(
     """,
     oracle="""
     SELECT l_orderkey,
-           list_sort(list_distinct(list_concat(a1, a2)))    AS u,
-           list_sort(list_intersect(a1, a2))                AS i,
-           list_sort(list_filter(a1, x -> NOT list_contains(a2, x))) AS e,
+           coalesce(array_to_string(list_sort(
+               list_distinct(list_concat(a1, a2))), ','), '') AS u,
+           coalesce(array_to_string(list_sort(
+               list_intersect(a1, a2)), ','), '')             AS i,
+           coalesce(array_to_string(list_sort(list_filter(a1,
+               x -> NOT list_contains(a2, x))), ','), '')     AS e,
            len(list_distinct(a1))                           AS nd
     FROM (
         SELECT l_orderkey,

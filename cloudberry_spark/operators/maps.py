@@ -32,9 +32,9 @@ from cloudberry_spark.registry import register
                len(map_keys(attrs)) AS n_keys,
                list_contains(map_keys(attrs), 'ptype') AS has_ptype,
                -- hstore || : right side wins on key collision
-               map_keys(map_concat(
+               array_to_string(list_sort(map_keys(map_concat(
                    map {'brand': attrs['brand'][1]},
-                   patch)) AS merged_keys,
+                   patch))), ',') AS merged_keys,
                map_concat(map {'brand': attrs['brand'][1]},
                           patch)['ptype'][1] AS merged_ptype
         FROM m
@@ -63,6 +63,8 @@ def map_hstore_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(attrs, "brand").alias("brand"),
         F.size(F.map_keys(attrs)).alias("n_keys"),
         F.array_contains(F.map_keys(attrs), "ptype").alias("has_ptype"),
-        F.map_keys(merged).alias("merged_keys"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias(
+            "merged_keys"
+        ),
         F.element_at(merged, "ptype").alias("merged_ptype"),
     )

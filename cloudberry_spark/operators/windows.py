@@ -875,3 +875,44 @@ register_sql(
     "arithmetic. Dialect-portable text shared with the oracle.",
     tags=("window", "timeseries", "ewma"),
 )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS moving_median
+    FROM events
+    WHERE user_id <= 10
+    ORDER BY user_id, event_id
+    """,
+    doc="Moving median over a bounded trailing frame (PG has no "
+    "median window; percentile_cont can't take an OVER clause in "
+    "most engines — users emulate it exactly as here): Spark lacks "
+    "percentile as a window function too, so the frame's values are "
+    "collected per row (bounded: 10 elements) and the median is "
+    "array arithmetic on the sorted frame — exact, codegen, and "
+    "O(frame log frame) per row, which only works BECAUSE the frame "
+    "is bounded; the unbounded variant is win_percentile_partition. "
+    "DuckDB's native windowed quantile_cont is the oracle.",
+    tags=("window", "frames", "timeseries"),
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    # interpolated median of the sorted frame (quantile_cont semantics)
+    lo = F.element_at(vals, (F.floor((n - 1) / 2) + 1).cast("int"))
+    hi = F.element_at(vals, (F.ceil((n - 1) / 2) + 1).cast("int"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round((lo + hi) / 2.0, 6).alias("moving_median"),
+    ).orderBy("user_id", "event_id")

@@ -1090,3 +1090,38 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ml_correlation_matrix",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6)      AS qty_disc,
+           round(corr(l_quantity, l_tax), 6)           AS qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6)      AS price_tax,
+           round(corr(l_discount, l_tax), 6)           AS disc_tax,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlation matrix (MADlib correlation() "
+    "parity) over the four numeric lineitem measures: all six "
+    "pairwise coefficients in ONE map-side-combined aggregation pass "
+    "— corr's sufficient statistics are mergeable partials, so the "
+    "full matrix at 100 TB is a single scan, the same shape MADlib "
+    "pushes into the database. The feature-screening companion to "
+    "ml_multiple_regression.",
+    tags=("pipeline", "ml", "stats"),
+)
+def ml_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = lambda a, b: F.round(F.corr(a, b), 6)  # noqa: E731
+    return li.agg(
+        c("l_quantity", "l_extendedprice").alias("qty_price"),
+        c("l_quantity", "l_discount").alias("qty_disc"),
+        c("l_quantity", "l_tax").alias("qty_tax"),
+        c("l_extendedprice", "l_discount").alias("price_disc"),
+        c("l_extendedprice", "l_tax").alias("price_tax"),
+        c("l_discount", "l_tax").alias("disc_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED with deterministic fakes (clearly marked below) — but the
-Spark-side machinery is real and tested: schemas, mapInPandas batch
-iteration, Arrow transfer, partition sizing. Swapping a stub for a real
-``PIL.Image.open`` / ``soundfile.read`` call changes only the kernel
-body.
+The container ships no media libraries, so the library-dependent decode
+kernels are STUBBED with deterministic fakes (clearly marked below) —
+but each modality ALSO has a REAL stdlib-only decoder proving the loop
+end to end: RIFF/WAV via ``wave`` (multimodal_audio_decode), 24-bit BMP
+parsed by hand (multimodal_image_bmp_decode), and a multi-frame BMP
+container walked frame-by-frame (multimodal_video_frame_decode), every
+one with a closed-form DuckDB oracle over synth→encode→decode→measure.
+The Spark-side machinery is identical either way: schemas, mapInPandas
+batch iteration, Arrow transfer, partition sizing. Swapping in
+``PIL.Image.open`` / ``soundfile.read`` / ffmpeg changes only kernel
+bodies.
 
 Scale design:
 - binary payloads ride in their own column; metadata-only filters prune
@@ -502,4 +507,144 @@ def multimodal_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_b", 6).alias("mean_b"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _bmpvid_bytes(doc_id: int) -> bytes:
+    """Deterministic multi-frame 'video': a 4-byte big-endian frame
+    count followed by that many concatenated VALID 24-bit BMP frames
+    (each self-describing via its header's file-size field) — the
+    motion-JPEG container shape, with BMP as the per-frame codec so
+    decoding needs zero external libraries. Frame f of doc d is a
+    solid color varying with (d, f)."""
+    import struct
+
+    n = 6 + doc_id % 20
+    frames = b"".join(_bmp_frame(doc_id, f) for f in range(n))
+    return struct.pack(">I", n) + frames
+
+
+def _bmp_frame(doc_id: int, f: int) -> bytes:
+    import struct
+
+    w, h = 4, 2
+    r, g, b = (doc_id + f * 11) % 256, (doc_id * 3 + f) % 256, (f * 29) % 256
+    stride = (w * 3 + 3) // 4 * 4
+    img = 54 + stride * h
+    head = struct.pack("<2sIHHI", b"BM", img, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    row = (bytes((b, g, r)) * w) + b"\x00" * (stride - w * 3)
+    return head + info + row * h
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+@register(
+    "multimodal_video_frame_decode",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, 6 + doc_id % 20 AS n_frames FROM documents
+        WHERE doc_id < 60
+    ), idx AS (
+        SELECT doc_id, n_frames, unnest(range(0, n_frames, 3)) AS frame_idx
+        FROM vids
+    )
+    SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST((doc_id + frame_idx * 11) % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 3 + frame_idx) % 256 AS DOUBLE) AS mean_g,
+           CAST((frame_idx * 29) % 256 AS DOUBLE) AS mean_b
+    FROM idx
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="REAL video-frame sampling + per-frame decode, zero external "
+    "libraries: deterministic multi-frame containers (4-byte frame "
+    "count + concatenated valid 24-bit BMP frames — the motion-JPEG "
+    "shape) synthesized per document, then a mapInPandas kernel "
+    "WALKS the container by each frame header's self-declared size, "
+    "samples every 3rd frame, and decodes its channel means. Every "
+    "measurement is closed-form in (doc_id, frame_idx), so the "
+    "oracle covers the full container-walk + frame-decode loop. "
+    "Upgrades the video third of the multimodal family from "
+    "checksum-stub (multimodal_frame_sample) to real; swapping in "
+    "ffmpeg changes only the two parsing callbacks.",
+    tags=("pipeline", "multimodal", "video"),
+)
+def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _bmpvid_bytes(int(i)))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def frames_of(doc_id: int, raw: bytes):
+            n = struct.unpack_from(">I", raw, 0)[0]
+            off = 4
+            for f in range(n):
+                size = struct.unpack_from("<I", raw, off + 2)[0]
+                if f % 3 == 0:
+                    w, h = struct.unpack_from("<ii", raw, off + 18)
+                    stride = (w * 3 + 3) // 4 * 4
+                    px = np.vstack(
+                        [
+                            np.frombuffer(
+                                raw,
+                                dtype=np.uint8,
+                                count=w * 3,
+                                offset=off + 54 + y * stride,
+                            ).reshape(w, 3)
+                            for y in range(h)
+                        ]
+                    ).astype("float64")
+                    yield (
+                        doc_id, n, f,
+                        float(px[:, 2].mean()),
+                        float(px[:, 1].mean()),
+                        float(px[:, 0].mean()),
+                    )
+                off += size
+
+        for pdf in batches:
+            rows = [
+                r
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+                for r in frames_of(int(d), bytes(p))
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "n_frames": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "frame_idx": pd.Series([r[2] for r in rows], dtype="int32"),
+                    "mean_r": [r[3] for r in rows],
+                    "mean_g": [r[4] for r in rows],
+                    "mean_b": [r[5] for r in rows],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = docs.select("doc_id", synth(F.col("doc_id")).alias("payload"))
+    return (
+        media.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+        .select(
+            "doc_id", "n_frames", "frame_idx",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+        .orderBy("doc_id", "frame_idx")
     )

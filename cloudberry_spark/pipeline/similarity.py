@@ -1001,3 +1001,162 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ codebooks + reconstruction-error audit)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: PQ_M subspaces of PQ_SUBDIM dims each (64-dim vectors).
+PQ_M = 4
+PQ_SUBDIM = 16
+
+
+@register(
+    "emb_product_quantization",
+    oracle=f"""
+    WITH lng AS (
+        SELECT vec_id, label, r.i AS i, r.i // {PQ_SUBDIM} AS s,
+               CAST(embedding[r.i + 1] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range({PQ_M * PQ_SUBDIM}) r(i)
+    ), cb AS (
+        SELECT label AS cb_label, s, i, avg(x) AS c
+        FROM lng GROUP BY 1, 2, 3
+    ), d AS (
+        SELECT l.vec_id, l.s, cb.cb_label,
+               sum((l.x - cb.c) * (l.x - cb.c)) AS d2
+        FROM lng l JOIN cb ON cb.s = l.s AND cb.i = l.i
+        GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT vec_id, s, cb_label, d2,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, cb_label) AS rn
+        FROM d
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT cb_label) AS BIGINT) AS n_codes_used,
+           round(avg(d2 / {PQ_SUBDIM}), 6) AS avg_mse
+    FROM best WHERE rn = 1
+    GROUP BY s ORDER BY s
+    """,
+    doc="Product quantization (the Jegou et al. ANN compression "
+    "standard; completes the vector-index family next to IVF, "
+    "hyperplane-LSH, Matryoshka truncation and int8 quantization): "
+    "vectors split into 4 x 16-dim subspaces, one codebook per "
+    "subspace (deterministic per-label centroids — k-means init "
+    "without RNG, the same unrolled-Lloyd machinery as "
+    "sim_kmeans_index_build trains them further), every vector "
+    "encoded to its nearest code per subspace by exact L2, and the "
+    "audit reports per-subspace reconstruction MSE and codebook "
+    "utilization. All joins are on the (subspace, dim) key — the "
+    "codebook is d x k rows and broadcasts; corpus-side work is one "
+    "long-form explode + one grouped distance aggregation, linear at "
+    "100 TB. 64 floats -> 4 bytes/vector at this geometry.",
+    tags=("pipeline", "similarity", "quantization"),
+)
+def emb_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lng = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.slice("embedding", 1, PQ_M * PQ_SUBDIM)).alias("i", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.expr(f"CAST(i / {PQ_SUBDIM} AS INT)").alias("s"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cb = lng.groupBy(
+        F.col("label").alias("cb_label"), "s", "i"
+    ).agg(F.avg("x").alias("c"))
+    d = (
+        lng.join(F.broadcast(cb), ["s", "i"])
+        .groupBy("vec_id", "s", "cb_label")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "cb_label")
+    best = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("s").cast("int").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cb_label").alias("n_codes_used"),
+            F.round(F.avg(F.col("d2") / PQ_SUBDIM), 6).alias("avg_mse"),
+        )
+        .orderBy("subspace")
+    )
+
+
+@register(
+    "ml_kmeans_silhouette",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS pid, label AS own, embedding AS p_emb
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), dists AS (
+        SELECT p.pid, p.own, c.label AS cl,
+               avg(1.0 - ({_duck_cosine('p.p_emb', 'c.embedding')})) AS avg_d
+        FROM probes p
+        JOIN embeddings c ON c.vec_id <> p.pid
+        GROUP BY p.pid, p.own, c.label
+    ), ab AS (
+        SELECT pid, own,
+               max(CASE WHEN cl = own THEN avg_d END) AS a,
+               min(CASE WHEN cl <> own THEN avg_d END) AS b
+        FROM dists GROUP BY pid, own
+    )
+    SELECT CAST(own AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg((b - a) / greatest(a, b)), 6) AS avg_silhouette
+    FROM ab GROUP BY own ORDER BY own
+    """,
+    doc="Silhouette-coefficient cluster audit (MADlib "
+    "simple_silhouette parity; the quality readout for the k-means "
+    "index that sim_kmeans_index_build trains): for a deterministic "
+    "10%% probe sample, a = mean cosine distance to the probe's own "
+    "cluster, b = the nearest other cluster's mean distance, s = "
+    "(b-a)/max(a,b), averaged per cluster. Probes broadcast; "
+    "corpus-side work is ONE scan with a grouped mean per (probe, "
+    "cluster) — |probes| x |clusters| bounded output — so the audit "
+    "cost at 100 TB is a single pass regardless of corpus size.",
+    tags=("pipeline", "similarity", "ml"),
+)
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("own"),
+            F.col("embedding").alias("p_emb"),
+        )
+    )
+    dists = (
+        emb.alias("c")
+        .join(probes, F.col("c.vec_id") != F.col("pid"))
+        .groupBy("pid", "own", F.col("c.label").alias("cl"))
+        .agg(
+            F.avg(
+                1.0 - cosine(F.col("p_emb"), F.col("c.embedding"))
+            ).alias("avg_d")
+        )
+    )
+    ab = dists.groupBy("pid", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.col("avg_d"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("avg_d"))).alias("b"),
+    )
+    return (
+        ab.groupBy(F.col("own").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(
+                F.avg(
+                    (F.col("b") - F.col("a"))
+                    / F.greatest(F.col("a"), F.col("b"))
+                ),
+                6,
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )

@@ -161,6 +161,18 @@ def interleaved_queries() -> dict[str, Query]:
         "multimodal_image_bmp_decode",
         "recursive_shortest_path",
         "analytics_rfm_segments",
+        "emb_product_quantization",
+        "events_pattern_vshape",
+        "copy_fixedwidth_parse",
+        "events_ohlc_bars",
+        "ml_correlation_matrix",
+        "ivm_count_distinct_refresh",
+        "win_moving_median",
+        "ml_kmeans_silhouette",
+        "multimodal_video_frame_decode",
+        "array_basic_ops",
+        "array_set_operations",
+        "map_hstore_ops",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

@@ -758,3 +758,45 @@ def sink_multilevel_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "copy_fixedwidth_parse",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS nationkey,
+           trim(n_name) AS name,
+           CAST(n_regionkey AS INT) AS regionkey
+    FROM nation ORDER BY 1
+    """,
+    doc="Fixed-width external format round trip (the reference ships a "
+    "gpfdist fixedwidth formatter — contrib/formatter_fixedwidth/"
+    "fixedwidth.c — for mainframe-style feeds): unload nation as "
+    "padded fixed-width text lines (rpad to 5/20/5 column widths via "
+    "format_string, a distributed text write), re-read with "
+    "spark.read.text, and parse by byte position with substring — "
+    "the formatter is three projection expressions, fully codegen, "
+    "no Python. The oracle is the original table: the round trip "
+    "must be lossless.",
+    tags=("source", "external", "fixedwidth"),
+)
+def copy_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "nation_fixedwidth")
+    lines = nat.select(
+        F.format_string(
+            "%-5d%-20s%-5d",
+            F.col("n_nationkey").cast("int"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("int"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return (
+        back.select(
+            F.trim(F.substring("value", 1, 5)).cast("int").alias("nationkey"),
+            F.trim(F.substring("value", 6, 20)).alias("name"),
+            F.trim(F.substring("value", 26, 5)).cast("int").alias("regionkey"),
+        )
+        .orderBy("nationkey")
+    )

@@ -253,3 +253,61 @@ def dyn_table_scheduled_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) IVM: non-self-maintainable — needs a multiplicity table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_count_distinct_refresh",
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS mv_distinct_customers
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 2)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Incremental maintenance of COUNT(DISTINCT) — the classic "
+    "NON-self-maintainable aggregate (a distinct count can't be "
+    "updated from deltas alone; IVM theory and the pg_ivm extension "
+    "both require an auxiliary multiplicity relation): the stored "
+    "state is (group, customer, multiplicity) partials, inserts add "
+    "+1 and deletes add -1 multiplicity (IVM_ADD/IVM_SUB), and the "
+    "view reads count of rows with multiplicity > 0. Seed {0,1}, "
+    "insert slice {2}, retract slice {1}; the refreshed view must "
+    "equal a full recompute of {0,2} without rescanning the base. "
+    "State size is bounded by active distinct pairs, shuffled on the "
+    "(group, customer) key — the same partial/final shape as the "
+    "sum/count matview, one level finer.",
+    tags=("ivm", "matview", "streaming"),
+)
+def ivm_count_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "mv_orders_distinct")
+    slice_of = lambda k: od.filter(F.col("o_orderkey") % 4 == k)  # noqa: E731
+
+    def mult(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority", "o_custkey").agg(
+            (F.lit(sign) * F.count("*")).alias("mult")
+        )
+
+    overwrite_inplace(mult(slice_of(0).union(slice_of(1)), +1), path)
+    for delta, sign in ((slice_of(2), +1), (slice_of(1), -1)):
+        cur = spark.read.parquet(path)
+        merged = (
+            cur.unionByName(mult(delta, sign))
+            .groupBy("o_orderpriority", "o_custkey")
+            .agg(F.sum("mult").alias("mult"))
+            .filter(F.col("mult") != 0)
+        )
+        overwrite_inplace(merged, path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("mult") > 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("mv_distinct_customers"))
+        .orderBy("o_orderpriority")
+    )

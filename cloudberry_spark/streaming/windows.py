@@ -1197,3 +1197,121 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+@register(
+    "events_pattern_vshape",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               lag(value)  OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_v,
+               lead(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_v
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_vshapes,
+           round(min(value), 6) AS deepest_trough
+    FROM seq
+    WHERE prev_v > value AND next_v > value
+    GROUP BY user_id
+    HAVING count(*) >= 5
+    ORDER BY user_id
+    """,
+    doc="Row-pattern detection (the MATCH_RECOGNIZE / event-pattern "
+    "workload, expressed as the lag/lead contraction SQL engines "
+    "without MATCH_RECOGNIZE use): a V-shape is a strict local "
+    "minimum in a user's value sequence (prev > v < next). One "
+    "window pass per user — single shuffle on user_id, no self-join "
+    "— then a grouped count keeping users with >= 5 troughs. The "
+    "(ts, event_id) ordering key makes simultaneous events "
+    "deterministic cross-engine.",
+    tags=("events", "analytics", "pattern"),
+)
+def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    return (
+        seq.where(
+            (F.col("prev_v") > F.col("value"))
+            & (F.col("next_v") > F.col("value"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vshapes"),
+            F.round(F.min("value"), 6).alias("deepest_trough"),
+        )
+        .where(F.col("n_vshapes") >= 5)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS bar_date, value,
+               row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT bar_date,
+           round(max(CASE WHEN rn_open = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked GROUP BY bar_date ORDER BY bar_date
+    """,
+    doc="OHLC candlestick bars (the hypertable/timescale first()/"
+    "last() rollup — the reference family's canonical time-series "
+    "readout): daily open/high/low/close/volume from the event "
+    "stream. Open/close are picked by row_number over the (ts, "
+    "event_id) order — deterministic under simultaneous events, "
+    "unlike bare arg_min on ts — in ONE window pass co-partitioned "
+    "with the subsequent groupBy on the day bucket (single "
+    "exchange).",
+    tags=("events", "timeseries", "rollup"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bar_date", F.date_trunc("day", "ts").cast("date")
+    )
+    w_a = Window.partitionBy("bar_date").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("bar_date").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "bar_date",
+        "value",
+        F.row_number().over(w_a).alias("rn_open"),
+        F.row_number().over(w_d).alias("rn_close"),
+    )
+    return (
+        ranked.groupBy("bar_date")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 6
+            ).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 6
+            ).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("bar_date")
+    )
