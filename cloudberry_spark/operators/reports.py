@@ -418,3 +418,82 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "analytics_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n_orders AS (
+        SELECT count(DISTINCT okey) AS n FROM baskets
+    ), item_n AS (
+        SELECT item, count(*) AS cnt FROM baskets GROUP BY item
+    ), pair_n AS (
+        SELECT a.item AS lhs, b.item AS rhs, count(*) AS both_cnt
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.item <> b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.lhs, p.rhs,
+           CAST(p.both_cnt AS BIGINT) AS n_both,
+           round(CAST(p.both_cnt AS DOUBLE) / (SELECT n FROM n_orders), 6)
+               AS support,
+           round(CAST(p.both_cnt AS DOUBLE) / la.cnt, 6) AS confidence,
+           round((CAST(p.both_cnt AS DOUBLE) / la.cnt)
+                 / (CAST(lb.cnt AS DOUBLE) / (SELECT n FROM n_orders)), 6)
+               AS lift
+    FROM pair_n p
+    JOIN item_n la ON la.item = p.lhs
+    JOIN item_n lb ON lb.item = p.rhs
+    WHERE p.both_cnt >= 10
+    ORDER BY lift DESC, lhs, rhs
+    LIMIT 15
+    """,
+    doc="Association rules lhs=>rhs with support / confidence / lift "
+    "(MADlib assoc_rules parity — the market-basket workload): "
+    "baskets are orders' distinct part brands (bounded item "
+    "vocabulary), pair counts from one self-join on the order key, "
+    "all three metrics derived from integer counts so ranking is "
+    "cross-engine stable (ties break on the rule). Shuffles: basket "
+    "dedup + pair groupBy, both on bounded keys; item totals "
+    "broadcast. Top-15 by lift with min-support 10.",
+    tags=("analytics", "reports", "ml"),
+)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.select("okey").distinct().count()
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("lhs"), F.col("b.item").alias("rhs"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .where(F.col("both_cnt") >= 10)
+    )
+    la = item_n.select(F.col("item").alias("lhs"), F.col("cnt").alias("lhs_cnt"))
+    lb = item_n.select(F.col("item").alias("rhs"), F.col("cnt").alias("rhs_cnt"))
+    conf = F.col("both_cnt").cast("double") / F.col("lhs_cnt")
+    return (
+        pair_n.join(F.broadcast(la), "lhs")
+        .join(F.broadcast(lb), "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            F.col("both_cnt").cast("bigint").alias("n_both"),
+            F.round(F.col("both_cnt").cast("double") / n, 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("rhs_cnt").cast("double") / n), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "lhs", "rhs")
+        .limit(15)
+    )

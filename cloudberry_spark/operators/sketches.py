@@ -362,3 +362,129 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash set algebra (sketch-only union/intersection estimation)
+# ---------------------------------------------------------------------------
+
+#: k-minimum-values per set for sketch_minhash_set_algebra.
+KMV_K = 64
+
+
+@register(
+    "sketch_minhash_set_algebra",
+    oracle=f"""
+    WITH words AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'corpus_a' ELSE 'corpus_b' END
+                   AS corpus,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), hashed AS (
+        SELECT DISTINCT corpus, {duckdb_base_hash('w')} AS h FROM words
+    ), kmv AS (
+        SELECT corpus, h FROM (
+            SELECT corpus, h,
+                   row_number() OVER (PARTITION BY corpus ORDER BY h) AS r
+            FROM hashed) WHERE r <= {KMV_K}
+    ), merged AS (
+        SELECT h FROM (
+            SELECT DISTINCT h FROM kmv ORDER BY h LIMIT {KMV_K})
+    ), overlap AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_shared
+        FROM merged m
+        WHERE EXISTS (SELECT 1 FROM kmv WHERE corpus = 'corpus_a' AND h = m.h)
+          AND EXISTS (SELECT 1 FROM kmv WHERE corpus = 'corpus_b' AND h = m.h)
+    ), exact AS (
+        SELECT
+          CAST((SELECT count(DISTINCT w) FROM words WHERE corpus = 'corpus_a')
+               AS BIGINT) AS exact_a,
+          CAST((SELECT count(DISTINCT w) FROM words WHERE corpus = 'corpus_b')
+               AS BIGINT) AS exact_b,
+          CAST((SELECT count(*) FROM (
+               SELECT DISTINCT w FROM words WHERE corpus = 'corpus_a'
+               INTERSECT SELECT DISTINCT w FROM words WHERE corpus = 'corpus_b'))
+               AS BIGINT) AS exact_shared
+    )
+    SELECT round(CAST((SELECT n_shared FROM overlap) AS DOUBLE)
+                 / {KMV_K}, 6) AS jaccard_est,
+           round(CAST((SELECT exact_shared FROM exact) AS DOUBLE)
+                 / ((SELECT exact_a FROM exact) + (SELECT exact_b FROM exact)
+                    - (SELECT exact_shared FROM exact)), 6) AS jaccard_exact,
+           (SELECT n_shared FROM overlap) AS kmv_shared,
+           (SELECT exact_shared FROM exact) AS exact_shared
+    """,
+    doc="Sketch-only set algebra between two corpora (the KMV / "
+    "k-minimum-values estimator; mergeable like the reference's HLL "
+    "sketches but supporting INTERSECTION estimates, which HLL alone "
+    "cannot): each corpus keeps its k=64 smallest md5 word hashes "
+    "(one bounded top-k per corpus — the sketch), the union sketch "
+    "is the k smallest of the merged sketches, and Jaccard is "
+    "estimated as the fraction of union-sketch members present in "
+    "both — computed from SKETCH ROWS ONLY, never revisiting the "
+    "corpora. The exact Jaccard rides along to show the estimation "
+    "error; the md5 hash family makes the sketch itself bit-identical "
+    "cross-engine.",
+    tags=("agg", "sketch", "pipeline"),
+)
+def sketch_minhash_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.where(F.length(F.trim("text")) > 0).select(
+        F.when(F.col("doc_id") % 2 == 0, "corpus_a")
+        .otherwise("corpus_b")
+        .alias("corpus"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+    )
+    hashed = words.select(
+        "corpus", spark_base_hash(F.col("w")).alias("h")
+    ).distinct()
+    wk = Window.partitionBy("corpus").orderBy("h")
+    kmv = (
+        hashed.withColumn("r", F.row_number().over(wk))
+        .where(F.col("r") <= KMV_K)
+        .select("corpus", "h")
+    )
+    merged = kmv.select("h").distinct().orderBy("h").limit(KMV_K)
+    in_a = kmv.where(F.col("corpus") == "corpus_a").select("h")
+    in_b = kmv.where(F.col("corpus") == "corpus_b").select("h")
+    shared = (
+        merged.join(in_a, "h", "left_semi").join(in_b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    dw = words.select("corpus", "w").distinct()
+    exact = dw.agg(
+        F.sum(F.when(F.col("corpus") == "corpus_a", 1).otherwise(0)).alias(
+            "exact_a"
+        ),
+        F.sum(F.when(F.col("corpus") == "corpus_b", 1).otherwise(0)).alias(
+            "exact_b"
+        ),
+    ).crossJoin(
+        dw.groupBy("w")
+        .agg(F.countDistinct("corpus").alias("nc"))
+        .where(F.col("nc") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_shared"))
+    )
+    return (
+        shared.crossJoin(F.broadcast(exact))
+        .select(
+            F.round(F.col("n_shared").cast("double") / KMV_K, 6).alias(
+                "jaccard_est"
+            ),
+            F.round(
+                F.col("exact_shared").cast("double")
+                / (
+                    F.col("exact_a")
+                    + F.col("exact_b")
+                    - F.col("exact_shared")
+                ),
+                6,
+            ).alias("jaccard_exact"),
+            F.col("n_shared").cast("bigint").alias("kmv_shared"),
+            F.col("exact_shared").cast("bigint").alias("exact_shared"),
+        )
+    )

@@ -46,14 +46,20 @@ def dsum(col, scale: int = 4):
     some scale every such sum lands on an 8-significant-digit rounding
     boundary and flakes the differential check. The exact path here:
 
-      round(expr * 10^s) -> BIGINT -> split hi/lo -> two LONG sums
-        -> hi*RADIX + lo recombined in DECIMAL -> /10^s
+      floor(expr * 10^s + 0.5) -> BIGINT -> split hi/lo -> two LONG
+        sums -> hi*RADIX + lo recombined in DECIMAL -> /10^s
 
     Each addend's true value has <= s decimals (2 for prices, 4 for
     price*(1-disc), 6 for *(1+tax)) and scaled is < 2^53, so the double
-    product sits within ~1e-5 of an integer — round() recovers it
-    EXACTLY and identically on every engine. Summation is then integer
-    arithmetic: associative, order-independent, bit-identical.
+    product sits within ~1e-5 of its true integer k — and
+    floor(x + 0.5) recovers k exactly whenever |x - k| < 0.5, on every
+    engine. floor, NOT round(): Spark's Round on DoubleType routes
+    through java BigDecimal per row (measured 2.4x on q1's whole
+    aggregation); floor is a single fused instruction. The half-up vs
+    half-even difference is unreachable — true values are never at
+    .5. The DuckDB oracle keeps round(); both recover the same k.
+    Summation is then integer arithmetic: associative,
+    order-independent, bit-identical.
 
     The accumulators are PLAIN LONGS, not a DECIMAL(38,0) column: a
     decimal-38 sum drops Spark's hash aggregate out of the codegen
@@ -67,7 +73,7 @@ def dsum(col, scale: int = 4):
     integer, hence the same correctly-rounded double.
     """
     f = 10 ** scale
-    scaled = F.round(col * F.lit(f)).cast("bigint")
+    scaled = F.floor(col * F.lit(f) + F.lit(0.5)).cast("bigint")
     lo = F.pmod(scaled, F.lit(_DSUM_RADIX))
     # scaled - lo is an exact multiple of the radix and < 2^53, so the
     # double division below is exact.

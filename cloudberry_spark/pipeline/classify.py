@@ -1125,3 +1125,252 @@ def ml_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("l_discount", "l_tax").alias("disc_tax"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "ml_linear_svm_gd",
+    oracle="""
+    WITH o AS (
+        SELECT ln(o_totalprice) AS lp,
+               CASE WHEN o_orderpriority < '3' THEN 1.0 ELSE -1.0 END AS y
+        FROM orders
+    ), st AS (
+        SELECT avg(lp) AS mu, stddev_pop(lp) AS sd FROM o
+    ), base AS (
+        SELECT (lp - mu) / sd AS x, y FROM o, st
+    ), g1 AS (
+        -- iteration 1 from beta=(0,0): every margin is 0 < 1 (all active)
+        SELECT 0.5 * avg(y) AS b0, 0.5 * avg(y * x) AS b1 FROM base
+    ), g2 AS (
+        SELECT b0 * (1 - 0.5 * 0.01)
+               + 0.5 * avg(CASE WHEN y * (b0 + b1 * x) < 1
+                                THEN y ELSE 0.0 END) AS b0,
+               b1 * (1 - 0.5 * 0.01)
+               + 0.5 * avg(CASE WHEN y * (b0 + b1 * x) < 1
+                                THEN y * x ELSE 0.0 END) AS b1
+        FROM base, g1 GROUP BY b0, b1
+    ), g3 AS (
+        SELECT b0 * (1 - 0.5 * 0.01)
+               + 0.5 * avg(CASE WHEN y * (b0 + b1 * x) < 1
+                                THEN y ELSE 0.0 END) AS b0,
+               b1 * (1 - 0.5 * 0.01)
+               + 0.5 * avg(CASE WHEN y * (b0 + b1 * x) < 1
+                                THEN y * x ELSE 0.0 END) AS b1
+        FROM base, g2 GROUP BY b0, b1
+    )
+    SELECT round(b0, 6) AS b0, round(b1, 6) AS b1,
+           round(avg(CASE WHEN (CASE WHEN b0 + b1 * x >= 0 THEN 1.0
+                                     ELSE -1.0 END) = y
+                          THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base, g3 GROUP BY b0, b1
+    """,
+    doc="Linear SVM by subgradient descent on the hinge loss (MADlib "
+    "svm_classification parity; completes the linear-model family "
+    "next to logistic regression): labels in {-1,+1}, L2 penalty "
+    "lambda=0.01, step 0.5, 3 UNROLLED epochs — each epoch is one "
+    "full-data aggregation of the hinge subgradient (rows with "
+    "margin >= 1 contribute zero), the 1-row beta broadcasts back. "
+    "Deterministic (zero init, fixed step), so the DuckDB oracle "
+    "replays the identical arithmetic; same one-scan-per-epoch "
+    "shape as ml_logistic_regression at any scale.",
+    tags=("pipeline", "ml", "classify"),
+)
+def ml_linear_svm_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, lr = 0.01, 0.5
+    o = load_table(spark, sf_dir, "orders").select(
+        F.log("o_totalprice").alias("lp"),
+        F.when(F.col("o_orderpriority") < "3", 1.0).otherwise(-1.0).alias("y"),
+    )
+    st = o.agg(F.avg("lp").alias("mu"), F.stddev_pop("lp").alias("sd"))
+    base = o.crossJoin(F.broadcast(st)).select(
+        ((F.col("lp") - F.col("mu")) / F.col("sd")).alias("x"), "y"
+    )
+
+    def _step(b0, b1):
+        margin = F.col("y") * (b0 + b1 * F.col("x"))
+        active = margin < 1
+        return (
+            b0 * (1 - lr * lam)
+            + lr * F.avg(F.when(active, F.col("y")).otherwise(0.0)),
+            b1 * (1 - lr * lam)
+            + lr * F.avg(F.when(active, F.col("y") * F.col("x")).otherwise(0.0)),
+        )
+
+    # iteration 1 from beta = (0, 0): every margin is 0 < 1 (all active)
+    beta = base.agg(
+        (lr * F.avg("y")).alias("b0"),
+        (lr * F.avg(F.col("y") * F.col("x"))).alias("b1"),
+    )
+    for _ in range(2):
+        nb0, nb1 = _step(F.col("b0"), F.col("b1"))
+        beta = (
+            base.crossJoin(F.broadcast(beta))
+            .groupBy("b0", "b1")
+            .agg(nb0.alias("nb0"), nb1.alias("nb1"))
+            .select(F.col("nb0").alias("b0"), F.col("nb1").alias("b1"))
+        )
+    pred = F.when(F.col("b0") + F.col("b1") * F.col("x") >= 0, 1.0).otherwise(
+        -1.0
+    )
+    return (
+        base.crossJoin(F.broadcast(beta))
+        .groupBy("b0", "b1")
+        .agg(
+            F.round(
+                F.avg(F.when(pred == F.col("y"), 1.0).otherwise(0.0)), 6
+            ).alias("train_accuracy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.round("b0", 6).alias("b0"),
+            F.round("b1", 6).alias("b1"),
+            "train_accuracy",
+            "n",
+        )
+    )
+
+
+#: Feature-hashing geometry: dimensionality of the hashed vector space.
+FH_DIM = 16
+
+
+@register(
+    "ml_feature_hashing",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE doc_id < 25 AND length(trim(text)) > 0
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(w), 18, 15)) AS BIGINT) AS h
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(h % 16 AS INT) AS dim,
+           CAST(sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY doc_id, h % 16
+    HAVING sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    ORDER BY doc_id, dim
+    """,
+    doc="Feature hashing / the hashing trick (Weinberger et al.; the "
+    "vectorizer MADlib and Vowpal Wabbit use to map unbounded "
+    "vocabularies into a fixed space with no dictionary): each "
+    "word's md5 hash picks a dimension (h mod 16) and a sign (the "
+    "next hash bit), signed counts aggregate per (doc, dim) — the "
+    "signs make collisions cancel in expectation. Map-only extract "
+    "+ one groupBy on the bounded (doc, dim) key; no vocabulary "
+    "state anywhere, which is the whole point at 100 TB. Output is "
+    "the sparse long-form vector (driver-hashable scalars); the md5 "
+    "family keeps it bit-identical cross-engine.",
+    tags=("pipeline", "ml", "text"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 25) & (F.length(F.trim("text")) > 0)
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    )
+    hashed = words.select("doc_id", spark_base_hash(F.col("w")).alias("h"))
+    # shiftright, not division: h is a 60-bit integer and a double
+    # division would lose the low bits that carry the sign.
+    sign = F.when(F.shiftright(F.col("h"), 4) % 2 == 0, 1).otherwise(-1)
+    return (
+        hashed.groupBy("doc_id", (F.col("h") % FH_DIM).cast("int").alias("dim"))
+        .agg(F.sum(sign).alias("weight"))
+        .where(F.col("weight") != 0)
+        .select("doc_id", "dim", F.col("weight").cast("bigint").alias("weight"))
+        .orderBy("doc_id", "dim")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), both_dirs AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    )
+    SELECT round(corr(dx, dy), 6) AS assortativity,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
+    FROM both_dirs
+    """,
+    doc="Degree assortativity (Newman's r — do hubs attach to hubs?): "
+    "Pearson correlation of endpoint degrees over every edge, both "
+    "directions so the measure is symmetric. One degree groupBy + "
+    "one edge⋈degree join; corr's sufficient statistics are "
+    "mergeable partials, so the whole diagnostic is two shuffles at "
+    "any graph size. The structural companion to graph_pagerank / "
+    "graph_triangle_count on the supplier co-part graph.",
+    tags=("graph", "pipeline", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    both = joined.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionAll(joined.select(F.col("dv"), F.col("du")))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # manual Pearson r: Spark 4 runs ANSI mode, where corr() on a
+    # zero-variance input (a regular graph — every degree equal, as at
+    # the smallest fixture) raises DIVIDE_BY_ZERO instead of NULL.
+    stats = both.agg(
+        F.avg("dx").alias("mx"),
+        F.avg("dy").alias("my"),
+        F.avg(F.col("dx") * F.col("dy")).alias("mxy"),
+        F.stddev_pop("dx").alias("sdx"),
+        F.stddev_pop("dy").alias("sdy"),
+    )
+    r = F.when(
+        (F.col("sdx") == 0) | (F.col("sdy") == 0), F.lit(None)
+    ).otherwise(
+        (F.col("mxy") - F.col("mx") * F.col("my"))
+        / (F.col("sdx") * F.col("sdy"))
+    )
+    return (
+        stats.select(F.round(r, 6).alias("assortativity"))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "assortativity",
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        )
+    )

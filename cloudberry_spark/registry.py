@@ -173,6 +173,12 @@ def interleaved_queries() -> dict[str, Query]:
         "array_basic_ops",
         "array_set_operations",
         "map_hstore_ops",
+        "analytics_association_rules",
+        "sketch_minhash_set_algebra",
+        "events_changepoint_cusum",
+        "ml_linear_svm_gd",
+        "ml_feature_hashing",
+        "graph_degree_assortativity",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

@@ -1315,3 +1315,62 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar_date")
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS m,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ), g AS (
+        SELECT sum(m * n) / sum(n) AS gmean FROM daily
+    ), cusum AS (
+        SELECT d, n,
+               sum(m - (SELECT gmean FROM g))
+                   OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    )
+    SELECT d AS changepoint_day,
+           round(abs(s), 6) AS max_abs_cusum,
+           CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days
+    FROM cusum
+    ORDER BY round(abs(s), 6) DESC, d
+    LIMIT 1
+    """,
+    doc="CUSUM changepoint detection (the classic mean-shift monitor "
+    "for pipeline/quality drift): daily means, cumulative sum of "
+    "deviations from the weighted global mean, the day of maximum "
+    "|S| is the estimated changepoint. The corpus collapses to the "
+    "bounded per-day table in one groupBy; the cumulative window "
+    "runs over #days rows (metadata-scale). Ranking on the ROUNDED "
+    "statistic keeps the argmax cross-engine stable.",
+    tags=("events", "timeseries", "monitoring"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    g = daily.agg(
+        (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("gmean")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    cusum = (
+        daily.crossJoin(F.broadcast(g))
+        .withColumn("s", F.sum(F.col("m") - F.col("gmean")).over(w))
+    )
+    return (
+        cusum.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.round(F.abs("s"), 6).alias("max_abs_cusum"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+        .orderBy(F.desc("max_abs_cusum"), "changepoint_day")
+        .limit(1)
+    )
