@@ -534,3 +534,90 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_at_ship")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH back AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts <= p.ts) AS prev_ts,
+               (SELECT min(c.ts) FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND c.ts > p.ts) AS next_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+             ELSE next_ts
+           END AS nearest_click_ts
+    FROM back
+    ORDER BY event_id
+    """,
+    doc="ASOF JOIN nearest direction (completes the asof family next "
+    "to backward join_asof_events and forward join_asof_forward — "
+    "the three directions QuestDB/DuckDB expose): each purchase "
+    "pairs with its temporally CLOSEST click, ties to the earlier "
+    "one. Implemented as the union of the backward and forward "
+    "picks (each one sort-free window pass per user) reduced by the "
+    "distance comparison — never an interval product join.",
+    tags=("join", "asof", "timeseries"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # backward pick: last click at or before each row (<=), one window
+    # pass per user — no join.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchases = (
+        tagged.withColumn(
+            "prev_ts", F.last("click_ts", ignorenulls=True).over(w_back)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prev_ts")
+    )
+    # forward pick: strictly-later clicks (>), grouped min — the oracle's
+    # half-open split, so a click at exactly p.ts resolves backward.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    both = (
+        purchases.join(
+            clicks,
+            (purchases["user_id"] == F.col("c_user"))
+            & (F.col("c_ts") > purchases["ts"]),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts", "prev_ts")
+        .agg(F.min("c_ts").alias("next_ts"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(
+            us("ts") - us("prev_ts") <= us("next_ts") - us("ts"),
+            F.col("prev_ts"),
+        )
+        .otherwise(F.col("next_ts"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    ).orderBy("event_id")

@@ -916,3 +916,50 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((lo + hi) / 2.0, 6).alias("moving_median"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH present AS (
+        SELECT event_id AS id FROM events WHERE event_id % 7 <> 0
+    ), marked AS (
+        SELECT id, id - row_number() OVER (ORDER BY id) AS grp
+        FROM present
+    )
+    SELECT min(id) AS island_start, max(id) AS island_end,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM marked GROUP BY grp
+    ORDER BY island_start
+    LIMIT 20
+    """,
+    doc="Gaps-and-islands over an id sequence (the data-quality "
+    "staple: find contiguous runs / missing ranges after a lossy "
+    "feed — here ids divisible by 7 are 'lost'). The classic "
+    "id - row_number() island key is computed WITHOUT the global "
+    "single-partition window: the row number rides the repo's "
+    "distributed prefix sum (quantile-bucketed, parallel), so the "
+    "technique survives 100 TB of ids. All-integer, bit-exact; "
+    "first 20 islands shown.",
+    tags=("window", "islands", "quality"),
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    present = ev.where(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").alias("id"), F.lit(1).alias("one")
+    )
+    rn = _distributed_prefix_sum(present, val="one", keys=("id",))
+    marked = rn.select("id", (F.col("id") - F.col("cum")).alias("grp"))
+    return (
+        marked.groupBy("grp")
+        .agg(
+            F.min("id").alias("island_start"),
+            F.max("id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .select("island_start", "island_end", "island_len")
+        .orderBy("island_start")
+        .limit(20)
+    )

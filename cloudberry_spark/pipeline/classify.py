@@ -1374,3 +1374,106 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nodes").cast("bigint").alias("n_nodes"),
         )
     )
+
+
+def _gmm_oracle() -> str:
+    # one EM iteration as a SQL text template over (base, params p)
+    estep = """
+        SELECT x,
+               (w2 * exp(-pow(x - mu2, 2) / (2 * v2)) / sqrt(v2))
+               / ((1 - w2) * exp(-pow(x - mu1, 2) / (2 * v1)) / sqrt(v1)
+                  + w2 * exp(-pow(x - mu2, 2) / (2 * v2)) / sqrt(v2)) AS r2
+        FROM base, {p}
+    """
+    mstep = """
+        SELECT avg(r2) AS w2,
+               sum((1 - r2) * x) / sum(1 - r2) AS mu1,
+               sum(r2 * x) / sum(r2) AS mu2,
+               sum((1 - r2) * x * x) / sum(1 - r2)
+                   - pow(sum((1 - r2) * x) / sum(1 - r2), 2) AS v1,
+               sum(r2 * x * x) / sum(r2)
+                   - pow(sum(r2 * x) / sum(r2), 2) AS v2
+        FROM ({e})
+    """
+    e1 = estep.format(p="p0")
+    m1 = mstep.format(e=e1)
+    e2 = estep.format(p="p1")
+    m2 = mstep.format(e=e2)
+    return f"""
+    WITH base AS (
+        SELECT value AS x FROM events WHERE event_type IN ('view', 'purchase')
+    ), st AS (
+        SELECT avg(x) AS m, stddev_pop(x) AS s, var_pop(x) AS v FROM base
+    ), p0 AS (
+        SELECT 0.5 AS w2, m - s AS mu1, m + s AS mu2, v AS v1, v AS v2 FROM st
+    ), p1 AS ({m1}), p2 AS ({m2})
+    SELECT round(1 - w2, 5) AS weight_1, round(w2, 5) AS weight_2,
+           round(mu1, 5) AS mu_1, round(mu2, 5) AS mu_2,
+           round(sqrt(v1), 5) AS sigma_1, round(sqrt(v2), 5) AS sigma_2
+    FROM p2
+    """
+
+
+@register(
+    "ml_gmm_em_1d",
+    oracle=_gmm_oracle(),
+    doc="Two-component 1-D Gaussian mixture by EM (MADlib gmm "
+    "parity; completes the clustering family next to k-means and "
+    "the silhouette audit), 2 UNROLLED iterations: deterministic "
+    "moment-based init (mean +/- stddev, equal weights), E-step = a "
+    "projection computing responsibilities, M-step = one full-data "
+    "aggregation of weighted moments — per iteration exactly one "
+    "map-side-combined scan, parameters broadcast back as a 1-row "
+    "table, nothing driver-side. The same in-database EM loop shape "
+    "MADlib runs on the reference.",
+    tags=("pipeline", "ml", "clustering"),
+)
+def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(F.col("value").alias("x"))
+    )
+    st = base.agg(
+        F.avg("x").alias("m"),
+        F.stddev_pop("x").alias("s"),
+        F.var_pop("x").alias("v"),
+    )
+    params = st.select(
+        F.lit(0.5).alias("w2"),
+        (F.col("m") - F.col("s")).alias("mu1"),
+        (F.col("m") + F.col("s")).alias("mu2"),
+        F.col("v").alias("v1"),
+        F.col("v").alias("v2"),
+    )
+
+    def dens(mu, v):
+        return F.exp(-F.pow(F.col("x") - mu, 2) / (2 * v)) / F.sqrt(v)
+
+    for _ in range(2):
+        j = base.crossJoin(F.broadcast(params))
+        n2 = F.col("w2") * dens(F.col("mu2"), F.col("v2"))
+        n1 = (1 - F.col("w2")) * dens(F.col("mu1"), F.col("v1"))
+        e = j.select("x", (n2 / (n1 + n2)).alias("r2"))
+        r1 = 1 - F.col("r2")
+        params = e.agg(
+            F.avg("r2").alias("w2"),
+            (F.sum(r1 * F.col("x")) / F.sum(r1)).alias("mu1"),
+            (F.sum(F.col("r2") * F.col("x")) / F.sum("r2")).alias("mu2"),
+            (
+                F.sum(r1 * F.col("x") * F.col("x")) / F.sum(r1)
+                - F.pow(F.sum(r1 * F.col("x")) / F.sum(r1), 2)
+            ).alias("v1"),
+            (
+                F.sum(F.col("r2") * F.col("x") * F.col("x")) / F.sum("r2")
+                - F.pow(F.sum(F.col("r2") * F.col("x")) / F.sum("r2"), 2)
+            ).alias("v2"),
+        )
+    return params.select(
+        F.round(1 - F.col("w2"), 5).alias("weight_1"),
+        F.round("w2", 5).alias("weight_2"),
+        F.round("mu1", 5).alias("mu_1"),
+        F.round("mu2", 5).alias("mu_2"),
+        F.round(F.sqrt("v1"), 5).alias("sigma_1"),
+        F.round(F.sqrt("v2"), 5).alias("sigma_2"),
+    )

@@ -221,24 +221,11 @@ def pipeline_curate_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("t")).alias("tok"),
         spark_base_hash(F.col("doc_id").cast("string")).alias("h"),
     )
-    part = (
-        t.repartitionByRange(16, "h", "doc_id")
-        .sortWithinPartitions("h", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    ptot = part.groupBy("pid").agg(F.sum("tok").alias("ptok"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    off = ptot.select(
-        "pid", F.coalesce(F.sum("ptok").over(woff), F.lit(0)).alias("offset")
-    )
-    wrun = (
-        Window.partitionBy("pid")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = part.join(F.broadcast(off), "pid").withColumn(
-        "cum", F.sum("tok").over(wrun) + F.col("offset")
-    )
+    # deterministic bucketed scan — the spark_partition_id form this
+    # once inlined is re-evaluation-unsafe (see _distributed_prefix_sum)
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    cum = _distributed_prefix_sum(t, val="tok", keys=("h", "doc_id"))
     return (
         cum.withColumn(
             "shard_id",

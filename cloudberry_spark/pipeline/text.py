@@ -446,9 +446,14 @@ def _distributed_prefix_sum(
     qs = [i / npart for i in range(1, npart)]
     bounds = sorted(set(probe.stat.approxQuantile("_ord", qs, 0.001)))
     if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.size(
-            F.filter(barr, lambda b: b < ord_col.cast("double"))
+        # plain comparison chain, not a higher-order filter() lambda: a
+        # lambda capturing an outer column trips Catalyst's projection
+        # collapse (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), and the chain
+        # stays inside whole-stage codegen anyway (npart-1 comparisons).
+        ordd = ord_col.cast("double")
+        bucket = sum(
+            ((ordd > F.lit(float(b))).cast("int") for b in bounds),
+            F.lit(0),
         )
     else:
         bucket = F.lit(0)

@@ -179,6 +179,9 @@ def interleaved_queries() -> dict[str, Query]:
         "ml_linear_svm_gd",
         "ml_feature_hashing",
         "graph_degree_assortativity",
+        "join_asof_nearest",
+        "win_gap_islands",
+        "ml_gmm_em_1d",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

@@ -148,3 +148,69 @@ def test_fixed_point_dsum_equals_legacy_decimal_sum(spark):
         assert row[f"fp{i}"] == row[f"legacy{i}"], (
             f"scale case {i}: {row[f'fp{i}']} != {row[f'legacy{i}']}"
         )
+
+
+def test_distributed_prefix_sum_matches_pandas_cumsum(spark):
+    """The quantile-bucketed distributed prefix sum must equal a plain
+    ordered cumsum — including under adversarial key distributions
+    (duplicates, skew) that stress bucket-boundary handling. Guards the
+    determinism fix: bucket ids are a pure function of the row, so the
+    partial-totals branch and the join branch can never disagree (the
+    spark_partition_id variant could, under AQE re-evaluation)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    # skewed + duplicate-heavy keys: k = (i*i) % 97, val = i % 11
+    base = spark.range(5000).select(
+        ((F.col("id") * F.col("id")) % 97).alias("k"),
+        F.col("id").alias("tie"),
+        (F.col("id") % 11).alias("v"),
+    )
+    got = (
+        _distributed_prefix_sum(base, val="v", keys=("k", "tie"))
+        .select("k", "tie", "cum")
+        .toPandas()
+        .sort_values(["k", "tie"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(
+            {
+                "k": [(i * i) % 97 for i in range(5000)],
+                "tie": range(5000),
+                "v": [i % 11 for i in range(5000)],
+            }
+        )
+        .sort_values(["k", "tie"])
+        .reset_index(drop=True)
+    )
+    exp["cum"] = exp["v"].cumsum()
+    assert (got["cum"].to_numpy() == exp["cum"].to_numpy()).all()
+    assert int(got["cum"].iloc[-1]) == int(exp["v"].sum())
+
+
+def test_countmin_estimates_never_undercount(spark):
+    """CMS one-sided error: every point estimate >= the exact count."""
+    from cloudberry_spark.registry import all_queries
+
+    rows = all_queries()["sketch_countmin_freq"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overestimate"] == r["est_count"] - r["exact_count"]
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Members must always test maybe-present; non-member FP rate must
+    stay plausible for k=4/m=4096 at fixture cardinality (< 50%)."""
+    from cloudberry_spark.registry import all_queries
+
+    rows = {
+        r["is_member"]: r
+        for r in all_queries()["sketch_bloom_membership"].fn(spark, SF_DIR).collect()
+    }
+    assert rows[1]["n_maybe_present"] == rows[1]["n_probes"]
+    assert rows[0]["n_maybe_present"] <= rows[0]["n_probes"] * 0.5
