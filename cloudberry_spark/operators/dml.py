@@ -308,3 +308,137 @@ def dml_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subjects long, customers_remaining long, "
         "orders_remaining long, orders_erased long",
     )
+
+
+@register(
+    "dml_scd2_history_build",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_type,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM events
+        WHERE event_type IN ('signup', 'purchase') AND user_id <= 30
+    )
+    SELECT user_id, CAST(version AS INT) AS version, event_type AS state,
+           ts AS valid_from,
+           coalesce(next_ts, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           CAST(next_ts IS NULL AS INT) AS is_current
+    FROM changes
+    ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 history construction (the dimension-build half of "
+    "join_scd2_point_in_time, which queries one): each state-change "
+    "event becomes a versioned row with [valid_from, valid_to) "
+    "effective dating via lead() — the next change closes the "
+    "interval, the open row gets the 9999 sentinel and is_current. "
+    "ONE window pass per business key (single shuffle on user_id), "
+    "the standard warehouse pattern the reference builds with "
+    "MERGE + triggers. (ts, event_id) ordering keys make "
+    "simultaneous changes deterministic.",
+    tags=("dml", "scd", "warehouse"),
+)
+def dml_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+        & (F.col("user_id") <= 30)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            F.coalesce(
+                F.col("next_ts"),
+                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+            ).alias("valid_to"),
+            F.col("next_ts").isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "ddl_check_constraints",
+    oracle="""
+    SELECT 'quantity_range' AS constraint_name,
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(sum(CASE WHEN l_extendedprice > 0
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_not_null',
+           CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                         THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    ORDER BY constraint_name
+    """,
+    doc="CHECK / NOT NULL constraint validation as a scan (the "
+    "reference enforces these on write — src/backend/catalog/"
+    "pg_constraint; immutable parquet moves enforcement to "
+    "load-time audit, the ELT norm): four constraints checked in "
+    "ONE conditional-aggregation pass over the fact table (the "
+    "UNION in the oracle is presentational — the Spark side pivots "
+    "a single scan), violations counted per constraint. The "
+    "data-contract primitive for any 100 TB ingest.",
+    tags=("ddl", "constraints", "quality"),
+)
+def ddl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    viol = lambda c: F.sum(F.when(c, 0).otherwise(1))  # noqa: E731
+    one = li.agg(
+        viol(F.col("l_quantity").between(1, 50)).alias("quantity_range"),
+        viol(F.col("l_discount").between(0, 0.1)).alias("discount_range"),
+        viol(F.col("l_extendedprice") > 0).alias("price_positive"),
+        viol(F.col("l_orderkey").isNotNull()).alias("orderkey_not_null"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("constraint_name"),
+                            F.col(n).cast("bigint").alias("n_violations"),
+                            F.col("n_checked").cast("bigint").alias("n_checked"),
+                        )
+                        for n in (
+                            "discount_range",
+                            "orderkey_not_null",
+                            "price_positive",
+                            "quantity_range",
+                        )
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.constraint_name", "c.n_violations", "c.n_checked")
+        .orderBy("constraint_name")
+    )

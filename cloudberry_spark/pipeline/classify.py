@@ -1477,3 +1477,89 @@ def ml_gmm_em_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("v1"), 5).alias("sigma_1"),
         F.round(F.sqrt("v2"), 5).alias("sigma_2"),
     )
+
+
+@register(
+    "ml_precision_recall_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), bounds AS (
+        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM scored
+    ), tot AS (
+        SELECT sum(y) AS npos FROM scored
+    ), cells AS (
+        SELECT 10 - len(list_filter((SELECT qs FROM bounds),
+                                    q -> score <= q)) AS decile,
+               sum(y) AS pos_d, count(*) AS n_d
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT decile,
+               sum(pos_d) OVER (ORDER BY decile) AS tp,
+               sum(n_d)  OVER (ORDER BY decile) AS pred_pos
+        FROM cells
+    )
+    SELECT CAST(decile AS INT) AS threshold_decile,
+           CAST(tp AS BIGINT) AS true_positives,
+           CAST(pred_pos AS BIGINT) AS predicted_positives,
+           round(CAST(tp AS DOUBLE) / pred_pos, 6) AS precision_at,
+           round(CAST(tp AS DOUBLE) / (SELECT npos FROM tot), 6) AS recall_at
+    FROM cum ORDER BY decile
+    """,
+    doc="Precision-recall curve at decile score thresholds (pairs "
+    "with ml_auc_roc and ml_lift_deciles to complete the MADlib "
+    "scoring-diagnostics family): cut points are broadcast exact "
+    "percentiles (no global sort), per-decile integer counts, "
+    "cumulative TP/predicted over the 10-row decile table "
+    "(metadata-scale window). Everything derives from integers — "
+    "bit-exact cross-engine.",
+    tags=("pipeline", "ml", "scoring"),
+)
+def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("y"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            f"percentile(score, array({', '.join(str(q) for q in qs)}))"
+        ).alias("qs")
+    )
+    npos = o.agg(F.sum("y").alias("npos"))
+    cells = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            "y",
+            (
+                10 - F.size(F.filter(F.col("qs"), lambda q: F.col("score") <= q))
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("y").alias("pos_d"), F.count(F.lit(1)).alias("n_d"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cells.select(
+            "decile",
+            F.sum("pos_d").over(w).alias("tp"),
+            F.sum("n_d").over(w).alias("pred_pos"),
+        )
+        .crossJoin(F.broadcast(npos))
+        .select(
+            F.col("decile").cast("int").alias("threshold_decile"),
+            F.col("tp").cast("bigint").alias("true_positives"),
+            F.col("pred_pos").cast("bigint").alias("predicted_positives"),
+            F.round(F.col("tp").cast("double") / F.col("pred_pos"), 6).alias(
+                "precision_at"
+            ),
+            F.round(F.col("tp").cast("double") / F.col("npos"), 6).alias(
+                "recall_at"
+            ),
+        )
+        .orderBy("threshold_decile")
+    )

@@ -182,6 +182,11 @@ def interleaved_queries() -> dict[str, Query]:
         "join_asof_nearest",
         "win_gap_islands",
         "ml_gmm_em_1d",
+        "stream_append_mode_finalized",
+        "ml_precision_recall_curve",
+        "events_cohort_ltv",
+        "dml_scd2_history_build",
+        "ddl_check_constraints",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

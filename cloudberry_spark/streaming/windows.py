@@ -1374,3 +1374,96 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_abs_cusum"), "changepoint_day")
         .limit(1)
     )
+
+
+@register(
+    "stream_append_mode_finalized",
+    oracle=f"""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+    )
+    SELECT {_duck_bucket('ts', 86400)} AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING {_duck_bucket('min(ts)', 86400)} + INTERVAL 1 DAY
+               <= (SELECT w FROM wm)
+    ORDER BY 1, 2
+    """,
+    doc="APPEND output mode semantics, oracle-checked: with a 1-hour "
+    "watermark, append emits exactly the windows whose END the final "
+    "watermark (max event time - 1h) has passed — finalized windows "
+    "only, each exactly once, the mode production sinks that cannot "
+    "update rows (files, Kafka) require. The fixture replays as one "
+    "availableNow batch, so the final watermark is deterministic and "
+    "the batch oracle is the same aggregation HAVING win_end <= "
+    "max(ts) - 1h. Complete-mode variants (stream_live_tumbling) "
+    "cover the other output contract.",
+    tags=("streaming", "live", "watermark"),
+)
+def stream_append_mode_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)  # 1-hour watermark
+    agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = run_stream_once(agg, "append")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n_events"
+    ).orderBy("win_start", "event_type")
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(epoch(min(ts))::BIGINT // 604800 AS INT) AS cohort_week
+        FROM events GROUP BY user_id
+    ), purchases AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST(epoch(e.ts)::BIGINT // 604800 AS INT)
+                   - f.cohort_week AS weeks_since,
+               e.value
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT cohort_week, CAST(weeks_since AS INT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS revenue
+    FROM purchases
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort lifetime-value matrix (the product-analytics LTV "
+    "triangle; revenue per signup-week cohort by weeks since "
+    "signup): first-seen week per user in one groupBy, purchases "
+    "joined back on user_id (co-partitioned — the same exchange "
+    "serves both), epoch-integer week arithmetic so cohort cells "
+    "are bit-stable cross-engine. Companion to "
+    "events_retention_cohorts (user counts) with revenue weighting.",
+    tags=("events", "analytics", "cohort"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: (F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+                      / 1_000_000 / 604_800).cast("bigint").cast("int")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    firsts = firsts.select("user_id", week("first_ts").alias("cohort_week"))
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (week("ts") - F.col("cohort_week")).cast("int").alias("weeks_since"),
+            "value",
+        )
+    )
+    return (
+        purchases.groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
