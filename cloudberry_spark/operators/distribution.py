@@ -152,3 +152,63 @@ register_sql(
     "(the oracle); the clause controls PHYSICAL layout only.",
     tags=("distribution", "sql", "layout"),
 )
+
+
+@register(
+    "ddl_rebucket_expand",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Cluster expansion / resharding (gpexpand parity — the "
+    "reference redistributes every table when segments are added; "
+    "utils/gpexpand): the bucketed table is rewritten from 4 to 8 "
+    "buckets with one distributed read-shuffle-write, and the "
+    "audit aggregation over the re-bucketed table must be IDENTICAL "
+    "to the base table (integer cents, bit-exact) — resharding "
+    "moves rows, never changes them. On Spark, 'adding segments' "
+    "is just this rewrite: bucket count is physical layout, not "
+    "cluster topology, which is why the operation is an online "
+    "rewrite instead of the reference's cluster-wide maintenance "
+    "window.",
+    tags=("distribution", "bucketing", "ddl"),
+)
+def ddl_rebucket_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+
+    db = "cb_buckets"
+    loc = os.path.join(os.path.dirname(_scratch(sf_dir, "x")), "warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    t4, t8 = f"{db}.orders_rb4_{tag}", f"{db}.orders_rb8_{tag}"
+
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    for name, n_buckets, src in ((t4, 4, None), (t8, 8, t4)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(loc, name.split(".")[1]), ignore_errors=True)
+        base = od if src is None else spark.table(src)
+        (
+            base.write.mode("overwrite")
+            .bucketBy(n_buckets, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(name)
+        )
+    return (
+        spark.table(t8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -304,3 +304,70 @@ def pipeline_curate_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_boundary_splits"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               length(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tokens,
+               length(text) AS n_chars,
+               md5(trim(lower(text))) AS fp
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+               AS dup_rate,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_languages,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(n_tokens), 4) AS mean_tokens_per_doc,
+           round(avg(CAST(n_chars AS DOUBLE) / n_tokens), 6)
+               AS mean_chars_per_token,
+           CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_length_band
+    FROM t
+    """,
+    doc="Dataset card in one pass (the summary block every released "
+    "training corpus ships — HuggingFace dataset-card statistics): "
+    "doc/unique-doc counts and exact-dup rate (md5 fingerprints), "
+    "token totals, language/source cardinalities, length profile, "
+    "quality-band membership. ONE aggregation over the corpus (the "
+    "fingerprint distinct-count is the only stateful piece — "
+    "hash-grouped, the same shape as dedup_exact). The capstone "
+    "readout over the curation family.",
+    tags=("pipeline", "composed", "audit"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    t = docs.select(
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.trim(F.lower("text"))).alias("fp"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_languages"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens_per_doc"),
+        F.round(
+            F.avg(F.col("n_chars").cast("double") / F.col("n_tokens")), 6
+        ).alias("mean_chars_per_token"),
+        F.sum(
+            F.when(F.col("n_tokens").between(20, 1000), 1).otherwise(0)
+        ).cast("bigint").alias("n_in_length_band"),
+    )

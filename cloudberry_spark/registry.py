@@ -187,6 +187,9 @@ def interleaved_queries() -> dict[str, Query]:
         "events_cohort_ltv",
         "dml_scd2_history_build",
         "ddl_check_constraints",
+        "ddl_rebucket_expand",
+        "pipeline_dataset_card",
+        "events_slo_burn_rate",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

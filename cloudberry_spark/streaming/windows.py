@@ -51,11 +51,15 @@ from cloudberry_spark.registry import register, register_sql
 
 def _duck_bucket(col: str, seconds: int) -> str:
     """Epoch-aligned bucket start as a µs TIMESTAMP, matching Spark's
-    ``window()`` alignment under a UTC session timezone."""
-    return (
-        f"make_timestamp(((epoch({col})::BIGINT // {seconds}) * {seconds}) "
-        f"* 1000000)"
-    )
+    ``window()`` alignment under a UTC session timezone.
+
+    Integer microseconds (``epoch_us``), NOT ``epoch(col)::BIGINT``:
+    epoch() returns fractional seconds and the BIGINT cast ROUNDS, so
+    an event within 0.5s below a bucket boundary would bucket upward —
+    a sub-second off-by-one that only bites when an event lands in
+    that window (found by events_slo_burn_rate at sf0.001)."""
+    us = seconds * 1_000_000
+    return f"make_timestamp((epoch_us({col}) // {us}) * {us})"
 
 
 @register(
@@ -92,7 +96,7 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH starts AS (
             SELECT e.*, make_timestamp(
-                       (((epoch(e.ts)::BIGINT // 43200) - s.k) * 43200)
+                       (((epoch_us(e.ts) // 43200000000) - s.k) * 43200)
                        * 1000000) AS win_start
             FROM events e,
                  (SELECT unnest(generate_series(0, 1)) AS k) s
@@ -330,13 +334,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cohorts AS (
             SELECT user_id,
-                   make_timestamp(((epoch(min(ts))::BIGINT // 604800) * 604800)
+                   make_timestamp(((epoch_us(min(ts)) // 604800000000) * 604800)
                                   * 1000000) AS cohort_week
             FROM events GROUP BY user_id
         ), activity AS (
             SELECT DISTINCT e.user_id, c.cohort_week,
-                   CAST((epoch(e.ts)::BIGINT // 604800)
-                        - (epoch(c.cohort_week)::BIGINT // 604800) AS BIGINT)
+                   CAST((epoch_us(e.ts) // 604800000000)
+                        - (epoch_us(c.cohort_week) // 604800000000) AS BIGINT)
                        AS week_offset
             FROM events e JOIN cohorts c ON e.user_id = c.user_id
         )
@@ -1418,11 +1422,11 @@ def stream_append_mode_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
         SELECT user_id,
-               CAST(epoch(min(ts))::BIGINT // 604800 AS INT) AS cohort_week
+               CAST(epoch_us(min(ts)) // 604800000000 AS INT) AS cohort_week
         FROM events GROUP BY user_id
     ), purchases AS (
         SELECT e.user_id, f.cohort_week,
-               CAST(epoch(e.ts)::BIGINT // 604800 AS INT)
+               CAST(epoch_us(e.ts) // 604800000000 AS INT)
                    - f.cohort_week AS weeks_since,
                e.value
         FROM events e JOIN firsts f USING (user_id)
@@ -1466,4 +1470,65 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("revenue"),
         )
         .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@register(
+    "events_slo_burn_rate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_duck_bucket('ts', 3600)} AS h,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ), windows AS (
+        SELECT h, n_total, n_errors,
+               sum(n_errors) OVER (ORDER BY h
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_6h,
+               sum(n_total) OVER (ORDER BY h
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_6h
+        FROM hourly
+    )
+    SELECT h AS hour_start,
+           round(CAST(n_errors AS DOUBLE) / n_total, 6) AS err_rate_1h,
+           round(CAST(err_6h AS DOUBLE) / tot_6h, 6) AS err_rate_6h,
+           CAST(CAST(n_errors AS DOUBLE) / n_total > 0.25
+                AND CAST(err_6h AS DOUBLE) / tot_6h > 0.22 AS INT)
+               AS burn_alert
+    FROM windows
+    ORDER BY h
+    """,
+    doc="Multi-window SLO burn-rate alerting (the Google SRE "
+    "fast+slow window rule: page only when BOTH the 1h and 6h error "
+    "rates exceed budget, killing flappy alerts): the corpus "
+    "collapses to the bounded hourly table in one groupBy; the 6h "
+    "trailing window runs over those metadata-scale rows. Rates "
+    "derive from integer counts — bit-stable. The ops-monitoring "
+    "readout of the events family.",
+    tags=("events", "monitoring", "slo"),
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    r1 = F.col("n_errors").cast("double") / F.col("n_total")
+    r6 = F.sum("n_errors").over(w6).cast("double") / F.sum("n_total").over(w6)
+    return (
+        hourly.select(
+            F.col("h").alias("hour_start"),
+            F.round(r1, 6).alias("err_rate_1h"),
+            F.round(r6, 6).alias("err_rate_6h"),
+            ((r1 > 0.25) & (r6 > 0.22)).cast("int").alias("burn_alert"),
+        )
+        .orderBy("hour_start")
     )
