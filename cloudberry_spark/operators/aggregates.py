@@ -690,3 +690,44 @@ register_sql(
     "at any scale. Dialect-portable text shared with the oracle.",
     tags=("agg", "stats"),
 )
+
+
+@register(
+    "agg_mean_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS arithmetic_mean,
+           round(exp(avg(ln(l_quantity))), 6) AS geometric_mean,
+           round(count(*) / sum(1.0 / l_quantity), 6) AS harmonic_mean,
+           round(sqrt(avg(l_quantity * l_quantity)), 6) AS quadratic_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="The Pythagorean-mean family per group (MADlib summary() "
+    "parity; geometric/harmonic means are the rate-and-ratio "
+    "averaging tools plain AVG silently gets wrong): all four means "
+    "in ONE grouped pass — each is a transform of a mergeable sum "
+    "(ln-sum, reciprocal-sum, square-sum), so the whole family "
+    "map-side combines. AM >= GM >= HM ordering is visible in the "
+    "output, the classic sanity invariant.",
+    tags=("agg", "stats"),
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(q), 6).alias("arithmetic_mean"),
+            F.round(F.exp(F.avg(F.log(q))), 6).alias("geometric_mean"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 6).alias(
+                "harmonic_mean"
+            ),
+            F.round(F.sqrt(F.avg(q * q)), 6).alias("quadratic_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

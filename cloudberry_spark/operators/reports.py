@@ -497,3 +497,41 @@ def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "lhs", "rhs")
         .limit(15)
     )
+
+
+register_sql(
+    "tpcds_store_sales_profile",
+    """
+    WITH sales AS (
+        SELECT n.n_name AS nation,
+               p.p_type AS category,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               count(*) AS n_sales
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, p.p_type
+    ), ranked AS (
+        SELECT nation, category, revenue, n_sales,
+               rank() OVER (PARTITION BY nation
+                            ORDER BY round(revenue, 2) DESC, category) AS rnk,
+               round(revenue * 100.0
+                     / sum(revenue) OVER (PARTITION BY nation), 4)
+                   AS pct_of_nation
+        FROM sales
+    )
+    SELECT nation, category, round(revenue, 2) AS revenue,
+           n_sales, rnk, pct_of_nation
+    FROM ranked
+    WHERE rnk <= 3
+    ORDER BY nation, rnk, category
+    """,
+    doc="TPC-DS q65-class category profile: top-3 revenue categories "
+    "per nation with share-of-nation percentages — a 4-table join "
+    "into a grouped rollup into two window functions over the "
+    "bounded (nation x category) aggregate, ranked on the ROUNDED "
+    "revenue so the cutoff is cross-engine stable. Dialect-portable "
+    "text: the same SQL runs verbatim on Spark and DuckDB.",
+    tags=("tpcds", "reports", "window"),
+)

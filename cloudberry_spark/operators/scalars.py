@@ -14,7 +14,10 @@ codegen); none of this drops to Python.
 
 from __future__ import annotations
 
-from cloudberry_spark.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudberry_spark.registry import register, register_sql
 
 register_sql(
     "scalar_string_family",
@@ -889,3 +892,40 @@ register_sql(
     "aggregation map-side, one shuffle on the bin key at any scale.",
     tags=("scalar", "datetime"),
 )
+
+
+@register(
+    "misc_dense_row_ids",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="Dense, deterministic 0..N-1 row ids (CREATE SEQUENCE / "
+    "serial parity with a FULL oracle — the companion to "
+    "misc_row_ids, whose monotonically_increasing_id is "
+    "partition-sparse and therefore only rows-only-checkable): the "
+    "id is the distributed prefix sum of 1 in key order minus one — "
+    "quantile-bucketed parallel scan, no single-partition window, "
+    "and the assignment is a pure function of the data so re-runs "
+    "and failure retries produce identical ids (which "
+    "monotonically_increasing_id does NOT guarantee across "
+    "recomputes — the property that matters for reproducible "
+    "training-data manifests).",
+    tags=("misc", "sequence", "scalar"),
+)
+def misc_dense_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.text import _distributed_prefix_sum
+
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", F.lit(1).alias("one"))
+    )
+    cum = _distributed_prefix_sum(od, val="one", keys=("o_orderkey",))
+    return cum.select(
+        "o_orderkey", (F.col("cum") - 1).alias("row_id")
+    ).orderBy("o_orderkey")

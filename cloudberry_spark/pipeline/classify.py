@@ -1563,3 +1563,66 @@ def ml_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_decile")
     )
+
+
+@register(
+    "ml_split_stability_audit",
+    oracle="""
+    WITH halves AS (
+        SELECT l_orderkey % 2 AS half,
+               regr_slope(l_extendedprice, l_quantity) AS slope,
+               regr_intercept(l_extendedprice, l_quantity) AS icept,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    ), p AS (
+        SELECT max(CASE WHEN half = 0 THEN slope END) AS s0,
+               max(CASE WHEN half = 1 THEN slope END) AS s1,
+               max(CASE WHEN half = 0 THEN icept END) AS i0,
+               max(CASE WHEN half = 1 THEN icept END) AS i1,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM halves
+    )
+    SELECT round(s0, 6) AS slope_even, round(s1, 6) AS slope_odd,
+           round(abs(s0 - s1) / abs((s0 + s1) / 2), 6)
+               AS slope_rel_divergence,
+           round(abs(i0 - i1), 4) AS intercept_abs_divergence,
+           n_rows
+    FROM p
+    """,
+    doc="Model-stability audit by disjoint-half refit (the "
+    "governance check that a fitted relationship isn't an artifact "
+    "of one data slice): the regression refits on even/odd key "
+    "halves IN THE SAME single grouped pass (regr_* partials per "
+    "half), and the readout is the relative coefficient divergence. "
+    "Near-zero divergence = stable fit; the cheap in-engine "
+    "cousin of cross-validation, one scan at any scale.",
+    tags=("pipeline", "ml", "governance"),
+)
+def ml_split_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    halves = li.groupBy((F.col("l_orderkey") % 2).alias("half")).agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("icept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pick = lambda c, h: F.max(F.when(F.col("half") == h, F.col(c)))  # noqa: E731
+    p = halves.agg(
+        pick("slope", 0).alias("s0"),
+        pick("slope", 1).alias("s1"),
+        pick("icept", 0).alias("i0"),
+        pick("icept", 1).alias("i1"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    return p.select(
+        F.round("s0", 6).alias("slope_even"),
+        F.round("s1", 6).alias("slope_odd"),
+        F.round(
+            F.abs(F.col("s0") - F.col("s1"))
+            / F.abs((F.col("s0") + F.col("s1")) / 2),
+            6,
+        ).alias("slope_rel_divergence"),
+        F.round(F.abs(F.col("i0") - F.col("i1")), 4).alias(
+            "intercept_abs_divergence"
+        ),
+        "n_rows",
+    )

@@ -6,8 +6,10 @@ kernels are STUBBED with deterministic fakes (clearly marked below) —
 but each modality ALSO has a REAL stdlib-only decoder proving the loop
 end to end: RIFF/WAV via ``wave`` (multimodal_audio_decode), 24-bit BMP
 parsed by hand (multimodal_image_bmp_decode), and a multi-frame BMP
-container walked frame-by-frame (multimodal_video_frame_decode), every
-one with a closed-form DuckDB oracle over synth→encode→decode→measure.
+container walked frame-by-frame (multimodal_video_frame_decode), plus a
+real nearest-neighbor RESIZE kernel over gradient images
+(multimodal_image_resize) — every one with a closed-form DuckDB oracle
+over synth→encode→decode→measure.
 The Spark-side machinery is identical either way: schemas, mapInPandas
 batch iteration, Arrow transfer, partition sizing. Swapping in
 ``PIL.Image.open`` / ``soundfile.read`` / ffmpeg changes only kernel
@@ -647,4 +649,152 @@ def multimodal_video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("mean_b", 6).alias("mean_b"),
         )
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+def _bmp_gradient_bytes(doc_id: int) -> bytes:
+    """Deterministic VALID 24-bit BMP with per-pixel gradients (not a
+    solid fill), so resampling kernels have non-trivial pixel math to
+    get right. Channel values at file-row y, column x:
+        r=(3x+5y+d) % 256, g=(7x+y+2d) % 256, b=(x+11y+3d) % 256."""
+    import struct
+
+    w = 8 + doc_id % 8
+    h = 6 + doc_id % 6
+    stride = (w * 3 + 3) // 4 * 4
+    head = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (x + 11 * y + 3 * doc_id) % 256,   # B
+                    (7 * x + y + 2 * doc_id) % 256,    # G
+                    (3 * x + 5 * y + doc_id) % 256,    # R
+                )
+            )
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    return head + info + b"".join(rows)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id,
+               8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+        FROM documents WHERE doc_id < 60
+    ), px AS (
+        SELECT v.doc_id, v.w, v.h,
+               (v.w + 1) // 2 AS ow, (v.h + 1) // 2 AS oh,
+               (3 * (2 * x.i) + 5 * (2 * y.i) + v.doc_id) % 256 AS r,
+               (7 * (2 * x.i) + (2 * y.i) + 2 * v.doc_id) % 256 AS g,
+               ((2 * x.i) + 11 * (2 * y.i) + 3 * v.doc_id) % 256 AS b
+        FROM vids v
+        CROSS JOIN range(16) x(i)
+        CROSS JOIN range(16) y(i)
+        WHERE x.i < (v.w + 1) // 2 AND y.i < (v.h + 1) // 2
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           round(avg(CAST(r AS DOUBLE)), 6) AS mean_r,
+           round(avg(CAST(g AS DOUBLE)), 6) AS mean_g,
+           round(avg(CAST(b AS DOUBLE)), 6) AS mean_b
+    FROM px
+    GROUP BY doc_id, w, h, ow, oh
+    ORDER BY doc_id
+    """,
+    doc="REAL image resize, zero external libraries (completes the "
+    "brief's decode / feature-extract / RESIZE / frame-sample "
+    "quartet): gradient-filled valid BMPs are decoded stride-aware "
+    "and downsampled 2x by nearest-neighbor (every second pixel in "
+    "both axes), and the resized image's per-channel means are "
+    "checked against the closed-form pixel formulas — a wrong "
+    "sampling offset, row order, or stride shifts the gradient sums "
+    "and fails the oracle. mapInPandas kernel, same production "
+    "plumbing as the other real codecs; a Pillow resize drops in by "
+    "replacing the sampling loop.",
+    tags=("pipeline", "multimodal", "image"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: _bmp_gradient_bytes(int(i)))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def one(payload: bytes):
+            raw = bytes(payload)
+            off = struct.unpack_from("<I", raw, 10)[0]
+            w, h = struct.unpack_from("<ii", raw, 18)
+            stride = (w * 3 + 3) // 4 * 4
+            # file-row order == generation order here (no flip needed
+            # for mean statistics; the gradient is defined in file rows)
+            img = np.vstack(
+                [
+                    np.frombuffer(
+                        raw, dtype=np.uint8, count=w * 3, offset=off + y * stride
+                    ).reshape(w, 3)
+                    for y in range(h)
+                ]
+            ).reshape(h, w, 3)
+            out = img[::2, ::2, :].astype("float64")  # nearest-neighbor 2x
+            return (
+                w, h, out.shape[1], out.shape[0],
+                float(out[:, :, 2].mean()),
+                float(out[:, :, 1].mean()),
+                float(out[:, :, 0].mean()),
+            )
+
+        for pdf in batches:
+            d = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": pd.Series([x[0] for x in d], dtype="int32"),
+                    "src_h": pd.Series([x[1] for x in d], dtype="int32"),
+                    "out_w": pd.Series([x[2] for x in d], dtype="int32"),
+                    "out_h": pd.Series([x[3] for x in d], dtype="int32"),
+                    "mean_r": [x[4] for x in d],
+                    "mean_g": [x[5] for x in d],
+                    "mean_b": [x[6] for x in d],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = docs.select("doc_id", synth(F.col("doc_id")).alias("payload"))
+    return (
+        media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+        .select(
+            "doc_id", "src_w", "src_h", "out_w", "out_h",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+        )
+        .orderBy("doc_id")
     )

@@ -190,6 +190,13 @@ def interleaved_queries() -> dict[str, Query]:
         "ddl_rebucket_expand",
         "pipeline_dataset_card",
         "events_slo_burn_rate",
+        "misc_dense_row_ids",
+        "agg_mean_family",
+        "events_session_duration_histogram",
+        "events_dau_wau_mau",
+        "ml_split_stability_audit",
+        "multimodal_image_resize",
+        "tpcds_store_sales_profile",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

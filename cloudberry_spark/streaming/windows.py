@@ -1532,3 +1532,163 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "events_session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+                   AS duration_min
+        FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT CAST(least(duration_min // 10, 12) AS INT) AS bucket_10min,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(min(duration_min) AS BIGINT) AS min_duration_min,
+           CAST(max(duration_min) AS BIGINT) AS max_duration_min
+    FROM sessions
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Session-duration histogram (the engagement readout over "
+    "gap-sessionization): sessions from the 1h-gap islands pass, "
+    "duration in integer minutes from exact epoch microseconds, "
+    "10-minute equi-width buckets capped at 2h. Sessionize is one "
+    "window shuffle on user_id; the histogram is a bounded groupBy. "
+    "All-integer — bit-exact.",
+    tags=("events", "session", "analytics"),
+)
+def events_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                >= 3_600_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn("sess_id", F.sum("new_sess").over(wrun))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    sessions = numbered.groupBy("user_id", "sess_id").agg(
+        ((us(F.max("ts")) - us(F.min("ts"))) / 60_000_000)
+        .cast("bigint")
+        .alias("duration_min")
+    )
+    return (
+        sessions.groupBy(
+            F.least(
+                (F.col("duration_min") / 10).cast("bigint"), F.lit(12)
+            )
+            .cast("int")
+            .alias("bucket_10min")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("duration_min").cast("bigint").alias("min_duration_min"),
+            F.max("duration_min").cast("bigint").alias("max_duration_min"),
+        )
+        .orderBy("bucket_10min")
+    )
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1
+    ), w AS (
+        SELECT epoch_us(date_trunc('day', ts)) // 604800000000 AS wk,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau, m.mau,
+           round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+    FROM d
+    JOIN w ON epoch_us(CAST(d.day AS TIMESTAMP)) // 604800000000 = w.wk
+    JOIN m ON CAST(date_trunc('month', CAST(d.day AS TIMESTAMP)) AS DATE)
+              = m.mon
+    ORDER BY d.day
+    """,
+    doc="DAU / WAU / MAU + stickiness (the engagement KPIs every "
+    "product warehouse serves daily): three distinct-count "
+    "aggregations at different grains, joined back onto the day "
+    "spine (week key = integer epoch-week, bit-stable cross-engine; "
+    "month via date_trunc). Each grain is one hash-grouped "
+    "count-distinct — at 100 TB these are the queries HLL sketches "
+    "(agg_hll_union_rollup) approximate; this is the exact form. "
+    "Stickiness = DAU/MAU.",
+    tags=("events", "analytics", "kpi"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    wk = (F.unix_micros(day.cast("timestamp")) / 604_800_000_000).cast(
+        "bigint"
+    )
+    d = ev.groupBy(day.cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = ev.groupBy(wk.alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    m = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("mon")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    d2 = d.withColumn(
+        "wk",
+        (
+            F.unix_micros(F.col("day").cast("timestamp")) / 604_800_000_000
+        ).cast("bigint"),
+    ).withColumn(
+        "mon", F.date_trunc("month", F.col("day").cast("timestamp")).cast("date")
+    )
+    return (
+        d2.join(F.broadcast(w), "wk")
+        .join(F.broadcast(m), "mon")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

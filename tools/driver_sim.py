@@ -60,10 +60,18 @@ def canon(cols, rows):
 
 
 def main() -> int:
+    import os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        # default-1g heaps die collecting sf0.1 results; the knob keeps
+        # the session otherwise vanilla (DRIVER_SIM_MEM=1g to mimic a
+        # stock spark-submit exactly)
+        .config(
+            "spark.driver.memory", os.environ.get("DRIVER_SIM_MEM", "4g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
