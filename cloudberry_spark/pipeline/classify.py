@@ -1626,3 +1626,143 @@ def ml_split_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+def _text_clf_oracle() -> str:
+    from cloudberry_spark.pipeline.hashing import duckdb_base_hash
+
+    h = duckdb_base_hash("w")
+    return f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents WHERE length(trim(text)) > 0
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+    words AS (
+        SELECT doc_id, y, len(ws) AS ntok, unnest(ws) AS w FROM docs
+    ), hashed AS (
+        SELECT doc_id, y, ntok, {h} AS hh FROM words
+    ), x AS (
+        SELECT doc_id, max(y) AS y, CAST(hh % 16 AS INT) AS dim,
+               sum(CASE WHEN (hh // 16) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                   / max(ntok) AS val
+        FROM hashed GROUP BY doc_id, hh % 16
+    ), w1 AS (
+        SELECT dim, -sum((0.5 - y) * val) / (SELECT n FROM n) AS wt
+        FROM x GROUP BY dim
+    ), s2 AS (
+        SELECT x.doc_id, max(x.y) AS y,
+               1.0 / (1.0 + exp(-sum(x.val * w1.wt))) AS p
+        FROM x JOIN w1 USING (dim) GROUP BY x.doc_id
+    ), g2 AS (
+        SELECT x.dim, sum((s2.p - s2.y) * x.val) / (SELECT n FROM n) AS g
+        FROM x JOIN s2 USING (doc_id) GROUP BY x.dim
+    ), w2 AS (
+        SELECT w1.dim, w1.wt - coalesce(g2.g, 0) AS wt
+        FROM w1 LEFT JOIN g2 USING (dim)
+    ), s3 AS (
+        SELECT x.doc_id, max(x.y) AS y,
+               1.0 / (1.0 + exp(-sum(x.val * w2.wt))) AS p
+        FROM x JOIN w2 USING (dim) GROUP BY x.doc_id
+    ), acc AS (
+        SELECT round(avg(CASE WHEN (p > 0.5) = (y = 1.0)
+                              THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM s3
+    )
+    SELECT w2.dim, round(w2.wt, 6) AS weight,
+           (SELECT accuracy FROM acc) AS train_accuracy,
+           (SELECT n_docs FROM acc) AS n_docs
+    FROM w2 ORDER BY w2.dim
+    """
+
+
+@register(
+    "ml_text_classifier_e2e",
+    oracle=_text_clf_oracle(),
+    doc="End-to-end text classification where the MODEL IS A TABLE: "
+    "hashing-trick features (16 signed dims per doc, token-count "
+    "normalized) feed a logistic model whose weight vector lives as "
+    "(dim, weight) ROWS — scores come from an x⋈w join + grouped "
+    "sum, gradients from an x⋈p join + grouped mean, two unrolled "
+    "GD epochs. This is the shape that scales past the broadcast "
+    "limit: ml_logistic_regression's 1-row beta caps out at a few "
+    "thousand features, while a weight TABLE shards like any other "
+    "relation — exactly how MADlib stores glm coefficients "
+    "in-database. Deterministic md5 features, zero init; output = "
+    "the trained weights + train accuracy.",
+    tags=("pipeline", "ml", "text"),
+)
+def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.hashing import spark_base_hash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
+        )
+    )
+    n = float(docs.count())
+    words = docs.select(
+        "doc_id", "y", F.size("ws").alias("ntok"), F.explode("ws").alias("w")
+    )
+    hashed = words.select(
+        "doc_id", "y", "ntok", spark_base_hash(F.col("w")).alias("hh")
+    )
+    sign = F.when(F.shiftright(F.col("hh"), 4) % 2 == 0, 1.0).otherwise(-1.0)
+    x = hashed.groupBy(
+        "doc_id", (F.col("hh") % 16).cast("int").alias("dim")
+    ).agg(
+        F.max("y").alias("y"),
+        (F.sum(sign) / F.max("ntok")).alias("val"),
+    )
+    w1 = x.groupBy("dim").agg(
+        (-F.sum((0.5 - F.col("y")) * F.col("val")) / n).alias("wt")
+    )
+
+    def scores(w):
+        return (
+            x.join(F.broadcast(w), "dim")
+            .groupBy("doc_id")
+            .agg(
+                F.max("y").alias("y"),
+                (
+                    1.0
+                    / (1.0 + F.exp(-F.sum(F.col("val") * F.col("wt"))))
+                ).alias("p"),
+            )
+        )
+
+    g2 = (
+        x.join(scores(w1).select("doc_id", "p", F.col("y").alias("sy")), "doc_id")
+        .groupBy("dim")
+        .agg((F.sum((F.col("p") - F.col("sy")) * F.col("val")) / n).alias("g"))
+    )
+    w2 = w1.join(g2, "dim", "left").select(
+        "dim", (F.col("wt") - F.coalesce(F.col("g"), F.lit(0.0))).alias("wt")
+    )
+    acc = scores(w2).agg(
+        F.round(
+            F.avg(
+                F.when((F.col("p") > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("train_accuracy"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        w2.crossJoin(F.broadcast(acc))
+        .select(
+            "dim",
+            F.round("wt", 6).alias("weight"),
+            "train_accuracy",
+            "n_docs",
+        )
+        .orderBy("dim")
+    )

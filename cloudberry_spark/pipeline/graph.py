@@ -321,3 +321,99 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged.orderBy(F.desc("common_neighbors"), "u", "v").limit(10)
+
+
+#: Peeling rounds for the k-core demo (unrolled; exact <=N-round core).
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    step = """
+    a{r} AS (
+        SELECT e.u, e.v FROM edges e
+        JOIN d{p} du ON du.node = e.u
+        JOIN d{p} dv ON dv.node = e.v
+    ), d{r} AS (
+        SELECT node FROM (
+            SELECT u AS node FROM a{r} UNION ALL SELECT v FROM a{r}
+        ) GROUP BY node HAVING count(*) >= {k}
+    )"""
+    steps = ",".join(
+        step.format(r=r, p=r - 1, k=KCORE_K)
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH sp AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ), d0 AS (
+        SELECT node FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node HAVING count(*) >= {KCORE_K}
+    ),{steps}
+    SELECT CAST((SELECT count(*) FROM d0) AS BIGINT) AS survivors_round0,
+           CAST((SELECT count(*) FROM d{KCORE_ROUNDS}) AS BIGINT)
+               AS survivors_final,
+           CAST((SELECT count(*) FROM (
+               SELECT u AS node FROM edges UNION SELECT v FROM edges))
+               AS BIGINT) AS n_nodes
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"k-core decomposition by iterative peeling (MADlib k-core "
+    f"parity; the community/denseness primitive): repeatedly drop "
+    f"nodes with degree < {KCORE_K} and recount over the induced "
+    f"subgraph — {KCORE_ROUNDS} unrolled rounds, each one edge⋈"
+    f"survivor semi-join + one degree groupBy, the membership table "
+    f"staying distributed throughout. Integer-exact; output tracks "
+    f"survivor counts per round so the fixpoint's convergence is "
+    f"visible in the result.",
+    tags=("graph", "pipeline", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select("v")
+    ).distinct()
+
+    def degree_filter(es):
+        return (
+            es.select(F.col("u").alias("node"))
+            .unionAll(es.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("node")
+        )
+
+    surv = degree_filter(edges)
+    first = surv.agg(F.count(F.lit(1)).alias("survivors_round0"))
+    es = edges
+    for _ in range(KCORE_ROUNDS):
+        su = surv.select(F.col("node").alias("u"))
+        sv = surv.select(F.col("node").alias("v"))
+        es = es.join(su, "u", "left_semi").join(sv, "v", "left_semi")
+        surv = degree_filter(es)
+    return (
+        surv.agg(F.count(F.lit(1)).alias("survivors_final"))
+        .crossJoin(F.broadcast(first))
+        .crossJoin(
+            F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        )
+        .select("survivors_round0", "survivors_final", "n_nodes")
+    )

@@ -1160,3 +1160,88 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "ml_item_item_recommender",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+    ), item_n AS (
+        SELECT item, count(*) AS n FROM baskets GROUP BY item
+    ), co AS (
+        SELECT a.item AS i, b.item AS j, count(*) AS c
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.item <> b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) >= 2
+    ), scored AS (
+        SELECT co.i, co.j,
+               round(CAST(co.c AS DOUBLE) / sqrt(ni.n * nj.n), 6) AS cosine
+        FROM co
+        JOIN item_n ni ON ni.item = co.i
+        JOIN item_n nj ON nj.item = co.j
+    ), ranked AS (
+        SELECT i, j, cosine,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY cosine DESC, j) AS rnk
+        FROM scored
+    )
+    SELECT CAST(i AS BIGINT) AS item, CAST(j AS BIGINT) AS recommended,
+           cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked
+    WHERE rnk <= 3 AND i % 50 = 0
+    ORDER BY item, rnk
+    """,
+    doc="Item-item collaborative filtering (the classic Amazon-style "
+    "recommender; MADlib/recsys parity): items are vectors over the "
+    "orders that contain them, similarity is binary cosine "
+    "co/sqrt(n_i*n_j) from INTEGER co-occurrence counts (one basket "
+    "self-join on the order key, min-support 2 pruning the "
+    "long tail before ranking), top-3 neighbors per item via a "
+    "bounded window. Ranking on the rounded score + neighbor id "
+    "keeps the cut cross-engine deterministic. The association-"
+    "rules query scores direction (confidence/lift); this one is "
+    "the symmetric nearest-neighbor form recommenders serve.",
+    tags=("pipeline", "similarity", "ml"),
+)
+def ml_item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    scored = (
+        co.join(ni, "i")
+        .join(nj, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_i") * F.col("n_j")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cosine"), "j")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where((F.col("rnk") <= 3) & (F.col("i") % 50 == 0))
+        .select(
+            F.col("i").cast("bigint").alias("item"),
+            F.col("j").cast("bigint").alias("recommended"),
+            "cosine",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("item", "rnk")
+    )

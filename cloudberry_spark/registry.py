@@ -197,6 +197,10 @@ def interleaved_queries() -> dict[str, Query]:
         "ml_split_stability_audit",
         "multimodal_image_resize",
         "tpcds_store_sales_profile",
+        "ml_text_classifier_e2e",
+        "graph_kcore_peel",
+        "ml_item_item_recommender",
+        "events_forecast_backtest",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",

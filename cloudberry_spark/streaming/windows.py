@@ -1692,3 +1692,67 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS actual
+        FROM events GROUP BY 1, 2
+    ), joined AS (
+        SELECT a.event_type, a.d, a.actual, f.actual AS forecast
+        FROM daily a JOIN daily f
+          ON f.event_type = a.event_type AND f.d = a.d - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(avg(abs(actual - forecast) / CAST(actual AS DOUBLE)), 6)
+               AS mape,
+           round(avg(actual - forecast), 6) AS mean_bias
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest (the baseline every demand "
+    "forecast must beat: predict today = same weekday last week), "
+    "scored in-engine: the daily series self-joins at lag 7 (equi-"
+    "join on the bounded (type, day) key — no window state), MAPE "
+    "and bias per event type from integer counts. The "
+    "model-evaluation companion to events_changepoint_cusum and "
+    "events_ewma_smoothing in the time-series family.",
+    tags=("events", "timeseries", "forecast"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    a, f = daily.alias("a"), daily.alias("f")
+    joined = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.d") == F.date_sub(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.actual").alias("actual"),
+        F.col("f.actual").alias("forecast"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("actual") - F.col("forecast"))
+                    / F.col("actual").cast("double")
+                ),
+                6,
+            ).alias("mape"),
+            F.round(F.avg(F.col("actual") - F.col("forecast")), 6).alias(
+                "mean_bias"
+            ),
+        )
+        .orderBy("event_type")
+    )
