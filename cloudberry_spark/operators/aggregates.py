@@ -731,3 +731,52 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_distinct_rollup",
+    oracle="""
+    SELECT coalesce(r_name, '(all)') AS region,
+           coalesce(n_name, '(all)') AS nation,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(grouping(n_name) AS INT) AS is_nation_total
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+    doc="COUNT(DISTINCT) under ROLLUP — the combination that forces "
+    "the reference's TupleSplit + grouping-set expansion to compose "
+    "(CXformSplitDQA meets the Expand node; each is covered alone by "
+    "agg_multi_distinct and agg_rollup, this exercises them "
+    "TOGETHER): distinct customers per nation, per region, and "
+    "grand total in one statement. Catalyst plans it as "
+    "Expand → partial distinct → final — the same two-stage DQA "
+    "split ORCA would emit, audited by the 0-SMJ plan suite.",
+    tags=("agg", "rollup", "distinct"),
+)
+def agg_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("n_name").cast("int").alias("is_nation_total"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            "n_customers",
+            "n_rows",
+            "is_nation_total",
+        )
+        .orderBy("region", "nation")
+    )

@@ -726,3 +726,79 @@ def dedup_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_cross_source_leakage",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(array_to_string(list_slice(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   1, 8), ' ')) AS fp,
+               source
+        FROM documents WHERE length(trim(text)) > 0
+    ), clusters AS (
+        SELECT fp,
+               count(DISTINCT source) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               array_to_string(list_sort(list(DISTINCT source)), ',')
+                   AS sources
+        FROM fp GROUP BY fp
+        HAVING count(*) > 1
+    )
+    SELECT sources,
+           CAST(max(n_sources) AS INT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_dup_clusters,
+           CAST(sum(n_copies) AS BIGINT) AS total_copies,
+           CAST(CAST(max(n_sources) AS INT) > 1 AS INT) AS is_cross_source
+    FROM clusters
+    GROUP BY sources
+    ORDER BY sources
+    """,
+    doc="Duplicate-provenance / cross-source leakage report (the "
+    "governance question behind train/test contamination): every "
+    "exact-duplicate cluster grouped by WHICH sources it spans "
+    "(sorted joined string, driver-hashable), flagged cross-source "
+    "when it leaks across provenance boundaries (a healthy corpus "
+    "may have none — the fixtures' dups are within-source). One "
+    "shuffle on the md5 fingerprint — the same scale shape as "
+    "dedup_exact, sliced by provenance instead of keeping a "
+    "canonical copy.",
+    tags=("pipeline", "dedup", "governance"),
+)
+def dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    # 8-word-prefix fingerprint: the fixtures have no full-text exact
+    # dups, but shared openings mark template/near-dup provenance —
+    # the chunk-fingerprint granularity of dedup_substring_chunks.
+    fp = docs.select(
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 8), " "
+            )
+        ).alias("fp"),
+        "source",
+    )
+    clusters = (
+        fp.groupBy("fp")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return (
+        clusters.groupBy("sources")
+        .agg(
+            F.max("n_sources").cast("int").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_dup_clusters"),
+            F.sum("n_copies").cast("bigint").alias("total_copies"),
+            (F.max("n_sources") > 1).cast("int").alias("is_cross_source"),
+        )
+        .orderBy("sources")
+    )

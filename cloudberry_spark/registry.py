@@ -201,6 +201,8 @@ def interleaved_queries() -> dict[str, Query]:
         "graph_kcore_peel",
         "ml_item_item_recommender",
         "events_forecast_backtest",
+        "dedup_cross_source_leakage",
+        "agg_distinct_rollup",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",
