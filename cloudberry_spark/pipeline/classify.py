@@ -1766,3 +1766,85 @@ def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "ml_bot_detection_composite",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT user_id, sum(c) AS n, count(*) AS n_types
+        FROM counts GROUP BY 1
+    ), ent AS (
+        SELECT c.user_id,
+               round(-sum((CAST(c.c AS DOUBLE) / t.n)
+                          * ln(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy
+        FROM counts c JOIN tot t USING (user_id) GROUP BY 1
+    ), base AS (
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(CASE WHEN event_type = 'error'
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS err_rate
+        FROM events GROUP BY 1
+    )
+    SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+           CAST(t.n_types AS INT) AS n_types, e.entropy, b.err_rate,
+           CAST(CAST(t.n_types = 1 AND b.n_events >= 20 AS INT)
+                + CAST(e.entropy < 0.5 AND b.n_events >= 20 AS INT)
+                + CAST(b.err_rate > 0.5 AS INT) AS INT) AS bot_score
+    FROM base b
+    JOIN ent e USING (user_id)
+    JOIN tot t USING (user_id)
+    WHERE b.n_events >= 10
+    ORDER BY b.user_id
+    """,
+    doc="Composite bot/abuse scoring (the access-control readout that "
+    "combines this family's diagnostics): per-user event volume, "
+    "type diversity, Shannon entropy of the action mix, and error "
+    "rate, folded into an integer rule score (single-action volume, "
+    "low-entropy repetition, error flooding). One grouped pass per "
+    "signal over the same user_id exchange; all thresholds integer/"
+    "rounded so the score is bit-stable. Flags feed "
+    "dml_cascade_delete's right-to-be-forgotten path operationally.",
+    tags=("pipeline", "ml", "governance"),
+)
+def ml_bot_detection_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        counts.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("err_rate"),
+    )
+    j = base.join(ent, "user_id").where(F.col("n_events") >= 10)
+    score = (
+        ((F.col("n_types") == 1) & (F.col("n_events") >= 20)).cast("int")
+        + ((F.col("entropy") < 0.5) & (F.col("n_events") >= 20)).cast("int")
+        + (F.col("err_rate") > 0.5).cast("int")
+    )
+    return j.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("int").alias("n_types"),
+        "entropy",
+        "err_rate",
+        score.cast("int").alias("bot_score"),
+    ).orderBy("user_id")

@@ -203,6 +203,7 @@ def interleaved_queries() -> dict[str, Query]:
         "events_forecast_backtest",
         "dedup_cross_source_leakage",
         "agg_distinct_rollup",
+        "ml_bot_detection_composite",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",
