@@ -780,3 +780,52 @@ def agg_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+        SELECT o_orderpriority AS pri, o_custkey % 64 AS slot
+        FROM orders
+    ), bitmap AS (
+        SELECT pri, bit_or(CAST(pow(2, slot) AS BIGINT) |
+                           CAST(0 AS BIGINT)) AS bits
+        FROM (SELECT pri, slot FROM words WHERE slot < 63) GROUP BY pri
+    )
+    SELECT pri,
+           CAST(bits AS BIGINT) AS bitmap_word,
+           CAST(bit_count(bits) AS INT) AS n_distinct_slots
+    FROM bitmap ORDER BY pri
+    """,
+    doc="Bitmap-index-style aggregation (the reference ships on-disk "
+    "bitmap indexes — src/backend/access/bitmap — whose power is "
+    "that set membership over a SMALL DOMAIN is a machine word: OR "
+    "to merge, popcount to count): distinct customer slots (mod 64) "
+    "per order priority as one 64-bit word built by bit_or of "
+    "shifted ones, cardinality via bit_count. Mergeable like any "
+    "sum — the partial/final split ORs words — and the whole "
+    "distinct count costs 8 bytes of state per group vs a hash set. "
+    "Slot 63 is excluded to keep the signed-word arithmetic "
+    "identical cross-engine.",
+    tags=("agg", "bitmap", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    slots = od.select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_custkey") % 64).alias("slot"),
+    ).where(F.col("slot") < 63)
+    return (
+        slots.groupBy("pri")
+        .agg(
+            # SQL shiftleft: the Python API wants a literal bit count
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT))")).alias("bits")
+        )
+        .select(
+            "pri",
+            F.col("bits").cast("bigint").alias("bitmap_word"),
+            F.bit_count("bits").cast("int").alias("n_distinct_slots"),
+        )
+        .orderBy("pri")
+    )

@@ -621,3 +621,62 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
     ).orderBy("event_id")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS k
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), r AS (
+        SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS k,
+               count(*) AS n
+        FROM orders WHERE o_orderkey % 4 = 0
+        GROUP BY 1
+    )
+    SELECT coalesce(l.k, '(null)') AS k,
+           CAST(count(*) AS BIGINT) AS n_left_rows,
+           CAST(max(r.n) AS BIGINT) AS right_group_size
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    ORDER BY 1
+    """,
+    doc="Null-safe equality join (PG IS NOT DISTINCT FROM == Spark "
+    "<=>): NULL keys MATCH each other instead of vanishing, the "
+    "semantics SCD merges and sentinel-free dimension joins need. "
+    "Spark plans <=> as a plain hash equi-join (nulls hash to one "
+    "partition — pair with the salting pattern if the null share is "
+    "skew-heavy at scale); a naive = join would silently drop every "
+    "null-keyed row, which is the bug this query pins.",
+    tags=("join", "nulls"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    k_l = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    l = od.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", k_l.alias("k")
+    )
+    k_r = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    r = (
+        od.where(F.col("o_orderkey") % 4 == 0)
+        .groupBy(k_r.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("k", "rk")
+    )
+    return (
+        l.join(r, l["k"].eqNullSafe(r["rk"]))
+        .groupBy(F.coalesce(l["k"], F.lit("(null)")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_left_rows"),
+            F.max("n").cast("bigint").alias("right_group_size"),
+        )
+        .orderBy("k")
+    )

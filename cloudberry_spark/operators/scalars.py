@@ -929,3 +929,38 @@ def misc_dense_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "o_orderkey", (F.col("cum") - 1).alias("row_id")
     ).orderBy("o_orderkey")
+
+
+register_sql(
+    "scalar_regexp_pg15",
+    """
+    SELECT p_partkey,
+           regexp_count(p_name, 'a')                    AS n_a,
+           regexp_instr(p_name, '[aeiou]')              AS first_vowel_pos,
+           regexp_substr(p_name, '[a-z]+$')             AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_')       AS masked
+    FROM part
+    WHERE p_partkey % 40 = 0
+    ORDER BY p_partkey
+    """,
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a,
+           CAST(CASE WHEN regexp_extract(p_name, '[aeiou]') = ''
+                     THEN 0
+                     ELSE length(regexp_replace(
+                              p_name, '[aeiou].*$', '', 's')) + 1
+                END AS INT) AS first_vowel_pos,
+           regexp_extract(p_name, '[a-z]+$') AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS masked
+    FROM part
+    WHERE p_partkey % 40 = 0
+    ORDER BY p_partkey
+    """,
+    doc="PG 15 regexp function family (regexp_count / regexp_instr / "
+    "regexp_substr — adt/regexp.c additions): native Spark builtins; "
+    "DuckDB lacks instr/count so the oracle derives them from "
+    "extract/replace primitives — the compat check is the VALUES, "
+    "not the names. All row-local, codegen.",
+    tags=("scalar", "regex"),
+)

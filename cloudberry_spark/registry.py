@@ -204,6 +204,9 @@ def interleaved_queries() -> dict[str, Query]:
         "dedup_cross_source_leakage",
         "agg_distinct_rollup",
         "ml_bot_detection_composite",
+        "scalar_regexp_pg15",
+        "agg_bitmap_distinct",
+        "join_null_safe_eq",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",
