@@ -1848,3 +1848,122 @@ def ml_bot_detection_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_rate",
         score.cast("int").alias("bot_score"),
     ).orderBy("user_id")
+
+
+@register(
+    "ml_kaplan_meier",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(min(ts) AS DATE),
+                    coalesce(CAST(min(CASE WHEN event_type = 'purchase'
+                                           THEN ts END) AS DATE),
+                             (SELECT CAST(max(ts) AS DATE) FROM events)))
+                    AS BIGINT) AS duration,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS INT) AS observed
+        FROM events GROUP BY user_id
+    ), n_total AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM spans
+    ), per_t AS (
+        SELECT duration AS t,
+               sum(observed) AS d,
+               count(*) AS leaving
+        FROM spans GROUP BY duration
+    ), risk AS (
+        SELECT t, d,
+               (SELECT n FROM n_total)
+               - coalesce(sum(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_at_risk
+        FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS day,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(CASE WHEN min(1 - d / n_at_risk)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 0
+                      THEN 0.0
+                      ELSE exp(sum(ln(nullif(1 - d / n_at_risk, 0)))
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                 END, 6) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY t
+    """,
+    doc="Kaplan-Meier survival estimator (MADlib survival-analysis "
+    "parity): time from each user's first event to first purchase, "
+    "right-censored at the corpus horizon for never-purchasers. The "
+    "corpus collapses to one (user, duration, observed) row per "
+    "user, then to the bounded per-day event table; at-risk counts "
+    "come from a cumulative window over those ~30 rows "
+    "(metadata-scale) and the survival product is exp-sum-log over "
+    "the same. The churn/retention-curve machinery, exactly as the "
+    "in-database ML layer serves it.",
+    tags=("pipeline", "ml", "survival"),
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("hz"))
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("ts").cast("date"),
+                )
+            ).alias("first_purchase"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("first_purchase"), F.col("hz")),
+                F.col("first_d"),
+            )
+            .cast("bigint")
+            .alias("duration"),
+            F.col("first_purchase").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    n_total = spans.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    per_t = spans.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_at_risk",
+        F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    return (
+        risk.withColumn(
+            "survival",
+            # the last event time can absorb everyone at risk (factor 0):
+            # S collapses to exactly 0 and ln() must be skipped
+            F.when(
+                F.min(1 - F.col("d") / F.col("n_at_risk")).over(w_run) == 0,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.nullif(
+                                1 - F.col("d") / F.col("n_at_risk"),
+                                F.lit(0.0),
+                            )
+                        )
+                    ).over(w_run)
+                )
+            ),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("day"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("day")
+    )

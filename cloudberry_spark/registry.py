@@ -130,21 +130,11 @@ def all_queries() -> dict[str, Query]:
     return dict(_REGISTRY)
 
 
-def interleaved_queries() -> dict[str, Query]:
-    """All queries, round-robin-interleaved across operator families.
 
-    Harnesses that sample a prefix of the query dict (e.g. a correctness
-    driver checking the first N) should see one representative of every
-    SURVEY §2 family before seeing the second of any — so the ordering
-    groups by each query's first tag and interleaves. Within a family,
-    registration order is preserved (most canonical example first).
-    """
-    fams: dict[str, list[Query]] = {}
-    for q in all_queries().values():
-        fams.setdefault(q.tags[0] if q.tags else "misc", []).append(q)
-    # Queries that must lead their family: recently fixed or newly added
-    # operators whose correctness most needs external confirmation.
-    lead = [
+#: Queries that must lead their family in interleaved_queries():
+#: recently fixed or newly added operators whose correctness most
+#: needs external (driver-sample) confirmation.
+_LEAD = [
         # round 5 additions first: these most need driver confirmation
         "ml_multiple_regression",
         "ml_logistic_regression",
@@ -207,6 +197,7 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_regexp_pg15",
         "agg_bitmap_distinct",
         "join_null_safe_eq",
+        "ml_kaplan_meier",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",
@@ -302,7 +293,22 @@ def interleaved_queries() -> dict[str, Query]:
         "scalar_soundex_fuzzy",
         "scalar_interval_column",
         "json_path_filter_predicate",
-    ]
+]
+
+
+def interleaved_queries() -> dict[str, Query]:
+    """All queries, round-robin-interleaved across operator families.
+
+    Harnesses that sample a prefix of the query dict (e.g. a correctness
+    driver checking the first N) should see one representative of every
+    SURVEY §2 family before seeing the second of any — so the ordering
+    groups by each query's first tag and interleaves. Within a family,
+    registration order is preserved (most canonical example first).
+    """
+    fams: dict[str, list[Query]] = {}
+    for q in all_queries().values():
+        fams.setdefault(q.tags[0] if q.tags else "misc", []).append(q)
+    lead = _LEAD
     rank = {n: i for i, n in enumerate(lead)}
     for b in fams.values():
         b.sort(key=lambda q: rank.get(q.name, len(rank)))

@@ -576,13 +576,13 @@ def test_interleave_lead_names_all_registered():
     """Every name in the interleaver's lead list must be a registered
     query — a typo would silently drop the intended driver-sample
     priority for that operator."""
-    import re
+    from cloudberry_spark.registry import (
+        _LEAD,
+        all_queries,
+        interleaved_queries,
+    )
 
-    from cloudberry_spark.registry import all_queries, interleaved_queries
-
-    src = open("cloudberry_spark/registry.py").read()
-    lead_block = src.split("lead = [")[1].split("]")[0]
-    names = re.findall(r'"([a-z0-9_]+)"', lead_block)
+    names = _LEAD
     registered = set(all_queries())
     missing = [n for n in names if n not in registered]
     assert not missing, f"lead entries not registered: {missing}"
