@@ -1967,3 +1967,76 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ml_ipw_treatment_effect",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey % 5 AS segment,
+               CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS t,
+               o_totalprice AS y
+        FROM orders
+    ), prop AS (
+        SELECT segment,
+               CAST(sum(t) AS DOUBLE) / count(*) AS p,
+               count(*) AS n_seg
+        FROM base GROUP BY segment
+    ), w AS (
+        SELECT b.t, b.y,
+               CASE WHEN b.t = 1 THEN 1.0 / p.p
+                    ELSE 1.0 / (1 - p.p) END AS wt
+        FROM base b JOIN prop p USING (segment)
+    )
+    SELECT round(sum(CASE WHEN t = 1 THEN y * wt END)
+                 / sum(CASE WHEN t = 1 THEN wt END), 4) AS treated_mean,
+           round(sum(CASE WHEN t = 0 THEN y * wt END)
+                 / sum(CASE WHEN t = 0 THEN wt END), 4) AS control_mean,
+           round(sum(CASE WHEN t = 1 THEN y * wt END)
+                 / sum(CASE WHEN t = 1 THEN wt END)
+                 - sum(CASE WHEN t = 0 THEN y * wt END)
+                 / sum(CASE WHEN t = 0 THEN wt END), 4) AS ate_ipw,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w
+    """,
+    doc="Causal effect estimation by stratified inverse-propensity "
+    "weighting (the observational-data workhorse; MADlib serves the "
+    "same need in-database): treatment = high order priority, "
+    "strata = customer segments, propensity per stratum from EXACT "
+    "integer counts (no fitted model — the Horvitz-Thompson "
+    "stratified form), and the normalized IPW means give the "
+    "average treatment effect. Two grouped passes over one "
+    "exchange; the propensity table broadcasts. The causal "
+    "companion to the A/B machinery (ml_t_test_welch reads "
+    "randomized experiments; this reads observational logs).",
+    tags=("pipeline", "ml", "causal"),
+)
+def ml_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        (F.col("o_custkey") % 5).alias("segment"),
+        F.when(F.col("o_orderpriority") < "3", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").alias("y"),
+    )
+    prop = base.groupBy("segment").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    w = base.join(F.broadcast(prop), "segment").select(
+        "t",
+        "y",
+        F.when(F.col("t") == 1, 1.0 / F.col("p"))
+        .otherwise(1.0 / (1 - F.col("p")))
+        .alias("wt"),
+    )
+    tm = F.sum(F.when(F.col("t") == 1, F.col("y") * F.col("wt"))) / F.sum(
+        F.when(F.col("t") == 1, F.col("wt"))
+    )
+    cm = F.sum(F.when(F.col("t") == 0, F.col("y") * F.col("wt"))) / F.sum(
+        F.when(F.col("t") == 0, F.col("wt"))
+    )
+    return w.agg(
+        F.round(tm, 4).alias("treated_mean"),
+        F.round(cm, 4).alias("control_mean"),
+        F.round(tm - cm, 4).alias("ate_ipw"),
+        F.count(F.lit(1)).alias("n"),
+    )

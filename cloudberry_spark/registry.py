@@ -198,6 +198,7 @@ _LEAD = [
         "agg_bitmap_distinct",
         "join_null_safe_eq",
         "ml_kaplan_meier",
+        "ml_ipw_treatment_effect",
         "graph_pagerank",
         "graph_triangle_count",
         "sketch_countmin_freq",
