@@ -324,7 +324,7 @@ def dml_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(version AS INT) AS version, event_type AS state,
            ts AS valid_from,
-           coalesce(next_ts, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           coalesce(next_ts, TIMESTAMP '2261-12-31 00:00:00') AS valid_to,
            CAST(next_ts IS NULL AS INT) AS is_current
     FROM changes
     ORDER BY user_id, version
@@ -333,7 +333,11 @@ def dml_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_scd2_point_in_time, which queries one): each state-change "
     "event becomes a versioned row with [valid_from, valid_to) "
     "effective dating via lead() — the next change closes the "
-    "interval, the open row gets the 9999 sentinel and is_current. "
+    "interval, the open row gets a far-future sentinel and is_current. "
+    "Sentinel is 2261-12-31 (not the PG-conventional 9999-12-31): it "
+    "must stay within the Arrow/pandas nanosecond timestamp range "
+    "(max 2262-04-11) or any Arrow-based consumer of the dimension "
+    "crashes converting the open rows. "
     "ONE window pass per business key (single shuffle on user_id), "
     "the standard warehouse pattern the reference builds with "
     "MERGE + triggers. (ts, event_id) ordering keys make "
@@ -363,7 +367,7 @@ def dml_scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
             F.coalesce(
                 F.col("next_ts"),
-                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+                F.lit("2261-12-31 00:00:00").cast("timestamp_ntz"),
             ).alias("valid_to"),
             F.col("next_ts").isNull().cast("int").alias("is_current"),
         )

@@ -472,7 +472,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(lead(o_orderdate) OVER (PARTITION BY o_custkey
                                                 ORDER BY o_orderdate,
                                                          o_orderkey),
-                        TIMESTAMP '9999-12-31') AS valid_to
+                        TIMESTAMP '2261-12-31') AS valid_to
         FROM orders
     ), probes AS (
         SELECT o_custkey AS custkey, l_shipdate
@@ -512,7 +512,8 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
         F.coalesce(
             F.lead("o_orderdate").over(w),
-            F.lit("9999-12-31").cast("timestamp"),
+            # ns-range-safe open-row sentinel (see dml_scd2_history_build)
+            F.lit("2261-12-31").cast("timestamp"),
         ).alias("valid_to"),
     )
     probes = (

@@ -253,9 +253,9 @@ register_sql(
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           size(filter(from_json(get_json_object(doc, '$.items'),
-                                 'array<bigint>'),
-                       x -> x > 45)) AS n_hits,
+           CAST(size(filter(from_json(get_json_object(doc, '$.items'),
+                                      'array<bigint>'),
+                            x -> x > 45)) AS BIGINT) AS n_hits,
            aggregate(filter(from_json(get_json_object(doc, '$.items'),
                                       'array<bigint>'),
                             x -> x > 45),
@@ -276,9 +276,9 @@ register_sql(
     SELECT l_orderkey,
            len(list_filter(CAST(json_extract(doc, '$.items') AS BIGINT[]),
                            x -> x > 45)) AS n_hits,
-           coalesce(list_sum(list_filter(
+           CAST(coalesce(list_sum(list_filter(
                CAST(json_extract(doc, '$.items') AS BIGINT[]),
-               x -> x > 45)), 0) AS sum_hits
+               x -> x > 45)), 0) AS BIGINT) AS sum_hits
     FROM j
     WHERE l_orderkey < 5000
     ORDER BY l_orderkey

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
+from cloudberry_spark.operators.tpch import dsum_combine, dsum_split
 from cloudberry_spark.registry import register
 
 
@@ -55,7 +56,8 @@ def eager_agg_join(
 
 _EAGER_ORACLE = """
 SELECT o_orderpriority,
-       sum(l_extendedprice)        AS sum_price,
+       (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price,
        sum(l_quantity)             AS sum_qty,
        count(*)                    AS n_items,
        count(DISTINCT o_orderkey)  AS n_orders
@@ -78,19 +80,31 @@ ORDER BY o_orderpriority
 def agg_eager_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # Money sums ride the split-long exact path through BOTH aggregation
+    # levels: partials per order stay plain longs, the DECIMAL
+    # recombination runs only on the 5 output rows — accumulation order
+    # can no longer perturb the result (numeric.c-exact semantics).
+    hi, lo = dsum_split(F.col("l_extendedprice"), scale=2)
     out = eager_agg_join(
-        fact=lineitem.select(F.col("l_orderkey").alias("o_orderkey"),
-                             "l_extendedprice", "l_quantity"),
+        fact=lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            hi.alias("price_hi"),
+            lo.alias("price_lo"),
+            "l_quantity",
+        ),
         dim=orders.select("o_orderkey", "o_orderpriority"),
         join_key="o_orderkey",
         partials={
-            "p_price": F.sum("l_extendedprice"),
+            "p_price_hi": F.sum("price_hi"),
+            "p_price_lo": F.sum("price_lo"),
             "p_qty": F.sum("l_quantity"),
             "p_cnt": F.count(F.lit(1)),
         },
         group_cols=["o_orderpriority"],
         finals={
-            "sum_price": F.sum("p_price"),
+            "sum_price": dsum_combine(
+                F.sum("p_price_hi"), F.sum("p_price_lo"), scale=2
+            ),
             "sum_qty": F.sum("p_qty"),
             "n_items": F.sum("p_cnt"),
             # every pre-agg row IS one distinct order: distinct-count
@@ -114,13 +128,20 @@ def rollup_from_matview(mv: DataFrame, keep_keys: list[str]) -> DataFrame:
     count←sum(count), min←min(min), max←max(max), avg←sum(sum)/sum(count)
     — the compatibility check aqumv.c performs against the view's target
     list before substituting the view for the base relation.
+
+    Money partials are stored SCALED (split-long hi/lo per dsum_split) so
+    the rollup re-aggregation is integer-exact: a matview holding rounded
+    doubles would re-introduce accumulation-order drift at every refresh.
     """
+    sum_price = dsum_combine(
+        F.sum("s_price_hi"), F.sum("s_price_lo"), scale=2
+    )
     return mv.groupBy(*keep_keys).agg(
-        F.sum("s_price").alias("sum_price"),
+        sum_price.alias("sum_price"),
         F.sum("n_rows").alias("n_rows"),
         F.min("min_disc").alias("min_disc"),
         F.max("max_disc").alias("max_disc"),
-        (F.sum("s_price") / F.sum("n_rows")).alias("avg_price"),
+        (sum_price / F.sum("n_rows")).alias("avg_price"),
     )
 
 
@@ -128,11 +149,14 @@ def rollup_from_matview(mv: DataFrame, keep_keys: list[str]) -> DataFrame:
     "aqumv_rollup_answer",
     oracle="""
     SELECT l_returnflag,
-           sum(l_extendedprice) AS sum_price,
+           (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price,
            count(*) AS n_rows,
            min(l_discount) AS min_disc,
            max(l_discount) AS max_disc,
-           avg(l_extendedprice) AS avg_price
+           (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / count(*)
+               AS avg_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -155,11 +179,16 @@ def aqumv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     mv_path = _scratch(sf_dir, "aqumv_mv")
-    # matview definition: finer grouping with decomposable partials
+    # matview definition: finer grouping with decomposable partials;
+    # money partials stored as exact split longs (see rollup_from_matview)
+    p_hi, p_lo = dsum_split(F.col("l_extendedprice"), scale=2)
     (
-        li.groupBy("l_returnflag", "l_linestatus")
+        li.withColumn("price_hi", p_hi)
+        .withColumn("price_lo", p_lo)
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_extendedprice").alias("s_price"),
+            F.sum("price_hi").alias("s_price_hi"),
+            F.sum("price_lo").alias("s_price_lo"),
             F.count(F.lit(1)).alias("n_rows"),
             F.min("l_discount").alias("min_disc"),
             F.max("l_discount").alias("max_disc"),

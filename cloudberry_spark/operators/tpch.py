@@ -84,6 +84,46 @@ def dsum(col, scale: int = 4):
     )
     return total.cast("double") / F.lit(float(f))
 
+def dsum_split(col, scale: int = 4):
+    """Row-level (hi, lo) split of a money expression for TWO-LEVEL exact
+    sums (partial aggregate below a join, matview partials + rollup).
+
+    Same scaling/recovery contract as :func:`dsum`; returns the split
+    columns so callers can ``F.sum(hi)``/``F.sum(lo)`` at each level —
+    partials stay plain longs (codegen fast path, overflow-safe to
+    ~10^12 rows/group) and only :func:`dsum_combine` touches DECIMAL,
+    on output rows. This is how eager-agg pushdown and AQUMV keep their
+    partial algebra exact across re-aggregation, mirroring the
+    reference's numeric partials (utils/adt/numeric.c int128 accum).
+    """
+    f = 10 ** scale
+    scaled = F.floor(col * F.lit(f) + F.lit(0.5)).cast("bigint")
+    lo = F.pmod(scaled, F.lit(_DSUM_RADIX))
+    hi = ((scaled - lo) / F.lit(_DSUM_RADIX)).cast("bigint")
+    return hi, lo
+
+
+def dsum_combine(hi_sum, lo_sum, scale: int = 4):
+    """Finalize a split-long exact sum: DECIMAL recombination -> DOUBLE."""
+    total = (
+        hi_sum.cast("decimal(38,0)") * _DSUM_RADIX
+        + lo_sum.cast("decimal(38,0)")
+    )
+    return total.cast("double") / F.lit(float(10 ** scale))
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """Dialect-portable SQL spelling of :func:`dsum` (identical text runs
+    on Spark SQL and DuckDB): exact fixed-point money sum, read back as
+    DOUBLE. Use in register_sql bodies/oracles so both engines sum the
+    same integers — kills accumulation-order hash flakes at the source."""
+    f = 10 ** scale
+    return (
+        f"(CAST(sum(CAST(CAST(round(({expr}) * {f}) AS BIGINT) "
+        f"AS DECIMAL(38,0))) AS DOUBLE) / {f}.0)"
+    )
+
+
 # --------------------------------------------------------------------------
 # q1 — pricing summary report: the flagship full-scan aggregation.
 # --------------------------------------------------------------------------
