@@ -131,169 +131,70 @@ def all_queries() -> dict[str, Query]:
 
 
 
+#: Names the correctness driver has already sampled (union of the
+#: CORRECTNESS_r01/r02 keys). interleaved_queries() demotes these behind
+#: never-sampled siblings so each round's 50-query prefix maximizes the
+#: number of operators with at least one hard external confirmation.
+_DRIVER_SAMPLED = frozenset(
+    """
+    agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id
+    agg_distinct_rows agg_eager_pushdown agg_filter_clause
+    agg_grouping_sets agg_having agg_hll_union_rollup
+    agg_hypothetical_set agg_mean_family agg_minmax_by_bool
+    agg_multi_distinct agg_percentile_approx agg_percentiles agg_pivot
+    agg_rollup agg_stats_family agg_string_agg agg_string_agg_distinct
+    agg_unpivot_melt analytics_association_rules analytics_rfm_segments
+    aqumv_rollup_answer array_basic_ops copy_fixedwidth_parse cte_reuse
+    ddl_check_constraints ddl_rebucket_expand dml_scd2_history_build
+    events_attribution_last_touch events_pattern_vshape
+    graph_link_prediction ivm_count_distinct_refresh join_anti_not_exists
+    join_asof_nearest join_cross_small join_full_outer
+    join_lasj_notin_nulls join_null_safe_eq join_right_outer
+    join_self_window_pairs join_semi_in join_theta_range
+    json_path_filter_predicate limit_offset map_hstore_ops
+    misc_dense_row_ids ml_multiple_regression recursive_shortest_path
+    sample_hash_split sample_weighted_ares scalar_date_bin
+    scalar_geometric_ops scalar_regexp_pg15 setop_union_all
+    setop_union_distinct sink_multilevel_partitions
+    sketch_minhash_set_algebra sql_group_by_all_star_except
+    sql_plan_hints srf_generate_series stream_append_mode_finalized
+    subq_any_all_quantified subq_select_list_correlated
+    text_bpe_merge_round text_tsquery_rank tpcds_rank_delta
+    tpcds_store_sales_profile tpch_q1 tpch_q10 tpch_q11 tpch_q12
+    tpch_q13 tpch_q14 tpch_q15 tpch_q16 tpch_q17 tpch_q18 tpch_q19
+    tpch_q2 tpch_q20 tpch_q21 tpch_q22 tpch_q3 tpch_q4 tpch_q5 tpch_q6
+    tpch_q7 tpch_q8 tpch_q9 udaf_geomean udf_pandas_scalar
+    udtf_doc_words values_scan win_gap_islands win_moving_median
+    """.split()
+)
+
 #: Queries that must lead their family in interleaved_queries():
 #: recently fixed or newly added operators whose correctness most
 #: needs external (driver-sample) confirmation.
 _LEAD = [
-        # round 5 additions first: these most need driver confirmation
-        "ml_multiple_regression",
-        "ml_logistic_regression",
-        "ml_auc_roc",
-        "ml_decision_stump",
-        "ml_pca_power_iteration",
-        "ml_knn_classifier",
-        "ml_t_test_welch",
-        "ml_lift_deciles",
-        "text_bpe_merge_round",
-        "graph_link_prediction",
-        "dedup_source_cap",
-        "events_attribution_last_touch",
-        "multimodal_image_bmp_decode",
-        "recursive_shortest_path",
-        "analytics_rfm_segments",
-        "emb_product_quantization",
-        "events_pattern_vshape",
-        "copy_fixedwidth_parse",
-        "events_ohlc_bars",
-        "ml_correlation_matrix",
-        "ivm_count_distinct_refresh",
-        "win_moving_median",
-        "ml_kmeans_silhouette",
-        "multimodal_video_frame_decode",
-        "array_basic_ops",
-        "array_set_operations",
-        "map_hstore_ops",
-        "analytics_association_rules",
-        "sketch_minhash_set_algebra",
-        "events_changepoint_cusum",
-        "ml_linear_svm_gd",
-        "ml_feature_hashing",
-        "graph_degree_assortativity",
-        "join_asof_nearest",
-        "win_gap_islands",
-        "ml_gmm_em_1d",
-        "stream_append_mode_finalized",
-        "ml_precision_recall_curve",
-        "events_cohort_ltv",
+        # round-3 red-row fixes: MUST re-enter the sampled prefix to
+        # prove green (exact money sums, ns-safe sentinel, int64 casts)
+        "agg_eager_pushdown",
+        "aqumv_rollup_answer",
         "dml_scd2_history_build",
-        "ddl_check_constraints",
-        "ddl_rebucket_expand",
-        "pipeline_dataset_card",
-        "events_slo_burn_rate",
-        "misc_dense_row_ids",
-        "agg_mean_family",
-        "events_session_duration_histogram",
-        "events_dau_wau_mau",
-        "ml_split_stability_audit",
-        "multimodal_image_resize",
-        "tpcds_store_sales_profile",
-        "ml_text_classifier_e2e",
-        "graph_kcore_peel",
-        "ml_item_item_recommender",
-        "events_forecast_backtest",
-        "dedup_cross_source_leakage",
-        "agg_distinct_rollup",
-        "ml_bot_detection_composite",
-        "scalar_regexp_pg15",
-        "agg_bitmap_distinct",
-        "join_null_safe_eq",
-        "ml_kaplan_meier",
-        "ml_ipw_treatment_effect",
-        "graph_pagerank",
-        "graph_triangle_count",
-        "sketch_countmin_freq",
-        "sketch_bloom_membership",
-        "stream_session_window_native",
-        "stream_static_join",
-        "text_token_shards",
-        "events_peak_concurrency",
-        "text_sequence_pack",
-        # round 4 additions: these most need driver confirmation
-        "agg_heavy_hitters_mg",
-        "sample_weighted_ares",
-        "scalar_date_bin",
-        "array_generate_subscripts",
-        "win_named_window_clause",
-        "text_bpeish_tokens_re2",
-        "events_time_weighted_avg",
-        "win_gapfill_locf",
-        "win_filter_clause",
-        "scalar_crypto_digests",
-        "scalar_citext_semantics",
-        "scalar_earth_distance",
-        "ltree_hierarchy_ops",
-        "scalar_unaccent",
-        "scalar_orafce_compat",
-        "sql_plan_hints",
-        "join_scd2_point_in_time",
-        "emb_matryoshka_recall",
-        "ml_naive_bayes_langid",
-        "ml_mad_outliers",
-        "events_markov_transition",
-        "text_zipf_fit",
-        "ml_chi2_independence",
-        "ml_event_entropy",
-        "scalar_format_sprintf",
-        "dedup_containment_pairs",
-        "scalar_regexp_backrefs",
-        "scalar_horology_fields",
-        "agg_weighted_median",
-        "pipeline_curate_to_sequences",
-        "tpcds_rank_delta",
-        "win_cumulative_distinct",
-        "diag_gini_coefficient",
-        "diag_hhi_concentration",
-        "diag_pareto_8020",
-        "ml_halfsample_bootstrap",
-        "dedup_minhash_estimator_audit",
-        "events_ewma_smoothing",
-        "dml_cascade_delete",
-        "events_funnel_time_bounded",
-        "agg_higher_moments",
-        "events_autocorr_lag1",
-        "events_interarrival_buckets",
-        "scalar_url_parse",
-        # round 3 additions: these most need driver confirmation
-        "scalar_geometric_ops",
-        "scalar_inet_ops",
-        "scalar_money_cash",
-        "scalar_bitstring_ops",
-        "scalar_uuid_format",
-        "xml_xpath_table",
-        "sample_hash_split",
-        "text_chunk_windows",
-        "dedup_substring_chunks",
-        "text_quality_tiers",
-        "dedup_canonical_pick",
-        "sim_lsh_recall",
-        "stream_foreachbatch_upsert",
-        "join_spatial_grid",
-        "join_inet_lpm",
-        "text_bigram_surprisal",
-        "win_percentile_partition",
-        "sink_multilevel_partitions",
-        "sim_ivf_recall",
-        "tpcds_rollup_rank",
-        "tpcds_channel_union",
-        "tpcds_moving_avg",
-        "tpcds_cross_shop",
-        "events_hierarchical_rollup",
-        "diag_key_skew",
-        # round 2 additions
-        "agg_array_agg",
-        "agg_approx_distinct",
-        "agg_percentile_approx",
-        "agg_hll_union_rollup",
-        "stream_live_tumbling",
-        "stream_stream_join",
-        "stream_stateful_sessionize",
-        "sim_cosine_neardup",
-        "sim_neardup_lsh_banded",
-        "copy_execute_pipe",
-        "fdw_jdbc",
-        "scalar_soundex_fuzzy",
-        "scalar_interval_column",
         "json_path_filter_predicate",
+        # never-driver-sampled operators, highest risk first: hand-rolled
+        # emulations and the dedup/sim/streaming subfamilies the r2
+        # sample missed entirely
+        "dedup_minhash_lsh_pairs",
+        "sim_neardup_lsh_banded",
+        "dedup_ngram_jaccard",
+        "dedup_exact_hash",
+        "stream_foreachbatch_upsert",
+        "win_groups_frame",
+        "win_exclude_current_row",
+        "fdw_jdbc",
+        "copy_execute_pipe",
+        "dml_merge",
+        "json_from_json_struct",
+        "text_quality_score",
+        "multimodal_image_bmp_decode",
+        "sim_knn_brute",
 ]
 
 
@@ -308,11 +209,23 @@ def interleaved_queries() -> dict[str, Query]:
     """
     fams: dict[str, list[Query]] = {}
     for q in all_queries().values():
-        fams.setdefault(q.tags[0] if q.tags else "misc", []).append(q)
-    lead = _LEAD
-    rank = {n: i for i, n in enumerate(lead)}
+        fam = q.tags[0] if q.tags else "misc"
+        # the pipeline family is ~80 queries wide; splitting it by
+        # subfamily (ml/text/dedup/similarity/multimodal/...) gives each
+        # subfamily its own slot in the sampled prefix, so dedup and
+        # similarity operators actually reach the driver.
+        if fam == "pipeline" and len(q.tags) > 1:
+            fam = f"pipeline.{q.tags[1]}"
+        fams.setdefault(fam, []).append(q)
+    rank = {n: i for i, n in enumerate(_LEAD)}
     for b in fams.values():
-        b.sort(key=lambda q: rank.get(q.name, len(rank)))
+        # leads first, then never-driver-sampled queries, then the rest
+        b.sort(
+            key=lambda q: (
+                rank.get(q.name, len(rank)),
+                q.name in _DRIVER_SAMPLED,
+            )
+        )
     out: dict[str, Query] = {}
     depth = max(len(b) for b in fams.values())
     for i in range(depth):
