@@ -32,11 +32,18 @@ if _REPO not in sys.path:
 TPCH = {f"q{i}": f"tpch_q{i}" for i in range(1, 23)}
 
 #: Pipeline / scale-path headliners beyond the reference's surface.
+#: graph_pagerank and ml_text_classifier_e2e are the two heaviest
+#: iterative plan families (unrolled join+groupBy rounds) — in the bench
+#: so a regression in iterative-operator plumbing moves BENCH_r{N}, not
+#: just plan-shape counts. snowflake12 covers the widest join tree.
 PIPELINE = {
     "dedup_minhash": "dedup_minhash_lsh_pairs",
     "knn_brute": "sim_knn_brute",
     "text_quality": "text_quality_score",
     "curate_e2e": "pipeline_end_to_end",
+    "pagerank": "graph_pagerank",
+    "text_clf_e2e": "ml_text_classifier_e2e",
+    "snowflake12": "join_snowflake_12way",
 }
 
 

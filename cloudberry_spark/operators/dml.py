@@ -109,6 +109,63 @@ def merge_into(
     overwrite_inplace(result, path)
 
 
+def merge_into_multi(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    matched_actions: list[tuple[Column | None, dict[str, Column] | str]],
+    insert_when_not_matched: bool = True,
+) -> None:
+    """MERGE with an ordered WHEN-clause list, PG15/reference semantics
+    (nodeModifyTable.c ExecMergeMatched: actions are evaluated in
+    declaration order, the FIRST clause whose AND-qualifier passes fires,
+    at most one action per row).
+
+    ``matched_actions``: ordered ``(qualifier, action)`` pairs where the
+    qualifier is a Column over the joined row (None = always) and the
+    action is either the string ``"delete"`` or an UPDATE assignment
+    dict. Still ONE full-outer shuffle on the merge key — the extra
+    clauses are row-local projections, so the plan is identical to
+    single-action MERGE at any scale.
+    """
+    tgt = spark.read.parquet(path)
+    src = source.select(
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+    )
+    j = tgt.join(src, tgt[on] == src[f"__src_{on}"], "full_outer")
+    matched = tgt[on].isNotNull() & src[f"__src_{on}"].isNotNull()
+    src_only = tgt[on].isNull()
+
+    # first-match-wins clause resolution
+    fires: list[tuple[Column, dict[str, Column] | str]] = []
+    taken = F.lit(False)
+    for qual, action in matched_actions:
+        this = matched if qual is None else (matched & qual)
+        fires.append((this & ~taken, action))
+        taken = taken | this
+
+    delete_pred = F.lit(False)
+    for fire, action in fires:
+        if action == "delete":
+            delete_pred = delete_pred | fire
+
+    out_cols = []
+    for c in tgt.columns:
+        val = F.col(c)
+        # build WHEN chain backwards so earlier clauses take precedence
+        chain = F.when(src_only, F.col(f"__src_{c}")).otherwise(F.col(c))
+        for fire, action in reversed(fires):
+            if isinstance(action, dict):
+                chain = F.when(fire, action.get(c, F.col(c))).otherwise(chain)
+        out_cols.append(chain.alias(c))
+
+    result = j.filter(~delete_pred)
+    if not insert_when_not_matched:
+        result = result.filter(~src_only)
+    overwrite_inplace(result.select(*out_cols), path)
+
+
 # ---------------------------------------------------------------------------
 # Registered end-to-end DML scenarios
 # ---------------------------------------------------------------------------
@@ -237,6 +294,89 @@ def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("c_acctbal"), 2).alias("bal"),
         )
+    )
+
+
+@register(
+    "dml_merge_delete",
+    oracle="""
+        WITH target AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), source AS (
+            SELECT o_orderkey, 'SOURCED' AS o_orderpriority,
+                   o_totalprice + 5000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), merged AS (
+            SELECT CASE WHEN t.o_orderkey IS NOT NULL
+                             AND s.o_orderkey IS NOT NULL THEN 'MERGED'
+                        WHEN t.o_orderkey IS NULL THEN s.o_orderpriority
+                        ELSE t.o_orderpriority END AS o_orderpriority,
+                   CASE WHEN t.o_orderkey IS NOT NULL
+                             AND s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                        WHEN t.o_orderkey IS NULL THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM target t FULL OUTER JOIN source s
+              ON t.o_orderkey = s.o_orderkey
+            WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                       AND t.o_totalprice < 100000)
+        )
+        SELECT o_orderpriority, count(*) AS n,
+               (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+                   AS total
+        FROM merged GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="MERGE with multiple WHEN clauses, first-match-wins (reference "
+    "nodeModifyTable.c ExecMergeMatched action list, PG15 MERGE): "
+    "WHEN MATCHED AND target.o_totalprice < 100000 THEN DELETE; "
+    "WHEN MATCHED THEN UPDATE (take source price, mark MERGED); "
+    "WHEN NOT MATCHED THEN INSERT. Same single full-outer shuffle as "
+    "single-action MERGE — qualifiers are row-local projections. "
+    "Money totals ride the exact fixed-point sum (dsum).",
+    tags=("dml", "merge", "delete"),
+)
+def dml_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.tpch import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "dml_orders_merge_del")
+    overwrite_inplace(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        path,
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("SOURCED").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 5000.0).alias("o_totalprice"),
+    )
+    merge_into_multi(
+        spark,
+        path,
+        source,
+        on="o_orderkey",
+        matched_actions=[
+            (F.col("o_totalprice") < 100000, "delete"),
+            (
+                None,
+                {
+                    "o_orderpriority": F.lit("MERGED"),
+                    "o_totalprice": F.col("__src_o_totalprice"),
+                },
+            ),
+        ],
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), scale=2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

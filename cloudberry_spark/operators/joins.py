@@ -681,3 +681,64 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+register_sql(
+    "join_snowflake_12way",
+    """
+    WITH brand_dim AS (
+        SELECT DISTINCT p_brand,
+               CAST(substring(p_brand, 7, 2) AS BIGINT) % 5 AS brand_tier
+        FROM part
+    ), prio_dim AS (
+        SELECT DISTINCT o_orderpriority,
+               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_class
+        FROM orders
+    ), seg_dim AS (
+        SELECT DISTINCT c_mktsegment,
+               upper(substring(c_mktsegment, 1, 3)) AS seg_code
+        FROM customer
+    )
+    SELECT cr.r_name AS cust_region,
+           sd.seg_code,
+           pd.prio_class,
+           count(*) AS n_items,
+           (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount))
+                                     * 10000) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
+               AS revenue,
+           CAST(sum(CASE WHEN b.brand_tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tier2,
+           count(DISTINCT sr.r_name) AS n_supp_regions
+    FROM lineitem l
+    JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c  ON o.o_custkey   = c.c_custkey
+    JOIN nation   cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region   cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region   sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part     p  ON l.l_partkey   = p.p_partkey
+    JOIN brand_dim b ON p.p_brand     = b.p_brand
+    JOIN prio_dim pd ON o.o_orderpriority = pd.o_orderpriority
+    JOIN seg_dim  sd ON c.c_mktsegment    = sd.c_mktsegment
+    WHERE cr.r_name IN ('ASIA', 'EUROPE')
+      AND p.p_size < 30
+      AND l.l_shipdate >= TIMESTAMP '1994-01-01'
+    GROUP BY cr.r_name, sd.seg_code, pd.prio_class
+    ORDER BY cust_region, seg_code, prio_class
+    """,
+    doc="12-relation snowflake join (reference join-order search: "
+    "optimizer/path/allpaths.c:4270 standard_join_search, ORCA "
+    "CJoinOrderDP): fact lineitem -> orders -> customer -> nation -> "
+    "region, supplier -> nation -> region (both dims joined twice "
+    "under different roles), part -> derived brand_dim, plus derived "
+    "prio_dim / seg_dim bridges — the widest join tree in the suite, "
+    "exercising Catalyst's join reordering + AQE broadcast demotion. "
+    "All dims and derived bridges are broadcast-able at any SF (their "
+    "cardinality is bounded by distinct attribute values, not fact "
+    "rows), so the expected 100 TB plan is one pass over lineitem "
+    "with a chain of broadcast hash joins and a single final "
+    "aggregation exchange; revenue rides the exact fixed-point sum.",
+    tags=("join", "snowflake", "reorder", "bench"),
+)

@@ -293,3 +293,162 @@ register_sql(
     "list_filter.",
     tags=("json", "jsonpath"),
 )
+
+
+# ---------------------------------------------------------------------------
+# jsonb containment / existence operators: @>, ?, ?|, ?&
+# ---------------------------------------------------------------------------
+
+
+def jsonb_contains(col, pattern, path: str = "$"):
+    """Compile jsonb ``@>`` containment of a CONSTANT pattern into
+    JVM-side predicates (reference jsonb_contains,
+    src/backend/utils/adt/jsonfuncs.c; jsonb_ops GIN strategy 7).
+
+    jsonb containment is recursive subset matching: every key/value of
+    an object pattern must appear in the target (extra target keys are
+    fine), and every element of an array pattern must be contained in
+    the target array. A constant pattern compiles to a conjunction of
+    get_json_object / array_contains predicates — exactly what the
+    reference's GIN index extracts as lookup keys, and here it stays
+    whole-stage-codegen with no JSON re-parse per predicate beyond the
+    path walks.
+    """
+    if isinstance(pattern, dict):
+        preds = [
+            jsonb_contains(col, v, f"{path}.{k}") for k, v in pattern.items()
+        ]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if isinstance(pattern, list):
+        # array containment: each pattern element must be present
+        elem = pattern[0]
+        if isinstance(elem, bool):
+            typ = "array<boolean>"
+        elif isinstance(elem, int):
+            typ = "array<bigint>"
+        elif isinstance(elem, float):
+            typ = "array<double>"
+        else:
+            typ = "array<string>"
+        arr = F.from_json(F.get_json_object(col, path), typ)
+        preds = [F.array_contains(arr, F.lit(e)) for e in pattern]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    v = F.get_json_object(col, path)
+    if isinstance(pattern, bool):
+        return v == F.lit("true" if pattern else "false")
+    if isinstance(pattern, (int, float)):
+        return v.cast("double") == F.lit(float(pattern))
+    return v == F.lit(pattern)
+
+
+def jsonb_exists(col, key: str, path: str = "$"):
+    """jsonb ``?`` — top-level key existence (jsonb_exists, jsonfuncs.c).
+
+    get_json_object returns NULL for an absent path; JSON null values do
+    not occur in the fixture docs, so absent == NULL here (the PG
+    operator also matches keys holding null — callers with nullable
+    values should probe json_object_keys instead).
+    """
+    return F.get_json_object(col, f"{path}.{key}").isNotNull()
+
+
+def jsonb_exists_any(col, keys: list[str]):
+    """jsonb ``?|`` — any key present."""
+    out = jsonb_exists(col, keys[0])
+    for k in keys[1:]:
+        out = out | jsonb_exists(col, k)
+    return out
+
+
+def jsonb_exists_all(col, keys: list[str]):
+    """jsonb ``?&`` — all keys present."""
+    out = jsonb_exists(col, keys[0])
+    for k in keys[1:]:
+        out = out & jsonb_exists(col, k)
+    return out
+
+
+@register(
+    "json_containment_ops",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN o_custkey % 10 = 3 AND o_custkey < 500
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_vip_bucket3,
+           CAST(sum(CASE WHEN o_totalprice > 120000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_discount,
+           CAST(sum(CASE WHEN o_totalprice > 150000
+                          AND o_orderpriority LIKE '1-%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tags_big_urgent,
+           CAST(sum(CASE WHEN o_totalprice > 120000
+                          OR o_orderpriority LIKE '1-%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="jsonb containment + existence operators `@>` `?` `?|` `?&` "
+    "(jsonfuncs.c jsonb_contains / jsonb_exists; jsonb_ops GIN "
+    "strategies 7/9/10/11): REAL JSON docs are built per order (with "
+    "an optional 'discount' key and a conditional tags array), then "
+    "every predicate is evaluated ON THE JSON TEXT ONLY via the "
+    "compiled containment predicates. The DuckDB oracle computes the "
+    "same truth values straight from the base columns — a fully "
+    "independent route, so any containment-compilation bug shows as a "
+    "count mismatch.",
+    tags=("json", "jsonb", "containment"),
+)
+def json_containment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = F.named_struct(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+        F.lit("meta"), F.named_struct(
+            F.lit("vip"), F.col("o_custkey") < 500,
+            F.lit("bucket"), F.col("o_custkey") % 10,
+        ),
+        F.lit("tags"), F.array_compact(
+            F.array(
+                F.when(F.col("o_totalprice") > 150000, F.lit("big")),
+                F.when(F.col("o_orderpriority").startswith("1-"),
+                       F.lit("urgent")),
+            )
+        ),
+    )
+    doc = F.when(
+        F.col("o_totalprice") > 120000,
+        F.to_json(base.withField("discount",
+                                 F.round(F.col("o_totalprice") * 0.01, 2))),
+    ).otherwise(F.to_json(base))
+    docs = orders.select(
+        F.col("o_orderstatus"), doc.alias("doc")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        docs.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(
+                jsonb_contains(
+                    F.col("doc"), {"meta": {"vip": True, "bucket": 3}}
+                )
+            ).alias("n_vip_bucket3"),
+            cnt(jsonb_exists(F.col("doc"), "discount")).alias(
+                "n_has_discount"
+            ),
+            cnt(
+                jsonb_contains(F.col("doc"), {"tags": ["big", "urgent"]})
+            ).alias("n_tags_big_urgent"),
+            cnt(
+                jsonb_exists(F.col("doc"), "discount")
+                | jsonb_contains(F.col("doc"), {"tags": ["urgent"]})
+            ).alias("n_any_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

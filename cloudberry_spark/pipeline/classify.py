@@ -229,12 +229,12 @@ def ml_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs o
     )
     SELECT round(sum(pow(o - CAST(row_tot * col_tot AS DOUBLE)
-                              / (SELECT n FROM tot), 2)
+                              / (SELECT CAST(n AS DOUBLE) FROM tot), 2)
                      / (CAST(row_tot * col_tot AS DOUBLE)
-                        / (SELECT n FROM tot))), 6) AS chi2,
+                        / (SELECT CAST(n AS DOUBLE) FROM tot))), 6) AS chi2,
            (count(DISTINCT cohort) - 1)
                * (count(DISTINCT event_type) - 1) AS dof,
-           (SELECT n FROM tot) AS n_events
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_events
     FROM margins
     """,
     doc="Chi-square test of independence (MADlib hypothesis-test "
@@ -255,15 +255,22 @@ def ml_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("cohort")))
         .withColumn("col_tot", F.sum("o").over(Window.partitionBy("event_type")))
     )
-    n = margins.agg(F.sum("o")).collect()[0][0]
-    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.lit(float(n))
-    return margins.agg(
+    # grand total stays distributed: 1-row aggregate broadcast onto the
+    # (bounded) contingency table — same scalar-join pattern as every
+    # sibling, zero driver-side collects.
+    tot = obs.agg(F.sum("o").alias("n_events"))
+    joined = margins.crossJoin(F.broadcast(tot))
+    e = (
+        (F.col("row_tot") * F.col("col_tot")).cast("double")
+        / F.col("n_events").cast("double")
+    )
+    return joined.agg(
         F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
         (
             (F.countDistinct("cohort") - 1)
             * (F.countDistinct("event_type") - 1)
         ).alias("dof"),
-        F.lit(n).alias("n_events"),
+        F.max("n_events").cast("bigint").alias("n_events"),
     )
 
 
@@ -277,7 +284,7 @@ def ml_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
         SELECT user_id, sum(c) AS n FROM counts GROUP BY user_id
     )
-    SELECT c.user_id, t.n AS n_events,
+    SELECT c.user_id, CAST(t.n AS BIGINT) AS n_events,
            round(-sum((CAST(c.c AS DOUBLE) / t.n)
                       * ln(CAST(c.c AS DOUBLE) / t.n)), 6) AS entropy
     FROM counts c JOIN tot t USING (user_id)

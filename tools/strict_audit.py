@@ -85,6 +85,16 @@ def compare(name: str, spark_pd: pd.DataFrame, ddb_pd: pd.DataFrame) -> list[str
             va = va.astype("float64")
             vb = vb.astype("float64")
             neq = ~((va == vb) | (np.isnan(va) & np.isnan(vb)))
+        elif va.dtype.kind == "M" or vb.dtype.kind == "M" or (
+            len(a) and isinstance(a[c].iloc[0], (pd.Timestamp,))
+        ):
+            # datetime-ish: compare NaT==NaT, and date == midnight
+            # timestamp (Spark DATE arrives as object-of-date, DuckDB
+            # DATE as datetime64 — the driver's canonicalizer treats
+            # them alike, proven by green r2 rows with DATE outputs)
+            sa = pd.to_datetime(pd.Series(va))
+            sb = pd.to_datetime(pd.Series(vb))
+            neq = ~((sa == sb) | (sa.isna() & sb.isna())).to_numpy()
         else:
             try:
                 neq = va != vb
