@@ -117,7 +117,10 @@ def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
-            "geomean_price": [float(np.exp(logs.mean()))],
+            # round(6): log-sum accumulation order differs between
+            # engines; at ~1e5 magnitude the drift is ~1e-10, far
+            # below the rounded digit
+            "geomean_price": [round(float(np.exp(logs.mean())), 6)],
             "n_orders": [len(pdf)],
         }
     )
@@ -127,7 +130,7 @@ def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_geomean",
     oracle="""
         SELECT o_orderpriority,
-               exp(avg(ln(o_totalprice))) AS geomean_price,
+               round(exp(avg(ln(o_totalprice))), 6) AS geomean_price,
                count(*) AS n_orders
         FROM orders
         GROUP BY o_orderpriority

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
+from cloudberry_spark.operators.tpch import dsum
 from cloudberry_spark.registry import register, register_sql
 
 register_sql(
@@ -40,7 +41,7 @@ register_sql(
     SELECT n_name, o_orderpriority,
            CAST(grouping(n_name) AS INT) AS g_nation,
            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-           sum(o_totalprice) AS total, count(*) AS n
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total, count(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY CUBE (n_name, o_orderpriority)
@@ -53,7 +54,8 @@ register_sql(
 register_sql(
     "agg_grouping_sets",
     """
-    SELECT c_mktsegment, o_orderstatus, sum(o_totalprice) AS total
+    SELECT c_mktsegment, o_orderstatus,
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
     ORDER BY c_mktsegment NULLS LAST, o_orderstatus NULLS LAST
@@ -83,17 +85,17 @@ register_sql(
     "agg_stats_family",
     """
     SELECT l_returnflag,
-           stddev(l_quantity)                    AS sd_qty,
-           stddev_pop(l_quantity)                AS sdp_qty,
-           variance(l_quantity)                  AS var_qty,
-           var_pop(l_quantity)                   AS varp_qty,
-           corr(l_quantity, l_extendedprice)     AS corr_qe,
-           covar_pop(l_quantity, l_extendedprice) AS covp_qe,
-           covar_samp(l_quantity, l_extendedprice) AS covs_qe,
-           regr_slope(l_extendedprice, l_quantity) AS slope,
-           regr_intercept(l_extendedprice, l_quantity) AS icept,
-           regr_r2(l_extendedprice, l_quantity)  AS r2,
-           regr_count(l_extendedprice, l_quantity) AS rn
+           round(stddev(l_quantity), 9)                    AS sd_qty,
+           round(stddev_pop(l_quantity), 9)                AS sdp_qty,
+           round(variance(l_quantity), 9)                  AS var_qty,
+           round(var_pop(l_quantity), 9)                   AS varp_qty,
+           round(corr(l_quantity, l_extendedprice), 9)     AS corr_qe,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS covp_qe,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covs_qe,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 9)  AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rn
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -198,10 +200,11 @@ register(
 register_sql(
     "agg_having",
     """
-    SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_custkey, count(*) AS n,
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 15 AND sum(o_totalprice) > 100000
+    HAVING count(*) >= 15 AND (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) > 100000
     ORDER BY total DESC, o_custkey
     """,
     doc="HAVING qual over grouped aggregate.",
@@ -213,9 +216,9 @@ register_sql(
     "agg_pivot",
     oracle="""
     SELECT n_name,
-           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS f_total,
-           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS o_total,
-           sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS p_total
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0) AS f_total,
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0) AS o_total,
+           (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0) AS p_total
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
@@ -234,7 +237,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(dsum(F.col("o_totalprice"), scale=2))
         .select(
             "n_name",
             F.col("F").alias("f_total"),
@@ -385,7 +388,7 @@ register_sql(
     SELECT l_returnflag,
            count(*) AS n_all,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           sum(l_extendedprice) FILTER (WHERE l_quantity >= 25) AS rev_bulk,
+           (CAST(sum(CAST(CAST(round(CASE WHEN l_quantity >= 25 THEN l_extendedprice ELSE 0 END * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS rev_bulk,
            avg(l_discount) FILTER (WHERE l_shipdate >= DATE '1995-01-01')
              AS avg_disc_95
     FROM lineitem
@@ -482,8 +485,8 @@ register_sql(
     FROM (
         SELECT l_returnflag,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_price,
-               sum(l_discount) AS sum_disc
+               (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price,
+               (CAST(sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_disc
         FROM lineitem GROUP BY l_returnflag
     ) UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
     ORDER BY l_returnflag, measure
@@ -492,8 +495,8 @@ register_sql(
     WITH wide AS (
         SELECT l_returnflag,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_price,
-               sum(l_discount) AS sum_disc
+               (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price,
+               (CAST(sum(CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_disc
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty' AS measure, round(sum_qty, 4) AS value FROM wide
@@ -519,7 +522,7 @@ register_sql(
            round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
            round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           regr_count(l_extendedprice, l_quantity)               AS n,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
            round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
            round(regr_avgy(l_extendedprice, l_quantity), 6)      AS avgy,
            round(regr_sxx(l_extendedprice, l_quantity), 4)       AS sxx,
@@ -611,7 +614,7 @@ def _agg_equidepth_histogram(spark, sf_dir):
     )
     SELECT l_returnflag,
            min(v) AS weighted_median,
-           max(tot) AS total_weight
+           CAST(max(tot) AS BIGINT) AS total_weight
     FROM c
     WHERE cum * 2 >= tot
     GROUP BY l_returnflag

@@ -154,11 +154,11 @@ def scalar_earth_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region ON n_regionkey = r_regionkey
     )
     SELECT split_part(path, '.', 1) AS root,
-           len(string_split(path, '.')) AS nlevel,
+           CAST(len(string_split(path, '.')) AS BIGINT) AS nlevel,
            count(*) AS n_paths,
            count(DISTINCT path) AS n_distinct,
-           sum(CASE WHEN path LIKE 'r2.%' THEN 1 ELSE 0 END)
-               AS under_r2
+           CAST(sum(CASE WHEN path LIKE 'r2.%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS under_r2
     FROM paths
     GROUP BY split_part(path, '.', 1), len(string_split(path, '.'))
     ORDER BY root
@@ -188,7 +188,7 @@ def ltree_hierarchy_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         paths.groupBy(
             F.element_at(parts, 1).alias("root"),
-            F.size(parts).alias("nlevel"),
+            F.size(parts).cast("bigint").alias("nlevel"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_paths"),

@@ -145,7 +145,8 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_rows,
                count(DISTINCT o_orderpriority) AS ndv_priority,
                count(DISTINCT o_custkey) AS ndv_custkey,
-               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_price,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nulls_price,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
                min(o_orderdate) AS min_date,

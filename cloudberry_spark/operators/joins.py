@@ -96,7 +96,8 @@ register_sql(
     """
     SELECT p.p_partkey, p.p_retailprice, b.bucket_lo, b.bucket_hi
     FROM part p
-    JOIN (SELECT 0.0 AS bucket_lo, 500.0 AS bucket_hi
+    JOIN (SELECT CAST(0.0 AS DOUBLE) AS bucket_lo,
+                 CAST(500.0 AS DOUBLE) AS bucket_hi
           UNION ALL SELECT 500.0, 1000.0
           UNION ALL SELECT 1000.0, 1500.0
           UNION ALL SELECT 1500.0, 2500.0) b

@@ -193,7 +193,7 @@ def json_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc->>'$.pr' AS VARCHAR) AS priority,
            count(*) AS n,
            sum(CAST(doc->>'$.p' AS DOUBLE)) AS sum_price,
-           sum(CAST(doc->>'$.arr[1]' AS BIGINT)) AS sum_arr1
+           CAST(sum(CAST(doc->>'$.arr[1]' AS BIGINT)) AS BIGINT) AS sum_arr1
     FROM j
     GROUP BY priority ORDER BY priority
     """,

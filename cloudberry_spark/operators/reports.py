@@ -319,8 +319,8 @@ register_sql(
     )
     SELECT event_type,
            count(*) AS n_users,
-           sum(CASE WHEN cum - v < 0.8 * tot THEN 1 ELSE 0 END)
-               AS users_for_80pct
+           CAST(sum(CASE WHEN cum - v < 0.8 * tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_for_80pct
     FROM r
     GROUP BY event_type
     ORDER BY event_type

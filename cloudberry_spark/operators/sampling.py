@@ -172,7 +172,8 @@ def sample_system_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
            round(avg(rate), 4) AS avg_rate
     FROM rated GROUP BY source ORDER BY source
     """,
@@ -237,11 +238,11 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            t.n AS n_avail,
-           t.thr AS keep_threshold_ppm,
-           sum(CASE WHEN CAST(concat('0x',
+           CAST(t.thr AS BIGINT) AS keep_threshold_ppm,
+           CAST(sum(CASE WHEN CAST(concat('0x',
                         substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))
                     AS BIGINT) % 1000000 < t.thr
-               THEN 1 ELSE 0 END) AS n_kept
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents d JOIN thresholds t USING (lang)
     GROUP BY d.lang, t.n, t.thr
     ORDER BY d.lang

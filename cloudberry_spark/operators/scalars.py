@@ -83,8 +83,8 @@ register_sql(
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1)        AS r1,
            round(l_extendedprice / 7, 3)    AS r3,
-           floor(l_extendedprice)           AS fl,
-           ceil(l_extendedprice)            AS ce,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)  AS ce,
            abs(l_extendedprice - 1000)      AS ab,
            sqrt(l_quantity)                 AS sq,
            power(l_quantity, 2)             AS pw,
@@ -92,7 +92,7 @@ register_sql(
            ln(l_extendedprice)              AS lnp,
            log10(l_extendedprice)           AS lg10,
            mod(CAST(l_quantity AS INT), 7)  AS md,
-           sign(l_discount - 0.05)          AS sg,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
            CAST(sin(l_discount) AS DOUBLE)  AS sn,
            CAST(cos(l_discount) AS DOUBLE)  AS cs,
            atan2(l_discount, l_tax + 0.001) AS at2,
@@ -123,8 +123,8 @@ register_sql(
            CAST(extract(doy   FROM o_orderdate) AS INT) AS dy,
            o_orderdate + INTERVAL 3 MONTH  AS plus3m,
            o_orderdate - INTERVAL 90 DAY   AS minus90d,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
-           make_date(2024, 2, 29)          AS leap
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+           CAST(make_date(2024, 2, 29) AS TIMESTAMP) AS leap
     FROM orders
     WHERE o_orderkey < 100
     ORDER BY o_orderkey
@@ -143,8 +143,8 @@ register_sql(
            CAST(extract(doy   FROM o_orderdate) AS INT) AS dy,
            o_orderdate + INTERVAL 3 MONTH  AS plus3m,
            o_orderdate - INTERVAL 90 DAY   AS minus90d,
-           last_day(CAST(o_orderdate AS DATE)) AS eom,
-           make_date(2024, 2, 29)          AS leap
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+           CAST(make_date(2024, 2, 29) AS TIMESTAMP) AS leap
     FROM orders
     WHERE o_orderkey < 100
     ORDER BY o_orderkey
@@ -227,7 +227,7 @@ register_sql(
            CAST(floor(c_acctbal) AS INT)    AS bal_floor_int,
            CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
            CAST(CAST(c_custkey AS STRING) AS BIGINT) AS roundtrip,
-           CAST(c_acctbal AS DECIMAL(12, 2)) AS bal_dec
+           CAST(CAST(c_acctbal AS DECIMAL(12, 2)) AS DOUBLE) AS bal_dec
     FROM customer
     WHERE c_custkey < 200 AND c_acctbal > 0
     ORDER BY c_custkey
@@ -238,7 +238,7 @@ register_sql(
            CAST(floor(c_acctbal) AS INT)    AS bal_floor_int,
            CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
            CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS roundtrip,
-           CAST(c_acctbal AS DECIMAL(12, 2)) AS bal_dec
+           CAST(CAST(c_acctbal AS DECIMAL(12, 2)) AS DOUBLE) AS bal_dec
     FROM customer
     WHERE c_custkey < 200 AND c_acctbal > 0
     ORDER BY c_custkey
@@ -289,7 +289,7 @@ register_sql(
            date_format(o_orderdate, 'yyyy-MM')          AS ym,
            date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS ymdhm,
            cast(to_date(date_format(o_orderdate, 'yyyy-MM-dd'),
-                        'yyyy-MM-dd') AS DATE)          AS roundtrip_date
+                        'yyyy-MM-dd') AS TIMESTAMP)     AS roundtrip_date
     FROM orders
     WHERE o_orderkey % 100 = 0
     """,
@@ -302,7 +302,7 @@ register_sql(
            strftime(o_orderdate, '%Y-%m')                AS ym,
            strftime(o_orderdate, '%Y-%m-%d %H:%M')       AS ymdhm,
            CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'),
-                         '%Y-%m-%d') AS DATE)            AS roundtrip_date
+                         '%Y-%m-%d') AS TIMESTAMP)       AS roundtrip_date
     FROM orders
     WHERE o_orderkey % 100 = 0
     """,
@@ -541,9 +541,11 @@ register_sql(
     "scalar_decimal_exact",
     """
     SELECT l_returnflag,
-           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          AS DECIMAL(38,2))) AS DOUBLE)
              AS sum_price_exact,
-           sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,2)))
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                          AS DECIMAL(38,2))) AS DOUBLE)
              AS sum_qty_exact,
            count(*) AS n
     FROM lineitem
@@ -621,10 +623,10 @@ register_sql(
     """
     SELECT p_brand,
            count(*) AS n,
-           sum(CASE WHEN rpad(p_brand, 12, ' ') = p_brand
-                    THEN 1 ELSE 0 END) AS n_raw_equal,
-           sum(CASE WHEN rtrim(rpad(p_brand, 12, ' ')) = rtrim(p_brand)
-                    THEN 1 ELSE 0 END) AS n_bpchar_equal
+           CAST(sum(CASE WHEN rpad(p_brand, 12, ' ') = p_brand
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_equal,
+           CAST(sum(CASE WHEN rtrim(rpad(p_brand, 12, ' ')) = rtrim(p_brand)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bpchar_equal
     FROM part
     WHERE p_partkey <= 200
     GROUP BY p_brand

@@ -509,7 +509,8 @@ register_sql(
     "events_dau_stickiness",
     """
     WITH daily AS (
-        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               user_id
         FROM events
     ), dau AS (
         SELECT day, count(*) AS dau FROM daily GROUP BY day
@@ -818,8 +819,9 @@ register_sql(
         WHERE user_id <= 20
     )
     SELECT user_id, event_id,
-           sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING)
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS distinct_types_so_far
     FROM marked
     ORDER BY user_id, event_id

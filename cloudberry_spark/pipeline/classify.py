@@ -173,8 +173,8 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            count(*) AS n_events,
            round(max(m.mad), 6) AS mad,
-           sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
     ORDER BY d.event_type

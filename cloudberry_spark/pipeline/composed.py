@@ -111,8 +111,8 @@ def _oracle() -> str:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(length({toks})) AS total_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(length({toks})) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc
     FROM final GROUP BY source
     """
@@ -173,7 +173,7 @@ def _oracle_v2() -> str:
     SELECT CAST(floor(CAST(c - tok AS DOUBLE) / {SHARD_TOKEN_BUDGET}) AS BIGINT)
              AS shard_id,
            count(*) AS n_docs,
-           sum(tok) AS tokens
+           CAST(sum(tok) AS BIGINT) AS tokens
     FROM cum GROUP BY shard_id ORDER BY shard_id
     """
 
@@ -258,11 +258,11 @@ def _seq_oracle() -> str:
       FROM t
     )
     SELECT count(*) AS n_docs,
-           sum(tok) AS total_tokens,
-           (max(cum) + 511) // 512 AS n_sequences,
-           sum(CASE WHEN tok = 0 THEN 0
-                    ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
-               END) AS n_boundary_splits
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST((max(cum) + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST(sum(CASE WHEN tok = 0 THEN 0
+                         ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
+                    END) AS BIGINT) AS n_boundary_splits
     FROM c
     """
 

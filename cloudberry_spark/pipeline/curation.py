@@ -178,7 +178,8 @@ SUB_DUP_FRAC = 0.5
     )
     SELECT f.doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared,
+           CAST(sum(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
            round(sum(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS shared_frac,
            CAST(sum(CASE WHEN s.ndocs > 1 THEN 1 ELSE 0 END) * 1.0
@@ -423,7 +424,8 @@ def _lsh_recall_oracle() -> str:
     )
     SELECT b.query_id,
            count(*) AS k,
-           sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            round(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS recall
     FROM brute b
@@ -525,7 +527,8 @@ def _ivf_recall_oracle() -> str:
          ivf AS ({ivf})
     SELECT b.query_id,
            count(*) AS k,
-           sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS recall
     FROM brute b

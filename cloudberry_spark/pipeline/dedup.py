@@ -460,8 +460,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh LEFT JOIN hits h USING (doc_id) WHERE sh.doc_id % 97 <> 0
     )
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
-           avg(ratio) AS avg_overlap
+           CAST(sum(CASE WHEN ratio >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           round(avg(ratio), 9) AS avg_overlap
     FROM doc GROUP BY source ORDER BY source
     """,
     doc="Benchmark decontamination: flag training documents whose 3-word "
@@ -510,7 +511,7 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ratio") >= 0.5, 1).otherwise(0)).alias(
                 "n_contaminated"
             ),
-            F.avg("ratio").alias("avg_overlap"),
+            F.round(F.avg("ratio"), 9).alias("avg_overlap"),
         )
         .orderBy("source")
     )

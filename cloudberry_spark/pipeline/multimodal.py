@@ -180,9 +180,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS media_type,
                count(*) AS n_docs,
-               sum(octet_length(encode(text))) AS total_bytes,
-               sum(octet_length(encode(text)) % 64 + 1) AS sum_width,
-               sum(octet_length(encode(text)) % 48 + 1) AS sum_height
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS total_bytes,
+               CAST(sum(octet_length(encode(text)) % 64 + 1) AS BIGINT)
+                   AS sum_width,
+               CAST(sum(octet_length(encode(text)) % 48 + 1) AS BIGINT)
+                   AS sum_height
         FROM documents
         GROUP BY 1
     """,
@@ -219,9 +222,10 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM typed GROUP BY media_type, fp
     )
     SELECT media_type,
-           sum(c) AS n_payloads,
+           CAST(sum(c) AS BIGINT) AS n_payloads,
            count(*) AS n_distinct,
-           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
            max(c) AS max_group
     FROM groups GROUP BY media_type ORDER BY media_type
     """,

@@ -342,12 +342,14 @@ _DUCK_BUCKET = f"""
     "sim_lsh_hyperplane",
     oracle=f"""
     WITH b AS (
-        SELECT vec_id, {_DUCK_BUCKET.format(e='embedding')} AS bucket
+        SELECT vec_id,
+               CAST({_DUCK_BUCKET.format(e='embedding')} AS BIGINT) AS bucket
         FROM embeddings
     )
     SELECT bucket,
            count(*) AS n_vectors,
-           count(*) * (count(*) - 1) / 2 AS n_candidate_pairs,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+               AS n_candidate_pairs,
            min(vec_id) AS min_vec_id
     FROM b GROUP BY bucket
     """,
@@ -360,7 +362,10 @@ _DUCK_BUCKET = f"""
 )
 def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", hyperplane_bucket(F.col("embedding")).alias("bucket"))
+    b = emb.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding")).cast("bigint").alias("bucket"),
+    )
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),
         (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),

@@ -345,11 +345,13 @@ def redact(text: Column) -> Column:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
-           sum(n_email) AS n_emails,
-           sum(n_phone) AS n_phones,
-           sum(CASE WHEN clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'
-                    THEN 1 ELSE 0 END) AS n_docs_redacted
+           CAST(sum(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%'
+                          OR clean LIKE '%<PHONE>%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted
     FROM counted
     GROUP BY source ORDER BY source
     """,
@@ -494,7 +496,7 @@ def _distributed_prefix_sum(
     SELECT CAST(floor(CAST(cum - tok AS DOUBLE) / {SHARD_TOKEN_BUDGET})
                 AS BIGINT) AS shard_id,
            count(*) AS n_docs,
-           sum(tok) AS tokens
+           CAST(sum(tok) AS BIGINT) AS tokens
     FROM c GROUP BY shard_id ORDER BY shard_id
     """,
     doc="Token-budget shard packing: order documents by a deterministic "
@@ -569,8 +571,8 @@ TOP_BIGRAM_FRAC_MAX = 0.1
            count(*) AS n_docs,
            avg(top_bg_frac) AS avg_top_bg_frac,
            avg(dup_bg_frac) AS avg_dup_bg_frac,
-           sum(CASE WHEN top_bg_frac > {TOP_BIGRAM_FRAC_MAX}
-                    THEN 1 ELSE 0 END) AS n_flagged
+           CAST(sum(CASE WHEN top_bg_frac > {TOP_BIGRAM_FRAC_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM perdoc GROUP BY source ORDER BY source
     """,
     doc="Repetition-based quality filter (the Gopher corpus-rule "
@@ -639,9 +641,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN len_nfc <> len_raw THEN 1 ELSE 0 END) AS n_changed,
-           sum(len_raw) AS total_raw,
-           sum(len_nfc) AS total_nfc
+           CAST(sum(CASE WHEN len_nfc <> len_raw THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(len_raw) AS BIGINT) AS total_raw,
+           CAST(sum(len_nfc) AS BIGINT) AS total_nfc
     FROM norm GROUP BY source ORDER BY source
     """,
     doc="Unicode NFC normalization — the canonicalization step before "
@@ -1014,7 +1017,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens_per_doc
     FROM toks
     GROUP BY source
@@ -1068,11 +1071,11 @@ SEQUENCE_LENGTH = 512
         FROM t
     )
     SELECT doc_id, tok,
-           (cum - tok) // 512 AS seq_id,
-           (cum - tok) % 512 AS offset_in_seq,
-           CASE WHEN tok = 0 THEN 0
-                ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
-           END AS n_boundary_splits
+           CAST((cum - tok) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - tok) % 512 AS BIGINT) AS offset_in_seq,
+           CAST(CASE WHEN tok = 0 THEN 0
+                     ELSE ((cum - 1) // 512) - ((cum - tok) // 512)
+                END AS BIGINT) AS n_boundary_splits
     FROM c
     ORDER BY seq_id, offset_in_seq, doc_id
     """,

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from cloudberry_spark.catalog import load_table
+from cloudberry_spark.operators.tpch import dsum
 from cloudberry_spark.registry import register
 
 #: Scratch area for sink/roundtrip queries (gitignored, inside the repo).
@@ -83,7 +84,7 @@ def copy_from(
         SELECT l_returnflag,
                count(*) AS n_rows,
                round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price
+               (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price
         FROM lineitem
         WHERE l_orderkey % 7 = 0
         GROUP BY l_returnflag
@@ -100,7 +101,7 @@ def copy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum(F.col("l_extendedprice"), scale=2).alias("sum_price"),
     )
 
 
@@ -278,7 +279,8 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_range_sorted_parquet",
     oracle="""
-        SELECT count(*) AS n, sum(l_extendedprice) AS sum_price
+        SELECT count(*) AS n,
+               (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price
         FROM lineitem
         WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-09-01'
     """,
@@ -307,7 +309,7 @@ def sink_range_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("l_extendedprice").alias("sum_price"),
+        dsum(F.col("l_extendedprice"), scale=2).alias("sum_price"),
     )
 
 
@@ -406,7 +408,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n,
-               sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END) AS sum_new
+               (CAST(sum(CAST(CAST(round(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE 0 END * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_new
         FROM orders
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -441,7 +443,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("sum_new"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), scale=2).alias(
+                "sum_new"
+            ),
         )
         .orderBy("o_orderpriority")
     )
@@ -655,7 +659,7 @@ def zorder_key(a, b, bits: int = 16):
     oracle="""
         SELECT count(*) AS n,
                sum(l_quantity) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price
+               (CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_price
         FROM lineitem
         WHERE l_suppkey BETWEEN 10 AND 20
           AND l_partkey BETWEEN 100 AND 300
@@ -713,7 +717,7 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum(F.col("l_extendedprice"), scale=2).alias("sum_price"),
     )
 
 

@@ -400,7 +400,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_join",
     oracle="""
-        SELECT CAST(date_trunc('day', v.ts) AS DATE) AS day,
+        SELECT CAST(date_trunc('day', v.ts) AS TIMESTAMP) AS day,
                count(*) AS n_pairs
         FROM events v
         JOIN events c
@@ -440,7 +440,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = run_stream_once(joined.select("user_id", "ts", "c_ts"), "append")
     return (
-        pairs.groupBy(F.to_date("ts").alias("day"))
+        pairs.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("day")
     )
@@ -657,8 +657,8 @@ def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         )
         SELECT user_id,
                count(*) AS n_events,
-               sum(CASE WHEN abs(value - mu) > 3 * sigma THEN 1 ELSE 0 END)
-                 AS n_anomalies,
+               CAST(sum(CASE WHEN abs(value - mu) > 3 * sigma
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
                round(max(abs(value - mu) / sigma), 6) AS max_z
         FROM stats
         GROUP BY user_id ORDER BY user_id
@@ -1003,7 +1003,8 @@ register_sql(
                                 ROWS UNBOUNDED PRECEDING) AS active
         FROM bounds
     )
-    SELECT CAST(t AS DATE) AS d, max(active) AS peak_concurrent
+    SELECT CAST(t AS DATE) AS d,
+           CAST(max(active) AS BIGINT) AS peak_concurrent
     FROM sweep
     GROUP BY CAST(t AS DATE)
     ORDER BY d
@@ -1263,7 +1264,7 @@ def events_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_ohlc_bars",
     oracle="""
     WITH ranked AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS bar_date, value,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_date, value,
                row_number() OVER (PARTITION BY date_trunc('day', ts)
                                   ORDER BY ts, event_id) AS rn_open,
                row_number() OVER (PARTITION BY date_trunc('day', ts)
@@ -1292,7 +1293,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "bar_date", F.date_trunc("day", "ts").cast("date")
+        "bar_date", F.date_trunc("day", "ts")
     )
     w_a = Window.partitionBy("bar_date").orderBy("ts", "event_id")
     w_d = Window.partitionBy("bar_date").orderBy(
@@ -1325,7 +1326,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_changepoint_cusum",
     oracle="""
     WITH daily AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS m,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, avg(value) AS m,
                count(*) AS n
         FROM events GROUP BY 1
     ), g AS (
@@ -1356,7 +1357,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
     )
     g = daily.agg(
@@ -1625,7 +1626,7 @@ def events_session_duration_histogram(
     "events_dau_wau_mau",
     oracle="""
     WITH d AS (
-        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(count(DISTINCT user_id) AS BIGINT) AS dau
         FROM events GROUP BY 1
     ), w AS (
@@ -1661,7 +1662,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = (F.unix_micros(day.cast("timestamp")) / 604_800_000_000).cast(
         "bigint"
     )
-    d = ev.groupBy(day.cast("date").alias("day")).agg(
+    d = ev.groupBy(day.alias("day")).agg(
         F.countDistinct("user_id").alias("dau")
     )
     w = ev.groupBy(wk.alias("wk")).agg(
