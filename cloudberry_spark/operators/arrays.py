@@ -22,7 +22,7 @@ register_sql(
     "array_basic_ops",
     """
     SELECT vec_id,
-           size(embedding)                        AS dim,
+           CAST(size(embedding) AS BIGINT)        AS dim,
            CAST(element_at(embedding, 1) AS DOUBLE)  AS first_elem,
            CAST(element_at(embedding, 64) AS DOUBLE) AS last_elem,
            CAST(array_max(embedding) AS DOUBLE)   AS max_elem,
@@ -61,7 +61,7 @@ register_sql(
            CAST(aggregate(embedding, CAST(0.0 AS DOUBLE),
                           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
                 AS DOUBLE) AS vec_sumsq,
-           size(filter(embedding, x -> x > 0)) AS n_pos
+           CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
     FROM embeddings
     WHERE vec_id < 50
     ORDER BY vec_id
@@ -128,12 +128,14 @@ register_sql(
 register_sql(
     "srf_generate_series_int",
     """
-    SELECT CAST(n AS BIGINT) AS n, n * n AS n_sq
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n AS BIGINT) * CAST(n AS BIGINT) AS n_sq
     FROM (SELECT explode(sequence(1, 100)) AS n) t
     ORDER BY n
     """,
     oracle="""
-    SELECT CAST(n AS BIGINT) AS n, n * n AS n_sq
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n AS BIGINT) * CAST(n AS BIGINT) AS n_sq
     FROM (SELECT unnest(generate_series(1, 100)) AS n) t
     ORDER BY n
     """,
@@ -192,7 +194,7 @@ register_sql(
                                 x -> CAST(x AS STRING)), ',')     AS i,
            array_join(transform(array_sort(array_except(a1, a2)),
                                 x -> CAST(x AS STRING)), ',')     AS e,
-           size(array_distinct(a1))            AS nd
+           CAST(size(array_distinct(a1)) AS BIGINT) AS nd
     FROM (
         SELECT l_orderkey,
                collect_set(CAST(l_quantity AS BIGINT)) AS a1,
@@ -290,6 +292,10 @@ def array_generate_subscripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     return (
         docs.select("doc_id", F.posexplode(arr).alias("pos", "word"))
-        .select("doc_id", (F.col("pos") + 1).alias("idx"), "word")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("idx"),
+            "word",
+        )
         .orderBy("doc_id", "idx")
     )

@@ -257,7 +257,7 @@ register_sql(
     SELECT o_orderkey,
            add_months(CAST(o_orderdate AS DATE), 3)  AS plus3m,
            last_day(CAST(o_orderdate AS DATE))       AS month_end,
-           instr(o_orderpriority, '-')               AS dash_pos,
+           CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
            nvl(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_decoded
     FROM orders
     WHERE o_orderkey <= 200
@@ -268,7 +268,7 @@ register_sql(
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
                AS plus3m,
            last_day(CAST(o_orderdate AS DATE))          AS month_end,
-           strpos(o_orderpriority, '-')                 AS dash_pos,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
            coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded
     FROM orders
     WHERE o_orderkey <= 200
@@ -367,10 +367,10 @@ register_sql(
     "scalar_horology_fields",
     """
     SELECT CAST(o_orderdate AS DATE) AS d,
-           weekday(o_orderdate) + 1 AS isodow,
-           weekofyear(o_orderdate)  AS iso_week,
-           quarter(o_orderdate)     AS q,
-           dayofyear(o_orderdate)   AS doy,
+           CAST(weekday(o_orderdate) + 1 AS BIGINT) AS isodow,
+           CAST(weekofyear(o_orderdate) AS BIGINT)  AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT)     AS q,
+           CAST(dayofyear(o_orderdate) AS BIGINT)   AS doy,
            count(*) AS n_orders
     FROM orders
     WHERE o_orderkey <= 300
@@ -379,10 +379,10 @@ register_sql(
     """,
     oracle="""
     SELECT CAST(o_orderdate AS DATE) AS d,
-           isodow(o_orderdate)     AS isodow,
-           weekofyear(o_orderdate) AS iso_week,
-           quarter(o_orderdate)    AS q,
-           dayofyear(o_orderdate)  AS doy,
+           CAST(isodow(o_orderdate) AS BIGINT)     AS isodow,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT)    AS q,
+           CAST(dayofyear(o_orderdate) AS BIGINT)  AS doy,
            count(*) AS n_orders
     FROM orders
     WHERE o_orderkey <= 300

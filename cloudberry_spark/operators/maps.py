@@ -61,7 +61,7 @@ def map_hstore_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.element_at(attrs, "brand").alias("brand"),
-        F.size(F.map_keys(attrs)).alias("n_keys"),
+        F.size(F.map_keys(attrs)).cast("bigint").alias("n_keys"),
         F.array_contains(F.map_keys(attrs), "ptype").alias("has_ptype"),
         F.array_join(F.array_sort(F.map_keys(merged)), ",").alias(
             "merged_keys"

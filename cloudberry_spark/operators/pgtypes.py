@@ -158,13 +158,13 @@ register_sql(
     SELECT p_partkey,
            p_partkey % 65536                                 AS v,
            lpad(bin(p_partkey % 65536), 16, '0')             AS bits,
-           bit_count(p_partkey % 65536)                      AS n_ones,
+           CAST(bit_count(p_partkey % 65536) AS BIGINT)      AS n_ones,
            (p_partkey % 65536) & 43690                       AS band,
            (p_partkey % 65536) | 21845                       AS bor,
            (p_partkey % 65536) ^ 65535                       AS bxor,
            shiftleft(p_partkey % 65536, 2) % 65536           AS shl2,
            shiftright(p_partkey % 65536, 3)                  AS shr3,
-           getbit(p_partkey % 65536, 3)                      AS bit3
+           CAST(getbit(p_partkey % 65536, 3) AS BIGINT)      AS bit3
     FROM part
     WHERE p_partkey <= 300
     ORDER BY p_partkey
@@ -173,13 +173,13 @@ register_sql(
     SELECT p_partkey,
            p_partkey % 65536                                 AS v,
            lpad(bin(p_partkey % 65536), 16, '0')             AS bits,
-           bit_count(p_partkey % 65536)                      AS n_ones,
+           CAST(bit_count(p_partkey % 65536) AS BIGINT)      AS n_ones,
            (p_partkey % 65536) & 43690                       AS band,
            (p_partkey % 65536) | 21845                       AS bor,
            xor(p_partkey % 65536, 65535)                     AS bxor,
            ((p_partkey % 65536) << 2) % 65536                AS shl2,
            (p_partkey % 65536) >> 3                          AS shr3,
-           ((p_partkey % 65536) >> 3) & 1                    AS bit3
+           CAST(((p_partkey % 65536) >> 3) & 1 AS BIGINT)    AS bit3
     FROM part
     WHERE p_partkey <= 300
     ORDER BY p_partkey
@@ -209,9 +209,9 @@ register_sql(
            concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-4',
                   substr(hx, 14, 3), '-8', substr(hx, 18, 3), '-',
                   substr(hx, 21, 12))                            AS uuid5,
-           length(concat(substr(hx, 1, 8), '-', substr(hx, 9, 4), '-4',
-                  substr(hx, 14, 3), '-8', substr(hx, 18, 3), '-',
-                  substr(hx, 21, 12)))                           AS uuid_len
+           CAST(length(concat(substr(hx, 1, 8), '-', substr(hx, 9, 4),
+                  '-4', substr(hx, 14, 3), '-8', substr(hx, 18, 3), '-',
+                  substr(hx, 21, 12))) AS BIGINT)               AS uuid_len
     FROM h
     ORDER BY uuid5
     """,

@@ -27,14 +27,14 @@ register_sql(
         SELECT p.p_type, p.p_brand,
                CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-               grouping(p.p_type)  AS g_type,
-               grouping(p.p_brand) AS g_brand
+               CAST(grouping(p.p_type) AS BIGINT)  AS g_type,
+               CAST(grouping(p.p_brand) AS BIGINT) AS g_brand
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY ROLLUP(p.p_type, p.p_brand)
     )
     SELECT p_type, p_brand, revenue, g_type, g_brand,
-           rank() OVER (PARTITION BY g_type, g_brand, p_type
-                        ORDER BY revenue DESC) AS rnk
+           CAST(rank() OVER (PARTITION BY g_type, g_brand, p_type
+                             ORDER BY revenue DESC) AS BIGINT) AS rnk
     FROM sales
     ORDER BY g_type, g_brand, p_type NULLS FIRST, rnk, p_brand NULLS FIRST
     """,
@@ -83,7 +83,8 @@ register_sql(
     """
     WITH monthly AS (
         SELECT p.p_brand,
-               year(l.l_shipdate) * 100 + month(l.l_shipdate) AS yyyymm,
+               CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                    AS BIGINT) AS yyyymm,
                CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
                              AS DECIMAL(18,4))) AS DOUBLE) AS rev
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -149,13 +150,15 @@ register_sql(
 register_sql(
     "events_hierarchical_rollup",
     """
-    SELECT year(ts)  AS yr,
+    SELECT CAST(year(ts) AS BIGINT)  AS yr,
            month(ts) AS mo,
            day(ts)   AS dy,
-           grouping(month(ts)) AS g_mo,
-           grouping(day(ts))   AS g_dy,
+           CAST(grouping(month(ts)) AS BIGINT) AS g_mo,
+           CAST(grouping(day(ts)) AS BIGINT)   AS g_dy,
            count(*) AS n_events,
-           sum(value) AS total_value
+           (CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+               AS total_value
     FROM events
     GROUP BY GROUPING SETS (
         (year(ts)),
@@ -200,7 +203,8 @@ register_sql(
     """
     WITH q_rev AS (
         SELECT p_type,
-               year(o_orderdate) * 10 + quarter(o_orderdate) AS yq,
+               CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+                    AS BIGINT) AS yq,
                (CAST(sum(CAST(CAST(round((l_extendedprice * (1 - l_discount))
                                           * 10000) AS BIGINT)
                          AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS rev
@@ -210,7 +214,8 @@ register_sql(
         GROUP BY p_type, year(o_orderdate) * 10 + quarter(o_orderdate)
     ), ranked AS (
         SELECT p_type, yq, rev,
-               rank() OVER (PARTITION BY yq ORDER BY rev DESC, p_type)
+               CAST(rank() OVER (PARTITION BY yq
+                                 ORDER BY rev DESC, p_type) AS BIGINT)
                    AS rnk
         FROM q_rev
     )
@@ -514,8 +519,9 @@ register_sql(
         GROUP BY n.n_name, p.p_type
     ), ranked AS (
         SELECT nation, category, revenue, n_sales,
-               rank() OVER (PARTITION BY nation
-                            ORDER BY round(revenue, 2) DESC, category) AS rnk,
+               CAST(rank() OVER (PARTITION BY nation
+                                 ORDER BY round(revenue, 2) DESC,
+                                          category) AS BIGINT) AS rnk,
                round(revenue * 100.0
                      / sum(revenue) OVER (PARTITION BY nation), 4)
                    AS pct_of_nation

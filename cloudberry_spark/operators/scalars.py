@@ -26,7 +26,7 @@ register_sql(
            upper(p_name)                          AS up,
            lower(p_brand)                         AS lo,
            substr(p_name, 2, 5)                   AS sub,
-           length(p_name)                         AS len,
+           CAST(length(p_name) AS BIGINT)         AS len,
            trim('  ' || p_name || ' ')            AS trimmed,
            lpad(p_brand, 12, '*')                 AS lpadded,
            rpad(p_brand, 12, '*')                 AS rpadded,
@@ -38,9 +38,9 @@ register_sql(
            right(p_name, 4)                       AS r4,
            translate(p_type, 'AEO', 'aeo')        AS translated,
            split_part(p_name, ' ', 2)             AS second_word,
-           position('a' IN p_name)                AS pos_a,
+           CAST(position('a' IN p_name) AS BIGINT) AS pos_a,
            md5(p_name)                            AS hash_hex,
-           levenshtein(p_brand, 'Brand#7')        AS lev
+           CAST(levenshtein(p_brand, 'Brand#7') AS BIGINT) AS lev
     FROM part
     WHERE p_partkey < 100
     ORDER BY p_partkey
@@ -87,15 +87,15 @@ register_sql(
            CAST(ceil(l_extendedprice) AS BIGINT)  AS ce,
            abs(l_extendedprice - 1000)      AS ab,
            sqrt(l_quantity)                 AS sq,
-           power(l_quantity, 2)             AS pw,
-           exp(l_discount)                  AS ex,
-           ln(l_extendedprice)              AS lnp,
-           log10(l_extendedprice)           AS lg10,
+           round(power(l_quantity, 2), 6)   AS pw,
+           round(exp(l_discount), 12)       AS ex,
+           round(ln(l_extendedprice), 12)   AS lnp,
+           round(log10(l_extendedprice), 12) AS lg10,
            mod(CAST(l_quantity AS INT), 7)  AS md,
            CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
-           CAST(sin(l_discount) AS DOUBLE)  AS sn,
-           CAST(cos(l_discount) AS DOUBLE)  AS cs,
-           atan2(l_discount, l_tax + 0.001) AS at2,
+           round(CAST(sin(l_discount) AS DOUBLE), 12)  AS sn,
+           round(CAST(cos(l_discount) AS DOUBLE), 12)  AS cs,
+           round(atan2(l_discount, l_tax + 0.001), 12) AS at2,
            greatest(l_discount, l_tax)      AS gr,
            least(l_discount, l_tax)         AS le
     FROM lineitem
@@ -160,8 +160,8 @@ register_sql(
     "scalar_datediff_formats",
     """
     SELECT o_orderkey,
-           datediff(CAST(o_orderdate + INTERVAL 45 DAY AS DATE),
-                    CAST(o_orderdate AS DATE))       AS dd45,
+           CAST(datediff(CAST(o_orderdate + INTERVAL 45 DAY AS DATE),
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS dd45,
            months_between(date_trunc('month', o_orderdate) + INTERVAL 3 MONTH,
                           date_trunc('month', o_orderdate)) AS mb3,
            date_format(o_orderdate, 'yyyy-MM')       AS ym,
@@ -172,8 +172,9 @@ register_sql(
     """,
     oracle="""
     SELECT o_orderkey,
-           date_diff('day', CAST(o_orderdate AS DATE),
-                     CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS dd45,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(o_orderdate + INTERVAL 45 DAY AS DATE))
+                AS BIGINT) AS dd45,
            3.0                                        AS mb3,
            strftime(o_orderdate, '%Y-%m')             AS ym,
            strftime(o_orderdate, '%Y-%m-%d %H')       AS ymdh
@@ -321,7 +322,7 @@ register_sql(
     SELECT p_partkey,
            overlay(p_name, 'XX', 3, 2)     AS ov,
            initcap(p_name)                 AS ic,
-           instr(p_name, 'a')              AS ins,
+           CAST(instr(p_name, 'a') AS BIGINT) AS ins,
            ascii(p_brand)                  AS asc_first,
            char(CAST(65 + p_partkey % 26 AS BIGINT)) AS chr_cycle,
            substring(p_name, 1, 3)         AS sub3
@@ -335,7 +336,7 @@ register_sql(
                regexp_split_to_array(p_name, ' '),
                w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))),
                'string_agg', ' ')          AS ic,
-           instr(p_name, 'a')              AS ins,
+           CAST(instr(p_name, 'a') AS BIGINT) AS ins,
            ascii(substr(p_brand, 1, 1))    AS asc_first,
            chr(CAST(65 + p_partkey % 26 AS INT)) AS chr_cycle,
            substring(p_name, 1, 3)         AS sub3
@@ -380,9 +381,10 @@ register_sql(
     """
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS INT) - 25                  AS shifted,
-           (CAST(l_quantity AS INT) - 25) div 4          AS int_div,
+           CAST((CAST(l_quantity AS INT) - 25) div 4 AS BIGINT) AS int_div,
            (CAST(l_quantity AS INT) - 25) % 4            AS int_mod,
-           CAST(l_quantity AS INT) div l_linenumber      AS div_by_line,
+           CAST(CAST(l_quantity AS INT) div l_linenumber AS BIGINT)
+               AS div_by_line,
            l_quantity / 4                                AS frac_div
     FROM lineitem
     WHERE l_orderkey < 120
@@ -390,9 +392,10 @@ register_sql(
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS INT) - 25                  AS shifted,
-           (CAST(l_quantity AS INT) - 25) // 4           AS int_div,
+           CAST((CAST(l_quantity AS INT) - 25) // 4 AS BIGINT) AS int_div,
            (CAST(l_quantity AS INT) - 25) % 4            AS int_mod,
-           CAST(l_quantity AS INT) // l_linenumber       AS div_by_line,
+           CAST(CAST(l_quantity AS INT) // l_linenumber AS BIGINT)
+               AS div_by_line,
            l_quantity / 4                                AS frac_div
     FROM lineitem
     WHERE l_orderkey < 120
@@ -744,13 +747,13 @@ register_sql(
     """
     SELECT r_name,
            soundex(r_name) AS sx,
-           levenshtein(r_name, 'EUROPE') AS lev_europe
+           CAST(levenshtein(r_name, 'EUROPE') AS BIGINT) AS lev_europe
     FROM region
     ORDER BY r_name
     """,
     oracle="""
     SELECT r.r_name AS r_name, g.sx,
-           levenshtein(r.r_name, 'EUROPE') AS lev_europe
+           CAST(levenshtein(r.r_name, 'EUROPE') AS BIGINT) AS lev_europe
     FROM region r
     JOIN (VALUES ('AFRICA', 'A162'), ('AMERICA', 'A562'),
                  ('ASIA', 'A200'), ('EUROPE', 'E610'),
@@ -810,7 +813,7 @@ register_sql(
     """
     WITH r AS (
         SELECT o_orderpriority,
-               year(o_orderdate) AS y,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
                min(o_totalprice) AS lo,
                max(o_totalprice) AS hi
         FROM orders
@@ -829,7 +832,7 @@ register_sql(
     oracle="""
     WITH r AS (
         SELECT o_orderpriority,
-               year(o_orderdate) AS y,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
                min(o_totalprice) AS lo,
                max(o_totalprice) AS hi
         FROM orders

@@ -72,7 +72,9 @@ def text_tsquery_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        F.size(F.array_intersect(F.array_distinct(words), terms)).alias("n_matched"),
+        F.size(F.array_intersect(F.array_distinct(words), terms))
+        .cast("bigint")
+        .alias("n_matched"),
     )
     return d.filter(F.col("n_matched") > 0).select(
         "doc_id",

@@ -26,12 +26,12 @@ register_sql(
     "win_ranking_family",
     """
     SELECT o_custkey, o_orderkey,
-           row_number()   OVER w AS rn,
-           rank()         OVER w AS rnk,
-           dense_rank()   OVER w AS drnk,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT)       AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
            CAST(percent_rank() OVER w AS DOUBLE) AS prnk,
            CAST(cume_dist()    OVER w AS DOUBLE) AS cd,
-           ntile(4)       OVER w AS quartile
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
@@ -413,7 +413,7 @@ register_sql(
     "analytics_yoy_growth",
     """
     WITH yearly AS (
-        SELECT n_name, year(o_orderdate) AS yr,
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem
@@ -575,7 +575,7 @@ register_sql(
     "win_named_window_clause",
     """
     SELECT o_custkey, o_orderkey,
-           rank() OVER w AS price_rank,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
            round(sum(o_totalprice) OVER w, 4) AS running_spend,
            count(*) OVER w2 AS n_orders
     FROM orders

@@ -376,8 +376,8 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decode_audio(media)
     return out.select(
         "doc_id",
-        "sample_rate",
-        "n_samples",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
         F.round(F.col("duration_ms").cast("double"), 3).alias("duration_ms"),
         F.round(F.col("rms").cast("double"), 0).alias("rms"),
     ).orderBy("doc_id")

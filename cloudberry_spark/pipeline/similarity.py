@@ -91,7 +91,7 @@ def knn_brute(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
@@ -217,7 +217,7 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
@@ -534,7 +534,9 @@ def sim_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_to_centroid").asc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("outlier_rank", F.row_number().over(w))
+        scored.withColumn(
+            "outlier_rank", F.row_number().over(w).cast("bigint")
+        )
         .where(F.col("outlier_rank") <= 5)
         .select("vec_id", "label", "cos_to_centroid", "outlier_rank")
         .orderBy("label", "outlier_rank")
@@ -927,7 +929,7 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= K)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")

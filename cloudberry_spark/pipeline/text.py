@@ -32,8 +32,10 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(text))
+    return (
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.size(tokens(text)))
+        .cast("bigint")  # DuckDB len() is int64; keep dtypes identical
     )
 
 
@@ -77,10 +79,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
         (F.length("text") / F.size(t)).alias("chars_per_token"),
-        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_unique_tokens"),
     ).orderBy("doc_id")
 
 
@@ -124,7 +126,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         uniq_ratio.alias("uniq_ratio"),
         mean_token_len.alias("mean_token_len"),
@@ -569,8 +571,8 @@ TOP_BIGRAM_FRAC_MAX = 0.1
     )
     SELECT source,
            count(*) AS n_docs,
-           avg(top_bg_frac) AS avg_top_bg_frac,
-           avg(dup_bg_frac) AS avg_dup_bg_frac,
+           round(avg(top_bg_frac), 9) AS avg_top_bg_frac,
+           round(avg(dup_bg_frac), 9) AS avg_dup_bg_frac,
            CAST(sum(CASE WHEN top_bg_frac > {TOP_BIGRAM_FRAC_MAX}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM perdoc GROUP BY source ORDER BY source
@@ -610,8 +612,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         perdoc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg("top_bg_frac").alias("avg_top_bg_frac"),
-            F.avg("dup_bg_frac").alias("avg_dup_bg_frac"),
+            F.round(F.avg("top_bg_frac"), 9).alias("avg_top_bg_frac"),
+            F.round(F.avg("dup_bg_frac"), 9).alias("avg_dup_bg_frac"),
             F.sum(
                 F.when(F.col("top_bg_frac") > TOP_BIGRAM_FRAC_MAX, 1).otherwise(0)
             ).alias("n_flagged"),
@@ -832,7 +834,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
     return (
-        scored.withColumn("rk", F.row_number().over(w_rank))
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
         .where(F.col("rk") <= 3)
         .select("doc_id", F.col("w").alias("term"), F.round("tfidf", 6).alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")

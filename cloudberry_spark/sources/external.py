@@ -270,7 +270,7 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
     return (
         fact.join(dim, fact.o_year == dim.y)
-        .groupBy("o_year")
+        .groupBy(F.col("o_year").cast("bigint").alias("o_year"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_year")
     )
@@ -397,7 +397,9 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     back = spark.read.parquet(path)
     return (
-        back.groupBy("o_year", "o_orderpriority")
+        back.groupBy(
+            F.col("o_year").cast("bigint").alias("o_year"), "o_orderpriority"
+        )
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_year", "o_orderpriority")
     )
@@ -454,7 +456,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_file_metadata",
     oracle="""
-        SELECT 4 AS n_files, count(*) AS n_rows, count(*) / 4.0 AS avg_rows_per_file
+        SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+               count(*) / 4.0 AS avg_rows_per_file
         FROM lineitem WHERE l_orderkey % 11 = 0
     """,
     doc="Physical row provenance via the hidden _metadata column "
@@ -507,7 +510,9 @@ def scan_glob_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         path + "/o_year={1995,1997}"
     )
     return (
-        back.groupBy("o_year").agg(F.count(F.lit(1)).alias("n")).orderBy("o_year")
+        back.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_year")
     )
 
 
@@ -546,9 +551,9 @@ def execute_pipe(
 @register(
     "copy_execute_pipe",
     oracle="""
-    SELECT n_nationkey * 2 AS key2,
+    SELECT CAST(n_nationkey * 2 AS BIGINT) AS key2,
            lower(n_name) AS lname,
-           n_regionkey
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
     FROM nation
     ORDER BY key2
     """,

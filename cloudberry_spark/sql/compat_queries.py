@@ -65,7 +65,7 @@ _pg(
 _pg(
     "pgsql_compat_array_series",
     """
-    SELECT t.i AS i,
+    SELECT t.i::int8 AS i,
            array_position(ARRAY['view','click','purchase'],
                           CASE WHEN t.i % 2 = 0 THEN 'click' ELSE 'view' END)
                ::int8 AS pos,
