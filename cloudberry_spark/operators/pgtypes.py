@@ -132,10 +132,12 @@ register_sql(
                CAST(replace(replace(m, '$', ''), ',', '') AS DECIMAL(18,2)) AS amt
         FROM raw
     )
-    SELECT m, amt,
-           CAST(amt * 2 AS DECIMAL(18,2))                 AS doubled,
-           CAST(round(amt * 0.0825, 2) AS DECIMAL(18,2))  AS tax,
-           CAST(SUM(amt) OVER () AS DECIMAL(18,2))        AS total
+    SELECT m, CAST(amt AS DOUBLE) AS amt,
+           CAST(CAST(amt * 2 AS DECIMAL(18,2)) AS DOUBLE)      AS doubled,
+           CAST(CAST(round(amt * 0.0825, 2) AS DECIMAL(18,2))
+                AS DOUBLE)                                     AS tax,
+           CAST(CAST(SUM(amt) OVER () AS DECIMAL(18,2))
+                AS DOUBLE)                                     AS total
     FROM cash
     ORDER BY amt
     """,

