@@ -100,6 +100,12 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # The distinct edge list is the iteration-invariant state. Without
+    # persist, every unrolled iteration re-executes the orders⋈lineitem
+    # join + distinct THREE times over (contrib, dangling, and the
+    # lineage of the previous ranks) — measured 5.6s -> ~2s at sf0.1.
+    # At cluster scale this is the standard iterative-algorithm pattern:
+    # materialize the (much smaller) derived graph once, iterate on it.
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -107,16 +113,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .persist()
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .persist()
     )
     n = float(nodes.count())
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
-    )
+    ).persist()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
         contrib = (
@@ -382,10 +390,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     a, b = sp.alias("a"), sp.alias("b")
+    # persist: the wedge self-join is the expensive derivation and every
+    # peel round's lineage branches off it (same iterative-state pattern
+    # as graph_pagerank — materialize the derived graph, iterate on it)
     edges = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
+        .persist()
     )
     nodes = edges.select(F.col("u").alias("node")).union(
         edges.select("v")
