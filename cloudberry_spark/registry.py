@@ -185,7 +185,7 @@ _LEAD = [
         "dedup_minhash_lsh_pairs",
         "sim_neardup_lsh_banded",
         "dedup_ngram_jaccard",
-        "dedup_exact_hash",
+        "dedup_exact",
         "stream_foreachbatch_upsert",
         "win_groups_frame",
         "win_exclude_current_row",
