@@ -452,3 +452,108 @@ def json_containment_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "json_each_object_keys",
+    oracle="""
+    WITH docs AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   status := o_orderstatus,
+                   prio := o_orderpriority,
+                   cust := o_custkey
+               )) AS doc
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey, u.k AS k,
+           json_extract_string(doc, concat('$.', u.k)) AS v_text
+    FROM docs, UNNEST(json_keys(doc)) AS u(k)
+    ORDER BY o_orderkey, k
+    """,
+    doc="json_object_keys / jsonb_each set-returning functions "
+    "(jsonfuncs.c each_worker: one output row per key/value pair — "
+    "the FunctionScan form of JSON introspection): Spark realization "
+    "is from_json to map<string,string> -> explode, a pure Generate "
+    "node (map-side, no shuffle; explode factor = object width). "
+    "Values compare as their JSON text form on both engines.",
+    tags=("json", "srf", "each"),
+)
+def json_each_object_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+    )
+    m = F.from_json(doc, "map<string,string>")
+    return (
+        orders.select("o_orderkey", F.explode(m).alias("k", "v_text"))
+        .orderBy("o_orderkey", "k")
+    )
+
+
+@register(
+    "json_modify_ops",
+    oracle="""
+    WITH docs AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   status := o_orderstatus,
+                   prio := o_orderpriority,
+                   cust := o_custkey
+               )) AS doc
+        FROM orders WHERE o_orderkey < 300
+    ), modified AS (
+        SELECT o_orderkey,
+               json_merge_patch(doc, '{"audited": "yes"}') AS with_set,
+               json_merge_patch(doc, '{"prio": null}') AS with_del
+        FROM docs
+    )
+    SELECT o_orderkey,
+           json_extract_string(with_set, '$.audited') AS audited,
+           CAST(json_extract_string(with_del, '$.prio') IS NULL
+                AS INT) AS prio_gone,
+           CAST(len(json_keys(with_set)) AS BIGINT) AS n_keys_set,
+           CAST(len(json_keys(with_del)) AS BIGINT) AS n_keys_del
+    FROM modified
+    ORDER BY o_orderkey
+    """,
+    doc="jsonb_set / key deletion (jsonb `-` operator) / "
+    "jsonb_object_keys cardinality (jsonfuncs.c jsonb_set, "
+    "jsonb_delete): realized on Spark as from_json to "
+    "map<string,string> -> map_concat (set, right side wins, the "
+    "PG || semantics) / map_filter (delete) -> to_json. All JVM map "
+    "HOFs, map-side only. The oracle drives DuckDB's json_merge_patch "
+    "(RFC 7386: null value deletes the key) to the same end states and "
+    "compares the observable effects (key present, key gone, key "
+    "counts) rather than serialized text, so key-order differences "
+    "between engines cannot flake the check.",
+    tags=("json", "jsonb", "modify"),
+)
+def json_modify_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_custkey").alias("cust"),
+        )
+    )
+    m = F.from_json(doc, "map<string,string>")
+    with_set = F.map_concat(m, F.create_map(F.lit("audited"), F.lit("yes")))
+    with_del = F.map_filter(m, lambda k, _: k != F.lit("prio"))
+    return (
+        orders.select(
+            "o_orderkey",
+            F.element_at(with_set, "audited").alias("audited"),
+            F.element_at(with_del, "prio").isNull().cast("int").alias(
+                "prio_gone"
+            ),
+            F.size(F.map_keys(with_set)).cast("bigint").alias("n_keys_set"),
+            F.size(F.map_keys(with_del)).cast("bigint").alias("n_keys_del"),
+        )
+        .orderBy("o_orderkey")
+    )
