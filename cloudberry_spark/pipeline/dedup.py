@@ -803,3 +803,66 @@ def dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sources")
     )
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""{lsh_oracle_ctes()}
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           levenshtein(substr(da.text, 1, 160), substr(db.text, 1, 160))
+               AS lev,
+           round(1.0 - levenshtein(substr(da.text, 1, 160),
+                                   substr(db.text, 1, 160))
+                 / CAST(greatest(length(substr(da.text, 1, 160)),
+                                 length(substr(db.text, 1, 160)), 1)
+                        AS DOUBLE), 6) AS sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+    doc="Edit-distance verification of LSH candidates (the character-"
+    "level verify stage complementing dedup_ngram_jaccard's set-based "
+    "one; fuzzystrmatch levenshtein, contrib/fuzzystrmatch): candidate "
+    "pairs come from the banded MinHash join, then normalized "
+    "Levenshtein similarity is computed on 160-char prefixes ONLY for "
+    "those pairs. Cost model at 100 TB: levenshtein is O(m*n) per "
+    "pair, so it must never run all-pairs — bounding it to LSH "
+    "survivors (and to fixed-length prefixes) keeps the verify stage "
+    "linear in candidate count; the join to fetch texts shuffles only "
+    "candidate doc_ids, not the corpus.",
+    tags=("pipeline", "dedup", "verify"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, 160).alias("pref")
+    )
+    pa = pref.select(F.col("doc_id").alias("id_a"), F.col("pref").alias("ta"))
+    pb = pref.select(F.col("doc_id").alias("id_b"), F.col("pref").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("bigint").alias("lev"),
+            F.round(
+                1.0
+                - lev
+                / F.greatest(
+                    F.length("ta"), F.length("tb"), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1228,3 +1228,82 @@ def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("merge_rank", F.row_number().over(w_rank).cast("int"))
     )
+
+
+VOCAB_TOP_N = 500
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(
+            regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+        ) WHERE r <= {VOCAB_TOP_N}
+    )
+    SELECT t.source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+           CAST(count(DISTINCT CASE WHEN v.w IS NOT NULL THEN t.w END)
+                AS BIGINT) AS n_vocab_used
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+    doc="Vocabulary coverage / OOV-rate audit (the tokenizer-fit check "
+    "run before committing a vocab to a training run): build the "
+    f"top-{VOCAB_TOP_N} corpus vocabulary (count desc, word tie-break "
+    "— deterministic), then measure per-source token coverage against "
+    "it. Two shuffles total: token frequency (combiner-backed, keys = "
+    "vocabulary not corpus) and the per-source rollup; the vocab side "
+    "is bounded by construction so AQE broadcasts the coverage join. "
+    "At 100 TB the frequency pass IS the standard vocab-build job — "
+    "this operator just adds the audit rollup on top.",
+    tags=("pipeline", "text", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # top-N via TakeOrdered (distributed partial top-k per partition,
+    # merged on the driver side of the plan) — NOT a global-sort window,
+    # which would single-partition the whole vocabulary
+    vocab = (
+        freq.orderBy(F.desc("c"), "w")
+        .limit(VOCAB_TOP_N)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(vocab, "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNotNull(), F.col("w"))
+            )
+            .cast("bigint")
+            .alias("n_vocab_used"),
+        )
+        .orderBy("source")
+    )
