@@ -196,6 +196,12 @@ _LEAD = [
         "text_quality_score",
         "multimodal_image_bmp_decode",
         "sim_knn_brute",
+        "json_containment_ops",
+        "dml_merge_delete",
+        "dedup_edit_distance_verify",
+        "text_vocab_coverage",
+        "json_each_object_keys",
+        "json_modify_ops",
 ]
 
 
