@@ -1721,16 +1721,21 @@ def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "y", "ntok", spark_base_hash(F.col("w")).alias("hh")
     )
     sign = F.when(F.shiftright(F.col("hh"), 4) % 2 == 0, 1.0).otherwise(-1.0)
-    # persist: the hashed feature table is re-read by every GD branch
-    # (w1, both score passes, the gradient) — without it the tokenize+
-    # explode+hash pipeline replays once per branch (iterative-state
-    # pattern, same as graph_pagerank)
-    x = hashed.groupBy(
-        "doc_id", (F.col("hh") % 16).cast("int").alias("dim")
-    ).agg(
-        F.max("y").alias("y"),
-        (F.sum(sign) / F.max("ntok")).alias("val"),
-    ).persist()
+    # The hashed feature table is re-read by every GD branch (w1, both
+    # score passes, the gradient); materialize it once to scratch
+    # parquet (same iterative-state pattern as graph_pagerank — file
+    # stats keep AQE broadcast planning intact, unlike .persist()).
+    from cloudberry_spark.pipeline.graph import _materialize
+
+    x = _materialize(
+        hashed.groupBy(
+            "doc_id", (F.col("hh") % 16).cast("int").alias("dim")
+        ).agg(
+            F.max("y").alias("y"),
+            (F.sum(sign) / F.max("ntok")).alias("val"),
+        ),
+        spark, sf_dir, "textclf_features",
+    )
     w1 = x.groupBy("dim").agg(
         (-F.sum((0.5 - F.col("y")) * F.col("val")) / n).alias("wt")
     )

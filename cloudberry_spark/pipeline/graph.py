@@ -34,6 +34,23 @@ from cloudberry_spark.registry import register
 
 #: PageRank damping factor (the canonical 0.85) and iteration count.
 PR_DAMPING = 0.85
+
+def _materialize(df, spark, sf_dir: str, tag: str):
+    """Materialize an iteration-invariant derived table to scratch
+    parquet and read it back. Compared with .persist(): the lineage is
+    truncated the same way, but the planner sees a real file relation
+    with exact size statistics (so AQE's broadcast decisions behave
+    exactly as they would for any table), re-runs are deterministic, and
+    nothing pins executor memory. This is the matview pattern every
+    iterative operator here uses for its derived graph/features.
+    """
+    from cloudberry_spark.sources.external import _scratch
+
+    path = _scratch(sf_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 PR_ITERS = 3
 
 
@@ -100,33 +117,34 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # The distinct edge list is the iteration-invariant state. Without
-    # persist, every unrolled iteration re-executes the orders⋈lineitem
-    # join + distinct THREE times over (contrib, dangling, and the
-    # lineage of the previous ranks) — measured 5.6s -> ~2s at sf0.1.
-    # At cluster scale this is the standard iterative-algorithm pattern:
-    # materialize the (much smaller) derived graph once, iterate on it.
-    edges = (
+    # The distinct edge list is the iteration-invariant state: without
+    # materialization, every unrolled iteration re-executes the
+    # orders⋈lineitem join + distinct in each branch (contrib, dangling,
+    # the previous ranks' lineage). Scratch-parquet over .persist():
+    # file relations carry exact size stats, so AQE keeps broadcasting
+    # the rank/contrib sides (a cached InMemoryRelation was measured
+    # 2x SLOWER here — it pins memory and degrades the join planning).
+    edges = _materialize(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        spark, sf_dir, "pagerank_edges",
     )
-    nodes = (
+    nodes = _materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
-        .distinct()
-        .persist()
+        .distinct(),
+        spark, sf_dir, "pagerank_nodes",
     )
     n = float(nodes.count())
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
-    ).persist()
+    )
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(PR_ITERS):
+    for _i in range(PR_ITERS):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -137,7 +155,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
             .agg(F.sum("pr").alias("dm"))
         )
-        ranks = (
+        # Materialize the new rank table every round: `ranks` is
+        # referenced TWICE per iteration (contrib + dangling), so a
+        # lazy chain replays the previous rounds 2^k times. With the
+        # state written out, each iteration is exactly one edge⋈rank
+        # shuffle + one groupBy — linear in rounds, the Pregel shape.
+        ranks = _materialize(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -150,7 +173,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.col("dm") / n
                     )
                 ).alias("pr"),
-            )
+            ),
+            spark, sf_dir, f"pagerank_ranks_{_i}",
         )
     return (
         ranks.select("node", F.round(F.col("pr") * n, 6).alias("pr_norm"))
@@ -393,11 +417,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the wedge self-join is the expensive derivation and every
     # peel round's lineage branches off it (same iterative-state pattern
     # as graph_pagerank — materialize the derived graph, iterate on it)
-    edges = (
+    edges = _materialize(
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .persist()
+        .distinct(),
+        spark, sf_dir, "kcore_edges",
     )
     nodes = edges.select(F.col("u").alias("node")).union(
         edges.select("v")
@@ -413,14 +437,24 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node")
         )
 
-    surv = degree_filter(edges)
+    surv = _materialize(
+        degree_filter(edges), spark, sf_dir, "kcore_surv_0"
+    )
     first = surv.agg(F.count(F.lit(1)).alias("survivors_round0"))
     es = edges
-    for _ in range(KCORE_ROUNDS):
+    for _r in range(KCORE_ROUNDS):
         su = surv.select(F.col("node").alias("u"))
         sv = surv.select(F.col("node").alias("v"))
-        es = es.join(su, "u", "left_semi").join(sv, "v", "left_semi")
-        surv = degree_filter(es)
+        # es and surv both feed two consumers per round: truncate the
+        # peel state each round or the lazy chain replays exponentially
+        # (same reasoning as graph_pagerank's per-round rank tables).
+        es = _materialize(
+            es.join(su, "u", "left_semi").join(sv, "v", "left_semi"),
+            spark, sf_dir, f"kcore_es_{_r}",
+        )
+        surv = _materialize(
+            degree_filter(es), spark, sf_dir, f"kcore_surv_{_r + 1}"
+        )
     return (
         surv.agg(F.count(F.lit(1)).alias("survivors_final"))
         .crossJoin(F.broadcast(first))

@@ -88,8 +88,12 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     ok = bad = 0
-    for name in sorted(qs):
-        if FILT and FILT not in name:
+    names = list(qs)
+    # "first:N" filter replays exactly the driver's prefix sample
+    if FILT.startswith("first:"):
+        names = names[: int(FILT.split(":")[1])]
+    for name in names:
+        if FILT and not FILT.startswith("first:") and FILT not in name:
             continue
         t0 = time.time()
         try:
