@@ -202,6 +202,7 @@ _LEAD = [
         "text_vocab_coverage",
         "json_each_object_keys",
         "json_modify_ops",
+        "stream_stream_left_outer",
 ]
 
 

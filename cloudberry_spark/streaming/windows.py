@@ -1757,3 +1757,125 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH mx AS (
+        SELECT max(ts) - INTERVAL 6 HOUR AS cut FROM events
+    ), v AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view' AND ts < (SELECT cut FROM mx)
+    ), c AS (
+        SELECT user_id AS cu, ts AS cts FROM events
+        WHERE event_type = 'click'
+    ), j AS (
+        SELECT v.event_id, v.ts, c.cts
+        FROM v LEFT JOIN c
+          ON c.cu = v.user_id
+         AND c.cts >= v.ts AND c.cts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(DISTINCT event_id) AS n_views,
+           CAST(count(cts) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM j GROUP BY 1 ORDER BY day
+    """,
+    doc="Stream-stream LEFT OUTER join with watermark-driven null "
+    "emission (the outer half of stream_stream_join): views LEFT JOIN "
+    "clicks in [view_ts, view_ts+1h] per user, both sides watermarked "
+    "1h so join state is evicted — bounded memory at any rate. An "
+    "unmatched view's null row only emits once the watermark passes "
+    "view_ts+1h, and the watermark itself lags one micro-batch; two "
+    "far-future sentinel ticks are appended to the source (processed "
+    "as separate batches via maxFilesPerTrigger=1) so end-of-input "
+    "drains the join state — the streaming-shutdown discipline any "
+    "production pipeline needs (flush ticks / graceful drain). The "
+    "converged output equals the batch LEFT JOIN on the finalized "
+    "prefix (view_ts < max_ts - 6h): Spark holds the very last "
+    "unmatched rows until one further watermark advance, so the audit "
+    "restricts BOTH engines to the provably-drained range.",
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cloudberry_spark.sources.external import _scratch
+
+    src_dir = _scratch(sf_dir, "sslo_src")
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp")
+    )
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+    # two sentinel ticks far past the data: tick 1 advances the
+    # watermark, tick 2 (a later batch) evicts the join state under it
+    mx = ev.agg(F.max("ts").alias("m"))
+    for days, eid in ((10, -1), (20, -2)):
+        (
+            mx.select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = raw.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    pairs = run_stream_once(
+        joined.select("event_id", "user_id", "ts", "c_ts"), "append"
+    )
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cut"))
+    return (
+        pairs.crossJoin(F.broadcast(cut))
+        .where(F.col("ts") < F.col("cut"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("event_id").alias("n_views"),
+            F.count("c_ts").alias("n_matched"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+        .orderBy("day")
+    )
