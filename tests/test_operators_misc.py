@@ -214,3 +214,72 @@ def test_bloom_has_no_false_negatives(spark):
     }
     assert rows[1]["n_maybe_present"] == rows[1]["n_probes"]
     assert rows[0]["n_maybe_present"] <= rows[0]["n_probes"] * 0.5
+
+
+def test_jsonb_contains_semantics(spark):
+    """jsonb @> recursive-subset semantics on constant patterns: object
+    subset matches, extra target keys are fine, value mismatch fails,
+    array containment requires every pattern element, numeric compare is
+    value-based not text-based (1 vs 1.0)."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.operators.json_ops import (
+        jsonb_contains,
+        jsonb_exists,
+        jsonb_exists_all,
+        jsonb_exists_any,
+    )
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": {"c": "x", "d": true}, "tags": [1, 2, 3]}',)],
+        ["doc"],
+    )
+
+    def ck(col):
+        return df.select(col.alias("v")).collect()[0].v
+
+    assert ck(jsonb_contains(F.col("doc"), {"a": 1})) is True
+    assert ck(jsonb_contains(F.col("doc"), {"a": 1.0})) is True  # numeric
+    assert ck(jsonb_contains(F.col("doc"), {"a": 2})) is False
+    assert ck(jsonb_contains(F.col("doc"), {"b": {"c": "x"}})) is True
+    assert ck(jsonb_contains(F.col("doc"), {"b": {"c": "y"}})) is False
+    assert ck(jsonb_contains(F.col("doc"), {"b": {"d": True}})) is True
+    assert ck(jsonb_contains(F.col("doc"), {"tags": [1, 3]})) is True
+    assert ck(jsonb_contains(F.col("doc"), {"tags": [1, 4]})) is False
+    assert ck(jsonb_exists(F.col("doc"), "a")) is True
+    assert ck(jsonb_exists(F.col("doc"), "zz")) is False
+    assert ck(jsonb_exists_any(F.col("doc"), ["zz", "a"])) is True
+    assert ck(jsonb_exists_all(F.col("doc"), ["a", "b"])) is True
+    assert ck(jsonb_exists_all(F.col("doc"), ["a", "zz"])) is False
+
+
+def test_merge_multi_first_match_wins(spark, tmp_path):
+    """merge_into_multi evaluates WHEN clauses in order, first match
+    fires, at most one action per row (nodeModifyTable.c ExecMergeMatched
+    contract): a row satisfying both the DELETE qualifier and the
+    unqualified UPDATE must be deleted, not updated."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.operators.dml import merge_into_multi, overwrite_inplace
+
+    path = str(tmp_path / "t")
+    tgt = spark.createDataFrame(
+        [(1, 10.0), (2, 200.0), (3, 30.0)], ["k", "v"]
+    )
+    overwrite_inplace(tgt, path)
+    src = spark.createDataFrame([(1, 0.0), (2, 0.0), (4, 40.0)], ["k", "v"])
+    merge_into_multi(
+        spark,
+        path,
+        src,
+        on="k",
+        matched_actions=[
+            (F.col("v") < 100, "delete"),  # fires for k=1 (v=10)
+            (None, {"v": F.col("v") + 1}),  # fires for k=2 only
+        ],
+    )
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert 1 not in out          # deleted by first clause
+    assert out[2] == 201.0       # updated by second clause
+    assert out[3] == 30.0        # untouched (no source row)
+    assert out[4] == 40.0        # inserted
