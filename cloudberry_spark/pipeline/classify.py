@@ -2056,3 +2056,228 @@ def ml_ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tm - cm, 4).alias("ate_ipw"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _stump_fit(samples: DataFrame, feat: str, target: str):
+    """Best-SSE regression stump over a BOUNDED integer feature.
+
+    groupBy(feature) collapses the corpus to one row per distinct
+    feature value (the only pass over data); the threshold sweep is a
+    cumulative-sum window over that bounded table — metadata-scale,
+    same shape as ml_decision_stump's Gini sweep. Returns a 1-row
+    DataFrame (threshold, left_mean, right_mean) for broadcast.
+
+    Exactness: the target must be integer-valued (sums are then
+    order-independent), so left/right means and the split score are
+    bit-identical across engines; the score is rounded to 6 before the
+    argmax with a threshold tie-break, making the chosen split
+    cross-engine stable even at boundaries.
+    """
+    per = samples.groupBy(F.col(feat).alias("t")).agg(
+        F.sum(target).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("s").alias("ts"), F.sum("c").alias("tc")
+    )
+    cand = (
+        per.select(
+            "t",
+            F.sum("s").over(w).alias("ls"),
+            F.sum("c").over(w).alias("lc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where((F.col("lc") > 0) & (F.col("tc") > F.col("lc")))
+        .select(
+            "t",
+            (F.col("ls") / F.col("lc")).alias("left_mean"),
+            ((F.col("ts") - F.col("ls")) / (F.col("tc") - F.col("lc"))).alias(
+                "right_mean"
+            ),
+            F.round(
+                F.col("ls") * F.col("ls") / F.col("lc")
+                + (F.col("ts") - F.col("ls"))
+                * (F.col("ts") - F.col("ls"))
+                / (F.col("tc") - F.col("lc")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return cand.orderBy(F.desc("score"), "t").limit(1).select(
+        F.col("t").alias("thr"), "left_mean", "right_mean"
+    )
+
+
+@register(
+    "ml_gbdt_stumps",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS f1,
+               CAST(round(l_discount * 100) AS BIGINT) AS f2,
+               CAST(round(l_quantity) AS BIGINT) AS y
+        FROM lineitem WHERE l_orderkey <= 4000
+    ), per1 AS (
+        SELECT f1 AS t, CAST(sum(y) AS BIGINT) AS sy, count(*) AS c
+        FROM s GROUP BY f1
+    ), cum1 AS (
+        SELECT t,
+               CAST(sum(sy) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS ls,
+               CAST(sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS lc,
+               CAST((SELECT sum(sy) FROM per1) AS BIGINT) AS ts,
+               CAST((SELECT sum(c) FROM per1) AS BIGINT) AS tc
+        FROM per1
+    ), best1 AS (
+        SELECT t AS thr1,
+               CAST(ls AS DOUBLE) / lc AS lm1,
+               CAST(ts - ls AS DOUBLE) / (tc - lc) AS rm1
+        FROM cum1 WHERE lc > 0 AND tc > lc
+        ORDER BY round(CAST(ls AS DOUBLE) * ls / lc
+                       + CAST(ts - ls AS DOUBLE) * (ts - ls) / (tc - lc),
+                       6) DESC, t
+        LIMIT 1
+    ), r AS (
+        SELECT s.f2,
+               s.y - CASE WHEN s.f1 <= b.thr1 THEN b.lm1 ELSE b.rm1 END
+                   AS resid
+        FROM s, best1 b
+    ), per2 AS (
+        SELECT f2 AS t,
+               (CAST(sum(CAST(round(resid * 1000000) AS BIGINT))
+                     AS DOUBLE) / 1000000.0) AS sy,
+               count(*) AS c
+        FROM (SELECT f2, round(resid, 6) AS resid FROM r) GROUP BY f2
+    ), cum2 AS (
+        SELECT t,
+               sum(sy) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls,
+               CAST(sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS lc,
+               (SELECT sum(sy) FROM per2) AS ts,
+               CAST((SELECT sum(c) FROM per2) AS BIGINT) AS tc
+        FROM per2
+    ), best2 AS (
+        SELECT t AS thr2, ls / lc AS lm2, (ts - ls) / (tc - lc) AS rm2
+        FROM cum2 WHERE lc > 0 AND tc > lc
+        ORDER BY round(ls * ls / lc + (ts - ls) * (ts - ls) / (tc - lc),
+                       6) DESC, t
+        LIMIT 1
+    ), scored AS (
+        SELECT s.y,
+               CASE WHEN s.f1 <= b1.thr1 THEN b1.lm1 ELSE b1.rm1 END AS p1,
+               CASE WHEN s.f1 <= b1.thr1 THEN b1.lm1 ELSE b1.rm1 END
+               + CASE WHEN s.f2 <= b2.thr2 THEN b2.lm2 ELSE b2.rm2 END AS p2
+        FROM s, best1 b1, best2 b2
+    )
+    SELECT (SELECT thr1 FROM best1) AS thr1,
+           (SELECT thr2 FROM best2) AS thr2,
+           round((SELECT lm1 FROM best1), 6) AS left_mean1,
+           round((SELECT rm1 FROM best1), 6) AS right_mean1,
+           count(*) AS n_samples,
+           (CAST(sum(CAST(round(pow(y - p1, 2) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) / count(*) AS mse_round1,
+           (CAST(sum(CAST(round(pow(y - p2, 2) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000.0) / count(*) AS mse_round2
+    FROM scored
+    """,
+    doc="Gradient-boosted regression stumps, 2 rounds (MADlib "
+    "tree/boosting family; Friedman '01 with squared loss, where the "
+    "gradient IS the residual): round 1 fits the best-SSE stump on a "
+    "bounded price-bucket feature, round 2 fits a stump on the "
+    "RESIDUALS over the discount feature, additive ensemble scored at "
+    "the end. Each round is one groupBy over data + a metadata-scale "
+    "threshold sweep + a broadcast of the 1-row model — the boosting "
+    "loop adds one scan per round at any data size, exactly how "
+    "ml_logistic_regression scales its epochs. Integer targets and "
+    "fixed-point residual sums keep every statistic bit-identical "
+    "cross-engine; split scores round to 6 with threshold tie-breaks "
+    "so the argmax cannot flake.",
+    tags=("pipeline", "ml", "boosting"),
+)
+def ml_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 4000)
+    s = li.select(
+        F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("f1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("f2"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    best1 = _stump_fit(s, "f1", "y")
+    b1 = F.broadcast(best1.select(
+        F.col("thr").alias("thr1"),
+        F.col("left_mean").alias("lm1"),
+        F.col("right_mean").alias("rm1"),
+    ))
+    p1 = F.when(F.col("f1") <= F.col("thr1"), F.col("lm1")).otherwise(
+        F.col("rm1")
+    )
+    r = s.crossJoin(b1).select(
+        "f1", "f2", "y", "thr1", "lm1", "rm1",
+        F.round(F.col("y") - p1, 6).alias("resid"),
+    )
+
+    # stump 2 over fixed-point residual sums (order-independent)
+    per2 = r.groupBy(F.col("f2").alias("t")).agg(
+        (
+            F.sum(F.round(F.col("resid") * 1_000_000).cast("bigint"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot2 = per2.agg(F.sum("s").alias("ts"), F.sum("c").alias("tc"))
+    cand2 = (
+        per2.select(
+            "t",
+            F.sum("s").over(w).alias("ls"),
+            F.sum("c").over(w).alias("lc"),
+        )
+        .crossJoin(F.broadcast(tot2))
+        .where((F.col("lc") > 0) & (F.col("tc") > F.col("lc")))
+        .select(
+            "t",
+            (F.col("ls") / F.col("lc")).alias("lm2"),
+            ((F.col("ts") - F.col("ls")) / (F.col("tc") - F.col("lc"))).alias(
+                "rm2"
+            ),
+            F.round(
+                F.col("ls") * F.col("ls") / F.col("lc")
+                + (F.col("ts") - F.col("ls"))
+                * (F.col("ts") - F.col("ls"))
+                / (F.col("tc") - F.col("lc")),
+                6,
+            ).alias("score"),
+        )
+    )
+    b2 = F.broadcast(
+        cand2.orderBy(F.desc("score"), "t")
+        .limit(1)
+        .select(F.col("t").alias("thr2"), "lm2", "rm2")
+    )
+
+    scored = r.crossJoin(b2).select(
+        "y", "thr1", "lm1", "rm1", "thr2", "lm2", "rm2",
+        p1.alias("p1"),
+        (
+            p1
+            + F.when(F.col("f2") <= F.col("thr2"), F.col("lm2")).otherwise(
+                F.col("rm2")
+            )
+        ).alias("p2"),
+    )
+    sse = lambda p: (  # noqa: E731 — exact fixed-point SSE
+        F.sum(
+            F.round(F.pow(F.col("y") - p, 2) * 1_000_000).cast("bigint")
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return scored.agg(
+        F.max("thr1").alias("thr1"),
+        F.max("thr2").alias("thr2"),
+        F.round(F.max("lm1"), 6).alias("left_mean1"),
+        F.round(F.max("rm1"), 6).alias("right_mean1"),
+        F.count(F.lit(1)).alias("n_samples"),
+        (sse(F.col("p1")) / F.count(F.lit(1))).alias("mse_round1"),
+        (sse(F.col("p2")) / F.count(F.lit(1))).alias("mse_round2"),
+    )
