@@ -216,3 +216,82 @@ def join_fuzzy_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim >= 0.55)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, source,
+               len(list_filter(range(1, len(ws)),
+                               i -> ws[i] = 'the' AND ws[i + 1] = 'of'))
+                   AS n_phrase,
+               len(list_filter(range(1, greatest(len(ws) - 1, 1)),
+                               i -> ws[i] = 'the' AND ws[i + 2] = 'of'))
+                   AS n_near2
+        FROM toks
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_phrase > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_phrase,
+           CAST(sum(n_phrase) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN n_near2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_near2
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    doc="Phrase search — tsquery FOLLOWED BY / `<->` and `<2>` distance "
+    "operators (tsquery_phrase, adt/tsquery_op.c; tsvector positional "
+    "matching in tsvector_op.c): adjacency is tested on the token "
+    "POSITION arrays (ws[i]='the' AND ws[i+1]='of'), exactly how the "
+    "reference walks lexeme positions, realized as JVM array "
+    "higher-order functions — row-local, map-only, zero shuffles "
+    "before the per-source rollup. `<2>` (distance-2) uses the same "
+    "walk with offset 2.",
+    tags=("textsearch", "phrase", "pipeline"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    base = docs.select("doc_id", "source", ws.alias("ws"))
+
+    def count_pairs(offset: int):
+        # positions 1..len-offset; PG-style 1-based element_at
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size("ws") - offset, F.lit(0))
+        )
+        return F.size(
+            F.filter(
+                idx,
+                lambda i: (F.element_at(F.col("ws"), i) == F.lit("the"))
+                & (F.element_at(F.col("ws"), i + offset) == F.lit("of")),
+            )
+        )
+
+    hits = base.select(
+        "source",
+        count_pairs(1).alias("n_phrase"),
+        count_pairs(2).alias("n_near2"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_phrase") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_phrase"),
+            F.sum("n_phrase").cast("bigint").alias("n_occurrences"),
+            F.sum(F.when(F.col("n_near2") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_near2"),
+        )
+        .orderBy("source")
+    )

@@ -203,6 +203,9 @@ _LEAD = [
         "json_each_object_keys",
         "json_modify_ops",
         "stream_stream_left_outer",
+        "ml_gbdt_stumps",
+        "text_phrase_search",
+        "events_dow_seasonality",
 ]
 
 

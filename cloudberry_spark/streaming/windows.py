@@ -1879,3 +1879,65 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(isodow(date_trunc('day', ts)) AS BIGINT) AS dow,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mean_daily FROM daily
+    )
+    SELECT dow,
+           count(*) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round((CAST(sum(n) AS DOUBLE) / count(*))
+                 / (SELECT mean_daily FROM g), 6) AS seasonal_index,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_events
+    FROM daily
+    GROUP BY dow ORDER BY dow
+    """,
+    doc="Day-of-week seasonal indices (the decomposition step every "
+    "time-series monitor runs before alerting — a Monday dip is not an "
+    "incident): daily event counts, per-ISO-dow mean normalized by the "
+    "global daily mean. Two bounded aggregations (the corpus collapses "
+    "to one row per day in the first groupBy); the global mean rides "
+    "the scalar-broadcast join. Integer counts keep every statistic "
+    "exact cross-engine. Complements events_ewma_smoothing (trend) and "
+    "events_changepoint_cusum (level shifts) with the seasonal lens.",
+    tags=("events", "timeseries", "seasonality"),
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    # ISO dow: Monday=1..Sunday=7 (Spark dayofweek is Sunday=1)
+    isodow = ((F.dayofweek(day) + 5) % 7 + 1).cast("bigint")
+    daily = ev.groupBy(day.alias("d"), isodow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_daily")
+    )
+    return (
+        daily.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_m"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            "n_days",
+            "n_events",
+            F.round(F.col("_m") / F.col("mean_daily"), 6).alias(
+                "seasonal_index"
+            ),
+            F.round("_m", 6).alias("mean_events"),
+        )
+        .orderBy("dow")
+    )
