@@ -1365,8 +1365,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("dx").alias("sdx"),
         F.stddev_pop("dy").alias("sdy"),
     )
+    # Degenerate (regular) graph: every degree equal -> r undefined.
+    # Epsilon, not == 0: Spark's running-moment stddev on a large
+    # constant column returns ~1e-7 instead of exact zero (observed on
+    # the complete sf0.1 co-part graph), while the smallest TRUE
+    # nonzero stddev_pop of integer degrees is ~n^-1/2 — 1e-6 cleanly
+    # separates the two at any realistic population.
     r = F.when(
-        (F.col("sdx") == 0) | (F.col("sdy") == 0), F.lit(None)
+        (F.col("sdx") < 1e-6) | (F.col("sdy") < 1e-6), F.lit(None)
     ).otherwise(
         (F.col("mxy") - F.col("mx") * F.col("my"))
         / (F.col("sdx") * F.col("sdy"))
