@@ -299,3 +299,55 @@ def array_generate_subscripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "idx")
     )
+
+
+@register(
+    "srf_unnest_multi",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS a1,
+               [CAST('p' || (o_orderkey % 2) AS VARCHAR),
+                CAST('p' || (o_orderkey % 4) AS VARCHAR)] AS a2
+        FROM orders WHERE o_orderkey < 200
+    )
+    SELECT o_orderkey,
+           CAST(u.i AS BIGINT) AS pos,
+           a1[u.i] AS v1,
+           a2[u.i] AS v2
+    FROM base, UNNEST(range(1, greatest(len(a1), len(a2)) + 1)) AS u(i)
+    ORDER BY o_orderkey, pos
+    """,
+    doc="Multi-argument unnest / ROWS FROM(...) row alignment "
+    "(nodeFunctionscan.c ORDINALITY + multiple SRFs: arrays of "
+    "different lengths align positionally, the shorter NULL-padded): "
+    "Spark's arrays_zip + posexplode IS this semantics — zip length is "
+    "the longest input, missing slots are NULL. Map-only Generate "
+    "node; the oracle walks an index range with out-of-bounds "
+    "subscripts returning NULL, the same padding rule.",
+    tags=("array", "srf", "semantics"),
+)
+def srf_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 200
+    )
+    a1 = F.array(
+        F.col("o_orderkey") % 7,
+        F.col("o_orderkey") % 5,
+        F.col("o_orderkey") % 3,
+    )
+    a2 = F.array(
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 2).cast("string")),
+        F.concat(F.lit("p"), (F.col("o_orderkey") % 4).cast("string")),
+    )
+    z = F.arrays_zip(a1.alias("v1"), a2.alias("v2"))
+    return (
+        orders.select("o_orderkey", F.posexplode(z).alias("pos0", "z"))
+        .select(
+            "o_orderkey",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.col("z.v1").alias("v1"),
+            F.col("z.v2").alias("v2"),
+        )
+        .orderBy("o_orderkey", "pos")
+    )

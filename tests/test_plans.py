@@ -645,3 +645,25 @@ def test_merge_multi_action_single_shuffle(spark):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_driver_prefix_composition():
+    """The driver samples the first 50 of queries(); pin the properties
+    the round-3 rotation established: the four previously-red fixed
+    queries are present (their fixes need driver confirmation), and a
+    large majority of the prefix has never been driver-sampled before
+    (coverage breadth grows every round instead of rechecking greens)."""
+    from cloudberry_spark.registry import _DRIVER_SAMPLED, interleaved_queries
+
+    prefix = list(interleaved_queries())[:50]
+    for must in (
+        "agg_eager_pushdown",
+        "aqumv_rollup_answer",
+        "dml_scd2_history_build",
+        "json_path_filter_predicate",
+        "join_snowflake_12way",
+        "dedup_minhash_lsh_pairs",
+    ):
+        assert must in prefix, f"{must} fell out of the sampled prefix"
+    never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
+    assert never >= 25, f"only {never} never-sampled queries in prefix"
