@@ -362,11 +362,11 @@ KCORE_ROUNDS = 3
 
 def _kcore_oracle() -> str:
     step = """
-    a{r} AS (
+    a{r} AS MATERIALIZED (
         SELECT e.u, e.v FROM edges e
         JOIN d{p} du ON du.node = e.u
         JOIN d{p} dv ON dv.node = e.v
-    ), d{r} AS (
+    ), d{r} AS MATERIALIZED (
         SELECT node FROM (
             SELECT u AS node FROM a{r} UNION ALL SELECT v FROM a{r}
         ) GROUP BY node HAVING count(*) >= {k}
@@ -376,9 +376,12 @@ def _kcore_oracle() -> str:
         for r in range(1, KCORE_ROUNDS + 1)
     )
     return f"""
-    WITH sp AS (
+    WITH sp AS MATERIALIZED (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+        -- MATERIALIZED: every peel round references edges; inlined, the
+        -- wedge self-join would re-execute per round and spill (~50 GB
+        -- observed on the complete sf0.1 co-part graph)
         SELECT DISTINCT a.s AS u, b.s AS v
         FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
     ), d0 AS (
