@@ -667,3 +667,31 @@ def test_driver_prefix_composition():
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
     assert never >= 25, f"only {never} never-sampled queries in prefix"
+
+
+def test_gbdt_sweep_is_metadata_scale(spark):
+    """ml_gbdt_stumps' threshold sweeps must run over the bounded
+    per-feature-value tables, never a global window over raw rows: the
+    plan may contain window sorts only downstream of a HashAggregate
+    (the groupBy(feature) collapse)."""
+    df = all_queries()["ml_gbdt_stumps"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1
+    if first_window != -1:
+        # tree prints top-down: the aggregate feeding the window must
+        # exist; raw lineitem columns never reach a Window operator
+        w_section = plan[first_window : first_window + 400]
+        assert "l_extendedprice" not in w_section
+
+
+def test_vocab_coverage_topk_not_global_sort(spark):
+    """text_vocab_coverage's top-N vocab must be a TakeOrdered (bounded
+    partial top-k per partition), not a global Sort + Limit over the
+    whole vocabulary."""
+    df = all_queries()["text_vocab_coverage"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
