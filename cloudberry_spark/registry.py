@@ -206,6 +206,8 @@ _LEAD = [
         "ml_gbdt_stumps",
         "text_phrase_search",
         "events_dow_seasonality",
+        "srf_unnest_multi",
+        "ivm_topk_refresh",
 ]
 
 

@@ -311,3 +311,75 @@ def ivm_count_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("mv_distinct_customers"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "ivm_topk_refresh",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE rk <= 3
+    ORDER BY o_orderpriority, rk
+    """,
+    doc="Incremental top-k matview maintenance (IVM for ranking views — "
+    "the interactive-session top-k refresh problem; reference "
+    "matview.c's delta rules extended to an ORDER BY/LIMIT view): the "
+    "stored view holds the per-priority top-3 orders; an append batch "
+    "refreshes it as top-k(old_topk ∪ delta) — sound for append-only "
+    "deltas because a new row can only ENTER the top-k, never revive "
+    "an evicted one. Refresh cost is O(|delta| + k·|groups|): the old "
+    "view is k·|groups| rows and the delta pre-aggregates to its own "
+    "per-group top-k before the merge, so the base table is NEVER "
+    "rescanned. (Deletions would invalidate eviction — a deleting "
+    "workload must keep top-(k+slack) or fall back to full refresh, "
+    "the same caveat the reference's IVM places on MIN/MAX views, "
+    "matview.c IVM_SUB.) The oracle recomputes the view from the full "
+    "base — proving refresh == recompute. Rank ties break on "
+    "o_orderkey; prices round to cents before ranking so the order is "
+    "cross-engine stable.",
+    tags=("ivm", "topk", "matview"),
+)
+def ivm_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 3
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rk") <= K)
+            .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        )
+
+    # seed: matview over the initial base (80% of orders)
+    path = _scratch(sf_dir, "ivm_topk_mv")
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    overwrite_inplace(topk(base), path)
+
+    # append batch arrives: refresh = top-k(old view ∪ per-group top-k
+    # of the delta). The delta side pre-ranks so the merge input is
+    # bounded by 2k rows per group regardless of batch size.
+    delta = orders.where(F.col("o_orderkey") % 5 == 0)
+    old = spark.read.parquet(path).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    merged = topk(old.unionByName(topk(delta).drop("rk")))
+    overwrite_inplace(merged, path)
+
+    return spark.read.parquet(path).orderBy("o_orderpriority", "rk")
