@@ -47,7 +47,10 @@ def _materialize(df, spark, sf_dir: str, tag: str):
     from cloudberry_spark.sources.external import _scratch
 
     path = _scratch(sf_dir, tag)
-    df.write.mode("overwrite").parquet(path)
+    # coalesce: these state tables are node/edge-list sized; writing 32
+    # near-empty files per round costs more task/commit overhead than
+    # the data. At cluster scale pick partitions ~ |state| / 128MB.
+    df.coalesce(8).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
