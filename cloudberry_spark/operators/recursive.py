@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudberry_spark.catalog import load_table
 from cloudberry_spark.registry import register, register_sql
 
 
@@ -246,3 +247,83 @@ def recursive_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("int").alias("node"),
         F.col("d").cast("bigint").alias("dist"),
     ).orderBy("node")
+
+
+@register(
+    "recursive_bom_explosion",
+    oracle="""
+    WITH RECURSIVE bom AS (
+        -- synthesized 3-level assembly hierarchy over part: each part's
+        -- parent is p_partkey // 10; per-level quantity = 1 + p % 3
+        SELECT p_partkey AS root, p_partkey AS component,
+               CAST(1 AS BIGINT) AS qty, 0 AS depth
+        FROM part WHERE p_partkey % 10 = 0 AND p_partkey <= 500
+        UNION ALL
+        SELECT b.root, p.p_partkey AS component,
+               CAST(b.qty * (1 + p.p_partkey % 3) AS BIGINT) AS qty,
+               b.depth + 1
+        FROM bom b
+        JOIN part p
+          ON p.p_partkey // 10 = b.component
+         AND p.p_partkey <> b.component
+        WHERE b.depth < 3
+    )
+    SELECT root,
+           count(*) AS n_components,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(sum(qty) AS BIGINT) AS total_units
+    FROM bom WHERE depth > 0
+    GROUP BY root
+    ORDER BY root
+    """,
+    doc="Bill-of-materials explosion — THE canonical WITH RECURSIVE "
+    "workload (nodeRecursiveunion.c WorktableScan; every ERP manual's "
+    "example): multiply per-level quantities down a 3-level synthesized "
+    "assembly hierarchy (parent = part div 10) and roll up total units "
+    "per root assembly. The frontier is joined to the part table each "
+    "round — the reference's worktable⋈base step — realized as the "
+    "driver-side fixpoint loop with a depth bound; quantities are "
+    "integer-exact so the differential is bit-stable.",
+    tags=("recursive", "cte", "bom"),
+)
+def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_partkey") / 10).cast("bigint").alias("parent")
+    )
+    seed = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") <= 500))
+        .select(
+            F.col("p_partkey").alias("root"),
+            F.col("p_partkey").alias("component"),
+            F.lit(1).cast("bigint").alias("qty"),
+            F.lit(0).alias("depth"),
+        )
+    )
+
+    def step(fr: DataFrame) -> DataFrame:
+        return (
+            fr.where(F.col("depth") < 3)
+            .join(part, part.parent == fr.component)
+            .where(F.col("p_partkey") != F.col("component"))
+            .select(
+                "root",
+                F.col("p_partkey").alias("component"),
+                (F.col("qty") * (1 + F.col("p_partkey") % 3))
+                .cast("bigint")
+                .alias("qty"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+
+    bom = recursive_union(seed, step, max_iterations=5)
+    return (
+        bom.where(F.col("depth") > 0)
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.sum("qty").cast("bigint").alias("total_units"),
+        )
+        .orderBy("root")
+    )

@@ -208,6 +208,7 @@ _LEAD = [
         "events_dow_seasonality",
         "srf_unnest_multi",
         "ivm_topk_refresh",
+        "recursive_bom_explosion",
 ]
 
 
