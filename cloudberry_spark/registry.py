@@ -135,6 +135,9 @@ def all_queries() -> dict[str, Query]:
 #: CORRECTNESS_r01/r02 keys). interleaved_queries() demotes these behind
 #: never-sampled siblings so each round's 50-query prefix maximizes the
 #: number of operators with at least one hard external confirmation.
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r03's keys
+#: and rebuild _LEAD with that round's fixes/additions — the rotation
+#: only advances if both stay current.
 _DRIVER_SAMPLED = frozenset(
     """
     agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id
