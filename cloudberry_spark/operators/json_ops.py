@@ -557,3 +557,82 @@ def json_modify_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "json_agg_rollup",
+    oracle="""
+    WITH rows_j AS (
+        SELECT o_orderpriority,
+               CAST(to_json(list(struct_pack(k := o_orderkey,
+                                             p := round(o_totalprice, 2))
+                                 ORDER BY o_orderkey)) AS VARCHAR) AS orders_json
+        FROM orders WHERE o_orderkey < 100
+        GROUP BY o_orderpriority
+    ), cnt AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), obj_j AS (
+        SELECT o_orderpriority,
+               CAST(to_json(map_from_entries(
+                   list(struct_pack(k := o_orderstatus, v := n)
+                        ORDER BY o_orderstatus))) AS VARCHAR) AS status_json
+        FROM cnt GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, o.status_json, r.orders_json
+    FROM obj_j o JOIN rows_j r USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    doc="json_agg / json_object_agg (adt/json.c json_agg_transfn, "
+    "json_object_agg — the row-to-document aggregates every PG API "
+    "layer leans on): per priority, a JSON ARRAY of (orderkey, price) "
+    "records and a JSON OBJECT of status->count. Spark realization is "
+    "collect_list(struct) -> array_sort -> to_json and "
+    "map_from_entries -> to_json — JVM-side, partial-aggregatable, and "
+    "deterministic because the arrays/entries are explicitly sorted "
+    "before serialization (unordered collect_list would flake any "
+    "golden compare — atmsort's lesson applied to documents). Both "
+    "engines serialize compact JSON with identical number formatting, "
+    "so the documents compare as exact text.",
+    tags=("json", "agg"),
+)
+def json_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rows_j = (
+        orders.where(F.col("o_orderkey") < 100)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderkey").alias("k"),
+                            F.round("o_totalprice", 2).alias("p"),
+                        )
+                    )
+                )
+            ).alias("orders_json")
+        )
+    )
+    cnt = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    obj_j = cnt.groupBy("o_orderpriority").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderstatus").alias("k"),
+                            F.col("n").alias("v"),
+                        )
+                    )
+                )
+            )
+        ).alias("status_json")
+    )
+    return (
+        obj_j.join(rows_j, "o_orderpriority")
+        .select("o_orderpriority", "status_json", "orders_json")
+        .orderBy("o_orderpriority")
+    )

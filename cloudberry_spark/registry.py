@@ -212,6 +212,7 @@ _LEAD = [
         "srf_unnest_multi",
         "ivm_topk_refresh",
         "recursive_bom_explosion",
+        "json_agg_rollup",
 ]
 
 
