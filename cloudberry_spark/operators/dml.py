@@ -586,3 +586,74 @@ def ddl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.constraint_name", "c.n_violations", "c.n_checked")
         .orderBy("constraint_name")
     )
+
+
+@register(
+    "dml_insert_on_conflict",
+    oracle="""
+        WITH target AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 4 = 0
+        ), incoming AS (
+            SELECT c_custkey, 'UPSERTED' AS c_mktsegment,
+                   round(c_acctbal * 1.1, 2) AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0
+        ), upserted AS (
+            SELECT coalesce(i.c_custkey, t.c_custkey) AS c_custkey,
+                   CASE WHEN i.c_custkey IS NOT NULL
+                        THEN i.c_mktsegment ELSE t.c_mktsegment
+                   END AS c_mktsegment,
+                   CASE WHEN i.c_custkey IS NOT NULL
+                        THEN i.c_acctbal ELSE t.c_acctbal
+                   END AS c_acctbal
+            FROM target t FULL OUTER JOIN incoming i USING (c_custkey)
+        )
+        SELECT c_mktsegment, count(*) AS n,
+               (CAST(sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS bal
+        FROM upserted GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="INSERT ... ON CONFLICT (key) DO UPDATE — PG's upsert "
+    "(speculative insertion, executor/nodeModifyTable.c "
+    "ExecOnConflictUpdate; the reference supports it on heap tables): "
+    "under copy-on-write semantics upsert IS single-action MERGE with "
+    "EXCLUDED.* as the update source, so it reuses merge_into with "
+    "the incoming row's values winning on conflict. One full-outer "
+    "shuffle on the key; balances ride the exact fixed-point sum.",
+    tags=("dml", "upsert", "conflict"),
+)
+def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.tpch import dsum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _scratch(sf_dir, "dml_upsert_conflict")
+    overwrite_inplace(cust.filter(F.col("c_custkey") % 4 == 0), path)
+    incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("UPSERTED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+    )
+    # ON CONFLICT DO UPDATE == WHEN MATCHED THEN UPDATE SET col =
+    # EXCLUDED.col; WHEN NOT MATCHED THEN INSERT — the incoming row wins.
+    merge_into(
+        spark,
+        path,
+        incoming,
+        on="c_custkey",
+        matched_set={
+            "c_mktsegment": F.col("__src_c_mktsegment"),
+            "c_acctbal": F.col("__src_c_acctbal"),
+        },
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("c_acctbal"), scale=2).alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

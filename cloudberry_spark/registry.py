@@ -213,6 +213,7 @@ _LEAD = [
         "ivm_topk_refresh",
         "recursive_bom_explosion",
         "json_agg_rollup",
+        "dml_insert_on_conflict",
 ]
 
 
