@@ -68,3 +68,78 @@ def map_hstore_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(merged, "ptype").alias("merged_ptype"),
     )
+
+
+@register(
+    "map_zip_with_merge",
+    oracle="""
+    WITH halves AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS even_f,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS odd_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ), o_side AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS even_o,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS odd_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT coalesce(h.o_custkey, o.o_custkey) AS o_custkey,
+           coalesce(h.even_f, 0) + coalesce(o.even_o, 0) AS even_total,
+           coalesce(h.odd_f, 0) + coalesce(o.odd_o, 0) AS odd_total
+    FROM halves h FULL OUTER JOIN o_side o USING (o_custkey)
+    ORDER BY o_custkey
+    """,
+    doc="map_zip_with — keywise arithmetic merge of two map columns "
+    "(the hstore || + slice/avals combination idiom, hstore_op.c, "
+    "generalized with a combiner lambda): per customer, an order-"
+    "parity count map is built for each order status and the two maps "
+    "merge with elementwise + (missing keys read as 0). The Spark side "
+    "does ALL work in map space — map_from_entries to build, "
+    "map_zip_with(m1, m2, (k,v1,v2) -> ...) to combine — and only "
+    "unpacks to columns for the checkable projection; the oracle "
+    "computes the same totals relationally. Maps never explode to "
+    "rows: one groupBy shuffle, merge is row-local.",
+    tags=("map", "hstore", "hof"),
+)
+def map_zip_with_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parity = F.when(F.col("o_orderkey") % 2 == 0, "even").otherwise("odd")
+    per = (
+        orders.where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey", "o_orderstatus", parity.alias("par"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = per.groupBy("o_custkey", "o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("par", "n")))
+        ).alias("m")
+    )
+    f_side = maps.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey", F.col("m").alias("m_f")
+    )
+    o_side = maps.where(F.col("o_orderstatus") == "O").select(
+        "o_custkey", F.col("m").alias("m_o")
+    )
+    empty = F.create_map().cast("map<string,bigint>")
+    joined = f_side.join(o_side, "o_custkey", "full_outer").select(
+        "o_custkey",
+        F.map_zip_with(
+            F.coalesce("m_f", empty),
+            F.coalesce("m_o", empty),
+            lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        ).alias("merged"),
+    )
+    return joined.select(
+        "o_custkey",
+        F.coalesce(F.element_at("merged", "even"), F.lit(0))
+        .cast("bigint")
+        .alias("even_total"),
+        F.coalesce(F.element_at("merged", "odd"), F.lit(0))
+        .cast("bigint")
+        .alias("odd_total"),
+    ).orderBy("o_custkey")

@@ -214,6 +214,7 @@ _LEAD = [
         "recursive_bom_explosion",
         "json_agg_rollup",
         "dml_insert_on_conflict",
+        "map_zip_with_merge",
 ]
 
 
