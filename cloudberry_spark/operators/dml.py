@@ -137,11 +137,19 @@ def merge_into_multi(
     matched = tgt[on].isNotNull() & src[f"__src_{on}"].isNotNull()
     src_only = tgt[on].isNull()
 
-    # first-match-wins clause resolution
+    # first-match-wins clause resolution. A NULL qualifier does NOT fire
+    # (ExecMergeMatched treats it like false, the row falls through to
+    # the next WHEN clause) — coalesce keeps the whole chain two-valued
+    # so `taken` never goes NULL and `~delete_pred` never drops a row
+    # whose qualifier evaluated to NULL.
     fires: list[tuple[Column, dict[str, Column] | str]] = []
     taken = F.lit(False)
     for qual, action in matched_actions:
-        this = matched if qual is None else (matched & qual)
+        this = (
+            matched
+            if qual is None
+            else (matched & F.coalesce(qual, F.lit(False)))
+        )
         fires.append((this & ~taken, action))
         taken = taken | this
 

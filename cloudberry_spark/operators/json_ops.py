@@ -315,6 +315,9 @@ def jsonb_contains(col, pattern, path: str = "$"):
     path walks.
     """
     if isinstance(pattern, dict):
+        if not pattern:
+            # `@> '{}'` is true whenever the target path is an object
+            return F.get_json_object(col, path).startswith("{")
         preds = [
             jsonb_contains(col, v, f"{path}.{k}") for k, v in pattern.items()
         ]
@@ -323,18 +326,28 @@ def jsonb_contains(col, pattern, path: str = "$"):
             out = out & p
         return out
     if isinstance(pattern, list):
-        # array containment: each pattern element must be present
-        elem = pattern[0]
-        if isinstance(elem, bool):
-            typ = "array<boolean>"
-        elif isinstance(elem, int):
-            typ = "array<bigint>"
-        elif isinstance(elem, float):
-            typ = "array<double>"
-        else:
-            typ = "array<string>"
-        arr = F.from_json(F.get_json_object(col, path), typ)
-        preds = [F.array_contains(arr, F.lit(e)) for e in pattern]
+        if not pattern:
+            # PG: `'[...]'::jsonb @> '[]'` is true for any array target
+            return F.get_json_object(col, path).startswith("[")
+        # array containment: each pattern element must be present. Cast
+        # the target per-element so a mixed-type pattern (e.g. [1, "a"])
+        # compares each element in its own type instead of coercing all
+        # to the first element's type.
+        def _typ(e):
+            if isinstance(e, bool):
+                return "array<boolean>"
+            if isinstance(e, int):
+                return "array<bigint>"
+            if isinstance(e, float):
+                return "array<double>"
+            return "array<string>"
+
+        preds = [
+            F.array_contains(
+                F.from_json(F.get_json_object(col, path), _typ(e)), F.lit(e)
+            )
+            for e in pattern
+        ]
         out = preds[0]
         for p in preds[1:]:
             out = out & p

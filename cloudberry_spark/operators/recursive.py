@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
+from cloudberry_spark.lineage import truncate_lineage
 from cloudberry_spark.registry import register, register_sql
 
 
@@ -43,7 +44,9 @@ def recursive_union(
     for i in range(max_iterations):
         frontier = step(frontier)
         if (i + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            # dir-aware: reliable checkpoint() on clusters (survives
+            # executor loss), localCheckpoint only on bare local runs
+            frontier = truncate_lineage(frontier, eager=True)
         if frontier.isEmpty():
             return acc
         acc = acc.unionByName(frontier)

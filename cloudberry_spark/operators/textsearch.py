@@ -264,17 +264,19 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "source", ws.alias("ws"))
 
     def count_pairs(offset: int):
-        # positions 1..len-offset; PG-style 1-based element_at
-        idx = F.sequence(
-            F.lit(1), F.greatest(F.size("ws") - offset, F.lit(0))
-        )
-        return F.size(
+        # positions 1..len-offset; PG-style 1-based element_at. Guarded:
+        # sequence(1, 0) produces the DESCENDING array [1, 0] and
+        # element_at(ws, 0) raises INVALID_INDEX_OF_ZERO, so documents
+        # with <= offset tokens short-circuit to 0 matches.
+        idx = F.sequence(F.lit(1), F.size("ws") - offset)
+        n = F.size(
             F.filter(
                 idx,
                 lambda i: (F.element_at(F.col("ws"), i) == F.lit("the"))
                 & (F.element_at(F.col("ws"), i + offset) == F.lit("of")),
             )
         )
+        return F.when(F.size("ws") > offset, n).otherwise(F.lit(0))
 
     hits = base.select(
         "source",

@@ -44,22 +44,7 @@ from cloudberry_spark.pipeline.dedup import lsh_candidate_pairs, lsh_oracle_ctes
 from cloudberry_spark.registry import register
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """Checkpoint ``df``, truncating its logical plan.
-
-    Iterative algorithms must break lineage every round or planning time
-    doubles per iteration. ``localCheckpoint`` stores blocks in executor
-    memory/disk — fine under local[*], but on a real cluster a lost
-    executor makes the truncated lineage IRRECOVERABLE mid-job. So: use
-    reliable ``checkpoint()`` whenever a checkpoint dir is configured
-    (production posture — call ``sc.setCheckpointDir`` on an HDFS/S3
-    path at session setup), and fall back to localCheckpoint only when
-    none is set (local dev, where executor loss == driver loss anyway).
-    """
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint()
-    return df.localCheckpoint()
+from cloudberry_spark.lineage import truncate_lineage as _truncate_lineage
 
 
 def connected_components(

@@ -731,7 +731,7 @@ def dedup_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cross_source_leakage",
-    oracle="""
+    oracle=r"""
     WITH fp AS (
         SELECT md5(array_to_string(list_slice(
                    regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -132,10 +132,11 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Names the correctness driver has already sampled (union of the
-#: CORRECTNESS_r01/r02 keys). interleaved_queries() demotes these behind
-#: never-sampled siblings so each round's 50-query prefix maximizes the
-#: number of operators with at least one hard external confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r03's keys
+#: CORRECTNESS_r01/r02/r03 keys). interleaved_queries() demotes these
+#: behind never-sampled siblings so each round's 50-query prefix
+#: maximizes the number of operators with at least one hard external
+#: confirmation.
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r04's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
 #: only advances if both stay current.
 _DRIVER_SAMPLED = frozenset(
@@ -168,53 +169,70 @@ _DRIVER_SAMPLED = frozenset(
     tpch_q2 tpch_q20 tpch_q21 tpch_q22 tpch_q3 tpch_q4 tpch_q5 tpch_q6
     tpch_q7 tpch_q8 tpch_q9 udaf_geomean udf_pandas_scalar
     udtf_doc_words values_scan win_gap_islands win_moving_median
+    agg_equidepth_histogram agg_regression_family analytics_yoy_growth
+    ddl_ctas_and_view dedup_minhash_lsh_pairs events_dow_seasonality
+    fdw_jdbc graph_degree_assortativity ivm_topk_refresh join_lateral
+    join_snowflake_12way map_zip_with_merge misc_row_ids ml_gbdt_stumps
+    multimodal_image_bmp_decode pgsql_compat_report
+    pipeline_curate_to_sequences recursive_bom_explosion
+    sample_deterministic scalar_inet_ops scalar_string_family
+    setop_intersect sim_knn_brute sink_partitioned_parquet
+    skew_salted_agg srf_generate_series_int srf_unnest_multi
+    stream_foreachbatch_upsert text_chunk_windows text_phrase_search
+    text_quality_score tpcds_rollup_rank udaf_regression_per_label
+    udf_python_rowwise udtf_python_ngrams win_exclude_current_row
+    win_groups_frame
     """.split()
 )
 
 #: Queries that must lead their family in interleaved_queries():
-#: recently fixed or newly added operators whose correctness most
-#: needs external (driver-sample) confirmation.
+#: recently fixed or newly added operators whose correctness most needs
+#: external (driver-sample) confirmation. Rebuilt for round 4 from the
+#: 256 never-sampled queries, highest-risk first per family (hand-rolled
+#: emulations, iterative algorithms, recently-patched code paths).
 _LEAD = [
-        # round-3 red-row fixes: MUST re-enter the sampled prefix to
-        # prove green (exact money sums, ns-safe sentinel, int64 casts)
-        "agg_eager_pushdown",
-        "aqumv_rollup_answer",
-        "dml_scd2_history_build",
-        "json_path_filter_predicate",
-        # never-driver-sampled operators, highest risk first: hand-rolled
-        # emulations and the dedup/sim/streaming subfamilies the r2
-        # sample missed entirely
-        "join_snowflake_12way",
-        "dedup_minhash_lsh_pairs",
+        # this round's bug-fix paths (ADVICE r3): MERGE NULL qualifiers,
+        # jsonb containment edge cases — must get hard confirmation
+        "dml_merge_delete",
+        "json_containment_ops",
+        # never-sampled pipeline subfamilies the r3 prefix missed
         "sim_neardup_lsh_banded",
         "dedup_ngram_jaccard",
         "dedup_exact",
-        "stream_foreachbatch_upsert",
-        "win_groups_frame",
-        "win_exclude_current_row",
-        "fdw_jdbc",
-        "copy_execute_pipe",
-        "dml_merge",
-        "json_from_json_struct",
-        "text_quality_score",
-        "multimodal_image_bmp_decode",
-        "sim_knn_brute",
-        "json_containment_ops",
-        "dml_merge_delete",
-        "dedup_edit_distance_verify",
+        "sim_ivf_knn",
+        "ml_pca_power_iteration",
+        "multimodal_audio_decode",
         "text_vocab_coverage",
-        "json_each_object_keys",
-        "json_modify_ops",
-        "stream_stream_left_outer",
-        "ml_gbdt_stumps",
-        "text_phrase_search",
-        "events_dow_seasonality",
-        "srf_unnest_multi",
-        "ivm_topk_refresh",
-        "recursive_bom_explosion",
-        "json_agg_rollup",
-        "dml_insert_on_conflict",
-        "map_zip_with_merge",
+        "pipeline_dataset_card",
+        "sim_lsh_recall",
+        # iterative / stateful operators with no hard signal yet
+        "graph_pagerank",
+        "stream_session_window_native",
+        "stream_stateful_sessionize",
+        "dyn_table_scheduled_refresh",
+        "ivm_incremental_refresh",
+        "recursive_tree_closure",
+        # hand-rolled emulations & contrib types
+        "xml_xpath_table",
+        "sketch_countmin_freq",
+        "win_linear_interpolate",
+        "scalar_assert_op",
+        "setop_except",
+        "copy_execute_pipe",
+        "scalar_trigram_similarity",
+        "udf_sql_function",
+        # remaining family leads, one per never-sampled family
+        "analytics_gaps_islands",
+        "array_higher_order",
+        "ddl_column_profile",
+        "bucket_colocated_join",
+        "events_funnel",
+        "join_scd2_point_in_time",
+        "json_from_json_struct",
+        "sample_stratified",
+        "sink_zorder_cluster",
+        "pgsql_compat_distinct_on",
+        "diag_key_skew",
 ]
 
 
@@ -239,20 +257,40 @@ def interleaved_queries() -> dict[str, Query]:
         fams.setdefault(fam, []).append(q)
     rank = {n: i for i, n in enumerate(_LEAD)}
     for b in fams.values():
-        # leads first, then never-driver-sampled queries, then the rest
+        # leads first, then oracled queries (never-driver-sampled ahead
+        # of already-confirmed), and rows-only queries LAST: a sampled
+        # slot spent on an un-oracle-able query scores only the weak
+        # `no_oracle` check, so every hash-verifiable sibling outranks it
         b.sort(
             key=lambda q: (
                 rank.get(q.name, len(rank)),
+                q.oracle is None,
                 q.name in _DRIVER_SAMPLED,
             )
         )
-    out: dict[str, Query] = {}
+    # Emit depth-by-depth round-robin, but hoist never-sampled oracled
+    # queries ahead of already-confirmed ones ACROSS depths: once every
+    # family's head is confirmed, a sampled prefix should spend its
+    # remaining slots on depth-2+ never-sampled queries (e.g. the second
+    # and third dedup variants) instead of re-confirming tpch_q1. Family
+    # diversity is preserved within each class by the (depth, family)
+    # round-robin order; rows-only queries sort last overall.
+    ordered: list[tuple[tuple[int, int, int], Query]] = []
     depth = max(len(b) for b in fams.values())
     for i in range(depth):
         for b in fams.values():
             if i < len(b):
-                out[b[i].name] = b[i]
-    return out
+                q = b[i]
+                cls = (
+                    2
+                    if q.oracle is None
+                    else (1 if q.name in _DRIVER_SAMPLED else 0)
+                )
+                # _LEAD rank overrides depth so a curated high-risk query
+                # reaches the prefix even when it's 2nd+ in its family
+                ordered.append(((cls, rank.get(q.name, len(rank)), i, len(ordered)), q))
+    ordered.sort(key=lambda t: t[0])
+    return {q.name: q for _, q in ordered}
 
 
 def get_query(name: str) -> Query:

@@ -74,4 +74,10 @@ def get_session(app_name: str = "cloudberry-spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # Reliable-checkpoint dir for iterative operators (lineage.py): on a
+    # cluster point this at HDFS/S3 so truncated lineage survives
+    # executor loss; unset => localCheckpoint fallback (local dev).
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return configure_session(spark)

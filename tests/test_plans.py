@@ -649,24 +649,32 @@ def test_merge_multi_action_single_shuffle(spark):
 
 def test_driver_prefix_composition():
     """The driver samples the first 50 of queries(); pin the properties
-    the round-3 rotation established: the four previously-red fixed
-    queries are present (their fixes need driver confirmation), and a
-    large majority of the prefix has never been driver-sampled before
-    (coverage breadth grows every round instead of rechecking greens)."""
-    from cloudberry_spark.registry import _DRIVER_SAMPLED, interleaved_queries
+    the round-4 rotation established: this round's bug-fix paths (MERGE
+    NULL qualifiers, jsonb containment) lead the prefix, every sampled
+    slot is a first-time hash-checkable query (no re-confirmations, no
+    rows-only `no_oracle` rows), so coverage breadth grows maximally."""
+    from cloudberry_spark.registry import (
+        _DRIVER_SAMPLED,
+        all_queries,
+        interleaved_queries,
+    )
 
-    prefix = list(interleaved_queries())[:50]
+    qs = interleaved_queries()
+    prefix = list(qs)[:50]
     for must in (
-        "agg_eager_pushdown",
-        "aqumv_rollup_answer",
-        "dml_scd2_history_build",
-        "json_path_filter_predicate",
-        "join_snowflake_12way",
-        "dedup_minhash_lsh_pairs",
+        "dml_merge_delete",
+        "json_containment_ops",
+        "sim_neardup_lsh_banded",
+        "dedup_ngram_jaccard",
+        "dedup_exact",
+        "graph_pagerank",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
-    assert never >= 25, f"only {never} never-sampled queries in prefix"
+    assert never >= 40, f"only {never} never-sampled queries in prefix"
+    rows_only = [n for n in prefix if qs[n].oracle is None]
+    assert not rows_only, f"rows-only queries burning slots: {rows_only}"
+    assert set(qs) == set(all_queries()), "interleave dropped queries"
 
 
 def test_gbdt_sweep_is_metadata_scale(spark):
