@@ -105,6 +105,7 @@ def _load_all() -> None:
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
     import cloudberry_spark.sql.compat_queries  # noqa: F401
+    import cloudberry_spark.sql.regress  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -221,6 +222,12 @@ _LEAD = [
         "copy_execute_pipe",
         "scalar_trigram_similarity",
         "udf_sql_function",
+        # new regress_* family (reference's own pg_regress corpus
+        # through the pgcompat frontend) — sample its riskiest shapes
+        "regress_win_frame_options",
+        "regress_agg_grouping_sets",
+        "regress_join_semi_anti",
+        "regress_srf_series_cross",
         # remaining family leads, one per never-sampled family
         "analytics_gaps_islands",
         "array_higher_order",

@@ -132,6 +132,29 @@ def _rewrite_masked(seg: str) -> str:
         seg,
         flags=re.I,
     )
+    # bare-alias form `generate_series(a, b) x`: PG names the output
+    # column after the SRF alias (parse_relation.c SRF-alias rule).
+    # Keyword lookahead keeps `... generate_series(1,5) ORDER BY ...`
+    # (no alias) untouched.
+    seg = re.sub(
+        r"\bgenerate_series\s*\(([^()]*)\)\s+(?:AS\s+)?"
+        r"(?!(?:ORDER|GROUP|WHERE|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|"
+        r"JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING|WINDOW|AND|"
+        r"OR|THEN|ELSE|END|FROM|SELECT)\b)(\w+)\b(?!\s*\()",
+        r"(SELECT explode(sequence(\1)) AS \2) AS \2",
+        seg,
+        flags=re.I,
+    )
+
+    # multi-argument GROUPING(a, b, ...) -> grouping_id(a, b, ...): same
+    # bit-per-argument integer on both engines (parse_agg.c GROUPING);
+    # single-argument GROUPING(a) is Spark-native and left alone.
+    seg = re.sub(
+        r"\bGROUPING\s*\(([^()]*,[^()]*)\)",
+        r"grouping_id(\1)",
+        seg,
+        flags=re.I,
+    )
     return seg
 
 
