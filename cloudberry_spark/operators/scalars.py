@@ -563,6 +563,39 @@ register_sql(
 )
 
 
+register_sql(
+    "scalar_numeric_wide",
+    """
+    WITH base AS (
+        SELECT o_orderkey % 7 AS grp,
+               CAST('1000000000000000000000000000' AS DECIMAL(38,0))
+                   * CAST(o_orderkey % 97 + 1 AS DECIMAL(8,0)) AS v
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT grp,
+           CAST(sum(v) AS VARCHAR(64)) AS wide_sum,
+           CAST(max(v) AS VARCHAR(64)) AS wide_max,
+           CAST(CAST(min(v) AS DOUBLE) / CAST(max(v) AS DOUBLE)
+                AS DOUBLE) AS ratio,
+           count(*) AS n
+    FROM base GROUP BY grp ORDER BY grp
+    """,
+    doc="NUMERIC at the 10^30 magnitude (reference "
+    "src/backend/utils/adt/numeric.c arbitrary precision): exact "
+    "DECIMAL(38) sums of ~1e30-magnitude values — trillions of "
+    "double-ULPs wide, so any float fallback is caught; results "
+    "compared as exact digit strings, division through DOUBLE. "
+    "DOCUMENTED DIVERGENCE (SURVEY §7.4-1): the reference's numeric "
+    "has unbounded precision — values or sums beyond 38 digits "
+    "(e.g. 10^19 * 10^19 products, sums crossing 1e38) overflow to "
+    "NULL on Spark (non-ANSI) and error on DuckDB; such workloads "
+    "need a split-long two-column representation (operators/"
+    "rewrites.py dsum) or double approximation. Everything within 38 "
+    "digits — this query — is bit-exact.",
+    tags=("scalar", "decimal", "semantics"),
+)
+
+
 # Modern SQL ergonomics both engines share (and the reference lacks):
 # GROUP BY ALL infers the grouping keys from the non-aggregate select
 # items; * EXCEPT projects away named columns.

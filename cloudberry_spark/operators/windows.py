@@ -321,6 +321,122 @@ def win_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exclude_group_parts(od):
+    """Shared scaffolding for the EXCLUDE GROUP / EXCLUDE TIES
+    emulations: a RANGE frame over an integer month index, plus the
+    frame and peer-group (sum, count) pairs in exact DECIMAL.
+
+    Over a RANGE frame the current row's peer group always lies wholly
+    inside the frame (the frame spans at least the CURRENT ROW peer
+    set), so the excluded contribution is exactly the peer-group
+    aggregate — one extra unordered window over (partition, order key),
+    no second shuffle (same partitioning key prefix).
+    """
+    midx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("int")
+    base = od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        midx.alias("midx"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    frame = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("midx")
+        .rangeBetween(-1, 1)
+    )
+    peers = Window.partitionBy("o_orderpriority", "midx")
+    return (
+        base,
+        F.sum("price").over(frame),
+        F.count("*").over(frame),
+        F.sum("price").over(peers),
+        F.count("*").over(peers),
+    )
+
+
+@register(
+    "win_exclude_group",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(extract(year FROM o_orderdate) * 12
+                        + extract(month FROM o_orderdate) AS INT) AS midx,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders WHERE o_orderkey % 20 = 0
+        )
+        SELECT o_orderkey, o_orderpriority, midx,
+               CAST(sum(price) OVER (
+                   PARTITION BY o_orderpriority ORDER BY midx
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE GROUP) AS DOUBLE) AS excl_group_sum,
+               CAST(count(*) OVER (
+                   PARTITION BY o_orderpriority ORDER BY midx
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE GROUP) AS BIGINT) AS excl_group_cnt
+        FROM r
+    """,
+    doc="EXCLUDE GROUP emulation (parsenodes.h:631-655 "
+    "FRAMEOPTION_EXCLUDE_GROUP; Spark has no EXCLUDE clause): subtract "
+    "the whole peer group's (sum, count) from the inclusive RANGE "
+    "frame; an emptied frame yields NULL, matching PG's empty-frame "
+    "aggregate. Exact DECIMAL sums make the subtraction identity "
+    "bit-safe. DuckDB runs the native EXCLUDE GROUP as oracle.",
+    tags=("window", "frame", "exclude"),
+)
+def win_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    base, fsum, fcnt, gsum, gcnt = _exclude_group_parts(od)
+    cnt = fcnt - gcnt
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "midx",
+        F.when(cnt > 0, (fsum - gsum).cast("double"))
+        .otherwise(F.lit(None))
+        .alias("excl_group_sum"),
+        cnt.cast("bigint").alias("excl_group_cnt"),
+    )
+
+
+@register(
+    "win_exclude_ties",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(extract(year FROM o_orderdate) * 12
+                        + extract(month FROM o_orderdate) AS INT) AS midx,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders WHERE o_orderkey % 20 = 0
+        )
+        SELECT o_orderkey, o_orderpriority, midx,
+               CAST(avg(price) OVER (
+                   PARTITION BY o_orderpriority ORDER BY midx
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                   EXCLUDE TIES) AS DOUBLE) AS excl_ties_avg
+        FROM r
+    """,
+    doc="EXCLUDE TIES emulation (parsenodes.h:631-655 "
+    "FRAMEOPTION_EXCLUDE_TIES): drop the peers but keep the current "
+    "row — frame aggregate minus peer-group aggregate plus the current "
+    "row's own contribution; the count is always >= 1 so no empty-frame "
+    "case. DuckDB runs the native EXCLUDE TIES as oracle.",
+    tags=("window", "frame", "exclude"),
+)
+def win_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    base, fsum, fcnt, gsum, gcnt = _exclude_group_parts(od)
+    s = fsum - gsum + F.col("price")
+    n = fcnt - gcnt + 1
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "midx",
+        (s / n).cast("double").alias("excl_ties_avg"),
+    )
+
+
 @register(
     "win_topk_two_level",
     oracle="""

@@ -214,6 +214,9 @@ _LEAD = [
         "ivm_incremental_refresh",
         "recursive_tree_closure",
         # hand-rolled emulations & contrib types
+        "win_exclude_group",
+        "win_exclude_ties",
+        "scalar_numeric_wide",
         "xml_xpath_table",
         "sketch_countmin_freq",
         "win_linear_interpolate",
