@@ -30,6 +30,8 @@ GROUP_ID()) are substituted with portable equivalents.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from cloudberry_spark.registry import register
@@ -76,18 +78,54 @@ varchar_tbl(f1) AS (
 gstest(a, b, v) AS (
   VALUES (1, 1, 10), (1, 1, 11), (1, 2, 12), (1, 2, 13), (1, 3, 14),
          (2, 3, 15), (3, 3, 16), (3, 4, 17), (4, 1, 18), (4, 1, 19)
+),
+int8_tbl(q1, q2) AS (
+  VALUES (CAST(123 AS BIGINT), CAST(456 AS BIGINT)),
+         (123, 4567890123456789),
+         (4567890123456789, 123),
+         (4567890123456789, 4567890123456789),
+         (4567890123456789, -4567890123456789)
+),
+subselect_tbl(f1, f2, f3) AS (
+  VALUES (1, 2, CAST(3 AS DOUBLE)), (2, 3, 4), (3, 4, 5), (1, 1, 1),
+         (2, 2, 2), (3, 3, 3), (6, 7, 8), (8, 9, NULL)
+),
+case_tbl(i, f) AS (
+  VALUES (1, CAST(10.1 AS DOUBLE)), (2, 20.2), (3, -30.3), (4, NULL)
 )
 """
 
 
+def _with_prelude(sql: str) -> str:
+    """Prepend the table prelude; a query carrying its own WITH merges
+    its CTE list into the prelude's (hoisting RECURSIVE to the top,
+    where both engines require it)."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, flags=re.I)
+    if not m:
+        return PRELUDE + sql
+    prelude = (
+        PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+        if m.group(1)
+        else PRELUDE
+    )
+    return prelude + ",\n" + sql[m.end():]
+
+
 def register_regress(
-    name: str, sql: str, doc: str, tags: tuple[str, ...] = ()
+    name: str,
+    sql: str,
+    doc: str,
+    tags: tuple[str, ...] = (),
+    oracle: str | None = "same",
 ) -> None:
     """Register one regress query: Spark side through translate_pg_sql,
-    DuckDB oracle on the identical untranslated text."""
-    full = PRELUDE + sql
+    DuckDB oracle on the identical untranslated text (``oracle='same'``)
+    or, where DuckDB lacks the construct, an equivalent spelled-out
+    oracle (also run with the prelude)."""
+    full = _with_prelude(sql)
+    duck = full if oracle == "same" else _with_prelude(oracle)
 
-    @register(name, oracle=full, doc=doc, tags=("regress",) + tags)
+    @register(name, oracle=duck, doc=doc, tags=("regress",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
         return spark.sql(translate_pg_sql(_sql))
 
@@ -502,6 +540,201 @@ where exists(select * from tenk1 b
 # ---------------------------------------------------------------------------
 # SRF / misc
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# subselect.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_subq_uncorrelated",
+    """
+SELECT f1 AS uncorrelated_field FROM subselect_tbl
+  WHERE f1 IN (SELECT f2 FROM subselect_tbl WHERE
+    f2 IN (SELECT f1 FROM subselect_tbl))
+""",
+    "src/test/regress/sql/subselect.sql:55-58 — nested uncorrelated IN "
+    "subselects.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_subq_row_notin",
+    """
+SELECT f1, f2
+  FROM subselect_tbl
+  WHERE (f1, f2) NOT IN (SELECT f2, CAST(f3 AS int4) FROM subselect_tbl
+                         WHERE f3 IS NOT NULL)
+""",
+    "src/test/regress/sql/subselect.sql:60-63 — row-constructor NOT IN "
+    "with a NULL-filtered inner side (LASJ_NOTIN semantics). DuckDB "
+    "lacks row-constructor IN subqueries, so its oracle is the "
+    "NOT-EXISTS expansion (equivalent here: both row sides non-null).",
+    ("subquery", "join"),
+    oracle="""
+SELECT f1, f2
+  FROM subselect_tbl t
+  WHERE NOT EXISTS (SELECT 1 FROM subselect_tbl s
+                    WHERE s.f3 IS NOT NULL
+                      AND s.f2 = t.f1 AND CAST(s.f3 AS int4) = t.f2)
+""",
+)
+
+register_regress(
+    "regress_subq_correlated",
+    """
+SELECT f1 AS correlated_field, f2 AS second_field
+  FROM subselect_tbl upper_t
+  WHERE f1 IN (SELECT f2 FROM subselect_tbl WHERE f1 = upper_t.f1)
+""",
+    "src/test/regress/sql/subselect.sql:67-69 — correlated IN "
+    "subselect (the original aliases the outer table `upper`, a "
+    "reserved function name in Spark, hence upper_t).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_subq_correlated_expr",
+    """
+SELECT f1 AS correlated_field, f3 AS second_field
+  FROM subselect_tbl upper_t
+  WHERE f3 IN (SELECT upper_t.f1 + f2 FROM subselect_tbl
+               WHERE f2 = CAST(f3 AS integer))
+""",
+    "src/test/regress/sql/subselect.sql:76-79 — correlated subselect "
+    "whose target list computes on the OUTER column.",
+    ("subquery",),
+)
+
+# ---------------------------------------------------------------------------
+# union.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_union_mixed_types",
+    """
+SELECT CAST(x AS DOUBLE) AS two FROM (
+  SELECT 1.1 AS x UNION SELECT 2 UNION ALL SELECT 2
+) t ORDER BY 1
+""",
+    "src/test/regress/sql/union.sql:25-41 — mixed numeric-type UNION "
+    "(decimal vs int resolves to the wider type; UNION dedups, the "
+    "trailing UNION ALL keeps its duplicate).",
+    ("setop",),
+)
+
+register_regress(
+    "regress_setop_intersect_int8",
+    """
+SELECT q2 AS q FROM int8_tbl INTERSECT SELECT q1 FROM int8_tbl ORDER BY 1
+""",
+    "src/test/regress/sql/union.sql:98 — INTERSECT over int8_tbl's "
+    "overlapping q1/q2 columns.",
+    ("setop",),
+)
+
+register_regress(
+    "regress_setop_except_all_int8",
+    """
+SELECT q2 AS q FROM int8_tbl EXCEPT ALL SELECT q1 FROM int8_tbl ORDER BY 1
+""",
+    "src/test/regress/sql/union.sql:104 — EXCEPT ALL multiplicity "
+    "semantics (bag difference).",
+    ("setop",),
+)
+
+register_regress(
+    "regress_setop_nested",
+    """
+(SELECT 1 AS a, 2 AS b, 3 AS c UNION SELECT 4, 5, 6)
+INTERSECT SELECT 4, 5, 6
+""",
+    "src/test/regress/sql/union.sql:117 — set-op nesting: a "
+    "parenthesized UNION feeding INTERSECT.",
+    ("setop",),
+)
+
+register_regress(
+    "regress_setop_hashed_counts",
+    """
+select
+  (select count(*) from
+    ( select unique1 from tenk1 union select fivethous from tenk1 ) ss)
+      AS n_union,
+  (select count(*) from
+    ( select unique1 from tenk1 intersect select fivethous from tenk1 ) ss)
+      AS n_intersect,
+  (select count(*) from
+    ( select unique1 from tenk1 except select fivethous from tenk1 ) ss)
+      AS n_except
+""",
+    "src/test/regress/sql/union.sql:125-150 — the hashed-setop "
+    "battery over tenk1 (union/intersect/except counts).",
+    ("setop", "aggregate"),
+)
+
+# ---------------------------------------------------------------------------
+# with.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_with_basic",
+    """
+WITH q1(x, y) AS (SELECT 1, 2)
+SELECT * FROM q1, q1 AS q2
+""",
+    "src/test/regress/sql/with.sql:10-11 — basic WITH with column "
+    "aliases, referenced twice (self cross join).",
+    ("cte",),
+)
+
+register_regress(
+    "regress_with_recursive_sum",
+    """
+WITH RECURSIVE t(n) AS (
+    VALUES (1)
+UNION ALL
+    SELECT n+1 FROM t WHERE n < 100
+)
+SELECT CAST(sum(n) AS BIGINT) AS s FROM t
+""",
+    "src/test/regress/sql/with.sql:23-29 — WITH RECURSIVE sum of "
+    "1..100 (nodeRecursiveunion.c:75), through Spark's native "
+    "recursive CTE.",
+    ("cte", "recursive"),
+)
+
+# ---------------------------------------------------------------------------
+# case.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_case_simple",
+    """
+SELECT CASE WHEN 1 < 2 THEN 3 END AS simple_when,
+       CASE WHEN 1 > 2 THEN 3 END AS simple_default,
+       CASE WHEN 1 > 2 THEN 3 ELSE 4 END AS else_default,
+       CASE WHEN 1 > 2 THEN 3 WHEN 4 < 5 THEN 6 ELSE 7 END AS two_when,
+       CASE 'a' WHEN 'a' THEN 1 ELSE 2 END AS untyped_literal
+""",
+    "src/test/regress/sql/case.sql:32-75 — the constant CASE battery "
+    "(missing ELSE => NULL, searched and simple forms, untyped "
+    "literals).",
+    ("scalar", "conditional"),
+)
+
+register_regress(
+    "regress_case_table",
+    """
+SELECT i,
+       CASE WHEN i >= 3 THEN i END AS ge3,
+       CASE WHEN i >= 3 THEN (i + i) ELSE i END AS sum_or_i,
+       CASE WHEN f IS NULL THEN 'null-f' ELSE 'has-f' END AS f_tag
+FROM case_tbl ORDER BY i
+""",
+    "src/test/regress/sql/case.sql (CASE_TBL block) — CASE over table "
+    "rows incl. NULL branches.",
+    ("scalar", "conditional"),
+)
 
 register_regress(
     "regress_srf_series_cross",
