@@ -438,6 +438,52 @@ def win_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_variable_offset_lag",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(o_orderkey % 3 AS INT) AS off,
+               lag(o_totalprice, CAST(o_orderkey % 3 AS INT)) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderkey)
+                   AS lagged
+        FROM orders WHERE o_orderkey % 20 = 0
+    """,
+    doc="Variable-offset lag (PG windowfuncs.c leadlag_common accepts "
+    "any int expression; Spark requires a foldable offset — the gap "
+    "surfaced by the window.sql regress port `lag(ten, four)`): "
+    "emulated as row_number self-join on (partition, rn - offset). "
+    "One extra exchange on the same partition key — unlike a "
+    "collect_list-over-frame emulation this stays O(rows) memory and "
+    "survives any partition size; lag(x, 0) degenerates to the row "
+    "joining itself, matching PG.",
+    tags=("window", "lag", "emulation"),
+)
+def win_variable_offset_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    b = od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).cast("int").alias("off"),
+        F.row_number().over(w).alias("rn"),
+    )
+    src = b.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("rn").alias("rn2"),
+        F.col("o_totalprice").alias("lagged"),
+    )
+    return (
+        b.join(
+            src,
+            (b["o_orderpriority"] == src["p2"])
+            & (b["rn"] - b["off"] == src["rn2"]),
+            "left",
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "off", "lagged")
+    )
+
+
+@register(
     "win_topk_two_level",
     oracle="""
     SELECT n_name, c_custkey, c_acctbal

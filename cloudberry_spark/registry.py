@@ -216,6 +216,7 @@ _LEAD = [
         # hand-rolled emulations & contrib types
         "win_exclude_group",
         "win_exclude_ties",
+        "win_variable_offset_lag",
         "scalar_numeric_wide",
         "xml_xpath_table",
         "sketch_countmin_freq",
