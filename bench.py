@@ -36,6 +36,15 @@ TPCH = {f"q{i}": f"tpch_q{i}" for i in range(1, 23)}
 #: iterative plan families (unrolled join+groupBy rounds) — in the bench
 #: so a regression in iterative-operator plumbing moves BENCH_r{N}, not
 #: just plan-shape counts. snowflake12 covers the widest join tree.
+#:
+#: pagerank floor note (r4): ~4.5-5s at sf0.1 is the measured floor for
+#: the 3-round matview loop — per-round fixed cost (a shuffle-join job,
+#: a rank-state write+read, a dangling-mass broadcast job) dominates at
+#: toy scale. A persist/localCheckpoint rank state measured the SAME
+#: (5.5s): the constant is job scheduling, not parquet I/O, and it
+#: amortizes linearly at cluster scale. r4 cut per-round work from two
+#: joins + an anti-join to one join + a filter-agg (deg folded into the
+#: rank state) and dropped the final round's materialization.
 PIPELINE = {
     "dedup_minhash": "dedup_minhash_lsh_pairs",
     "knn_brute": "sim_knn_brute",

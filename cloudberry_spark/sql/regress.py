@@ -53,11 +53,20 @@ WITH empsalary(depname, empno, salary, enroll_date) AS (
          ('develop', 11, 5200, DATE '2007-08-15')
 ),
 tenk1 AS (
-  SELECT i AS unique1, (i * 37) % 10000 AS unique2,
-         i % 2 AS two, i % 4 AS four, i % 10 AS ten, i % 20 AS twenty,
-         i % 100 AS hundred, i % 1000 AS thousand,
-         i % 2000 AS twothousand, i % 5000 AS fivethous,
-         i % 10000 AS tenthous
+  -- every column pinned BIGINT: Spark sequence() yields INT while
+  -- DuckDB generate_series yields BIGINT, and the driver hash is
+  -- dtype-sensitive (the int32-vs-int64 class that went red in r2).
+  -- NB no apostrophes in comments: the frontend literal masker pairs
+  -- quotes without comment awareness.
+  SELECT CAST(i AS BIGINT) AS unique1,
+         CAST((i * 37) % 10000 AS BIGINT) AS unique2,
+         CAST(i % 2 AS BIGINT) AS two, CAST(i % 4 AS BIGINT) AS four,
+         CAST(i % 10 AS BIGINT) AS ten, CAST(i % 20 AS BIGINT) AS twenty,
+         CAST(i % 100 AS BIGINT) AS hundred,
+         CAST(i % 1000 AS BIGINT) AS thousand,
+         CAST(i % 2000 AS BIGINT) AS twothousand,
+         CAST(i % 5000 AS BIGINT) AS fivethous,
+         CAST(i % 10000 AS BIGINT) AS tenthous
   FROM generate_series(0, 9999) AS gs(i)
 ),
 j1_tbl(i, j, t) AS (
@@ -140,7 +149,7 @@ register_regress(
     "regress_win_sum_over_partition",
     """
 SELECT depname, empno, salary,
-       sum(salary) OVER (PARTITION BY depname) AS sum_salary
+       CAST(sum(salary) OVER (PARTITION BY depname) AS BIGINT) AS sum_salary
 FROM empsalary ORDER BY depname, salary, empno
 """,
     "src/test/regress/sql/window.sql:34 — whole-partition sum window.",
@@ -164,7 +173,7 @@ GROUP BY four, ten ORDER BY four, ten
 register_regress(
     "regress_win_named_window",
     """
-SELECT depname, empno, salary, rank() OVER w AS r
+SELECT depname, empno, salary, CAST(rank() OVER w AS BIGINT) AS r
 FROM empsalary WINDOW w AS (PARTITION BY depname ORDER BY salary)
 ORDER BY r, empno
 """,
@@ -178,7 +187,8 @@ ORDER BY r, empno
 register_regress(
     "regress_win_cumulative",
     """
-SELECT sum(four) OVER (PARTITION BY ten ORDER BY unique2) AS sum_1,
+SELECT CAST(sum(four) OVER (PARTITION BY ten ORDER BY unique2) AS BIGINT)
+           AS sum_1,
        ten, four
 FROM tenk1 WHERE unique2 < 10
 """,
@@ -190,11 +200,13 @@ FROM tenk1 WHERE unique2 < 10
 register_regress(
     "regress_win_ranking",
     """
-SELECT rank() OVER (PARTITION BY four ORDER BY ten) AS rank_1,
-       dense_rank() OVER (PARTITION BY four ORDER BY ten) AS drank,
+SELECT CAST(rank() OVER (PARTITION BY four ORDER BY ten) AS BIGINT)
+           AS rank_1,
+       CAST(dense_rank() OVER (PARTITION BY four ORDER BY ten) AS BIGINT)
+           AS drank,
        percent_rank() OVER (PARTITION BY four ORDER BY ten) AS prank,
        cume_dist() OVER (PARTITION BY four ORDER BY ten) AS cdist,
-       ntile(3) OVER (ORDER BY ten, four) AS nt,
+       CAST(ntile(3) OVER (ORDER BY ten, four) AS BIGINT) AS nt,
        ten, four
 FROM tenk1 WHERE unique2 < 10
 """,
@@ -224,7 +236,8 @@ register_regress(
     "regress_win_split_rank_filter",
     """
 SELECT * FROM (
-  SELECT rank() OVER (PARTITION BY four ORDER BY ten) AS rank_1, ten, four
+  SELECT CAST(rank() OVER (PARTITION BY four ORDER BY ten) AS BIGINT)
+             AS rank_1, ten, four
   FROM tenk1 WHERE unique2 < 10) t
 WHERE rank_1 < 3
 """,
@@ -240,10 +253,10 @@ register_regress(
 SELECT
     empno,
     depname,
-    row_number() OVER (PARTITION BY depname ORDER BY enroll_date, empno)
-        AS rn,
-    sum(salary) OVER (PARTITION BY depname ORDER BY enroll_date ROWS
-                      BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    CAST(row_number() OVER (PARTITION BY depname ORDER BY enroll_date,
+                            empno) AS BIGINT) AS rn,
+    CAST(sum(salary) OVER (PARTITION BY depname ORDER BY enroll_date ROWS
+         BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
         AS dep_total,
     count(*) OVER (PARTITION BY depname ORDER BY enroll_date RANGE BETWEEN
                    CURRENT ROW AND CURRENT ROW) AS cnt
@@ -263,7 +276,8 @@ register_regress(
     """
 SELECT * FROM
   (SELECT depname,
-          sum(salary) OVER (PARTITION BY depname) AS depsalary,
+          CAST(sum(salary) OVER (PARTITION BY depname) AS BIGINT)
+              AS depsalary,
           min(salary) OVER (PARTITION BY depname || 'A', depname)
               AS depminsalary
    FROM empsalary) emp
@@ -451,11 +465,12 @@ SELECT t1.a AS a, t2.e AS e
 register_regress(
     "regress_join_cross",
     """
-SELECT *
-  FROM j1_tbl CROSS JOIN j2_tbl
+SELECT a.i AS i1, a.j, a.t, b.i AS i2, b.k
+  FROM j1_tbl a CROSS JOIN j2_tbl b
 """,
     "src/test/regress/sql/join.sql:77-78 — unqualified CROSS JOIN "
-    "(99-row product incl. NULL keys).",
+    "(99-row product incl. NULL keys; the duplicate i columns aliased "
+    "apart — the harness needs unique names).",
     ("join",),
 )
 
@@ -680,7 +695,7 @@ register_regress(
     "regress_with_basic",
     """
 WITH q1(x, y) AS (SELECT 1, 2)
-SELECT * FROM q1, q1 AS q2
+SELECT q1.x AS x1, q1.y AS y1, q2.x AS x2, q2.y AS y2 FROM q1, q1 AS q2
 """,
     "src/test/regress/sql/with.sql:10-11 — basic WITH with column "
     "aliases, referenced twice (self cross join).",
