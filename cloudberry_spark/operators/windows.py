@@ -411,11 +411,12 @@ def win_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders WHERE o_orderkey % 20 = 0
         )
         SELECT o_orderkey, o_orderpriority, midx,
-               CAST(avg(price) OVER (
-                   PARTITION BY o_orderpriority ORDER BY midx
-                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
-                   EXCLUDE TIES) AS DOUBLE) AS excl_ties_avg
+               CAST(sum(price) OVER w AS DOUBLE)
+               / CAST(count(*) OVER w AS DOUBLE) AS excl_ties_avg
         FROM r
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY midx
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                     EXCLUDE TIES)
     """,
     doc="EXCLUDE TIES emulation (parsenodes.h:631-655 "
     "FRAMEOPTION_EXCLUDE_TIES): drop the peers but keep the current "
@@ -429,11 +430,13 @@ def win_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, fsum, fcnt, gsum, gcnt = _exclude_group_parts(od)
     s = fsum - gsum + F.col("price")
     n = fcnt - gcnt + 1
+    # exact decimal sum, then ONE double division — bit-identical to
+    # DuckDB avg(DECIMAL) (decimal-scale division truncates differently)
     return base.select(
         "o_orderkey",
         "o_orderpriority",
         "midx",
-        (s / n).cast("double").alias("excl_ties_avg"),
+        (s.cast("double") / n).alias("excl_ties_avg"),
     )
 
 
