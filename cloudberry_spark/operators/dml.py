@@ -603,8 +603,14 @@ def ddl_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey, c_mktsegment, c_acctbal
             FROM customer WHERE c_custkey % 4 = 0
         ), incoming AS (
+            -- the 10% bump runs in exact DECIMAL: round() on a DOUBLE
+            -- product resolves .xx5 half-way cases differently per
+            -- engine (Spark rounds the shortest decimal repr, DuckDB
+            -- the scaled binary double) — first seen at sf0.1
             SELECT c_custkey, 'UPSERTED' AS c_mktsegment,
-                   round(c_acctbal * 1.1, 2) AS c_acctbal
+                   CAST(round(CAST(c_acctbal AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(3,1)), 2) AS DOUBLE)
+                       AS c_acctbal
             FROM customer WHERE c_custkey % 3 = 0
         ), upserted AS (
             SELECT coalesce(i.c_custkey, t.c_custkey) AS c_custkey,
@@ -642,7 +648,15 @@ def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
         "c_custkey",
         F.lit("UPSERTED").alias("c_mktsegment"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        # exact-decimal bump: double round() is engine-dependent on
+        # .xx5 half-way cases (see oracle comment)
+        F.round(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.lit(1.1).cast("decimal(3,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("c_acctbal"),
     )
     # ON CONFLICT DO UPDATE == WHEN MATCHED THEN UPDATE SET col =
     # EXCLUDED.col; WHEN NOT MATCHED THEN INSERT — the incoming row wins.
