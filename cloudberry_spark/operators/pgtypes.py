@@ -411,3 +411,59 @@ register_sql(
     "broadcast hash join instead of a per-rule theta scan.",
     tags=("pgtype", "join", "inet"),
 )
+
+
+@register(
+    "scalar_time_of_day",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(date_trunc('second', ts) AS TIME) AS tod
+            FROM events
+        )
+        SELECT CAST(extract(hour FROM tod) AS BIGINT) AS hh,
+               count(*) AS n,
+               CAST(min(tod) AS VARCHAR) AS earliest,
+               CAST(min(tod + INTERVAL 150 MINUTE) AS VARCHAR)
+                   AS min_shifted,
+               CAST(extract(epoch FROM max(tod))
+                    - extract(epoch FROM min(tod)) AS BIGINT) AS span_s
+        FROM t GROUP BY hh ORDER BY hh
+    """,
+    doc="time / time-of-day type (SURVEY §1.3 last deferred type; "
+    "reference src/backend/utils/adt/date.c time_in/time_pl_interval): "
+    "Spark has no TIME, so time-of-day is seconds-since-midnight BIGINT "
+    "with interval addition as modular arithmetic — PG wraps time "
+    "around midnight ('23:00' + 2h30m = '01:30'), reproduced by "
+    "(tod + shift) % 86400; rendering through timestamp_seconds + "
+    "date_format('HH:mm:ss') under the pinned-UTC session. DuckDB runs "
+    "its native TIME type (also wrapping) as the oracle.",
+    tags=("pgtype", "time", "scalar"),
+)
+def scalar_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = 86400
+    tod = (
+        F.floor(F.unix_micros(F.date_trunc("second", F.col("ts"))) / 1_000_000)
+        % day
+    ).alias("tod_s")
+    base = ev.select(tod)
+    shifted = (F.col("tod_s") + 150 * 60) % day
+
+    def hms(col):
+        return F.date_format(F.timestamp_seconds(col), "HH:mm:ss")
+
+    return (
+        base.select("tod_s", shifted.alias("shift_s"))
+        .groupBy(F.floor(F.col("tod_s") / 3600).alias("hh"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            hms(F.min("tod_s")).alias("earliest"),
+            hms(F.min("shift_s")).alias("min_shifted"),
+            (F.max("tod_s") - F.min("tod_s")).alias("span_s"),
+        )
+        .orderBy("hh")
+    )

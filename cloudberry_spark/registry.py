@@ -218,6 +218,7 @@ _LEAD = [
         "win_exclude_ties",
         "win_variable_offset_lag",
         "scalar_numeric_wide",
+        "scalar_time_of_day",
         "xml_xpath_table",
         "sketch_countmin_freq",
         "win_linear_interpolate",
