@@ -101,6 +101,9 @@ subselect_tbl(f1, f2, f3) AS (
 ),
 case_tbl(i, f) AS (
   VALUES (1, CAST(10.1 AS DOUBLE)), (2, 20.2), (3, -30.3), (4, NULL)
+),
+onek AS (
+  SELECT * FROM tenk1 WHERE unique1 < 1000
 )
 """
 
@@ -749,6 +752,108 @@ FROM case_tbl ORDER BY i
     "src/test/regress/sql/case.sql (CASE_TBL block) — CASE over table "
     "rows incl. NULL branches.",
     ("scalar", "conditional"),
+)
+
+# ---------------------------------------------------------------------------
+# strings.sql / boolean.sql / limit.sql / olap_group.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_strings_like",
+    """
+SELECT 'hawkeye' LIKE 'h%' AS t1, 'hawkeye' NOT LIKE 'h%' AS f1,
+       'hawkeye' LIKE 'H%' AS f2, 'hawkeye' NOT LIKE 'H%' AS t2,
+       'hawkeye' LIKE 'h%eye' AS t3, 'indio' LIKE '_ndio' AS t4,
+       'indio' LIKE 'in__o' AS t5, 'indio' LIKE 'in_o' AS f3,
+       'hawkeye' LIKE 'h%' ESCAPE '#' AS t6,
+       'h%' LIKE 'h#%' ESCAPE '#' AS t7,
+       'h%wkeye' LIKE 'h#%' ESCAPE '#' AS f4,
+       'indio' LIKE 'ind_o' ESCAPE '$' AS t8
+""",
+    "src/test/regress/sql/strings.sql:414-460 — the LIKE / NOT LIKE "
+    "pair battery incl. E061-05 ESCAPE clauses, as one boolean row.",
+    ("scalar", "string"),
+)
+
+register_regress(
+    "regress_strings_position_overlay",
+    """
+SELECT POSITION('4' IN '1234567890') = 4 AS pos4,
+       POSITION('5' IN '1234567890') = 5 AS pos5,
+       OVERLAY('abcdef' PLACING '45' FROM 4) AS o1,
+       OVERLAY('yabadoo' PLACING 'daba' FROM 5) AS o2,
+       OVERLAY('yabadoo' PLACING 'daba' FROM 5 FOR 0) AS o3,
+       OVERLAY('babosa' PLACING 'ubb' FROM 2 FOR 4) AS o4
+""",
+    "src/test/regress/sql/strings.sql:399-410 — E021-11 position and "
+    "T312 overlay (PG syntax through the frontend; DuckDB has no "
+    "overlay(), so its oracle spells the substr composition).",
+    ("scalar", "string"),
+    oracle="""
+SELECT POSITION('4' IN '1234567890') = 4 AS pos4,
+       POSITION('5' IN '1234567890') = 5 AS pos5,
+       substr('abcdef', 1, 3) || '45' || substr('abcdef', 6) AS o1,
+       substr('yabadoo', 1, 4) || 'daba' || substr('yabadoo', 9) AS o2,
+       substr('yabadoo', 1, 4) || 'daba' || substr('yabadoo', 5) AS o3,
+       substr('babosa', 1, 1) || 'ubb' || substr('babosa', 6) AS o4
+""",
+)
+
+register_regress(
+    "regress_bool_literals",
+    """
+SELECT true AS t, false AS f,
+       CAST('t' AS bool) AS bt, CAST('f' AS bool) AS bf,
+       CAST('true' AS bool) AS btrue, CAST('false' AS bool) AS bfalse,
+       CAST('1' AS bool) AS b1, CAST('0' AS bool) AS b0,
+       true AND false AS andv, true OR false AS orv, NOT true AS notv,
+       (true AND NULL) IS NULL AS and_null,
+       (false OR NULL) IS NULL AS or_null
+""",
+    "src/test/regress/sql/boolean.sql:7-60 — bool literal parsing and "
+    "three-valued AND/OR/NOT (PG also accepts y/yes; neither Spark nor "
+    "DuckDB does — documented).",
+    ("scalar", "boolean"),
+)
+
+register_regress(
+    "regress_limit_offset_onek",
+    """
+SELECT unique1, unique2 FROM onek WHERE unique1 > 50
+ ORDER BY unique1 LIMIT 2
+""",
+    "src/test/regress/sql/limit.sql:6-8 — ORDER BY + LIMIT over onek.",
+    ("limit",),
+)
+
+register_regress(
+    "regress_limit_offset_desc",
+    """
+(SELECT unique1, unique2 FROM onek WHERE unique1 > 100
+ ORDER BY unique1 LIMIT 3 OFFSET 20)
+UNION ALL
+(SELECT unique1, unique2 FROM onek WHERE unique1 < 50
+ ORDER BY unique1 DESC LIMIT 8 OFFSET 99)
+""",
+    "src/test/regress/sql/limit.sql:15-21 — LIMIT with OFFSET, "
+    "ascending (3 rows) and the offset-past-end zero-row branch, "
+    "unioned so the fixture check stays non-empty.",
+    ("limit", "setop"),
+)
+
+register_regress(
+    "regress_olap_multi_rollup",
+    """
+select a, b, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+from gstest
+group by rollup(a), rollup(b)
+order by a NULLS LAST, b NULLS LAST, s
+""",
+    "src/test/regress/sql/olap_group.sql:437-447 (composed grouping "
+    "extensions; GP extends GROUP BY with products of ROLLUPs) — "
+    "ROLLUP(a) x ROLLUP(b) composition, the cross-product of grouping "
+    "sets.",
+    ("aggregate", "groupingsets"),
 )
 
 register_regress(
