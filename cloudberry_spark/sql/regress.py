@@ -857,6 +857,61 @@ order by a NULLS LAST, b NULLS LAST, s
 )
 
 register_regress(
+    "regress_agg_pushdown_join",
+    """
+WITH agg_parent(i, x) AS (
+  SELECT CAST(n AS BIGINT), CAST(n AS BIGINT)
+  FROM generate_series(0, 10) AS s(n)
+),
+agg_child1(j, parent, v) AS (
+  SELECT 128 * p.i + n, p.i,
+         CAST((128 * p.i + n) * 37 % 101 AS float8) / 128
+  FROM generate_series(0, 127) AS s(n), agg_parent p
+)
+SELECT p.i, avg(c1.v) AS av, count(*) AS n
+FROM agg_parent AS p JOIN agg_child1 AS c1 ON c1.parent = p.i
+GROUP BY p.i ORDER BY p.i
+""",
+    "src/test/regress/sql/agg_pushdown.sql:36-49 (gp_enable_agg_pushdown"
+    " — aggregate finalized above a join whose child side pre-aggregates;"
+    " the reference EXPLAINs, here executed; deterministic v = k*37%101 "
+    "/ 128 keeps every partial sum exact in binary so partial-agg order "
+    "cannot drift). The engine-side analog is operators/rewrites.py "
+    "agg_eager_pushdown.",
+    ("aggregate", "join"),
+)
+
+register_regress(
+    "regress_agg_pushdown_two_children",
+    """
+WITH agg_parent(i, x) AS (
+  SELECT CAST(n AS BIGINT), CAST(n AS BIGINT)
+  FROM generate_series(0, 10) AS s(n)
+),
+agg_child1(j, parent, v) AS (
+  SELECT 128 * p.i + n, p.i,
+         CAST((128 * p.i + n) * 37 % 101 AS float8) / 128
+  FROM generate_series(0, 127) AS s(n), agg_parent p
+),
+agg_child2(k, parent, v) AS (
+  SELECT 128 * p.i + n, p.i,
+         CAST((128 * p.i + n) * 53 % 97 AS float8) / 128
+  FROM generate_series(0, 127) AS s(n), agg_parent p
+)
+SELECT p.i, avg(c1.v) AS av1, avg(c2.v) AS av2, count(*) AS n
+FROM agg_parent AS p
+JOIN agg_child1 AS c1 ON c1.parent = p.i
+JOIN agg_child2 AS c2 ON c2.parent = p.i
+GROUP BY p.i ORDER BY p.i
+""",
+    "src/test/regress/sql/agg_pushdown.sql (two-child form) — the "
+    "row-multiplying double join (128x128 per parent) whose aggregates "
+    "the reference pushes below the join; executed on the 180k-row "
+    "product with binary-exact v so both engines agree bit-for-bit.",
+    ("aggregate", "join"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
