@@ -329,8 +329,9 @@ def _exclude_group_parts(od):
     Over a RANGE frame the current row's peer group always lies wholly
     inside the frame (the frame spans at least the CURRENT ROW peer
     set), so the excluded contribution is exactly the peer-group
-    aggregate — one extra unordered window over (partition, order key),
-    no second shuffle (same partitioning key prefix).
+    aggregate — expressed as RANGE BETWEEN CURRENT ROW AND CURRENT ROW
+    over the SAME (partition, order) spec, so Catalyst computes both
+    frames in one Window operator behind one exchange + one sort.
     """
     midx = (
         F.year("o_orderdate") * 12 + F.month("o_orderdate")
@@ -341,12 +342,9 @@ def _exclude_group_parts(od):
         midx.alias("midx"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    frame = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("midx")
-        .rangeBetween(-1, 1)
-    )
-    peers = Window.partitionBy("o_orderpriority", "midx")
+    w = Window.partitionBy("o_orderpriority").orderBy("midx")
+    frame = w.rangeBetween(-1, 1)
+    peers = w.rangeBetween(0, 0)
     return (
         base,
         F.sum("price").over(frame),

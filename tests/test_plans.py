@@ -703,3 +703,18 @@ def test_vocab_coverage_topk_not_global_sort(spark):
     df = all_queries()["text_vocab_coverage"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exclude_window_single_exchange(spark):
+    """The EXCLUDE GROUP/TIES emulations compute the frame and the
+    peer-group aggregates over the SAME (partition, order) window spec
+    (peer group == RANGE CURRENT ROW..CURRENT ROW), so the whole query
+    must plan as ONE exchange and ONE Window operator — a second
+    partitioning would double-shuffle every row at scale."""
+    for name in ("win_exclude_group", "win_exclude_ties"):
+        df = all_queries()[name].fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, name
+        assert final.count("Window") == 1, name
