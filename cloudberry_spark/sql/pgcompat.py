@@ -46,6 +46,13 @@ _TYPE_MAP = {
 }
 
 _STRING_RE = re.compile(r"'(?:[^']|'')*'")
+#: String literals and SQL comments in ONE alternation, so a left-to-
+#: right scan resolves nesting the way the PG lexer does: an apostrophe
+#: inside `-- don't ...` or /* ... */ never pairs with a later quote,
+#: and a `--` inside 'a -- b' stays literal text.
+_STRING_OR_COMMENT_RE = re.compile(
+    r"'(?:[^']|'')*'|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/"
+)
 _PH = "\x01{}\x02"
 _PH_RE = re.compile("\x01(\\d+)\x02")
 
@@ -219,7 +226,7 @@ def translate_pg_sql(sql: str) -> str:
         lits.append(m.group(0))
         return _PH.format(len(lits) - 1)
 
-    masked = _STRING_RE.sub(_mask, sql)
+    masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
     masked = _rewrite_masked(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

@@ -99,3 +99,25 @@ def test_array_operators():
 
 def test_json_integer_index():
     assert "get_json_object(j, '$[0]')" in t("SELECT j ->> 0 FROM x")
+
+
+def test_comments_with_apostrophes_do_not_break_masking():
+    """The PG lexer scans strings and comments in one pass; the shim
+    must too — an apostrophe inside a comment must not pair with a real
+    quote (which silently disabled every rewrite inside the phantom
+    literal), and `--` inside a literal must stay literal text."""
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+    out = translate_pg_sql(
+        "SELECT a::int4 -- don't break this\n"
+        "FROM t WHERE b = 'x -- not a comment' AND c = ARRAY[1, 2]"
+    )
+    assert "a::int " in out or "a::int\n" in out or "a::int -" in out
+    assert "'x -- not a comment'" in out
+    assert "array(1, 2)" in out
+    out2 = translate_pg_sql(
+        "SELECT 'it''s' AS s /* isn't a 'literal' ARRAY[9] */, ARRAY[1] AS a"
+    )
+    assert "'it''s'" in out2
+    assert "ARRAY[9]" in out2  # untouched inside the comment
+    assert "array(1)" in out2
