@@ -165,8 +165,44 @@ def _rewrite_masked(seg: str) -> str:
     return seg
 
 
+#: one-paren-nesting-level argument, shared by the field rewrites below
+_ARG = r"([^()]*(?:\([^()]*\)[^()]*)*)"
+
+#: PG date_part/extract fields Spark spells differently (timestamp.c
+#: timestamp_part): PG dow is Sunday=0 (Spark DOW is Sunday=1), isodow
+#: is Monday=1, isoyear == Spark YEAROFWEEK.
+_FIELD_REWRITES = [
+    (
+        re.compile(
+            rf"\bdate_part\s*\(\s*'isodow'\s*,\s*{_ARG}\)|"
+            rf"\bextract\s*\(\s*isodow\s+from\s+{_ARG}\)",
+            re.I,
+        ),
+        lambda a: f"(weekday({a}) + 1)",
+    ),
+    (
+        re.compile(
+            rf"\bdate_part\s*\(\s*'dow'\s*,\s*{_ARG}\)|"
+            rf"\bextract\s*\(\s*dow\s+from\s+{_ARG}\)",
+            re.I,
+        ),
+        lambda a: f"(dayofweek({a}) - 1)",
+    ),
+    (
+        re.compile(
+            rf"\bdate_part\s*\(\s*'isoyear'\s*,\s*{_ARG}\)|"
+            rf"\bextract\s*\(\s*isoyear\s+from\s+{_ARG}\)",
+            re.I,
+        ),
+        lambda a: f"extract(YEAROFWEEK FROM {a})",
+    ),
+]
+
+
 def _rewrite_restored(sql: str) -> str:
     """Rewrites that need the literal text back in place."""
+    for pat, fmt in _FIELD_REWRITES:
+        sql = pat.sub(lambda m: fmt(m.group(1) or m.group(2)), sql)
     # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
     sql = re.sub(
         r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",

@@ -104,6 +104,13 @@ case_tbl(i, f) AS (
 ),
 onek AS (
   SELECT * FROM tenk1 WHERE unique1 < 1000
+),
+date_tbl(f1) AS (
+  VALUES (DATE '1957-04-09'), (DATE '1957-06-13'), (DATE '1996-02-28'),
+         (DATE '1996-02-29'), (DATE '1996-03-01'), (DATE '1996-03-02'),
+         (DATE '1997-02-28'), (DATE '1997-03-01'), (DATE '1997-03-02'),
+         (DATE '2000-04-01'), (DATE '2000-04-02'), (DATE '2000-04-03'),
+         (DATE '2038-04-08'), (DATE '2039-04-09'), (DATE '2040-04-10')
 )
 """
 
@@ -909,6 +916,42 @@ GROUP BY p.i ORDER BY p.i
     "the reference pushes below the join; executed on the 180k-row "
     "product with binary-exact v so both engines agree bit-for-bit.",
     ("aggregate", "join"),
+)
+
+register_regress(
+    "regress_date_filter",
+    """
+SELECT f1 FROM date_tbl
+  WHERE f1 BETWEEN '2000-01-01' AND '2001-01-01'
+""",
+    "src/test/regress/sql/date.sql:29-30 — date vs string-literal "
+    "comparison in BETWEEN (the DATE_TBL filter block; the invalid "
+    "1997-02-29 insert and the BC date are omitted — both are error/"
+    "out-of-range cases on Spark and DuckDB alike).",
+    ("scalar", "datetime"),
+)
+
+register_regress(
+    "regress_date_parts",
+    """
+SELECT f1,
+    CAST(date_part('year', f1) AS BIGINT) AS year,
+    CAST(date_part('quarter', f1) AS BIGINT) AS quarter,
+    CAST(date_part('month', f1) AS BIGINT) AS month,
+    CAST(date_part('day', f1) AS BIGINT) AS day,
+    CAST(date_part('week', f1) AS BIGINT) AS week,
+    CAST(date_part('dow', f1) AS BIGINT) AS dow,
+    CAST(date_part('isodow', f1) AS BIGINT) AS isodow,
+    CAST(date_part('doy', f1) AS BIGINT) AS doy,
+    CAST(date_part('isoyear', f1) AS BIGINT) AS isoyear,
+    CAST(extract(epoch FROM f1) AS BIGINT) AS epoch
+FROM date_tbl ORDER BY f1
+""",
+    "src/test/regress/sql/date.sql:263-278 — the date_part battery "
+    "(year..epoch incl. ISO fields). PG dow is Sunday=0 and isodow "
+    "Monday=1; Spark spells these dayofweek-1 / weekday+1 and isoyear "
+    "as YEAROFWEEK — all three translated by the frontend.",
+    ("scalar", "datetime"),
 )
 
 register_regress(
