@@ -113,3 +113,36 @@ _pg(
     "(-> array_except emptiness; adt/arrayfuncs.c arrayoverlap/"
     "arraycontains). DuckDB runs the identical PG text natively.",
 )
+
+
+_pg(
+    "pgsql_compat_similar_to",
+    """
+    SELECT p_partkey,
+           (p_name SIMILAR TO '%(red|green|blue)%')::int4 AS has_color,
+           (p_name SIMILAR TO 's%')::int4                 AS starts_s,
+           (p_name NOT SIMILAR TO '%_ %')::int4           AS single_word,
+           (p_brand SIMILAR TO 'Brand#_[0-9]')::int4      AS brand_shape
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+    doc="SQL `SIMILAR TO` (reference adt/regexp.c similar_escape: % -> "
+    ".*, _ -> ., | ( ) [ ] class/alternation operators, dot LITERAL) "
+    "translated to an anchored regexp_like. DuckDB's own SIMILAR TO is "
+    "plain-regex full-match (NOT the PG semantics — no %/_ wildcards), "
+    "so the oracle spells the converted anchored regex explicitly.",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_matches(p_name, '^(?:.*(red|green|blue).*)$')
+                AS int) AS has_color,
+           CAST(regexp_matches(p_name, '^(?:s.*)$') AS int) AS starts_s,
+           CAST(NOT regexp_matches(p_name, '^(?:.*. .*)$') AS int)
+               AS single_word,
+           CAST(regexp_matches(p_brand, '^(?:Brand\\#.[0-9])$') AS int)
+               AS brand_shape
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)

@@ -199,10 +199,60 @@ _FIELD_REWRITES = [
 ]
 
 
+def similar_to_regex(pattern: str) -> str:
+    """Convert a SQL ``SIMILAR TO`` pattern to a POSIX regex, the way
+    the reference's similar_escape (adt/regexp.c) does: ``%`` -> ``.*``,
+    ``_`` -> ``.``; the SQL-regex operators ``| * + ? ( ) [ ] { }`` pass
+    through; everything else — notably ``.`` — is literal text."""
+    out = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            out.append(c)
+            in_class = True
+        elif c in "|*+?(){},0123456789" or c.isalnum() or c in " -":
+            out.append(c)
+        else:
+            out.append("\\" + c)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+_SIMILAR_RE = re.compile(
+    r"([A-Za-z_][\w.]*|\))\s+(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')",
+    re.I,
+)
+
+
 def _rewrite_restored(sql: str) -> str:
     """Rewrites that need the literal text back in place."""
     for pat, fmt in _FIELD_REWRITES:
         sql = pat.sub(lambda m: fmt(m.group(1) or m.group(2)), sql)
+
+    # x [NOT] SIMILAR TO 'pat' -> [NOT] regexp_like(x, '^(?:...)$').
+    # Spark string literals treat backslash as an escape (unlike PG/
+    # DuckDB standard strings), so regex backslashes are doubled.
+    def _sim(m: re.Match) -> str:
+        operand, neg, lit = m.group(1), m.group(2), m.group(3)
+        rx = (
+            similar_to_regex(lit[1:-1])
+            .replace("\\", "\\\\")
+            .replace("'", "''")
+        )
+        call = f"regexp_like({operand}, '{rx}')"
+        return f"NOT {call}" if neg else call
+
+    sql = _SIMILAR_RE.sub(_sim, sql)
     # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
     sql = re.sub(
         r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",

@@ -121,3 +121,16 @@ def test_comments_with_apostrophes_do_not_break_masking():
     assert "'it''s'" in out2
     assert "ARRAY[9]" in out2  # untouched inside the comment
     assert "array(1)" in out2
+
+
+def test_similar_to_pg_semantics():
+    """similar_to_regex follows adt/regexp.c similar_escape: %/_ are
+    wildcards, | ( ) [ ] pass through as regex operators, and '.' is
+    LITERAL text (the trap: DuckDB's SIMILAR TO is plain regex)."""
+    from cloudberry_spark.sql.pgcompat import similar_to_regex
+
+    assert similar_to_regex("abc") == "^(?:abc)$"
+    assert similar_to_regex("%(b|d)%") == "^(?:.*(b|d).*)$"
+    assert similar_to_regex("a_c") == "^(?:a.c)$"
+    assert similar_to_regex("a.c") == "^(?:a\\.c)$"
+    assert similar_to_regex("x[0-9]+") == "^(?:x[0-9]+)$"
