@@ -68,12 +68,17 @@ register_sql(
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 0
     ORDER BY nationkey
     """,
-    doc="EXCEPT (SETOPCMD_EXCEPT) — nations with customers but no "
-    "suppliers.",
-    tags=("setop", "may_be_empty"),
+    doc="EXCEPT (SETOPCMD_EXCEPT) — customer nations minus the "
+    "region-0 supplier nations (non-empty at every SF: the original "
+    "customer-minus-all-suppliers form went vacuously empty once "
+    "every nation had suppliers, making a green driver row prove "
+    "nothing).",
+    tags=("setop",),
 )
 
 register_sql(
