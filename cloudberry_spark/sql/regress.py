@@ -955,6 +955,48 @@ FROM date_tbl ORDER BY f1
 )
 
 register_regress(
+    "regress_agg_bool_bit",
+    """
+select bool_and(two = 0) AS ball, bool_or(two = 0) AS bor,
+       CAST(bit_and(ten) AS BIGINT) AS band,
+       CAST(bit_or(ten) AS BIGINT) AS bo,
+       bool_and(four < 4) AS ball_t, bool_or(four > 3) AS bor_f
+from tenk1 where unique1 < 20
+""",
+    "src/test/regress/sql/aggregates.sql (bool_and/bool_or and "
+    "bitwise-aggregate blocks) — boolean and bitwise aggregates over a "
+    "tenk1 slice.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_int8_arith",
+    """
+SELECT q1 AS q1, q2 AS q2,
+       q1 + q2 AS plus, q1 - q2 AS minus,
+       CAST(q1 / 2 AS BIGINT) AS half_q1,
+       CAST(q2 % 2 AS BIGINT) AS mod2,
+       -q1 AS neg, abs(q2) AS absq2
+FROM int8_tbl
+""",
+    "src/test/regress/sql/int8.sql (arithmetic block, non-overflowing "
+    "subset) — int8 add/sub/div/mod/negate/abs over the classic "
+    "int8_tbl values incl. the 4567890123456789 pairs. PG `/` on "
+    "integers truncates; spelled as CAST(... ) so both engines agree "
+    "(DuckDB integer `/` is float division — documented divergence "
+    "both engines share vs PG).",
+    ("scalar", "int8"),
+    oracle="""
+SELECT q1 AS q1, q2 AS q2,
+       q1 + q2 AS plus, q1 - q2 AS minus,
+       CAST(q1 // 2 AS BIGINT) AS half_q1,
+       CAST(q2 % 2 AS BIGINT) AS mod2,
+       -q1 AS neg, abs(q2) AS absq2
+FROM int8_tbl
+""",
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
