@@ -265,14 +265,18 @@ def _rewrite_restored(sql: str) -> str:
         r"get_json_object(\1, '$[\2]')",
         sql,
     )
-    # case-insensitive regex placeholder ops
+    # case-insensitive regex placeholder ops. Operand: identifier,
+    # identifier(args), or a parenthesized tail — NOT bare \S+, which
+    # swallowed a leading "(" from `(x ~* 'p')` and produced unbalanced
+    # parens (found by the pgcompat fuzz family).
+    _ci_operand = r"([A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|\))"
     sql = re.sub(
-        r"(\S+)\s+NOT__RLIKE_CI\s+('(?:[^']|'')*')",
+        rf"{_ci_operand}\s+NOT__RLIKE_CI\s+('(?:[^']|'')*')",
         r"NOT regexp_like(lower(\1), lower(\2))",
         sql,
     )
     sql = re.sub(
-        r"(\S+)\s+RLIKE_CI__\s+('(?:[^']|'')*')",
+        rf"{_ci_operand}\s+RLIKE_CI__\s+('(?:[^']|'')*')",
         r"regexp_like(lower(\1), lower(\2))",
         sql,
     )

@@ -490,3 +490,75 @@ def test_random_date_bin_matches(pair, spark, ddb):
     spark_sql, duck_sql = pair
     ensure_views(spark, SF_DIR)
     assert_matches_oracle(spark.sql(spark_sql), ddb, duck_sql, name=spark_sql)
+
+
+@st.composite
+def pgcompat_queries(draw) -> tuple[str, str]:
+    """Random PG-dialect text through the translate_pg_sql frontend.
+
+    Returns (pg_text, duckdb_text): the Spark side runs the PG text
+    through the shim; the oracle text differs only where DuckDB's own
+    dialect diverges from PG (its `~` and SIMILAR TO are full-match
+    plain regex, so the oracle spells regexp_matches / the converted
+    anchored pattern — conversions mirrored from sql/pgcompat.py)."""
+    from cloudberry_spark.sql.pgcompat import similar_to_regex
+
+    regex = draw(st.sampled_from(["^s", "ing$", "w.d", "[aeiou][aeiou]"]))
+    simpat = draw(st.sampled_from(["%a%", "(s|b)%", "%ing", "w_d%"]))
+    size_lo = draw(st.integers(1, 40))
+    neg = draw(st.booleans())
+    kind = draw(st.sampled_from(["regex", "regex_ci", "similar"]))
+    if kind == "regex":
+        op = "!~" if neg else "~"
+        pg_pred = f"p_name {op} '{regex}'"
+        duck_pred = f"{'NOT ' if neg else ''}regexp_matches(p_name, '{regex}')"
+    elif kind == "regex_ci":
+        op = "!~*" if neg else "~*"
+        pg_pred = f"p_name {op} '{regex.upper()}'"
+        duck_pred = (
+            f"{'NOT ' if neg else ''}"
+            f"regexp_matches(lower(p_name), lower('{regex.upper()}'))"
+        )
+    else:
+        op = "NOT SIMILAR TO" if neg else "SIMILAR TO"
+        pg_pred = f"p_name {op} '{simpat}'"
+        rx = similar_to_regex(simpat)
+        duck_pred = (
+            f"{'NOT ' if neg else ''}regexp_matches(p_name, '{rx}')"
+        )
+    agg = draw(
+        st.sampled_from(
+            [
+                "count(*)::int8",
+                "max(p_name)",
+                "string_agg(p_brand, ',' ORDER BY p_partkey)",
+            ]
+        )
+    )
+    body = (
+        "SELECT p_brand AS g, {agg} AS v FROM part "
+        "WHERE ({pred}) AND p_size::int8 > {lo} "
+        "GROUP BY p_brand ORDER BY g"
+    )
+    pg = body.format(agg=agg, pred=pg_pred, lo=size_lo)
+    duck = body.format(agg=agg, pred=duck_pred, lo=size_lo)
+    return pg, duck
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=pgcompat_queries())
+def test_random_pgcompat_frontend_matches(pair, spark, ddb):
+    """Generative fuzz of the PG-dialect frontend itself: random
+    predicate/aggregate combinations in PG spelling must translate to
+    Spark SQL that matches DuckDB running the PG-equivalent text."""
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+    pg, duck = pair
+    ensure_views(spark, SF_DIR)
+    df = spark.sql(translate_pg_sql(pg))
+    assert_matches_oracle(df, ddb, duck, name=pg[:80])
