@@ -1252,3 +1252,199 @@ def ml_item_item_recommender(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rnk")
     )
+
+
+RERANK = 3 * K  # ADC shortlist size fed to the exact re-rank stage
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH lng AS (
+        SELECT vec_id, label, r.i AS i, r.i // {PQ_SUBDIM} AS s,
+               CAST(embedding[r.i + 1] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN range({PQ_M * PQ_SUBDIM}) r(i)
+    ), cb AS (
+        SELECT label AS cb_label, s, i, avg(x) AS c
+        FROM lng GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, s, cb_label AS code FROM (
+            SELECT l.vec_id, l.s, cb.cb_label,
+                   row_number() OVER (PARTITION BY l.vec_id, l.s
+                       ORDER BY sum((l.x - cb.c) * (l.x - cb.c)), cb.cb_label)
+                       AS rn
+            FROM lng l JOIN cb ON cb.s = l.s AND cb.i = l.i
+            GROUP BY l.vec_id, l.s, cb.cb_label
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cent AS (
+        SELECT label, pos, avg(val) AS cval
+        FROM (SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings) t
+        GROUP BY label, pos
+    ), centroids AS (
+        SELECT label, list(cval ORDER BY pos) AS c_emb
+        FROM cent GROUP BY label
+    ), probe AS (
+        SELECT query_id, q_emb, label AS probe_label
+        FROM (SELECT query_id, q_emb, label,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY {_duck_cosine('q_emb', 'c_emb')} DESC,
+                                  label) AS r
+              FROM q CROSS JOIN centroids) t
+        WHERE r = 1
+    ), dtable AS (
+        SELECT p.query_id, cb.s, cb.cb_label,
+               sum((CAST(p.q_emb[cb.i + 1] AS DOUBLE) - cb.c)
+                   * (CAST(p.q_emb[cb.i + 1] AS DOUBLE) - cb.c)) AS qd2
+        FROM probe p CROSS JOIN cb
+        GROUP BY 1, 2, 3
+    ), adc AS (
+        SELECT p.query_id, e.vec_id AS cand_id,
+               round(sum(d.qd2), 9) AS approx_d2
+        FROM probe p
+        JOIN embeddings e ON e.label = p.probe_label
+                         AND e.vec_id <> p.query_id
+        JOIN codes k ON k.vec_id = e.vec_id
+        JOIN dtable d ON d.query_id = p.query_id AND d.s = k.s
+                     AND d.cb_label = k.code
+        GROUP BY 1, 2
+    ), shortlist AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY approx_d2, cand_id) AS rn
+            FROM adc
+        ) WHERE rn <= {RERANK}
+    ), rerank AS (
+        SELECT s.query_id, s.cand_id AS neighbor_id,
+               round({_duck_cosine('q.q_emb', 'e.embedding')}, 9) AS cos_sim
+        FROM shortlist s
+        JOIN q ON q.query_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.cand_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM rerank) t
+    WHERE rnk <= {K}
+    ORDER BY query_id, rnk
+    """,
+    doc="IVF-PQ ANN search with exact re-rank — the production FAISS "
+    "shape (Jegou et al. PQ paper + inverted lists), composed from the "
+    "repo's IVF coarse quantizer (per-label centroids, nprobe=1) and "
+    "PQ codebooks (4 x 16-dim subspaces, deterministic per-label "
+    "codes): each query builds its ADC distance table (|codebook| x M "
+    "rows — metadata-scale, broadcast), scores its probed inverted "
+    "list through CODES ONLY (no full vectors move), takes a 3k "
+    "shortlist by approximated distance, and re-ranks just the "
+    "shortlist with exact cosine. At 100 TB the corpus-side joins are "
+    "key-partitioned on vec_id, full vectors are touched only for "
+    "3k x n_queries rows, and every distance is rounded to 9 decimals "
+    "before ranking so cross-engine ulp noise cannot flip a cut.",
+    tags=("pipeline", "similarity", "ann"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lng = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.slice("embedding", 1, PQ_M * PQ_SUBDIM)).alias("i", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.expr(f"CAST(i / {PQ_SUBDIM} AS INT)").alias("s"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cb = lng.groupBy(F.col("label").alias("cb_label"), "s", "i").agg(
+        F.avg("x").alias("c")
+    )
+    d = (
+        lng.join(F.broadcast(cb), ["s", "i"])
+        .groupBy("vec_id", "s", "cb_label")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+    )
+    wc = Window.partitionBy("vec_id", "s").orderBy("d2", "cb_label")
+    codes = (
+        d.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cb_label").alias("code"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cent = label_centroids(emb)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") == 1)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    # ADC distance table: query subvector vs every codebook entry
+    dtable = (
+        probe.crossJoin(F.broadcast(cb))
+        .groupBy("query_id", "s", "cb_label")
+        .agg(
+            F.sum(
+                (F.element_at("q_emb", F.col("i") + 1).cast("double") - F.col("c"))
+                * (F.element_at("q_emb", F.col("i") + 1).cast("double") - F.col("c"))
+            ).alias("qd2")
+        )
+    )
+    adc = (
+        probe.join(
+            emb.alias("e"),
+            (F.col("e.label") == F.col("probe_label"))
+            & (F.col("e.vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("e.vec_id").alias("cand_id"))
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(
+            dtable.withColumnRenamed("cb_label", "code"),
+            ["query_id", "s", "code"],
+        )
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("qd2"), 9).alias("approx_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= RERANK)
+        .select("query_id", "cand_id")
+    )
+    rerank = (
+        shortlist.join(q, "query_id")
+        .join(
+            emb.alias("e2"),
+            F.col("e2.vec_id") == F.col("cand_id"),
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("e2.embedding")), 9).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("query_id", "rnk")
+    )

@@ -201,6 +201,7 @@ _LEAD = [
         "dedup_ngram_jaccard",
         "dedup_exact",
         "sim_ivf_knn",
+        "sim_ivfpq_search",
         "ml_pca_power_iteration",
         "multimodal_audio_decode",
         "text_vocab_coverage",
