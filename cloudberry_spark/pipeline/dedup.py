@@ -866,3 +866,97 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_incremental_index_probe",
+    oracle=f"""{lsh_oracle_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ver AS (
+        SELECT c.id_a, c.id_b
+        FROM (SELECT c.id_a, c.id_b, count(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+              GROUP BY 1, 2) c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    )
+    SELECT d.source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(sum(coalesce(v.n_hits, 0)) AS BIGINT) AS n_index_hits
+    FROM documents d
+    LEFT JOIN (SELECT id_a, count(DISTINCT id_b) AS n_hits
+               FROM ver GROUP BY id_a) v
+      ON v.id_a = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="Incremental dedup against a PERSISTED corpus index — the "
+    "production growth path (index once, probe every new batch) that "
+    "plain all-corpus LSH lacks: the even-doc_id half builds the LSH "
+    "band index and is written to scratch parquet (at scale: the "
+    "standing index table, partitioned by band bucket); the odd half "
+    "is the incoming batch, whose bands are a pure map-side "
+    "projection probed against the index with one equi-join, and "
+    "survivors verify with exact shingle Jaccard >= 0.5 joined only "
+    "on candidates. Reports per-source batch size, near-dup count and "
+    "distinct index docs hit. Incoming text never joins the index by "
+    "content — only 128-bit band keys move.",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.graph import _materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # the standing index: banded signatures of the existing corpus,
+    # persisted (re-read per batch instead of recomputed)
+    index = _materialize(
+        lsh_bands(minhash_signatures(index_docs, "doc_id", "text"), "doc_id"),
+        spark, sf_dir, "dedup_lsh_index",
+    )
+    probe = lsh_bands(
+        minhash_signatures(batch, "doc_id", "text"), "doc_id"
+    ).select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    cand = (
+        probe.join(
+            index.select(
+                F.col("doc_id").alias("id_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ver = ngram_jaccard(docs, cand, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.5
+    )
+    per_doc = ver.groupBy("id_a").agg(
+        F.countDistinct("id_b").alias("n_hits")
+    )
+    return (
+        batch.select("doc_id", "source")
+        .join(per_doc, batch["doc_id"] == per_doc["id_a"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(F.col("id_a").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+            F.sum(F.coalesce(F.col("n_hits"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_index_hits"),
+        )
+        .orderBy("source")
+    )

@@ -198,6 +198,7 @@ _LEAD = [
         "json_containment_ops",
         # never-sampled pipeline subfamilies the r3 prefix missed
         "sim_neardup_lsh_banded",
+        "dedup_incremental_index_probe",
         "dedup_ngram_jaccard",
         "dedup_exact",
         "sim_ivf_knn",
