@@ -121,6 +121,26 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
 
+    # array_agg(e ORDER BY o [DESC]) -> sorted-struct collect (Spark has
+    # no ordered aggregate): collect (o, e) pairs, array_sort on the
+    # struct order (field-order comparison), project e back out.
+    def _array_agg(m: re.Match) -> str:
+        expr, order, desc = m.group(1), m.group(2), bool(m.group(3))
+        arr = (
+            f"array_sort(collect_list(struct({order} AS __o, {expr} AS __v)))"
+        )
+        if desc:
+            arr = f"reverse({arr})"
+        return f"transform({arr}, p -> p.__v)"
+
+    seg = re.sub(
+        r"\barray_agg\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)"
+        r"\s*(DESC)?\s*\)",
+        _array_agg,
+        seg,
+        flags=re.I,
+    )
+
     # string_agg(e, d ORDER BY o) -> listagg(e, d) WITHIN GROUP (ORDER BY o)
     def _string_agg(m: re.Match) -> str:
         inner = m.group(1)

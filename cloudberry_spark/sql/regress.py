@@ -997,6 +997,21 @@ FROM int8_tbl
 )
 
 register_regress(
+    "regress_agg_array_order",
+    """
+select array_agg(a order by b) AS by_b,
+       array_agg(a order by a) AS by_a,
+       array_agg(a order by a desc) AS by_a_desc,
+       array_agg(b order by a desc) AS b_by_a_desc
+  from (values (1,4),(2,3),(3,1),(4,2)) v(a,b)
+""",
+    "src/test/regress/sql/aggregates.sql:639-645 — array_agg with "
+    "ORDER BY (parse_agg.c ordered aggregates; Spark has no ordered "
+    "collect, so the frontend rewrites to a sorted-struct collect).",
+    ("aggregate", "array"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
