@@ -832,3 +832,88 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@register(
+    "agg_percentile_variable_fraction",
+    oracle="""
+        WITH g AS (
+            SELECT l_linenumber AS grp,
+                   CAST(l_linenumber AS DOUBLE) / 8 AS p,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   row_number() OVER (PARTITION BY l_linenumber
+                                      ORDER BY l_quantity) AS rn,
+                   count(*) OVER (PARTITION BY l_linenumber) AS n
+            FROM lineitem WHERE l_orderkey < 2000
+        ), k AS (
+            SELECT DISTINCT grp, p, n,
+                   p * (n - 1) AS idx,
+                   CAST(floor(p * (n - 1)) AS BIGINT) AS lo,
+                   CAST(ceil(p * (n - 1)) AS BIGINT) AS hi
+            FROM g
+        )
+        SELECT k.grp, round(k.p, 6) AS p,
+               round(vlo.x + (k.idx - k.lo) * (vhi.x - vlo.x), 9)
+                   AS percentile,
+               CAST(k.n AS BIGINT) AS n
+        FROM k
+        JOIN g vlo ON vlo.grp = k.grp AND vlo.rn = k.lo + 1
+        JOIN g vhi ON vhi.grp = k.grp AND vhi.rn = k.hi + 1
+        ORDER BY k.grp
+    """,
+    doc="percentile_cont with a NON-CONSTANT fraction — the regress "
+    "query aggregates.sql:831 `percentile_cont(p) WITHIN GROUP` with p "
+    "a grouping column, which BOTH Spark and DuckDB reject (foldable-"
+    "fraction requirement; PG's ordered-set aggregate machinery, "
+    "orderedsetaggs.c percentile_cont_final, accepts any expression): "
+    "expanded to the interpolation identity — rank the group, take "
+    "floor/ceil neighbors of p*(n-1), linearly interpolate. One window "
+    "over the group plus two self-joins on (group, rank); the oracle "
+    "spells the same identity through DuckDB windows (both engines "
+    "lack the native form, like the GROUPS-frame emulation).",
+    tags=("aggregate", "ordered-set"),
+)
+def agg_percentile_variable_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    w = Window.partitionBy("l_linenumber").orderBy("l_quantity")
+    wn = Window.partitionBy("l_linenumber")
+    g = li.select(
+        F.col("l_linenumber").alias("grp"),
+        (F.col("l_linenumber").cast("double") / 8).alias("p"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = (
+        g.select("grp", "p", "n")
+        .distinct()
+        .withColumn("idx", F.col("p") * (F.col("n") - 1))
+        .withColumn("lo", F.floor("idx").cast("bigint"))
+        .withColumn("hi", F.ceil("idx").cast("bigint"))
+    )
+    vlo = g.select(
+        F.col("grp").alias("g1"), F.col("rn").alias("r1"), F.col("x").alias("xlo")
+    )
+    vhi = g.select(
+        F.col("grp").alias("g2"), F.col("rn").alias("r2"), F.col("x").alias("xhi")
+    )
+    return (
+        k.join(vlo, (k["grp"] == vlo["g1"]) & (vlo["r1"] == k["lo"] + 1))
+        .join(vhi, (k["grp"] == vhi["g2"]) & (vhi["r2"] == k["hi"] + 1))
+        .select(
+            "grp",
+            F.round("p", 6).alias("p"),
+            F.round(
+                F.col("xlo") + (F.col("idx") - F.col("lo")) * (F.col("xhi") - F.col("xlo")),
+                9,
+            ).alias("percentile"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("grp")
+    )

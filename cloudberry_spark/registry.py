@@ -221,6 +221,7 @@ _LEAD = [
         "win_variable_offset_lag",
         "scalar_numeric_wide",
         "scalar_time_of_day",
+        "agg_percentile_variable_fraction",
         "xml_xpath_table",
         "sketch_countmin_freq",
         "win_linear_interpolate",
