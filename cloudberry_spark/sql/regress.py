@@ -105,6 +105,15 @@ case_tbl(i, f) AS (
 onek AS (
   SELECT * FROM tenk1 WHERE unique1 < 1000
 ),
+timestamp_tbl(d1) AS (
+  VALUES (TIMESTAMP '1997-01-02 00:00:00'),
+         (TIMESTAMP '1997-01-02 03:04:05'),
+         (TIMESTAMP '1997-02-10 17:32:01'),
+         (TIMESTAMP '2000-12-31 17:32:01'),
+         (TIMESTAMP '2001-01-01 17:32:01'),
+         (TIMESTAMP '1902-05-05 01:02:03'),
+         (TIMESTAMP '2038-04-08 12:00:00')
+),
 date_tbl(f1) AS (
   VALUES (DATE '1957-04-09'), (DATE '1957-06-13'), (DATE '1996-02-28'),
          (DATE '1996-02-29'), (DATE '1996-03-01'), (DATE '1996-03-02'),
@@ -1009,6 +1018,51 @@ select array_agg(a order by b) AS by_b,
     "ORDER BY (parse_agg.c ordered aggregates; Spark has no ordered "
     "collect, so the frontend rewrites to a sorted-struct collect).",
     ("aggregate", "array"),
+)
+
+register_regress(
+    "regress_timestamp_cmp",
+    """
+SELECT
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 > timestamp '1997-01-02') AS n_gt,
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 < timestamp '1997-01-02') AS n_lt,
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 = timestamp '1997-01-02') AS n_eq,
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 != timestamp '1997-01-02') AS n_ne,
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 <= timestamp '1997-01-02') AS n_le,
+  (SELECT count(*) FROM timestamp_tbl
+   WHERE d1 >= timestamp '1997-01-02') AS n_ge,
+  CAST(date_trunc('week', timestamp '2004-02-29 15:44:17.71393')
+       AS TIMESTAMP) AS week_trunc
+""",
+    "src/test/regress/sql/timestamp.sql:156-177 — the comparison-"
+    "operator battery over TIMESTAMP_TBL (executed as counts) plus the "
+    "Monday week_trunc probe (the original `timestamp without time "
+    "zone` spelling shortened to `timestamp` — same type on both "
+    "engines under the pinned-UTC session).",
+    ("scalar", "datetime"),
+)
+
+register_regress(
+    "regress_timestamp_diff",
+    """
+SELECT d1,
+       CAST(extract(epoch FROM d1)
+            - extract(epoch FROM timestamp '1997-01-02') AS BIGINT)
+           AS diff_s
+FROM timestamp_tbl
+WHERE d1 BETWEEN '1902-01-01' AND '2038-01-01'
+ORDER BY d1
+""",
+    "src/test/regress/sql/timestamp.sql:174-175 — timestamp "
+    "subtraction (PG yields interval; spelled as the epoch-seconds "
+    "difference, portable to engines whose interval types differ) "
+    "with the string-literal BETWEEN bounds of the original.",
+    ("scalar", "datetime"),
 )
 
 register_regress(
