@@ -11,20 +11,28 @@ spells differently, as a light, string-safe source-to-source pass:
 |------------------------------------|------------------------------------|
 | ``text/int4/int8/float4/float8/…`` | ``string/int/bigint/float/double`` |
 | ``string_agg(e, d ORDER BY o)``    | ``listagg(e, d) WITHIN GROUP (…)`` |
+| ``array_agg(e ORDER BY o [DESC])`` | sorted-struct ``collect_list`` + ``transform`` |
 | ``ARRAY[a, b, c]``                 | ``array(a, b, c)``                 |
 | ``x ~ p  /  !~  /  ~*  /  !~*``    | ``rlike`` forms (PARTIAL match — PG semantics; note DuckDB's ``~`` is full-match) |
-| ``extract(epoch FROM ts)``         | ``cast(ts AS double)``             |
+| ``x SIMILAR TO p``                 | anchored ``regexp_like`` with similar_escape conversion (dot literal, %/_ wildcards) |
+| ``extract(epoch FROM ts)``         | ``unix_micros(ts) / 1e6``          |
+| ``extract(dow/isodow/isoyear …)``  | ``dayofweek-1`` / ``weekday+1`` / ``YEAROFWEEK`` |
+| ``GROUPING(a, b, …)`` (multi-arg)  | ``grouping_id(a, b, …)``           |
 | ``j ->> 'k'`` / ``j -> 'k'``       | ``get_json_object(j, '$.k')``      |
-| ``generate_series(a,b) [AS] t(i)`` | lateral ``explode(sequence(a,b))`` |
+| ``generate_series(a,b) [AS] t(i)`` | lateral ``explode(sequence(a,b))`` (bare ``x`` alias names the column too) |
 | ``E'...'`` escape strings          | plain strings                      |
 | ``SELECT DISTINCT ON (k) …``       | ``row_number()`` window rewrite (simple form) |
 
-String literals are masked with placeholder tokens before any rewrite
-runs and restored afterwards, so no pattern can ever fire inside (or be
-confused by) quoted text. This is intentionally NOT a full parser — it
-covers the high-frequency PG-isms so existing reports run unmodified;
-anything it does not recognize passes through to Spark's own (already
-ANSI/PG-leaning) parser.
+String literals AND comments are masked in one left-to-right pass (the
+way the PG lexer scans — quotes inside comments stay comments, ``--``
+inside literals stays text) before any rewrite runs and restored
+afterwards, so no pattern can ever fire inside quoted text. This is
+intentionally NOT a full parser — it covers the high-frequency PG-isms
+so existing reports run unmodified; anything it does not recognize
+passes through to Spark's own (already ANSI/PG-leaning) parser. The
+``regress_*`` family (sql/regress.py) runs 56 queries from the
+reference's own pg_regress corpus through this shim as its acceptance
+suite, plus a generative fuzz family in tests/test_random_differential.
 """
 
 from __future__ import annotations
