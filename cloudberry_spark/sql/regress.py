@@ -1066,6 +1066,44 @@ ORDER BY d1
 )
 
 register_regress(
+    "regress_win_moving_agg_nulls",
+    """
+SELECT i,
+       AVG(CAST(v AS bigint)) OVER fwd AS avg_bi,
+       CAST(SUM(CAST(v AS bigint)) OVER fwd AS BIGINT) AS sum_bi,
+       COUNT(v) OVER fwd AS cnt_v,
+       COUNT(*) OVER fwd AS cnt_star
+FROM (VALUES (1, 1), (2, 2), (3, NULL), (4, NULL)) t(i, v)
+WINDOW fwd AS (ORDER BY i ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING)
+ORDER BY i
+""",
+    "src/test/regress/sql/window.sql:1785-1825 — the moving-aggregate "
+    "NULL-handling battery (inverse transition functions must treat "
+    "NULLs right; here the frames are declarative, but the NULL "
+    "semantics under a shrinking forward frame are the same contract): "
+    "trailing all-NULL rows give NULL avg/sum, count(v) 0, count(*) "
+    "still counts rows.",
+    ("window", "frame"),
+)
+
+register_regress(
+    "regress_case_nullif_coalesce",
+    """
+SELECT
+  (SELECT count(*) FROM case_tbl WHERE COALESCE(f, i) = 4) AS n_coal,
+  (SELECT count(*) FROM case_tbl WHERE NULLIF(f, i) = 2) AS n_nullif,
+  (SELECT CAST(sum(COALESCE(a.f, b.i)) AS DOUBLE)
+   FROM case_tbl a, case_tbl b WHERE COALESCE(a.f, b.i) = 2) AS s2,
+  NULLIF(1, 1) IS NULL AS nullif_eq,
+  NULLIF(1, 2) AS nullif_ne
+""",
+    "src/test/regress/sql/case.sql:116-138 — NULLIF()/COALESCE() over "
+    "CASE_TBL incl. the cross-join form, executed as counts/sums.",
+    ("scalar", "conditional"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
