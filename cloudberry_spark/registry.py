@@ -139,7 +139,13 @@ def all_queries() -> dict[str, Query]:
 #: confirmation.
 #: MAINTENANCE (next round): extend this set with CORRECTNESS_r04's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current.
+#: only advances if both stay current. After r4's sample, ~205 queries
+#: remain never-sampled; highest-value r5 leads are whatever r4 red
+#: rows exist (expect none), then the round-4 additions that missed the
+#: prefix (regress batches 3-7 depth, dedup/similarity depth), then the
+#: long tail by family depth — `interleaved_queries()` computes the
+#: never-sampled hoisting automatically, so updating _DRIVER_SAMPLED
+#: alone already rotates; _LEAD is only for priority overrides.
 _DRIVER_SAMPLED = frozenset(
     """
     agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id
