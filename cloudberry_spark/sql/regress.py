@@ -105,6 +105,29 @@ case_tbl(i, f) AS (
 onek AS (
   SELECT * FROM tenk1 WHERE unique1 < 1000
 ),
+bfv_customer(cn, cname, cloc) AS (
+  VALUES (1, 'Macbeth', 'Inverness'), (2, 'Duncan', 'Forres'),
+         (3, 'Lady Macbeth', 'Inverness'), (4, 'Witches, Inc', 'Lonely Heath')
+),
+sale(cn, vn, pn, dt, qty, prc) AS (
+  VALUES (2, 40, 100, DATE '1401-01-01', 1100, CAST(2400 AS DOUBLE)),
+         (1, 10, 200, DATE '1401-03-01', 1, 0),
+         (3, 40, 200, DATE '1401-04-01', 1, 0),
+         (1, 20, 100, DATE '1401-05-01', 1, 0),
+         (1, 30, 300, DATE '1401-05-02', 1, 0),
+         (1, 50, 400, DATE '1401-06-01', 1, 0),
+         (2, 50, 400, DATE '1401-06-01', 1, 0),
+         (1, 30, 500, DATE '1401-06-01', 12, 5),
+         (3, 30, 500, DATE '1401-06-01', 12, 5),
+         (3, 30, 600, DATE '1401-06-01', 12, 5),
+         (4, 40, 700, DATE '1401-06-01', 1, 1),
+         (4, 40, 800, DATE '1401-06-01', 1, 1)
+),
+test1 AS (
+  SELECT CAST(a AS BIGINT) AS x, CAST(b AS BIGINT) AS y,
+         CAST(a * 10 + b AS DOUBLE) AS z
+  FROM generate_series(1, 5) AS a(a), generate_series(1, 5) AS b(b)
+),
 timestamp_tbl(d1) AS (
   VALUES (TIMESTAMP '1997-01-02 00:00:00'),
          (TIMESTAMP '1997-01-02 03:04:05'),
@@ -1101,6 +1124,80 @@ SELECT
     "src/test/regress/sql/case.sql:116-138 — NULLIF()/COALESCE() over "
     "CASE_TBL incl. the cross-join form, executed as counts/sums.",
     ("scalar", "conditional"),
+)
+
+# ---------------------------------------------------------------------------
+# bfv_olap.sql — the reference's OLAP bug-fix verification corpus
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_bfv_rank_join",
+    """
+select cname,
+CAST(rank() over (partition by sale.cn order by vn) AS BIGINT) AS r
+from sale, bfv_customer
+where sale.cn = bfv_customer.cn
+order by 1, 2
+""",
+    "src/test/regress/sql/bfv_olap.sql:284-288 (distribution-matching "
+    "bug) — window over a comma-join, ORDER BY ordinals (the customer "
+    "table renamed bfv_customer to avoid shadowing the fixture view).",
+    ("window", "join"),
+)
+
+register_regress(
+    "regress_bfv_rollup_sale",
+    """
+select cn, vn, pn, CAST(sum(qty * prc) AS DOUBLE) AS amt
+from sale group by rollup(cn, vn, pn)
+""",
+    "src/test/regress/sql/bfv_olap.sql:339-340 — the ROLLUP plan-check "
+    "query over the Macbeth sale table, executed.",
+    ("aggregate", "groupingsets"),
+)
+
+register_regress(
+    "regress_bfv_rollup_having",
+    """
+(select 'leaf' AS tag, cn, CAST(sum(qty) AS BIGINT) AS s
+ from sale group by rollup(cn, vn) having sum(qty) = 1)
+UNION ALL
+(select 'rolled' AS tag, cn, CAST(sum(qty) AS BIGINT) AS s
+ from sale group by rollup(cn, vn) having sum(qty) = 1144)
+""",
+    "src/test/regress/sql/bfv_olap.sql:408-410 — two-stage grouping "
+    "sets with HAVING hitting a leaf group and a rolled-up group (the "
+    "gp_motion_cost_per_row two-stage-plan probe, executed form).",
+    ("aggregate", "groupingsets"),
+)
+
+register_regress(
+    "regress_bfv_window_in_subquery",
+    """
+select CAST(sum(g) AS BIGINT) AS s from generate_series(1, 5) AS g(g)
+where g in (
+  select CAST(rank() over (order by x) AS BIGINT)
+  from generate_series(1, 5) AS x(x)
+)
+""",
+    "src/test/regress/sql/bfv_olap.sql:331-334 — window function "
+    "inside an IN-subquery (the over-zealous-syntax-check bug).",
+    ("window", "subquery"),
+)
+
+register_regress(
+    "regress_bfv_two_partitionings",
+    """
+select x, y,
+       CAST(sum(z) over (partition by x) AS DOUBLE) as sumx,
+       CAST(sum(z) over (partition by y) AS DOUBLE) as sumy
+from test1
+""",
+    "src/test/regress/sql/bfv_olap.sql:320-322 (greenplum issue 2236) "
+    "— two window partitionings in one select (two exchanges on "
+    "different keys; x/y added to the output so rows are identifiable "
+    "under the sorted compare).",
+    ("window",),
 )
 
 register_regress(
