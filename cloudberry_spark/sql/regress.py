@@ -1201,6 +1201,21 @@ from test1
 )
 
 register_regress(
+    "regress_gs_cube_array_agg",
+    """
+select a, b, GROUPING(a, b) AS g,
+       array_agg(v order by v) AS vs
+from gstest group by cube(a, b)
+order by a NULLS LAST, b NULLS LAST, g
+""",
+    "src/test/regress/sql/groupingsets.sql — CUBE with an ordered "
+    "array_agg per group (both frontend rewrites compose: multi-arg "
+    "GROUPING -> grouping_id and ORDER BY aggregate -> sorted-struct "
+    "collect, inside grouping-set evaluation).",
+    ("aggregate", "groupingsets", "array"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
