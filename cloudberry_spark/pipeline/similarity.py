@@ -1350,6 +1350,8 @@ RERANK = 3 * K  # ADC shortlist size fed to the exact re-rank stage
     tags=("pipeline", "similarity", "ann"),
 )
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.pipeline.graph import _materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
     lng = emb.select(
         "vec_id",
@@ -1362,8 +1364,15 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(i / {PQ_SUBDIM} AS INT)").alias("s"),
         F.col("x").cast("double").alias("x"),
     )
-    cb = lng.groupBy(F.col("label").alias("cb_label"), "s", "i").agg(
-        F.avg("x").alias("c")
+    # The INDEX — codebook + per-vector codes — is built once and
+    # persisted (at scale: the standing index tables next to the
+    # corpus); search-time plans below touch only these small/coded
+    # relations plus the probed inverted list.
+    cb = _materialize(
+        lng.groupBy(F.col("label").alias("cb_label"), "s", "i").agg(
+            F.avg("x").alias("c")
+        ),
+        spark, sf_dir, "ivfpq_codebook",
     )
     d = (
         lng.join(F.broadcast(cb), ["s", "i"])
@@ -1375,10 +1384,11 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = Window.partitionBy("vec_id", "s").orderBy("d2", "cb_label")
-    codes = (
+    codes = _materialize(
         d.withColumn("rn", F.row_number().over(wc))
         .where(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cb_label").alias("code"))
+        .select("vec_id", "s", F.col("cb_label").alias("code")),
+        spark, sf_dir, "ivfpq_codes",
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
