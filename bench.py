@@ -53,6 +53,9 @@ PIPELINE = {
     "pagerank": "graph_pagerank",
     "text_clf_e2e": "ml_text_classifier_e2e",
     "snowflake12": "join_snowflake_12way",
+    # round 4: the two new index-backed families (build + search/probe)
+    "ivfpq_search": "sim_ivfpq_search",
+    "dedup_incr_probe": "dedup_incremental_index_probe",
 }
 
 

@@ -1216,6 +1216,25 @@ order by a NULLS LAST, b NULLS LAST, g
 )
 
 register_regress(
+    "regress_strings_substring",
+    """
+SELECT SUBSTRING('1234567890' FROM 3) AS s1,
+       SUBSTRING('1234567890' FROM 4 FOR 3) AS s2,
+       SUBSTRING('string' FROM 2 FOR 2147483646) AS s3,
+       SUBSTRING('string' FROM -10 FOR 5) AS s4,
+       trim(both 'x' from 'xxdoublexx') AS t1,
+       trim(leading 'x' from 'xxdoublexx') AS t2,
+       trim(trailing 'x' from 'xxdoublexx') AS t3,
+       upper(lower('MiXeD')) AS u1
+""",
+    "src/test/regress/sql/strings.sql (E021-06 substring battery + "
+    "trim BOTH/LEADING/TRAILING forms): the FROM/FOR spellings and "
+    "negative/overflowing bounds PG defines (FROM -10 FOR 5 yields "
+    "the empty prefix window).",
+    ("scalar", "string"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
