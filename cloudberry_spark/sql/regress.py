@@ -1235,6 +1235,41 @@ SELECT SUBSTRING('1234567890' FROM 3) AS s1,
 )
 
 register_regress(
+    "regress_with_recursive_limit",
+    """
+WITH RECURSIVE t(n) AS (
+    VALUES (1)
+UNION ALL
+    SELECT n+1 FROM t WHERE n < 10000
+)
+SELECT * FROM t LIMIT 10
+""",
+    "src/test/regress/sql/with.sql:68-72 — the lazy-consumption "
+    "recursive CTE: the original recursion is UNBOUNDED and relies on "
+    "the outer LIMIT reading only what it needs; Spark evaluates the "
+    "recursion eagerly to its fixpoint, so the port bounds it at 10000 "
+    "(far past the LIMIT) — same 10 rows, documented evaluation-model "
+    "divergence.",
+    ("cte", "recursive", "limit"),
+)
+
+register_regress(
+    "regress_with_string_growth",
+    """
+WITH RECURSIVE t(n) AS (
+    SELECT 'foo'
+UNION ALL
+    SELECT n || ' bar' FROM t WHERE length(n) < 20
+)
+SELECT n, length(n) AS len FROM t ORDER BY len
+""",
+    "src/test/regress/sql/with.sql:85-90 — recursive string growth "
+    "(unknown-type literal resolves to text; pg_typeof probe replaced "
+    "by length, which both engines share).",
+    ("cte", "recursive"),
+)
+
+register_regress(
     "regress_srf_series_cross",
     """
 select p, CAST(sum(x) AS BIGINT) AS sx
