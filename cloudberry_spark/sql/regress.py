@@ -1261,7 +1261,7 @@ WITH RECURSIVE t(n) AS (
 UNION ALL
     SELECT n || ' bar' FROM t WHERE length(n) < 20
 )
-SELECT n, length(n) AS len FROM t ORDER BY len
+SELECT n, CAST(length(n) AS BIGINT) AS len FROM t ORDER BY len
 """,
     "src/test/regress/sql/with.sql:85-90 — recursive string growth "
     "(unknown-type literal resolves to text; pg_typeof probe replaced "
