@@ -181,6 +181,8 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
 
+    seg = _strip_empty_grouping(seg)
+
     # multi-argument GROUPING(a, b, ...) -> grouping_id(a, b, ...): same
     # bit-per-argument integer on both engines (parse_agg.c GROUPING);
     # single-argument GROUPING(a) is Spark-native and left alone.
@@ -191,6 +193,78 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
     return seg
+
+
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.I)
+#: keywords that terminate a GROUP BY clause at paren depth 0
+_GB_END_RE = re.compile(
+    r"\b(HAVING|WINDOW|ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|FETCH)\b",
+    re.I,
+)
+
+
+def _strip_empty_grouping(seg: str) -> str:
+    """Drop PG empty-grouping-parens from plain GROUP BY lists.
+
+    PG accepts ``GROUP BY (), cn`` / ``GROUP BY cn, ()`` / ``GROUP BY
+    ()`` as no-op grouping items (gram.y group_by_item: empty_grouping_
+    set; exercised by the reference's olap_group.sql "syntactic
+    equivalents" battery). Spark rejects a bare ``()`` item, so remove
+    top-level ``()`` entries — a ``()`` nested inside GROUPING SETS /
+    CUBE / ROLLUP is meaningful and preserved — and when nothing
+    remains, drop the whole clause (grand-total aggregation)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _GROUP_BY_RE.search(seg, pos)
+        if not m:
+            out.append(seg[pos:])
+            return "".join(out)
+        out.append(seg[pos : m.start()])
+        # scan the clause: split on depth-0 commas, stop at depth-0
+        # terminator keyword or the subquery's closing paren
+        i = m.end()
+        depth = 0
+        items: list[str] = []
+        cur = i
+        end = len(seg)
+        while i < len(seg):
+            c = seg[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append(seg[cur:i])
+                cur = i + 1
+            elif depth == 0 and c.isalpha():
+                km = _GB_END_RE.match(seg, i)
+                if km:
+                    end = i
+                    break
+                # skip the rest of this word so HAVINGx never matches
+                while i + 1 < len(seg) and (
+                    seg[i + 1].isalnum() or seg[i + 1] == "_"
+                ):
+                    i += 1
+            i += 1
+        else:
+            end = len(seg)
+        items.append(seg[cur:end])
+        kept = [it for it in items if it.strip() != "()"]
+        if kept:
+            # trailing space: a dropped last item may have held the
+            # whitespace separating the list from HAVING/ORDER BY
+            out.append(m.group(0) + ",".join(kept) + " ")
+        elif items and not any(it.strip() for it in items):
+            # not actually a list (e.g. malformed); leave untouched
+            out.append(m.group(0) + seg[m.end() : end])
+        # else: every item was (), drop the clause entirely
+        pos = end
+    return "".join(out)
 
 
 #: one-paren-nesting-level argument, shared by the field rewrites below

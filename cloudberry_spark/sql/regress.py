@@ -137,6 +137,51 @@ timestamp_tbl(d1) AS (
          (TIMESTAMP '1902-05-05 01:02:03'),
          (TIMESTAMP '2038-04-08 12:00:00')
 ),
+t1(c1) AS (
+  SELECT CAST(i AS INT) FROM generate_series(1, 10) AS gs(i)
+),
+t2(c2) AS (
+  SELECT CAST(i AS INT) FROM generate_series(1, 5) AS gs(i)
+),
+t3(c3) AS (
+  VALUES (1), (2), (3)
+),
+t4(c4) AS (
+  VALUES (1), (2)
+),
+t1n(c1n) AS (
+  VALUES (1), (2), (3), (NULL), (5), (6), (7)
+),
+g1(a, b, c) AS (
+  VALUES (1,1,1), (1,1,2), (1,2,2), (2,2,2), (2,2,3), (2,3,3),
+         (3,3,3), (3,3,3), (3,3,4), (3,4,4), (4,4,4)
+),
+l1(w, x, y, z) AS (
+  SELECT CAST(i AS INT), CAST(i AS INT), CAST(i AS INT), CAST(i AS INT)
+  FROM generate_series(1, 10) AS gs(i)
+),
+dqa_t1 AS (
+  SELECT CAST(i % 23 AS INT) AS d, CAST(i % 12 AS INT) AS i,
+         CAST(i % 10 AS TEXT) AS c, DATE '2009-06-10' + CAST(i % 34 AS INT) AS dt
+  FROM generate_series(0, 99) AS gs(i)
+),
+dqa_t2 AS (
+  SELECT CAST(i % 34 AS INT) AS d, CAST(i % 45 AS INT) AS i,
+         CAST(i % 10 AS TEXT) AS c, DATE '2009-06-10' + CAST(i % 56 AS INT) AS dt
+  FROM generate_series(0, 99) AS gs(i)
+),
+weibull(id, x1, x2, y) AS (
+  VALUES (1, CAST(41.9 AS DOUBLE), CAST(29.1 AS DOUBLE),
+          CAST(251.3 AS DOUBLE)),
+         (2, 43.4, 29.3, 251.3), (3, 43.9, 29.5, 248.3),
+         (4, 44.5, 29.7, 267.5), (5, 47.3, 29.9, 273.0),
+         (6, 47.5, 30.3, 276.5), (7, 47.9, 30.5, 270.3),
+         (8, 50.2, 30.7, 274.9), (9, 52.8, 30.8, 285.0),
+         (10, 53.2, 30.9, 290.0), (11, 56.7, 31.5, 297.0),
+         (12, 57.0, 31.7, 302.5), (13, 63.5, 31.9, 304.5),
+         (14, 65.3, 32.0, 309.3), (15, 71.1, 32.1, 321.7),
+         (16, 77.0, 32.5, 330.7), (17, 77.8, 32.9, 349.0)
+),
 date_tbl(f1) AS (
   VALUES (DATE '1957-04-09'), (DATE '1957-06-13'), (DATE '1996-02-28'),
          (DATE '1996-02-29'), (DATE '1996-03-01'), (DATE '1996-03-02'),
@@ -1282,4 +1327,153 @@ group by p order by p
     "explode(sequence). (PG's bare `x` alias names the column too; "
     "DuckDB needs the explicit x(x) spelling, so both sides use it.)",
     ("srf", "aggregate"),
+)
+
+
+# ---------------------------------------------------------------------------
+# notin.sql — the reference's NOT IN battery (LASJ_NOTIN planning:
+# src/backend/optimizer — NOT IN with a nullable inner side must NOT
+# become a plain anti join; these pin the three-valued semantics).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_notin_basic",
+    """
+select c1 from t1 where c1 not in
+	(select c2 from t2)
+order by c1
+""",
+    "src/test/regress/sql/notin.sql:89 (q1) — plain NOT IN, non-null "
+    "inner: plans as a left-anti join. ORDER BY added for determinism.",
+    ("join", "subquery"),
+)
+
+register_regress(
+    "regress_notin_nested_triple",
+    """
+select c1 from t1 where c1 not in
+	(select c2 from t2 where c2 not in
+		(select c3 from t3 where c3 not in
+			(select c4 from t4)))
+order by c1
+""",
+    "src/test/regress/sql/notin.sql:105 (q3) — three-deep nested "
+    "NOT IN chain.",
+    ("join", "subquery"),
+)
+
+register_regress(
+    "regress_notin_null_inner",
+    """
+select (select count(*) from t1 where c1 not in (select c1n from t1n))
+           AS with_null,
+       (select count(*) from t1 where c1 not in
+            (select c1n from t1n where c1n is not null)) AS sans_null
+""",
+    "src/test/regress/sql/notin.sql t1n battery — a NULL anywhere in "
+    "the inner side makes NOT IN never-true (count 0), while filtering "
+    "the NULL restores the anti-join (count 4): the LASJ_NOTIN "
+    "semantics the reference plans specially. Adapted to scalar "
+    "subqueries so one row pins both cases.",
+    ("join", "subquery"),
+)
+
+register_regress(
+    "regress_notin_row_constructor",
+    """
+select a, b, c from g1 where (a,b,c) not in
+	(select x,y,z from l1)
+order by a, b, c
+""",
+    "src/test/regress/sql/notin.sql:196 (q14) — row-constructor NOT IN "
+    "(`select *` spelled out; DuckDB needs the explicit ROW() form in "
+    "the oracle, Spark accepts the PG spelling through the frontend).",
+    ("join", "subquery"),
+    oracle="""
+select a, b, c from g1 where ROW(a,b,c) not in
+	(select ROW(x,y,z) from l1)
+order by a, b, c
+""",
+)
+
+register_regress(
+    "regress_notin_agg_inner",
+    """
+select count(c1) AS n from t1 where c1 not in
+	(select sum(c2) from t2)
+""",
+    "src/test/regress/sql/notin.sql:171 (q10) — aggregate-producing "
+    "inner side (single-row sum=15; no t1 value matches, all 10 rows "
+    "survive).",
+    ("join", "subquery", "aggregate"),
+)
+
+register_regress(
+    "regress_notin_join_mix",
+    """
+select c1 from t1,t2 where c1 not in
+	(select c3 from t3) and c1 = c2
+order by c1
+""",
+    "src/test/regress/sql/notin.sql:158 (q8) — NOT IN stacked on an "
+    "equi-join of the outer tables.",
+    ("join", "subquery"),
+)
+
+register_regress(
+    "regress_notin_subq_from",
+    """
+select c1 from t1,
+(select c2 from t2 where c2 not in
+	(select c3 from t3) and c2 > 4) foo
+	where c1 = foo.c2
+""",
+    "src/test/regress/sql/notin.sql:128 (q5) — NOT IN inside a "
+    "derived table joined back to the outer query.",
+    ("join", "subquery"),
+)
+
+
+# ---------------------------------------------------------------------------
+# gp_dqa.sql — multi-stage DISTINCT-qualified aggregate plans (the
+# reference's TupleSplit/multi-phase DQA: cdbgroupingpaths.c).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_dqa_count_sum_distinct_grouped",
+    """
+select i, count(distinct d) AS cd, CAST(sum(distinct d) AS BIGINT) AS sd
+from dqa_t1 group by i
+order by i
+""",
+    "src/test/regress/sql/gp_dqa.sql:46 — two DISTINCT aggregates over "
+    "the same column, grouped by a non-distribution key (grouping "
+    "column added to the output for determinism).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_dqa_triple_distinct",
+    """
+select count(distinct d) AS cd, count(distinct c) AS cc,
+       count(distinct dt) AS cdt
+from dqa_t1
+""",
+    "src/test/regress/sql/gp_dqa.sql:51 — three DISTINCT aggregates "
+    "over columns of three different types (int/char/date): the "
+    "TupleSplit shape, one split per distinct column.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_dqa_join_grouped",
+    """
+select dqa_t2.dt, count(distinct dqa_t1.d) AS cd
+from dqa_t1, dqa_t2 where dqa_t1.d = dqa_t2.d
+group by dqa_t2.dt
+order by dqa_t2.dt
+""",
+    "src/test/regress/sql/gp_dqa.sql:60 — DQA over a join, grouped by "
+    "the other relation's column (grouping column added to the output).",
+    ("aggregate", "join"),
 )

@@ -108,14 +108,14 @@ def test_comments_with_apostrophes_do_not_break_masking():
     literal), and `--` inside a literal must stay literal text."""
     from cloudberry_spark.sql.pgcompat import translate_pg_sql
 
-    out = translate_pg_sql(
+    out = t(
         "SELECT a::int4 -- don't break this\n"
         "FROM t WHERE b = 'x -- not a comment' AND c = ARRAY[1, 2]"
     )
     assert "a::int " in out or "a::int\n" in out or "a::int -" in out
     assert "'x -- not a comment'" in out
     assert "array(1, 2)" in out
-    out2 = translate_pg_sql(
+    out2 = t(
         "SELECT 'it''s' AS s /* isn't a 'literal' ARRAY[9] */, ARRAY[1] AS a"
     )
     assert "'it''s'" in out2
@@ -134,3 +134,28 @@ def test_similar_to_pg_semantics():
     assert similar_to_regex("a_c") == "^(?:a.c)$"
     assert similar_to_regex("a.c") == "^(?:a\\.c)$"
     assert similar_to_regex("x[0-9]+") == "^(?:x[0-9]+)$"
+
+
+def test_empty_grouping_parens_stripped():
+    # PG gram.y empty_grouping_set: () items in plain GROUP BY are
+    # no-ops (olap_group.sql); Spark rejects them. The stripper may
+    # leave benign double spaces — compare whitespace-normalized.
+    def n(sql):
+        return " ".join(t(sql).split())
+
+    assert n("SELECT a, count(*) FROM t GROUP BY (), a ORDER BY a") == (
+        "SELECT a, count(*) FROM t GROUP BY a ORDER BY a"
+    )
+    assert n("SELECT a FROM t GROUP BY a, (), b, () HAVING a > 1") == (
+        "SELECT a FROM t GROUP BY a, b HAVING a > 1"
+    )
+    # a lone () means grand-total aggregation: clause dropped entirely
+    assert n("SELECT count(*) FROM t GROUP BY ()") == "SELECT count(*) FROM t"
+    # () nested inside GROUPING SETS is meaningful and preserved
+    assert n("SELECT a FROM t GROUP BY GROUPING SETS ((), (a)) ORDER BY 1") == (
+        "SELECT a FROM t GROUP BY GROUPING SETS ((), (a)) ORDER BY 1"
+    )
+    # subquery scope: the () of the inner GROUP BY goes, cube( ) stays
+    assert n(
+        "SELECT x FROM (SELECT a FROM t GROUP BY a, ()) s GROUP BY cube (x)"
+    ) == ("SELECT x FROM (SELECT a FROM t GROUP BY a ) s GROUP BY cube (x)")
