@@ -390,28 +390,36 @@ _DISTINCT_ON_RE = re.compile(
     r"\s+ORDER\s+BY\s+(.*?)\s*$",
     flags=re.I | re.S,
 )
+_DISTINCT_ON_START_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\b", re.I)
 
 
-def _rewrite_distinct_on(sql: str) -> str | None:
+def _rewrite_distinct_on(masked: str) -> str:
     """SELECT DISTINCT ON (k) cols FROM t ORDER BY k, rest — the PG
     keep-first-row-per-key idiom — as a row_number window (the same
-    rewrite the reference's planner performs via a unique-on-sort)."""
-    m = _DISTINCT_ON_RE.match(sql)
-    if not m:
-        return None
-    keys, cols, src, order = (g.strip() for g in m.groups())
-    return (
-        f"SELECT {cols} FROM ("
-        f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
-        f" AS rn__ FROM {src}) WHERE rn__ = 1"
-    )
+    rewrite the reference's planner performs via a unique-on-sort).
+
+    Runs on literal-masked text and targets the FINAL top-level SELECT,
+    so a query carrying a WITH prelude (the regress corpus shape) is
+    rewritten too; paren balance decides top-level (comments/literals
+    are already placeholders, so counts are reliable)."""
+    for m in _DISTINCT_ON_START_RE.finditer(masked):
+        prefix = masked[: m.start()]
+        if prefix.count("(") != prefix.count(")"):
+            continue
+        r = _DISTINCT_ON_RE.match(masked[m.start() :])
+        if not r:
+            continue
+        keys, cols, src, order = (g.strip() for g in r.groups())
+        return prefix + (
+            f"SELECT {cols} FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
+            f" AS rn__ FROM {src}) WHERE rn__ = 1"
+        )
+    return masked
 
 
 def translate_pg_sql(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
-    d = _rewrite_distinct_on(sql)
-    if d is not None:
-        sql = d
     lits: list[str] = []
 
     def _mask(m: re.Match) -> str:
@@ -419,6 +427,7 @@ def translate_pg_sql(sql: str) -> str:
         return _PH.format(len(lits) - 1)
 
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
+    masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

@@ -1477,3 +1477,114 @@ order by dqa_t2.dt
     "the other relation's column (grouping column added to the output).",
     ("aggregate", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# olap_group.sql — the reference's OLAP GROUP BY extension battery
+# (syntactic/semantic equivalence sets over the sale table).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_olap_group_empty_parens",
+    """
+select cn, vn, count(*) AS c from sale group by (), cn, (), vn, ()
+order by cn, vn
+""",
+    "src/test/regress/sql/olap_group.sql:30 — empty grouping parens "
+    "interleaved in a plain GROUP BY are syntactic no-ops (gram.y "
+    "empty_grouping_set); the frontend strips them for Spark.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_olap_rollup_revenue",
+    """
+select cn, vn, pn, sum(qty*prc) AS s from sale group by rollup(cn,vn,pn)
+order by 1,2,3
+""",
+    "src/test/regress/sql/olap_group.sql:44 — the ROLLUP member of the "
+    "semantic-equivalence set (UNION-ALL-of-groupings == ROLLUP).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_olap_gsets_dup_sets",
+    """
+select cn, vn, pn, sum(qty*prc) AS s from sale
+group by grouping sets((cn,vn), (), (cn,vn,pn), (cn))
+order by 1,2,3
+""",
+    "src/test/regress/sql/olap_group.sql:46 — GROUPING SETS listed in "
+    "scrambled order (equivalent to ROLLUP; set order must not matter).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_olap_cube_count_distinct",
+    """
+select cn, vn, pn, count(distinct dt) AS cd from sale
+group by cube (cn, vn, pn)
+order by 1,2,3
+""",
+    "src/test/regress/sql/olap_group.sql:95 — DISTINCT-qualified "
+    "aggregate under a 3-column CUBE (8 grouping sets x dedup: the "
+    "TupleSplit-under-Sort shape).",
+    ("aggregate",),
+)
+
+
+# ---------------------------------------------------------------------------
+# leastsquares.sql / select_distinct_on.sql / float8.sql
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_leastsquares_simple",
+    """
+select
+    regr_count(y, x1)::real as count,
+    regr_avgx(y, x1)::real as avgx,
+    regr_avgy(y, x1)::real as avgy,
+    regr_sxx(y, x1)::real as sxx,
+    regr_sxy(y, x1)::real as sxy,
+    regr_syy(y, x1)::real as syy,
+    regr_intercept(y, x1)::real as intercept,
+    regr_slope(y, x1)::real as slope,
+    regr_r2(y, x1)::real as r2
+from weibull
+""",
+    "src/test/regress/sql/leastsquares.sql:44 — the full OLS aggregate "
+    "battery over the weibull fixture, ::real-rounded exactly as the "
+    "original masks low-bit float drift.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_distinct_on_keep_first",
+    """
+SELECT DISTINCT ON (ten) ten, thousand, tenthous FROM onek
+ORDER BY ten, thousand DESC, tenthous
+""",
+    "src/test/regress/sql/select_distinct_on.sql shape over the onek "
+    "analogue — keep-first-row-per-key; the frontend rewrites to a "
+    "row_number window, DuckDB runs DISTINCT ON natively.",
+    ("window",),
+)
+
+register_regress(
+    "regress_float8_special_values",
+    """
+SELECT f, CAST(f = CAST('NaN' AS float8) AS text) AS eqnan,
+       CAST(f > 1e308 AS text) AS beyond,
+       CAST(abs(f) AS float8) AS absf
+FROM (VALUES (CAST('NaN' AS float8)), (CAST('Infinity' AS float8)),
+             (CAST('-Infinity' AS float8)), (CAST(1.0 AS float8)),
+             (CAST(NULL AS float8))) v(f)
+ORDER BY f NULLS FIRST
+""",
+    "src/test/regress/sql/float8.sql special-value battery — NaN "
+    "equals NaN and sorts above Infinity on BOTH engines (PG float.c "
+    "float8_cmp_internal ordering, which Spark shares). Booleans are "
+    "text-cast: a NULL bool stringifies differently per engine in the "
+    "audit row sort (None vs NaN), while text NULLs align.",
+    ("scalar",),
+)

@@ -41,6 +41,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == 0:
             return 0.0
         return round(v, 8 - 1 - int(math.floor(math.log10(abs(v)))))
