@@ -181,6 +181,21 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
 
+    # quantified comparisons over subqueries: Spark has IN/NOT IN but
+    # no op-ANY/op-ALL (PG parse_expr.c SubLink ANY/ALL). The two
+    # equality forms are exact synonyms; only rewrite when a SELECT
+    # follows so `= ANY(array_expr)` (different PG feature) is
+    # untouched.
+    seg = re.sub(
+        r"=\s*ANY\s*\(\s*SELECT\b", " IN (SELECT", seg, flags=re.I
+    )
+    seg = re.sub(
+        r"(?:<>|!=)\s*ALL\s*\(\s*SELECT\b",
+        " NOT IN (SELECT",
+        seg,
+        flags=re.I,
+    )
+
     seg = _strip_empty_grouping(seg)
 
     # multi-argument GROUPING(a, b, ...) -> grouping_id(a, b, ...): same

@@ -188,6 +188,26 @@ date_tbl(f1) AS (
          (DATE '1997-02-28'), (DATE '1997-03-01'), (DATE '1997-03-02'),
          (DATE '2000-04-01'), (DATE '2000-04-02'), (DATE '2000-04-03'),
          (DATE '2038-04-08'), (DATE '2039-04-09'), (DATE '2040-04-10')
+),
+qp_csq_t1(a, b) AS (
+  VALUES (1, 2), (3, 4), (5, 6), (7, 8)
+),
+qp_csq_t2(x, y) AS (
+  VALUES (1, 1), (3, 9), (5, 25), (7, 49)
+),
+csq_a(i, j) AS (
+  VALUES (1, 1), (19, 5), (99, 62), (1, 1), (78, -1)
+),
+csq_b(i, j) AS (
+  VALUES (1, 43), (88, 1), (-1, 62), (1, 1), (32, 5), (2, 7)
+),
+csq_c(i, j) AS (
+  VALUES (1, 889), (288, 1), (-1, 625), (32, 65), (32, 62), (3, -1),
+         (99, 7), (78, 62), (2, 7)
+),
+csq_e(i, j) AS (
+  VALUES (1, 889), (288, 1), (-1, 625), (32, 65), (32, 62), (3, -1),
+         (99, 7), (78, 62)
 )
 """
 
@@ -1587,4 +1607,185 @@ ORDER BY f NULLS FIRST
     "text-cast: a NULL bool stringifies differently per engine in the "
     "audit row sort (None vs NaN), while text NULLs align.",
     ("scalar",),
+)
+
+
+# ---------------------------------------------------------------------------
+# qp_correlated_query.sql — GP correlated-subquery (CSQ) battery.
+#
+# The reference dedicates a whole regress file to CSQ pull-up/decorrelation
+# (src/test/regress/sql/qp_correlated_query.sql, driven by ORCA's
+# CSubqueryHandler). Fixtures A/B/C/E and qp_csq_t1/t2 are renamed
+# csq_a/csq_b/... (single-letter CTE names would shadow prelude aliases);
+# the query text is otherwise the original. Spark's DecorrelateInnerQuery
+# handles one level of correlation per subquery; the file's two
+# cross-level shapes (an IN nested inside EXISTS correlating PAST the
+# EXISTS scope, qp_correlated_query.sql:96,110) hit
+# INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1 and are documented as a
+# frontend gap in MIGRATION.md rather than registered.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_csq_in_correlated",
+    """
+select csq_a.i from csq_a
+where csq_a.i in (select csq_b.i from csq_b where csq_a.i = csq_b.i)
+order by csq_a.i
+""",
+    "qp_correlated_query.sql:95 — correlated IN (ORCA rewrites to "
+    "correlated EXISTS semi-join; Spark decorrelates the same way).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_notin_correlated",
+    """
+select csq_a.i from csq_a
+where csq_a.i not in (select csq_b.i from csq_b where csq_a.i = csq_b.i)
+order by csq_a.i
+""",
+    "qp_correlated_query.sql:123 — correlated NOT IN: null-aware "
+    "anti-join with an extra correlated equality inside.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_eq_any_correlated",
+    """
+select csq_a.i, csq_a.j from csq_a
+where csq_a.j = any (select csq_c.j from csq_c where csq_c.j = csq_a.j)
+order by 1, 2
+""",
+    "qp_correlated_query.sql:159 — correlated = ANY(SELECT ...): the "
+    "frontend rewrites op-ANY over a subquery to IN (PG parse_expr.c "
+    "treats them as the same SubLink), which Spark then decorrelates.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_eq_any_agg",
+    """
+select csq_a.i, csq_a.j from csq_a
+where csq_a.j = any (select sum(csq_c.j) from csq_c
+                     where csq_c.j = csq_a.j)
+order by 1, 2
+""",
+    "qp_correlated_query.sql:103 (simplified to one nesting level) — "
+    "= ANY over a correlated aggregate subquery.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_ne_all_correlated",
+    """
+select csq_a.i from csq_a
+where csq_a.i <> all (select csq_b.i from csq_b where csq_b.i > csq_a.i)
+order by 1
+""",
+    "qp_correlated_query.sql <> ALL family — frontend rewrites to NOT "
+    "IN (same SubLink identity), with a correlated range qual inside.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_uncorr_any_cross",
+    """
+select a, x from qp_csq_t1, qp_csq_t2
+where qp_csq_t1.a = any (select x) order by a, x
+""",
+    "qp_correlated_query.sql:155 — = ANY over a bare correlated "
+    "column reference (the subquery FROM-less SELECT x pulls x from "
+    "the outer cross join).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_exists_notin",
+    """
+select * from csq_a, csq_b
+where exists (select * from csq_e
+              where csq_e.j = csq_a.j
+                and csq_b.i not in (select csq_e.i from csq_e
+                                    where csq_e.i != 10))
+order by 1, 2, 3, 4
+""",
+    "qp_correlated_query.sql:125 — EXISTS whose inner WHERE carries an "
+    "uncorrelated NOT IN; each subquery correlates exactly one level.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_exists_notin_agg",
+    """
+select * from csq_a
+where exists (select * from csq_b, csq_c
+              where csq_c.j = csq_a.j
+                and csq_b.i not in (select sum(csq_c.i) from csq_c
+                                    where csq_c.i = csq_b.i
+                                      and csq_c.i != 10))
+order by 1, 2
+""",
+    "qp_correlated_query.sql:124 — EXISTS over a join whose inner NOT "
+    "IN wraps a correlated aggregate (NULL-vs-empty aggregate result "
+    "drives the NOT IN three-valued logic).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_any_nested",
+    """
+select * from csq_a
+where csq_a.j = any (select csq_c.j from csq_c, csq_b
+                     where csq_c.j = csq_a.j
+                       and csq_b.i = any (select csq_c2.i
+                                          from csq_c csq_c2))
+order by 1, 2
+""",
+    "qp_correlated_query.sql:161 — nested = ANY: outer ANY correlates "
+    "to csq_a, inner ANY is uncorrelated over a self-aliased csq_c.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_scalar_nested_in",
+    """
+select csq_a.j from csq_a
+where csq_a.j = (select max(csq_c.j) from csq_c
+                 where csq_c.j = csq_a.j
+                   and csq_c.i in (select csq_b.i from csq_b
+                                   where csq_c.i = csq_b.i
+                                     and csq_b.i != 10))
+order by 1
+""",
+    "qp_correlated_query.sql:135 shape (max() added: Spark requires "
+    "correlated scalar subqueries to be aggregated; PG would error at "
+    "runtime on multiple rows, so the aggregate form is the portable "
+    "statement of the same test) — scalar subquery with a correlated "
+    "IN one level further down.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_scalar_count_select",
+    """
+select csq_b.i, csq_b.j,
+       (select count(*) from csq_c where csq_c.i = csq_b.i) as n
+from csq_b order by 1, 2, 3
+""",
+    "qp_correlated_query.sql correlated-scalar-in-targetlist family — "
+    "COUNT(*) must see 0 (not NULL) for match-less outer rows; Spark "
+    "handles the count bug rewrite (Feng et al.) natively.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_having_correlated",
+    """
+select csq_a.j, count(*) as cnt from csq_a group by csq_a.j
+having csq_a.j in (select csq_c.j from csq_c where csq_c.j = csq_a.j)
+order by 1, 2
+""",
+    "subselect_gp.sql HAVING-CSQ shape — correlated IN under HAVING, "
+    "grouped column as the correlation key.",
+    ("subquery",),
 )
