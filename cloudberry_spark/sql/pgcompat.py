@@ -131,11 +131,15 @@ def _rewrite_masked(seg: str) -> str:
 
     # array_agg(e ORDER BY o [DESC]) -> sorted-struct collect (Spark has
     # no ordered aggregate): collect (o, e) pairs, array_sort on the
-    # struct order (field-order comparison), project e back out.
+    # struct order (field-order comparison), project e back out. A
+    # leading `o IS NULL` field pins NULL order keys LAST for ASC (PG's
+    # ordered-aggregate default; Spark struct comparison alone puts
+    # NULL first) — and reverse() for DESC then yields PG's NULLS FIRST.
     def _array_agg(m: re.Match) -> str:
         expr, order, desc = m.group(1), m.group(2), bool(m.group(3))
         arr = (
-            f"array_sort(collect_list(struct({order} AS __o, {expr} AS __v)))"
+            f"array_sort(collect_list(struct(({order}) IS NULL AS __n, "
+            f"{order} AS __o, {expr} AS __v)))"
         )
         if desc:
             arr = f"reverse({arr})"
@@ -330,6 +334,13 @@ def similar_to_regex(pattern: str) -> str:
             out.append(c)
             if c == "]":
                 in_class = False
+        elif c == "\\" and i + 1 < len(pattern):
+            # default SIMILAR TO escape char: \% and \_ (and \\ etc.)
+            # mean the literal next character, never a metacharacter.
+            nxt = pattern[i + 1]
+            out.append(nxt if nxt.isalnum() or nxt == " " else "\\" + nxt)
+            i += 2
+            continue
         elif c == "%":
             out.append(".*")
         elif c == "_":
@@ -345,8 +356,27 @@ def similar_to_regex(pattern: str) -> str:
     return "^(?:" + "".join(out) + ")$"
 
 
+# Left-operand shape shared by SIMILAR TO and the ~* placeholder ops:
+# a balanced parenthesized expression (one nesting level), a function
+# call whose name is NOT a SQL keyword (so `WHERE (a || b)` is a paren
+# expression, never the call `WHERE(...)`), a string literal, or a
+# bare identifier. No bare `)` alternative — that used to split
+# `(expr) SIMILAR TO ...` mid-parenthesis and emit unbalanced garbage.
+_KEYWORD_GUARD = (
+    r"(?!(?i:WHERE|AND|OR|NOT|ON|IN|WHEN|THEN|ELSE|END|CASE|SELECT|"
+    r"FROM|HAVING|JOIN|USING|BETWEEN|LIKE|ILIKE|EXISTS|ALL|ANY|SOME|"
+    r"DISTINCT|BY|AS|IS)\s*\()"
+)
+_PAREN_EXPR = r"\((?:[^()]*(?:\([^()]*\)[^()]*)*)\)"
+_LEFT_OPERAND = (
+    rf"(?<![\w.'])({_PAREN_EXPR}"
+    rf"|{_KEYWORD_GUARD}[A-Za-z_][\w.]*\s*\([^()]*\)"
+    r"|'(?:[^']|'')*'"
+    r"|[A-Za-z_][\w.]*)"
+)
+
 _SIMILAR_RE = re.compile(
-    r"([A-Za-z_][\w.]*|\))\s+(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')",
+    rf"{_LEFT_OPERAND}\s+(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')",
     re.I,
 )
 
@@ -382,18 +412,17 @@ def _rewrite_restored(sql: str) -> str:
         r"get_json_object(\1, '$[\2]')",
         sql,
     )
-    # case-insensitive regex placeholder ops. Operand: identifier,
-    # identifier(args), or a parenthesized tail — NOT bare \S+, which
-    # swallowed a leading "(" from `(x ~* 'p')` and produced unbalanced
-    # parens (found by the pgcompat fuzz family).
-    _ci_operand = r"([A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|\))"
+    # case-insensitive regex placeholder ops. Operand shares
+    # _LEFT_OPERAND: parenthesized expression / non-keyword call /
+    # string literal / identifier — NOT bare \S+ (swallowed a leading
+    # "(") and NOT a bare ")" (split `(a || b) ~* ...` mid-paren).
     sql = re.sub(
-        rf"{_ci_operand}\s+NOT__RLIKE_CI\s+('(?:[^']|'')*')",
+        rf"{_LEFT_OPERAND}\s+NOT__RLIKE_CI\s+('(?:[^']|'')*')",
         r"NOT regexp_like(lower(\1), lower(\2))",
         sql,
     )
     sql = re.sub(
-        rf"{_ci_operand}\s+RLIKE_CI__\s+('(?:[^']|'')*')",
+        rf"{_LEFT_OPERAND}\s+RLIKE_CI__\s+('(?:[^']|'')*')",
         r"regexp_like(lower(\1), lower(\2))",
         sql,
     )

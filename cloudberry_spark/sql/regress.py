@@ -56,8 +56,8 @@ tenk1 AS (
   -- every column pinned BIGINT: Spark sequence() yields INT while
   -- DuckDB generate_series yields BIGINT, and the driver hash is
   -- dtype-sensitive (the int32-vs-int64 class that went red in r2).
-  -- NB no apostrophes in comments: the frontend literal masker pairs
-  -- quotes without comment awareness.
+  -- (comments are masked in the same pass as literals —
+  -- _STRING_OR_COMMENT_RE — so apostrophes here are safe.)
   SELECT CAST(i AS BIGINT) AS unique1,
          CAST((i * 37) % 10000 AS BIGINT) AS unique2,
          CAST(i % 2 AS BIGINT) AS two, CAST(i % 4 AS BIGINT) AS four,

@@ -49,6 +49,8 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == 0:
             return 0.0
         # 8 significant digits: tolerant of summation-order noise while

@@ -159,3 +159,41 @@ def test_empty_grouping_parens_stripped():
     assert n(
         "SELECT x FROM (SELECT a FROM t GROUP BY a, ()) s GROUP BY cube (x)"
     ) == ("SELECT x FROM (SELECT a FROM t GROUP BY a ) s GROUP BY cube (x)")
+
+
+def test_parenthesized_operand_regex_ci():
+    # ADVICE r4: `WHERE (a || b) ~* 'p'` must translate the whole
+    # parenthesized operand, not fold WHERE into a function call.
+    out = t("SELECT * FROM x WHERE (a || b) ~* 'p'")
+    assert "regexp_like(lower((a || b)), lower('p'))" in out
+    assert "WHERE (" not in out.replace("WHERE regexp", "")
+    out = t("SELECT * FROM x WHERE (a || b) !~* 'p'")
+    assert "NOT regexp_like(lower((a || b)), lower('p'))" in out
+    # function-call operand still works
+    out = t("SELECT * FROM x WHERE lower(a) ~* 'p'")
+    assert "regexp_like(lower(lower(a)), lower('p'))" in out
+
+
+def test_parenthesized_and_literal_operand_similar_to():
+    out = t("SELECT * FROM x WHERE (a || b) SIMILAR TO 'a%'")
+    assert "regexp_like((a || b), " in out
+    out = t("SELECT 'abc' SIMILAR TO 'a%' AS m")
+    assert "regexp_like('abc', " in out
+
+
+def test_similar_to_escape_char():
+    # \% / \_ mean literal percent/underscore (PG default escape).
+    out = t("SELECT a SIMILAR TO '\\%x' AS m FROM t")
+    # regex shows doubled backslashes (Spark literal escaping)
+    assert ".*" not in out
+    assert "\\\\%x" in out
+    out = t("SELECT a SIMILAR TO '\\_y' AS m FROM t")
+    assert "\\\\_y" in out and "^(?:.)" not in out
+
+
+def test_array_agg_order_by_nulls_last():
+    out = t("SELECT array_agg(v ORDER BY k) FROM x GROUP BY g")
+    assert "(k) IS NULL AS __n" in out
+    assert "k AS __o" in out and "v AS __v" in out
+    out = t("SELECT array_agg(v ORDER BY k DESC) FROM x GROUP BY g")
+    assert out.count("reverse(") == 1
