@@ -133,19 +133,19 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Names the correctness driver has already sampled (union of the
-#: CORRECTNESS_r01/r02/r03 keys). interleaved_queries() demotes these
-#: behind never-sampled siblings so each round's 50-query prefix
+#: CORRECTNESS_r01/r02/r03/r04 keys). interleaved_queries() demotes
+#: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r04's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r05's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r4's sample, ~205 queries
-#: remain never-sampled; highest-value r5 leads are whatever r4 red
-#: rows exist (expect none), then the round-4 additions that missed the
-#: prefix (regress batches 3-7 depth, dedup/similarity depth), then the
-#: long tail by family depth — `interleaved_queries()` computes the
-#: never-sampled hoisting automatically, so updating _DRIVER_SAMPLED
-#: alone already rotates; _LEAD is only for priority overrides.
+#: only advances if both stay current. After r5's sample, ~260+ queries
+#: remain never-sampled; highest-value r6 leads are whatever r5 red
+#: rows exist (expect none), then the round-5 additions that missed the
+#: prefix, then the long tail by family depth — `interleaved_queries()`
+#: computes the never-sampled hoisting automatically, so updating
+#: _DRIVER_SAMPLED alone already rotates; _LEAD is only for priority
+#: overrides.
 _DRIVER_SAMPLED = frozenset(
     """
     agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id
@@ -189,71 +189,107 @@ _DRIVER_SAMPLED = frozenset(
     text_quality_score tpcds_rollup_rank udaf_regression_per_label
     udf_python_rowwise udtf_python_ngrams win_exclude_current_row
     win_groups_frame
+    agg_percentile_variable_fraction agg_weighted_median
+    analytics_gaps_islands array_higher_order bucket_colocated_join
+    copy_execute_pipe ddl_column_profile dedup_exact
+    dedup_incremental_index_probe dedup_ngram_jaccard diag_key_skew
+    dml_merge_delete dyn_table_scheduled_refresh events_funnel
+    graph_pagerank ivm_incremental_refresh join_asof_events
+    join_scd2_point_in_time json_containment_ops json_from_json_struct
+    ml_pca_power_iteration multimodal_audio_decode
+    pgsql_compat_distinct_on pipeline_dataset_card recursive_tree_closure
+    regress_agg_grouping_sets regress_join_semi_anti
+    regress_srf_series_cross regress_win_frame_options sample_stratified
+    scalar_assert_op scalar_numeric_wide scalar_time_of_day
+    scalar_trigram_similarity setop_except sim_ivf_knn sim_ivfpq_search
+    sim_lsh_recall sim_neardup_lsh_banded sink_zorder_cluster
+    sketch_countmin_freq stream_session_window_native
+    stream_stateful_sessionize text_vocab_coverage udf_sql_function
+    win_exclude_group win_exclude_ties win_linear_interpolate
+    win_variable_offset_lag xml_xpath_table
     """.split()
 )
 
 #: Queries that must lead their family in interleaved_queries():
 #: recently fixed or newly added operators whose correctness most needs
-#: external (driver-sample) confirmation. Rebuilt for round 4 from the
-#: 256 never-sampled queries, highest-risk first per family (hand-rolled
-#: emulations, iterative algorithms, recently-patched code paths).
+#: external (driver-sample) confirmation. Rebuilt for round 5 from the
+#: 311 never-sampled queries per the r4 verdict: lead with the regress_*
+#: batteries (4/96 confirmed so far), then round-5 additions and bug-fix
+#: paths, then window and pipeline.ml depth. Names registered later this
+#: round may appear here before their module lands — rank lookups are
+#: by name, so unknown names are inert.
 _LEAD = [
-        # this round's bug-fix paths (ADVICE r3): MERGE NULL qualifiers,
-        # jsonb containment edge cases — must get hard confirmation
-        "dml_merge_delete",
-        "json_containment_ops",
-        # never-sampled pipeline subfamilies the r3 prefix missed
-        "sim_neardup_lsh_banded",
-        "dedup_incremental_index_probe",
-        "dedup_ngram_jaccard",
-        "dedup_exact",
-        "sim_ivf_knn",
-        "sim_ivfpq_search",
-        "ml_pca_power_iteration",
-        "multimodal_audio_decode",
-        "text_vocab_coverage",
-        "pipeline_dataset_card",
-        "sim_lsh_recall",
-        # iterative / stateful operators with no hard signal yet
-        "graph_pagerank",
-        "stream_session_window_native",
-        "stream_stateful_sessionize",
-        "dyn_table_scheduled_refresh",
-        "ivm_incremental_refresh",
-        "recursive_tree_closure",
-        # hand-rolled emulations & contrib types
-        "win_exclude_group",
-        "win_exclude_ties",
-        "win_variable_offset_lag",
-        "scalar_numeric_wide",
-        "scalar_time_of_day",
-        "agg_percentile_variable_fraction",
-        "xml_xpath_table",
-        "sketch_countmin_freq",
-        "win_linear_interpolate",
-        "scalar_assert_op",
-        "setop_except",
-        "copy_execute_pipe",
-        "scalar_trigram_similarity",
-        "udf_sql_function",
-        # new regress_* family (reference's own pg_regress corpus
-        # through the pgcompat frontend) — sample its riskiest shapes
-        "regress_win_frame_options",
-        "regress_agg_grouping_sets",
-        "regress_join_semi_anti",
-        "regress_srf_series_cross",
-        # remaining family leads, one per never-sampled family
-        "analytics_gaps_islands",
-        "array_higher_order",
-        "ddl_column_profile",
-        "bucket_colocated_join",
-        "events_funnel",
-        "join_scd2_point_in_time",
-        "json_from_json_struct",
-        "sample_stratified",
-        "sink_zorder_cluster",
-        "pgsql_compat_distinct_on",
-        "diag_key_skew",
+        # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
+        # escape handling, array_agg(ORDER BY) null placement
+        "pgsql_compat_similar_to",
+        "regress_agg_array_order",
+        "regress_gs_cube_array_agg",
+        # round-5 additions: cross-level decorrelation, PL/pgSQL subset,
+        # snapshot DML, information_schema, stemmed text search
+        "regress_csq_crosslevel_exists_in",
+        "regress_csq_crosslevel_exists_in_agg",
+        "udf_plpgsql_scalar",
+        "udf_plpgsql_branching",
+        "dml_snapshot_merge_upsert",
+        "ddl_information_schema_columns",
+        "ddl_information_schema_tables",
+        "text_tsvector_stemmed",
+        # regress batteries never driver-sampled: NOT-IN null semantics,
+        # correlated subqueries, multi-DQA, OLAP grouping, specials
+        "regress_notin_null_inner",
+        "regress_notin_nested_triple",
+        "regress_notin_row_constructor",
+        "regress_notin_subq_from",
+        "regress_csq_notin_correlated",
+        "regress_csq_eq_any_agg",
+        "regress_csq_scalar_nested_in",
+        "regress_csq_exists_notin_agg",
+        "regress_dqa_triple_distinct",
+        "regress_dqa_count_sum_distinct_grouped",
+        "regress_olap_gsets_dup_sets",
+        "regress_olap_group_empty_parens",
+        "regress_olap_cube_count_distinct",
+        "regress_distinct_on_keep_first",
+        "regress_float8_special_values",
+        "regress_leastsquares_simple",
+        "regress_bfv_window_in_subquery",
+        "regress_win_moving_agg_nulls",
+        "regress_with_recursive_sum",
+        "regress_union_mixed_types",
+        "regress_strings_like",
+        "regress_timestamp_diff",
+        "regress_int8_arith",
+        "regress_subq_row_notin",
+        # window-family depth (8/27 confirmed before r5)
+        "win_time_range_frame",
+        "win_limit_with_ties",
+        "win_named_window_clause",
+        "win_filter_clause",
+        "win_cumulative_distinct",
+        "win_topk_two_level",
+        "win_gapfill_locf",
+        "win_distinct_on",
+        "events_ewma_smoothing",
+        # pipeline.ml depth (3/24 confirmed before r5)
+        "ml_logistic_regression",
+        "ml_gmm_em_1d",
+        "ml_kaplan_meier",
+        "ml_naive_bayes_langid",
+        "ml_auc_roc",
+        "ml_t_test_welch",
+        "ml_feature_hashing",
+        "ml_ipw_treatment_effect",
+        # one lead per remaining shallow family
+        "scalar_decimal_exact",
+        "json_nested_path",
+        "dml_update_delete",
+        "stream_stream_join",
+        "setop_intersect_all",
+        "sample_importance",
+        "graph_triangle_count",
+        "recursive_month_series",
+        "array_set_operations",
+        "copy_reject_limit",
 ]
 
 

@@ -1593,9 +1593,17 @@ ORDER BY ten, thousand DESC, tenthous
 register_regress(
     "regress_float8_special_values",
     """
-SELECT f, CAST(f = CAST('NaN' AS float8) AS text) AS eqnan,
+SELECT CASE WHEN f IS NULL THEN NULL
+            WHEN isnan(f) THEN 'NaN'
+            WHEN f = CAST('Infinity' AS float8) THEN 'Inf'
+            WHEN f = CAST('-Infinity' AS float8) THEN '-Inf'
+            ELSE CAST(CAST(f AS decimal(10,1)) AS text) END AS ftext,
+       CAST(f = CAST('NaN' AS float8) AS text) AS eqnan,
        CAST(f > 1e308 AS text) AS beyond,
-       CAST(abs(f) AS float8) AS absf
+       CASE WHEN f IS NULL THEN NULL
+            WHEN isnan(f) THEN 'NaN'
+            WHEN abs(f) = CAST('Infinity' AS float8) THEN 'Inf'
+            ELSE CAST(CAST(abs(f) AS decimal(10,1)) AS text) END AS absf
 FROM (VALUES (CAST('NaN' AS float8)), (CAST('Infinity' AS float8)),
              (CAST('-Infinity' AS float8)), (CAST(1.0 AS float8)),
              (CAST(NULL AS float8))) v(f)
@@ -1603,9 +1611,12 @@ ORDER BY f NULLS FIRST
 """,
     "src/test/regress/sql/float8.sql special-value battery — NaN "
     "equals NaN and sorts above Infinity on BOTH engines (PG float.c "
-    "float8_cmp_internal ordering, which Spark shares). Booleans are "
-    "text-cast: a NULL bool stringifies differently per engine in the "
-    "audit row sort (None vs NaN), while text NULLs align.",
+    "float8_cmp_internal ordering, which Spark shares). Every output "
+    "column is text-cast: NULL bools stringify differently per engine "
+    "in the audit row sort, and raw ±Infinity doubles render as "
+    "'Infinity' (Spark) vs 'inf' (DuckDB) and are hash-hostile to any "
+    "harness without an isinf guard; the CASE maps specials to stable "
+    "'NaN'/'Inf'/'-Inf' tokens on both engines.",
     ("scalar",),
 )
 
