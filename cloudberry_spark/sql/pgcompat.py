@@ -462,6 +462,144 @@ def _rewrite_distinct_on(masked: str) -> str:
     return masked
 
 
+_EXISTS_OPEN_RE = re.compile(r"\bEXISTS\s*\(", re.I)
+_IN_SUBQ_RE = re.compile(
+    r"(?<![\w.])(?!(?:NOT|AND|OR|IN)\b)([A-Za-z_][\w.]*)"
+    r"\s+IN\s*(\()\s*(?=SELECT\b)",
+    re.I,
+)
+_SIMPLE_SUBQ_RE = re.compile(
+    r"^\s*SELECT\s+(?P<e>[^,]+?)\s+FROM\s+"
+    r"(?P<t>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<a>(?!WHERE\b)[A-Za-z_]\w*))?"
+    r"(?:\s+WHERE\s+(?P<w>.+?))?\s*$",
+    re.I | re.S,
+)
+_CLAUSE_KW_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+    re.I,
+)
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at i, or -1."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _depth_at(s: str, i: int) -> int:
+    return s.count("(", 0, i) - s.count(")", 0, i)
+
+
+def _flatten_one_exists_body(body: str, counter: list[int]) -> str | None:
+    """Rewrite one cross-level `X IN (SELECT e FROM t WHERE w)` inside
+    an EXISTS body into a plain join appended to the body's FROM list.
+    Returns the new body, or None if no eligible IN found."""
+    # top-level FROM list span of the body
+    from_m = next(
+        (
+            m
+            for m in re.finditer(r"\bFROM\b", body, re.I)
+            if _depth_at(body, m.start()) == 0
+        ),
+        None,
+    )
+    if from_m is None:
+        return None
+    from_end = len(body)
+    for m in _CLAUSE_KW_RE.finditer(body, from_m.end()):
+        if m.group(1).upper() != "FROM" and _depth_at(body, m.start()) == 0:
+            from_end = m.start()
+            break
+    from_list = body[from_m.end() : from_end]
+    if re.search(r"\bJOIN\b", from_list, re.I):
+        return None
+    body_aliases = set()
+    for item in from_list.split(","):
+        words = item.strip().split()
+        if words:
+            body_aliases.add(words[-1])
+
+    for m2 in _IN_SUBQ_RE.finditer(body):
+        if _depth_at(body, m2.start()) != 0:
+            continue
+        if re.search(r"\bNOT\s*$", body[: m2.start()], re.I):
+            continue
+        left = m2.group(1)
+        popen = m2.start(2)
+        pclose = _match_paren(body, popen)
+        if pclose < 0:
+            continue
+        sub = body[popen + 1 : pclose]
+        if "(" in sub:
+            continue  # nested shapes stay with Spark's own planner
+        sm = _SIMPLE_SUBQ_RE.match(sub)
+        if sm is None or sm.group("w") is None:
+            continue
+        e, t, a, w = (
+            sm.group("e"),
+            sm.group("t"),
+            sm.group("a"),
+            sm.group("w"),
+        )
+        if re.search(
+            r"\b(GROUP|HAVING|ORDER|LIMIT|UNION|DISTINCT)\b", sub, re.I
+        ):
+            continue
+        sub_alias = a or t
+        outer_refs = [
+            al
+            for al in body_aliases
+            if al != sub_alias and re.search(rf"\b{re.escape(al)}\.", w)
+        ]
+        if not outer_refs:
+            continue  # one-level correlation: Spark plans it fine
+        fresh = f"__csq_f{counter[0]}"
+        counter[0] += 1
+        e2 = re.sub(rf"\b{re.escape(sub_alias)}\.", f"{fresh}.", e).strip()
+        w2 = re.sub(rf"\b{re.escape(sub_alias)}\.", f"{fresh}.", w).strip()
+        conjunct = f"({w2} AND {e2} = {left})"
+        nb = body[: m2.start()] + conjunct + body[pclose + 1 :]
+        ins_at = from_end  # FROM list always precedes the WHERE the IN sits in
+        return nb[:ins_at] + f", {t} {fresh} " + nb[ins_at:]
+    return None
+
+
+def _flatten_in_under_exists(masked: str) -> str:
+    """Decorrelate `X IN (SELECT e FROM t WHERE w)` nested inside an
+    EXISTS body when w correlates to the EXISTS body's own FROM tables
+    — the cross-level shape of qp_correlated_query.sql:96,110 that
+    Spark 4.1 cannot plan (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Under
+    EXISTS, row multiplicity is irrelevant, so the IN collapses to a
+    plain join appended to the EXISTS FROM list — the sublink pull-up
+    the reference performs in cdbsubselect.c:62-147
+    (convert_IN_to_join). Fires only on the genuinely cross-correlated
+    single-table shape; everything else keeps Spark's own subquery
+    planning."""
+    counter = [0]
+    progressed = True
+    while progressed:
+        progressed = False
+        for m in _EXISTS_OPEN_RE.finditer(masked):
+            o = masked.index("(", m.start())
+            c = _match_paren(masked, o)
+            if c < 0:
+                continue
+            new_body = _flatten_one_exists_body(masked[o + 1 : c], counter)
+            if new_body is not None:
+                masked = masked[: o + 1] + new_body + masked[c:]
+                progressed = True
+                break
+    return masked
+
+
 def translate_pg_sql(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
     lits: list[str] = []
@@ -473,5 +611,6 @@ def translate_pg_sql(sql: str) -> str:
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
+    masked = _flatten_in_under_exists(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

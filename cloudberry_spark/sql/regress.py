@@ -1632,8 +1632,10 @@ ORDER BY f NULLS FIRST
 # handles one level of correlation per subquery; the file's two
 # cross-level shapes (an IN nested inside EXISTS correlating PAST the
 # EXISTS scope, qp_correlated_query.sql:96,110) hit
-# INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1 and are documented as a
-# frontend gap in MIGRATION.md rather than registered.
+# INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1 raw — the pgcompat
+# frontend now flattens them (_flatten_in_under_exists, the
+# cdbsubselect.c convert_IN_to_join pull-up) and both are registered as
+# regress_csq_crosslevel_* below.
 # ---------------------------------------------------------------------------
 
 register_regress(
@@ -1739,6 +1741,40 @@ order by 1, 2
     "qp_correlated_query.sql:124 — EXISTS over a join whose inner NOT "
     "IN wraps a correlated aggregate (NULL-vs-empty aggregate result "
     "drives the NOT IN three-valued logic).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_crosslevel_exists_in",
+    """
+select * from csq_b
+where exists (select * from csq_c, csq_a
+              where csq_c.j = csq_a.j
+                and csq_b.i in (select csq_c2.i from csq_c csq_c2
+                                where csq_c2.i = csq_a.i and csq_c2.i != 10))
+order by 1, 2
+""",
+    "qp_correlated_query.sql:96 — IN nested inside EXISTS whose inner "
+    "WHERE correlates to the EXISTS scope while the IN operand "
+    "correlates past it; Spark 4.1 INTERNAL_ERRORs on the raw shape, "
+    "so the frontend pulls the sublink up into a join "
+    "(pgcompat._flatten_in_under_exists, after cdbsubselect.c:62-147).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_csq_crosslevel_exists_in_agg",
+    """
+select * from csq_a
+where exists (select * from csq_b
+              where csq_a.i in (select csq_c.i from csq_c
+                                where csq_c.i = csq_b.i))
+order by 1, 2
+""",
+    "qp_correlated_query.sql:110 — the sublink pull-up shape the "
+    "reference tests for both-side correlation (left operand from the "
+    "outermost scope, inner WHERE from the EXISTS scope); flattened to "
+    "a join under EXISTS by the frontend.",
     ("subquery",),
 )
 

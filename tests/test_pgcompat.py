@@ -197,3 +197,32 @@ def test_array_agg_order_by_nulls_last():
     assert "k AS __o" in out and "v AS __v" in out
     out = t("SELECT array_agg(v ORDER BY k DESC) FROM x GROUP BY g")
     assert out.count("reverse(") == 1
+
+
+def test_crosslevel_in_under_exists_flattened():
+    # qp_correlated_query.sql:110 shape: IN inside EXISTS, left operand
+    # from the outermost scope, inner WHERE correlated to EXISTS scope.
+    src = (
+        "select * from a where exists (select * from b "
+        "where a.i in (select c.i from c where c.i = b.i))"
+    )
+    out = t(src)
+    assert "in (select" not in out.lower()
+    assert "__csq_f0" in out and "c __csq_f0" in out
+    assert "__csq_f0.i = b.i" in out.lower()
+    assert "__csq_f0.i = a.i" in out.lower()
+
+
+def test_one_level_in_under_exists_untouched():
+    # inner subquery correlates only to itself -> leave Spark to plan it
+    src = (
+        "select * from a where exists (select * from b "
+        "where a.i in (select c.i from c where c.i != 10))"
+    )
+    assert "__csq_f" not in t(src)
+    # NOT IN is never flattened (anti-join semantics differ)
+    src2 = (
+        "select * from a where exists (select * from b "
+        "where a.i not in (select c.i from c where c.i = b.i))"
+    )
+    assert "__csq_f" not in t(src2)
