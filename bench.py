@@ -8,12 +8,13 @@ Env:
 Methodology: each query's DataFrame is materialized with a noop-format
 write (full pipeline execution, no driver collect bottleneck, no disk
 sink cost) — the same way Spark's own SQL benchmarks measure. Each query
-runs twice and reports the min: the first run pays one-time Janino
-codegen compilation (~0.5-1s per distinct plan shape, a fixed cost
-independent of data volume), the second is steady state — matching how
-BASELINE.md's reference numbers were taken on a warm cluster
-(contrib/pax_storage/doc/performance.md), and the regime that matters
-at 100 TB where compilation is noise.
+runs three times and reports the MEDIAN plus the max-min spread: the
+first run pays one-time Janino codegen compilation (~0.5-1s per distinct
+plan shape, a fixed cost independent of data volume), the later runs are
+steady state — matching how BASELINE.md's reference numbers were taken
+on a warm cluster (contrib/pax_storage/doc/performance.md), and the
+regime that matters at 100 TB where compilation is noise. The persisted
+spread makes cross-round drift attributable (environment vs plan).
 """
 
 from __future__ import annotations
@@ -71,9 +72,10 @@ def main() -> None:
     queries["tpch_q6"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for label, name in {**TPCH, **PIPELINE}.items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             # Time fn() + execution together: operators that materialize
             # intermediate state eagerly (iterative matviews, DML
             # scenarios) do real work inside fn(), and excluding it
@@ -82,9 +84,17 @@ def main() -> None:
             df = queries[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[label] = round(min(runs), 3)
+        # median-of-3: robust to one-off GC/scheduler noise in either
+        # direction; spread (max-min over the two steady-state runs,
+        # i.e. excluding the cold first run) is persisted so a
+        # fleet-wide drift between rounds is attributable to
+        # environment vs plan change (r4 verdict item).
+        runs.sort()
+        timings[label] = round(runs[1], 3)
+        spread[label] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
+    tpch_total = round(sum(timings[q] for q in TPCH), 3)
 
     # Multi-stream throughput (the MPP concurrency story): 4 distinct
     # query streams submitted from 4 threads share the scheduler; wall
@@ -120,6 +130,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tpch22_total": tpch_total,
+                "spread": spread,
+                "runs_per_query": 3,
+                "aggregation": "median",
                 "sf": sf,
             }
         )
