@@ -1,0 +1,371 @@
+"""PL/pgSQL (stateless scalar subset) -> Spark SQL expression compiler.
+
+The reference executes PL/pgSQL procedurally, one statement at a time
+(/root/reference/src/pl/plpgsql/src/pl_exec.c — exec_stmt_if,
+exec_stmt_assign, exec_stmt_return; grammar in pl_gram.y). For the
+stateless scalar subset — DECLARE with optional initializers,
+``v := expr`` / ``v = expr`` assignments, ``IF/ELSIF/ELSE/END IF``, and
+``RETURN expr`` — the function is a pure expression over its arguments,
+so instead of a row-at-a-time Python interpreter (the slow path on
+Spark) we SYMBOLICALLY EXECUTE the body at CREATE time into one Spark
+SQL expression:
+
+- assignments substitute into an environment (var -> parenthesized
+  SQL expression), exactly SSA-style;
+- IF compiles to CASE WHEN, with the statement tail replayed inside
+  each arm so fall-through assignments compose;
+- RETURN terminates a path with the fully-substituted expression.
+
+The resulting expression registers as a Spark SQL-bodied temporary
+function (``CREATE FUNCTION ... RETURN expr``), which Catalyst INLINES
+into the calling plan — whole-stage codegen applies, predicate pushdown
+still works through it, and there is zero per-row Python cost. That is
+the Spark-first answer to "my warehouse is full of small plpgsql
+helpers": the majority class of them (branching scalar logic) becomes
+free, while loops/cursors/EXCEPTION blocks remain out of scope and
+raise NotImplementedError loudly.
+
+Positional parameters ``$1..$n`` (the recursion_test style in the
+reference's plpgsql.sql:1437-1446) are bound to generated arg names.
+PG-dialect expressions inside the body go through translate_pg_sql, so
+``||``, ``::type`` casts etc. work.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+__all__ = ["compile_plpgsql", "create_plpgsql_function"]
+
+#: PG type name -> Spark SQL type (subset; mirrors pgcompat's cast map)
+_TYPE_MAP = {
+    "int": "INT",
+    "int4": "INT",
+    "integer": "INT",
+    "int8": "BIGINT",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "int2": "SMALLINT",
+    "float8": "DOUBLE",
+    "float4": "FLOAT",
+    "real": "FLOAT",
+    "double precision": "DOUBLE",
+    "numeric": "DECIMAL(38,9)",
+    "text": "STRING",
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "char": "STRING",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+}
+
+
+def _map_type(pg_type: str) -> str:
+    t = pg_type.strip().lower()
+    m = re.match(r"(numeric|decimal)\s*\(([^)]*)\)", t)
+    if m:
+        return f"DECIMAL({m.group(2)})"
+    m = re.match(r"(varchar|char|bpchar)\s*\(", t)
+    if m:
+        return "STRING"
+    return _TYPE_MAP.get(t, pg_type.upper())
+
+
+_WS_OR_COMMENT = re.compile(r"(?:\s+|--[^\n]*\n?|/\*.*?\*/)+", re.S)
+
+
+class _Parser:
+    """Recursive-descent over the masked body text."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def _skip_ws(self) -> None:
+        m = _WS_OR_COMMENT.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+
+    def peek_kw(self, *kws: str) -> str | None:
+        self._skip_ws()
+        for kw in kws:
+            pat = r"\s+".join(re.escape(w) for w in kw.split())
+            m = re.match(rf"(?i:{pat})\b", self.text[self.pos :])
+            if m:
+                return kw
+        return None
+
+    def take_kw(self, *kws: str) -> str | None:
+        kw = self.peek_kw(*kws)
+        if kw is None:
+            return None
+        pat = r"\s+".join(re.escape(w) for w in kw.split())
+        m = re.match(rf"(?i:{pat})\b", self.text[self.pos :])
+        self.pos += m.end()
+        return kw
+
+    def until(self, *stop_kws: str) -> str:
+        """Consume text up to (not including) the next depth-0 stop
+        keyword or ';'. Keywords only stop at paren depth 0."""
+        self._skip_ws()
+        start = self.pos
+        depth = 0
+        while self.pos < len(self.text):
+            c = self.text[self.pos]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                if c == ";" and ";" in stop_kws:
+                    break
+                matched = False
+                for kw in stop_kws:
+                    if kw == ";":
+                        continue
+                    pat = r"\s+".join(re.escape(w) for w in kw.split())
+                    if re.match(
+                        rf"(?i:{pat})\b", self.text[self.pos :]
+                    ) and (
+                        self.pos == 0
+                        or not (
+                            self.text[self.pos - 1].isalnum()
+                            or self.text[self.pos - 1] == "_"
+                        )
+                    ):
+                        matched = True
+                        break
+                if matched:
+                    break
+            self.pos += 1
+        return self.text[start : self.pos].strip()
+
+    def expect(self, token: str) -> None:
+        self._skip_ws()
+        if not self.text.startswith(token, self.pos):
+            raise NotImplementedError(
+                f"plpgsql subset: expected {token!r} at "
+                f"...{self.text[self.pos : self.pos + 40]!r}"
+            )
+        self.pos += len(token)
+
+    def at_end(self) -> bool:
+        self._skip_ws()
+        return self.pos >= len(self.text)
+
+
+def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
+    """stmt list until one of `terminators` (not consumed)."""
+    stmts: list = []
+    while not p.at_end():
+        if p.peek_kw(*terminators):
+            return stmts
+        if p.take_kw("IF"):
+            arms = []
+            cond = p.until("THEN")
+            p.take_kw("THEN")
+            body = _parse_stmts(p, ("ELSIF", "ELSEIF", "ELSE", "END IF"))
+            arms.append((cond, body))
+            while p.take_kw("ELSIF", "ELSEIF"):
+                cond = p.until("THEN")
+                p.take_kw("THEN")
+                arms.append(
+                    (
+                        cond,
+                        _parse_stmts(
+                            p, ("ELSIF", "ELSEIF", "ELSE", "END IF")
+                        ),
+                    )
+                )
+            else_body: list = []
+            if p.take_kw("ELSE"):
+                else_body = _parse_stmts(p, ("END IF",))
+            if not p.take_kw("END IF"):
+                raise NotImplementedError("plpgsql subset: missing END IF")
+            p.expect(";")
+            stmts.append(("if", arms, else_body))
+        elif p.take_kw("RETURN"):
+            expr = p.until(";")
+            p.expect(";")
+            stmts.append(("return", expr))
+        elif p.take_kw("NULL"):
+            p.expect(";")  # no-op statement
+        else:
+            # assignment: ident := expr  or  ident = expr (pl_gram.y
+            # accepts both; reference plpgsql.sql:1441 uses '=')
+            p._skip_ws()
+            m = re.match(r"([A-Za-z_]\w*)\s*:?=", p.text[p.pos :])
+            if not m:
+                raise NotImplementedError(
+                    "plpgsql subset: unsupported statement at "
+                    f"{p.text[p.pos : p.pos + 40]!r} (loops, cursors, "
+                    "EXCEPTION, PERFORM and SQL statements are out of "
+                    "the stateless scalar subset)"
+                )
+            p.pos += m.end()
+            expr = p.until(";")
+            p.expect(";")
+            stmts.append(("assign", m.group(1).lower(), expr))
+    return stmts
+
+
+_IDENT_RE = re.compile(r"\b[A-Za-z_]\w*\b|\$\d+")
+
+
+def _subst(expr: str, env: dict[str, str]) -> str:
+    """Replace variable references with their current (parenthesized)
+    symbolic values. $N positionals live in env under '$N'."""
+
+    def repl(m: re.Match) -> str:
+        return env.get(m.group(0).lower(), m.group(0))
+
+    return _IDENT_RE.sub(repl, expr).strip()
+
+
+def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
+    """Symbolically execute; returns the RETURN expression reached on
+    this path, or None if the block falls through."""
+    for i, s in enumerate(stmts):
+        if s[0] == "assign":
+            env = {**env, s[1]: f"({_subst(s[2], env)})"}
+        elif s[0] == "return":
+            return _subst(s[1], env)
+        else:  # if
+            _, arms, else_body = s
+            tail = stmts[i + 1 :]
+            parts = []
+            for cond, body in arms:
+                sub = _compile_block(list(body) + tail, env)
+                parts.append((_subst(cond, env), sub))
+            else_expr = _compile_block(list(else_body) + tail, env)
+            if any(b is None for _, b in parts) or else_expr is None:
+                raise NotImplementedError(
+                    "plpgsql subset: every control path must RETURN"
+                )
+            case = "CASE " + " ".join(
+                f"WHEN {c} THEN {b}" for c, b in parts
+            )
+            return f"{case} ELSE {else_expr} END"
+    return None
+
+
+_CREATE_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_]\w*)\s*"
+    r"\(([^)]*)\)\s*RETURNS\s+([A-Za-z_][\w ]*(?:\([^)]*\))?)\s*AS\s*"
+    r"(?:(\$[A-Za-z_]*\$)(.*?)\4|'((?:[^']|'')*)')\s*LANGUAGE\s+plpgsql",
+    re.I | re.S,
+)
+
+_DECLARE_RE = re.compile(
+    r"^\s*DECLARE\s+(.*?)\s*BEGIN\b", re.I | re.S
+)
+_BEGIN_RE = re.compile(r"^\s*BEGIN\b", re.I)
+
+
+def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
+    """Compile a CREATE FUNCTION ... LANGUAGE plpgsql statement.
+
+    Returns (name, spark_args, spark_return_type, spark_expression).
+    """
+    m = _CREATE_RE.search(create_stmt)
+    if not m:
+        raise NotImplementedError(
+            "not a recognizable CREATE FUNCTION ... LANGUAGE plpgsql"
+        )
+    name, argtext, rettype, _, dollar_body, quote_body = m.groups()
+    body = (
+        dollar_body
+        if dollar_body is not None
+        # quote-delimited body (reference plpgsql.sql:1437 style):
+        # doubled quotes un-escape to single
+        else quote_body.replace("''", "'")
+    )
+
+    # arguments: [argname] type, ...; unnamed args become arg1..argN
+    # addressable as $N (pl_comp.c positional-parameter binding)
+    env: dict[str, str] = {}
+    spark_args = []
+    for idx, raw in enumerate(
+        [a for a in argtext.split(",") if a.strip()], start=1
+    ):
+        words = raw.strip().split()
+        if len(words) == 1 or words[0].lower() in _TYPE_MAP:
+            argname, argtype = f"arg{idx}", " ".join(words)
+        else:
+            argname, argtype = words[0].lower(), " ".join(words[1:])
+        env[f"${idx}"] = argname
+        spark_args.append(f"{argname} {_map_type(argtype)}")
+
+    # mask string literals so ';' / keywords inside them never reach
+    # the statement parser; restored into the final expression
+    lits: list[str] = []
+
+    def _mask(lm: re.Match) -> str:
+        lits.append(lm.group(0))
+        return f"__plit{len(lits) - 1}__"
+
+    body = re.sub(r"'(?:[^']|'')*'", _mask, body)
+
+    # strip DECLARE ... BEGIN ... END;
+    dm = _DECLARE_RE.match(body)
+    if dm:
+        for decl in dm.group(1).split(";"):
+            decl = decl.strip()
+            if not decl:
+                continue
+            dmm = re.match(
+                r"([A-Za-z_]\w*)\s+([\w ()0-9,]+?)"
+                r"(?:\s*:?=\s*(.+))?$",
+                decl,
+                re.S,
+            )
+            if not dmm:
+                raise NotImplementedError(
+                    f"plpgsql subset: bad declaration {decl!r}"
+                )
+            var, vtype, init = dmm.groups()
+            env[var.lower()] = (
+                f"({init.strip()})"
+                if init
+                else f"(CAST(NULL AS {_map_type(vtype)}))"
+            )
+        body = body[dm.end() :]
+    else:
+        bm = _BEGIN_RE.match(body)
+        if not bm:
+            raise NotImplementedError("plpgsql subset: missing BEGIN")
+        body = body[bm.end() :]
+
+    body = re.sub(r"(?i:\bEND\s*;?\s*)$", "", body.strip())
+
+    stmts = _parse_stmts(_Parser(body), ())
+    expr = _compile_block(stmts, env)
+    if expr is None:
+        raise NotImplementedError(
+            "plpgsql subset: function body never RETURNs"
+        )
+    expr = re.sub(r"__plit(\d+)__", lambda pm: lits[int(pm.group(1))], expr)
+    return (
+        name.lower(),
+        ", ".join(spark_args),
+        _map_type(rettype),
+        translate_pg_sql(f"SELECT {expr}")[len("SELECT ") :],
+    )
+
+
+def create_plpgsql_function(spark: SparkSession, create_stmt: str) -> str:
+    """Compile + register as a Catalyst-inlined SQL temporary function;
+    returns the function name."""
+    name, args, ret, expr = compile_plpgsql(create_stmt)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+        f"RETURNS {ret} RETURN {expr}"
+    )
+    return name

@@ -106,6 +106,103 @@ def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_plpgsql_scalar",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum((l_extendedprice * (1 - l_discount)) * (1 + l_tax)), 2)
+                   AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="PL/pgSQL stateless scalar function (pl_exec.c exec_stmt_assign "
+    "subset: DECLARE + sequential assignments + RETURN) compiled by "
+    "functions/plpgsql.py into one Catalyst-inlined SQL expression — "
+    "zero per-row Python, codegen applies.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION disc_tax_price(p float8, d float8, t float8)
+        RETURNS float8 AS $$
+        DECLARE
+          net float8;
+        BEGIN
+          net := p * (1 - d);
+          net := net * (1 + t);
+          RETURN net;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_tax_price(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_branching",
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END || '-band' AS band,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="PL/pgSQL IF/ELSIF/ELSE branching function (pl_exec.c "
+    "exec_stmt_if; quote-delimited body + positional $1 binding, the "
+    "reference plpgsql.sql:1437-1446 recursion_test style) compiled to "
+    "a single CASE expression with the post-IF statement tail replayed "
+    "per arm.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION price_band(float8) RETURNS text AS '
+        DECLARE band text;
+        BEGIN
+            IF $1 < 50000 THEN
+                band = ''small'';
+            ELSIF $1 < 150000 THEN
+                band = ''medium'';
+            ELSE
+                band = ''large'';
+            END IF;
+            RETURN band || ''-band'';
+        END;' LANGUAGE plpgsql
+        """,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1
+        """
+    )
+
+
 def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
     The prelimfn (partial combine) would be '+' over (log_sum, n) —

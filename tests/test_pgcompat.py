@@ -226,3 +226,57 @@ def test_one_level_in_under_exists_untouched():
         "where a.i not in (select c.i from c where c.i = b.i))"
     )
     assert "__csq_f" not in t(src2)
+
+
+def test_plpgsql_compiler_shapes():
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    name, args, ret, expr = compile_plpgsql(
+        "CREATE FUNCTION f(a int, b int) RETURNS int AS $$\n"
+        "BEGIN RETURN a + b; END; $$ LANGUAGE plpgsql"
+    )
+    assert (name, args, ret) == ("f", "a INT, b INT", "INT")
+    assert expr == "a + b"
+
+    # sequential assignment threads the environment (SSA substitution)
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION g(x float8) RETURNS float8 AS $$\n"
+        "DECLARE v float8; BEGIN v := x * 2; v := v + 1; RETURN v; END;\n"
+        "$$ LANGUAGE plpgsql"
+    )
+    assert expr == "((x * 2) + 1)"
+
+    # IF with fall-through tail replayed inside each arm
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION h(n int) RETURNS text AS $$\n"
+        "DECLARE t text; BEGIN\n"
+        "IF n < 0 THEN t := 'neg'; ELSE t := 'pos'; END IF;\n"
+        "RETURN t || '!'; END; $$ LANGUAGE plpgsql"
+    )
+    assert expr.startswith("CASE WHEN n < 0 THEN")
+    assert "('neg') || '!'" in expr and "('pos') || '!'" in expr
+
+    # uninitialized declarations read as typed NULL
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION k() RETURNS int AS $$\n"
+        "DECLARE v int; BEGIN RETURN v; END; $$ LANGUAGE plpgsql"
+    )
+    assert "CAST(NULL AS INT)" in expr
+
+
+def test_plpgsql_out_of_subset_is_loud():
+    import pytest as _pytest
+
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    for body in [
+        "BEGIN FOR i IN 1..10 LOOP x := i; END LOOP; RETURN x; END;",
+        "BEGIN PERFORM pg_sleep(1); RETURN 1; END;",
+        "BEGIN IF a THEN RETURN 1; END IF; END;",  # path without RETURN
+    ]:
+        with _pytest.raises(NotImplementedError):
+            compile_plpgsql(
+                "CREATE FUNCTION bad(a bool) RETURNS int AS $$\n"
+                + body
+                + " $$ LANGUAGE plpgsql"
+            )
