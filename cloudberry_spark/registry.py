@@ -100,6 +100,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.textsearch  # noqa: F401
     import cloudberry_spark.operators.pgtypes  # noqa: F401
     import cloudberry_spark.operators.reports  # noqa: F401
+    import cloudberry_spark.operators.infoschema  # noqa: F401
     import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
