@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from cloudberry_spark.catalog import load_table
 from cloudberry_spark.registry import register
 from cloudberry_spark.sources.external import _scratch
+from cloudberry_spark.sources.snapshot import SnapshotTable
 
 
 def overwrite_inplace(df: DataFrame, path: str) -> None:
@@ -49,30 +50,37 @@ def overwrite_inplace(df: DataFrame, path: str) -> None:
     os.rename(staged, path)
 
 
-def insert_into(spark: SparkSession, path: str, rows: DataFrame) -> None:
-    """INSERT INTO ... SELECT — pure file append, no rewrite."""
-    rows.write.mode("append").parquet(path)
+def insert_into(spark: SparkSession, table: SnapshotTable, rows: DataFrame) -> None:
+    """INSERT INTO ... SELECT — an append COMMIT: the new fileset joins
+    the manifest's dir list, standing data is never rewritten."""
+    table.commit_append(rows, table.current_version(), label="insert")
 
 
 def update_table(
-    spark: SparkSession, path: str, cond: Column, assignments: dict[str, Column]
+    spark: SparkSession,
+    table: SnapshotTable,
+    cond: Column,
+    assignments: dict[str, Column],
 ) -> None:
-    """UPDATE t SET col=expr WHERE cond — conditional projection rewrite."""
-    cur = spark.read.parquet(path)
+    """UPDATE t SET col=expr WHERE cond — conditional projection rewrite
+    committed as a new snapshot version."""
+    base = table.current_version()
+    cur = table.read(spark, base)
     for col, expr in assignments.items():
         cur = cur.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-    overwrite_inplace(cur, path)
+    table.commit_rewrite(cur, base, label="update")
 
 
-def delete_from(spark: SparkSession, path: str, cond: Column) -> None:
-    """DELETE FROM t WHERE cond — anti-filter rewrite."""
-    cur = spark.read.parquet(path)
-    overwrite_inplace(cur.filter(~cond), path)
+def delete_from(spark: SparkSession, table: SnapshotTable, cond: Column) -> None:
+    """DELETE FROM t WHERE cond — anti-filter rewrite committed as a
+    new snapshot version."""
+    base = table.current_version()
+    table.commit_rewrite(table.read(spark, base).filter(~cond), base, label="delete")
 
 
 def merge_into(
     spark: SparkSession,
-    path: str,
+    table: SnapshotTable,
     source: DataFrame,
     on: str,
     matched_set: dict[str, Column],
@@ -85,7 +93,8 @@ def merge_into(
     reference's ModifyTable MERGE performs after motioning source rows
     to their target segments.
     """
-    tgt = spark.read.parquet(path)
+    base = table.current_version()
+    tgt = table.read(spark, base)
     src = source.select(
         *[F.col(c).alias(f"__src_{c}") for c in source.columns]
     )
@@ -106,12 +115,12 @@ def merge_into(
     result = j.select(*out_cols)
     if not insert_when_not_matched:
         result = j.filter(~src_only).select(*out_cols)
-    overwrite_inplace(result, path)
+    table.commit_rewrite(result, base, label="merge")
 
 
 def merge_into_multi(
     spark: SparkSession,
-    path: str,
+    table: SnapshotTable,
     source: DataFrame,
     on: str,
     matched_actions: list[tuple[Column | None, dict[str, Column] | str]],
@@ -129,7 +138,8 @@ def merge_into_multi(
     clauses are row-local projections, so the plan is identical to
     single-action MERGE at any scale.
     """
-    tgt = spark.read.parquet(path)
+    base = table.current_version()
+    tgt = table.read(spark, base)
     src = source.select(
         *[F.col(c).alias(f"__src_{c}") for c in source.columns]
     )
@@ -171,7 +181,7 @@ def merge_into_multi(
     result = j.filter(~delete_pred)
     if not insert_when_not_matched:
         result = result.filter(~src_only)
-    overwrite_inplace(result.select(*out_cols), path)
+    table.commit_rewrite(result.select(*out_cols), base, label="merge")
 
 
 # ---------------------------------------------------------------------------
@@ -199,10 +209,10 @@ def merge_into_multi(
 def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     path = _scratch(sf_dir, "dml_orders_ins")
-    overwrite_inplace(od.filter(F.col("o_orderkey") % 4 == 0), path)
-    insert_into(spark, path, od.filter(F.col("o_orderkey") % 4 == 1))
+    st = SnapshotTable.init(path, od.filter(F.col("o_orderkey") % 4 == 0))
+    insert_into(spark, st, od.filter(F.col("o_orderkey") % 4 == 1))
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
@@ -233,16 +243,16 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
     path = _scratch(sf_dir, "dml_lineitem_ud")
-    overwrite_inplace(li, path)
+    st = SnapshotTable.init(path, li)
     update_table(
         spark,
-        path,
+        st,
         F.col("l_returnflag") == "R",
         {"l_quantity": F.col("l_quantity") * 2},
     )
-    delete_from(spark, path, F.col("l_discount") > 0.08)
+    delete_from(spark, st, F.col("l_discount") > 0.08)
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
@@ -281,13 +291,13 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     path = _scratch(sf_dir, "dml_customer_merge")
-    overwrite_inplace(cust.filter(F.col("c_custkey") % 3 == 0), path)
+    st = SnapshotTable.init(path, cust.filter(F.col("c_custkey") % 3 == 0))
     source = cust.filter(F.col("c_custkey") % 2 == 0).withColumn(
         "c_mktsegment", F.lit("MERGED")
     )
     merge_into(
         spark,
-        path,
+        st,
         source,
         on="c_custkey",
         matched_set={
@@ -296,7 +306,7 @@ def dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n"),
@@ -350,11 +360,11 @@ def dml_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     path = _scratch(sf_dir, "dml_orders_merge_del")
-    overwrite_inplace(
+    st = SnapshotTable.init(
+        path,
         orders.filter(F.col("o_orderkey") % 3 == 0).select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
         ),
-        path,
     )
     source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
@@ -363,7 +373,7 @@ def dml_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_into_multi(
         spark,
-        path,
+        st,
         source,
         on="o_orderkey",
         matched_actions=[
@@ -378,7 +388,7 @@ def dml_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -425,25 +435,27 @@ def dml_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cpath = _scratch(sf_dir, "dml_cascade_cust")
     opath = _scratch(sf_dir, "dml_cascade_ord")
-    overwrite_inplace(cust, cpath)
-    overwrite_inplace(orders, opath)
+    cst = SnapshotTable.init(cpath, cust)
+    ost = SnapshotTable.init(opath, orders)
 
     n_subjects = doomed.count()
-    n_orders_before = spark.read.parquet(opath).count()
+    n_orders_before = ost.read(spark).count()
 
-    kept_c = spark.read.parquet(cpath).join(
+    cbase = cst.current_version()
+    kept_c = cst.read(spark, cbase).join(
         F.broadcast(doomed), "c_custkey", "left_anti"
     )
-    overwrite_inplace(kept_c, cpath)
-    kept_o = spark.read.parquet(opath).join(
+    cst.commit_rewrite(kept_c, cbase, label="cascade-delete")
+    obase = ost.current_version()
+    kept_o = ost.read(spark, obase).join(
         F.broadcast(doomed.withColumnRenamed("c_custkey", "o_custkey")),
         "o_custkey",
         "left_anti",
     )
-    overwrite_inplace(kept_o, opath)
+    ost.commit_rewrite(kept_o, obase, label="cascade-delete")
 
-    customers_remaining = spark.read.parquet(cpath).count()
-    orders_remaining = spark.read.parquet(opath).count()
+    customers_remaining = cst.read(spark).count()
+    orders_remaining = ost.read(spark).count()
     return spark.createDataFrame(
         [
             (
@@ -644,7 +656,7 @@ def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     path = _scratch(sf_dir, "dml_upsert_conflict")
-    overwrite_inplace(cust.filter(F.col("c_custkey") % 4 == 0), path)
+    st = SnapshotTable.init(path, cust.filter(F.col("c_custkey") % 4 == 0))
     incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
         "c_custkey",
         F.lit("UPSERTED").alias("c_mktsegment"),
@@ -662,7 +674,7 @@ def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXCLUDED.col; WHEN NOT MATCHED THEN INSERT — the incoming row wins.
     merge_into(
         spark,
-        path,
+        st,
         incoming,
         on="c_custkey",
         matched_set={
@@ -671,11 +683,95 @@ def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("c_acctbal"), scale=2).alias("bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "dml_snapshot_merge_upsert",
+    oracle="""
+        WITH seed AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0
+        ), appended AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 1
+            UNION ALL SELECT * FROM seed
+        ), source AS (
+            SELECT o_orderkey, 'RESTATED' AS o_orderpriority,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 6 = 0
+        ), merged AS (
+            SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                   CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                        THEN s.o_orderpriority
+                        WHEN t.o_orderkey IS NULL THEN s.o_orderpriority
+                        ELSE t.o_orderpriority END AS o_orderpriority,
+                   CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                        THEN s.o_totalprice
+                        WHEN t.o_orderkey IS NULL THEN s.o_totalprice
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM appended t FULL OUTER JOIN source s
+              ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT o_orderpriority, count(*) AS n,
+               (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total,
+               2 AS current_version,
+               (SELECT count(*) FROM seed) AS v0_rows
+        FROM merged GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="The unified snapshot-table DML lifecycle (sources/snapshot.py; "
+    "nodeModifyTable.c:3957 + MVCC snapshot semantics as optimistic "
+    "copy-on-write): seed v0, INSERT as an append commit v1 (standing "
+    "fileset untouched), MERGE upsert as a rewrite commit v2, then "
+    "read the current snapshot AND time-travel back to v0 — proving "
+    "old versions stay readable after two commits. current_version "
+    "and v0_rows come from the manifest/time-travel read, not "
+    "literals, on the Spark side.",
+    tags=("dml", "snapshot", "merge"),
+)
+def dml_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.tpch import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "dml_snapshot_lifecycle")
+    st = SnapshotTable.init(path, orders.filter(F.col("o_orderkey") % 4 == 0))
+    insert_into(spark, st, orders.filter(F.col("o_orderkey") % 4 == 1))
+    source = orders.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        F.lit("RESTATED").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    merge_into(
+        spark,
+        st,
+        source,
+        on="o_orderkey",
+        matched_set={
+            "o_orderpriority": F.col("__src_o_orderpriority"),
+            "o_totalprice": F.col("__src_o_totalprice"),
+        },
+    )
+    version = st.current_version()
+    v0_rows = st.read(spark, version=0).count()  # time travel
+    return (
+        st.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), scale=2).alias("total"),
+        )
+        .withColumn("current_version", F.lit(version))
+        .withColumn("v0_rows", F.lit(v0_rows))
+        .orderBy("o_orderpriority")
     )

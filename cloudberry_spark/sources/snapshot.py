@@ -1,0 +1,152 @@
+"""SnapshotTable — a minimal ACID table format for copy-on-write DML.
+
+The reference gets transactional UPDATE/DELETE/MERGE from ModifyTable +
+MVCC snapshots (/root/reference/src/backend/executor/nodeModifyTable.c:
+3957; access/heap visibility rules): readers see a consistent snapshot,
+writers race on the commit record. Spark has no in-place mutation, so
+the lakehouse equivalent is optimistic copy-on-write over immutable
+filesets — this module is that protocol, reduced to its two essential
+guarantees and shared by every dml_* operator:
+
+1. **Snapshot isolation for readers**: a reader resolves `_CURRENT` →
+   manifest v{N} → fileset list once; every file it then reads is
+   immutable, so a concurrent commit can never show it a torn mix.
+2. **First-writer-wins for writers**: a commit writes its new fileset,
+   then creates `_manifest/v{N+1}.json` with O_CREAT|O_EXCL — the
+   filesystem arbitrates exactly one winner per version (Delta's
+   optimistic-concurrency step, simplified) — and only then flips
+   `_CURRENT` via atomic rename. A writer whose base version is stale
+   (someone else already committed v{N+1}) gets ConcurrentWriteError
+   and must re-read + retry, exactly like a serialization failure in
+   the reference.
+
+Layout:
+    root/_CURRENT             pointer: current version number
+    root/_manifest/v3.json    {"version":3,"parent":2,"dirs":[...]}
+    root/data-v3-rewrite/     immutable parquet fileset(s)
+
+INSERT is an append commit (new dir ADDED to the manifest's dir list —
+no rewrite of existing data); UPDATE/DELETE/MERGE are rewrite commits
+(new manifest points at the rewritten fileset). Old versions remain
+readable (time travel) until vacuumed.
+
+At 100 TB: the manifest is O(#filesets) driver-side metadata; data
+moves only through ordinary distributed writes. A partition-confined
+rewrite would list per-partition dirs in the manifest and swap only
+the touched ones — same protocol, narrower fileset, mirroring how the
+reference prunes ModifyTable to leaf partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer was based on
+    (the serialization-failure analog of the reference's
+    ExecUpdate/heap_update TM_Updated retry path)."""
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._manifest_dir = os.path.join(root, "_manifest")
+        self._pointer = os.path.join(root, "_CURRENT")
+
+    # -- snapshot resolution ------------------------------------------------
+
+    def current_version(self) -> int:
+        with open(self._pointer) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read one immutable snapshot (current, or time-travel to a
+        given version)."""
+        m = self.manifest(version)
+        return spark.read.parquet(
+            *[os.path.join(self.root, d) for d in m["dirs"]]
+        )
+
+    # -- commits ------------------------------------------------------------
+
+    @classmethod
+    def init(cls, root: str, df: DataFrame) -> "SnapshotTable":
+        """Create (or reset) a table at v0 from a seed DataFrame."""
+        shutil.rmtree(root, ignore_errors=True)
+        t = cls(root)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        d = "data-v0-seed"
+        df.write.mode("overwrite").parquet(os.path.join(root, d))
+        t._write_manifest(0, parent=None, dirs=[d])
+        t._flip(0)
+        return t
+
+    def _write_manifest(
+        self, version: int, parent: int | None, dirs: list[str]
+    ) -> None:
+        """The commit point of the protocol: O_EXCL manifest creation —
+        exactly one writer can own v{version}."""
+        payload = json.dumps(
+            {"version": version, "parent": parent, "dirs": dirs}
+        )
+        path = os.path.join(self._manifest_dir, f"v{version}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version v{version} already committed by another writer; "
+                "re-read the table and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+
+    def _flip(self, version: int) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer)  # atomic: readers see old or new
+
+    def commit_rewrite(
+        self, df: DataFrame, expected_version: int, label: str = "rewrite"
+    ) -> int:
+        """Full copy-on-write commit (UPDATE/DELETE/MERGE): write the
+        rewritten fileset, claim the next version, flip."""
+        if self.current_version() != expected_version:
+            raise ConcurrentWriteError(
+                f"base v{expected_version} is stale "
+                f"(current is v{self.current_version()})"
+            )
+        new_v = expected_version + 1
+        d = f"data-v{new_v}-{label}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, d))
+        self._write_manifest(new_v, parent=expected_version, dirs=[d])
+        self._flip(new_v)
+        return new_v
+
+    def commit_append(
+        self, df: DataFrame, expected_version: int, label: str = "append"
+    ) -> int:
+        """INSERT commit: add a fileset, keep existing dirs — no rewrite
+        of standing data (the reference's plain INSERT path)."""
+        if self.current_version() != expected_version:
+            raise ConcurrentWriteError(
+                f"base v{expected_version} is stale "
+                f"(current is v{self.current_version()})"
+            )
+        new_v = expected_version + 1
+        d = f"data-v{new_v}-{label}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, d))
+        dirs = self.manifest(expected_version)["dirs"] + [d]
+        self._write_manifest(new_v, parent=expected_version, dirs=dirs)
+        self._flip(new_v)
+        return new_v

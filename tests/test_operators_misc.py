@@ -260,17 +260,18 @@ def test_merge_multi_first_match_wins(spark, tmp_path):
     unqualified UPDATE must be deleted, not updated."""
     from pyspark.sql import functions as F
 
-    from cloudberry_spark.operators.dml import merge_into_multi, overwrite_inplace
+    from cloudberry_spark.operators.dml import merge_into_multi
+    from cloudberry_spark.sources.snapshot import SnapshotTable
 
     path = str(tmp_path / "t")
     tgt = spark.createDataFrame(
         [(1, 10.0), (2, 200.0), (3, 30.0)], ["k", "v"]
     )
-    overwrite_inplace(tgt, path)
+    st = SnapshotTable.init(path, tgt)
     src = spark.createDataFrame([(1, 0.0), (2, 0.0), (4, 40.0)], ["k", "v"])
     merge_into_multi(
         spark,
-        path,
+        st,
         src,
         on="k",
         matched_actions=[
@@ -278,8 +279,60 @@ def test_merge_multi_first_match_wins(spark, tmp_path):
             (None, {"v": F.col("v") + 1}),  # fires for k=2 only
         ],
     )
-    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    out = {r.k: r.v for r in st.read(spark).collect()}
     assert 1 not in out          # deleted by first clause
     assert out[2] == 201.0       # updated by second clause
     assert out[3] == 30.0        # untouched (no source row)
     assert out[4] == 40.0        # inserted
+
+
+def test_snapshot_concurrent_writer_conflict(spark, tmp_path):
+    """Two writers read the same base version; the first commit wins,
+    the second gets ConcurrentWriteError (the serialization-failure
+    contract of nodeModifyTable.c's TM_Updated retry path) and its
+    staged data never becomes visible."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.sources.snapshot import (
+        ConcurrentWriteError,
+        SnapshotTable,
+    )
+
+    path = str(tmp_path / "snap")
+    st = SnapshotTable.init(path, spark.createDataFrame([(1, 10)], ["k", "v"]))
+    base = st.current_version()
+
+    # writer A commits first
+    a = st.read(spark, base).withColumn("v", F.col("v") + 1)
+    st.commit_rewrite(a, base, label="writer-a")
+
+    # writer B, still based on v0, must fail...
+    b = st.read(spark, base).withColumn("v", F.col("v") + 100)
+    with _pytest.raises(ConcurrentWriteError):
+        st.commit_rewrite(b, base, label="writer-b")
+    # ...and the table still shows writer A's result
+    assert [(r.k, r.v) for r in st.read(spark).collect()] == [(1, 11)]
+
+    # stale-base detection also guards the race where B checks the
+    # pointer before A flips but A claims the manifest first: B's
+    # O_EXCL manifest create for the same next version loses
+    with _pytest.raises(ConcurrentWriteError):
+        st._write_manifest(st.current_version(), parent=base, dirs=["x"])
+
+
+def test_snapshot_time_travel_and_append(spark, tmp_path):
+    """Append commits extend the manifest without rewriting standing
+    filesets; every prior version stays readable."""
+    from cloudberry_spark.sources.snapshot import SnapshotTable
+
+    path = str(tmp_path / "tt")
+    st = SnapshotTable.init(path, spark.createDataFrame([(1,)], ["k"]))
+    st.commit_append(spark.createDataFrame([(2,)], ["k"]), 0)
+    st.commit_append(spark.createDataFrame([(3,)], ["k"]), 1)
+    assert st.current_version() == 2
+    assert sorted(r.k for r in st.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in st.read(spark, 1).collect()) == [1, 2]
+    assert [r.k for r in st.read(spark, 0).collect()] == [1]
+    # v2 manifest lists three filesets: nothing was rewritten
+    assert len(st.manifest(2)["dirs"]) == 3
