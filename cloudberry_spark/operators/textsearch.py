@@ -31,10 +31,23 @@ from cloudberry_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
-def tsvector_col(text: Column) -> Column:
-    """Distinct lowercase word tokens — the tsvector lexeme set (without
-    stemming; the reference's dictionaries are locale config, not core
-    executor semantics)."""
+def tsvector_col(text: Column | str, dictionary: str | None = None) -> Column:
+    """tsvector lexeme set. ``dictionary=None`` is the 'simple' config
+    (distinct lowercase tokens, dict_simple.c); ``dictionary='english'``
+    applies the snowball stopword file + snowball-lite stemming (see
+    tsvector_lexemes_sql below) and requires ``text`` to be a column
+    name / SQL expression string, since the stemmer is generated SQL
+    shared verbatim with the DuckDB oracle."""
+    if dictionary == "english":
+        if not isinstance(text, str):
+            raise TypeError(
+                "dictionary='english' needs a SQL expression string"
+            )
+        return F.expr(tsvector_lexemes_sql(text, "spark"))
+    if dictionary is not None:
+        raise NotImplementedError(f"no dictionary {dictionary!r}")
+    if isinstance(text, str):
+        text = F.col(text)
     return F.array_distinct(
         F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != F.lit(""))
     )
@@ -296,4 +309,132 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_near2"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text search dictionaries: english stopwords + snowball-lite stemming
+# ---------------------------------------------------------------------------
+
+#: The snowball english stopword list the reference ships verbatim
+#: (src/backend/snowball/stopwords/english.stop, 127 entries) — config
+#: data, not code; it is what `to_tsvector('english', ...)` drops.
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "i me my myself we our ours ourselves you your yours yourself "
+    "yourselves he him his himself she her hers herself it its itself "
+    "they them their theirs themselves what which who whom this that "
+    "these those am is are was were be been being have has had having "
+    "do does did doing a an the and but if or because as until while "
+    "of at by for with about against between into through during "
+    "before after above below to from up down in out on off over under "
+    "again further then once here there when where why how all any "
+    "both each few more most other some such no nor not only own same "
+    "so than too very s t can will just don should now"
+).split()
+
+#: Snowball-lite suffix rules, first-match-wins within a step, steps
+#: applied in sequence (dict_simple.c hands lexemes to the snowball
+#: stemmer, snowball/libstemmer/stem_UTF_8_english.c; this is the
+#: documented high-frequency subset: plural fold, -ed/-ing, common
+#: derivational endings). (suffix, min_token_len, chars_to_keep).
+_STEM_STEPS: tuple[tuple[tuple[str, int, str], ...], ...] = (
+    # step 1a: plurals. 'ss' is an identity guard so 'caress' never
+    # loses its final s.
+    (("sses", 5, "ss"), ("ies", 4, "i"), ("ss", 0, "ss"), ("s", 4, "")),
+    # step 1b: past/progressive (conservative lengths: no 'e' restore)
+    (("ing", 6, ""), ("ed", 5, "")),
+    # step 2/3 subset: common derivational endings
+    (("ly", 5, ""), ("ness", 6, ""), ("ment", 7, ""), ("ful", 6, "")),
+)
+
+
+def _stem_case_sql(var: str, rules: tuple[tuple[str, int, str], ...]) -> str:
+    """One first-match-wins CASE over suffix rules — identical SQL text
+    runs on Spark and DuckDB (substr/length/LIKE shared semantics), so
+    the oracle recomputes the very same stemmer from raw tokens."""
+    whens = []
+    for suffix, minlen, keep in rules:
+        cut = len(suffix) - len(keep)
+        repl = f"substr({var}, 1, length({var}) - {cut})" if cut else var
+        whens.append(
+            f"WHEN length({var}) >= {minlen} AND {var} LIKE '%{suffix}' "
+            f"THEN {repl}"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE {var} END"
+
+
+def tsvector_lexemes_sql(text_expr: str, engine: str) -> str:
+    """to_tsvector('english', x) analog as ONE SQL expression for the
+    given engine ('spark' | 'duckdb'): tokenize, strip punctuation,
+    drop stopwords, stem, distinct, sort. Entirely engine-side — on
+    Spark this is whole-stage-codegen'd array algebra, no Python."""
+    t, f_, d, srt, contains = (
+        ("transform", "filter", "array_distinct", "array_sort", "array_contains")
+        if engine == "spark"
+        else ("list_transform", "list_filter", "list_distinct", "list_sort", "list_contains")
+    )
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+    if engine == "spark":
+        stop_arr = "array(" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + ")"
+    toks = (
+        f"{t}({f_}(split(lower(trim({text_expr})), '\\\\s+'), "
+        f"w -> w <> ''), w -> regexp_replace(w, '[^a-z0-9]', ''))"
+    )
+    if engine == "duckdb":
+        toks = (
+            f"{t}({f_}(regexp_split_to_array(trim(lower({text_expr})), '\\s+'), "
+            f"w -> w <> ''), w -> regexp_replace(w, '[^a-z0-9]', '', 'g'))"
+        )
+    kept = (
+        f"{f_}({toks}, w -> w <> '' AND NOT {contains}({stop_arr}, w))"
+    )
+    stemmed = kept
+    for step in _STEM_STEPS:
+        stemmed = f"{t}({stemmed}, w -> {_stem_case_sql('w', step)})"
+    return f"{srt}({d}({stemmed}))"
+
+
+@register(
+    "text_tsvector_stemmed",
+    oracle=f"""
+        WITH v AS (
+            SELECT doc_id,
+                   {tsvector_lexemes_sql("text", "duckdb")} AS lexemes
+            FROM documents
+        )
+        SELECT doc_id, lexemes, len(lexemes) AS n_lexemes,
+               len(list_intersect(lexemes, ['model', 'train', 'languag']))
+                   AS n_matched
+        FROM v
+        WHERE doc_id % 37 = 0
+        ORDER BY doc_id
+    """,
+    doc="to_tsvector('english', ...) with dictionaries: snowball "
+    "stopword file (src/backend/snowball/stopwords/english.stop) + "
+    "snowball-lite stemming (dict_simple.c -> libstemmer english "
+    "subset: plural fold, -ed/-ing, derivational endings), then a "
+    "stemmed tsquery match — 'training'/'models'/'language' all hit "
+    "their stems. The IDENTICAL stemmer SQL runs on DuckDB, so the "
+    "dictionary itself is differentially tested, not just the match.",
+    tags=("textsearch", "pipeline"),
+)
+def text_tsvector_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.expr(tsvector_lexemes_sql("text", "spark"))
+    terms = F.array(*[F.lit(t) for t in ("model", "train", "languag")])
+    return (
+        docs.where(F.col("doc_id") % 37 == 0)
+        .select(
+            "doc_id",
+            lex.alias("lexemes"),
+        )
+        .select(
+            "doc_id",
+            "lexemes",
+            F.size("lexemes").cast("bigint").alias("n_lexemes"),
+            F.size(F.array_intersect(F.col("lexemes"), terms))
+            .cast("bigint")
+            .alias("n_matched"),
+        )
+        .orderBy("doc_id")
     )
