@@ -381,6 +381,72 @@ _SIMILAR_RE = re.compile(
 )
 
 
+def _split_args(args: str) -> list[str]:
+    """Split an argument list on top-level commas (quote- and
+    paren-aware)."""
+    parts, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(args):
+        c = args[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(args[start:i])
+            start = i + 1
+        i += 1
+    parts.append(args[start:])
+    return parts
+
+
+_REGEXP_FN_RE = re.compile(
+    r"\b(regexp_replace|regexp_like|regexp_count|regexp_instr|"
+    r"regexp_substr|regexp_extract)\s*\(",
+    re.I,
+)
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _fix_regex_literals(sql: str) -> str:
+    """Spark string literals eat single backslashes (the session runs
+    with escapedStringLiterals=false), so a PG pattern literal like
+    '\\d+' must become '\\\\d+'; PG replacement backreferences \\N become
+    Java's $N. Applied only to the pattern/replacement literal args of
+    the regexp_* functions — everything else keeps PG literal
+    semantics untouched."""
+    res: list[str] = []
+    i = 0
+    while True:
+        m = _REGEXP_FN_RE.search(sql, i)
+        if not m:
+            res.append(sql[i:])
+            break
+        fn = m.group(1).lower()
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        if c < 0:
+            res.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        args = _split_args(sql[o + 1 : c])
+        if len(args) >= 2 and _STR_LIT_RE.fullmatch(args[1].strip()):
+            args[1] = " " + args[1].strip().replace("\\", "\\\\")
+        if fn == "regexp_replace" and len(args) >= 3:
+            a = args[2].strip()
+            if _STR_LIT_RE.fullmatch(a):
+                a = re.sub(r"\\(\d)", r"$\1", a)  # \N backref -> $N
+                args[2] = " " + a.replace("\\", "\\\\")
+        res.append(sql[i : o + 1] + ",".join(a for a in args) + ")")
+        i = c + 1
+    return "".join(res)
+
+
 def _rewrite_restored(sql: str) -> str:
     """Rewrites that need the literal text back in place."""
     for pat, fmt in _FIELD_REWRITES:
@@ -399,6 +465,36 @@ def _rewrite_restored(sql: str) -> str:
         call = f"regexp_like({operand}, '{rx}')"
         return f"NOT {call}" if neg else call
 
+    # regexp_replace(s, p, r, 'g'[i]) — PG's flags argument. Spark's
+    # regexp_replace is ALWAYS global, so 'g' just drops; 'i' becomes
+    # an inline (?i) on the pattern literal. (Flagless PG
+    # regexp_replace replaces only the FIRST match — that divergence
+    # is documented in MIGRATION.md, not silently rewritten.)
+    def _rr_flags(m: re.Match) -> str:
+        args, flags = _split_args(m.group(1)), m.group(2).lower()
+        if len(args) < 3:
+            return m.group(0)  # 3-arg call: 'g' was the replacement
+        if "i" in flags:
+            args[1] = re.sub(r"'", "'(?i)", args[1], count=1)
+        return f"regexp_replace({','.join(args)})"
+
+    sql = re.sub(
+        r"\bregexp_replace\s*\("
+        r"([^()]*(?:\([^()]*\)[^()]*)*?),\s*'([gi]{1,2})'\s*\)",
+        _rr_flags,
+        sql,
+        flags=re.I,
+    )
+    # regex literals: PG single backslashes -> doubled for Spark's
+    # string parser; \N replacement backrefs -> $N (Java syntax)
+    sql = _fix_regex_literals(sql)
+    sql = re.sub(
+        r"\bRLIKE\s+('(?:[^']|'')*')",
+        lambda m: "RLIKE " + m.group(1).replace("\\", "\\\\"),
+        sql,
+    )
+    # SIMILAR TO runs AFTER the regex-literal doubling: _sim doubles
+    # its own generated pattern, so it must not be doubled again.
     sql = _SIMILAR_RE.sub(_sim, sql)
     # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
     sql = re.sub(

@@ -208,6 +208,52 @@ csq_c(i, j) AS (
 csq_e(i, j) AS (
   VALUES (1, 889), (288, 1), (-1, 625), (32, 65), (32, 62), (3, -1),
          (99, 7), (78, 62)
+),
+aggtest(a, b) AS (
+  -- src/test/regress/data/agg.data (a int4, b float4; float4 cells are
+  -- exactly representable so DOUBLE carries them bit-identically)
+  VALUES (56, CAST(7.8 AS DOUBLE)), (100, 99.097),
+         (0, 0.09561), (42, 324.78)
+),
+float4_tbl(f1) AS (
+  VALUES (CAST(0 AS float4)), (CAST(1004.3 AS float4)),
+         (CAST(-34.84 AS float4)),
+         (CAST(1.2345678901234e+20 AS float4)),
+         (CAST(1.2345678901234e-20 AS float4))
+),
+num_data(id, val) AS (
+  -- numeric.sql num_data rows (t0-t9)
+  VALUES (0, CAST(0 AS DECIMAL(28,12))), (1, 0),
+         (2, -34338492.215397047), (3, 4.31), (4, 7799461.4119),
+         (5, 16397.038491), (6, 93901.57763026), (7, -83028485),
+         (8, 74881), (9, -24926804.045047420)
+),
+bfv_x(a, b, c) AS (
+  SELECT CAST(i AS BIGINT), CAST(i AS BIGINT), CAST(i AS BIGINT)
+  FROM generate_series(1, 10) AS gs(i)
+),
+bfv_y(a, b, c) AS (
+  SELECT * FROM bfv_x
+),
+bj_t1(a, b, c) AS (
+  VALUES (1, 1, 1), (2, 1, 2), (3, NULL, 3)
+),
+bj_t2(a, b) AS (
+  VALUES (2, 3)
+),
+bj_t3(a, b, c) AS (
+  SELECT 1 AS a, 1 AS b, 1 AS c WHERE 1 = 0
+),
+bjfoo(a, b) AS (
+  SELECT CAST(i AS BIGINT), CAST(i + 1 AS BIGINT)
+  FROM generate_series(1, 10) AS gs(i)
+),
+bjbar(c, d) AS (
+  SELECT CAST(i AS BIGINT), CAST(i + 1 AS BIGINT)
+  FROM generate_series(1, 10) AS gs(i)
+),
+bjt(a, b, d) AS (
+  SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar WHERE bjfoo.a = bjbar.d
 )
 """
 
@@ -1835,4 +1881,408 @@ order by 1, 2
     "subselect_gp.sql HAVING-CSQ shape — correlated IN under HAVING, "
     "grouped column as the correlation key.",
     ("subquery",),
+)
+
+
+# ---------------------------------------------------------------------------
+# gp_aggregates.sql — GP-specific aggregate shapes (MPP bug-fix corpus).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_gpagg_array_multi_order",
+    """
+SELECT array_agg(a order by a) as a_by_a,
+       array_agg(a order by b) as a_by_b,
+       array_agg(b order by a) as b_by_a,
+       array_agg(b order by b) as b_by_b
+  FROM aggtest
+""",
+    "gp_aggregates.sql:4-8 — four ordered array_aggs with DIFFERENT "
+    "order keys in one aggregate node (the shape that forced GP's "
+    "ordered-agg executor); exercises the frontend sorted-struct "
+    "rewrite four ways.",
+    ("agg",),
+)
+
+register_regress(
+    "regress_gpagg_case_multi_dqa",
+    """
+select case when ten < 5 then ten else ten * 2 end AS t2, 
+       count(distinct two) AS cd2, count(distinct four) AS cd4
+from tenk1 group by 1 order by 1
+""",
+    "gp_aggregates.sql:34 (MPP-4617) — CASE grouping key by ordinal + "
+    "two distinct-qualified aggregates (TupleSplit path).",
+    ("agg",),
+)
+
+register_regress(
+    "regress_gpagg_distinct_window",
+    """
+select distinct two, sum(four) over() AS s4 from tenk1 order by two
+""",
+    "gp_aggregates.sql:43 (MPP-20151) — DISTINCT above a whole-table "
+    "window aggregate: distinct is transformed to a group-by over the "
+    "window result.",
+    ("agg", "window"),
+)
+
+register_regress(
+    "regress_gpagg_distinct_having",
+    """
+select distinct two, sum(four) AS s4 from tenk1
+group by two having sum(four) > 5000
+""",
+    "gp_aggregates.sql:45 — DISTINCT + GROUP BY + HAVING on the "
+    "aggregate.",
+    ("agg",),
+)
+
+register_regress(
+    "regress_gpagg_distinct_ten_window",
+    """
+select distinct ten, sum(ten) over() AS s from tenk1 order by ten
+""",
+    "gp_aggregates.sql:53 — the Motion-Gather-merge-key bug variant: "
+    "more distinct groups over a whole-table window sum.",
+    ("agg", "window"),
+)
+
+register_regress(
+    "regress_gpagg_subq_join",
+    """
+WITH l(ok, pk, sk, quantity) AS (
+  SELECT CAST(g % 5 AS BIGINT), CAST(50 - g AS BIGINT), CAST(g AS BIGINT),
+         CAST(5 AS DOUBLE)
+  FROM generate_series(1, 50) AS gs(g)
+),
+ps(pk, sk, availqty) AS (
+  SELECT CAST(g AS BIGINT), CAST(50 - g AS BIGINT), CAST(10 AS BIGINT)
+  FROM generate_series(1, 25) AS gs(g)
+)
+select g.pk, g.sk, ps.availqty
+from ps,
+     (select sum(l.quantity) as qty_sum, l.pk, l.sk
+      from l
+      group by l.pk, l.sk ) g
+where g.pk = ps.pk and g.sk = ps.sk
+and ps.availqty > g.qty_sum
+order by 1, 2
+""",
+    "gp_aggregates.sql:62-75 — the merge-join path-key bug query "
+    "(modified TPC-H): join an aggregated subquery on BOTH grouping "
+    "keys with an inequality on the aggregate.",
+    ("agg", "join"),
+)
+
+# ---------------------------------------------------------------------------
+# strings.sql — E021 string expression battery (tier 2).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_strings_trim_variants",
+    """
+SELECT CAST(TRIM(BOTH FROM '  bunch o blanks  ') = 'bunch o blanks' AS text)
+           AS both_ok,
+       CAST(TRIM(LEADING FROM '  bunch o blanks  ') = 'bunch o blanks  '
+            AS text) AS leading_ok,
+       CAST(TRIM(TRAILING FROM '  bunch o blanks  ') = '  bunch o blanks'
+            AS text) AS trailing_ok,
+       CAST(TRIM(BOTH 'x' FROM 'xxxxxsome Xsxxxxx') = 'some Xs' AS text)
+           AS chars_ok
+""",
+    "strings.sql:165-171 — TRIM BOTH/LEADING/TRAILING with and without "
+    "an explicit trim character set.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_strings_regexp_replace_global",
+    r"""
+SELECT regexp_replace('1112223333',
+                      '(\d{3})(\d{3})(\d{4})', '(\1) \2-\3', 'g') AS phone,
+       regexp_replace('AAA   BBB   CCC   ', '\s+', ' ', 'g') AS squeezed,
+       regexp_replace('AAA aaa', 'A+', 'Z', 'gi') AS ci_all,
+       regexp_replace('AAA', '^|$', 'Z', 'g') AS anchors
+""",
+    "strings.sql:235-243 — regexp_replace with backreferences and "
+    "g/gi flags (frontend maps PG flags onto Spark's always-global "
+    "regexp_replace, 'i' becoming an inline (?i)).",
+    ("scalar",),
+    oracle=r"""
+SELECT regexp_replace('1112223333',
+                      '(\d{3})(\d{3})(\d{4})', '(\1) \2-\3', 'g') AS phone,
+       regexp_replace('AAA   BBB   CCC   ', '\s+', ' ', 'g') AS squeezed,
+       regexp_replace('AAA aaa', 'A+', 'Z', 'gi') AS ci_all,
+       regexp_replace('AAA', '^|$', 'Z', 'g') AS anchors
+""",
+)
+
+register_regress(
+    "regress_strings_length_family",
+    """
+SELECT length('abcdef') AS len, octet_length('abcdef') AS olen,
+       bit_length('abcdef') AS blen, ascii('x') AS asc_x, chr(65) AS chr65,
+       initcap('hi THOMAS') AS ic, repeat('Pg', 4) AS rep,
+       reverse('abcde') AS rev
+""",
+    "strings.sql length/octet_length/bit_length/ascii/chr/initcap/"
+    "repeat battery (E021, adt/varlena.c + oracle_compat.c initcap). "
+    "DuckDB lacks octet_length(varchar) and initcap, so the oracle "
+    "recomputes them from primitives (strlen; per-word upper/lower).",
+    ("scalar",),
+    oracle="""
+SELECT length('abcdef') AS len, strlen('abcdef') AS olen,
+       8 * strlen('abcdef') AS blen, ascii('x') AS asc_x, chr(65) AS chr65,
+       array_to_string(list_transform(string_split('hi THOMAS', ' '),
+                       w -> upper(w[1]) || lower(w[2:]))
+                       , ' ') AS ic,
+       repeat('Pg', 4) AS rep,
+       reverse('abcde') AS rev
+""",
+)
+
+# ---------------------------------------------------------------------------
+# float4.sql — binary32 semantics (tier 2).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_float4_arith",
+    """
+SELECT f.f1,
+       CAST(CAST(f.f1 AS DOUBLE) * -10 AS float4) AS mul,
+       CAST(CAST(f.f1 AS DOUBLE) + -10 AS float4) AS plus,
+       CAST(CAST(f.f1 AS DOUBLE) / -10 AS float4) AS div,
+       CAST(CAST(f.f1 AS DOUBLE) - -10 AS float4) AS minus
+FROM float4_tbl f
+WHERE f.f1 > CAST(0.0 AS float4)
+ORDER BY f.f1
+""",
+    "float4.sql:77-86 arithmetic battery. The product/sum is computed "
+    "in binary64 then rounded ONCE to binary32 on both engines — raw "
+    "float4*int arithmetic rounds differently per engine at the "
+    "1.2345679e+20 extreme (1-ulp divergence, measured), which is why "
+    "the reference pins float4 results through float4in/float4out "
+    "round-trips in its expected files.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_float4_cmp",
+    """
+SELECT f.f1,
+       CAST(f.f1 <> CAST(1004.3 AS float4) AS text) AS ne,
+       CAST(f.f1 < CAST(1004.3 AS float4) AS text) AS lt,
+       CAST(CAST(1004.3 AS float4) >= f.f1 AS text) AS ge
+FROM float4_tbl f
+ORDER BY f.f1
+""",
+    "float4.sql:65-75 comparison battery — the literal is pinned "
+    "float4 so the comparison happens at binary32 width (PG parses "
+    "the quoted literal as float4; comparing against a double literal "
+    "would widen f1 and flip the equality).",
+    ("scalar",),
+)
+
+# ---------------------------------------------------------------------------
+# numeric.sql — exact-decimal semantics (tier 2).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_numeric_round_trunc",
+    """
+SELECT x,
+       round(x) AS round0, round(x, 1) AS round1,
+       CAST(CASE WHEN x >= 0 THEN floor(x * 10) ELSE ceil(x * 10) END / 10
+            AS DECIMAL(10,1)) AS trunc1
+FROM (VALUES (CAST(-3.55 AS DECIMAL(10,2))), (-2.5), (-1.49), (0.5),
+             (1.45), (2.5), (3.55)) v(x)
+ORDER BY x
+""",
+    "numeric.sql:679 round/trunc battery — PG numeric round() is "
+    "half-away-from-zero, which Spark and DuckDB DECIMAL round "
+    "share; trunc(x,1) (toward zero) is spelled via floor/ceil since "
+    "Spark has no decimal trunc-to-scale.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_numeric_agg_stats",
+    """
+SELECT CAST(AVG(val) AS DECIMAL(28,12)) AS avg_val,
+       MAX(val) AS max_val, MIN(val) AS min_val,
+       round(CAST(STDDEV(CAST(val AS DOUBLE)) AS DOUBLE), 4) AS stddev_val,
+       round(CAST(VARIANCE(CAST(val AS DOUBLE)) AS DOUBLE), 4) AS var_val
+FROM num_data
+""",
+    "numeric.sql:754-758 — AVG/MAX/MIN exact over DECIMAL(28,12) "
+    "num_data (avg of the ten reference rows is exact at this scale); "
+    "STDDEV/VARIANCE ride binary64 on both engines.",
+    ("agg",),
+)
+
+register_regress(
+    "regress_numeric_sqrt_ln_power",
+    """
+SELECT x,
+       round(CAST(sqrt(CAST(x AS DOUBLE)) AS DOUBLE), 8) AS sqrt_x,
+       round(CAST(ln(CAST(x AS DOUBLE)) AS DOUBLE), 8) AS ln_x,
+       round(CAST(log10(CAST(x AS DOUBLE)) AS DOUBLE), 8) AS log_x,
+       round(CAST(power(CAST(x AS DOUBLE), 2.5) AS DOUBLE), 6) AS pow_x
+FROM (VALUES (CAST(0.239 AS DECIMAL(18,6))), (1.0), (4.31),
+             (16397.038491)) v(x)
+ORDER BY x
+""",
+    "numeric.sql:692-748 transcendental battery on the positive "
+    "domain (sqrt/ln/log/power), computed in binary64 on both "
+    "engines — PG computes these in numeric with mul_var iterations, "
+    "a documented precision divergence beyond the 8th digit.",
+    ("scalar",),
+)
+
+
+# ---------------------------------------------------------------------------
+# qp_olap_window.sql — GP OLAP windowing battery (deterministic shapes:
+# rank/dense_rank/cume_dist/percent_rank are pure functions of the order
+# key, unlike the file's row_number-over-ties shapes which the reference
+# verifies only up to functional dependencies via atmsort "mvd"
+# annotations). TO_CHAR formatting is covered separately by
+# scalar_formatting_family; here ranks stay numeric.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_olapwin_rank_named_dup_keys",
+    """
+SELECT sale.vn, sale.dt, sale.pn,
+       CAST(COALESCE(RANK() OVER(win1), 0) AS BIGINT) AS rnk
+FROM sale
+WINDOW win1 as (partition by sale.dt, sale.dt
+                order by sale.pn desc, sale.vn desc)
+ORDER BY 1, 2, 3, 4
+""",
+    "qp_olap_window.sql:229 — RANK over a named window whose PARTITION "
+    "BY repeats the same key twice (the parser must dedupe, not error).",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_mixed_inline_named",
+    """
+SELECT sale.pn, sale.vn, sale.cn,
+       CAST(COALESCE(RANK() OVER(win1), 0) AS BIGINT) AS rnk,
+       CAST(COALESCE(DENSE_RANK() OVER(win1), 0) AS BIGINT) AS drnk,
+       CAST(COALESCE(DENSE_RANK() OVER(order by sale.vn desc), 0) AS BIGINT)
+           AS drnk_inline
+FROM sale
+WINDOW win1 as (order by sale.cn asc, sale.cn desc)
+ORDER BY 1, 2, 3
+""",
+    "qp_olap_window.sql:221,186 — the SAME named window consumed by two "
+    "rank functions plus an inline OVER in one select list; win1's "
+    "order list repeats the key with conflicting asc/desc (first "
+    "occurrence wins, per PG transformWindowDefinitions).",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_cume_percent",
+    """
+SELECT sale.cn, sale.qty,
+       round(CAST(CUME_DIST() OVER(win1) AS DOUBLE), 8) AS cd,
+       round(CAST(PERCENT_RANK() OVER(win1) AS DOUBLE), 8) AS pr
+FROM sale
+WINDOW win1 as (order by sale.cn, sale.qty)
+ORDER BY 1, 2, 3, 4
+""",
+    "qp_olap_window.sql:245-295 — CUME_DIST + PERCENT_RANK over one "
+    "named window (deterministic: both are functions of the full order "
+    "key).",
+    ("window",),
+)
+
+# ---------------------------------------------------------------------------
+# bfv_joins.sql — GP outer-join bug-fix-verification battery.
+# Fixtures renamed bfv_x/bfv_y/bj_t1/bj_t2/bj_t3/bjfoo/bjbar/bjt (the
+# originals shadow prelude names); bj_t3 is EMPTY exactly as in the
+# reference setup (no insert).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_bfvjoin_loj_on_true",
+    """
+SELECT * from bfv_x x left join bfv_y y on True
+where y.a > 0 and y.b > 0 and x.a < 3
+order by x.a, x.b, x.c, y.a, y.b, y.c
+""",
+    "bfv_joins.sql:55 — LEFT JOIN ON TRUE with null-filtering WHERE "
+    "quals on the inner side (Orca's LOJ-to-inner transformation).",
+    ("join",),
+)
+
+register_regress(
+    "regress_bfvjoin_loj_null_filter",
+    """
+SELECT count(*) AS n_null, count(y.a) AS n_inner
+from bfv_x x left join bfv_y y on True
+where y.a is NULL
+""",
+    "bfv_joins.sql:61 — IS NULL filter above LEFT JOIN ON TRUE: the "
+    "inner side is never null (cross product), so zero rows survive; "
+    "counted so the empty result is hash-checkable.",
+    ("join",),
+)
+
+register_regress(
+    "regress_bfvjoin_is_distinct_from",
+    """
+SELECT t1.a, t1.b, t1.c, t2.a AS a2, t2.b AS b2
+FROM bj_t1 t1 LEFT OUTER JOIN bj_t2 t2 ON t1.a = t2.a
+WHERE t1.b IS DISTINCT FROM t2.b
+ORDER BY 1, 2, 3
+""",
+    "bfv_joins.sql:69 — IS DISTINCT FROM across an outer join's "
+    "nullable sides (NULL IS DISTINCT FROM 3 is true, not unknown).",
+    ("join",),
+)
+
+register_regress(
+    "regress_bfvjoin_not_distinct_null",
+    """
+SELECT t1.a, t1.b, t1.c, t2.a AS a2, t2.b AS b2
+FROM bj_t1 t1 LEFT OUTER JOIN bj_t2 t2 ON t1.a = t2.a
+WHERE t2.b IS NOT DISTINCT FROM NULL
+ORDER BY 1, 2, 3
+""",
+    "bfv_joins.sql:75 — IS NOT DISTINCT FROM NULL selects exactly the "
+    "anti-join rows of the LOJ (null-extended inner side).",
+    ("join",),
+)
+
+register_regress(
+    "regress_bfvjoin_loj_const_cond",
+    """
+select t1.a, t1.b, t1.c from bj_t1 t1 left outer join bj_t3 t3 on t1.b = 1
+order by 1, 2, 3
+""",
+    "bfv_joins.sql:81 — LEFT JOIN whose ON references only the OUTER "
+    "side against an empty inner: every outer row survives exactly "
+    "once (the join can never multiply).",
+    ("join",),
+)
+
+register_regress(
+    "regress_bfvjoin_window_under_join",
+    """
+select f.c AS c, f.d AS d, f.e AS e, t2.a AS a, t2.b AS b, t2.d AS d2
+from
+(SELECT bjbar.c, bjbar.d, AVG(t.b) OVER(PARTITION BY t.a ORDER BY t.b desc)
+     AS e FROM bjt t, bjbar) f, bjt t2
+where f.e < 10
+order by 1, 2, 3, 4, 5, 6
+""",
+    "bfv_joins.sql:132-137 — window function computed UNDER a join "
+    "(the GP wrong-results bug class: the window partition is over the "
+    "pre-join relation, then the result re-joins); deterministic since "
+    "AVG depends only on the partition.",
+    ("window", "join"),
 )
