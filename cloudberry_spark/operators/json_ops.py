@@ -649,3 +649,144 @@ def json_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "status_json", "orders_json")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL/JSON path language (operators/jsonpath.py compiler over VARIANT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_jsonpath_methods",
+    oracle="""
+        WITH j AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS items
+            FROM lineitem
+            GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               len(items) AS n_items,
+               'array' AS items_type,
+               CAST(round(list_sum(list_transform(items, x ->
+                    CAST(x AS DOUBLE)))) AS BIGINT) AS qty_sum,
+               len(list_filter(items, x -> x > 45)) AS n_big
+        FROM j
+        WHERE l_orderkey < 2000
+        ORDER BY l_orderkey
+    """,
+    doc="SQL/JSON path item methods (adt/jsonpath_exec.c "
+    "executeItemMethod: .size()/.type()/.double()): the jsonpath "
+    "compiler (operators/jsonpath.py) turns each path into a Spark "
+    "VARIANT expression — parse_json once, variant_get/transform/"
+    "filter thereafter, all codegen'd JVM-side. Documents are real "
+    "per-order JSON built from lineitem.",
+    tags=("json", "jsonpath"),
+)
+def json_jsonpath_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.jsonpath import (
+        compile_jsonpath,
+        jsonb_path_query_array,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__jp_lineitem")
+    doc = spark.sql(
+        """
+        SELECT l_orderkey,
+               to_json(named_struct(
+                   'items',
+                   sort_array(collect_list(CAST(l_quantity AS BIGINT)))
+               )) AS doc
+        FROM __jp_lineitem
+        GROUP BY l_orderkey
+        """
+    )
+    doc.createOrReplaceTempView("__jp_docs")
+    size_e = compile_jsonpath("doc", "$.items.size()").expr
+    type_e = compile_jsonpath("doc", "$.items.type()").expr
+    arr_e = jsonb_path_query_array("doc", "$.items[*].double()")
+    filt_e = jsonb_path_query_array("doc", "$.items[*] ? (@ > 45)", "bigint")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               CAST({size_e} AS BIGINT) AS n_items,
+               {type_e} AS items_type,
+               CAST(round(aggregate({arr_e}, CAST(0 AS DOUBLE),
+                          (a, x) -> a + x)) AS BIGINT) AS qty_sum,
+               CAST(size({filt_e}) AS BIGINT) AS n_big
+        FROM __jp_docs
+        WHERE l_orderkey < 2000
+        ORDER BY l_orderkey
+        """
+    )
+
+
+@register(
+    "json_jsonpath_filter_arith",
+    oracle="""
+        WITH j AS (
+            SELECT o_orderkey,
+                   list_transform(
+                       list_sort(list(row(l_linenumber, l_quantity,
+                                          l_extendedprice))),
+                       r -> struct_pack(q := r[2], p := r[3])) AS items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey
+        )
+        SELECT o_orderkey,
+               round(coalesce(list_sum(list_transform(
+                   list_filter(items, e -> e.q * 2 > 90),
+                   e -> e.p)), 0), 2) AS big_price_sum,
+               CAST(len(list_filter(items, e -> e.q * 2 > 90)) > 0
+                    AS text) AS has_big
+        FROM j
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+    """,
+    doc="jsonpath filter with operand arithmetic "
+    "(jsonpath_exec.c executeBinaryArithmExpr: '$.items[*] ? "
+    "(@.q * 2 > 90).p'): object-element filters compile to "
+    "filter(arr, x -> variant_get(x,'$.q','double') * 2 > 90) — the "
+    "predicate runs on the variant binary encoding, no re-parse per "
+    "element. has_big rides jsonb_path_exists.",
+    tags=("json", "jsonpath"),
+)
+def json_jsonpath_filter_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.jsonpath import (
+        jsonb_path_exists,
+        jsonb_path_query_array,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("__jpa_lineitem")
+    od.createOrReplaceTempView("__jpa_orders")
+    doc = spark.sql(
+        """
+        SELECT o_orderkey,
+               to_json(named_struct(
+                   'items',
+                   transform(
+                       sort_array(collect_list(struct(l_linenumber AS ln,
+                           l_quantity AS q0, l_extendedprice AS p0))),
+                       r -> named_struct('q', r.q0, 'p', r.p0))
+               )) AS doc
+        FROM __jpa_lineitem JOIN __jpa_orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        """
+    )
+    doc.createOrReplaceTempView("__jpa_docs")
+    prices = jsonb_path_query_array("doc", "$.items[*] ? (@.q * 2 > 90).p", "double")
+    exists_e = jsonb_path_exists("doc", "$.items[*] ? (@.q * 2 > 90)")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               round(aggregate({prices}, CAST(0 AS DOUBLE),
+                               (a, x) -> a + x), 2) AS big_price_sum,
+               CAST({exists_e} AS STRING) AS has_big
+        FROM __jpa_docs
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+        """
+    )

@@ -280,3 +280,26 @@ def test_plpgsql_out_of_subset_is_loud():
                 + body
                 + " $$ LANGUAGE plpgsql"
             )
+
+
+def test_jsonpath_compiler_units():
+    import pytest as _pytest
+
+    from cloudberry_spark.operators.jsonpath import (
+        compile_jsonpath,
+        jsonb_path_exists,
+        jsonb_path_query_array,
+    )
+
+    v = compile_jsonpath("doc", "$.a.b[2]")
+    assert not v.is_seq and "variant_get" in v.expr and "$[2]" in v.expr
+    v = compile_jsonpath("doc", "$.items[*]")
+    assert v.is_seq and "array<variant>" in v.expr
+    e = jsonb_path_query_array("doc", "$.items[*] ? (@.q > 1 && @.p < 2).p")
+    assert "filter(" in e and " AND " in e
+    e = jsonb_path_exists("doc", "$.items[*] ? (exists(@.k))")
+    assert "IS NOT NULL" in e and e.startswith("(size(")
+    # out-of-subset constructs must fail loudly, not silently misparse
+    for bad in ["$.**.a", "$.items[last]", "$.a ? (@ like_regex \"x\")"]:
+        with _pytest.raises(NotImplementedError):
+            compile_jsonpath("doc", bad)
