@@ -438,3 +438,111 @@ def text_tsvector_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_headline — best-fragment highlighting
+# ---------------------------------------------------------------------------
+
+
+def ts_headline_sql(
+    text_expr: str,
+    terms: tuple[str, ...],
+    engine: str,
+    before: int = 5,
+    after: int = 5,
+) -> str:
+    """ts_headline('english-ish', text, query) analog as ONE generated
+    SQL expression per engine (reference: src/backend/tsearch/wparser.c
+    ts_headline -> prsd_headline's cover-window selection). Simplified
+    cover policy: the window of `before`+1+`after` tokens around the
+    FIRST token matching any query term, matched terms wrapped in
+    <b></b>; when nothing matches, the leading window is returned
+    unhighlighted (PG's ShortWord fallback). Pure array algebra —
+    tokenize once, one pass, no Python."""
+    if engine == "spark":
+        t, f_, pos, sl, join, contains = (
+            "transform",
+            "filter",
+            "array_position",
+            "slice",
+            "array_join",
+            "array_contains",
+        )
+        terms_arr = "array(" + ", ".join(f"'{w}'" for w in terms) + ")"
+        split = f"split(trim({text_expr}), '\\\\s+')"
+    else:
+        t, f_, pos, sl, join, contains = (
+            "list_transform",
+            "list_filter",
+            "list_position",
+            "list_slice",
+            "array_to_string",
+            "list_contains",
+        )
+        terms_arr = "[" + ", ".join(f"'{w}'" for w in terms) + "]"
+        split = f"regexp_split_to_array(trim({text_expr}), '\\s+')"
+    toks = f"{f_}({split}, w -> w <> '')"
+    norm = (
+        "regexp_replace(lower(w), '[^a-z0-9]', '')"
+        if engine == "spark"
+        else "regexp_replace(lower(w), '[^a-z0-9]', '', 'g')"
+    )
+    hits = f"{t}({toks}, w -> {contains}({terms_arr}, {norm}))"
+    first = f"{pos}({hits}, true)"
+    start = f"greatest(1, {first} - {before})"
+    window_len = before + after + 1
+    if engine == "spark":
+        window = f"slice({toks}, CAST({start} AS INT), {window_len})"
+        fallback = f"slice({toks}, 1, {window_len})"
+    else:
+        window = f"list_slice({toks}, {start}, {start} + {window_len} - 1)"
+        fallback = f"list_slice({toks}, 1, {window_len})"
+    marked = (
+        f"{t}({window}, w -> CASE WHEN {contains}({terms_arr}, {norm}) "
+        f"THEN '<b>' || w || '</b>' ELSE w END)"
+    )
+    if engine == "spark":
+        return (
+            f"CASE WHEN {first} IS NOT NULL AND {first} > 0 "
+            f"THEN array_join({marked}, ' ') "
+            f"ELSE array_join({fallback}, ' ') END"
+        )
+    return (
+        f"CASE WHEN {first} IS NOT NULL AND {first} > 0 "
+        f"THEN array_to_string({marked}, ' ') "
+        f"ELSE array_to_string({fallback}, ' ') END"
+    )
+
+
+_HEADLINE_TERMS = ("model", "data", "training")
+
+
+@register(
+    "text_ts_headline",
+    oracle=f"""
+        SELECT doc_id,
+               {ts_headline_sql("text", _HEADLINE_TERMS, "duckdb")} AS headline
+        FROM documents
+        WHERE doc_id % 41 = 0
+        ORDER BY doc_id
+    """,
+    doc="ts_headline analog (tsearch/wparser.c ts_headline, "
+    "prsd_headline cover selection): highlight the first-cover window "
+    "with <b> markers, leading-window fallback when the query misses. "
+    "The SAME generated array-algebra expression runs on DuckDB, so "
+    "the highlighter logic itself is differentially tested.",
+    tags=("textsearch", "pipeline"),
+)
+def text_ts_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 41 == 0)
+        .select(
+            "doc_id",
+            F.expr(ts_headline_sql("text", _HEADLINE_TERMS, "spark")).alias(
+                "headline"
+            ),
+        )
+        .orderBy("doc_id")
+    )
