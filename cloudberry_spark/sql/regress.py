@@ -254,6 +254,15 @@ bjbar(c, d) AS (
 ),
 bjt(a, b, d) AS (
   SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar WHERE bjfoo.a = bjbar.d
+),
+qp_vendor(vn) AS (
+  SELECT DISTINCT vn FROM sale
+),
+qp_customer(cn) AS (
+  SELECT DISTINCT cn FROM sale
+),
+qp_product(pn) AS (
+  SELECT DISTINCT pn FROM sale
 )
 """
 
@@ -2285,4 +2294,112 @@ order by 1, 2, 3, 4, 5, 6
     "pre-join relation, then the result re-joins); deterministic since "
     "AVG depends only on the partition.",
     ("window", "join"),
+)
+
+
+# ---------------------------------------------------------------------------
+# qp_olap_group.sql — GP OLAP grouping battery (tractable tier: the
+# giant composite CUBE x ROLLUP products explode to thousands of
+# grouping sets and lean on GROUP_ID(), which neither Spark nor DuckDB
+# has — those shapes stay with the reference; the GROUPING SETS(CUBE)
+# and ROLLUP-with-HAVING shapes port verbatim-or-near).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_olapgrp_gsets_cube_having",
+    """
+SELECT DISTINCT sale.vn,
+       round(COALESCE(STDDEV(floor(sale.prc + sale.prc)), 0), 6) AS sd_prc,
+       round(COALESCE(VAR_SAMP(floor(sale.qty + sale.cn)), 0), 6) AS vs_qc,
+       CAST(COALESCE(COUNT(floor(sale.pn)), 0) AS BIGINT) AS cnt_pn,
+       CAST(COALESCE(MIN(floor(sale.cn)), 0) AS BIGINT) AS min_cn
+FROM sale, qp_vendor, qp_customer, qp_product
+WHERE sale.pn = qp_product.pn AND sale.vn = qp_vendor.vn
+  AND sale.cn = qp_customer.cn
+GROUP BY GROUPING SETS(CUBE((sale.pn, sale.vn, sale.pn),
+                            (sale.cn, sale.pn, sale.vn)))
+HAVING COALESCE(AVG(sale.vn), 0) <= 50.5023418504766
+   AND NOT COALESCE(COUNT(sale.vn), 0) < 2
+ORDER BY 1 NULLS FIRST, 2, 3, 4, 5
+""",
+    "qp_olap_group.sql:10-12 — GROUPING SETS(CUBE(composites)) with "
+    "duplicated columns inside a composite, DISTINCT over the grouped "
+    "output, and a HAVING mixing two aggregate predicates. Dims "
+    "(qp_vendor/customer/product) carry the distinct sale keys, as in "
+    "the reference setup. TO_CHAR formatting covered separately by "
+    "scalar_formatting_family; stats stay numeric at round(6).",
+    ("agg",),
+)
+
+register_regress(
+    "regress_olapgrp_rollup_countdistinct_case",
+    """
+SELECT COUNT(DISTINCT cn) as cn_r, f, g
+FROM (SELECT cn, CASE WHEN (vn = 0) THEN 1 END AS f, 1 AS g FROM sale)
+     sale_view
+GROUP BY ROLLUP(f, g)
+ORDER BY 2 NULLS FIRST, 3 NULLS FIRST, 1
+""",
+    "qp_olap_group.sql:160 — COUNT(DISTINCT) under ROLLUP where one "
+    "grouping column is an ELSE-less CASE (all NULLs): NULL-as-data "
+    "groups must stay distinct from NULL-as-rollup rows.",
+    ("agg",),
+)
+
+register_regress(
+    "regress_olapgrp_rollup_having_expr",
+    """
+SELECT COUNT(DISTINCT cn) as cn_r, f, g
+FROM (SELECT cn, vn + 1 AS f, 1 AS g FROM sale) sale_view
+GROUP BY ROLLUP(f, g) HAVING (f > 1)
+ORDER BY 2, 3 NULLS FIRST, 1
+""",
+    "qp_olap_group.sql:161 — HAVING on a GROUPING column (not an "
+    "aggregate) under ROLLUP: super-aggregate rows have f IS NULL and "
+    "must be filtered by the three-valued predicate.",
+    ("agg",),
+)
+
+# ---------------------------------------------------------------------------
+# window.sql tier 2 — ntile / nth_value shapes
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_win_ntile",
+    """
+SELECT ntile(3) OVER (ORDER BY ten, four, unique1) AS nt, ten, four
+FROM tenk1 WHERE unique2 < 10
+ORDER BY ten, four, unique1
+""",
+    "window.sql:67 — ntile(3) bucketing (the reference's order key "
+    "leaves ties, which atmsort tolerates; unique1 added as the "
+    "deterministic tiebreak so both engines bucket identically).",
+    ("window",),
+)
+
+register_regress(
+    "regress_win_nth_value_dynamic",
+    """
+SELECT try_element_at(collect_list(ten)
+           OVER (PARTITION BY four ORDER BY ten, unique1
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           CAST(four + 1 AS INT)) AS nv,
+       ten, four
+FROM tenk1 WHERE unique2 < 30
+ORDER BY four, ten, unique1
+""",
+    "window.sql:140 — nth_value with a DYNAMIC n (four + 1). Spark "
+    "requires a foldable nth_value offset (same class as variable "
+    "lag offsets, see win_variable_offset_lag), so the emulation "
+    "collects the frame and indexes it: try_element_at(collect_list "
+    "OVER default-frame, n) — out-of-frame n yields NULL exactly as "
+    "PG nth_value does.",
+    ("window",),
+    oracle="""
+SELECT nth_value(ten, CAST(four + 1 AS INT))
+           OVER (PARTITION BY four ORDER BY ten, unique1) AS nv,
+       ten, four
+FROM tenk1 WHERE unique2 < 30
+ORDER BY four, ten, unique1
+""",
 )
