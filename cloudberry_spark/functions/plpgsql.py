@@ -167,7 +167,41 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
     while not p.at_end():
         if p.peek_kw(*terminators):
             return stmts
-        if p.take_kw("IF"):
+        if p.take_kw("FOR"):
+            # FOR i IN <int>..<int> LOOP stmts END LOOP; — constant
+            # bounds unroll at compile time (pl_exec.c exec_stmt_fori;
+            # non-constant bounds would need runtime iteration, which
+            # has no single-expression form — rejected loudly below)
+            p._skip_ws()
+            fm = re.match(
+                r"([A-Za-z_]\w*)\s+(?i:IN)\s+(?:(?i:REVERSE)\s+)?"
+                r"(-?\d+)\s*\.\.\s*(-?\d+)",
+                p.text[p.pos :],
+            )
+            if not fm:
+                raise NotImplementedError(
+                    "plpgsql subset: FOR supports only constant integer "
+                    "ranges (FOR i IN 1..10 LOOP ...)"
+                )
+            p.pos += fm.end()
+            if not p.take_kw("LOOP"):
+                raise NotImplementedError("plpgsql subset: missing LOOP")
+            body = _parse_stmts(p, ("END LOOP",))
+            if not p.take_kw("END LOOP"):
+                raise NotImplementedError("plpgsql subset: missing END LOOP")
+            p.expect(";")
+            a, b = int(fm.group(2)), int(fm.group(3))
+            # PG iterates from the FIRST bound to the second: REVERSE
+            # 3..1 counts down 3,2,1 (exec_stmt_fori step sign)
+            reverse = "reverse" in fm.group(0).lower()
+            rng = range(a, b - 1, -1) if reverse else range(a, b + 1)
+            if len(rng) > 64:
+                raise NotImplementedError(
+                    "plpgsql subset: FOR range unrolls at compile time; "
+                    f"{len(rng)} iterations exceeds the 64-iteration cap"
+                )
+            stmts.append(("for", fm.group(1).lower(), list(rng), body))
+        elif p.take_kw("IF"):
             arms = []
             cond = p.until("THEN")
             p.take_kw("THEN")
@@ -229,6 +263,27 @@ def _subst(expr: str, env: dict[str, str]) -> str:
     return _IDENT_RE.sub(repl, expr).strip()
 
 
+def _run_straightline(stmts: list, env: dict[str, str]) -> dict[str, str]:
+    """Execute a straight-line block (assignments and nested constant
+    FOR loops) for its environment effect — the unrolled loop body."""
+    for s in stmts:
+        if s[0] == "assign":
+            env = {**env, s[1]: f"({_subst(s[2], env)})"}
+        elif s[0] == "for":
+            _, var, rng, body = s
+            for iv in rng:
+                env = {**env, var: str(iv)}
+                env = _run_straightline(body, env)
+            env = {k: v for k, v in env.items() if k != var}
+        else:
+            raise NotImplementedError(
+                "plpgsql subset: FOR bodies support assignments and "
+                "nested constant FOR loops only (no IF/RETURN inside "
+                "a loop)"
+            )
+    return env
+
+
 def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
     """Symbolically execute; returns the RETURN expression reached on
     this path, or None if the block falls through."""
@@ -237,6 +292,8 @@ def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
             env = {**env, s[1]: f"({_subst(s[2], env)})"}
         elif s[0] == "return":
             return _subst(s[1], env)
+        elif s[0] == "for":
+            env = _run_straightline([s], env)
         else:  # if
             _, arms, else_body = s
             tail = stmts[i + 1 :]

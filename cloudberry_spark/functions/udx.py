@@ -203,6 +203,54 @@ def udf_plpgsql_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_plpgsql_forloop",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(o_totalprice * power(1.05, 1)
+                         + o_totalprice * power(1.05, 2)
+                         + o_totalprice * power(1.05, 3)), 2) AS proj
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderpriority
+    """,
+    doc="PL/pgSQL constant-range FOR loop (pl_exec.c exec_stmt_fori) "
+    "unrolled at compile time into one expression: a 3-period "
+    "compound projection accumulates across iterations with the loop "
+    "variable substituted per unroll. Loops stay Catalyst-inlined — "
+    "zero per-row Python.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_forloop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION project3(p float8) RETURNS float8 AS $$
+        DECLARE acc float8 := 0;
+        BEGIN
+          FOR i IN 1..3 LOOP
+            acc := acc + p * power(1.05, i);
+          END LOOP;
+          RETURN acc;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(sum(project3(o_totalprice)), 2) AS proj
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
     The prelimfn (partial combine) would be '+' over (log_sum, n) —

@@ -270,7 +270,7 @@ def test_plpgsql_out_of_subset_is_loud():
     from cloudberry_spark.functions.plpgsql import compile_plpgsql
 
     for body in [
-        "BEGIN FOR i IN 1..10 LOOP x := i; END LOOP; RETURN x; END;",
+        "BEGIN WHILE a LOOP x := 1; END LOOP; RETURN x; END;",
         "BEGIN PERFORM pg_sleep(1); RETURN 1; END;",
         "BEGIN IF a THEN RETURN 1; END IF; END;",  # path without RETURN
     ]:
@@ -303,3 +303,39 @@ def test_jsonpath_compiler_units():
     for bad in ["$.**.a", "$.items[last]", "$.a ? (@ like_regex \"x\")"]:
         with _pytest.raises(NotImplementedError):
             compile_jsonpath("doc", bad)
+
+
+def test_plpgsql_for_loop_unrolling():
+    import pytest as _pytest
+
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION f(x float8) RETURNS float8 AS $$\n"
+        "DECLARE acc float8 := 0;\n"
+        "BEGIN FOR i IN 1..3 LOOP acc := acc + power(x, i); END LOOP;\n"
+        "RETURN acc; END; $$ LANGUAGE plpgsql"
+    )
+    assert expr == "((((0) + power(x, 1)) + power(x, 2)) + power(x, 3))"
+
+    # REVERSE counts DOWN from the first bound (exec_stmt_fori)
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION g() RETURNS int AS $$\n"
+        "DECLARE s int := 0;\n"
+        "BEGIN FOR i IN REVERSE 3..1 LOOP s := s * 10 + i; END LOOP;\n"
+        "RETURN s; END; $$ LANGUAGE plpgsql"
+    )
+    assert expr == "((((0) * 10 + 3) * 10 + 2) * 10 + 1)"
+
+    # non-constant bounds and oversized ranges are rejected loudly
+    for body in [
+        "BEGIN FOR i IN 1..n LOOP s := i; END LOOP; RETURN s; END;",
+        "BEGIN FOR i IN 1..1000 LOOP s := i; END LOOP; RETURN s; END;",
+        "BEGIN FOR i IN 1..2 LOOP IF i = 1 THEN s := 1; END IF; "
+        "END LOOP; RETURN s; END;",
+    ]:
+        with _pytest.raises(NotImplementedError):
+            compile_plpgsql(
+                "CREATE FUNCTION bad(n int) RETURNS int AS $$\n"
+                "DECLARE s int := 0;\n" + body + " $$ LANGUAGE plpgsql"
+            )

@@ -649,10 +649,12 @@ def test_merge_multi_action_single_shuffle(spark):
 
 def test_driver_prefix_composition():
     """The driver samples the first 50 of queries(); pin the properties
-    the round-4 rotation established: this round's bug-fix paths (MERGE
-    NULL qualifiers, jsonb containment) lead the prefix, every sampled
-    slot is a first-time hash-checkable query (no re-confirmations, no
-    rows-only `no_oracle` rows), so coverage breadth grows maximally."""
+    the round-5 rotation established: this round's bug-fix paths
+    (SIMILAR TO/~* operands, array_agg ORDER BY nulls) and additions
+    (cross-level decorrelation, PL/pgSQL, snapshot DML) lead the
+    prefix, every sampled slot is a first-time hash-checkable query
+    (no re-confirmations, no rows-only `no_oracle` rows), so coverage
+    breadth grows maximally."""
     from cloudberry_spark.registry import (
         _DRIVER_SAMPLED,
         all_queries,
@@ -662,12 +664,14 @@ def test_driver_prefix_composition():
     qs = interleaved_queries()
     prefix = list(qs)[:50]
     for must in (
-        "dml_merge_delete",
-        "json_containment_ops",
-        "sim_neardup_lsh_banded",
-        "dedup_ngram_jaccard",
-        "dedup_exact",
-        "graph_pagerank",
+        "pgsql_compat_similar_to",
+        "regress_agg_array_order",
+        "regress_csq_crosslevel_exists_in",
+        "udf_plpgsql_scalar",
+        "dml_snapshot_merge_upsert",
+        "ddl_information_schema_columns",
+        "text_tsvector_stemmed",
+        "regress_float8_special_values",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
