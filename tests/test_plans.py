@@ -722,3 +722,16 @@ def test_exclude_window_single_exchange(spark):
         final = plan.split("== Initial Plan ==")[0]
         assert final.count("Exchange hashpartitioning") == 1, name
         assert final.count("Window") == 1, name
+
+
+def test_inverted_index_probe_prunes_buckets(spark):
+    """text_inverted_index_search must read ONLY the buckets its query
+    terms hash to (PartitionFilters on bucket), with the term IN
+    pushed to the postings scan — the standing-index contract: the
+    corpus is never rescanned at query time."""
+    df = all_queries()["text_inverted_index_search"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters: [bucket")
+    assert i >= 0, "no bucket partition pruning in the probe scan"
+    assert "In(w, [" in plan, "term filter not pushed to postings scan"
