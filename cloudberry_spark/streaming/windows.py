@@ -1941,3 +1941,137 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH mx AS (
+        SELECT max(ts) - INTERVAL 6 HOUR AS cut FROM events
+    ), v AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view' AND ts < (SELECT cut FROM mx)
+    ), c AS (
+        SELECT event_id AS c_id, user_id AS cu, ts AS cts FROM events
+        WHERE event_type = 'click' AND ts < (SELECT cut FROM mx)
+    ), j AS (
+        SELECT v.event_id, v.ts, c.c_id, c.cts
+        FROM v FULL JOIN c
+          ON c.cu = v.user_id
+         AND c.cts >= v.ts AND c.cts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(date_trunc('day', coalesce(ts, cts)) AS TIMESTAMP) AS day,
+           CAST(sum(CASE WHEN ts IS NOT NULL AND cts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_only,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_only
+    FROM j GROUP BY 1 ORDER BY day
+    """,
+    doc="Stream-stream FULL OUTER join (the last outer variant: both "
+    "sides null-extend once the watermark proves no partner can "
+    "arrive). Views FULL JOIN clicks in [view_ts, view_ts+1h] per "
+    "user, both sides watermarked 1h; unmatched views finalize at "
+    "watermark > view_ts+1h, unmatched clicks at watermark > click_ts "
+    "+ 1h (a partner view could have ts in [c_ts-1h, c_ts]). Sentinel "
+    "drain ticks + the 6h finalized-prefix audit restriction as in "
+    "stream_stream_left_outer, applied to BOTH sides (each leg keyed "
+    "by its own event time).",
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cloudberry_spark.sources.external import _scratch
+
+    src_dir = _scratch(sf_dir, "ssfo_src")
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp")
+    )
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+    mx = ev.agg(F.max("ts").alias("m"))
+    for days, eid in ((10, -1), (20, -2)):
+        (
+            mx.select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    views = raw.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = raw.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = views.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    pairs = run_stream_once(
+        joined.select("event_id", "ts", "c_id", "c_ts"), "append"
+    )
+    cut = ev.agg((F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cut"))
+    return (
+        pairs.crossJoin(F.broadcast(cut))
+        # finalized-prefix audit on BOTH legs: each present side must be
+        # inside the provably-drained range
+        .where(
+            (F.col("ts").isNull() | (F.col("ts") < F.col("cut")))
+            & (F.col("c_ts").isNull() | (F.col("c_ts") < F.col("cut")))
+        )
+        .groupBy(
+            F.date_trunc("day", F.coalesce("ts", "c_ts")).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts").isNotNull() & F.col("c_ts").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_view_only"),
+            F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click_only"),
+        )
+        .orderBy("day")
+    )
