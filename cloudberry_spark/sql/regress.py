@@ -2403,3 +2403,68 @@ FROM tenk1 WHERE unique2 < 30
 ORDER BY four, ten, unique1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# aggregates.sql tier 2 — regression aggregates, outer-level aggregates,
+# strict-NULL inputs. (Two shapes stay with the reference, documented:
+# the 2-level sublink-inside-aggregate of aggregates.sql:201 resolves
+# `o.unique1` across two subquery levels — the same cross-level class
+# as qp_correlated_query 96/110 but inside an aggregate argument, with
+# no join-flatten equivalent; and the LATERAL-with-outer-param-in-
+# aggregate of :208 is rejected by BOTH engines.)
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_agg_regr_bivariate",
+    """
+SELECT CAST(regr_count(b, a) AS BIGINT) AS rc,
+       round(regr_sxx(b, a), 4) AS sxx,
+       round(regr_syy(b, a), 4) AS syy,
+       round(regr_sxy(b, a), 4) AS sxy,
+       round(regr_avgx(b, a), 6) AS avgx,
+       round(regr_avgy(b, a), 6) AS avgy,
+       round(regr_r2(b, a), 6) AS r2,
+       round(regr_slope(b, a), 6) AS slope,
+       round(regr_intercept(b, a), 6) AS icept,
+       round(covar_pop(b, a), 4) AS cvp,
+       round(covar_samp(b, a), 4) AS cvs,
+       round(corr(b, a), 6) AS corr_ba
+FROM aggtest
+""",
+    "aggregates.sql:129-137 — the full bivariate regression aggregate "
+    "family (regr_count/sxx/syy/sxy/avgx/avgy/r2/slope/intercept, "
+    "covar_pop/samp, corr) over aggtest; all Spark-native partials "
+    "(numeric.c float8_regr_accum == Spark's central-moment buffers).",
+    ("agg",),
+)
+
+register_regress(
+    "regress_agg_outer_level_having",
+    """
+select ten, CAST(sum(distinct four) AS BIGINT) AS sd from onek a
+group by ten
+having exists (select 1 from onek b where sum(distinct a.four) = b.four)
+order by ten
+""",
+    "aggregates.sql:189-191 — an OUTER-LEVEL aggregate referenced "
+    "inside a HAVING EXISTS subquery (the aggregate belongs to the "
+    "outer group, the subquery merely compares against it).",
+    ("agg", "subquery"),
+)
+
+register_regress(
+    "regress_agg_strict_null_inputs",
+    """
+select CAST(sum(CAST(null AS int)) AS BIGINT) AS s_i4,
+       CAST(sum(CAST(null AS bigint)) AS BIGINT) AS s_i8,
+       CAST(avg(CAST(null AS int)) AS DOUBLE) AS a_i4,
+       CAST(sum(CAST(null AS float8)) AS DOUBLE) AS s_f8,
+       CAST(avg(CAST(null AS float8)) AS DOUBLE) AS a_f8,
+       count(CAST(null AS int)) AS c_i4
+from generate_series(1, 3) g(i)
+""",
+    "aggregates.sql:89-96 — strict transition functions: aggregates "
+    "over all-NULL inputs return NULL (count returns 0), never zero.",
+    ("agg",),
+)
