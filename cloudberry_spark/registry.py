@@ -235,6 +235,16 @@ _LEAD = [
         "ddl_information_schema_columns",
         "ddl_information_schema_tables",
         "text_tsvector_stemmed",
+        "udf_plpgsql_forloop",
+        "json_jsonpath_methods",
+        "json_jsonpath_filter_arith",
+        "text_ts_headline",
+        "text_inverted_index_search",
+        "stream_stream_full_outer",
+        "regress_agg_regr_bivariate",
+        "regress_gpagg_array_multi_order",
+        "regress_strings_regexp_replace_global",
+        "regress_float4_arith",
         # regress batteries never driver-sampled: NOT-IN null semantics,
         # correlated subqueries, multi-DQA, OLAP grouping, specials
         "regress_notin_null_inner",
