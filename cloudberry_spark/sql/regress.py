@@ -2468,3 +2468,40 @@ from generate_series(1, 3) g(i)
     "over all-NULL inputs return NULL (count returns 0), never zero.",
     ("agg",),
 )
+
+
+# ---------------------------------------------------------------------------
+# join.sql tier 2 — column-alias lists and outer-join filter semantics.
+# (The PG14 `USING (i) AS x` join alias is rejected by BOTH engines'
+# parsers and stays with the reference.)
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_join_table_col_aliases",
+    """
+SELECT * FROM j1_tbl t1 (a, b, c) NATURAL JOIN j2_tbl t2 (a, d)
+ORDER BY a, b, d
+""",
+    "join.sql:149 — table aliases WITH column-alias lists feeding a "
+    "NATURAL JOIN: the join key is whatever both alias lists name "
+    "'a' (j1.i vs j2.i here), proving aliasing happens before join "
+    "resolution.",
+    ("join",),
+)
+
+register_regress(
+    "regress_join_outer_where_semantics",
+    """
+SELECT 'filter_inner' AS leg, i, j, t, k
+FROM j1_tbl LEFT JOIN j2_tbl USING (i) WHERE (k = 1)
+UNION ALL
+SELECT 'filter_using' AS leg, i, j, t, k
+FROM j1_tbl LEFT JOIN j2_tbl USING (i) WHERE (i = 1)
+ORDER BY leg, i, k
+""",
+    "join.sql:206-210 — WHERE above a LEFT JOIN: filtering on the "
+    "inner side's column (k) discards null-extended rows (turning the "
+    "join inner for that leg — here provably empty, no k=1 exists), "
+    "while filtering on the USING column (i) keeps outer semantics.",
+    ("join",),
+)
