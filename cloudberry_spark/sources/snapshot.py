@@ -150,3 +150,29 @@ class SnapshotTable:
         self._write_manifest(new_v, parent=expected_version, dirs=dirs)
         self._flip(new_v)
         return new_v
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop filesets unreachable from the newest `keep_versions`
+        snapshots (VACUUM ≙ the reference's lazy vacuum reclaiming
+        dead MVCC versions, commands/vacuum.c — here whole immutable
+        filesets instead of dead tuples). Old manifests are removed
+        too, ending time travel past the horizon. Returns the deleted
+        data dirs. Readers of RETAINED versions are never affected:
+        their filesets stay untouched."""
+        cur = self.current_version()
+        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.manifest(v)["dirs"])
+        deleted = []
+        for entry in sorted(os.listdir(self.root)):
+            if entry.startswith("data-") and entry not in live:
+                shutil.rmtree(os.path.join(self.root, entry))
+                deleted.append(entry)
+        for mf in sorted(os.listdir(self._manifest_dir)):
+            v = int(mf[1:-5])
+            if v not in keep:
+                os.remove(os.path.join(self._manifest_dir, mf))
+        return deleted

@@ -779,12 +779,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cloudberry_spark.sources.external import _scratch
 
+    from cloudberry_spark.sources.snapshot import SnapshotTable
+
     src = _scratch(sf_dir, "stream_fb_src")
     state_root = _scratch(sf_dir, "stream_fb_state")
     ckpt = _scratch(sf_dir, "stream_fb_ckpt")
     for p in (src, state_root, ckpt):
         shutil.rmtree(p, ignore_errors=True)
-    os.makedirs(state_root, exist_ok=True)
     ptr = os.path.join(state_root, "_CURRENT")
 
     # Source prep: events as (event_id, user_id, value, ts_us-long), split
@@ -808,30 +809,28 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # state table IS a SnapshotTable: the same manifest + O_EXCL
+        # commit + pointer flip every dml_* operator rides — the
+        # streaming MERGE is just commit_rewrite per micro-batch
         delta = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max(F.struct("ts_us", "event_id", "value")).alias("last"),
         )
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                cur = f.read().strip()
-            old = batch.sparkSession.read.parquet(os.path.join(state_root, cur))
-            merged = (
-                old.unionByName(delta)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.max("last").alias("last"),
-                )
+        if not os.path.exists(ptr):
+            SnapshotTable.init(state_root, delta)
+            return
+        st = SnapshotTable(state_root)
+        base = st.current_version()
+        merged = (
+            st.read(batch.sparkSession, base)
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.max("last").alias("last"),
             )
-        else:
-            merged = delta
-        version = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(os.path.join(state_root, version))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, ptr)  # atomic pointer flip = commit
+        )
+        st.commit_rewrite(merged, base, label=f"batch{batch_id}")
 
     def run_once() -> None:
         q = (
@@ -848,9 +847,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     run_once()  # restart: committed offsets => no-op, counts must not double
 
-    with open(ptr) as f:
-        final = f.read().strip()
-    state = spark.read.parquet(os.path.join(state_root, final))
+    state = SnapshotTable(state_root).read(spark)
     return state.select(
         "user_id",
         "n_events",

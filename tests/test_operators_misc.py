@@ -336,3 +336,25 @@ def test_snapshot_time_travel_and_append(spark, tmp_path):
     assert [r.k for r in st.read(spark, 0).collect()] == [1]
     # v2 manifest lists three filesets: nothing was rewritten
     assert len(st.manifest(2)["dirs"]) == 3
+
+
+def test_snapshot_vacuum_reclaims_old_versions(spark, tmp_path):
+    """vacuum(keep_versions=1) removes filesets only older snapshots
+    reference; the current snapshot still reads intact, and time
+    travel past the horizon fails cleanly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.sources.snapshot import SnapshotTable
+
+    path = str(tmp_path / "vac")
+    st = SnapshotTable.init(path, spark.createDataFrame([(1,)], ["k"]))
+    st.commit_rewrite(st.read(spark).withColumn("k", F.col("k") + 1), 0)
+    st.commit_append(spark.createDataFrame([(9,)], ["k"]), 1)
+    deleted = st.vacuum(keep_versions=1)
+    # v0's seed fileset is unreachable from v2 (v1 rewrote it); v1's
+    # rewrite fileset is still IN v2's manifest (append kept it)
+    assert deleted == ["data-v0-seed"]
+    assert sorted(r.k for r in st.read(spark).collect()) == [2, 9]
+    with _pytest.raises(FileNotFoundError):
+        st.manifest(0)
