@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
-from cloudberry_spark.operators.dml import overwrite_inplace
+from cloudberry_spark.sources.snapshot import SnapshotTable
 from cloudberry_spark.registry import register
 from cloudberry_spark.sources.external import _scratch
 
@@ -48,8 +48,11 @@ def _partials(df: DataFrame, keys: list[str], value: str, sign: int) -> DataFram
 def create_matview(
     spark: SparkSession, path: str, base: DataFrame, keys: list[str], value: str
 ) -> None:
-    """REFRESH MATERIALIZED VIEW (full): materialize partial aggregates."""
-    overwrite_inplace(_partials(base, keys, value, +1), path)
+    """REFRESH MATERIALIZED VIEW (full): materialize partial aggregates.
+    Matviews ARE tables, so they ride the same SnapshotTable commit
+    protocol as every DML writer — each refresh is a versioned commit,
+    readers keep snapshot isolation mid-refresh."""
+    SnapshotTable.init(path, _partials(base, keys, value, +1))
 
 
 def apply_delta(
@@ -65,20 +68,22 @@ def apply_delta(
     Scans only the stored groups and the delta — the base table is never
     touched (matview.c:129 delta-propagation contract).
     """
-    cur = spark.read.parquet(path)
+    st = SnapshotTable(path)
+    base_v = st.current_version()
     d = _partials(delta, keys, value, sign)
     merged = (
-        cur.unionByName(d)
+        st.read(spark, base_v)
+        .unionByName(d)
         .groupBy(*keys)
         .agg(F.sum("mv_count").alias("mv_count"), F.sum("mv_sum").alias("mv_sum"))
         .filter(F.col("mv_count") > 0)
     )
-    overwrite_inplace(merged, path)
+    st.commit_rewrite(merged, base_v, label="ivm-delta")
 
 
 def read_matview(spark: SparkSession, path: str) -> DataFrame:
     """Final-aggregate view over the stored partials (avg derives)."""
-    return spark.read.parquet(path).select(
+    return SnapshotTable(path).read(spark).select(
         "*", (F.col("mv_sum") / F.col("mv_count")).alias("mv_avg")
     )
 
@@ -166,7 +171,7 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_delta(spark, path, joined(oslice(2)), keys, value, +1)
     # DELETE delta on the orders side: retract its join contribution
     apply_delta(spark, path, joined(oslice(1)), keys, value, -1)
-    mv = spark.read.parquet(path)
+    mv = SnapshotTable(path).read(spark)
     return mv.select(
         "o_orderpriority",
         "mv_count",
@@ -206,7 +211,11 @@ def refresh_dynamic_table(
     meta = spark.createDataFrame(
         [(tick, tick + 1)], "last_tick int, n_refreshes int"
     )
-    overwrite_inplace(meta, meta_path)
+    if tick == 0:
+        SnapshotTable.init(meta_path, meta)
+    else:
+        mt = SnapshotTable(meta_path)
+        mt.commit_rewrite(meta, mt.current_version(), label="tick")
 
 
 @register(
@@ -241,7 +250,7 @@ def dyn_table_scheduled_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = od.filter(F.col("o_orderkey") % 3 == tick)
         refresh_dynamic_table(spark, path, meta_path, batch, keys, value, tick)
     mv = read_matview(spark, path)
-    meta = spark.read.parquet(meta_path)
+    meta = SnapshotTable(meta_path).read(spark)
     return (
         mv.crossJoin(F.broadcast(meta))
         .select(
@@ -294,18 +303,19 @@ def ivm_count_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(sign) * F.count("*")).alias("mult")
         )
 
-    overwrite_inplace(mult(slice_of(0).union(slice_of(1)), +1), path)
+    st = SnapshotTable.init(path, mult(slice_of(0).union(slice_of(1)), +1))
     for delta, sign in ((slice_of(2), +1), (slice_of(1), -1)):
-        cur = spark.read.parquet(path)
+        base_v = st.current_version()
         merged = (
-            cur.unionByName(mult(delta, sign))
+            st.read(spark, base_v)
+            .unionByName(mult(delta, sign))
             .groupBy("o_orderpriority", "o_custkey")
             .agg(F.sum("mult").alias("mult"))
             .filter(F.col("mult") != 0)
         )
-        overwrite_inplace(merged, path)
+        st.commit_rewrite(merged, base_v, label="ivm-delta")
     return (
-        spark.read.parquet(path)
+        st.read(spark)
         .where(F.col("mult") > 0)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("mv_distinct_customers"))
@@ -370,16 +380,17 @@ def ivm_topk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed: matview over the initial base (80% of orders)
     path = _scratch(sf_dir, "ivm_topk_mv")
     base = orders.where(F.col("o_orderkey") % 5 != 0)
-    overwrite_inplace(topk(base), path)
+    st = SnapshotTable.init(path, topk(base))
 
     # append batch arrives: refresh = top-k(old view ∪ per-group top-k
     # of the delta). The delta side pre-ranks so the merge input is
     # bounded by 2k rows per group regardless of batch size.
     delta = orders.where(F.col("o_orderkey") % 5 == 0)
-    old = spark.read.parquet(path).select(
+    base_v = st.current_version()
+    old = st.read(spark, base_v).select(
         "o_orderpriority", "o_orderkey", "o_totalprice"
     )
     merged = topk(old.unionByName(topk(delta).drop("rk")))
-    overwrite_inplace(merged, path)
+    st.commit_rewrite(merged, base_v, label="topk-refresh")
 
-    return spark.read.parquet(path).orderBy("o_orderpriority", "rk")
+    return st.read(spark).orderBy("o_orderpriority", "rk")
