@@ -25,9 +25,6 @@ first, so runs are deterministic and oracle-checkable end to end.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,19 +32,6 @@ from cloudberry_spark.catalog import load_table
 from cloudberry_spark.registry import register
 from cloudberry_spark.sources.external import _scratch
 from cloudberry_spark.sources.snapshot import SnapshotTable
-
-
-def overwrite_inplace(df: DataFrame, path: str) -> None:
-    """Commit a rewritten table: write a staged fileset, then swap.
-
-    The rename is the commit point — readers see old or new, never a
-    torn mix (single-writer; multi-writer needs a real table format).
-    """
-    staged = path + ".staged"
-    df.write.mode("overwrite").parquet(staged)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staged, path)
 
 
 def insert_into(spark: SparkSession, table: SnapshotTable, rows: DataFrame) -> None:
