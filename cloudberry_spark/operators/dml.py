@@ -707,7 +707,7 @@ def dml_insert_on_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority, count(*) AS n,
                (CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                               AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total,
-               2 AS current_version,
+               CAST(2 AS BIGINT) AS current_version,
                (SELECT count(*) FROM seed) AS v0_rows
         FROM merged GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -755,7 +755,7 @@ def dml_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("o_totalprice"), scale=2).alias("total"),
         )
-        .withColumn("current_version", F.lit(version))
-        .withColumn("v0_rows", F.lit(v0_rows))
+        .withColumn("current_version", F.lit(version).cast("bigint"))
+        .withColumn("v0_rows", F.lit(v0_rows).cast("bigint"))
         .orderBy("o_orderpriority")
     )
