@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
     r"|\.(?P<member>[A-Za-z_]\w*)"
     r"|\[(?P<index>\d+)\]"
     r"|\[(?P<star>\*)\]"
-    r"|\?\s*\((?P<filter>(?:[^()']|'[^']*'|\([^()]*\))*)\)"
+    r"|\?\s*\((?P<filter>(?:[^()'\"]|'[^']*'|\"[^\"]*\"|\([^()]*\))*)\)"
     r")"
 )
 
@@ -136,6 +136,27 @@ def _compile_pred(pred: str, var: str) -> str:
     m = re.match(r"^exists\s*\((?P<e>.+)\)$", pred, re.I)
     if m:
         return f"({_filter_operand(m.group('e'), var)}) IS NOT NULL"
+    # SQL/JSON string predicates (jsonpath_exec.c executeLikeRegex /
+    # jpiStartsWith): like_regex with optional flag "i", starts with
+    m = re.match(
+        r'^(?P<e>.+?)\s+like_regex\s+"(?P<rx>[^"]*)"'
+        r'(?:\s+flag\s+"(?P<fl>[^"]*)")?$',
+        pred,
+        re.I,
+    )
+    if m:
+        rx = m.group("rx").replace("\\", "\\\\").replace("'", "''")
+        if m.group("fl") and "i" in m.group("fl").lower():
+            rx = "(?i)" + rx
+        op = _filter_operand(m.group("e"), var)
+        return f"regexp_like(variant_get({op}, '$', 'string'), '{rx}')"
+    m = re.match(
+        r'^(?P<e>.+?)\s+starts\s+with\s+"(?P<p>[^"]*)"$', pred, re.I
+    )
+    if m:
+        lit = m.group("p").replace("'", "''")
+        op = _filter_operand(m.group("e"), var)
+        return f"startswith(variant_get({op}, '$', 'string'), '{lit}')"
     m = _CMP_RE.match(pred)
     if not m:
         raise NotImplementedError(f"jsonpath predicate {pred!r}")

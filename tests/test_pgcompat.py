@@ -339,3 +339,16 @@ def test_plpgsql_for_loop_unrolling():
                 "CREATE FUNCTION bad(n int) RETURNS int AS $$\n"
                 "DECLARE s int := 0;\n" + body + " $$ LANGUAGE plpgsql"
             )
+
+
+def test_jsonpath_string_predicates():
+    from cloudberry_spark.operators.jsonpath import jsonb_path_query_array
+
+    e = jsonb_path_query_array(
+        "doc", '$.users[*] ? (@.name like_regex "^al.*" flag "i").name'
+    )
+    assert "regexp_like" in e and "(?i)^al.*" in e
+    e = jsonb_path_query_array(
+        "doc", '$.users[*] ? (@.name starts with "A").name'
+    )
+    assert "startswith" in e
