@@ -2512,3 +2512,72 @@ ORDER BY leg, i, k
     "while filtering on the USING column (i) keeps outer semantics.",
     ("join",),
 )
+
+
+# ---------------------------------------------------------------------------
+# subselect.sql tier 2 — scalar subqueries over set ops, IN-pullup
+# interactions, correlated NOT IN with expressions.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_subq_scalar_over_setop",
+    """
+SELECT ((SELECT 2) UNION SELECT 2) AS v
+""",
+    "subselect.sql:21 — a scalar subquery whose body is itself a "
+    "UNION of a scalar subquery with a literal (the nested-initplan "
+    "materialization shape of bug #14524).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_subq_in_pullup_distinct",
+    """
+SELECT (select count(*) from
+          (select 1 AS one from tenk1 a
+           where unique1 IN (select hundred from tenk1 b)) ss) AS plain_cnt,
+       (select count(distinct ss.ten) from
+          (select ten from tenk1 a
+           where unique1 IN (select hundred from tenk1 b)) ss) AS plain_dist,
+       (select count(*) from
+          (select 1 AS one from tenk1 a
+           where unique1 IN (select distinct hundred from tenk1 b)) ss)
+           AS dedup_cnt,
+       (select count(distinct ss.ten) from
+          (select ten from tenk1 a
+           where unique1 IN (select distinct hundred from tenk1 b)) ss)
+           AS dedup_dist
+""",
+    "subselect.sql:159-168 — the IN-join-vs-subquery-pullup "
+    "interaction battery: all four spellings (with/without DISTINCT "
+    "in the IN subquery, count vs count-distinct above) must agree, "
+    "proving the semi-join never duplicates outer rows.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_subq_notin_correlated_expr",
+    """
+SELECT f1 AS cf FROM subselect_tbl ss
+WHERE f1 NOT IN (SELECT f2 + 1 FROM subselect_tbl WHERE f2 != ss.f1)
+ORDER BY 1
+""",
+    "subselect.sql:118 shape — correlated NOT IN whose inner list is "
+    "an EXPRESSION (f2+1) filtered by the outer row (LASJ with a "
+    "computed key under three-valued logic).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_subq_scalar_ratio",
+    """
+select q1, CAST(count(*) AS float8) / (select count(*) from int8_tbl)
+               AS ratio
+from int8_tbl group by q1 order by q1
+""",
+    "subselect.sql:123 — a grouped aggregate divided by an "
+    "uncorrelated scalar-subquery total (the classic share-of-total "
+    "report; the subquery materializes once as an InitPlan/broadcast, "
+    "never per group).",
+    ("subquery", "agg"),
+)
