@@ -152,3 +152,131 @@ def ddl_information_schema_tables(
         ORDER BY table_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# pg_stats analog: per-column statistics as a queryable catalog view
+# ---------------------------------------------------------------------------
+
+#: (table, column) pairs profiled into the stats view — the pg_stats
+#: rows a BI tool or the CBO would read after ANALYZE.
+_STATS_COLS: tuple[tuple[str, str], ...] = (
+    ("customer", "c_custkey"),
+    ("customer", "c_acctbal"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_custkey"),
+    ("orders", "o_totalprice"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderdate"),
+)
+
+
+def _col_stats(df, table: str, col: str):
+    from pyspark.sql import functions as F
+
+    is_num = dict(df.dtypes)[col] in ("double", "float")
+    mn = F.round(F.min(col), 2) if is_num else F.min(col)
+    mx = F.round(F.max(col), 2) if is_num else F.max(col)
+    return df.agg(
+        F.lit(table).alias("tablename"),
+        F.lit(col).alias("attname"),
+        F.round(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("null_frac"),
+        F.countDistinct(col).alias("n_distinct"),
+        mn.cast("string").alias("min_value"),
+        mx.cast("string").alias("max_value"),
+    )
+
+
+@register(
+    "ddl_information_schema_stats",
+    oracle="""
+        WITH stats AS (
+        SELECT 'customer' AS tablename, 'c_custkey' AS attname,
+               round(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS null_frac,
+               count(DISTINCT c_custkey) AS n_distinct,
+               CAST(min(c_custkey) AS text) AS min_value,
+               CAST(max(c_custkey) AS text) AS max_value
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_acctbal',
+               round(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT c_acctbal),
+               CAST(round(min(c_acctbal), 2) AS text),
+               CAST(round(max(c_acctbal), 2) AS text)
+        FROM customer
+        UNION ALL
+        SELECT 'customer', 'c_mktsegment',
+               round(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT c_mktsegment),
+               CAST(min(c_mktsegment) AS text), CAST(max(c_mktsegment) AS text)
+        FROM customer
+        UNION ALL
+        SELECT 'orders', 'o_custkey',
+               round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS text), CAST(max(o_custkey) AS text)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_totalprice',
+               round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT o_totalprice),
+               CAST(round(min(o_totalprice), 2) AS text),
+               CAST(round(max(o_totalprice), 2) AS text)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderpriority',
+               round(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS text),
+               CAST(max(o_orderpriority) AS text)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'o_orderdate',
+               round(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS text), CAST(max(o_orderdate) AS text)
+        FROM orders
+        )
+        SELECT * FROM stats ORDER BY tablename, attname
+    """,
+    doc="pg_stats analog as a queryable catalog view "
+    "(catalog/system_views.sql pg_stats over pg_statistic; ANALYZE "
+    "compute_scalar_stats): per-column null_frac / n_distinct / "
+    "min / max for the profiled columns, registered as the "
+    "information_schema_column_stats temp view. n_distinct is EXACT "
+    "here (PG stores estimates); one aggregation pass per table, "
+    "single-row exchanges.",
+    tags=("ddl", "catalog", "stats"),
+)
+def ddl_information_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    per_table = {}
+    for t, c in _STATS_COLS:
+        per_table.setdefault(t, []).append(c)
+    frames = []
+    for t, cols in per_table.items():
+        df = load_table(spark, sf_dir, t)
+        for c in cols:
+            frames.append(_col_stats(df, t, c))
+    stats = reduce(lambda a, b: a.unionByName(b), frames)
+    stats.createOrReplaceTempView("information_schema_column_stats")
+    return spark.sql(
+        """
+        SELECT tablename, attname, null_frac, n_distinct,
+               min_value, max_value
+        FROM information_schema_column_stats
+        ORDER BY tablename, attname
+        """
+    )
