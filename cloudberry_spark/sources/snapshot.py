@@ -176,3 +176,76 @@ class SnapshotTable:
             if v not in keep:
                 os.remove(os.path.join(self._manifest_dir, mf))
         return deleted
+
+    # -- partitioned tables --------------------------------------------------
+
+    @classmethod
+    def init_partitioned(
+        cls, root: str, df: DataFrame, part_col: str, values: list
+    ) -> "SnapshotTable":
+        """Create a PARTITIONED table at v0: one immutable fileset per
+        partition value, tracked individually in the manifest
+        (``parts``: value -> dir). This is what makes partition-confined
+        DML possible — the reference prunes ModifyTable to leaf
+        partitions (execPartition.c); here a predicate confined to a
+        partition rewrites only that fileset and the commit swaps only
+        its manifest entry."""
+        shutil.rmtree(root, ignore_errors=True)
+        t = cls(root)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        parts = {}
+        for v in values:
+            d = f"data-v0-{part_col}-{v}"
+            df.where(df[part_col] == v).write.mode("overwrite").parquet(
+                os.path.join(root, d)
+            )
+            parts[str(v)] = d
+        payload = {"parts": parts}
+        t._write_manifest_payload(0, parent=None, extra=payload)
+        t._flip(0)
+        return t
+
+    def _write_manifest_payload(
+        self, version: int, parent: int | None, extra: dict
+    ) -> None:
+        m = {"version": version, "parent": parent}
+        m.update(extra)
+        if "dirs" not in m:
+            m["dirs"] = sorted(m.get("parts", {}).values())
+        path = os.path.join(self._manifest_dir, f"v{version}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version v{version} already committed by another writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(m))
+
+    def commit_partition_rewrite(
+        self,
+        updates: dict,
+        expected_version: int,
+        label: str = "part-rewrite",
+    ) -> int:
+        """Partition-confined UPDATE/DELETE/MERGE: rewrite ONLY the
+        given partitions' filesets ({value: new DataFrame}); every
+        untouched partition keeps its existing immutable fileset —
+        the manifest entry (and the files on disk) are byte-identical
+        across the commit. Same O_EXCL + pointer-flip protocol."""
+        if self.current_version() != expected_version:
+            raise ConcurrentWriteError(
+                f"base v{expected_version} is stale "
+                f"(current is v{self.current_version()})"
+            )
+        new_v = expected_version + 1
+        parts = dict(self.manifest(expected_version)["parts"])
+        for v, df in updates.items():
+            d = f"data-v{new_v}-{label}-{v}"
+            df.write.mode("overwrite").parquet(os.path.join(self.root, d))
+            parts[str(v)] = d
+        self._write_manifest_payload(
+            new_v, parent=expected_version, extra={"parts": parts}
+        )
+        self._flip(new_v)
+        return new_v

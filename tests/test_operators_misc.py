@@ -358,3 +358,34 @@ def test_snapshot_vacuum_reclaims_old_versions(spark, tmp_path):
     assert sorted(r.k for r in st.read(spark).collect()) == [2, 9]
     with _pytest.raises(FileNotFoundError):
         st.manifest(0)
+
+
+def test_partition_confined_rewrite_leaves_files_untouched(spark, tmp_path):
+    """commit_partition_rewrite must not rewrite, move, or touch the
+    filesets of unmodified partitions — their manifest dirs AND the
+    files inside are byte-identical across the commit."""
+    import os
+
+    from cloudberry_spark.sources.snapshot import SnapshotTable
+
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], ["k", "p", "v"]
+    )
+    st = SnapshotTable.init_partitioned(path, df, "p", ["a", "b"])
+    b_dir = st.manifest(0)["parts"]["b"]
+    b_files = {
+        f: os.path.getmtime(os.path.join(path, b_dir, f))
+        for f in os.listdir(os.path.join(path, b_dir))
+    }
+    from pyspark.sql import functions as F
+
+    upd = st.read(spark, 0).where("p = 'a'").withColumn("v", F.col("v") * 2)
+    st.commit_partition_rewrite({"a": upd}, 0)
+    m1 = st.manifest(1)["parts"]
+    assert m1["b"] == b_dir  # untouched partition keeps its fileset
+    assert m1["a"] != st.manifest(0)["parts"]["a"]
+    for f, mt in b_files.items():
+        assert os.path.getmtime(os.path.join(path, b_dir, f)) == mt
+    rows = {(r.k, r.v) for r in st.read(spark).collect()}
+    assert rows == {(1, 20.0), (3, 60.0), (2, 20.0)}
