@@ -86,6 +86,9 @@ def _rewrite_masked(seg: str) -> str:
     # string_to_array(s, d) -> split(s, d) (same empty-element semantics
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
+    # array_to_string(arr, d) -> array_join(arr, d) (adt/varlena.c
+    # array_to_text; same null-skipping default on both engines)
+    seg = re.sub(r"\barray_to_string\s*\(", "array_join(", seg, flags=re.I)
 
     # array operators: a && b (overlap), a @> b (contains), a <@ b
     # (contained-by). Operands must be simple identifiers or array(...)

@@ -263,6 +263,10 @@ qp_customer(cn) AS (
 ),
 qp_product(pn) AS (
   SELECT DISTINCT pn FROM sale
+),
+graph_tbl(f, t, label) AS (
+  VALUES (1, 2, 'arc 1 -> 2'), (1, 3, 'arc 1 -> 3'), (2, 3, 'arc 2 -> 3'),
+         (1, 4, 'arc 1 -> 4'), (4, 5, 'arc 4 -> 5'), (5, 1, 'arc 5 -> 1')
 )
 """
 
@@ -2580,4 +2584,33 @@ from int8_tbl group by q1 order by q1
     "report; the subquery materializes once as an InitPlan/broadcast, "
     "never per group).",
     ("subquery", "agg"),
+)
+
+
+register_regress(
+    "regress_with_cycle_detection",
+    """
+with recursive search_graph(f, t, label, is_cycle, path) as (
+    select g.f, g.t, g.label, false AS is_cycle,
+           ARRAY[g.f || '-' || g.t] AS path
+    from graph_tbl g
+  union all
+    select g.f, g.t, g.label,
+           array_contains(sg.path, g.f || '-' || g.t) AS is_cycle,
+           array_append(sg.path, g.f || '-' || g.t) AS path
+    from graph_tbl g, search_graph sg
+    where g.f = sg.t and not sg.is_cycle
+)
+select f, t, label, CAST(is_cycle AS text) AS cyc,
+       array_to_string(path, ',') AS path_str
+from search_graph order by 1, 2, 5
+""",
+    "with.sql:550-568 — recursive graph search with CYCLE DETECTION "
+    "through a path accumulator: the 1->4->5->1 loop terminates "
+    "because the recursive leg stops expanding once the edge already "
+    "appears in its own path (edges string-encoded; PG's row(f,t) "
+    "composite arrays spelled portably). 25 paths incl. the flagged "
+    "cycle rows, identical on both engines; frontend maps "
+    "array_to_string -> array_join.",
+    ("recursive",),
 )
