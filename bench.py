@@ -57,6 +57,12 @@ PIPELINE = {
     # round 4: the two new index-backed families (build + search/probe)
     "ivfpq_search": "sim_ivfpq_search",
     "dedup_incr_probe": "dedup_incremental_index_probe",
+    # round 5: inverted-index BM25 (run 1 builds the postings index,
+    # runs 2-3 probe it — the median IS the amortized probe cost) and
+    # the partition-confined snapshot UPDATE (rewrites 1 of 5
+    # partitions; includes the one-time partitioned seed)
+    "inv_index_search": "text_inverted_index_search",
+    "part_update": "dml_partition_confined_update",
 }
 
 
