@@ -241,6 +241,10 @@ _LEAD = [
         "text_ts_headline",
         "text_inverted_index_search",
         "stream_stream_full_outer",
+        "dml_partition_confined_update",
+        "ddl_information_schema_stats",
+        "regress_with_cycle_detection",
+        "regress_subq_in_pullup_distinct",
         "regress_agg_regr_bivariate",
         "regress_gpagg_array_multi_order",
         "regress_strings_regexp_replace_global",
