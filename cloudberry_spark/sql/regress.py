@@ -267,6 +267,9 @@ qp_product(pn) AS (
 graph_tbl(f, t, label) AS (
   VALUES (1, 2, 'arc 1 -> 2'), (1, 3, 'arc 1 -> 3'), (2, 3, 'arc 2 -> 3'),
          (1, 4, 'arc 1 -> 4'), (4, 5, 'arc 4 -> 5'), (5, 1, 'arc 5 -> 1')
+),
+gstest2(a, b, c) AS (
+  VALUES (1, 1, 1), (1, 1, 1), (1, 1, 2), (1, 2, 2), (2, 2, 2)
 )
 """
 
@@ -2613,4 +2616,59 @@ from search_graph order by 1, 2, 5
     "cycle rows, identical on both engines; frontend maps "
     "array_to_string -> array_join.",
     ("recursive",),
+)
+
+
+# ---------------------------------------------------------------------------
+# groupingsets.sql tier 2. (The empty-input shapes stay with the
+# reference, documented in MIGRATION.md: PG/DuckDB emit ONE row per ()
+# grouping set over an EMPTY input — `GROUP BY GROUPING SETS ((),(),())`
+# on zero rows returns 3 rows — while Spark returns 0 rows; measured,
+# a real Spark semantic divergence on a degenerate case.)
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_gs_ordered_aggs_rollup",
+    """
+select a, b, grouping(a, b) AS g,
+       array_agg(v order by v) AS aa,
+       string_agg(v::text, ':' order by v desc) AS sa,
+       percentile_disc(0.5) within group (order by v) AS pd
+  from gstest group by rollup (a, b) order by a, b
+""",
+    "groupingsets.sql:143-148 — ordered-set and ordered aggregates "
+    "UNDER a rollup: sorted array_agg, DESC-ordered string_agg, and "
+    "percentile_disc WITHIN GROUP all computed per grouping set "
+    "(the hypothetical-set rank() of the original is emulated "
+    "separately by agg_hypothetical_set).",
+    ("agg",),
+)
+
+register_regress(
+    "regress_gs_nested_sets",
+    """
+select CAST(sum(c) AS BIGINT) AS s from gstest2
+  group by grouping sets(a, grouping sets(a, cube(b)))
+  order by 1 desc
+""",
+    "groupingsets.sql:171 — GROUPING SETS nested inside GROUPING SETS "
+    "with a CUBE leaf: the set list flattens with duplicates KEPT "
+    "(each a-set appears twice).",
+    ("agg",),
+)
+
+register_regress(
+    "regress_gs_window_over_rollup",
+    """
+select a, b, CAST(sum(c) AS BIGINT) AS s,
+       CAST(sum(sum(c)) over (order by a nulls last, b nulls last)
+            AS BIGINT) as rsum
+  from gstest2 group by rollup (a, b) order by rsum, a, b
+""",
+    "groupingsets.sql:158 — a window function OVER the rollup output "
+    "whose argument is itself the grouped aggregate (sum(sum(c))): "
+    "the running total orders across super-aggregate rows too. NULLS "
+    "LAST spelled explicitly: PG defaults ASC to nulls-last, Spark to "
+    "nulls-first, and the rollup rows ARE null-keyed.",
+    ("agg", "window"),
 )
