@@ -2672,3 +2672,38 @@ select a, b, CAST(sum(c) AS BIGINT) AS s,
     "nulls-first, and the rollup rows ARE null-keyed.",
     ("agg", "window"),
 )
+
+
+register_regress(
+    "regress_win_range_offset_values",
+    """
+select first_value(salary) over w AS fv,
+       nth_value(salary, 1) over w AS nv,
+       CAST(sum(salary) over w AS BIGINT) AS sv,
+       salary, empno
+from empsalary
+window w as (order by salary range between 1000 preceding and 1000 following)
+order by salary, empno
+""",
+    "window.sql:453-456 — value functions over a numeric RANGE-offset "
+    "frame (salary ± 1000): first_value/nth_value(1) agree and the "
+    "frame sum spans all peers within the offset, not row positions.",
+    ("window",),
+)
+
+register_regress(
+    "regress_numeric_mod_div",
+    """
+SELECT x, y,
+       CAST(mod(x, y) AS BIGINT) AS m,
+       CAST((x - mod(x, y)) / y AS BIGINT) AS d
+FROM (VALUES (CAST(17 AS BIGINT), CAST(5 AS BIGINT)), (17, -5), (-17, 5),
+             (-17, -5), (9999999999, 7)) v(x, y)
+ORDER BY x, y
+""",
+    "numeric.sql div/mod battery — PG div() is truncating integer "
+    "division spelled portably as (x - mod(x,y))/y; mod() keeps the "
+    "dividend's sign on BOTH engines (C99 semantics), covering all "
+    "four sign combinations plus a >int32 dividend.",
+    ("scalar",),
+)
