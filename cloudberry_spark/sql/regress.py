@@ -2707,3 +2707,30 @@ ORDER BY x, y
     "four sign combinations plus a >int32 dividend.",
     ("scalar",),
 )
+
+
+register_regress(
+    "regress_mdqa_rollup_alias_groups",
+    """
+SELECT sale.qty as newalias1, GROUPING(sale.qty) AS g,
+       CAST(COALESCE(MIN(DISTINCT floor(sale.qty+sale.qty)),0) AS BIGINT)
+           AS m1,
+       CAST(COALESCE(SUM(DISTINCT floor(sale.pn/sale.cn)),0) AS BIGINT)
+           AS s1,
+       round(COALESCE(AVG(DISTINCT floor(sale.prc*sale.qty)),0), 6) AS a1,
+       round(COALESCE(STDDEV(DISTINCT floor(sale.prc+sale.pn)),0), 6) AS sd1,
+       round(COALESCE(VARIANCE(DISTINCT floor(sale.vn)),0), 6) AS v1
+FROM sale
+GROUP BY ROLLUP((newalias1),(newalias1,sale.cn,sale.cn),(sale.vn,sale.dt)),
+         (), sale.qty
+ORDER BY 1 NULLS FIRST, 2, 3, 4, 5, 6, 7
+""",
+    "qp_olap_mdqa.sql:164-168 — the GP multi-DQA torture shape: SIX "
+    "DISTINCT-qualified aggregates (min/sum/avg/stddev/variance "
+    "families, each on a different expression) over a ROLLUP whose "
+    "composites reference the SELECT ALIAS (newalias1) and repeat "
+    "columns, mixed with an empty grouping item the frontend strips "
+    "and a plain grouping column. 23 grouping-set rows, TO_CHAR "
+    "formatting covered separately by scalar_formatting_family.",
+    ("agg",),
+)
