@@ -1445,3 +1445,106 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "pipeline_doremi_reweight",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               1.0 - len(list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w <> '')))::DOUBLE
+                     / len(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         w -> w <> '')) AS loss
+        FROM documents
+    ), dom AS (
+        SELECT source, avg(loss) AS dom_loss, count(*) AS n_docs
+        FROM per_doc GROUP BY source
+    ), base AS (
+        SELECT avg(loss) AS baseline FROM per_doc
+    ), w0 AS (
+        SELECT source, dom_loss, n_docs,
+               1.0 / (SELECT count(*) FROM dom) AS w
+        FROM dom
+    ), w1 AS (
+        SELECT source, dom_loss, n_docs,
+               w * exp(0.5 * greatest(dom_loss - (SELECT baseline FROM base),
+                                      0)) AS uw
+        FROM w0
+    ), w1n AS (
+        SELECT source, dom_loss, n_docs,
+               uw / (SELECT sum(uw) FROM w1) AS w
+        FROM w1
+    ), w2 AS (
+        SELECT source, dom_loss, n_docs,
+               w * exp(0.5 * greatest(dom_loss - (SELECT baseline FROM base),
+                                      0)) AS uw
+        FROM w1n
+    ), w2n AS (
+        SELECT source, dom_loss, n_docs,
+               uw / (SELECT sum(uw) FROM w2) AS w
+        FROM w2
+    )
+    SELECT source, n_docs, round(dom_loss, 6) AS dom_loss,
+           round(w, 8) AS weight
+    FROM w2n ORDER BY source
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi: "
+    "Optimizing Data Mixtures Speeds Up Language Model Pretraining' — "
+    "public paper; beyond the reference, per the training-pipeline "
+    "brief): per-domain excess loss (here a deterministic surrogate: "
+    "repetition = 1 - distinct-token ratio) drives multiplicative "
+    "weight updates w_i *= exp(eta * max(loss_i - baseline, 0)), "
+    "renormalized, two unrolled rounds. Everything is DataFrame "
+    "algebra — domain stats are a ~|domains| table, the normalizer a "
+    "broadcast scalar; NO driver-side loop state, so the same plan "
+    "runs with a million documents per domain. Output: the mixture "
+    "weights a sampler would consume.",
+    tags=("pipeline", "text", "curation", "mixing"),
+)
+def pipeline_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ETA, ROUNDS = 0.5, 2
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        (
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("loss"),
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.avg("loss").alias("dom_loss"), F.count(F.lit(1)).alias("n_docs")
+    )
+    baseline = per_doc.agg(F.avg("loss").alias("baseline"))
+    n_dom = dom.agg(F.count(F.lit(1)).alias("n_dom"))
+    w = (
+        dom.crossJoin(F.broadcast(n_dom))
+        .withColumn("w", F.lit(1.0) / F.col("n_dom"))
+        .drop("n_dom")
+    )
+    for _ in range(ROUNDS):
+        uw = w.crossJoin(F.broadcast(baseline)).withColumn(
+            "uw",
+            F.col("w")
+            * F.exp(
+                ETA
+                * F.greatest(
+                    F.col("dom_loss") - F.col("baseline"), F.lit(0.0)
+                )
+            ),
+        )
+        z = uw.agg(F.sum("uw").alias("z"))
+        w = (
+            uw.crossJoin(F.broadcast(z))
+            .withColumn("w", F.col("uw") / F.col("z"))
+            .select("source", "dom_loss", "n_docs", "w")
+        )
+    return w.select(
+        "source",
+        "n_docs",
+        F.round("dom_loss", 6).alias("dom_loss"),
+        F.round("w", 8).alias("weight"),
+    ).orderBy("source")
