@@ -671,6 +671,50 @@ def _flatten_one_exists_body(body: str, counter: list[int]) -> str | None:
     return None
 
 
+_WINDOW_KW_RE = re.compile(r"\bWINDOW\s+", re.I)
+_WINDOW_DEF_RE = re.compile(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", re.I)
+
+
+def _expand_window_inheritance(masked: str) -> str:
+    """PG named windows may REFERENCE an earlier window in the same
+    WINDOW clause (`w2 AS (w1 ORDER BY x)` — gram.y window_definition
+    copies w1's partitioning; transformWindowDefinitions). Spark's
+    parser rejects the reference form, so splice the referenced
+    window's body in place of its name. Left-to-right, so chains
+    (w3 references w2 references w1) expand transitively."""
+    out = []
+    pos = 0
+    for m in _WINDOW_KW_RE.finditer(masked):
+        if m.start() < pos:
+            continue
+        out.append(masked[pos : m.end()])
+        pos = m.end()
+        defs: dict[str, str] = {}
+        while True:
+            dm = _WINDOW_DEF_RE.match(masked, pos)
+            if not dm:
+                break
+            o = masked.index("(", dm.end() - 1)
+            c = _match_paren(masked, o)
+            if c < 0:
+                break
+            body = masked[o + 1 : c].strip()
+            rm = re.match(r"([A-Za-z_]\w*)\b\s*(.*)$", body, re.S)
+            if rm and rm.group(1) in defs:
+                body = (defs[rm.group(1)] + " " + rm.group(2)).strip()
+            defs[dm.group(1)] = body
+            out.append(f" {dm.group(1)} AS ({body})")
+            pos = c + 1
+            cm = re.match(r"\s*,", masked[pos:])
+            if cm:
+                out.append(",")
+                pos += cm.end()
+            else:
+                break
+    out.append(masked[pos:])
+    return "".join(out)
+
+
 def _flatten_in_under_exists(masked: str) -> str:
     """Decorrelate `X IN (SELECT e FROM t WHERE w)` nested inside an
     EXISTS body when w correlates to the EXISTS body's own FROM tables
@@ -710,6 +754,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
+    masked = _expand_window_inheritance(masked)
     masked = _flatten_in_under_exists(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

@@ -2734,3 +2734,51 @@ ORDER BY 1 NULLS FIRST, 2, 3, 4, 5, 6, 7
     "formatting covered separately by scalar_formatting_family.",
     ("agg",),
 )
+
+
+register_regress(
+    "regress_win_inherited_window",
+    """
+select depname, empno, salary,
+       CAST(rank() over w2 AS BIGINT) AS rnk,
+       CAST(sum(salary) over w1 AS BIGINT) AS dsum
+from empsalary
+window w1 as (partition by depname),
+       w2 as (w1 order by salary, empno)
+order by depname, salary, empno
+""",
+    "window.sql named-window INHERITANCE (gram.y window_definition: "
+    "w2 copies w1's partitioning and adds ordering; "
+    "transformWindowDefinitions): Spark's parser rejects the "
+    "reference form, so the frontend splices the referenced window's "
+    "body (_expand_window_inheritance); chains expand transitively.",
+    ("window",),
+)
+
+register_regress(
+    "regress_agg_percentile_array",
+    """
+select percentile_cont(array[0.25, 0.5, 0.75])
+           within group (order by salary) AS q
+from empsalary
+""",
+    "aggregates ordered-set with an ARRAY of fractions "
+    "(orderedsetaggs.c percentile_cont_float8_multi): one pass "
+    "returns all three quartiles as an array on both engines.",
+    ("agg",),
+)
+
+register_regress(
+    "regress_agg_filter_distinct",
+    """
+select depname,
+       count(DISTINCT salary) FILTER (WHERE salary > 4000) AS n_high,
+       CAST(sum(salary) FILTER (WHERE enroll_date >= DATE '2007-01-01')
+            AS BIGINT) AS recent_sum
+from empsalary group by depname order by depname
+""",
+    "aggregates.sql FILTER-clause battery: FILTER combined with "
+    "DISTINCT in one aggregate, and a date-predicate FILTER beside "
+    "it — both native on both engines.",
+    ("agg",),
+)

@@ -352,3 +352,20 @@ def test_jsonpath_string_predicates():
         "doc", '$.users[*] ? (@.name starts with "A").name'
     )
     assert "startswith" in e
+
+
+def test_window_inheritance_expansion():
+    out = t(
+        "select rank() over w2 from e window w1 as (partition by d), "
+        "w2 as (w1 order by s)"
+    )
+    assert "w2 AS (partition by d order by s)" in out
+    # transitive chains
+    out = t(
+        "select 1 from e window w1 as (partition by d), "
+        "w2 as (w1 order by s), w3 as (w2)"
+    )
+    assert "w3 AS (partition by d order by s)" in out
+    # non-referencing definitions pass through
+    out = t("select 1 from e window w1 as (order by s)")
+    assert "w1 AS (order by s)" in out
