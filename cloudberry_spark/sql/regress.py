@@ -2782,3 +2782,26 @@ from empsalary group by depname order by depname
     "it — both native on both engines.",
     ("agg",),
 )
+
+
+register_regress(
+    "regress_text_bool_coercion",
+    """
+SELECT ('four: '::text || (2+2)) AS c1,
+       (3 || '4.0') AS c2,
+       concat(1, 2, 3, 'hello', true::text, false::text) AS c3,
+       concat_ws('#', 1, 2, 'hello', true::text) AS c4,
+       CAST('TrUe' AS boolean)::text AS b1,
+       CAST(CAST('t' AS boolean) > CAST('f' AS boolean) AS text) AS b3,
+       CAST(CAST('f' AS boolean) <= CAST('t' AS boolean) AS text) AS b4
+""",
+    "text.sql:21-44 + boolean.sql:82-94 — cross-type || coercion, "
+    "variadic concat/concat_ws over mixed types, case-insensitive "
+    "boolean input parsing, and boolean ORDERING comparisons (t > f). "
+    "Two documented divergences kept out: PG parses `a || b+c` as "
+    "`a || (b+c)` (|| binds LOOSER than +) while Spark binds || "
+    "tighter — parenthesize at migration; and whitespace-padded "
+    "boolean text ('  true ') parses in PG but not DuckDB. Booleans "
+    "are ::text-cast since PG concat renders bool as t/f.",
+    ("scalar",),
+)
