@@ -828,3 +828,103 @@ def dml_partition_confined_update(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("partitions_untouched", F.lit(untouched).cast("bigint"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "dml_update_returning",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                   AS l_extendedprice,
+               l_returnflag
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_orderkey % 10 = 0
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="UPDATE ... RETURNING (nodeModifyTable.c ExecProcessReturning: "
+    "the post-image of exactly the modified rows comes back to the "
+    "client): the snapshot-table UPDATE commits the rewrite AND "
+    "returns the updated rows' projection in the same pass — no "
+    "second scan of the table; the RETURNING set is the filtered "
+    "branch of the same conditional projection.",
+    tags=("dml", "update", "returning"),
+)
+def dml_update_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    path = _scratch(sf_dir, "dml_update_returning")
+    st = SnapshotTable.init(path, li)
+    cond = F.col("l_returnflag") == "R"
+    base = st.current_version()
+    cur = st.read(spark, base)
+    # exact-decimal bump: double round() resolves .xx5 half-way cases
+    # differently per engine (same class as dml_insert_on_conflict)
+    bumped = (
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.lit(0.9).cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+    updated = cur.withColumn(
+        "l_extendedprice",
+        F.when(cond, bumped).otherwise(F.col("l_extendedprice")),
+    )
+    st.commit_rewrite(updated, base, label="update-returning")
+    # RETURNING: the post-image of the modified rows — read back from
+    # the committed snapshot so what the client sees IS what landed
+    return (
+        st.read(spark)
+        .filter(cond)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "dml_insert_do_nothing",
+    oracle="""
+        WITH target AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey % 4 = 0
+        ), incoming AS (
+            SELECT c_custkey, 'FRESH' AS c_mktsegment FROM customer
+            WHERE c_custkey % 3 = 0
+        ), final AS (
+            SELECT * FROM target
+            UNION ALL
+            SELECT * FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM target t
+                              WHERE t.c_custkey = i.c_custkey)
+        )
+        SELECT c_mktsegment, count(*) AS n FROM final
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="INSERT ... ON CONFLICT (key) DO NOTHING "
+    "(nodeModifyTable.c ExecCheckIndexConstraints speculative-insert "
+    "skip path): insert-if-absent is a LEFT ANTI join of the incoming "
+    "batch against the target keys, committed as an APPEND (standing "
+    "data is never rewritten — conflicting rows simply drop out).",
+    tags=("dml", "insert", "conflict"),
+)
+def dml_insert_do_nothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    path = _scratch(sf_dir, "dml_insert_nothing")
+    st = SnapshotTable.init(path, cust.filter(F.col("c_custkey") % 4 == 0))
+    incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("FRESH").alias("c_mktsegment")
+    )
+    base = st.current_version()
+    fresh = incoming.join(
+        st.read(spark, base).select("c_custkey"), "c_custkey", "left_anti"
+    )
+    st.commit_append(fresh, base, label="insert-nothing")
+    return (
+        st.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
