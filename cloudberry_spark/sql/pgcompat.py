@@ -499,6 +499,21 @@ def _rewrite_restored(sql: str) -> str:
     # SIMILAR TO runs AFTER the regex-literal doubling: _sim doubles
     # its own generated pattern, so it must not be doubled again.
     sql = _SIMILAR_RE.sub(_sim, sql)
+
+    # expr AT TIME ZONE 'tz' -> to_utc_timestamp(expr, 'tz'): the
+    # timestamp-without-tz direction (timestamp.c timestamp_zone —
+    # interpret the local stamp in tz, yield the UTC instant, which is
+    # how the session renders timestamptz here). The timestamptz input
+    # direction would need from_utc_timestamp; types are not statically
+    # known to a string shim, so that form is documented, not guessed.
+    sql = re.sub(
+        r"((?:TIMESTAMP\s+'(?:[^']|'')*')|\([^()]*\)|"
+        r"[A-Za-z_][\w.]*(?:\([^()]*\))?)"
+        r"\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
+        r"to_utc_timestamp(\1, \2)",
+        sql,
+        flags=re.I,
+    )
     # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
     sql = re.sub(
         r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",

@@ -2805,3 +2805,40 @@ SELECT ('four: '::text || (2+2)) AS c1,
     "are ::text-cast since PG concat renders bool as t/f.",
     ("scalar",),
 )
+
+
+register_regress(
+    "regress_timestamp_at_time_zone",
+    """
+SELECT CAST(TIMESTAMP '2024-03-10 12:00:00'
+            AT TIME ZONE 'America/New_York' AS text) AS t_ny,
+       CAST(TIMESTAMP '2024-07-01 00:30:00'
+            AT TIME ZONE 'Asia/Tokyo' AS text) AS t_tokyo,
+       CAST(TIMESTAMP '2024-03-10 01:59:00'
+            AT TIME ZONE 'America/New_York' AS text) AS t_before_dst,
+       CAST(TIMESTAMP '2024-11-03 12:00:00'
+            AT TIME ZONE 'America/New_York' AS text) AS t_after_fall
+FROM (VALUES (1)) v(x)
+""",
+    "timestamptz.sql AT TIME ZONE battery (timestamp.c "
+    "timestamp_zone): interpret a zoneless stamp in the named zone, "
+    "yield the UTC instant — across the spring-forward and fall-back "
+    "DST boundaries. Frontend maps the operator onto "
+    "to_utc_timestamp; outputs text-cast (DuckDB renders timestamptz "
+    "with a +00 suffix the normalizer strips from datetimes but not "
+    "strings).",
+    ("scalar",),
+    oracle="""
+SELECT CAST(CAST(TIMESTAMP '2024-03-10 12:00:00'
+            AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS text) AS t_ny,
+       CAST(CAST(TIMESTAMP '2024-07-01 00:30:00'
+            AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS text) AS t_tokyo,
+       CAST(CAST(TIMESTAMP '2024-03-10 01:59:00'
+            AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS text)
+           AS t_before_dst,
+       CAST(CAST(TIMESTAMP '2024-11-03 12:00:00'
+            AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS text)
+           AS t_after_fall
+FROM (VALUES (1)) v(x)
+""",
+)
