@@ -243,6 +243,14 @@ _LEAD = [
         "stream_stream_full_outer",
         "dml_partition_confined_update",
         "ddl_information_schema_stats",
+        # batch-21 frontend-rewrite paths (window FILTER -> CASE args,
+        # select-list = ALL decorrelation, DECODE null-matching)
+        "regress_filter_window_cumulative",
+        "regress_filter_covar_pop",
+        "regress_all_quantified_select_list",
+        "regress_decode_nested",
+        "regress_median_selfjoin_having",
+        "regress_dedup_in_exists_nested",
         "regress_with_cycle_detection",
         "regress_subq_in_pullup_distinct",
         "regress_agg_regr_bivariate",

@@ -47,6 +47,7 @@ _TYPE_MAP = {
     "int8": "bigint",
     "float4": "float",
     "float8": "double",
+    r"double\s+precision": "double",
     "bool": "boolean",
     "timestamptz": "timestamp",
     "bpchar": "string",
@@ -214,7 +215,40 @@ def _rewrite_masked(seg: str) -> str:
         seg,
         flags=re.I,
     )
+
+    seg = _rewrite_window_filter(seg)
     return seg
+
+
+_WIN_FILTER_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s*\(\s*([^()]*(?:\([^()]*\)[^()]*)*)\)\s*"
+    r"FILTER\s*\(\s*WHERE\s+([^()]*(?:\([^()]*\)[^()]*)*)\)\s*"
+    r"(?=OVER\b)",
+    re.I,
+)
+
+
+def _rewrite_window_filter(seg: str) -> str:
+    """agg(args) FILTER (WHERE p) OVER ... -> agg(CASE WHEN p THEN arg
+    END, ...) OVER ... — Spark supports FILTER on plain aggregates but
+    not on window aggregates (parse_agg.c allows both). Nulling every
+    argument under NOT p excludes the row for strict aggregates,
+    including multi-argument ones (covar/corr skip any-NULL rows);
+    count(*) counts a constant instead."""
+
+    def _one(m: re.Match) -> str:
+        name, args, pred = m.group(1), m.group(2).strip(), m.group(3)
+        pred = pred.strip()
+        if args == "*":
+            new_args = f"CASE WHEN {pred} THEN 1 END"
+        else:
+            new_args = ", ".join(
+                f"CASE WHEN {pred} THEN {a.strip()} END"
+                for a in _split_args(args)
+            )
+        return f"{name}({new_args}) "
+
+    return _WIN_FILTER_RE.sub(_one, seg)
 
 
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.I)

@@ -270,6 +270,41 @@ graph_tbl(f, t, label) AS (
 ),
 gstest2(a, b, c) AS (
   VALUES (1, 1, 1), (1, 1, 1), (1, 1, 2), (1, 2, 2), (2, 2, 2)
+),
+filter_test(i, j) AS (
+  -- src/test/regress/sql/filter.sql:1-13
+  VALUES (1, 1), (2, 1), (3, 1), (4, 2), (NULL, 2), (6, 2),
+         (7, 3), (8, NULL), (9, 3), (10, NULL)
+),
+perct AS (
+  -- src/test/regress/sql/percentile.sql:4 (a, a/10 over 1..100;
+  -- floor() because int division is double-valued on both engines)
+  SELECT CAST(i AS BIGINT) AS a, CAST(floor(i / 10.0) AS BIGINT) AS b
+  FROM generate_series(1, 100) AS gs(i)
+),
+perct3 AS (
+  -- percentile.sql:6 (cross with 1..10, keep a%7 < i)
+  SELECT a, b FROM perct, generate_series(1, 10) AS g(i)
+  WHERE a % 7 < i
+),
+perct4 AS (
+  -- percentile.sql:7-8 (every 10th a nulled; c all-NULL float)
+  SELECT CASE WHEN a % 10 = 5 THEN NULL ELSE a END AS a, b,
+         CAST(NULL AS DOUBLE) AS c
+  FROM perct
+),
+dd_t1 AS (
+  -- src/test/regress/sql/dedupset.sql:10-15 (t1/t2: 1..100 twice)
+  SELECT CAST(i AS BIGINT) AS v1, CAST(i AS BIGINT) AS v2
+  FROM generate_series(1, 100) AS gs(i)
+),
+dd_t2 AS (
+  SELECT CAST(i AS BIGINT) AS v3, CAST(i AS BIGINT) AS v4
+  FROM generate_series(1, 100) AS gs(i)
+),
+dd_t3 AS (
+  SELECT CAST(i AS BIGINT) AS v5, CAST(i AS BIGINT) AS v6
+  FROM generate_series(1, 100) AS gs(i)
 )
 """
 
@@ -2840,5 +2875,474 @@ SELECT CAST(CAST(TIMESTAMP '2024-03-10 12:00:00'
             AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS text)
            AS t_after_fall
 FROM (VALUES (1)) v(x)
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# filter.sql — aggregate FILTER clause battery (parse_agg.c,
+# nodeAgg.c aggstate->aggfilter). Window-FILTER shapes exercise the
+# frontend's agg-FILTER-OVER -> CASE-nulled-args rewrite (Spark has no
+# window FILTER).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_filter_count_star",
+    """
+SELECT count(*) AS c_all,
+       count(*) FILTER (WHERE TRUE) AS c_true,
+       count(*) FILTER (WHERE FALSE) AS c_false,
+       count(*) FILTER (WHERE i < 5) AS c_lt5,
+       count(*) FILTER (WHERE j = 1) AS c_j1
+FROM filter_test
+""",
+    "src/test/regress/sql/filter.sql:18-24 — count(*) under "
+    "TRUE/FALSE/predicate FILTERs beside the unfiltered count.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_filter_agg_family",
+    """
+SELECT count(i) FILTER (WHERE i < 5) AS c_i,
+       max(i) FILTER (WHERE i < 5) AS mx,
+       min(i) FILTER (WHERE i < 5) AS mn,
+       avg(i) FILTER (WHERE i < 5) AS av,
+       CAST(sum(i) FILTER (WHERE i < 5) AS BIGINT) AS sm,
+       count(i) FILTER (WHERE j = 1) AS c_j1
+FROM filter_test
+""",
+    "filter.sql:27-63 — count/max/min/avg/sum each under the same "
+    "FILTER, NULL i rows excluded by count(i) on both paths.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_filter_sum_casts",
+    """
+SELECT CAST(sum(CAST(i AS smallint)) FILTER (WHERE i < 5) AS BIGINT) AS s2,
+       CAST(sum(CAST(i AS int)) FILTER (WHERE i < 5) AS BIGINT) AS s4,
+       CAST(sum(CAST(i AS bigint)) FILTER (WHERE i < 5) AS BIGINT) AS s8,
+       sum(CAST(i AS double precision)) FILTER (WHERE i < 5) AS sf8,
+       CAST(sum(CAST(i AS decimal(18, 3))) FILTER (WHERE i < 5)
+            AS double precision) AS snum
+FROM filter_test
+""",
+    "filter.sql:66-73 — SUM is non-strict for datatype upconversion; "
+    "FILTER across int2/int4/int8/float8/numeric inputs (wide sums "
+    "text-normalized to bigint/double: DuckDB sums to HUGEINT).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_filter_window_cumulative",
+    """
+SELECT i, j,
+       CAST(count(j) FILTER (WHERE i % 2 = 1)
+            OVER (ORDER BY i NULLS LAST) AS BIGINT) AS c
+FROM filter_test ORDER BY i NULLS LAST
+""",
+    "filter.sql:76-77 — FILTER on a cumulative window count; frontend "
+    "rewrites to count(CASE WHEN ... END) OVER. NULLS LAST pinned (PG "
+    "ASC default; Spark defaults NULLS FIRST).",
+    ("window",),
+)
+
+register_regress(
+    "regress_filter_window_partition",
+    """
+SELECT i, j,
+       CAST(count(i) FILTER (WHERE i % 2 = 1)
+            OVER (PARTITION BY j) AS BIGINT) AS c
+FROM filter_test
+""",
+    "filter.sql:81-82 — FILTER on a whole-partition window count.",
+    ("window",),
+)
+
+register_regress(
+    "regress_filter_window_rolling",
+    """
+SELECT i, j, CAST(count(i) FILTER (WHERE j = 2) OVER w AS BIGINT) AS c
+FROM filter_test
+WINDOW w AS (ORDER BY i NULLS LAST
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+""",
+    "filter.sql:84-88 — FILTER on a rolling-frame named window "
+    "(original spells OVER(w); normalized to OVER w).",
+    ("window",),
+)
+
+register_regress(
+    "regress_filter_groupby_subtotal",
+    """
+SELECT o.j, o.count_even, o.count_odd, o.count_num,
+       CAST(sum(count_num) OVER (ORDER BY j NULLS LAST) AS BIGINT)
+           AS count_subtotal
+FROM (SELECT j, count(i) FILTER (WHERE i % 2 = 0) AS count_even,
+             count(i) FILTER (WHERE i % 2 = 1) AS count_odd,
+             count(i) AS count_num
+      FROM filter_test GROUP BY j) o
+ORDER BY j NULLS LAST
+""",
+    "filter.sql:91-97 — even/odd FILTER counts per group feeding a "
+    "running-subtotal window above the aggregate.",
+    ("aggregate", "window"),
+)
+
+register_regress(
+    "regress_filter_covar_pop",
+    """
+SELECT round(covar_pop(i, j), 6) AS cv_all,
+       round(covar_pop(i, j) FILTER (WHERE i < 5), 6) AS cv_lt5,
+       round(covar_pop(i, j) FILTER (WHERE j IN (1, 2)), 6) AS cv_j12
+FROM filter_test
+""",
+    "filter.sql:100-104 — FILTER on a two-argument aggregate "
+    "(covar_pop skips any-NULL pairs on both engines).",
+    ("aggregate",),
+)
+
+
+# ---------------------------------------------------------------------------
+# percentile.sql — ordered-set aggregate battery over the perct
+# fixtures (orderedsetaggs.c percentile_cont/percentile_disc; GPDB
+# median sugar).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_percentile_basic",
+    """
+SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) AS pc,
+       median(a) AS med,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY a)
+            AS double precision) AS pd
+FROM perct
+""",
+    "src/test/regress/sql/percentile.sql:45-46 — cont/median/disc "
+    "agree at the 0.5 mark over 1..100.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_percentile_group_desc",
+    """
+SELECT b, percentile_cont(0.2) WITHIN GROUP (ORDER BY a) AS p2,
+       percentile_cont(0.8) WITHIN GROUP (ORDER BY a DESC) AS p8d
+FROM perct GROUP BY b ORDER BY b
+""",
+    "percentile.sql:52-53 — ASC and DESC WITHIN GROUP orders in one "
+    "grouped aggregate (0.2 asc == 0.8 desc).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_percentile_with_plain_aggs",
+    """
+SELECT b, percentile_cont(0.1) WITHIN GROUP (ORDER BY a) AS p1,
+       count(*) AS cnt, CAST(sum(a) AS BIGINT) AS sm
+FROM perct GROUP BY b ORDER BY b
+""",
+    "percentile.sql:54-55 — ordered-set aggregate beside plain "
+    "count/sum in the same GROUP BY.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_percentile_expr_mix",
+    """
+SELECT b,
+       percentile_cont(0.3) WITHIN GROUP (ORDER BY a) + count(*)
+           AS pc_plus
+FROM perct GROUP BY b ORDER BY b
+""",
+    "percentile.sql:57 — arithmetic over an ordered-set aggregate and "
+    "count(*) in one select expression.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_having",
+    """
+SELECT median(a) AS med FROM perct GROUP BY b HAVING median(a) = 5
+""",
+    "percentile.sql:58 — median in HAVING (only the b=0 group, a in "
+    "1..9, has median 5).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_count_distinct",
+    """
+SELECT b, count(*) AS cnt, count(DISTINCT a) AS cda, median(a) AS med
+FROM perct3 GROUP BY b ORDER BY b
+""",
+    "percentile.sql:64 — median beside COUNT(DISTINCT) over the "
+    "skew-replicated perct3 (multi-DQA + ordered-set in one agg).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_null_col",
+    """
+SELECT median(a) AS ma, median(c) AS mc FROM perct4
+""",
+    "percentile.sql:68 — median skips NULL inputs (every 10th a "
+    "nulled); all-NULL column yields NULL.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_percentile_window_over_group",
+    """
+SELECT b, CAST(count(*) OVER (PARTITION BY b) AS BIGINT) AS cw,
+       median(a) AS med
+FROM perct GROUP BY b ORDER BY b
+""",
+    "percentile.sql:70 — window count above a grouped median (window "
+    "input is the aggregate output, one row per b).",
+    ("aggregate", "window"),
+)
+
+register_regress(
+    "regress_percentile_sum_median_window",
+    """
+SELECT CAST(sum(median(a)) OVER (PARTITION BY b) AS double precision)
+           AS smw
+FROM perct GROUP BY b ORDER BY b
+""",
+    "percentile.sql:71 — sum(median(a)) OVER: ordered-set aggregate "
+    "feeding a window aggregate.",
+    ("aggregate", "window"),
+)
+
+register_regress(
+    "regress_median_scalar_subq",
+    """
+SELECT CAST(sum((SELECT median(a) FROM perct)) AS double precision) AS s
+FROM perct
+""",
+    "percentile.sql:79 — scalar subquery (whole-table median) summed "
+    "once per row: 100 * 50.5.",
+    ("aggregate", "subquery"),
+)
+
+register_regress(
+    "regress_percentile_disc_zero",
+    """
+SELECT CAST(percentile_disc(0) WITHIN GROUP (ORDER BY a)
+            AS double precision) AS p0
+FROM perct
+""",
+    "percentile.sql:72 — percentile_disc(0) is the minimum.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_distinct_pair",
+    """
+SELECT DISTINCT median(a) AS med, count(*) AS cnt FROM perct
+""",
+    "percentile.sql:99 — DISTINCT over a one-row aggregate result.",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_grouping_sets",
+    """
+SELECT median(a) AS med FROM perct GROUP BY GROUPING SETS ((b))
+ORDER BY med
+""",
+    "percentile.sql:98 — median under a single-set GROUPING SETS "
+    "(equivalent to GROUP BY b; ORDER BY the aggregate since b is "
+    "not in the output list).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_median_selfjoin_having",
+    """
+SELECT p1.a, 0.2 * avg(p2.a) AS avga,
+       percentile_cont(0.34) WITHIN GROUP (ORDER BY p2.b) AS pc
+FROM perct p1, perct p2
+WHERE p1.a = p2.a GROUP BY p1.a HAVING median(p1.b) > 8
+""",
+    "percentile.sql:100-105 — equi-self-join with ordered-set "
+    "aggregate and a median HAVING gate (threshold adapted 10 -> 8: "
+    "the original is vacuously empty since b tops out at 10; 8 keeps "
+    "the same plan with a non-empty differential).",
+    ("aggregate", "join"),
+)
+
+
+# ---------------------------------------------------------------------------
+# dedupset.sql — duplicate IN-sublink dedup shapes (the planner should
+# collapse two IN subqueries over the same relation into one semi-join
+# path; here the correctness side of those plans).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_dedup_in_twice",
+    """
+SELECT v1, v2 FROM dd_t1
+WHERE v1 IN (SELECT v3 FROM dd_t2)
+  AND v1 IN (SELECT v3 FROM dd_t2 WHERE v3 < 10)
+ORDER BY v1
+""",
+    "src/test/regress/sql/dedupset.sql:49-52 — two IN sublinks over "
+    "the same table, one restricted; intersection semantics.",
+    ("subquery", "join"),
+)
+
+register_regress(
+    "regress_dedup_in_cte",
+    """
+WITH cte1 AS (SELECT v3 FROM dd_t2)
+SELECT count(*) AS cnt FROM dd_t1, dd_t2
+WHERE dd_t1.v1 IN (SELECT v3 FROM cte1)
+  AND dd_t1.v1 IN (SELECT v3 FROM cte1 WHERE v3 < 10)
+""",
+    "dedupset.sql:103 — the CTE variant above a cross join: 9 "
+    "qualifying v1 x 100 dd_t2 rows.",
+    ("subquery", "cte"),
+)
+
+register_regress(
+    "regress_dedup_in_innerjoin",
+    """
+SELECT v1, v2 FROM dd_t1
+WHERE v1 IN (SELECT v3 FROM dd_t2)
+  AND v1 IN (SELECT v3 FROM dd_t2, dd_t3
+             WHERE v4 = v6 AND v4 < 10)
+ORDER BY v1
+""",
+    "dedupset.sql:119-120 — IN sublink whose subquery is itself an "
+    "inner join on a different key.",
+    ("subquery", "join"),
+)
+
+register_regress(
+    "regress_dedup_in_exists_nested",
+    """
+SELECT count(*) AS cnt FROM dd_t1
+WHERE v1 IN (SELECT v3 FROM dd_t2)
+  AND v1 IN (SELECT v3 FROM dd_t2
+             WHERE EXISTS (SELECT 1 FROM dd_t3 WHERE v5 = v3))
+""",
+    "dedupset.sql:146-149 — EXISTS nested inside an IN sublink "
+    "(semi-join under semi-join), correlated one level only.",
+    ("subquery", "join"),
+)
+
+register_regress(
+    "regress_dedup_in_different_key",
+    """
+SELECT count(v1) AS cnt FROM dd_t1
+WHERE v1 IN (SELECT v3 FROM dd_t2)
+  AND v1 IN (SELECT v5 FROM dd_t2, dd_t3 WHERE v5 = v3)
+""",
+    "dedupset.sql:152-157 — second sublink projects the inner-join "
+    "key from the other side (v5), defeating sublink dedup but not "
+    "correctness.",
+    ("subquery", "join"),
+)
+
+
+# ---------------------------------------------------------------------------
+# correlated_subquery.sql — `= ALL (SELECT ...)` in the select list.
+# Spark has no op-ALL quantified subqueries (and none at all outside
+# WHERE), so the Spark side runs a hand-decorrelated rewrite: the
+# subquery collapses to a broadcast 1-row (n, mn, mx) summary and the
+# ALL verdict is a CASE over it — false iff a non-matching non-null
+# element exists, true on empty input (cdbsubselect.c-style pull-up).
+# The DuckDB oracle runs the ORIGINAL op-ALL text.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_all_quantified_select_list",
+    """
+SELECT v.a,
+       CASE WHEN s1.n = 0 THEN TRUE
+            WHEN v.a IS NULL THEN CAST(NULL AS BOOLEAN)
+            WHEN s1.mn <> v.a OR s1.mx <> v.a THEN FALSE
+            ELSE TRUE END AS all_12,
+       CASE WHEN s2.n = 0 THEN TRUE
+            WHEN v.a IS NULL THEN CAST(NULL AS BOOLEAN)
+            WHEN s2.mn <> v.a OR s2.mx <> v.a THEN FALSE
+            ELSE TRUE END AS all_22
+FROM (VALUES (1), (2)) v(a)
+CROSS JOIN (SELECT count(*) AS n, min(g) AS mn, max(g) AS mx
+            FROM generate_series(1, 2) AS gs(g)) s1
+CROSS JOIN (SELECT count(*) AS n, min(g) AS mn, max(g) AS mx
+            FROM generate_series(2, 2) AS gs(g)) s2
+ORDER BY a
+""",
+    "src/test/regress/sql/correlated_subquery.sql:7-8 — `a = ALL "
+    "(SELECT generate_series(..))` per outer row; oracle runs the "
+    "original quantified form, Spark the summary-join decorrelation.",
+    ("subquery",),
+    oracle="""
+SELECT v.a,
+       a = ALL (SELECT g FROM generate_series(1, 2) AS gs(g)) AS all_12,
+       a = ALL (SELECT g FROM generate_series(2, 2) AS gs(g)) AS all_22
+FROM (VALUES (1), (2)) v(a)
+ORDER BY a
+""",
+)
+
+register_regress(
+    "regress_all_quantified_const",
+    """
+SELECT CASE WHEN s1.n = 0 THEN TRUE
+            WHEN s1.mn <> 2 OR s1.mx <> 2 THEN FALSE
+            ELSE TRUE END AS b1,
+       CASE WHEN s2.n = 0 THEN TRUE
+            WHEN s2.mn <> 2 + 1 OR s2.mx <> 2 + 1 THEN FALSE
+            ELSE TRUE END AS b2,
+       CASE WHEN s3.n = 0 THEN TRUE
+            WHEN s3.mn <> (SELECT 3) OR s3.mx <> (SELECT 3) THEN FALSE
+            ELSE TRUE END AS b3
+FROM (SELECT count(*) AS n, min(g) AS mn, max(g) AS mx
+      FROM generate_series(2, 3) AS gs(g)) s1
+CROSS JOIN (SELECT count(*) AS n, min(g) AS mn, max(g) AS mx
+            FROM generate_series(3, 3) AS gs(g)) s2
+CROSS JOIN (SELECT count(*) AS n, min(g) AS mn, max(g) AS mx
+            FROM generate_series(3, 3) AS gs(g)) s3
+""",
+    "correlated_subquery.sql:9-20 — constant, arithmetic, and "
+    "scalar-subquery left operands of = ALL; same decorrelation, "
+    "oracle quantified.",
+    ("subquery",),
+    oracle="""
+SELECT 2 = ALL (SELECT g FROM generate_series(2, 3) AS gs(g)) AS b1,
+       2 + 1 = ALL (SELECT g FROM generate_series(3, 3) AS gs(g)) AS b2,
+       (SELECT 3) = ALL (SELECT g FROM generate_series(3, 3) AS gs(g)) AS b3
+""",
+)
+
+
+register_regress(
+    "regress_decode_nested",
+    """
+SELECT pid, DECODE(DECODE(state, '', NULL, state), '-', NULL, state)
+           AS state2
+FROM (VALUES (1, 1, CAST(NULL AS varchar(30))), (2, 1, ''),
+             (3, 2, '-'), (4, 2, 'ok')) t(pid, wid, state)
+ORDER BY pid
+""",
+    "src/test/regress/sql/nested_case_null.sql:14 — nested DECODE "
+    "with empty-string/dash sentinels (orafce decode; Spark decode is "
+    "native and NULL-matching like Oracle; rows extended from the "
+    "original single row to cover every branch). DuckDB oracle "
+    "spells the CASE/IS NOT DISTINCT FROM equivalent.",
+    ("scalar",),
+    oracle="""
+SELECT pid,
+       CASE WHEN (CASE WHEN state IS NOT DISTINCT FROM '' THEN NULL
+                       ELSE state END) IS NOT DISTINCT FROM '-'
+            THEN NULL ELSE state END AS state2
+FROM (VALUES (1, 1, CAST(NULL AS varchar(30))), (2, 1, ''),
+             (3, 2, '-'), (4, 2, 'ok')) t(pid, wid, state)
+ORDER BY pid
 """,
 )

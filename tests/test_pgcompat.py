@@ -369,3 +369,22 @@ def test_window_inheritance_expansion():
     # non-referencing definitions pass through
     out = t("select 1 from e window w1 as (order by s)")
     assert "w1 AS (order by s)" in out
+
+
+def test_window_filter_rewrite():
+    # FILTER over a window aggregate (parse_agg.c allows both; Spark
+    # only supports FILTER on plain aggregates) -> CASE-nulled args.
+    out = t("select count(j) filter (where i % 2 = 1) over (order by i) from t")
+    assert "count(CASE WHEN i % 2 = 1 THEN j END) over" in out
+    assert "FILTER" not in out.upper() or "filter (" not in out.lower()
+    # count(*) counts a constant under the predicate
+    out = t("select count(*) filter (where j = 1) over (partition by j) from t")
+    assert "count(CASE WHEN j = 1 THEN 1 END) over" in out
+    # multi-argument aggregates null every argument
+    out = t("select covar_pop(i, j) filter (where i < 5) over w from t "
+            "window w as (order by i)")
+    assert ("covar_pop(CASE WHEN i < 5 THEN i END, "
+            "CASE WHEN i < 5 THEN j END) over" in out)
+    # plain (non-window) aggregate FILTER is Spark-native: untouched
+    out = t("select count(i) filter (where i < 5) from t")
+    assert "FILTER (WHERE i < 5)" in out.upper() or "filter (where i < 5)" in out
