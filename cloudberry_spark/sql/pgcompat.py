@@ -217,6 +217,54 @@ def _rewrite_masked(seg: str) -> str:
     )
 
     seg = _rewrite_window_filter(seg)
+    seg = _rewrite_left_right(seg)
+    return seg
+
+
+def _call_sites(seg: str, name: str):
+    """Yield (start, open_paren, close_paren) for every `name(...)`
+    call at any depth (masked text — no string literals to trip on)."""
+    for m in re.finditer(rf"\b{name}\s*\(", seg, flags=re.I):
+        o = seg.index("(", m.end() - 1)
+        c = _match_paren(seg, o)
+        if c >= 0:
+            yield m.start(), o, c
+
+
+def _rewrite_left_right(seg: str) -> str:
+    """PG left(s, n)/right(s, n) accept NEGATIVE n (varlena.c text_left:
+    all-but-last/-first |n| chars); Spark returns '' for negative.
+    Rewrite calls whose length argument is not a plain nonnegative
+    integer literal into a sign-dispatching CASE. Innermost-first so
+    nested calls resolve cleanly."""
+    for fname in ("left", "right"):
+        for _ in range(50):  # bounded: each pass removes one call site
+            target = None
+            for s, o, c in _call_sites(seg, fname):
+                args = _split_args(seg[o + 1 : c])
+                if len(args) == 2 and not re.fullmatch(
+                    r"\s*\d+\s*", args[1]
+                ):
+                    target = (s, c, args)
+                    break
+            if not target:
+                break
+            s, c, (sarg, narg) = target
+            sarg, narg = sarg.strip(), narg.strip()
+            if fname == "left":
+                repl = (
+                    f"CASE WHEN ({narg}) >= 0 THEN substr({sarg}, 1, ({narg})) "
+                    f"ELSE substr({sarg}, 1, "
+                    f"greatest(length({sarg}) + ({narg}), 0)) END"
+                )
+            else:
+                repl = (
+                    f"CASE WHEN ({narg}) >= 0 THEN substr({sarg}, "
+                    f"greatest(length({sarg}) - ({narg}) + 1, 1)) "
+                    f"ELSE substr({sarg}, "
+                    f"least(1 - ({narg}), length({sarg}) + 1)) END"
+                )
+            seg = seg[:s] + repl + seg[c + 1 :]
     return seg
 
 
@@ -792,6 +840,45 @@ def _flatten_in_under_exists(masked: str) -> str:
     return masked
 
 
+_FMT_IL_RE = re.compile(r"%(?:\d+\$)?[-]?\d*[IL]")
+
+
+def _rewrite_format(masked: str, lits: list[str]) -> str:
+    """PG format(fmt, args...) -> Spark format_string (varlena.c
+    text_format; both are printf-shaped and share %s, %%, field widths
+    and %n$ positional refs). Two deltas handled here: PG renders NULL
+    args as empty (Java prints "null"), so every argument is wrapped in
+    coalesce(CAST(... AS STRING), ''); and the %I/%L ident/literal
+    conversions have no Spark analog — calls whose (masked-literal)
+    format string uses them are left untranslated so they fail loudly
+    rather than silently misquote."""
+    for _ in range(50):
+        target = None
+        for s, o, c in _call_sites(masked, "format"):
+            args = _split_args(masked[o + 1 : c])
+            if not args or not args[0].strip():
+                continue
+            fmt = args[0].strip()
+            ph = _PH_RE.fullmatch(fmt)
+            if ph and _FMT_IL_RE.search(lits[int(ph.group(1))]):
+                continue
+            if "format_string" in masked[max(0, s - 8) : s + 13]:
+                continue
+            target = (s, c, args)
+            break
+        if not target:
+            break
+        s, c, args = target
+        wrapped = [args[0].strip()] + [
+            f"coalesce(CAST({a.strip()} AS STRING), '')" for a in args[1:]
+        ]
+        masked = (
+            masked[:s] + "format_string(" + ", ".join(wrapped) + ")"
+            + masked[c + 1 :]
+        )
+    return masked
+
+
 def translate_pg_sql(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
     lits: list[str] = []
@@ -803,6 +890,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
+    masked = _rewrite_format(masked, lits)
     masked = _expand_window_inheritance(masked)
     masked = _flatten_in_under_exists(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)

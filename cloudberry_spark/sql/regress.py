@@ -3346,3 +3346,229 @@ FROM (VALUES (1, 1, CAST(NULL AS varchar(30))), (2, 1, ''),
 ORDER BY pid
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# int4.sql / text.sql — integer arithmetic corners and string-function
+# batteries (int.c, varlena.c).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_int4_mixed_arith",
+    """
+SELECT CAST(2 AS smallint) * CAST(2 AS smallint)
+           = CAST(16 AS smallint) / CAST(4 AS smallint) AS t1,
+       CAST(2 AS int) * CAST(2 AS smallint)
+           = CAST(16 AS smallint) / CAST(4 AS int) AS t2,
+       CAST(1000 AS int) < CAST(999 AS int) AS f1,
+       -2 + 3 AS one, 4 - 2 AS two, 2 - -1 AS three, 2 - -2 AS four,
+       1 + 1 + 1 + 1 + 1 + 1 + 1 + 1 + 1 + 1 AS ten,
+       2 + 2 / 2 AS three2, (2 + 2) / 2 AS two2
+FROM (VALUES (1)) v(x)
+""",
+    "src/test/regress/sql/int4.sql:102-115 — mixed int2/int4 "
+    "arithmetic identities, unary-minus parsing, +/ precedence "
+    "(division yields double on both engines where PG truncates — "
+    "the equalities and sums are division-free or exact).",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_int4_shift_corner",
+    """
+SELECT CAST(-1 << 31 AS string) AS smin,
+       CAST((-1 << 31) + 1 AS string) AS smin1,
+       (1 << 30) AS p30
+FROM (VALUES (1)) v(x)
+""",
+    "int4.sql:117-119 — INT_MIN via left shift, as text (int.c "
+    "int4shl). DuckDB refuses shifting negative numbers, so the "
+    "oracle builds the same values from a positive BIGINT shift.",
+    ("scalar",),
+    oracle="""
+SELECT (-(CAST(1 AS BIGINT) << 31))::int::text AS smin,
+       ((-(CAST(1 AS BIGINT) << 31)) + 1)::int::text AS smin1,
+       (1 << 30) AS p30
+FROM (VALUES (1)) v(x)
+""",
+)
+
+register_regress(
+    "regress_int4_cast_rounding",
+    """
+SELECT x, CAST(rint(x) AS int) AS int4_value
+FROM (VALUES (CAST(-2.5 AS double precision)), (-1.5), (-0.5), (0.0),
+             (0.5), (1.5), (2.5)) t(x)
+ORDER BY x
+""",
+    "int4.sql:127-134 — float8 -> int4 rounds HALF-EVEN in PG "
+    "(ftoi4 rint); Spark CAST truncates, so the Spark side spells "
+    "rint() explicitly while the oracle runs the plain PG cast.",
+    ("scalar",),
+    oracle="""
+SELECT x, x::int4 AS int4_value
+FROM (VALUES ((-2.5)::float8), (-1.5), (-0.5), (0.0),
+             (0.5), (1.5), (2.5)) t(x)
+ORDER BY x
+""",
+)
+
+register_regress(
+    "regress_int4_numeric_rounding",
+    """
+SELECT CAST(x AS double precision) AS x,
+       CAST(round(x, 0) AS int) AS int4_value
+FROM (VALUES (CAST(-2.5 AS decimal(10, 1))), (-1.5), (-0.5), (0.0),
+             (0.5), (1.5), (2.5)) t(x)
+ORDER BY x
+""",
+    "int4.sql:136-144 — numeric -> int4 rounds HALF-AWAY in PG "
+    "(numeric.c); Spark CAST truncates decimals, so the Spark side "
+    "rounds explicitly (Spark round on DECIMAL is HALF_UP = "
+    "half-away) while the oracle runs the plain cast.",
+    ("scalar",),
+    oracle="""
+SELECT x::float8 AS x, x::int4 AS int4_value
+FROM (VALUES ((-2.5)::decimal(10,1)), (-1.5), (-0.5), (0.0),
+             (0.5), (1.5), (2.5)) t(x)
+ORDER BY x
+""",
+)
+
+register_regress(
+    "regress_text_left_right_negative",
+    """
+SELECT CAST(i AS BIGINT) AS i, left('ahoj', i) AS l, right('ahoj', i) AS r
+FROM generate_series(-5, 5) t(i) ORDER BY i
+""",
+    "src/test/regress/sql/text.sql:49 — left/right across negative "
+    "lengths (varlena.c text_left: -n = all but last/first n); "
+    "frontend rewrites non-literal lengths to a sign-dispatching "
+    "CASE since Spark returns '' for negatives.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_text_concat_family",
+    """
+SELECT concat('one') AS c1,
+       concat(1, 2, 3, 'hello') AS c2,
+       concat_ws('#', 'one') AS w1,
+       concat_ws('#', 1, 2, 3, 'hello') AS w2,
+       concat_ws(',', 10, 20, NULL, 30) AS w3,
+       concat_ws('', 10, 20, NULL, 30) AS w4,
+       concat_ws(CAST(NULL AS string), 10, 20, NULL, 30) IS NULL AS wn,
+       reverse('abcde') AS rev
+FROM (VALUES (1)) v(x)
+""",
+    "text.sql:40-47 — concat/concat_ws battery: NULL elements "
+    "skipped, empty separator, NULL separator nulls the result "
+    "(varlena.c text_concat_ws). Boolean/date args omitted: PG "
+    "renders them via output functions (t/f), Spark via CAST "
+    "(true/false) — documented divergence.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_text_format_basic",
+    """
+SELECT format('Hello %s', 'World') AS f1,
+       format('Hello %%') AS f2,
+       format('%s%s%s', 'Hello', NULL, 'World') AS f3,
+       format('%1$s %3$s', 1, 2, 3) AS f4,
+       format('Hello %s %1$s %s', 'World', 'again') AS f5
+FROM (VALUES (1)) v(x)
+""",
+    "text.sql:65-92 — PG format(): %s, %%, NULL-renders-empty, %n$ "
+    "positional and mixed positional/sequential refs (varlena.c "
+    "text_format). Frontend maps onto format_string with "
+    "NULL-as-empty arg wrapping; oracle spells the expected "
+    "concatenations (DuckDB format is fmt-style, not printf).",
+    ("scalar",),
+    oracle="""
+SELECT 'Hello ' || 'World' AS f1,
+       'Hello %' AS f2,
+       'Hello' || '' || 'World' AS f3,
+       '1 3' AS f4,
+       'Hello World World again' AS f5
+FROM (VALUES (1)) v(x)
+""",
+)
+
+register_regress(
+    "regress_text_format_width",
+    """
+SELECT format('>>%10s<<', 'Hello') AS w1,
+       format('>>%10s<<', CAST(NULL AS string)) AS w2,
+       format('>>%10s<<', '') AS w3,
+       format('>>%-10s<<', '') AS w4,
+       format('>>%-10s<<', 'Hello') AS w5,
+       format('>>%1$10s<<', 'Hello') AS w6
+FROM (VALUES (1)) v(x)
+""",
+    "text.sql:105-112 — format field widths with right (default) and "
+    "left (-) alignment, NULL rendering as width spaces.",
+    ("scalar",),
+    oracle="""
+SELECT '>>' || lpad('Hello', 10, ' ') || '<<' AS w1,
+       '>>' || repeat(' ', 10) || '<<' AS w2,
+       '>>' || repeat(' ', 10) || '<<' AS w3,
+       '>>' || repeat(' ', 10) || '<<' AS w4,
+       '>>' || rpad('Hello', 10, ' ') || '<<' AS w5,
+       '>>' || lpad('Hello', 10, ' ') || '<<' AS w6
+FROM (VALUES (1)) v(x)
+""",
+)
+
+
+register_regress(
+    "regress_expr_in_list_nulls",
+    """
+SELECT CAST(1 IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 1) AS string) AS t1,
+       CAST(1 IN (10, 9, 2, 8, 3, 7, 4, 6, 5, NULL) AS string) AS n1,
+       CAST(1 IN (NULL, NULL, NULL, NULL, NULL) AS string) AS n2,
+       CAST(1 IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 1, NULL) AS string) AS t2,
+       CAST(CAST(NULL AS int) IN (10, 9, 2, 8, 3) AS string) AS n3,
+       CAST('a' IN ('a', 'b', 'c', 'd', 'e') AS string) AS t3,
+       CAST(1 NOT IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 1) AS string) AS f1,
+       CAST(1 NOT IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 0) AS string) AS t4,
+       CAST(1 NOT IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 2, NULL) AS string) AS n4,
+       CAST(1 NOT IN (10, 9, 2, 8, 3, 7, 4, 6, 5, 1, NULL) AS string) AS f2,
+       CAST(CAST(NULL AS int) NOT IN (10, 9) AS string) AS n5
+FROM (VALUES (1)) v(x)
+""",
+    "src/test/regress/sql/expressions.sql:170-186 — ScalarArrayOpExpr "
+    "IN/NOT IN list battery with NULL elements and NULL probes: "
+    "three-valued logic (TRUE beats NULL for IN, FALSE beats NULL for "
+    "NOT IN). Stable-function wrappers dropped (the VALUES row "
+    "defeats constant folding the same way); booleans text-cast so "
+    "NULL verdicts stay dtype-exact cross-engine.",
+    ("scalar",),
+)
+
+register_regress(
+    "regress_interval_daytime_cmp",
+    """
+WITH itbl(id, f1) AS (
+  VALUES (1, INTERVAL '1' MINUTE),
+         (2, INTERVAL '5' HOUR),
+         (3, INTERVAL '10' DAY),
+         (4, INTERVAL '-14' SECOND),
+         (5, INTERVAL '1' DAY + INTERVAL '2' HOUR
+             + INTERVAL '3' MINUTE + INTERVAL '4' SECOND)
+)
+SELECT count(CASE WHEN f1 <> INTERVAL '10' DAY THEN 1 END) AS ne_10d,
+       count(CASE WHEN f1 <= INTERVAL '5' HOUR THEN 1 END) AS le_5h,
+       count(CASE WHEN f1 < INTERVAL '1' DAY THEN 1 END) AS lt_1d,
+       count(CASE WHEN f1 > INTERVAL '-3' SECOND THEN 1 END) AS gt_m3s,
+       (SELECT count(*) FROM itbl r1, itbl r2 WHERE r1.f1 > r2.f1)
+           AS gt_pairs
+FROM itbl
+""",
+    "src/test/regress/sql/interval.sql:44-67 — interval comparison "
+    "battery over the INTERVAL_TBL day-time rows (the year/month rows "
+    "are excluded: Spark day-time and year-month intervals are "
+    "disjoint incomparable types, a documented divergence from PG's "
+    "unified interval; timestamptz.c interval_cmp).",
+    ("scalar",),
+)

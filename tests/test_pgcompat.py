@@ -388,3 +388,25 @@ def test_window_filter_rewrite():
     # plain (non-window) aggregate FILTER is Spark-native: untouched
     out = t("select count(i) filter (where i < 5) from t")
     assert "FILTER (WHERE i < 5)" in out.upper() or "filter (where i < 5)" in out
+
+
+def test_left_right_negative_rewrite():
+    # PG left/right accept negative lengths (all-but-last/-first |n|);
+    # Spark returns ''. Non-literal length args become a CASE dispatch.
+    out = t("select left(s, i) from tbl")
+    assert "CASE WHEN (i) >= 0 THEN substr(s, 1, (i))" in out
+    assert "greatest(length(s) + (i), 0)" in out
+    out = t("select right(s, i) from tbl")
+    assert "least(1 - (i), length(s) + 1)" in out
+    # plain nonnegative literal lengths stay native
+    out = t("select left(s, 2), right(s, 3) from tbl")
+    assert "left(s, 2)" in out and "right(s, 3)" in out
+
+
+def test_format_rewrite():
+    # PG format -> Spark format_string with NULL-as-empty args
+    out = t("select format('Hello %s', name) from tbl")
+    assert "format_string('Hello %s', coalesce(CAST(name AS STRING), ''))" in out
+    # %I / %L have no Spark analog: left untranslated (loud failure)
+    out = t("select format('INSERT INTO %I VALUES(%L)', a, b) from tbl")
+    assert "format(" in out and "format_string" not in out
