@@ -218,6 +218,21 @@ def _rewrite_masked(seg: str) -> str:
 
     seg = _rewrite_window_filter(seg)
     seg = _rewrite_left_right(seg)
+
+    # array_length(x, 1) -> size(x) (arrayfuncs.c array_length; Spark
+    # has size()). Only dimension 1 — PG multidim arrays have no Spark
+    # analog. PG returns NULL for empty arrays where size returns 0
+    # (documented divergence for the empty case).
+    for _ in range(50):
+        done = True
+        for s, o, c in _call_sites(seg, "array_length"):
+            args = _split_args(seg[o + 1 : c])
+            if len(args) == 2 and args[1].strip() == "1":
+                seg = seg[:s] + f"size({args[0].strip()})" + seg[c + 1 :]
+                done = False
+                break
+        if done:
+            break
     return seg
 
 
@@ -879,6 +894,67 @@ def _rewrite_format(masked: str, lits: list[str]) -> str:
     return masked
 
 
+#: PG to_char datetime template tokens -> Java SimpleDateFormat-style
+#: patterns (formatting.c DCH_keywords). Longest-first so HH24 wins
+#: over HH. Only applied when the whole format string is built from
+#: these tokens plus punctuation — numeric to_char templates (9/0/FM)
+#: are Spark-native and left alone.
+_TO_CHAR_TOKENS = [
+    ("YYYY", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("Month", "MMMM"), ("Mon", "MMM"), ("MM", "MM"),
+    ("DDD", "DDD"), ("DD", "dd"), ("Day", "EEEE"), ("Dy", "EEE"),
+    ("HH24", "HH"), ("HH12", "hh"), ("HH", "hh"),
+    ("MI", "mm"), ("SS", "ss"), ("MS", "SSS"),
+    ("AM", "a"), ("PM", "a"), ("TZ", "z"), ("Q", "Q"), ("WW", "ww"),
+]
+_TO_CHAR_OK_RE = re.compile(
+    r"^(?:"
+    + "|".join(re.escape(k) for k, _ in _TO_CHAR_TOKENS)
+    + r"|[-/:., ])+$"
+)
+
+
+def _rewrite_to_char(masked: str, lits: list[str]) -> str:
+    """to_char(x, 'YYYY-MM-DD...') -> date_format(x, 'yyyy-MM-dd...')
+    when the (masked-literal) template is a pure datetime pattern.
+    Spark's own to_char covers numeric templates; its datetime side
+    rejects PG's uppercase tokens."""
+    for _ in range(50):
+        target = None
+        for s, o, c in _call_sites(masked, "to_char"):
+            args = _split_args(masked[o + 1 : c])
+            if len(args) != 2:
+                continue
+            ph = _PH_RE.fullmatch(args[1].strip())
+            if not ph:
+                continue
+            raw = lits[int(ph.group(1))]
+            inner = raw[1:-1]
+            if not inner or not _TO_CHAR_OK_RE.match(inner):
+                continue
+            out = []
+            i = 0
+            while i < len(inner):
+                for k, v in _TO_CHAR_TOKENS:
+                    if inner.startswith(k, i):
+                        out.append(v)
+                        i += len(k)
+                        break
+                else:
+                    out.append(inner[i])
+                    i += 1
+            lits.append("'" + "".join(out) + "'")
+            target = (s, c, args[0].strip(), _PH.format(len(lits) - 1))
+            break
+        if not target:
+            break
+        s, c, arg0, ph_new = target
+        masked = (
+            masked[:s] + f"date_format({arg0}, {ph_new})" + masked[c + 1 :]
+        )
+    return masked
+
+
 def translate_pg_sql(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
     lits: list[str] = []
@@ -891,6 +967,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
     masked = _rewrite_format(masked, lits)
+    masked = _rewrite_to_char(masked, lits)
     masked = _expand_window_inheritance(masked)
     masked = _flatten_in_under_exists(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)

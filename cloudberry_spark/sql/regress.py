@@ -305,6 +305,34 @@ dd_t2 AS (
 dd_t3 AS (
   SELECT CAST(i AS BIGINT) AS v5, CAST(i AS BIGINT) AS v6
   FROM generate_series(1, 100) AS gs(i)
+),
+x_outer AS (
+  -- src/test/regress/sql/bfv_aggregate.sql:11-14
+  SELECT CAST(i % 3 AS BIGINT) AS a, CAST(i AS BIGINT) AS b,
+         CAST(i AS BIGINT) AS c
+  FROM generate_series(1, 10) AS gs(i)
+),
+y_inner AS (
+  SELECT CAST(i % 3 AS BIGINT) AS d, CAST(i AS BIGINT) AS e
+  FROM generate_series(1, 10) AS gs(i)
+),
+bfvagg_d AS (
+  -- bfv_aggregate.sql:37-38 (to_date YYYY-DD-MM of 2014-01-01 is
+  -- 2014-01-01; col2 1..100)
+  SELECT TIMESTAMP '2014-01-01 00:00:00' AS col1,
+         CAST(i AS BIGINT) AS col2
+  FROM generate_series(1, 100) AS gs(i)
+),
+bfvagg_foo(a, b) AS (
+  -- bfv_aggregate.sql:169-170
+  VALUES (1, 'aaa'), (2, 'bbb'), (3, 'ccc')
+),
+mtup1 AS (
+  -- bfv_aggregate.sql:197-209: the reference INSERT supplies only
+  -- (c0, c1, c3), leaving c4 NULL — kept faithfully
+  SELECT 'foo' AS c0, '2015-09-1.1' AS c1, CAST(i AS BIGINT) AS c3,
+         CAST(NULL AS BIGINT) AS c4
+  FROM generate_series(1, 9) AS gs(i)
 )
 """
 
@@ -3571,4 +3599,139 @@ FROM itbl
     "disjoint incomparable types, a documented divergence from PG's "
     "unified interval; timestamptz.c interval_cmp).",
     ("scalar",),
+)
+
+
+# ---------------------------------------------------------------------------
+# bfv_aggregate.sql — GP aggregate bug-fix-verification tier. The
+# window-in-IN-subquery shapes correlate a window's PARTITION/ORDER key
+# to the outer query (legal in PG, constant per outer row); BOTH Spark
+# and DuckDB reject correlated windows, so each side runs an
+# equivalent decorrelation: the constant partition/order collapses the
+# window to its whole-set / all-tied form (cdbgroup.c bug MPP-series).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_bfvagg_win_in_rownumber",
+    """
+SELECT a, b, c FROM x_outer
+WHERE a IN (SELECT row_number() OVER (ORDER BY e) FROM y_inner)
+ORDER BY 1, 2
+""",
+    "src/test/regress/sql/bfv_aggregate.sql:17 — IN over a "
+    "row_number() subquery (original: OVER (PARTITION BY a) "
+    "correlated to the outer row — a constant partition, so the "
+    "row_number set is 1..n either way; Spark side orders by e, "
+    "oracle materializes the window in a FROM-subquery).",
+    ("window", "subquery"),
+    oracle="""
+SELECT a, b, c FROM x_outer
+WHERE a IN (SELECT rn FROM (SELECT row_number() OVER () AS rn
+                            FROM y_inner) s)
+ORDER BY 1, 2
+""",
+)
+
+register_regress(
+    "regress_bfvagg_win_in_rank",
+    """
+SELECT a, b, c FROM x_outer
+WHERE a IN (SELECT rank() OVER (ORDER BY k)
+            FROM (SELECT 0 AS k FROM y_inner) s0)
+ORDER BY 1, 2
+""",
+    "bfv_aggregate.sql:20 — IN over rank() whose ORDER key is the "
+    "correlated outer column (constant per row): every rank ties at "
+    "1, so the membership set is {1}.",
+    ("window", "subquery"),
+    oracle="""
+SELECT a, b, c FROM x_outer
+WHERE a IN (SELECT r FROM (SELECT rank() OVER (ORDER BY k) AS r
+                           FROM (SELECT 0 AS k FROM y_inner) s0) s)
+ORDER BY 1, 2
+""",
+)
+
+register_regress(
+    "regress_bfvagg_win_notin_rank",
+    """
+SELECT a, b, c FROM x_outer
+WHERE a NOT IN (SELECT rank() OVER (ORDER BY k)
+                FROM (SELECT 0 AS k FROM y_inner) s0)
+ORDER BY 1, 2
+""",
+    "bfv_aggregate.sql:23 — the NOT IN complement of the all-tied "
+    "rank set {1}.",
+    ("window", "subquery"),
+    oracle="""
+SELECT a, b, c FROM x_outer
+WHERE a NOT IN (SELECT r FROM (SELECT rank() OVER (ORDER BY k) AS r
+                               FROM (SELECT 0 AS k FROM y_inner) s0) s)
+ORDER BY 1, 2
+""",
+)
+
+register_regress(
+    "regress_bfvagg_exists_win",
+    """
+SELECT a, b, c FROM x_outer
+WHERE EXISTS (SELECT 1 FROM y_inner WHERE d = a)
+  AND NOT EXISTS (SELECT 1 FROM y_inner WHERE d = a + 3)
+ORDER BY 1, 2
+""",
+    "bfv_aggregate.sql:26-29 — EXISTS/NOT EXISTS whose subquery "
+    "carries a correlated-order rank() window: under EXISTS the "
+    "window is vacuous (non-emptiness only), so both engines run the "
+    "plain-EXISTS reduction.",
+    ("subquery", "join"),
+)
+
+register_regress(
+    "regress_bfvagg_median_ordinal",
+    """
+SELECT 1 AS one, to_char(col1, 'YYYY') AS y, median(col2) AS med
+FROM bfvagg_d GROUP BY 1, 2
+""",
+    "bfv_aggregate.sql:40 — median grouped by ORDINAL refs where one "
+    "key is a constant and one a to_char projection (frontend maps "
+    "the PG datetime template onto date_format; DuckDB oracle spells "
+    "strftime).",
+    ("aggregate",),
+    oracle="""
+SELECT 1 AS one, strftime(col1, '%Y') AS y, median(col2) AS med
+FROM bfvagg_d GROUP BY 1, 2
+""",
+)
+
+register_regress(
+    "regress_bfvagg_stringagg_windows",
+    """
+SELECT b,
+       string_agg(b, '') OVER (PARTITION BY a) AS s1,
+       string_agg(b, '') OVER (PARTITION BY a, b) AS s2,
+       string_agg(b, '') OVER (PARTITION BY a + 1) AS s3,
+       string_agg(b || 'txt', '') OVER (PARTITION BY a) AS s4,
+       string_agg(b, '') OVER (PARTITION BY a ORDER BY a) AS s5,
+       '1' || string_agg(b, '') OVER (PARTITION BY a + 1 ORDER BY a + 1)
+           AS s6,
+       max(b) OVER (PARTITION BY a) AS mx
+FROM bfvagg_foo ORDER BY b
+""",
+    "bfv_aggregate.sql:171-180 — string_agg as a WINDOW aggregate "
+    "(MPP-23744 class): plain, multi-key, expression partition keys, "
+    "expression input, with ORDER BY, and concatenated above the "
+    "window. Frontend maps string_agg -> listagg, window form kept.",
+    ("window", "aggregate"),
+)
+
+
+register_regress(
+    "regress_bfvagg_many_sums",
+    '\nSELECT c0, c1,\n       CAST(array_length(ARRAY[\n SUM(c4 % 2),\n SUM(c4 % 3),\n SUM(c4 % 4),\n SUM(c4 % 5),\n SUM(c4 % 6),\n SUM(c4 % 7),\n SUM(c4 % 8),\n SUM(c4 % 9),\n SUM(c4 % 10),\n SUM(c4 % 11),\n SUM(c4 % 12),\n SUM(c4 % 13),\n SUM(c4 % 14),\n SUM(c4 % 15),\n SUM(c4 % 16),\n SUM(c4 % 17),\n SUM(c4 % 18),\n SUM(c4 % 19),\n SUM(c4 % 20),\n SUM(c4 % 21),\n SUM(c4 % 22),\n SUM(c4 % 23),\n SUM(c4 % 24),\n SUM(c4 % 25),\n SUM(c4 % 26),\n SUM(c4 % 27),\n SUM(c4 % 28),\n SUM(c4 % 29),\n SUM(c4 % 30),\n SUM(c4 % 31),\n SUM(c4 % 32),\n SUM(c4 % 33),\n SUM(c4 % 34),\n SUM(c4 % 35),\n SUM(c4 % 36),\n SUM(c4 % 37),\n SUM(c4 % 38),\n SUM(c4 % 39),\n SUM(c4 % 40),\n SUM(c4 % 41),\n SUM(c4 % 42),\n SUM(c4 % 43),\n SUM(c4 % 44),\n SUM(c4 % 45),\n SUM(c4 % 46),\n SUM(c4 % 47),\n SUM(c4 % 48),\n SUM(c4 % 49),\n SUM(c4 % 50),\n SUM(c4 % 51),\n SUM(c4 % 52),\n SUM(c4 % 53),\n SUM(c4 % 54),\n SUM(c4 % 55),\n SUM(c4 % 56),\n SUM(c4 % 57),\n SUM(c4 % 58),\n SUM(c4 % 59),\n SUM(c4 % 60),\n SUM(c4 % 61),\n SUM(c4 % 62),\n SUM(c4 % 63),\n SUM(c4 % 64),\n SUM(c4 % 65),\n SUM(c4 % 66),\n SUM(c4 % 67),\n SUM(c4 % 68),\n SUM(c4 % 69),\n SUM(c4 % 70),\n SUM(c4 % 71),\n SUM(c4 % 72),\n SUM(c4 % 73),\n SUM(c4 % 74),\n SUM(c4 % 75),\n SUM(c4 % 76),\n SUM(c4 % 77),\n SUM(c4 % 78),\n SUM(c4 % 79),\n SUM(c4 % 80),\n SUM(c4 % 81),\n SUM(c4 % 82),\n SUM(c4 % 83),\n SUM(c4 % 84),\n SUM(c4 % 85),\n SUM(c4 % 86),\n SUM(c4 % 87),\n SUM(c4 % 88),\n SUM(c4 % 89),\n SUM(c4 % 90),\n SUM(c4 % 91),\n SUM(c4 % 92),\n SUM(c4 % 93),\n SUM(c4 % 94),\n SUM(c4 % 95),\n SUM(c4 % 96),\n SUM(c4 % 97),\n SUM(c4 % 98),\n SUM(c4 % 99),\n SUM(c4 % 100)], 1) AS BIGINT) AS n_aggs,\n       CAST(SUM(c3 % 7) AS BIGINT) AS s7\nFROM mtup1 GROUP BY c0, c1\n',
+    "bfv_aggregate.sql:212-324 — 99 SUM aggregates in one GROUP BY "
+    "(the reference stresses the >64-aggregate TupleSplit path) "
+    "collected into an ARRAY whose length is the output; c4 is NULL "
+    "in the reference fixture so every modular sum is NULL, plus one "
+    "real c3 sum beside them.",
+    ("aggregate",),
 )

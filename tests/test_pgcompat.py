@@ -410,3 +410,22 @@ def test_format_rewrite():
     # %I / %L have no Spark analog: left untranslated (loud failure)
     out = t("select format('INSERT INTO %I VALUES(%L)', a, b) from tbl")
     assert "format(" in out and "format_string" not in out
+
+
+def test_to_char_datetime_mapping():
+    # PG to_char datetime templates -> date_format with Java patterns
+    out = t("select to_char(col1, 'YYYY') from d")
+    assert "date_format(col1, 'yyyy')" in out
+    out = t("select to_char(col1, 'YYYY-MM-DD HH24:MI:SS') from d")
+    assert "date_format(col1, 'yyyy-MM-dd HH:mm:ss')" in out
+    # numeric templates are Spark-native to_char: untouched
+    out = t("select to_char(x, '999.99') from d")
+    assert "to_char(x, '999.99')" in out
+
+
+def test_array_length_dim1_mapping():
+    out = t("select array_length(array[1,2,3], 1)")
+    assert "size(array(1,2,3))" in out
+    # only dimension 1 maps; other dims left loud
+    out = t("select array_length(a, 2)")
+    assert "array_length(a, 2)" in out
