@@ -84,6 +84,27 @@ def _rewrite_masked(seg: str) -> str:
             break
         seg = new
 
+    # array_cat(a, b) -> concat(a, b) (arrayfuncs.c array_cat; Spark
+    # concat concatenates arrays)
+    seg = re.sub(r"\barray_cat\s*\(", "concat(", seg, flags=re.I)
+
+    # PG array_prepend(elem, arr); Spark takes (arr, elem) — swap each
+    # call once via a temporary name so nested/multiple calls can't
+    # re-swap (offsets recomputed per pass).
+    for _ in range(50):
+        sites = list(_call_sites(seg, "array_prepend"))
+        if not sites:
+            break
+        s_, o, c = sites[0]
+        args = _split_args(seg[o + 1 : c])
+        body = (
+            f"{args[1].strip()}, {args[0].strip()}"
+            if len(args) == 2
+            else seg[o + 1 : c]
+        )
+        seg = seg[:s_] + "arr_prepend__(" + body + seg[c:]
+    seg = seg.replace("arr_prepend__(", "array_prepend(")
+
     # string_to_array(s, d) -> split(s, d) (same empty-element semantics
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
@@ -94,7 +115,10 @@ def _rewrite_masked(seg: str) -> str:
     # array operators: a && b (overlap), a @> b (contains), a <@ b
     # (contained-by). Operands must be simple identifiers or array(...)
     # calls — the common report shapes; anything else passes through.
-    _operand = r"(array\([^()]*\)|[A-Za-z_][\w.]*)"
+    _operand = (
+        r"(CAST\(array\(\) AS array<\w+>\)|array\([^()]*\)"
+        r"|[A-Za-z_][\w.]*)"
+    )
     seg = re.sub(
         rf"{_operand}\s*&&\s*{_operand}",
         r"arrays_overlap(\1, \2)",
@@ -894,6 +918,64 @@ def _rewrite_format(masked: str, lits: list[str]) -> str:
     return masked
 
 
+#: PG array-literal cast element types -> Spark literal suffix / quote
+#: treatment for the '{...}'::type[] rewrite.
+_ARR_LIT_CAST_RE = re.compile(
+    r"(\x01\d+\x02)\s*::\s*_?(\w+)\s*(\[\s*\])?", re.I
+)
+_ARR_LIT_BODY_RE = re.compile(r"^\{([^{}']*)\}$")
+_ARR_ELEM_TYPES = {
+    "int2": ("S", False), "smallint": ("S", False),
+    "int4": ("", False), "int": ("", False), "integer": ("", False),
+    "int8": ("L", False), "bigint": ("L", False),
+    "float8": ("D", False), "float": ("D", False),
+    "text": ("", True), "varchar": ("", True), "name": ("", True),
+    "bpchar": ("", True),
+}
+_ARR_SPARK_TYPE = {
+    "S": "smallint", "": "int", "L": "bigint", "D": "double",
+}
+
+
+def _rewrite_array_literal_casts(masked: str, lits: list[str]) -> str:
+    """PG array-literal casts `'{1,2,3}'::int[]` / `'{a,b}'::text[]` /
+    `'{..}'::_int4` -> array(...) with typed element literals
+    (arrayfuncs.c array_in). Only flat, quote-free bodies; emitted
+    elements are paren-free so the downstream @>/&&/<@ operand
+    rewrites still match. Empty '{}' becomes a typed empty array."""
+
+    def _one(m: re.Match) -> str:
+        ph, tname, brackets = m.group(1), m.group(2).lower(), m.group(3)
+        is_arr = bool(brackets) or m.group(0).find("::_") >= 0
+        if not is_arr or tname not in _ARR_ELEM_TYPES:
+            return m.group(0)
+        lit = lits[int(_PH_RE.fullmatch(ph).group(1))]
+        body = _ARR_LIT_BODY_RE.match(lit[1:-1].strip())
+        if not body:
+            return m.group(0)
+        suffix, quote = _ARR_ELEM_TYPES[tname]
+        inner = body.group(1).strip()
+        if not inner:
+            if quote:
+                return "CAST(array() AS array<string>)"
+            return f"CAST(array() AS array<{_ARR_SPARK_TYPE[suffix]}>)"
+        elems = []
+        for e in inner.split(","):
+            e = e.strip()
+            if e.upper() == "NULL":
+                elems.append("NULL")
+            elif quote:
+                lits.append("'" + e.replace("'", "''") + "'")
+                elems.append(_PH.format(len(lits) - 1))
+            else:
+                if not re.fullmatch(r"-?\d+(?:\.\d+)?", e):
+                    return m.group(0)
+                elems.append(e + suffix)
+        return "array(" + ", ".join(elems) + ")"
+
+    return _ARR_LIT_CAST_RE.sub(_one, masked)
+
+
 #: PG to_char datetime template tokens -> Java SimpleDateFormat-style
 #: patterns (formatting.c DCH_keywords). Longest-first so HH24 wins
 #: over HH. Only applied when the whole format string is built from
@@ -964,6 +1046,7 @@ def translate_pg_sql(sql: str) -> str:
         return _PH.format(len(lits) - 1)
 
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
+    masked = _rewrite_array_literal_casts(masked, lits)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)
     masked = _rewrite_format(masked, lits)

@@ -333,6 +333,23 @@ mtup1 AS (
   SELECT 'foo' AS c0, '2015-09-1.1' AS c1, CAST(i AS BIGINT) AS c3,
          CAST(NULL AS BIGINT) AS c4
   FROM generate_series(1, 9) AS gs(i)
+),
+arrtest_f(f0, f1, f2) AS (
+  -- src/test/regress/sql/arrays.sql arrtest_f (9 rows, two cats)
+  VALUES (1, 'cat1', CAST(1.21 AS DOUBLE)), (2, 'cat1', 1.24),
+         (3, 'cat1', 1.18), (4, 'cat1', 1.26), (5, 'cat1', 1.15),
+         (6, 'cat2', 1.15), (7, 'cat2', 1.26), (8, 'cat2', 1.32),
+         (9, 'cat2', 1.30)
+),
+arr_op(seqno, i, t) AS (
+  -- compact analogue of arrays.sql array_op_test (the original is a
+  -- 103-row data-file load; these rows reproduce every operator
+  -- shape: member overlap, containment both ways, empty, NULL elems)
+  VALUES (1, ARRAY[CAST(32 AS BIGINT), 17, 9], ARRAY['AA', 'BB']),
+         (2, ARRAY[CAST(17 AS BIGINT)], ARRAY['BB', 'CC']),
+         (3, ARRAY[CAST(38 AS BIGINT), 34], ARRAY['AA']),
+         (5, ARRAY[CAST(NULL AS BIGINT)], ARRAY['DD', 'AA']),
+         (6, ARRAY[CAST(89 AS BIGINT), 32], ARRAY['CC'])
 )
 """
 
@@ -3734,4 +3751,202 @@ register_regress(
     "in the reference fixture so every modular sum is NULL, plus one "
     "real c3 sum beside them.",
     ("aggregate",),
+)
+
+
+# ---------------------------------------------------------------------------
+# arrays.sql — 1-D array function/operator battery (arrayfuncs.c).
+# Multidimensional arrays are a documented non-goal (Spark arrays are
+# strictly nested-1-D); the multidim rows of the reference file are
+# out of scope.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_array_append_cat",
+    """
+SELECT array_append(ARRAY[CAST(42 AS BIGINT)], 6) AS a1,
+       array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]) AS a2,
+       array_cat(ARRAY[CAST(1 AS BIGINT), 2], ARRAY[CAST(3 AS BIGINT), 4])
+           AS a3,
+       ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4] AS a4,
+       ARRAY[CAST(0 AS BIGINT), 0] || ARRAY[CAST(1 AS BIGINT), 1]
+           || ARRAY[CAST(2 AS BIGINT), 2] AS a5,
+       array_join(ARRAY[CAST(1 AS BIGINT), NULL, 3], ',', 'N') AS a6
+FROM (VALUES (1)) v(x)
+""",
+    "src/test/regress/sql/arrays.sql:205-258 — array_append/prepend/"
+    "cat, || concatenation chains, NULL elements rendered through a "
+    "null-sentinel join (cross-engine NULL-in-array dtypes differ) "
+    "(frontend maps array_cat -> concat; || on arrays is "
+    "Spark-native).",
+    ("array",),
+    oracle="""
+SELECT array_append(ARRAY[CAST(42 AS BIGINT)], 6) AS a1,
+       array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]) AS a2,
+       array_cat(ARRAY[CAST(1 AS BIGINT), 2], ARRAY[CAST(3 AS BIGINT), 4])
+           AS a3,
+       ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4] AS a4,
+       ARRAY[CAST(0 AS BIGINT), 0] || ARRAY[CAST(1 AS BIGINT), 1]
+           || ARRAY[CAST(2 AS BIGINT), 2] AS a5,
+       array_to_string(list_transform(ARRAY[1, NULL, 3],
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS a6
+FROM (VALUES (1)) v(x)
+""",
+)
+
+register_regress(
+    "regress_array_position_nulls",
+    """
+SELECT nullif(array_position(ARRAY[CAST(1 AS BIGINT),2,3,4,5], 4), 0)
+           AS p1,
+       nullif(array_position(ARRAY[CAST(5 AS BIGINT),3,4,2,1], 4), 0)
+           AS p2,
+       nullif(array_position(
+           ARRAY['sun','mon','tue','wed','thu','fri','sat'], 'mon'), 0)
+           AS p3,
+       nullif(array_position(
+           ARRAY['sun','mon','tue','wed','thu','fri','sat'], 'xyz'), 0)
+           AS p_nf,
+       nullif(array_position(
+           transform(ARRAY['sun','mon',NULL,'fri'], x -> x IS NULL),
+           true), 0) AS p_null
+FROM (VALUES (1)) v(x)
+""",
+    "arrays.sql:211-219 — array_position battery: PG returns NULL on "
+    "not-found (both engines return 0: nullif-wrapped to PG "
+    "semantics) and matches NULL elements (neither engine does: the "
+    "IS NULL projection finds the first NULL on both).",
+    ("array",),
+    oracle="""
+SELECT CAST(nullif(array_position(ARRAY[1,2,3,4,5], 4), 0) AS BIGINT)
+           AS p1,
+       CAST(nullif(array_position(ARRAY[5,3,4,2,1], 4), 0) AS BIGINT)
+           AS p2,
+       CAST(nullif(array_position(
+           ARRAY['sun','mon','tue','wed','thu','fri','sat'], 'mon'), 0)
+           AS BIGINT) AS p3,
+       CAST(nullif(array_position(
+           ARRAY['sun','mon','tue','wed','thu','fri','sat'], 'xyz'), 0)
+           AS BIGINT) AS p_nf,
+       CAST(nullif(list_position(
+           list_transform(ARRAY['sun','mon',NULL,'fri'],
+                          x -> x IS NULL), true), 0) AS BIGINT) AS p_null
+""",
+)
+
+register_regress(
+    "regress_array_positions",
+    """
+SELECT filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,4,5,6,1,2,3,4,5,6],
+                        (x, idx) -> CASE WHEN x = 4 THEN
+                            CAST(idx + 1 AS BIGINT) END),
+              p -> p IS NOT NULL) AS pos4,
+       filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,NULL,5,6,1,2,3,NULL],
+                        (x, idx) -> CASE WHEN x IS NULL THEN
+                            CAST(idx + 1 AS BIGINT) END),
+              p -> p IS NOT NULL) AS posnull
+FROM (VALUES (1)) v(x)
+""",
+    "arrays.sql:221-226 — array_positions (all 1-based match "
+    "positions, including NULL matches): Spark spells the "
+    "index-lambda filter; DuckDB oracle rebuilds via a "
+    "generate_series subscript scan.",
+    ("array",),
+    oracle="""
+SELECT (SELECT coalesce(list(g ORDER BY g), [])
+        FROM (SELECT unnest(generate_series(1,
+                  len(ARRAY[1,2,3,4,5,6,1,2,3,4,5,6]))) AS g) s
+        WHERE (ARRAY[1,2,3,4,5,6,1,2,3,4,5,6])[g] = 4) AS pos4,
+       (SELECT coalesce(list(g ORDER BY g), [])
+        FROM (SELECT unnest(generate_series(1,
+                  len(ARRAY[1,2,3,NULL,5,6,1,2,3,NULL]))) AS g) s
+        WHERE (ARRAY[1,2,3,NULL,5,6,1,2,3,NULL])[g] IS NULL) AS posnull
+""",
+)
+
+register_regress(
+    "regress_array_literal_casts",
+    """
+SELECT '{1,2,3}'::int8[] AS a1,
+       '{a,b,c}'::text[] AS a2,
+       CAST(ARRAY[CAST(1 AS BIGINT), 2, 3] AS ARRAY<STRING>) AS a3,
+       CAST(ARRAY['1', '2'] AS ARRAY<BIGINT>) AS a4,
+       '{}'::int8[] AS a_empty
+FROM (VALUES (1)) v(x)
+""",
+    "arrays.sql:84-90,290-293 — PG array-literal casts "
+    "('{..}'::type[], arrayfuncs.c array_in) via the frontend "
+    "array(...)-literal rewrite, plus whole-array type-cast chains; "
+    "DuckDB has no array_in so the oracle spells ARRAY forms.",
+    ("array",),
+    oracle="""
+SELECT ARRAY[CAST(1 AS BIGINT), 2, 3] AS a1,
+       ARRAY['a', 'b', 'c'] AS a2,
+       CAST(ARRAY[1, 2, 3] AS VARCHAR[]) AS a3,
+       CAST(ARRAY['1', '2'] AS BIGINT[]) AS a4,
+       CAST([] AS BIGINT[]) AS a_empty
+""",
+)
+
+register_regress(
+    "regress_array_op_fixture",
+    """
+SELECT seqno FROM arr_op WHERE i @> '{32}'::int8[] ORDER BY seqno
+""",
+    "arrays.sql:262-267 — @> containment over the fixture (rows whose "
+    "i contains 32).",
+    ("array",),
+    oracle="""
+SELECT seqno FROM arr_op
+WHERE list_has_all(i, ARRAY[CAST(32 AS BIGINT)]) ORDER BY seqno
+""",
+)
+
+register_regress(
+    "regress_array_op_overlap_contained",
+    """
+SELECT
+  (SELECT count(*) FROM arr_op WHERE i && '{32,17}'::int8[]) AS n_overlap,
+  (SELECT count(*) FROM arr_op WHERE i <@ '{38,34,32,89}'::int8[])
+      AS n_contained,
+  (SELECT count(*) FROM arr_op WHERE t @> '{AA}'::text[]) AS n_t_aa,
+  (SELECT count(*) FROM arr_op WHERE i @> '{}'::int8[]) AS n_all
+FROM (VALUES (1)) v(x)
+""",
+    "arrays.sql:268-287 — overlap/contained-by/containment counts, "
+    "including the vacuous empty-probe containment (every row "
+    "contains the empty set). DuckDB list_has_all ignores NULL "
+    "elements where PG containment rejects them — the oracle adds "
+    "the explicit null-element guard.",
+    ("array",),
+    oracle="""
+SELECT
+  (SELECT count(*) FROM arr_op
+   WHERE list_has_any(i, ARRAY[CAST(32 AS BIGINT), 17])) AS n_overlap,
+  (SELECT count(*) FROM arr_op
+   WHERE list_has_all(ARRAY[CAST(38 AS BIGINT),34,32,89], i)
+     AND NOT coalesce(list_contains(
+         list_transform(i, x -> x IS NULL), true), false))
+      AS n_contained,
+  (SELECT count(*) FROM arr_op WHERE list_has_all(t, ARRAY['AA']))
+      AS n_t_aa,
+  (SELECT count(*) FROM arr_op
+   WHERE list_has_all(i, CAST([] AS BIGINT[]))) AS n_all
+FROM (VALUES (1)) v(x)
+""",
+)
+
+register_regress(
+    "regress_array_subquery_constructor",
+    """
+SELECT (SELECT array_sort(collect_list(f2)) FROM arrtest_f) AS arr
+FROM (VALUES (1)) v(x)
+""",
+    "arrays.sql:199 (MPP-11853) — ARRAY(SELECT .. ORDER BY ..) "
+    "subquery constructor: Spark collects and sorts, oracle runs the "
+    "PG ARRAY() form.",
+    ("array", "subquery"),
+    oracle="""
+SELECT ARRAY(SELECT f2 FROM arrtest_f ORDER BY f2) AS arr
+""",
 )
