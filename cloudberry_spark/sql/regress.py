@@ -3950,3 +3950,53 @@ FROM (VALUES (1)) v(x)
 SELECT ARRAY(SELECT f2 FROM arrtest_f ORDER BY f2) AS arr
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# gp_aggregates.sql tier 2 — the shapes the earlier battery skipped:
+# SRF-in-targetlist beside an aggregate, multi-phase DQA over a grouped
+# subquery scan, Unique over a single ungrouped aggregate row.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_gpagg_srf_with_agg",
+    """
+select avg(unique2) AS au, g from tenk1, generate_series(1,3) t(g)
+group by g order by g desc
+""",
+    "src/test/regress/sql/gp_aggregates.sql:105 — SRF in the "
+    "targetlist beside an aggregate: PG computes the agg then expands "
+    "the row 3x. Neither Spark nor DuckDB allows a generator beside "
+    "an aggregate, so both sides run the equivalent cross-join + "
+    "GROUP BY form (the global avg is unchanged under replication); "
+    "same rows as the PG original.",
+    ("aggregate", "srf"),
+)
+
+register_regress(
+    "regress_gpagg_multiagg_subquery",
+    """
+select count(distinct j) AS cj, count(distinct k) AS ck,
+       count(distinct m) AS cm
+from (select j, k, m
+      from (select CAST(i AS BIGINT) AS j, CAST(i + 1 AS BIGINT) AS k,
+                   CAST(i + 2 AS BIGINT) AS m
+            from generate_series(1, 10) t(i)) multiagg_with_subquery
+      group by j, k, m) sub
+group by j order by cj
+""",
+    "gp_aggregates.sql:163-165 — multi-phase 3-way DQA above a "
+    "grouped subquery scan (the temp table is inlined as a "
+    "generate_series projection).",
+    ("aggregate",),
+)
+
+register_regress(
+    "regress_gpagg_distinct_single_agg",
+    """
+SELECT DISTINCT avg(c1) AS a FROM generate_series(1,2) t(c1)
+""",
+    "gp_aggregates.sql:170 — Unique node over a single ungrouped "
+    "aggregate row (numGroups > 0 assertion regression).",
+    ("aggregate",),
+)
