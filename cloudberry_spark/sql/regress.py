@@ -341,6 +341,21 @@ arrtest_f(f0, f1, f2) AS (
          (6, 'cat2', 1.15), (7, 'cat2', 1.26), (8, 'cat2', 1.32),
          (9, 'cat2', 1.30)
 ),
+test_having(a, b, c, d) AS (
+  -- src/test/regress/sql/select_having.sql fixture (char(8)/char(1)
+  -- carried as plain strings on both engines)
+  VALUES (0, 1, 'XXXX', 'A'), (1, 2, 'AAAA', 'b'), (2, 2, 'AAAA', 'c'),
+         (3, 3, 'BBBB', 'D'), (4, 3, 'BBBB', 'e'), (5, 3, 'bbbb', 'F'),
+         (6, 4, 'cccc', 'g'), (7, 4, 'cccc', 'h'), (8, 4, 'CCCC', 'I'),
+         (9, 4, 'CCCC', 'j')
+),
+test_missing_target(a, b, c, d) AS (
+  -- select_implicit.sql fixture (same shape, ABAB rows)
+  VALUES (0, 1, 'XXXX', 'A'), (1, 2, 'ABAB', 'b'), (2, 2, 'ABAB', 'c'),
+         (3, 3, 'BBBB', 'D'), (4, 3, 'BBBB', 'e'), (5, 3, 'bbbb', 'F'),
+         (6, 4, 'cccc', 'g'), (7, 4, 'cccc', 'h'), (8, 4, 'CCCC', 'I'),
+         (9, 4, 'CCCC', 'j')
+),
 arr_op(seqno, i, t) AS (
   -- compact analogue of arrays.sql array_op_test (the original is a
   -- 103-row data-file load; these rows reproduce every operator
@@ -3999,4 +4014,174 @@ SELECT DISTINCT avg(c1) AS a FROM generate_series(1,2) t(c1)
     "gp_aggregates.sql:170 — Unique node over a single ungrouped "
     "aggregate row (numGroups > 0 assertion regression).",
     ("aggregate",),
+)
+
+
+# ---------------------------------------------------------------------------
+# select_having.sql — HAVING semantics, including the degenerate
+# no-GROUP-BY cases the SQL spec pins to 0-or-1 rows.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_having_count_filter",
+    """
+SELECT b, c FROM test_having
+GROUP BY b, c HAVING count(*) = 1 ORDER BY b, c
+""",
+    "src/test/regress/sql/select_having.sql:18-19 — HAVING on an "
+    "aggregate not in the targetlist.",
+    ("aggregate", "having"),
+)
+
+register_regress(
+    "regress_having_group_col_pred",
+    """
+SELECT b, c FROM test_having
+GROUP BY b, c HAVING b = 3 ORDER BY b, c
+""",
+    "select_having.sql:22-23 — HAVING on a grouping column "
+    "(effectively WHERE).",
+    ("aggregate", "having"),
+)
+
+register_regress(
+    "regress_having_compound_or",
+    """
+SELECT lower(c) AS lc, count(c) AS n FROM test_having
+GROUP BY lower(c) HAVING count(*) > 2 OR min(a) = max(a)
+ORDER BY lc
+""",
+    "select_having.sql:25-27 — grouping by a function with a "
+    "compound OR HAVING mixing count/min/max.",
+    ("aggregate", "having"),
+)
+
+register_regress(
+    "regress_having_degenerate",
+    """
+SELECT 'eq' AS k, min(a) AS mn, max(a) AS mx FROM test_having
+HAVING min(a) = max(a)
+UNION ALL
+SELECT 'lt' AS k, min(a) AS mn, max(a) AS mx FROM test_having
+HAVING min(a) < max(a)
+UNION ALL
+SELECT 'const' AS k, 1 AS mn, 2 AS mx FROM test_having HAVING 1 < 2
+UNION ALL
+SELECT 'never' AS k, 1 AS mn, 2 AS mx FROM test_having HAVING 1 > 2
+""",
+    "select_having.sql:35-44 — degenerate HAVING without GROUP BY: "
+    "per SQL spec each arm yields 0 or 1 row even without grouping "
+    "(the four reference statements are UNION ALLed with a tag "
+    "column; expected survivors: lt, const). Spark matches PG; "
+    "DuckDB treats aggregate-free HAVING as WHERE, so the oracle's "
+    "constant arms add a count(*) aggregate to force the single "
+    "group.",
+    ("aggregate", "having"),
+    oracle="""
+SELECT 'eq' AS k, min(a) AS mn, max(a) AS mx FROM test_having
+HAVING min(a) = max(a)
+UNION ALL
+SELECT 'lt' AS k, min(a) AS mn, max(a) AS mx FROM test_having
+HAVING min(a) < max(a)
+UNION ALL
+SELECT 'const' AS k, 1 AS mn, 2 AS mx FROM test_having
+HAVING count(*) >= 0 AND 1 < 2
+UNION ALL
+SELECT 'never' AS k, 1 AS mn, 2 AS mx FROM test_having
+HAVING count(*) >= 0 AND 1 > 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# select_implicit.sql — resjunk resolution: ORDER BY / GROUP BY terms
+# missing from the targetlist, qualified names, expression keys.
+# PG's integer '/' truncates where both Spark and DuckDB float-divide,
+# so expression keys use floor() to pin PG's grouping (noted per query).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_implicit_orderby_junk",
+    """
+SELECT c FROM test_missing_target ORDER BY a
+""",
+    "src/test/regress/sql/select_implicit.sql:41 — ORDER BY a column "
+    "absent from the targetlist (the original junkfilter/resjunk "
+    "case).",
+    ("resjunk",),
+)
+
+register_regress(
+    "regress_implicit_group_qualified",
+    """
+SELECT count(*) AS n FROM test_missing_target
+GROUP BY test_missing_target.c ORDER BY c
+""",
+    "select_implicit.sql:27 — GROUP BY a relation-qualified column "
+    "with a junk ORDER BY on its bare name.",
+    ("resjunk", "aggregate"),
+)
+
+register_regress(
+    "regress_implicit_group_expr_qualified",
+    """
+SELECT a%2 AS am, count(b) AS n FROM test_missing_target
+GROUP BY test_missing_target.a%2
+ORDER BY test_missing_target.a%2
+""",
+    "select_implicit.sql:100-102 — grouping and ordering by a "
+    "relation-qualified expression while the targetlist carries the "
+    "unqualified spelling.",
+    ("resjunk", "aggregate"),
+)
+
+register_regress(
+    "regress_implicit_group_lower_junk",
+    """
+SELECT count(c) AS n FROM test_missing_target
+GROUP BY lower(test_missing_target.c)
+ORDER BY lower(test_missing_target.c)
+""",
+    "select_implicit.sql:105-107 — GROUP BY/ORDER BY a function of a "
+    "qualified column, function absent from the targetlist.",
+    ("resjunk", "aggregate"),
+)
+
+register_regress(
+    "regress_implicit_groupexpr_junk",
+    """
+SELECT count(b) AS n FROM test_missing_target
+GROUP BY floor((b + 1) / 2) ORDER BY floor((b + 1) / 2) DESC
+""",
+    "select_implicit.sql:122-123 — GROUP BY an arithmetic expression "
+    "absent from the targetlist (PG's integer (b+1)/2 spelled "
+    "floor((b+1)/2): both engines float-divide where PG truncates).",
+    ("resjunk", "aggregate"),
+)
+
+register_regress(
+    "regress_implicit_ambiguous_selfjoin",
+    """
+SELECT x.b AS b, count(*) AS n
+FROM test_missing_target x, test_missing_target y
+WHERE x.a = y.a
+GROUP BY x.b ORDER BY x.b
+""",
+    "select_implicit.sql:78-80 — grouped self-join where the bare "
+    "column b would be ambiguous; the qualified x.b resolves it.",
+    ("resjunk", "aggregate", "join"),
+)
+
+register_regress(
+    "regress_implicit_ambiguous_groupexpr",
+    """
+SELECT floor(x.b/2) AS bh, count(x.b) AS n
+FROM test_missing_target x, test_missing_target y
+WHERE x.a = y.a
+GROUP BY floor(x.b/2) ORDER BY floor(x.b/2)
+""",
+    "select_implicit.sql:133-135 — qualified expression grouping "
+    "under join ambiguity (PG's x.b/2 integer division spelled "
+    "floor(x.b/2), see module note).",
+    ("resjunk", "aggregate", "join"),
 )
