@@ -4185,3 +4185,102 @@ GROUP BY floor(x.b/2) ORDER BY floor(x.b/2)
     "floor(x.b/2), see module note).",
     ("resjunk", "aggregate", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# select_distinct.sql — DISTINCT paths (hash vs sort parity, duplicate
+# select items, constants) and the IS [NOT] DISTINCT FROM battery.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_distinct_dup_column",
+    """
+SELECT count(*) AS n FROM
+  (SELECT DISTINCT two, four, two FROM tenk1) ss
+""",
+    "src/test/regress/sql/select_distinct.sql:32-36 — DISTINCT with a "
+    "duplicate select item (two listed twice): dedup is over the "
+    "repeated tuple.",
+    ("distinct",),
+)
+
+register_regress(
+    "regress_distinct_hash_group_parity",
+    """
+SELECT count(*) AS n, CAST(min(m) AS BIGINT) AS mn,
+       CAST(max(m) AS BIGINT) AS mx
+FROM (SELECT DISTINCT g % 1000 AS m FROM generate_series(0, 9999) t(g)) s
+""",
+    "select_distinct.sql:45-76 — the hashed-vs-grouped DISTINCT "
+    "parity check (the reference builds both plans and EXCEPTs them; "
+    "here the distinct-of-modulo result itself is verified "
+    "cross-engine).",
+    ("distinct",),
+)
+
+register_regress(
+    "regress_distinct_with_constants",
+    """
+SELECT DISTINCT four, 1 AS c1, 2 AS c2, 3 AS c3 FROM tenk1 WHERE four = 0
+""",
+    "select_distinct.sql:137-139 — DISTINCT over a mix of a column "
+    "and constant select items under a selective WHERE.",
+    ("distinct",),
+)
+
+register_regress(
+    "regress_is_distinct_scalar",
+    """
+WITH disttable(f1) AS (VALUES (1), (2), (3), (NULL))
+SELECT f1, f1 IS DISTINCT FROM 2 AS not_2,
+       f1 IS DISTINCT FROM NULL AS not_null,
+       f1 IS DISTINCT FROM f1 AS always_false,
+       f1 IS DISTINCT FROM f1 + 1 AS not_null2
+FROM disttable
+""",
+    "select_distinct.sql:146-157 — IS DISTINCT FROM scalar battery "
+    "over {1,2,3,NULL}: never yields NULL, NULL operands compare "
+    "equal (the four reference projections carried as one row set).",
+    ("distinct", "scalar"),
+)
+
+register_regress(
+    "regress_is_distinct_literals",
+    """
+SELECT 1 IS DISTINCT FROM 2 AS yes1,
+       2 IS DISTINCT FROM 2 AS no1,
+       2 IS DISTINCT FROM NULL AS yes2,
+       NULL IS DISTINCT FROM NULL AS no2,
+       1 IS NOT DISTINCT FROM 2 AS no3,
+       2 IS NOT DISTINCT FROM 2 AS yes3,
+       2 IS NOT DISTINCT FROM NULL AS no4,
+       NULL IS NOT DISTINCT FROM NULL AS yes4
+FROM (VALUES (1)) v(x)
+""",
+    "select_distinct.sql:160-169 — IS [NOT] DISTINCT FROM literal "
+    "truth table incl. NULL-vs-NULL.",
+    ("distinct", "scalar"),
+)
+
+register_regress(
+    "regress_is_distinct_joins",
+    """
+WITH distinct_1(a) AS (VALUES (1), (2), (NULL)),
+     distinct_2(b) AS (VALUES (1), (NULL))
+SELECT 'w' AS arm, d1.a, d2.b
+FROM distinct_1 d1, distinct_2 d2 WHERE d1.a IS DISTINCT FROM d2.b
+UNION ALL
+SELECT 'l' AS arm, d1.a, d2.b
+FROM distinct_1 d1 LEFT JOIN distinct_2 d2 ON d1.a IS DISTINCT FROM d2.b
+UNION ALL
+SELECT 'r' AS arm, d1.a, d2.b
+FROM distinct_1 d1 RIGHT JOIN distinct_2 d2
+  ON d1.a IS NOT DISTINCT FROM d2.b
+""",
+    "select_distinct.sql:172-196 — IS [NOT] DISTINCT FROM as a join "
+    "qualifier: null-safe inequality as a cross filter, as a LEFT "
+    "JOIN condition (no unmatched rows here), and null-safe equality "
+    "as a RIGHT JOIN condition (NULL matches NULL; columns renamed "
+    "a/b so the union arms align).",
+    ("distinct", "join"),
+)
