@@ -4284,3 +4284,145 @@ FROM distinct_1 d1 RIGHT JOIN distinct_2 d2
     "a/b so the union arms align).",
     ("distinct", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# gp_recursive_cte.sql — GP's recursive-CTE battery: recursive CTEs
+# referenced from IN/NOT IN/EXISTS subqueries, window functions over
+# recursive output, nested CTE scoping, hierarchical path building.
+# The reference's infinite CTEs bounded only by `LIMIT 10` inside a
+# subquery rely on PG's lazy CteScan execution (both Spark and DuckDB
+# materialize recursive CTEs eagerly) and are represented by their
+# naturally-terminating or explicitly-bounded equivalents, noted per
+# query. The `a > ALL (WITH RECURSIVE ... correlated seed)` shape at
+# gp_recursive_cte.sql:322 is a documented gap: Spark's quantified
+# comparison rejects a leading WITH in the subquery, and the outer
+# correlation inside a recursive seed has no analyzable rewrite.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_rcte_in_subquery",
+    """
+WITH RECURSIVE recursive_table_1(id) AS (VALUES (1), (2), (100)),
+recursive_table_2(id) AS (VALUES (11), (21), (31)),
+r(i) AS (
+  SELECT id FROM recursive_table_2
+  UNION ALL
+  SELECT r.i + 1 FROM r, recursive_table_2 WHERE r.i = recursive_table_2.id
+),
+s(i) AS (
+  SELECT 1
+  UNION ALL
+  SELECT i + 1 FROM s WHERE i < 10
+)
+SELECT 'in_corr' AS arm, recursive_table_1.id
+FROM recursive_table_1, recursive_table_2
+WHERE recursive_table_1.id IN (SELECT i FROM r WHERE r.i = recursive_table_2.id)
+UNION ALL
+SELECT 'notin_corr' AS arm, recursive_table_1.id
+FROM recursive_table_1, recursive_table_2
+WHERE recursive_table_1.id NOT IN (SELECT i FROM r WHERE r.i = recursive_table_2.id)
+UNION ALL
+SELECT 'in_bounded' AS arm, id FROM recursive_table_1
+WHERE id IN (SELECT i FROM s)
+UNION ALL
+SELECT 'notexists_corr' AS arm, recursive_table_1.id
+FROM recursive_table_1, recursive_table_2
+WHERE recursive_table_1.id = recursive_table_2.id
+  AND NOT EXISTS (SELECT i FROM r WHERE r.i = recursive_table_2.id)
+""",
+    "src/test/regress/sql/gp_recursive_cte.sql:7-100 — recursive CTEs "
+    "consumed by correlated IN / NOT IN / NOT EXISTS subqueries and a "
+    "bounded IN (the reference bounds the 1,2,3.. generator with "
+    "LIMIT 10 inside the subquery — lazy-CteScan-only; here the "
+    "recursion itself carries i < 10). Arms UNION ALLed with tags.",
+    ("recursive", "subquery"),
+)
+
+register_regress(
+    "regress_rcte_window_over",
+    """
+WITH RECURSIVE recursive_table_3(id, a) AS (VALUES (1, 2), (2, 3)),
+r(i, j) AS (
+  SELECT id, a FROM recursive_table_3
+  UNION ALL
+  SELECT r.i + 1, r.j FROM r, recursive_table_3
+  WHERE r.i < recursive_table_3.id
+)
+SELECT avg(i) OVER (PARTITION BY j) AS avg_i FROM r
+""",
+    "gp_recursive_cte.sql:232-238 — window aggregate partitioned "
+    "over recursive-CTE output (the recursion joins against the base "
+    "table with an inequality and terminates naturally).",
+    ("recursive", "window"),
+)
+
+register_regress(
+    "regress_rcte_nested_cte_scope",
+    """
+WITH recursive_table_1(id) AS (
+  SELECT CAST(g AS BIGINT) FROM generate_series(0, 100) t(g)
+)
+SELECT MAX(j) AS mj
+FROM
+(
+  WITH nr1(i) AS (SELECT id FROM recursive_table_1 WHERE id >= 10)
+  SELECT * FROM
+  (
+    WITH nr2(j) AS (SELECT i FROM nr1 WHERE i >= 50)
+    SELECT nr2.j FROM nr2, nr1
+  ) sub2
+) sub1
+""",
+    "gp_recursive_cte.sql:259-269 — nested WITH scoping: an inner "
+    "CTE (nr2) referencing an outer subquery's CTE (nr1), both "
+    "joined in the innermost scope.",
+    ("recursive", "cte"),
+)
+
+register_regress(
+    "regress_rcte_nested_recursive",
+    """
+WITH RECURSIVE r1(i) AS
+(
+  SELECT 1
+  UNION ALL
+  (
+    WITH RECURSIVE r2(j) AS
+    (
+      SELECT 1
+      UNION ALL
+      SELECT j + 1 FROM r2 WHERE j < 5
+    )
+    SELECT i + 1 FROM r1, r2 WHERE i < 5
+  )
+)
+SELECT CAST(SUM(i) AS BIGINT) AS s FROM r1
+""",
+    "gp_recursive_cte.sql:283-297 — a RECURSIVE CTE whose recursive "
+    "arm declares its OWN recursive CTE and joins both: each level "
+    "fans out 5x until i = 5 (sum 3711 on both engines).",
+    ("recursive",),
+)
+
+register_regress(
+    "regress_rcte_path_concat",
+    """
+WITH RECURSIVE recursive_locus_t1(id, pid, name) AS (
+  VALUES (0, -1, 'AAA'), (1, 0, 'B1'), (2, 0, 'B2'), (3, 1, 'C1_1'),
+         (4, 1, 'C1_2'), (5, 1, 'C1_3'), (6, 2, 'C2_1'), (7, 2, 'C2_2'),
+         (8, 2, 'C2_3')
+),
+cte AS (
+  select a.id, a.name from recursive_locus_t1 a where id=0
+  union all
+  select k.id, (c.name || '>' || k.name) as name
+  from recursive_locus_t1 k inner join cte c on c.id = k.pid
+)
+select id, name from cte
+""",
+    "gp_recursive_cte.sql:367-372 — hierarchical path construction: "
+    "parent-path || '>' || child over a 3-level tree (the recursive "
+    "locus test; text accumulates through the recursion).",
+    ("recursive",),
+)
