@@ -108,6 +108,11 @@ def _rewrite_masked(seg: str) -> str:
     # string_to_array(s, d) -> split(s, d) (same empty-element semantics
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
+
+    # unnest(arr) -> explode(arr): PG's 1-arg SRF (arrayfuncs.c
+    # array_unnest) in both select-list and FROM positions — Spark's
+    # explode is legal in both (generator / table-valued function).
+    seg = re.sub(r"\bunnest\s*\(", "explode(", seg, flags=re.I)
     # array_to_string(arr, d) -> array_join(arr, d) (adt/varlena.c
     # array_to_text; same null-skipping default on both engines)
     seg = re.sub(r"\barray_to_string\s*\(", "array_join(", seg, flags=re.I)

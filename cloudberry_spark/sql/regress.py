@@ -4426,3 +4426,139 @@ select id, name from cte
     "locus test; text accumulates through the recursion).",
     ("recursive",),
 )
+
+
+# ---------------------------------------------------------------------------
+# bfv_subquery.sql — GP subquery bug-fix battery: scalar subqueries,
+# correlation through derived tables, quantified ALL over empty input,
+# correlated UNION scalar subqueries, unnest-SRF IN-lists.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_bfvsubq_scalar_halfsum",
+    """
+WITH bfv_subquery_p(a, b) AS (
+  SELECT g, g FROM generate_series(1, 9) t(g)
+),
+bfv_subquery_r(a, b) AS (
+  SELECT g, g FROM generate_series(1, 9) t(g)
+)
+SELECT a FROM bfv_subquery_r
+WHERE b < (SELECT 0.5 * sum(a) FROM bfv_subquery_p WHERE b >= 3)
+ORDER BY 1
+""",
+    "src/test/regress/sql/bfv_subquery.sql:27 — uncorrelated scalar "
+    "aggregate subquery with arithmetic on the aggregate (0.5 * sum).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_bfvsubq_corr_derived_distinct",
+    """
+WITH bfv_subquery_r2(a, b) AS (
+  VALUES (1, 1), (2, 1), (2, NULL), (NULL, 0), (NULL, NULL)
+),
+bfv_subquery_s2(a, b) AS (VALUES (2, 2), (1, 0), (1, 1))
+SELECT a, b FROM bfv_subquery_r2
+WHERE a = (SELECT x.a FROM (SELECT DISTINCT a FROM bfv_subquery_s2
+                            WHERE bfv_subquery_s2.b = bfv_subquery_r2.b) x)
+""",
+    "bfv_subquery.sql:44-45 — correlation reaching through a DISTINCT "
+    "derived table inside a scalar subquery, over NULL-laden data "
+    "(only (1,1) survives: NULL correlations yield no row).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_bfvsubq_outer_only_scalar",
+    """
+WITH sq_t1(i, j) AS (SELECT g, g % 5 FROM generate_series(1, 10) t(g)),
+sq_t2(i, j) AS (VALUES (1, 10))
+SELECT sq_t1.i, (SELECT sq_t1.i FROM sq_t2) AS s FROM sq_t1
+ORDER BY 1, 2
+""",
+    "bfv_subquery.sql:62 — scalar subquery whose select list is ONLY "
+    "an outer reference (scans another 1-row table): each row pairs "
+    "with itself.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_bfvsubq_lt_all_empty",
+    """
+WITH sq_t3(a, b) AS (VALUES (1, 4), (0, 3)),
+sq_s3(i, j) AS (SELECT x, x FROM generate_series(1, 1) t(x) WHERE x < 0)
+SELECT a, b FROM sq_t3
+WHERE NOT EXISTS (SELECT 1 FROM sq_s3
+                  WHERE sq_s3.i <= sq_t3.a OR sq_s3.i IS NULL)
+ORDER BY a
+""",
+    "bfv_subquery.sql:75-81 — `a < ALL (SELECT i FROM empty)` is "
+    "vacuously true for every row. Spark's parser has no quantified "
+    "`< ALL (subquery)`, so the Spark side runs the NOT EXISTS "
+    "equivalent (anti-join on the negated comparison, NULL elements "
+    "rejecting); the oracle keeps PG's `< ALL` text.",
+    ("subquery",),
+    oracle="""
+WITH sq_t3(a, b) AS (VALUES (1, 4), (0, 3)),
+sq_s3(i, j) AS (SELECT x, x FROM generate_series(1, 1) t(x) WHERE x < 0)
+SELECT a, b FROM sq_t3
+WHERE a < ALL (SELECT i FROM sq_s3)
+ORDER BY a
+""",
+)
+
+register_regress(
+    "regress_bfvsubq_notin_third_corr",
+    """
+WITH sq_a1(i, j) AS (SELECT g, g * g FROM generate_series(1, 10) t(g)),
+sq_b1(i, j) AS (SELECT g, g * g FROM generate_series(1, 10) t(g))
+SELECT sq_a1.i, sq_a1.j FROM sq_a1
+INNER JOIN sq_b1 ON sq_a1.i = sq_b1.i
+WHERE sq_a1.j NOT IN (SELECT j FROM sq_a1 a2 WHERE a2.j = sq_b1.j)
+  AND sq_a1.i = 1
+""",
+    "bfv_subquery.sql:95 — NOT IN whose subquery correlates to a "
+    "THIRD table (the join partner, not the NOT IN's own side); the "
+    "matching j is always found so the result is empty.",
+    ("subquery", "join"),
+)
+
+register_regress(
+    "regress_bfvsubq_corr_union_scalar",
+    """
+WITH sq_foo1(a, b) AS (VALUES (1, 1), (2, 2))
+SELECT
+(SELECT a FROM sq_foo1 inner1 WHERE inner1.a = outer1.a
+ UNION
+ SELECT b FROM sq_foo1 inner2 WHERE inner2.b = outer1.b) AS s
+FROM sq_foo1 outer1
+""",
+    "bfv_subquery.sql:106-110 — scalar subquery whose body is a "
+    "UNION of two arms, EACH correlated to the outer row (both arms "
+    "produce the same value so the scalar cardinality holds).",
+    ("subquery", "setop"),
+)
+
+register_regress(
+    "regress_bfvsubq_unnest_in",
+    """
+SELECT 'ni_2' AS arm FROM (VALUES (1)) vv(x)
+WHERE 22 NOT IN (SELECT u FROM unnest(array[1,2]) t(u))
+UNION ALL
+SELECT 'i_2' AS arm FROM (VALUES (1)) vv(x)
+WHERE 22 IN (SELECT u FROM unnest(array[1,2]) t(u))
+UNION ALL
+SELECT 'i_22' AS arm FROM (VALUES (1)) vv(x)
+WHERE 22 IN (SELECT u FROM unnest(array[1,2,22]) t(u))
+UNION ALL
+SELECT 'ni_22' AS arm FROM (VALUES (1)) vv(x)
+WHERE 22 NOT IN (SELECT u FROM unnest(array[1,2,22]) t(u))
+""",
+    "bfv_subquery.sql:112-115 — [NOT] IN over an unnest() SRF "
+    "subquery, hit and miss arms (frontend now maps 1-arg unnest -> "
+    "explode, valid in both select-list and FROM positions; PG's "
+    "bare select-list unnest carried as a FROM-position TVF, "
+    "expected survivors: ni_2, i_22).",
+    ("subquery", "srf"),
+)
