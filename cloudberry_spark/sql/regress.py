@@ -4562,3 +4562,146 @@ WHERE 22 NOT IN (SELECT u FROM unnest(array[1,2,22]) t(u))
     "expected survivors: ni_2, i_22).",
     ("subquery", "srf"),
 )
+
+
+# ---------------------------------------------------------------------------
+# bfv_cte.sql — CTE + window + GROUP BY interaction battery (the GP
+# CTE-inlining bug fixes; the reference runs each twice with inlining
+# off/on — one port suffices since Spark always inlines CTEs unless
+# materialized). Reuses the bjfoo/bjbar fixtures; `cup.*` stars are
+# expanded and aggregates aliased for the harness, LIMITs are kept —
+# every ORDER BY covers all output columns so ties are identical rows
+# and the limited multiset is deterministic.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_bfvcte_groupby_window_empty",
+    """
+WITH tgw(c1, c2) AS (SELECT x, x FROM generate_series(1, 1) t(x) WHERE x < 0)
+SELECT tgw.c1, COUNT(*) over () as fraction
+FROM tgw
+GROUP BY tgw.c1
+ORDER BY tgw.c1
+""",
+    "src/test/regress/sql/bfv_cte.sql:8-14 — whole-table count window "
+    "above GROUP BY over an EMPTY CTE (the reference's COUNT() "
+    "zero-arg spelling carried as count(*)): zero rows, not one.",
+    ("cte", "window"),
+)
+
+register_regress(
+    "regress_bfvcte_loj_group_window",
+    """
+WITH cte2 AS
+(
+ SELECT e.a, e.b, f.c, f.d
+ FROM
+    (
+      SELECT a, b FROM bjfoo WHERE a < 10
+    ) e
+ LEFT OUTER JOIN
+    (
+       SELECT c, d FROM bjbar WHERE c < 10
+    ) f
+  ON e.a = f.d )
+SELECT cte2.a, cte2.d, count(*) over () AS window
+FROM cte2
+GROUP BY cte2.a, cte2.d ORDER BY cte2.a, cte2.d LIMIT 2
+""",
+    "bfv_cte.sql:21-34 — CTE of filtered LEFT OUTER JOIN, grouped, "
+    "with a whole-result count window and LIMIT (e.*/f.* expanded: "
+    "Spark rejects duplicate-free star merge in a CTE column list; "
+    "CTE renamed cte2 — t and t2 are prelude fixtures).",
+    ("cte", "window", "join"),
+)
+
+register_regress(
+    "regress_bfvcte_rank_group",
+    """
+WITH tt(a, b, d) AS
+(
+  SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
+  WHERE bjfoo.a = bjbar.d
+)
+SELECT tt.b, avg(tt.a) AS av, rank() OVER (PARTITION BY tt.a ORDER BY tt.a) AS r
+FROM bjfoo, tt
+GROUP BY bjfoo.a, bjfoo.b, tt.b, tt.a ORDER BY 1,2,3 LIMIT 5
+""",
+    "bfv_cte.sql:36-41 — rank window whose PARTITION/ORDER key is a "
+    "grouping column, beside an avg aggregate, over a cross join "
+    "with the CTE; the LIMIT cuts through identical tied rows.",
+    ("cte", "window"),
+)
+
+register_regress(
+    "regress_bfvcte_window_subq_agg",
+    """
+WITH tt(a, b, d) AS
+(
+  SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
+  WHERE bjfoo.a = bjbar.d
+)
+SELECT cup.c, cup.d, cup.e, SUM(tt.d) OVER(PARTITION BY tt.b) AS s FROM
+  (
+    SELECT bjbar.c, bjbar.d,
+           AVG(tt.b) OVER(PARTITION BY tt.a ORDER BY tt.b desc) AS e
+    FROM tt, bjbar
+  ) AS cup,
+tt WHERE cup.e < 10
+GROUP BY cup.c, cup.d, cup.e, tt.d, tt.b
+ORDER BY 1,2,3,4
+LIMIT 10
+""",
+    "bfv_cte.sql:43-54 — running-avg window computed INSIDE a "
+    "derived table, filtered on outside, then a second window OVER a "
+    "grouped aggregate result (sum window partitioned by a group "
+    "key).",
+    ("cte", "window"),
+)
+
+register_regress(
+    "regress_bfvcte_having_window_subq",
+    """
+WITH tt(a, b, d) AS
+(
+  SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
+  WHERE bjfoo.a = bjbar.d
+)
+SELECT cup.c, cup.d, cup.e, SUM(tt.d) AS s FROM
+  (
+    SELECT bjbar.c, bjbar.d, count(*) OVER() AS e FROM tt, bjbar
+    WHERE tt.a = bjbar.c
+  ) AS cup,
+tt GROUP BY cup.c, cup.d, cup.e, tt.a
+HAVING AVG(tt.d) < 10 ORDER BY 1,2,3,4 LIMIT 10
+""",
+    "bfv_cte.sql:56-64 — count window in a joined derived table with "
+    "a HAVING on an aggregate NOT in the select list above it.",
+    ("cte", "window", "having"),
+)
+
+register_regress(
+    "regress_bfvcte_nested_window_subq",
+    """
+WITH tt(a, b, d) AS
+(
+  SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
+  WHERE bjfoo.a = bjbar.d
+)
+SELECT cup.e, cup.d, SUM(tt.d) OVER(PARTITION BY tt.b) AS s FROM
+  (
+    SELECT bjbar.c as e, r.d FROM
+        (
+            SELECT tt.d, avg(tt.a) over() AS av FROM tt
+        ) r, bjbar
+  ) AS cup,
+tt WHERE cup.e < 10
+GROUP BY cup.d, cup.e, tt.d, tt.b
+ORDER BY 1,2,3
+LIMIT 10
+""",
+    "bfv_cte.sql:66-80 — window nested two derived-table levels "
+    "deep under another window-over-group (the inlining-bound "
+    "stress shape).",
+    ("cte", "window"),
+)
