@@ -4705,3 +4705,110 @@ LIMIT 10
     "stress shape).",
     ("cte", "window"),
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_misc_jiras.sql — GP JIRA regression shapes (planner/executor bug
+# fixes); tier 1: the scalar-subquery, window-edge-case, and name-
+# resolution shapes expressible over portable fixtures.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_jira_scalar_dqa_subquery",
+    """
+WITH tbl2859(domain, class, attr, value) AS (
+  VALUES (1, 1, 'A', 1), (2, 1, 'A', 0), (3, 0, 'B', 1)
+)
+SELECT attr, class,
+       (select count(distinct class) from tbl2859) as dclass
+FROM tbl2859 GROUP BY attr, class ORDER BY attr
+""",
+    "src/test/regress/sql/qp_misc_jiras.sql:52 (MPP-2859) — an "
+    "uncorrelated count(DISTINCT) scalar subquery in the select list "
+    "of a grouped query (the CTAS-with-subquery bug shape).",
+    ("subquery", "aggregate"),
+)
+
+register_regress(
+    "regress_jira_distinct_max_scalar",
+    """
+WITH tbl3511(i) AS (VALUES (1), (2), (3), (4), (5))
+select i FROM tbl3511 where i = (select distinct max(i) from tbl3511)
+""",
+    "qp_misc_jiras.sql:85 (MPP-3511) — DISTINCT wrapped around an "
+    "ungrouped scalar aggregate inside a comparison subquery.",
+    ("subquery", "aggregate"),
+)
+
+register_regress(
+    "regress_jira_case_never_window",
+    """
+WITH tbl5219(i, j) AS (SELECT g, g % 10 FROM generate_series(0, 99) t(g))
+select case when 1=2 then rank() over(partition by j order by i) end AS r
+from tbl5219
+""",
+    "qp_misc_jiras.sql:528 (MPP-5219) — a window function inside a "
+    "never-taken CASE arm: the window must still be planned (and the "
+    "executor must not crash), every output row NULL.",
+    ("window", "scalar"),
+)
+
+register_regress(
+    "regress_jira_rownum_groupby",
+    """
+select n
+from ( select row_number() over (partition by x order by x)
+       from (values (0)) as t(x) ) as r(n)
+group by n
+""",
+    "qp_misc_jiras.sql:530-536 — GROUP BY over a window function's "
+    "output through a column-aliased derived table (PG's orderless "
+    "row_number() OVER (PARTITION BY x) gains ORDER BY x: Spark "
+    "requires ordered ranking windows; one row so the order is "
+    "immaterial).",
+    ("window",),
+)
+
+register_regress(
+    "regress_jira_rownum_over_sum",
+    """
+WITH tbl6027(i, j, k) AS (
+  SELECT g, CAST(g % 100 AS BIGINT), g % 123 FROM generate_series(1, 500) t(g)
+)
+select j, CAST(sum(k) AS BIGINT) AS sk,
+       row_number() over (partition by j order by sum(k)) AS rn
+from tbl6027 group by j order by j limit 10
+""",
+    "qp_misc_jiras.sql:791 (MPP-6027) — a ranking window ORDERED BY "
+    "an aggregate of the enclosing GROUP BY (window above agg in the "
+    "same block).",
+    ("window", "aggregate"),
+)
+
+register_regress(
+    "regress_jira_substr_zero_in",
+    """
+WITH tbl7404_t1(x) AS (VALUES ('abc'), ('bcd'), ('cde')),
+tbl7404_t2(x) AS (VALUES ('abq'), ('xyz'))
+select count(*) AS n from tbl7404_t1
+where substr(x,0,2) in (select substr(x,0,2) from tbl7404_t2)
+""",
+    "qp_misc_jiras.sql:1314 (MPP-7404) — substr with START 0 as a "
+    "hashable join/IN key (both engines clip the out-of-range start "
+    "the same way; 'abc' matches 'abq' on the 1-char prefix).",
+    ("subquery", "scalar"),
+)
+
+register_regress(
+    "regress_jira_const_join_chain",
+    """
+select x.b AS b
+from ( ( select 'a' as a ) xx join (select 'a' as b) yy on a = b ) x
+join (select 'a' as c) y on a=c
+""",
+    "qp_misc_jiras.sql:786-788 — name resolution through a "
+    "parenthesized join of single-column constant subqueries: the "
+    "inner join's columns (a, b) are both visible under the outer "
+    "alias x.",
+    ("join",),
+)
