@@ -22,8 +22,12 @@ into the calling plan — whole-stage codegen applies, predicate pushdown
 still works through it, and there is zero per-row Python cost. That is
 the Spark-first answer to "my warehouse is full of small plpgsql
 helpers": the majority class of them (branching scalar logic) becomes
-free, while loops/cursors/EXCEPTION blocks remain out of scope and
-raise NotImplementedError loudly.
+free. Constant-range FOR loops unroll at compile time
+(exec_stmt_fori) and WHILE loops unroll to a bounded CASE chain of
+_WHILE_CAP iterations (exec_stmt_while; rows still looping at the cap
+yield NULL — the single-expression analog of non-termination).
+Cursors, EXCEPTION blocks, PERFORM and embedded SQL statements remain
+out of scope and raise NotImplementedError loudly.
 
 Positional parameters ``$1..$n`` (the recursion_test style in the
 reference's plpgsql.sql:1437-1446) are bound to generated arg names.
@@ -201,6 +205,21 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
                     f"{len(rng)} iterations exceeds the 64-iteration cap"
                 )
             stmts.append(("for", fm.group(1).lower(), list(rng), body))
+        elif p.take_kw("WHILE"):
+            # WHILE cond LOOP stmts END LOOP; — unrolled to a bounded
+            # CASE chain at compile time (pl_exec.c exec_stmt_while).
+            # The body must be straight-line (assignments / constant
+            # FORs); paths still looping after _WHILE_CAP iterations
+            # yield NULL — the single-expression analog of a
+            # non-terminating loop.
+            cond = p.until("LOOP")
+            if not p.take_kw("LOOP"):
+                raise NotImplementedError("plpgsql subset: missing LOOP")
+            body = _parse_stmts(p, ("END LOOP",))
+            if not p.take_kw("END LOOP"):
+                raise NotImplementedError("plpgsql subset: missing END LOOP")
+            p.expect(";")
+            stmts.append(("while", cond, body))
         elif p.take_kw("IF"):
             arms = []
             cond = p.until("THEN")
@@ -284,6 +303,32 @@ def _run_straightline(stmts: list, env: dict[str, str]) -> dict[str, str]:
     return env
 
 
+#: WHILE loops unroll to this many iterations; data needing more hits
+#: the NULL (non-terminated) arm. 32 keeps the generated CASE chain
+#: well under Spark's expression-size comfort zone for typical bodies.
+_WHILE_CAP = 32
+
+
+def _compile_while(
+    cond: str, body: list, tail: list, env: dict[str, str], depth: int
+) -> str:
+    """Unroll `WHILE cond LOOP body END LOOP; tail` into nested CASEs:
+    each level tests the (symbolically advanced) condition, exiting
+    into the tail's expression with that level's environment."""
+    cond_s = _subst(cond, env)
+    exit_expr = _compile_block(tail, env)
+    if exit_expr is None:
+        raise NotImplementedError(
+            "plpgsql subset: every control path must RETURN"
+        )
+    if depth >= _WHILE_CAP:
+        return f"CASE WHEN NOT ({cond_s}) THEN {exit_expr} ELSE NULL END"
+    nxt = _compile_while(
+        cond, body, tail, _run_straightline(body, env), depth + 1
+    )
+    return f"CASE WHEN NOT ({cond_s}) THEN {exit_expr} ELSE {nxt} END"
+
+
 def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
     """Symbolically execute; returns the RETURN expression reached on
     this path, or None if the block falls through."""
@@ -294,6 +339,8 @@ def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
             return _subst(s[1], env)
         elif s[0] == "for":
             env = _run_straightline([s], env)
+        elif s[0] == "while":
+            return _compile_while(s[1], s[2], stmts[i + 1 :], env, 0)
         else:  # if
             _, arms, else_body = s
             tail = stmts[i + 1 :]

@@ -251,6 +251,49 @@ def udf_plpgsql_forloop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_plpgsql_while",
+    oracle="""
+        SELECT CAST(length(bin(o_orderkey)) - 1 AS INT) AS h,
+               count(*) AS n
+        FROM orders GROUP BY h ORDER BY h
+    """,
+    doc="PL/pgSQL WHILE loop (pl_exec.c exec_stmt_while) unrolled to "
+    "a bounded CASE chain (_WHILE_CAP=32): per-row data-dependent "
+    "iteration count (number of halvings to reach 1), still one "
+    "Catalyst-inlined expression with zero per-row Python. The DuckDB "
+    "oracle recomputes the loop's closed form exactly via the binary "
+    "representation length (no float log2).",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION halvings(v int8) RETURNS int AS $$
+        DECLARE n int := 0;
+        BEGIN
+          WHILE v > 1 LOOP
+            v := v >> 1;
+            n := n + 1;
+          END LOOP;
+          RETURN n;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT halvings(o_orderkey) AS h, count(*) AS n
+        FROM orders GROUP BY h ORDER BY h
+        """
+    )
+
+
 def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
     The prelimfn (partial combine) would be '+' over (log_sum, n) —

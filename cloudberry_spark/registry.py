@@ -236,6 +236,7 @@ _LEAD = [
         "ddl_information_schema_tables",
         "text_tsvector_stemmed",
         "udf_plpgsql_forloop",
+        "udf_plpgsql_while",
         "json_jsonpath_methods",
         "json_jsonpath_filter_arith",
         "text_ts_headline",

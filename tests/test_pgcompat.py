@@ -264,13 +264,44 @@ def test_plpgsql_compiler_shapes():
     assert "CAST(NULL AS INT)" in expr
 
 
+def test_plpgsql_while_unrolls_bounded():
+    import duckdb
+
+    from cloudberry_spark.functions.plpgsql import (
+        _WHILE_CAP,
+        compile_plpgsql,
+    )
+
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION halvings(v bigint) RETURNS int AS $$\n"
+        "DECLARE n int := 0; BEGIN\n"
+        "WHILE v > 1 LOOP v := v >> 1; n := n + 1; END LOOP;\n"
+        "RETURN n; END; $$ LANGUAGE plpgsql"
+    )
+    # one CASE level per unrolled iteration plus the cap level
+    assert expr.count("CASE WHEN NOT") == _WHILE_CAP + 1
+    # the cap level's still-looping arm yields NULL (non-termination)
+    assert "ELSE NULL END" in expr
+    # semantics: execute the generated expression on DuckDB against
+    # the loop's exact closed form (binary length - 1)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT v, ({expr}) FROM (VALUES (CAST(1 AS BIGINT)), (2), "
+        "(5), (600000), (9223372036854775807)) t(v)"
+    ).fetchall()
+    assert rows[0][1] == 0 and rows[1][1] == 1 and rows[2][1] == 2
+    assert rows[3][1] == 19
+    assert rows[4][1] is None  # 62 halvings > _WHILE_CAP -> NULL
+
+
 def test_plpgsql_out_of_subset_is_loud():
     import pytest as _pytest
 
     from cloudberry_spark.functions.plpgsql import compile_plpgsql
 
     for body in [
-        "BEGIN WHILE a LOOP x := 1; END LOOP; RETURN x; END;",
+        # RETURN inside a WHILE body is not straight-line
+        "BEGIN WHILE a LOOP RETURN 1; END LOOP; RETURN 2; END;",
         "BEGIN PERFORM pg_sleep(1); RETURN 1; END;",
         "BEGIN IF a THEN RETURN 1; END IF; END;",  # path without RETURN
     ]:
