@@ -4812,3 +4812,92 @@ join (select 'a' as c) y on a=c
     "alias x.",
     ("join",),
 )
+
+
+# ---------------------------------------------------------------------------
+# olap_window_seq.sql — value-function window shapes beyond the
+# window.sql batteries: NULLS FIRST/LAST inside window ORDER BY,
+# negative/defaulted lead offsets, start-only RANGE frames.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_olapwin_fv_nulls_order",
+    """
+WITH tbl_with_nulls(t, a, b) AS (
+  VALUES ('a', 1, 10), ('b', 1, 10), ('c', 2, 10), ('d', 2, 20),
+         ('e', 2, 20), ('f', 2, 20), ('g', NULL, 20), ('h', NULL, 20),
+         ('i', NULL, 30)
+)
+select t, a, b,
+  first_value(t) over (order by a nulls first, t) AS f1,
+  first_value(t) over (order by a nulls last, t) AS f2,
+  first_value(t) over (partition by b order by a nulls first, t) AS f3,
+  first_value(t) over (partition by b order by a nulls last, t) AS f4
+from tbl_with_nulls order by t
+""",
+    "src/test/regress/sql/olap_window_seq.sql:189-211 — first_value "
+    "under every NULLS FIRST/LAST x partitioned/global combination "
+    "over a NULL-keyed fixture (default-frame first_value is "
+    "order-sensitive, so null placement changes the answer).",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_fv_named_windows",
+    """
+WITH tbl_with_nulls(t, a, b) AS (
+  VALUES ('a', 1, 10), ('b', 1, 10), ('c', 2, 10), ('d', 2, 20),
+         ('e', 2, 20), ('f', 2, 20), ('g', NULL, 20), ('h', NULL, 20),
+         ('i', NULL, 30)
+)
+select t, a, b,
+  first_value(t) over (w1) AS f1,
+  first_value(t) over (w2) AS f2,
+  first_value(t) over (w3) AS f3,
+  first_value(t) over (w4) AS f4
+from tbl_with_nulls
+window w1 as (order by a nulls first, t),
+       w2 as (order by a nulls last, t),
+       w3 as (partition by b order by a nulls first, t),
+       w4 as (partition by b order by a nulls last, t)
+order by t
+""",
+    "olap_window_seq.sql:214-224 — the same four windows declared "
+    "through a four-entry named WINDOW clause.",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_lead_offsets",
+    """
+WITH cust(cn, cname) AS (
+  VALUES (1, 'ann'), (2, 'bob'), (3, 'cat'), (4, 'dan')
+)
+select cn, cname,
+  lead(cname, -1) over (order by cn) AS l_neg,
+  lead(cname, 2, 'undefined') over (order by cn) AS l_def,
+  lead(cn, 1, cn + 1) over (order by cn) AS l_expr_def,
+  lag(cname, -1) over (order by cn) AS g_neg
+from cust order by cn
+""",
+    "olap_window_seq.sql:656-683 — lead/lag offset battery: NEGATIVE "
+    "offsets (lead(x,-1) ≡ lag(x,1)), a constant default filling the "
+    "off-end rows, and a NON-CONSTANT default expression (cn + 1) "
+    "evaluated at the current row.",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_range_start_only",
+    """
+WITH vend(vn) AS (VALUES (10), (20), (30), (40), (50), (22))
+select vn, first_value(vn) over(order by vn range 2 preceding) AS f,
+       CAST(sum(vn) over(order by vn range 2 preceding) AS BIGINT) AS s
+from vend order by vn
+""",
+    "olap_window_seq.sql:584 (MPP-1810) — start-only RANGE frame "
+    "(`range 2 preceding` implies CURRENT ROW end) with a value "
+    "function and an aggregate; 22 sits within 2 of 20 so the frame "
+    "genuinely differs from ROWS.",
+    ("window",),
+)
