@@ -341,6 +341,14 @@ arrtest_f(f0, f1, f2) AS (
          (6, 'cat2', 1.15), (7, 'cat2', 1.26), (8, 'cat2', 1.32),
          (9, 'cat2', 1.30)
 ),
+with_test1(i, t, value) AS (
+  -- src/test/regress/sql/with_clause.sql fixtures
+  SELECT g % 10, 'text' || (g % 20), g % 30 FROM generate_series(0, 99) tg(g)
+),
+with_test2(i, t, value) AS (
+  SELECT g % 100, 'text' || (g % 200), g % 300
+  FROM generate_series(0, 999) tg(g)
+),
 test_having(a, b, c, d) AS (
   -- src/test/regress/sql/select_having.sql fixture (char(8)/char(1)
   -- carried as plain strings on both engines)
@@ -4900,4 +4908,94 @@ from vend order by vn
     "function and an aggregate; 22 sits within 2 of 20 so the frame "
     "genuinely differs from ROWS.",
     ("window",),
+)
+
+
+# ---------------------------------------------------------------------------
+# with_clause.sql — non-recursive WITH semantics: CTE chaining, nested
+# WITH bodies, WITH inside scalar subqueries, name shadowing, shared
+# CTE self-joins (ShareInputScan in the reference).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_with_chained_ctes",
+    """
+with my_count(i, cnt) as (select i, count(*) from with_test1 group by i),
+     my_sum(total) as (select CAST(sum(cnt) AS BIGINT) from my_count)
+select total
+from my_sum
+""",
+    "src/test/regress/sql/with_clause.sql:38-42 — a CTE reading "
+    "another CTE from the same WITH list.",
+    ("cte",),
+)
+
+register_regress(
+    "regress_with_nested_with_body",
+    """
+with my_sum(total) as (
+     with my_group_sum(total) as (select sum(value) from with_test1 group by i)
+     select CAST(sum(total) AS BIGINT) from my_group_sum)
+select total
+from my_sum
+""",
+    "with_clause.sql:46-50 — a WITH clause nested inside another "
+    "CTE's body.",
+    ("cte",),
+)
+
+register_regress(
+    "regress_with_scalar_subquery_cte",
+    """
+select count(*) AS n from with_test2
+where value < (with my_max(maximum) as (select max(value) from with_test1)
+               select maximum from my_max)
+""",
+    "with_clause.sql:67-69 — an entire WITH query inside a scalar "
+    "comparison subquery (count-wrapped: the bare original returns "
+    "116 fixture rows).",
+    ("cte", "subquery"),
+)
+
+register_regress(
+    "regress_with_cte_shadowing",
+    """
+with my_max(maximum) as (select max(value) from with_test2)
+select count(*) AS n from with_test1, my_max
+where value < (with my_max(maximum) as (select max(i) from with_test1)
+               select maximum from my_max)
+""",
+    "with_clause.sql:100-104 — CTE name SHADOWING: the inner WITH "
+    "redefines my_max (max i = 9) inside a subquery while the outer "
+    "my_max (max value = 299) is joined in the same FROM; inner "
+    "scope must win inside the subquery.",
+    ("cte", "subquery"),
+)
+
+register_regress(
+    "regress_with_selfjoin_offset",
+    """
+with my_group_sum(i, total) as (select i, CAST(sum(value) AS BIGINT)
+                                from with_test1 group by i)
+select gs1.i, gs1.total AS t1, gs2.total AS t2
+from my_group_sum gs1, my_group_sum gs2
+where gs1.i = gs2.i + 1
+order by gs1.i
+""",
+    "with_clause.sql:21-24 — self-join of a grouped CTE on offset "
+    "keys (the reference's ShareInputScan: one evaluation, two "
+    "consumers).",
+    ("cte", "join"),
+)
+
+register_regress(
+    "regress_with_groupmax_filter",
+    """
+with my_groupmax(i, maximum) as (select i, max(value) from with_test1 group by i)
+SELECT count(*) AS n FROM my_groupmax
+WHERE maximum > (SELECT sum(maximum)/100 FROM my_groupmax)
+""",
+    "with_clause.sql:93-94 — the same CTE consumed by the outer scan "
+    "AND by a scalar aggregate subquery over it.",
+    ("cte", "subquery"),
 )
