@@ -4999,3 +4999,158 @@ WHERE maximum > (SELECT sum(maximum)/100 FROM my_groupmax)
     "AND by a scalar aggregate subquery over it.",
     ("cte", "subquery"),
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_left_anti_semi_join.sql — the LASJ battery over a NULL-laden
+# fixture: quantified = ALL with empty/NULL-bearing subqueries,
+# filtered FULL OUTER joins, row-constructor NOT IN with NULL pairs.
+# Fixture (renamed lasj_foo/lasj_bar): foo has NULL keys and a
+# (NULL,NULL) row; bar has x = i/10 plus NULL-key rows incl. one
+# (NULL,NULL).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_lasj_eq_all_battery",
+    """
+WITH lasj_foo(a, b) AS (
+  VALUES (1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12),
+         (1, 102)
+),
+lasj_bar(x, y) AS (
+  SELECT CAST(floor(i / 10) AS INT), i FROM generate_series(1, 100) t(i)
+  UNION ALL VALUES (NULL, 101), (NULL, 102), (NULL, NULL)
+)
+SELECT 'nonuniform' AS arm, a, b FROM lasj_foo
+WHERE b = 2 AND (
+  (a IS NOT NULL AND NOT EXISTS (
+     SELECT 1 FROM lasj_bar WHERE y >= 10 AND y < 20
+       AND (x IS NULL OR x <> lasj_foo.a)))
+  OR NOT EXISTS (SELECT 1 FROM lasj_bar WHERE y >= 10 AND y < 20))
+UNION ALL
+SELECT 'vacuous' AS arm, a, b FROM lasj_foo
+WHERE b = 2 AND (
+  (a IS NOT NULL AND NOT EXISTS (
+     SELECT 1 FROM lasj_bar WHERE y = -1
+       AND (x IS NULL OR x <> lasj_foo.a)))
+  OR NOT EXISTS (SELECT 1 FROM lasj_bar WHERE y = -1))
+UNION ALL
+SELECT 'null_in_set' AS arm, a, b FROM lasj_foo
+WHERE (
+  (a IS NOT NULL AND NOT EXISTS (
+     SELECT 1 FROM lasj_bar WHERE (x = 1 OR x IS NULL)
+       AND (x IS NULL OR x <> lasj_foo.a)))
+  OR NOT EXISTS (SELECT 1 FROM lasj_bar WHERE x = 1 OR x IS NULL))
+""",
+    "src/test/regress/sql/qp_left_anti_semi_join.sql:22-28 — "
+    "`a = ALL (SELECT x ...)` battery: a uniform match set (only "
+    "a = 1 survives), an EMPTY subquery (vacuously true for every "
+    "row, NULL a included), and a NULL-bearing set (never true). "
+    "Spark has no quantified = ALL: the Spark side spells the exact "
+    "two-sided NOT EXISTS form (NULL probe filtered on nonempty "
+    "sets, NULL elements poison); the oracle runs PG's = ALL text.",
+    ("join", "subquery"),
+    oracle="""
+WITH lasj_foo(a, b) AS (
+  VALUES (1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12),
+         (1, 102)
+),
+lasj_bar(x, y) AS (
+  SELECT CAST(floor(i / 10) AS INT), i FROM generate_series(1, 100) t(i)
+  UNION ALL VALUES (NULL, 101), (NULL, 102), (NULL, NULL)
+)
+SELECT 'nonuniform' AS arm, a, b FROM lasj_foo
+WHERE b = 2 AND a = ALL (SELECT x FROM lasj_bar WHERE y >= 10 AND y < 20)
+UNION ALL
+SELECT 'vacuous' AS arm, a, b FROM lasj_foo
+WHERE b = 2 AND a = ALL (SELECT x FROM lasj_bar WHERE y = -1)
+UNION ALL
+SELECT 'null_in_set' AS arm, a, b FROM lasj_foo
+WHERE a = ALL (SELECT x FROM lasj_bar WHERE x = 1 OR x IS NULL)
+""",
+)
+
+register_regress(
+    "regress_lasj_full_outer_filtered",
+    """
+WITH lasj_foo(a, b) AS (
+  VALUES (1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12),
+         (1, 102)
+),
+lasj_bar(x, y) AS (
+  SELECT CAST(floor(i / 10) AS INT), i FROM generate_series(1, 100) t(i)
+  UNION ALL VALUES (NULL, 101), (NULL, 102), (NULL, NULL)
+)
+SELECT 'empty_right' AS arm, a, b, x, y
+FROM lasj_foo FULL OUTER JOIN
+     (SELECT x, y FROM lasj_bar WHERE y = -1) bar2 ON (a = x)
+UNION ALL
+SELECT 'both_filtered' AS arm, a, b, x, y
+FROM (SELECT a, b FROM lasj_foo WHERE b = 2) foo2
+FULL OUTER JOIN
+     (SELECT x, y FROM lasj_bar
+      WHERE y BETWEEN 16 AND 22 OR x IS NULL) bar2 ON (a = x)
+""",
+    "qp_left_anti_semi_join.sql:30-34 — FULL OUTER JOIN with "
+    "filtered sides: an empty right input (every left row "
+    "NULL-extended) and both sides filtered with NULL join keys on "
+    "each (NULL keys never match, surviving as two unmatched rows).",
+    ("join",),
+)
+
+register_regress(
+    "regress_lasj_rowctor_notin_nulls",
+    """
+WITH lasj_foo(a, b) AS (
+  VALUES (1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12),
+         (1, 102)
+),
+lasj_bar(x, y) AS (
+  SELECT CAST(floor(i / 10) AS INT), i FROM generate_series(1, 100) t(i)
+  UNION ALL VALUES (NULL, 101), (NULL, 102), (NULL, NULL)
+)
+SELECT 'no_nulls' AS arm, count(*) AS n FROM lasj_foo
+WHERE (a, b) NOT IN (SELECT x, y FROM lasj_bar WHERE y IS NOT NULL
+                                                 AND x IS NOT NULL)
+UNION ALL
+SELECT 'empty' AS arm, count(*) AS n FROM lasj_foo
+WHERE (a, b) NOT IN (SELECT x, y FROM lasj_bar WHERE y = -1)
+UNION ALL
+SELECT 'with_nulls' AS arm, count(*) AS n FROM lasj_foo
+WHERE (a, b) NOT IN (SELECT x, y FROM lasj_bar)
+""",
+    "qp_left_anti_semi_join.sql:36-40 — row-constructor NOT IN over "
+    "NULL pairs: a NULL-free inner set (rows with any NULL component "
+    "still pass only if no inner row can possibly equal them), an "
+    "empty set (all 7 rows pass), and the full set whose (NULL,NULL) "
+    "row makes NOT IN never-true for every probe. Spark matches PG's "
+    "three-valued row comparison; DuckDB struct equality treats NULL "
+    "as a value, so the oracle spells PG's NOT IN as the exact "
+    "NOT EXISTS over componentwise non-FALSE comparisons.",
+    ("join", "subquery"),
+    oracle="""
+WITH lasj_foo(a, b) AS (
+  VALUES (1, 2), (12, 20), (NULL, 2), (15, 2), (NULL, NULL), (1, 12),
+         (1, 102)
+),
+lasj_bar(x, y) AS (
+  SELECT CAST(floor(i / 10) AS INT), i FROM generate_series(1, 100) t(i)
+  UNION ALL VALUES (NULL, 101), (NULL, 102), (NULL, NULL)
+)
+SELECT 'no_nulls' AS arm, count(*) AS n FROM lasj_foo
+WHERE NOT EXISTS (SELECT 1 FROM lasj_bar
+                  WHERE y IS NOT NULL AND x IS NOT NULL
+                    AND (x = a OR x IS NULL OR a IS NULL)
+                    AND (y = b OR y IS NULL OR b IS NULL))
+UNION ALL
+SELECT 'empty' AS arm, count(*) AS n FROM lasj_foo
+WHERE NOT EXISTS (SELECT 1 FROM lasj_bar WHERE y = -1
+                    AND (x = a OR x IS NULL OR a IS NULL)
+                    AND (y = b OR y IS NULL OR b IS NULL))
+UNION ALL
+SELECT 'with_nulls' AS arm, count(*) AS n FROM lasj_foo
+WHERE NOT EXISTS (SELECT 1 FROM lasj_bar
+                  WHERE (x = a OR x IS NULL OR a IS NULL)
+                    AND (y = b OR y IS NULL OR b IS NULL))
+""",
+)
