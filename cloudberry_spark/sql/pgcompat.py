@@ -245,6 +245,7 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
 
+    seg = _rewrite_case_isnotdistinct(seg)
     seg = _rewrite_window_filter(seg)
     seg = _rewrite_left_right(seg)
 
@@ -318,6 +319,84 @@ _WIN_FILTER_RE = re.compile(
     r"(?=OVER\b)",
     re.I,
 )
+
+
+_CASE_TOK_RE = re.compile(r"\b(CASE|END|WHEN|THEN|ELSE)\b", re.I)
+_WHEN_ISND_RE = re.compile(
+    r"\bWHEN\s+IS\s+NOT\s+DISTINCT\s+FROM\b", re.I
+)
+
+
+def _rewrite_case_isnotdistinct(seg: str) -> str:
+    """GP grammar extension (reference gram.y / case_gp.sql):
+    ``CASE operand WHEN IS NOT DISTINCT FROM val THEN ...`` — a simple
+    CASE whose arms may compare null-safely. Neither Spark nor DuckDB
+    parses it, so any simple CASE containing such an arm is lowered to
+    a searched CASE: ``WHEN IS NOT DISTINCT FROM v`` becomes
+    ``WHEN operand IS NOT DISTINCT FROM v`` and the plain arms become
+    ``WHEN operand = v``; the operand is dropped from the CASE head.
+    Operates on masked text (no string literals); nested CASEs are
+    handled by token-depth tracking, innermost-first."""
+    for _ in range(50):
+        m = _WHEN_ISND_RE.search(seg)
+        if not m:
+            return seg
+        # locate the innermost CASE still open at the match
+        open_cases: list[int] = []
+        for tm in _CASE_TOK_RE.finditer(seg, 0, m.start()):
+            t = tm.group(1).upper()
+            if t == "CASE":
+                open_cases.append(tm.start())
+            elif t == "END" and open_cases:
+                open_cases.pop()
+        if not open_cases:
+            raise ValueError(
+                "WHEN IS NOT DISTINCT FROM outside any CASE"
+            )
+        case_start = open_cases[-1]
+        # walk this CASE's tokens at depth 0 (relative to it), finding
+        # the operand span and each arm's WHEN..THEN condition span
+        depth = 0
+        head_end = None  # first depth-0 WHEN => end of operand
+        arms: list[tuple[int, int]] = []  # (when_kw_end, then_start)
+        pending_when = None
+        case_end = len(seg)
+        for tm in _CASE_TOK_RE.finditer(seg, case_start + 4):
+            t = tm.group(1).upper()
+            if t == "CASE":
+                depth += 1
+            elif t == "END":
+                if depth == 0:
+                    case_end = tm.start()
+                    break
+                depth -= 1
+            elif depth == 0 and t == "WHEN":
+                if head_end is None:
+                    head_end = tm.start()
+                pending_when = tm.end()
+            elif depth == 0 and t == "THEN" and pending_when is not None:
+                arms.append((pending_when, tm.start()))
+                pending_when = None
+        if head_end is None:
+            raise ValueError("CASE without WHEN")
+        operand = seg[case_start + 4 : head_end].strip()
+        if not operand:
+            # searched CASE containing a literal WHEN IS ... (can't
+            # happen from valid PG text) — leave untouched
+            return seg
+        out = [seg[:case_start], "CASE "]
+        pos = head_end
+        for wstart, tstart in arms:
+            out.append(seg[pos:wstart])  # 'WHEN' + inter-arm text
+            cond = seg[wstart:tstart].strip()
+            if re.match(r"(?i:IS\s+NOT\s+DISTINCT\s+FROM)\b", cond):
+                out.append(f" ({operand}) {cond} ")
+            else:
+                out.append(f" ({operand}) = ({cond}) ")
+            pos = tstart
+        out.append(seg[pos:])
+        seg = "".join(out)
+    return seg
 
 
 def _rewrite_window_filter(seg: str) -> str:

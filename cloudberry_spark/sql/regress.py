@@ -5154,3 +5154,82 @@ WHERE NOT EXISTS (SELECT 1 FROM lasj_bar
                     AND (y = b OR y IS NULL OR b IS NULL))
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# case_gp.sql — GP's CASE grammar extension: simple CASE with
+# `WHEN IS NOT DISTINCT FROM` arms (null-safe simple CASE, reference
+# gram.y). The frontend lowers any simple CASE containing such an arm
+# to a searched CASE (operand substituted into every arm); DuckDB
+# cannot parse the GP form either, so oracles spell the searched CASE.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_casegp_notdistinct_mixed",
+    """
+WITH mytable(a, b, c) AS (
+  VALUES (1,2,'t'), (2,3,'e'), (3,4,'o'), (4,5,'o'), (4,4,'o'),
+         (5,5,'t'), (6,6,'t'), (7,6,'a'), (8,7,'t'), (9,8,'a')
+)
+SELECT a, b, CAST(CASE a WHEN IS NOT DISTINCT FROM b THEN b*10
+                    WHEN IS NOT DISTINCT FROM b+1 THEN b*100
+                    WHEN b-1 THEN b*1000
+                    WHEN b*10 THEN b*10000
+                    WHEN (b * (-1)) THEN b*(-1.0)
+                    ELSE b END AS DOUBLE) AS newb
+FROM mytable ORDER BY a, b
+""",
+    "src/test/regress/sql/case_gp.sql:56-63 (myview) — simple CASE "
+    "mixing IS NOT DISTINCT FROM arms with plain value arms and an "
+    "expression arm (the negate() SQL function inlined as b*(-1); "
+    "result CAST to DOUBLE for cross-engine dtype stability).",
+    ("scalar", "case"),
+    oracle="""
+WITH mytable(a, b, c) AS (
+  VALUES (1,2,'t'), (2,3,'e'), (3,4,'o'), (4,5,'o'), (4,4,'o'),
+         (5,5,'t'), (6,6,'t'), (7,6,'a'), (8,7,'t'), (9,8,'a')
+)
+SELECT a, b, CAST(CASE WHEN a IS NOT DISTINCT FROM b THEN b*10
+                    WHEN a IS NOT DISTINCT FROM b+1 THEN b*100
+                    WHEN a = b-1 THEN b*1000
+                    WHEN a = b*10 THEN b*10000
+                    WHEN a = (b * (-1)) THEN b*(-1.0)
+                    ELSE b END AS DOUBLE) AS newb
+FROM mytable ORDER BY a, b
+""",
+)
+
+register_regress(
+    "regress_casegp_notdistinct_noelse",
+    """
+WITH products(id, name, price) AS (
+  VALUES (1, 'keyboard', CAST(124.99 AS DOUBLE)),
+         (2, 'monitor', 299.99), (3, 'mouse', 45.59)
+)
+SELECT id, name, price as old_price,
+       CAST(CASE name WHEN IS NOT DISTINCT FROM 'keyboard'
+                          THEN price*1.5
+                      WHEN IS NOT DISTINCT FROM 'monitor'
+                          THEN price*1.2
+                      WHEN 'keyboard tray' THEN price*0.9
+                      END AS DOUBLE) AS new_price
+FROM products
+""",
+    "case_gp.sql:66-74 — null-safe simple CASE over text with no "
+    "ELSE (the unmatched mouse row yields NULL).",
+    ("scalar", "case"),
+    oracle="""
+WITH products(id, name, price) AS (
+  VALUES (1, 'keyboard', CAST(124.99 AS DOUBLE)),
+         (2, 'monitor', 299.99), (3, 'mouse', 45.59)
+)
+SELECT id, name, price as old_price,
+       CAST(CASE WHEN name IS NOT DISTINCT FROM 'keyboard'
+                     THEN price*1.5
+                 WHEN name IS NOT DISTINCT FROM 'monitor'
+                     THEN price*1.2
+                 WHEN name = 'keyboard tray' THEN price*0.9
+                 END AS DOUBLE) AS new_price
+FROM products
+""",
+)

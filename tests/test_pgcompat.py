@@ -460,3 +460,31 @@ def test_array_length_dim1_mapping():
     # only dimension 1 maps; other dims left loud
     out = t("select array_length(a, 2)")
     assert "array_length(a, 2)" in out
+
+
+def test_case_is_not_distinct_lowering():
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql as t
+
+    out = t(
+        "SELECT CASE a WHEN IS NOT DISTINCT FROM b THEN 1 "
+        "WHEN b+1 THEN 2 ELSE 3 END FROM x"
+    )
+    assert "CASE  WHEN (a) IS NOT DISTINCT FROM b THEN" in out.replace(
+        "CASE WHEN", "CASE  WHEN"
+    )
+    assert "(a) = (b+1)" in out
+    # plain simple CASE (no GP arm) is untouched
+    out = t("SELECT CASE a WHEN 1 THEN 'x' ELSE 'y' END FROM x")
+    assert "CASE a WHEN 1 THEN" in out
+    # nested: inner searched CASE inside an arm survives, outer lowers
+    out = t(
+        "SELECT CASE a WHEN IS NOT DISTINCT FROM b THEN "
+        "CASE WHEN c THEN 1 ELSE 2 END ELSE 3 END FROM x"
+    )
+    assert "CASE WHEN c THEN 1 ELSE 2 END" in out
+    # string-literal operand with IS NOT DISTINCT FROM inside a plain
+    # WHEN value (NOT the GP keyword form) stays a simple CASE
+    out = t(
+        "SELECT CASE x WHEN 'test' THEN 1 ELSE 2 END FROM t"
+    )
+    assert "CASE x WHEN 'test'" in out
