@@ -5233,3 +5233,57 @@ SELECT id, name, price as old_price,
 FROM products
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# join.sql tier 3 — NATURAL JOIN (parse_clause.c transformFromClauseItem
+# natural-join expansion): common-column matching, alias column-list
+# renames steering WHICH columns match, and outer NATURAL variants.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_join_natural_basic",
+    """
+SELECT i, j, t, k FROM j1_tbl NATURAL JOIN j2_tbl ORDER BY 1, 2, 4
+""",
+    "src/test/regress/sql/join.sql:146-147 — NATURAL JOIN matches the "
+    "single common column i and emits it once.",
+    ("join",),
+)
+
+register_regress(
+    "regress_join_natural_renamed",
+    """
+SELECT a, b, c, d
+FROM j1_tbl t1 (a, b, c) NATURAL JOIN j2_tbl t2 (a, d)
+ORDER BY 1, 2, 4
+""",
+    "join.sql:149-150 — alias column lists rename BOTH sides so the "
+    "natural match is on the renamed a (underlying i = i).",
+    ("join",),
+)
+
+register_regress(
+    "regress_join_natural_cross_rename",
+    """
+SELECT a, b, c, d
+FROM j1_tbl t1 (a, b, c) NATURAL JOIN j2_tbl t2 (d, a)
+ORDER BY 1, 2, 3
+""",
+    "join.sql:152-153 — the rename CROSSES columns: t2's k becomes a, "
+    "so the natural join is j1.i = j2.k (not i = i).",
+    ("join",),
+)
+
+register_regress(
+    "regress_join_natural_outer",
+    """
+SELECT 'l' AS arm, i, t, k FROM j1_tbl NATURAL LEFT JOIN j2_tbl
+UNION ALL
+SELECT 'f' AS arm, i, t, k FROM j1_tbl NATURAL FULL JOIN j2_tbl
+""",
+    "join.sql NATURAL LEFT/FULL variants — the merged natural column "
+    "coalesces across the outer sides (NULL join keys never match, "
+    "surviving as unmatched rows on both arms).",
+    ("join",),
+)
