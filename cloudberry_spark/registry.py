@@ -220,6 +220,23 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
+        # round-5 session-2 additions: GP CASE grammar lowering,
+        # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
+        # loops, NATURAL JOIN, array_in literal casts
+        "regress_casegp_notdistinct_mixed",
+        "regress_lasj_eq_all_battery",
+        "regress_rcte_in_subquery",
+        "udf_plpgsql_while",
+        "regress_join_natural_cross_rename",
+        "regress_array_literal_casts",
+        "regress_bfvsubq_unnest_in",
+        "regress_having_degenerate",
+        "regress_with_cte_shadowing",
+        "regress_lasj_rowctor_notin_nulls",
+        "regress_gpagg_srf_with_agg",
+        "regress_bfvcte_nested_window_subq",
+        "regress_olapwin_lead_offsets",
+        "regress_jira_case_never_window",
         # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
         # escape handling, array_agg(ORDER BY) null placement
         "pgsql_compat_similar_to",
