@@ -5287,3 +5287,50 @@ SELECT 'f' AS arm, i, t, k FROM j1_tbl NATURAL FULL JOIN j2_tbl
     "surviving as unmatched rows on both arms).",
     ("join",),
 )
+
+
+# ---------------------------------------------------------------------------
+# union.sql tier 3 — set operations over composite (array) values and
+# cross-type numeric coercion (both engines hash/compare nested types;
+# the reference exercises hashed and sorted setop paths — one port
+# covers both since the answer is identical).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_setop_array_types",
+    """
+SELECT 'u' AS arm, x
+FROM (VALUES (array[1, 2]), (array[1, 3])) _(x)
+UNION SELECT 'u', x FROM (VALUES (array[1, 2]), (array[1, 4])) _(x)
+UNION ALL
+SELECT 'i' AS arm, x
+FROM ((VALUES (array[1, 2]), (array[1, 3]))
+      INTERSECT (VALUES (array[1, 2]), (array[1, 4]))) _(x)
+UNION ALL
+SELECT 'e' AS arm, x
+FROM ((VALUES (array[1, 2]), (array[1, 3]))
+      EXCEPT (VALUES (array[1, 2]), (array[1, 4]))) _(x)
+""",
+    "src/test/regress/sql/union.sql:183-203 — UNION/INTERSECT/EXCEPT "
+    "over array-typed rows: element-wise equality drives the dedup "
+    "(arrays are hashable on both engines).",
+    ("setop", "array"),
+)
+
+register_regress(
+    "regress_setop_mixed_numeric",
+    """
+(SELECT 'i' AS arm, f1 FROM float4_tbl WHERE f1 > -1
+ INTERSECT SELECT 'i', CAST(f1 AS DOUBLE) FROM int4_tbl)
+UNION ALL
+(SELECT 'e' AS arm, f1 FROM float4_tbl WHERE f1 > -1
+ EXCEPT SELECT 'e', CAST(f1 AS DOUBLE) FROM int4_tbl)
+""",
+    "union.sql:253-256 — setops across numeric types: the float side "
+    "intersects/excepts against int values through implicit "
+    "widening (0 matches the int 0; 1004.3 survives the EXCEPT; "
+    "arms parenthesized — INTERSECT binds tighter than UNION/EXCEPT "
+    "on both engines, CAST spelled for cross-engine dtype "
+    "agreement).",
+    ("setop", "scalar"),
+)
