@@ -5334,3 +5334,38 @@ UNION ALL
     "agreement).",
     ("setop", "scalar"),
 )
+
+
+# ---------------------------------------------------------------------------
+# groupingsets.sql tier 3 — GROUPING() over join variables.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_gs_join_vars",
+    """
+select t1.a AS a, t2.b AS b, grouping(t1.a, t2.b) AS g,
+       CAST(sum(t1.v) AS BIGINT) AS s, max(t2.a) AS m
+  from gstest t1 join gstest2 t2 on (t1.a=t2.a)
+ group by grouping sets ((t1.a, t2.b), ())
+ order by 1, 2, 3
+""",
+    "src/test/regress/sql/groupingsets.sql:203-205 — grouping sets "
+    "whose keys come from BOTH sides of a join, with multi-arg "
+    "GROUPING() resolving the join vars (frontend maps to "
+    "grouping_id) and a grand-total () set.",
+    ("agg", "join"),
+)
+
+register_regress(
+    "regress_gs_join_using",
+    """
+select a, b, grouping(a, b) AS g, CAST(sum(t1.v) AS BIGINT) AS s,
+       max(t2.c) AS m
+  from gstest t1 join gstest2 t2 using (a, b)
+ group by grouping sets ((a, b), ())
+ order by 1, 2
+""",
+    "groupingsets.sql:211-213 — grouping sets over USING-merged join "
+    "columns (the merged a/b resolve to one output column each).",
+    ("agg", "join"),
+)
