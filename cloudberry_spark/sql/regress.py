@@ -4529,7 +4529,7 @@ WHERE sq_a1.j NOT IN (SELECT j FROM sq_a1 a2 WHERE a2.j = sq_b1.j)
     "bfv_subquery.sql:95 — NOT IN whose subquery correlates to a "
     "THIRD table (the join partner, not the NOT IN's own side); the "
     "matching j is always found so the result is empty.",
-    ("subquery", "join"),
+    ("subquery", "join", "may_be_empty"),
 )
 
 register_regress(
@@ -4594,7 +4594,7 @@ ORDER BY tgw.c1
     "src/test/regress/sql/bfv_cte.sql:8-14 — whole-table count window "
     "above GROUP BY over an EMPTY CTE (the reference's COUNT() "
     "zero-arg spelling carried as count(*)): zero rows, not one.",
-    ("cte", "window"),
+    ("cte", "window", "may_be_empty"),
 )
 
 register_regress(
