@@ -109,6 +109,27 @@ def _rewrite_masked(seg: str) -> str:
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
 
+    # unnest(arr) WITH ORDINALITY [AS] t(v, o) -> 1-based posexplode
+    # derived table (nodeFunctionscan.c ORDINALITY). Must run before
+    # the plain unnest rewrite below. The single-alias form names the
+    # value column after the alias and the counter "ordinality"
+    # (parse_relation.c default).
+    _arr = r"([^()]*(?:\([^()]*\)[^()]*)*)"
+    seg = re.sub(
+        rf"\bunnest\s*\({_arr}\)\s+WITH\s+ORDINALITY\s+"
+        r"(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        r"(SELECT col AS \3, pos + 1 AS \4 FROM (SELECT posexplode(\1))) AS \2",
+        seg,
+        flags=re.I,
+    )
+    seg = re.sub(
+        rf"\bunnest\s*\({_arr}\)\s+WITH\s+ORDINALITY\s+(?:AS\s+)?(\w+)\b(?!\s*\()",
+        r"(SELECT col AS \2, pos + 1 AS ordinality "
+        r"FROM (SELECT posexplode(\1))) AS \2",
+        seg,
+        flags=re.I,
+    )
+
     # unnest(arr) -> explode(arr): PG's 1-arg SRF (arrayfuncs.c
     # array_unnest) in both select-list and FROM positions — Spark's
     # explode is legal in both (generator / table-valued function).

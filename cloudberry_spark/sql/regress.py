@@ -5369,3 +5369,34 @@ select a, b, grouping(a, b) AS g, CAST(sum(t1.v) AS BIGINT) AS s,
     "columns (the merged a/b resolve to one output column each).",
     ("agg", "join"),
 )
+
+
+# ---------------------------------------------------------------------------
+# WITH ORDINALITY (nodeFunctionscan.c; used throughout the reference's
+# brin/json batteries): unnest paired with its 1-based position.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_srf_with_ordinality",
+    """
+SELECT t.o, t.v, element_at(value, t.o) AS subscripted
+FROM (SELECT array['x', 'y', 'z'] AS value) s,
+     unnest(array['x', 'y', 'z']) WITH ORDINALITY AS t(v, o)
+ORDER BY t.o
+""",
+    "src/test/regress/sql/brin.sql:319 (pattern) — unnest WITH "
+    "ORDINALITY joined back through the 1-based ordinal as an array "
+    "subscript (frontend lowers to a posexplode derived table with "
+    "pos + 1; PG's 1-based value[o] spelled element_at(value, o) — "
+    "also 1-based — since Spark subscripts are 0-based; DuckDB has "
+    "no WITH ORDINALITY, so the oracle pairs unnest with "
+    "generate_subscripts).",
+    ("srf", "array"),
+    oracle="""
+SELECT o, v, value[o] AS subscripted
+FROM (SELECT array['x', 'y', 'z'] AS value) s,
+     (SELECT unnest(array['x', 'y', 'z']) AS v,
+             generate_subscripts(array['x', 'y', 'z'], 1) AS o) t
+ORDER BY o
+""",
+)
