@@ -267,6 +267,7 @@ def _rewrite_masked(seg: str) -> str:
     )
 
     seg = _rewrite_case_isnotdistinct(seg)
+    seg = _rewrite_overlaps(seg)
     seg = _rewrite_window_filter(seg)
     seg = _rewrite_left_right(seg)
 
@@ -340,6 +341,64 @@ _WIN_FILTER_RE = re.compile(
     r"(?=OVER\b)",
     re.I,
 )
+
+
+_OVERLAPS_RE = re.compile(r"\bOVERLAPS\b", re.I)
+
+
+def _rewrite_overlaps(seg: str) -> str:
+    """SQL92 `(S1, E1) OVERLAPS (S2, E2)` (timestamp.c
+    timestamp_overlaps; horology.sql battery) — neither Spark nor
+    DuckDB implements it. Lowered to PG's exact comparison: normalize
+    each pair (least/greatest; an INTERVAL second element means
+    S + interval), then s1 > s2 ? s1 < e2 : s1 < s2 ? s2 < e1 : TRUE."""
+    for _ in range(50):
+        m = _OVERLAPS_RE.search(seg)
+        if not m:
+            return seg
+        # paren group ending just before OVERLAPS
+        lclose = seg.rfind(")", 0, m.start())
+        if lclose < 0:
+            return seg
+        depth, lopen = 0, -1
+        for i in range(lclose, -1, -1):
+            if seg[i] == ")":
+                depth += 1
+            elif seg[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    lopen = i
+                    break
+        ropen = seg.find("(", m.end())
+        if lopen < 0 or ropen < 0:
+            return seg
+        rclose = _match_paren(seg, ropen)
+        if rclose < 0:
+            return seg
+        pairs = []
+        for body in (seg[lopen + 1 : lclose], seg[ropen + 1 : rclose]):
+            args = _split_args(body)
+            if len(args) != 2:
+                return seg  # not the OVERLAPS row shape; leave loud
+            a, b = args[0].strip(), args[1].strip()
+            end = (
+                f"(({a}) + {b})"
+                if re.match(r"(?i:interval)\b", b)
+                else f"({b})"
+            )
+            pairs.append(
+                (
+                    f"least(({a}), {end})",
+                    f"greatest(({a}), {end})",
+                )
+            )
+        (s1, e1), (s2, e2) = pairs
+        repl = (
+            f"(CASE WHEN {s1} > {s2} THEN {s1} < {e2} "
+            f"WHEN {s1} < {s2} THEN {s2} < {e1} ELSE TRUE END)"
+        )
+        seg = seg[:lopen] + repl + seg[rclose + 1 :]
+    return seg
 
 
 _CASE_TOK_RE = re.compile(r"\b(CASE|END|WHEN|THEN|ELSE)\b", re.I)

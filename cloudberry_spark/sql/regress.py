@@ -5400,3 +5400,62 @@ FROM (SELECT array['x', 'y', 'z'] AS value) s,
 ORDER BY o
 """,
 )
+
+
+register_regress(
+    "regress_horology_overlaps",
+    """
+SELECT 't1' AS arm, (timestamp '2000-11-27', timestamp '2000-11-28')
+  OVERLAPS (timestamp '2000-11-27 12:00:00', timestamp '2000-11-30') AS r
+UNION ALL
+SELECT 'f1', (timestamp '2000-11-26', timestamp '2000-11-27')
+  OVERLAPS (timestamp '2000-11-27 12:00:00', timestamp '2000-11-30')
+UNION ALL
+SELECT 't2', (timestamp '2000-11-27', timestamp '2000-11-28')
+  OVERLAPS (timestamp '2000-11-27 12:00:00', interval '1 day')
+UNION ALL
+SELECT 'f2', (timestamp '2000-11-27', interval '12 hours')
+  OVERLAPS (timestamp '2000-11-27 12:00:00', timestamp '2000-11-30')
+UNION ALL
+SELECT 't3', (timestamp '2000-11-27', interval '12 hours')
+  OVERLAPS (timestamp '2000-11-27', interval '12 hours')
+UNION ALL
+SELECT 'f3', (timestamp '2000-11-27', interval '12 hours')
+  OVERLAPS (timestamp '2000-11-27 12:00:00', interval '12 hours')
+""",
+    "src/test/regress/sql/horology.sql:253-291 — the SQL92 OVERLAPS "
+    "battery (timestamp.c timestamp_overlaps): endpoint and "
+    "interval-length forms, touching-not-overlapping edges. Neither "
+    "engine implements OVERLAPS: the frontend lowers to PG's exact "
+    "normalized comparison (s1>s2 ? s1<e2 : s1<s2 ? s2<e1 : TRUE); "
+    "the DuckDB oracle spells the same comparison.",
+    ("scalar", "datetime"),
+    oracle="""
+WITH ov(arm, s1, e1, s2, e2) AS (VALUES
+  ('t1', timestamp '2000-11-27', timestamp '2000-11-28',
+         timestamp '2000-11-27 12:00:00', timestamp '2000-11-30'),
+  ('f1', timestamp '2000-11-26', timestamp '2000-11-27',
+         timestamp '2000-11-27 12:00:00', timestamp '2000-11-30'),
+  ('t2', timestamp '2000-11-27', timestamp '2000-11-28',
+         timestamp '2000-11-27 12:00:00',
+         timestamp '2000-11-27 12:00:00' + interval '1 day'),
+  ('f2', timestamp '2000-11-27',
+         timestamp '2000-11-27' + interval '12 hours',
+         timestamp '2000-11-27 12:00:00', timestamp '2000-11-30'),
+  ('t3', timestamp '2000-11-27',
+         timestamp '2000-11-27' + interval '12 hours',
+         timestamp '2000-11-27',
+         timestamp '2000-11-27' + interval '12 hours'),
+  ('f3', timestamp '2000-11-27',
+         timestamp '2000-11-27' + interval '12 hours',
+         timestamp '2000-11-27 12:00:00',
+         timestamp '2000-11-27 12:00:00' + interval '12 hours'))
+SELECT arm,
+       CASE WHEN least(s1, e1) > least(s2, e2)
+                THEN least(s1, e1) < greatest(s2, e2)
+            WHEN least(s1, e1) < least(s2, e2)
+                THEN least(s2, e2) < greatest(s1, e1)
+            ELSE TRUE END AS r
+FROM ov
+""",
+)
