@@ -109,6 +109,24 @@ def _rewrite_masked(seg: str) -> str:
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
 
+    # [NOT] BETWEEN SYMMETRIC a AND b (parse_expr.c AEXPR_BETWEEN_SYM:
+    # bounds are swapped if needed) -> BETWEEN least(a,b) AND
+    # greatest(a,b). Operands: masked literals, idents/casts, or one
+    # paren level.
+    _sym_op = (
+        r"((?:(?:DATE|TIME|TIMESTAMP|INTERVAL)\s+)?"
+        r"(?:[\w.$]|\x01\d+\x02|::)+|\([^()]*\))"
+    )
+    seg = re.sub(
+        rf"\bBETWEEN\s+SYMMETRIC\s+{_sym_op}\s+AND\s+{_sym_op}",
+        r"BETWEEN least(\1, \2) AND greatest(\1, \2)",
+        seg,
+        flags=re.I,
+    )
+
+    # LIMIT ALL is a no-op (PG gram.y); Spark has no spelling for it.
+    seg = re.sub(r"\bLIMIT\s+ALL\b", "", seg, flags=re.I)
+
     # unnest(arr) WITH ORDINALITY [AS] t(v, o) -> 1-based posexplode
     # derived table (nodeFunctionscan.c ORDINALITY). Must run before
     # the plain unnest rewrite below. The single-alias form names the

@@ -5459,3 +5459,50 @@ SELECT arm,
 FROM ov
 """,
 )
+
+
+register_regress(
+    "regress_between_symmetric",
+    """
+SELECT
+  (select count(*) from date_tbl
+   where f1 between symmetric DATE '1997-01-01' and DATE '1998-01-01')
+      AS n_in,
+  (select count(*) from date_tbl
+   where f1 not between symmetric DATE '1998-01-01' and DATE '1997-01-01')
+      AS n_out_swapped
+FROM (VALUES (1)) v(x)
+""",
+    "src/test/regress/sql/horology.sql:392-402 — BETWEEN SYMMETRIC "
+    "(parse_expr.c AEXPR_BETWEEN_SYM: bounds swap when reversed); the "
+    "frontend lowers to least/greatest bounds, second arm passes the "
+    "bounds REVERSED so the swap is load-bearing. DuckDB lacks "
+    "SYMMETRIC too — the oracle spells the swapped bounds.",
+    ("scalar", "datetime"),
+    oracle="""
+SELECT
+  (select count(*) from date_tbl
+   where f1 between DATE '1997-01-01' and DATE '1998-01-01') AS n_in,
+  (select count(*) from date_tbl
+   where f1 not between DATE '1997-01-01' and DATE '1998-01-01')
+      AS n_out_swapped
+FROM (VALUES (1)) v(x)
+""",
+)
+
+register_regress(
+    "regress_limit_all_noop",
+    """
+WITH t_limit_all(a, b) AS (
+  SELECT g, g FROM generate_series(1, 10) t(g)
+)
+SELECT count(*) AS n, CAST(min(b) AS BIGINT) AS mn,
+       CAST(max(b) AS BIGINT) AS mx
+FROM (SELECT b FROM t_limit_all ORDER BY b ASC LIMIT ALL) s
+""",
+    "src/test/regress/sql/limit_gp.sql:59-64 — LIMIT ALL is a no-op "
+    "(the GP bug gathered everything to one node for it); Spark has "
+    "no spelling, the frontend drops the clause (the reference's "
+    "ARRAY(subquery) wrapper is spelled as aggregates).",
+    ("limit",),
+)
