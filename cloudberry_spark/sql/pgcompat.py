@@ -285,6 +285,7 @@ def _rewrite_masked(seg: str) -> str:
     )
 
     seg = _rewrite_case_isnotdistinct(seg)
+    seg = _rewrite_row_constructors(seg)
     seg = _rewrite_overlaps(seg)
     seg = _rewrite_window_filter(seg)
     seg = _rewrite_left_right(seg)
@@ -417,6 +418,69 @@ def _rewrite_overlaps(seg: str) -> str:
         )
         seg = seg[:lopen] + repl + seg[rclose + 1 :]
     return seg
+
+
+def _row_cmp_expand(a: list[str], b: list[str], op: str) -> str:
+    """PG row-wise comparison (rowtypes.c record_cmp / parse_expr.c
+    make_row_comparison_op): pairwise three-valued lexicographic —
+    exactly the standard OR/AND expansion, which Spark's struct
+    ordering does NOT honor (it sorts NULLs as smallest values)."""
+    if op == "=":
+        return (
+            "(" + " AND ".join(f"({x}) = ({y})" for x, y in zip(a, b)) + ")"
+        )
+    if op in ("<>", "!="):
+        return (
+            "(NOT ("
+            + " AND ".join(f"({x}) = ({y})" for x, y in zip(a, b))
+            + "))"
+        )
+    strict = op[0]  # '<' or '>'
+
+    def rec(i: int) -> str:
+        if i == len(a) - 1:
+            return f"({a[i]}) {op} ({b[i]})"
+        return (
+            f"(({a[i]}) {strict} ({b[i]}) OR "
+            f"(({a[i]}) = ({b[i]}) AND {rec(i + 1)}))"
+        )
+
+    return "(" + rec(0) + ")"
+
+
+def _rewrite_row_constructors(seg: str) -> str:
+    """``ROW(a,..) OP ROW(x,..)`` -> the three-valued lexicographic
+    expansion; any remaining bare ``ROW(`` (IN-lists, projections)
+    becomes ``struct(``."""
+    pos = 0
+    while True:
+        m = re.search(r"\bROW\s*\(", seg[pos:], re.I)
+        if not m:
+            return seg
+        start = pos + m.start()
+        o1 = seg.index("(", pos + m.end() - 1)
+        c1 = _match_paren(seg, o1)
+        if c1 < 0:
+            return seg
+        m2 = re.match(
+            r"\s*(<=|>=|<>|!=|=|<|>)\s*ROW\s*\(", seg[c1 + 1 :], re.I
+        )
+        if not m2:
+            seg = seg[:start] + "struct(" + seg[o1 + 1 :]
+            pos = start + len("struct(")
+            continue
+        o2 = seg.index("(", c1 + 1 + m2.end() - 1)
+        c2 = _match_paren(seg, o2)
+        if c2 < 0:
+            return seg
+        a = [x.strip() for x in _split_args(seg[o1 + 1 : c1])]
+        b = [x.strip() for x in _split_args(seg[o2 + 1 : c2])]
+        if len(a) != len(b) or not a:
+            pos = c1 + 1
+            continue
+        repl = _row_cmp_expand(a, b, m2.group(1))
+        seg = seg[:start] + repl + seg[c2 + 1 :]
+        pos = start + len(repl)
 
 
 _CASE_TOK_RE = re.compile(r"\b(CASE|END|WHEN|THEN|ELSE)\b", re.I)

@@ -5506,3 +5506,40 @@ FROM (SELECT b FROM t_limit_all ORDER BY b ASC LIMIT ALL) s
     "ARRAY(subquery) wrapper is spelled as aggregates).",
     ("limit",),
 )
+
+
+register_regress(
+    "regress_rowtypes_comparisons",
+    """
+select 'lt_true' AS arm, ROW(1,2) < ROW(1,3) as r
+UNION ALL select 'lt_false', ROW(1,2) < ROW(1,1)
+UNION ALL select 'lt_null', ROW(1,2) < ROW(1,NULL)
+UNION ALL select 'lt_null_skipped', ROW(1,2,3) < ROW(1,3,NULL)
+UNION ALL select 'text_lt', ROW(11,'ABC') < ROW(11,'DEF')
+UNION ALL select 'text_gt_false', ROW(11,'ABC') > ROW(11,'DEF')
+UNION ALL select 'gt_true', ROW(12,'ABC') > ROW(11,'DEF')
+UNION ALL select 'lt_null_mid', ROW(1,2,3) < ROW(1,NULL,4)
+UNION ALL select 'eq_false', ROW(1,2,3) = ROW(1,NULL,4)
+UNION ALL select 'ne_true', ROW(1,2,3) <> ROW(1,NULL,4)
+UNION ALL select 'in_list', ROW(1,2) in (ROW(3,4), ROW(1,2))
+UNION ALL select 'le_eq', ROW(1,2) <= ROW(1,2)
+""",
+    "src/test/regress/sql/rowtypes.sql:108-124 — row-wise comparison "
+    "battery (rowtypes.c record_cmp): pairwise three-valued "
+    "LEXICOGRAPHIC semantics — `ROW(1,2,3) < ROW(1,3,NULL)` is TRUE "
+    "(the NULL is never examined) while `ROW(1,2) < ROW(1,NULL)` is "
+    "NULL. The frontend expands ROW() OP ROW() to the standard "
+    "OR/AND chain (Spark struct ordering sorts NULLs as values — "
+    "wrong semantics) and lowers remaining ROW( to struct( for the "
+    "IN-list arm. The inputs are literals, so the oracle pins PG's "
+    "documented outputs (golden).",
+    ("scalar", "rowtype"),
+    oracle="""
+SELECT arm, r FROM (VALUES
+  ('lt_true', true), ('lt_false', false),
+  ('lt_null', CAST(NULL AS BOOLEAN)), ('lt_null_skipped', true),
+  ('text_lt', true), ('text_gt_false', false), ('gt_true', true),
+  ('lt_null_mid', CAST(NULL AS BOOLEAN)), ('eq_false', false),
+  ('ne_true', true), ('in_list', true), ('le_eq', true)) t(arm, r)
+""",
+)

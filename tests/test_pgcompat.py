@@ -488,3 +488,19 @@ def test_case_is_not_distinct_lowering():
         "SELECT CASE x WHEN 'test' THEN 1 ELSE 2 END FROM t"
     )
     assert "CASE x WHEN 'test'" in out
+
+
+def test_row_comparison_expansion():
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql as tr
+
+    out = tr("SELECT ROW(a,b) < ROW(x,y) FROM t")
+    # lexicographic: a < x OR (a = x AND b < y)
+    assert "(a) < (x)" in out and "(a) = (x)" in out and "(b) < (y)" in out
+    out = tr("SELECT ROW(1,2,3) <> ROW(1,NULL,4)")
+    assert out.startswith("SELECT (NOT (")
+    # bare ROW in an IN list lowers to struct
+    out = tr("SELECT ROW(1,2) IN (ROW(3,4), ROW(1,2))")
+    assert "struct(1,2) IN (struct(3,4), struct(1,2))" in out
+    # row_number is never touched by the ROW rewrite
+    out = tr("SELECT row_number() OVER (ORDER BY a) FROM t")
+    assert "row_number()" in out
