@@ -857,6 +857,34 @@ def _rewrite_restored(sql: str) -> str:
     )
     # regex literals: PG single backslashes -> doubled for Spark's
     # string parser; \N replacement backrefs -> $N (Java syntax)
+    # substring(x FROM 'pattern') — PG's POSIX-regex form
+    # (adt/regexp.c textregexsubstr): first capture group if the
+    # pattern has one, else the whole match; NULL when no match.
+    # Lowered to nullif(regexp_extract(...), '') BEFORE the regex-
+    # literal doubling so the pattern gets Spark escaping for free.
+    # (A genuinely-empty capture becomes NULL instead of '' — the one
+    # divergence, documented here.)
+    def _substr_rx(m: re.Match) -> str:
+        operand, lit = m.group(1), m.group(2)
+        pat = lit[1:-1]
+        idx = 1 if re.search(r"(?<!\\)\((?!\?)", pat) else 0
+        return f"nullif(regexp_extract({operand}, '{pat}', {idx}), '')"
+
+    sql = re.sub(
+        r"\bsubstring\s*\(([^()]*(?:\([^()]*\)[^()]*)*?)\s+"
+        r"(?i:from)\s+('(?:[^']|'')*')\s*\)",
+        _substr_rx,
+        sql,
+    )
+    # the comma spelling substring(x, 'pattern') is the same function
+    # (PG resolves by the text-typed second argument)
+    sql = re.sub(
+        r"\bsubstring\s*\(([^(),]*(?:\([^()]*\)[^(),]*)*?)"
+        r",\s*('(?:[^']|'')*')\s*\)",
+        _substr_rx,
+        sql,
+    )
+
     sql = _fix_regex_literals(sql)
     sql = re.sub(
         r"\bRLIKE\s+('(?:[^']|'')*')",

@@ -5543,3 +5543,130 @@ SELECT arm, r FROM (VALUES
   ('ne_true', true), ('in_list', true), ('le_eq', true)) t(arm, r)
 """,
 )
+
+
+register_regress(
+    "regress_boolean_is_tests",
+    """
+SELECT true IS TRUE AS t1,
+       false IS NOT TRUE AS t2,
+       CAST(NULL AS BOOLEAN) IS UNKNOWN AS t3,
+       (CAST(NULL AS INT) = 1) IS UNKNOWN AS t4,
+       true IS NOT UNKNOWN AS t5,
+       false IS FALSE AS t6,
+       CAST(NULL AS BOOLEAN) IS NOT FALSE AS t7,
+       (1 > 2) IS FALSE AS t8
+FROM (VALUES (1)) v(x)
+""",
+    "src/test/regress/sql/boolean.sql — the BooleanTest battery "
+    "(parse_expr.c TruthValue tests): IS [NOT] TRUE/FALSE/UNKNOWN "
+    "never yield NULL, UNKNOWN matches exactly the NULL boolean "
+    "(Spark-native; the battery pins the passthrough).",
+    ("scalar", "boolean"),
+)
+
+
+register_regress(
+    "regress_substring_posix_regex",
+    r"""
+SELECT substring('foobar' from 'o(b.r)') AS grp,
+       substring('foobar' from 'o.b') AS whole,
+       substring('foobar' from 'qqq') AS nomatch,
+       substring('a1b234c' from '\d+') AS digits,
+       substring(c, '([A-Z]+)') AS col_grp
+FROM (VALUES ('xxBBBy'), ('nope')) t(c)
+""",
+    "src/test/regress/sql/strings.sql (textregexsubstr) — "
+    "substring(x FROM 'posix-regex'): first capture group when the "
+    "pattern has one, whole match otherwise, NULL on no match "
+    "(frontend lowers to nullif(regexp_extract, ''); DuckDB lacks "
+    "the FROM-regex form so the oracle spells the same lowering).",
+    ("scalar", "regex"),
+    oracle=r"""
+SELECT nullif(regexp_extract('foobar', 'o(b.r)', 1), '') AS grp,
+       nullif(regexp_extract('foobar', 'o.b', 0), '') AS whole,
+       nullif(regexp_extract('foobar', 'qqq', 0), '') AS nomatch,
+       nullif(regexp_extract('a1b234c', '\d+', 0), '') AS digits,
+       nullif(regexp_extract(c, '([A-Z]+)', 1), '') AS col_grp
+FROM (VALUES ('xxBBBy'), ('nope')) t(c)
+""",
+)
+
+
+register_regress(
+    "regress_jira_range_asymmetric_frames",
+    """
+WITH esc176_1(id, seq, clickdate, val) AS (
+  SELECT CAST(1 + g % 2 AS INT), CAST(g AS BIGINT),
+         timestamp '2011-01-01 00:00:00' + g * interval '300 seconds',
+         CAST(g * 10 AS BIGINT)
+  FROM generate_series(1, 10) t(g)
+)
+select 'ff_int' AS arm, id, seq, CAST(sum(val) over (partition by id
+    order by clickdate range between interval '0 seconds' following
+    and interval '1000 seconds' following) AS BIGINT) AS s
+from esc176_1
+UNION ALL
+select 'pf_int', id, seq, CAST(sum(val) over (partition by id
+    order by clickdate range between interval '0 seconds' preceding
+    and interval '1000 seconds' following) AS BIGINT)
+from esc176_1
+UNION ALL
+select 'ff_num', id, seq, CAST(sum(val) over (partition by id
+    order by seq range between 0 following and 10 following) AS BIGINT)
+from esc176_1
+UNION ALL
+select 'pp_num', id, seq, CAST(sum(val) over (partition by id
+    order by seq range between 10 preceding and 0 preceding) AS BIGINT)
+from esc176_1
+""",
+    "src/test/regress/sql/qp_misc_jiras.sql:2432-2435 (ESC-176) — "
+    "asymmetric RANGE frames: both-bounds FOLLOWING with interval "
+    "offsets over a timestamp key, 0-offset bounds, and "
+    "both-bounds-PRECEDING ending at 0 PRECEDING (PG includes the "
+    "current row's peers there, and Spark agrees; DuckDB excludes "
+    "them, so the oracle spells that arm's end bound as CURRENT "
+    "ROW).",
+    ("window",),
+    oracle="""
+WITH esc176_1(id, seq, clickdate, val) AS (
+  SELECT CAST(1 + g % 2 AS INT), CAST(g AS BIGINT),
+         timestamp '2011-01-01 00:00:00' + g * interval '300 seconds',
+         CAST(g * 10 AS BIGINT)
+  FROM generate_series(1, 10) t(g)
+)
+select 'ff_int' AS arm, id, seq, CAST(sum(val) over (partition by id
+    order by clickdate range between interval '0 seconds' following
+    and interval '1000 seconds' following) AS BIGINT) AS s
+from esc176_1
+UNION ALL
+select 'pf_int', id, seq, CAST(sum(val) over (partition by id
+    order by clickdate range between interval '0 seconds' preceding
+    and interval '1000 seconds' following) AS BIGINT)
+from esc176_1
+UNION ALL
+select 'ff_num', id, seq, CAST(sum(val) over (partition by id
+    order by seq range between 0 following and 10 following) AS BIGINT)
+from esc176_1
+UNION ALL
+select 'pp_num', id, seq, CAST(sum(val) over (partition by id
+    order by seq range between 10 preceding and current row) AS BIGINT)
+from esc176_1
+""",
+)
+
+register_regress(
+    "regress_jira_cube_null_groups",
+    """
+WITH tbl7957_foo(x, y, z) AS (VALUES (1,2,3), (1,2,3), (1,2,3))
+SELECT 'cx' AS arm, count(*) as c FROM tbl7957_foo group by cube(x)
+UNION ALL
+SELECT 'sz', CAST(sum(z) AS BIGINT) FROM tbl7957_foo group by cube(y)
+UNION ALL
+SELECT 'sy', CAST(sum(z) AS BIGINT) FROM tbl7957_foo group by cube(z)
+""",
+    "qp_misc_jiras.sql:1707-1717 (MPP-7957) — single-column CUBE over "
+    "a uniform table: two identical groups per arm (the value group "
+    "and the grand total), exercised per column.",
+    ("aggregate",),
+)
