@@ -62,6 +62,54 @@ def delete_from(spark: SparkSession, table: SnapshotTable, cond: Column) -> None
     table.commit_rewrite(table.read(spark, base).filter(~cond), base, label="delete")
 
 
+def update_from(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    on: list[str],
+    assignments: dict[str, Column],
+    extra_cond: Column | None = None,
+) -> None:
+    """UPDATE t SET col=expr FROM source WHERE t.k = source.k [AND ...]
+    (nodeModifyTable.c UPDATE with a fromlist; DML_over_joins.sql) —
+    membership-join rewrite: the source's join keys are deduplicated
+    and left-joined in (broadcastable when small, exactly the motion
+    the reference plans), matched rows take the SET expressions. SET
+    expressions may reference only target columns — PG's
+    pick-an-arbitrary-matching-row semantics for source references is
+    deliberately not reproduced."""
+    base = table.current_version()
+    cur = table.read(spark, base)
+    marker = source.select(*on).distinct().withColumn(
+        "__matched__", F.lit(True)
+    )
+    joined = cur.join(marker, on=on, how="left")
+    hit = F.coalesce(F.col("__matched__"), F.lit(False))
+    if extra_cond is not None:
+        hit = hit & extra_cond
+    for col, expr in assignments.items():
+        joined = joined.withColumn(
+            col, F.when(hit, expr).otherwise(F.col(col))
+        )
+    table.commit_rewrite(
+        joined.select(*cur.columns), base, label="update_from"
+    )
+
+
+def delete_using(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    on: list[str],
+) -> None:
+    """DELETE FROM t USING source WHERE t.k = source.k — one left-anti
+    join on the using keys, committed as a new snapshot version."""
+    base = table.current_version()
+    cur = table.read(spark, base)
+    kept = cur.join(source.select(*on).distinct(), on=on, how="left_anti")
+    table.commit_rewrite(kept, base, label="delete_using")
+
+
 def merge_into(
     spark: SparkSession,
     table: SnapshotTable,
@@ -927,4 +975,71 @@ def dml_insert_do_nothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "dml_update_from_delete_using",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IN
+                          (SELECT c_custkey FROM customer
+                           WHERE c_acctbal < 0)
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) * 1.1
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+    """,
+    doc="UPDATE ... FROM + DELETE ... USING over joins "
+    "(nodeModifyTable.c UPDATE with fromlist; "
+    "src/test/regress/sql/DML_over_joins.sql:12-14): the join side is "
+    "deduplicated on the key and broadcast-joined against the target "
+    "snapshot (the reference motions source rows to target segments), "
+    "matched rows take the SET; the delete is one left-anti join. "
+    "Sequenced as two snapshot commits on the shared table format.",
+    tags=("dml", "update", "join"),
+)
+def dml_update_from_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    path = _scratch(sf_dir, "dml_orders_upd_from")
+    st = SnapshotTable.init(path, od)
+    update_from(
+        spark,
+        st,
+        cust.filter(F.col("c_acctbal") < 0).select(
+            F.col("c_custkey").alias("o_custkey")
+        ),
+        on=["o_custkey"],
+        assignments={
+            "o_totalprice": (F.col("o_totalprice") * F.lit(1.1)).cast(
+                "decimal(20,3)"
+            )
+        },
+    )
+    delete_using(
+        spark,
+        st,
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("o_custkey")
+        ),
+        on=["o_custkey"],
+    )
+    return (
+        st.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").cast("double").alias("total"),
+        )
     )

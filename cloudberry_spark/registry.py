@@ -229,6 +229,7 @@ _LEAD = [
         "udf_plpgsql_while",
         "regress_join_natural_cross_rename",
         "regress_array_literal_casts",
+        "dml_update_from_delete_using",
         "regress_bfvsubq_unnest_in",
         "regress_having_degenerate",
         "regress_with_cte_shadowing",
