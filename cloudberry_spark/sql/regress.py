@@ -5670,3 +5670,26 @@ SELECT 'sy', CAST(sum(z) AS BIGINT) FROM tbl7957_foo group by cube(z)
     "and the grand total), exercised per column.",
     ("aggregate",),
 )
+
+
+register_regress(
+    "regress_srf_series_stepped",
+    """
+SELECT 'step3' AS arm, count(*) AS n, CAST(min(g) AS STRING) AS mn,
+       CAST(max(g) AS STRING) AS mx
+FROM generate_series(1, 10, 3) t(g)
+UNION ALL
+SELECT 'negstep', count(*), CAST(min(g) AS STRING), CAST(max(g) AS STRING)
+FROM generate_series(10, 1, -4) t(g)
+UNION ALL
+SELECT 'ts6h', count(*), CAST(min(g) AS STRING), CAST(max(g) AS STRING)
+FROM generate_series(timestamp '2020-01-01 00:00:00',
+                     timestamp '2020-01-02 00:00:00',
+                     interval '6 hours') t(g)
+""",
+    "src/backend/utils/adt/int.c generate_series_step_int4 + "
+    "timestamp.c generate_series_timestamp — stepped and "
+    "timestamp/interval series (sequence() carries all three "
+    "natively; endpoints text-cast for the mixed-type arms).",
+    ("srf",),
+)
