@@ -66,6 +66,75 @@ _PH = "\x01{}\x02"
 _PH_RE = re.compile("\x01(\\d+)\x02")
 
 
+_SELECT_SPAN_END_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|"
+    r"WINDOW)\b",
+    re.I,
+)
+
+
+def _rewrite_selectlist_srf(seg: str) -> str:
+    """Rewrite a single top-level ``generate_series(...)`` select-list
+    item to Spark's ``explode(sequence(...))`` generator. See the call
+    site for scope; conservative by construction — anything else
+    passes through for the FROM-position rewrites or a loud error."""
+    for _ in range(50):  # bounded: each pass rewrites one site
+        changed = False
+        for m in re.finditer(
+            r"\bSELECT\b(?:\s+(?:DISTINCT|ALL)\b)?", seg, re.I
+        ):
+            start = m.end()
+            depth = 0
+            end = len(seg)
+            i = start
+            while i < len(seg):
+                c = seg[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    km = _SELECT_SPAN_END_RE.match(seg, i)
+                    if km:
+                        end = i
+                        break
+                i += 1
+            span = seg[start:end]
+            sites = [
+                (s, o, c)
+                for s, o, c in _call_sites(span, "generate_series")
+                # top-level item: not inside any parens within the span
+                if span[:s].count("(") == span[:s].count(")")
+            ]
+            if len(sites) != 1:
+                continue
+            s, o, c = sites[0]
+            # top-level means the call is a whole select item (modulo
+            # alias): the preceding char at depth 0 must be start/comma
+            before = span[:s].rstrip()
+            after = span[c + 1 :].lstrip()
+            if (not before or before.endswith(",")) and (
+                not after
+                or after.startswith(",")
+                or re.match(r"(?i:AS\b|[A-Za-z_])", after)
+            ):
+                seg = (
+                    seg[: start + s]
+                    + "explode(sequence("
+                    + seg[start + o + 1 : start + c]
+                    + "))"
+                    + seg[start + c + 1 :]
+                )
+                changed = True
+                break
+        if not changed:
+            return seg
+    return seg
+
+
 def _rewrite_masked(seg: str) -> str:
     """All rewrites that run on literal-masked text."""
     # E'...' prefix: the literal is already a placeholder; drop the E.
@@ -235,6 +304,15 @@ def _rewrite_masked(seg: str) -> str:
         return f"listagg({inner})"
 
     seg = re.sub(r"\bstring_agg\s*\(([^()]*)\)", _string_agg, seg, flags=re.I)
+
+    # ONE top-level generate_series in a SELECT list -> explode(
+    # sequence(..)) generator (ExecProjectSRF, gp_tsrf.sql): must run
+    # BEFORE the FROM-position rewrites, whose bare-alias form would
+    # otherwise turn `SELECT generate_series(1,4) AS x` into a
+    # multi-row scalar subquery. Multiple SRFs per list (PG expands to
+    # the LCM) or SRFs nested in expressions stay untouched and fail
+    # loudly — Spark allows a single top-level generator.
+    seg = _rewrite_selectlist_srf(seg)
 
     # generate_series(a, b) [AS] t(i) in FROM -> lateral explode(sequence)
     seg = re.sub(

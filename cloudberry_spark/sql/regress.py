@@ -5693,3 +5693,56 @@ FROM generate_series(timestamp '2020-01-01 00:00:00',
     "natively; endpoints text-cast for the mixed-type arms).",
     ("srf",),
 )
+
+
+# ---------------------------------------------------------------------------
+# gp_tsrf.sql — targetlist SRFs (ExecProjectSRF): a generator in the
+# SELECT list, bare and beside table columns with correlated bounds.
+# The frontend now lowers ONE top-level select-list generate_series to
+# explode(sequence(..)); multiple SRFs per list (PG's LCM expansion)
+# and SRFs nested inside expressions stay out of scope and fail loudly.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_tsrf_select_list",
+    """
+SELECT generate_series(1,4) as x
+""",
+    "src/test/regress/sql/gp_tsrf.sql:2 — bare SRF as the whole "
+    "select list: four rows (DuckDB returns a LIST for a select-list "
+    "generate_series, so the oracle unnests).",
+    ("srf",),
+    oracle="""
+SELECT unnest(generate_series(1, 4)) AS x
+""",
+)
+
+register_regress(
+    "regress_tsrf_correlated_bound",
+    """
+WITH test_srf(a, b, c) AS (VALUES (2,2,2), (3,2,2))
+select generate_series(1,a) as output, b, c from test_srf
+""",
+    "gp_tsrf.sql:21-22 — select-list SRF whose bound is a TABLE "
+    "column (one generator row-set per input row, 2 + 3 rows).",
+    ("srf",),
+    oracle="""
+WITH test_srf(a, b, c) AS (VALUES (2,2,2), (3,2,2))
+select unnest(generate_series(1, a)) as output, b, c from test_srf
+""",
+)
+
+register_regress(
+    "regress_tsrf_in_subquery_correlated",
+    """
+SELECT a IN (SELECT generate_series(1,a)) AS x
+FROM (SELECT g AS a FROM generate_series(1, 3) t(g)) s
+""",
+    "gp_tsrf.sql:26-27 — correlated select-list SRF inside an IN "
+    "subquery: every a is within its own 1..a series.",
+    ("srf", "subquery"),
+    oracle="""
+SELECT a IN (SELECT unnest(generate_series(1, a))) AS x
+FROM (SELECT g AS a FROM generate_series(1, 3) t(g)) s
+""",
+)
