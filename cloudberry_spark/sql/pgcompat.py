@@ -277,9 +277,19 @@ def _rewrite_masked(seg: str) -> str:
     # ordered-aggregate default; Spark struct comparison alone puts
     # NULL first) — and reverse() for DESC then yields PG's NULLS FIRST.
     def _array_agg(m: re.Match) -> str:
-        expr, order, desc = m.group(1), m.group(2), bool(m.group(3))
+        expr, order = m.group(1), m.group(2)
+        desc = (m.group(3) or "").upper() == "DESC"
+        nulls = (m.group(4) or "").upper()  # '', 'FIRST', 'LAST'
+        # pre-reverse (ascending) null placement: the __n flag sorts
+        # false-first, so `IS NULL` = nulls last, `IS NOT NULL` =
+        # nulls first. Explicit NULLS FIRST/LAST overrides PG's
+        # defaults (ASC->LAST, DESC->FIRST); DESC reverses, so the
+        # pre-array wants the OPPOSITE placement of the final one.
+        final_first = nulls == "FIRST" or (desc and nulls != "LAST")
+        pre_first = final_first != desc  # XOR: reverse flips placement
+        flag = "IS NOT NULL" if pre_first else "IS NULL"
         arr = (
-            f"array_sort(collect_list(struct(({order}) IS NULL AS __n, "
+            f"array_sort(collect_list(struct(({order}) {flag} AS __n, "
             f"{order} AS __o, {expr} AS __v)))"
         )
         if desc:
@@ -288,7 +298,7 @@ def _rewrite_masked(seg: str) -> str:
 
     seg = re.sub(
         r"\barray_agg\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)"
-        r"\s*(DESC)?\s*\)",
+        r"\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*\)",
         _array_agg,
         seg,
         flags=re.I,

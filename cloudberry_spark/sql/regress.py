@@ -5746,3 +5746,34 @@ SELECT a IN (SELECT unnest(generate_series(1, a))) AS x
 FROM (SELECT g AS a FROM generate_series(1, 3) t(g)) s
 """,
 )
+
+
+register_regress(
+    "regress_gparr_order_nulls_battery",
+    """
+WITH aggordertest(a, b) AS (
+  VALUES (1,1), (2,2), (1,3), (3,4), (NULL,5), (2,NULL)
+)
+select 'af' AS arm, array_agg(a order by a nulls first) AS r
+FROM aggordertest
+UNION ALL select 'al', array_agg(a order by a nulls last) FROM aggordertest
+UNION ALL select 'df', array_agg(a order by a desc nulls first)
+FROM aggordertest
+UNION ALL select 'dl', array_agg(a order by a desc nulls last)
+FROM aggordertest
+UNION ALL select 'bf', array_agg(a order by b nulls first)
+FROM aggordertest
+UNION ALL select 'bl', array_agg(a order by b nulls last)
+FROM aggordertest
+UNION ALL select 'bdf', array_agg(a order by b desc nulls first)
+FROM aggordertest
+UNION ALL select 'bdl', array_agg(a order by b desc nulls last)
+FROM aggordertest
+""",
+    "src/test/regress/sql/gp_array_agg.sql:24-31 — the 8-way ordered "
+    "array_agg battery: every ASC/DESC x NULLS FIRST/LAST "
+    "combination, over NULL order keys AND NULL values (the frontend "
+    "sorted-struct rewrite now honors explicit NULLS placement on "
+    "top of PG's defaults).",
+    ("aggregate", "array"),
+)
