@@ -1043,3 +1043,88 @@ def dml_update_from_delete_using(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "dml_upsert_conditional",
+    oracle="""
+        WITH target AS (
+            SELECT c_custkey, c_mktsegment, c_acctbal
+            FROM customer WHERE c_custkey % 4 = 0
+        ), incoming AS (
+            SELECT c_custkey, 'COND' AS c_mktsegment,
+                   -c_acctbal AS c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0
+        ), upserted AS (
+            SELECT coalesce(t.c_custkey, i.c_custkey) AS c_custkey,
+                   CASE WHEN t.c_custkey IS NULL THEN i.c_mktsegment
+                        WHEN i.c_custkey IS NOT NULL
+                             AND t.c_acctbal < i.c_acctbal
+                            THEN i.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment,
+                   CASE WHEN t.c_custkey IS NULL THEN i.c_acctbal
+                        WHEN i.c_custkey IS NOT NULL
+                             AND t.c_acctbal < i.c_acctbal
+                            THEN i.c_acctbal
+                        ELSE t.c_acctbal END AS c_acctbal
+            FROM target t FULL OUTER JOIN incoming i USING (c_custkey)
+        )
+        SELECT c_mktsegment, count(*) AS n,
+               (CAST(sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+                              AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS bal
+        FROM upserted GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="INSERT ... ON CONFLICT (key) DO UPDATE ... WHERE pred — PG's "
+    "CONDITIONAL upsert (insert_conflict.sql:89-93; "
+    "ExecOnConflictUpdate re-checks the WHERE over target + EXCLUDED "
+    "before updating): conflicting rows update only when the "
+    "incoming (negated) balance beats the standing one, i.e. exactly "
+    "the negative-balance rows flip; non-qualifying conflicts keep "
+    "the target row, non-conflicts insert. Rides the same "
+    "single-full-outer-join merge as the unconditional upsert — the "
+    "WHERE is a row-local projection, no extra shuffle.",
+    tags=("dml", "upsert", "conflict"),
+)
+def dml_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _scratch(sf_dir, "dml_upsert_cond")
+    st = SnapshotTable.init(path, cust.filter(F.col("c_custkey") % 4 == 0))
+    incoming = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("COND").alias("c_mktsegment"),
+        (-F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    qualifies = F.col("c_acctbal") < F.col("__src_c_acctbal")
+    merge_into(
+        spark,
+        st,
+        incoming,
+        on="c_custkey",
+        matched_set={
+            "c_mktsegment": F.when(
+                qualifies, F.col("__src_c_mktsegment")
+            ).otherwise(F.col("c_mktsegment")),
+            "c_acctbal": F.when(
+                qualifies, F.col("__src_c_acctbal")
+            ).otherwise(F.col("c_acctbal")),
+        },
+    )
+    return (
+        st.read(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100)
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0
+            ).alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

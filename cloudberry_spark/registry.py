@@ -230,6 +230,7 @@ _LEAD = [
         "regress_join_natural_cross_rename",
         "regress_array_literal_casts",
         "dml_update_from_delete_using",
+        "dml_upsert_conditional",
         "regress_bfvsubq_unnest_in",
         "regress_having_degenerate",
         "regress_with_cte_shadowing",
