@@ -277,9 +277,10 @@ def _rewrite_masked(seg: str) -> str:
     # ordered-aggregate default; Spark struct comparison alone puts
     # NULL first) — and reverse() for DESC then yields PG's NULLS FIRST.
     def _array_agg(m: re.Match) -> str:
-        expr, order = m.group(1), m.group(2)
-        desc = (m.group(3) or "").upper() == "DESC"
-        nulls = (m.group(4) or "").upper()  # '', 'FIRST', 'LAST'
+        distinct = bool(m.group(1))
+        expr, order = m.group(2), m.group(3)
+        desc = (m.group(4) or "").upper() == "DESC"
+        nulls = (m.group(5) or "").upper()  # '', 'FIRST', 'LAST'
         # pre-reverse (ascending) null placement: the __n flag sorts
         # false-first, so `IS NULL` = nulls last, `IS NOT NULL` =
         # nulls first. Explicit NULLS FIRST/LAST overrides PG's
@@ -288,17 +289,21 @@ def _rewrite_masked(seg: str) -> str:
         final_first = nulls == "FIRST" or (desc and nulls != "LAST")
         pre_first = final_first != desc  # XOR: reverse flips placement
         flag = "IS NOT NULL" if pre_first else "IS NULL"
-        arr = (
-            f"array_sort(collect_list(struct(({order}) {flag} AS __n, "
-            f"{order} AS __o, {expr} AS __v)))"
-        )
+        collected = f"collect_list(struct(({order}) {flag} AS __n, " \
+            f"{order} AS __o, {expr} AS __v))"
+        if distinct:
+            # PG requires the ORDER BY expr to equal the DISTINCT expr
+            # (parse_agg.c), so struct-level dedup == value dedup; one
+            # NULL survives (collect_set would drop it).
+            collected = f"array_distinct({collected})"
+        arr = f"array_sort({collected})"
         if desc:
             arr = f"reverse({arr})"
         return f"transform({arr}, p -> p.__v)"
 
     seg = re.sub(
-        r"\barray_agg\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)"
-        r"\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*\)",
+        r"\barray_agg\s*\(\s*(DISTINCT\s+)?([^()]+?)\s+ORDER\s+BY\s+"
+        r"([^()]+?)\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*\)",
         _array_agg,
         seg,
         flags=re.I,

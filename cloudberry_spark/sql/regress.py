@@ -5777,3 +5777,34 @@ FROM aggordertest
     "top of PG's defaults).",
     ("aggregate", "array"),
 )
+
+
+register_regress(
+    "regress_agg_array_distinct_ordered",
+    """
+WITH dt(a) AS (VALUES (3), (1), (3), (NULL), (2), (NULL), (1))
+select 'asc' AS arm, array_agg(distinct a order by a) AS r FROM dt
+UNION ALL
+select 'desc', array_agg(distinct a order by a desc) FROM dt
+UNION ALL
+select 'desc_nl', array_agg(distinct a order by a desc nulls last)
+FROM dt
+""",
+    "src/test/regress/sql/aggregates.sql:648-654 — DISTINCT ordered "
+    "array_agg (parse_agg.c: the ORDER BY expr must equal the "
+    "DISTINCT expr): one NULL survives the dedup and obeys the "
+    "NULLS placement. Frontend dedups at the sorted-struct level "
+    "(collect_set would DROP the NULL). PG's DESC default is NULLS "
+    "FIRST and Spark's lowering matches; DuckDB defaults DESC to "
+    "nulls-last, so the oracle spells NULLS FIRST on that arm.",
+    ("aggregate", "array"),
+    oracle="""
+WITH dt(a) AS (VALUES (3), (1), (3), (NULL), (2), (NULL), (1))
+select 'asc' AS arm, array_agg(distinct a order by a) AS r FROM dt
+UNION ALL
+select 'desc', array_agg(distinct a order by a desc nulls first) FROM dt
+UNION ALL
+select 'desc_nl', array_agg(distinct a order by a desc nulls last)
+FROM dt
+""",
+)
