@@ -5808,3 +5808,21 @@ select 'desc_nl', array_agg(distinct a order by a desc nulls last)
 FROM dt
 """,
 )
+
+
+register_regress(
+    "regress_string_agg_distinct_ordered",
+    """
+WITH vt(f1) AS (VALUES ('a'), ('ab'), ('abcd'), ('a'), ('abcd'))
+select 'asc' AS arm, string_agg(distinct f1, ',' order by f1) AS s
+from vt
+UNION ALL
+select 'desc', string_agg(distinct f1, '|' order by f1 desc) from vt
+""",
+    "src/test/regress/sql/aggregates.sql:786 — DISTINCT ordered "
+    "string_agg (listagg DISTINCT ... WITHIN GROUP on Spark, "
+    "passthrough pinned both directions; one ordering per aggregate "
+    "node — Spark rejects two differently-ordered DISTINCT listaggs "
+    "in one select, so the arms are UNION ALLed).",
+    ("aggregate",),
+)
