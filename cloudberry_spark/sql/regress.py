@@ -5826,3 +5826,115 @@ select 'desc', string_agg(distinct f1, '|' order by f1 desc) from vt
     "in one select, so the arms are UNION ALLed).",
     ("aggregate",),
 )
+
+
+# ---------------------------------------------------------------------------
+# regex.sql — the PG regular-expression battery (backrefs, lookaround,
+# NFA stress shapes). PG's regex engine (src/backend/regex/, the Tcl
+# "advanced RE" engine) and Java's differ in pathological corners, so
+# every case below was probed to agree with the reference's expected
+# output (src/test/regress/expected/regex.out); the expected values ARE
+# the oracle (DuckDB's RE2 cannot run backrefs or lookaround at all,
+# which is the point of pinning these on literals).
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_regex_backref_battery",
+    r"""
+SELECT 'bbbbb' ~ '^([bc])\1*$' AS t1,
+       'ccc'   ~ '^([bc])\1*$' AS t2,
+       'xxx'   ~ '^([bc])\1*$' AS f1,
+       'bbc'   ~ '^([bc])\1*$' AS f2,
+       'b'     ~ '^([bc])\1*$' AS t3,
+       'abc abc abc' ~ '^(\w+)( \1)+$' AS t4,
+       'abc abd abc' ~ '^(\w+)( \1)+$' AS f3,
+       'abc abc abd' ~ '^(\w+)( \1)+$' AS f4,
+       'abc abc abc' ~ '^(.+)( \1)+$'  AS t5,
+       'abc abd abc' ~ '^(.+)( \1)+$'  AS f5,
+       'abc abc abd' ~ '^(.+)( \1)+$'  AS f6,
+       'Programmer'  ~ '(\w).*?\1'     AS t6
+""",
+    "src/test/regress/sql/regex.sql:9-22,136 — quantified backrefs, "
+    "backrefs inside larger expressions, and backref + non-greedy "
+    "quantifier (Tcl bug 6585b21c). Java regex agrees with PG's ARE "
+    "on all 12 (probed).",
+    ("regex", "scalar"),
+    oracle="""
+SELECT true AS t1, true AS t2, false AS f1, false AS f2, true AS t3,
+       true AS t4, false AS f3, false AS f4, true AS t5, false AS f5,
+       false AS f6, true AS t6
+""",
+)
+
+register_regress(
+    "regress_regex_lookaround_battery",
+    """
+SELECT 'xz'  ~ 'x(?=[xy])'      AS f1,
+       'xy'  ~ 'x(?=[xy])'      AS t1,
+       'xz'  ~ 'x(?![xy])'      AS t2,
+       'xy'  ~ 'x(?![xy])'      AS f2,
+       'x'   ~ 'x(?![xy])'      AS t3,
+       'xyy' ~ '(?<=[xy])yy+'   AS t4,
+       'zyy' ~ '(?<=[xy])yy+'   AS f3,
+       'xyy' ~ '(?<![xy])yy+'   AS f4,
+       'zyy' ~ '(?<![xy])yy+'   AS t5,
+       'b'   ~ '(?=b)b'         AS t6,
+       'a'   ~ '(?=b)b'         AS f5
+""",
+    "src/test/regress/sql/regex.sql:36-70 — lookahead / lookbehind "
+    "constraint batteries (single-chr-or-bracket LACON optimization "
+    "paths). Java regex agrees with PG on all 11 (probed).",
+    ("regex", "scalar"),
+    oracle="""
+SELECT false AS f1, true AS t1, true AS t2, false AS f2, true AS t3,
+       true AS t4, false AS f3, false AS f4, true AS t5, true AS t6,
+       false AS f5
+""",
+)
+
+register_regress(
+    "regress_regex_nfa_stress",
+    r"""
+SELECT 'a' ~ '($|^)*'                       AS t1,
+       'a' ~ '(^$)*'                        AS t2,
+       'aa bb cc' ~ '(^(?!aa))+'            AS f1,
+       'dd x' ~ '(^(?!aa)(?!bb)(?!cc))+'    AS t3,
+       'a' ~ '((((((a)*)*)*)*)*)*'          AS t4,
+       'xxx' ~ '(.){0}(\1)'                 AS f2,
+       'xyz' ~ '((.)){0}(\2){0}'            AS t5,
+       'abcdef' ~ '^(.)\1|\1.'              AS f3,
+       'abadef' ~ '^((.)\2|..)\2'           AS f4
+""",
+    "src/test/regress/sql/regex.sql:103-134 — the CVE-2007-4772 "
+    "pullback() loop shapes, fixempties() loop (Tcl 3604074), "
+    "capture-groups-in-{0} removal, and the zaptreesubs oversight "
+    "cases. Java regex agrees with PG's documented expected output "
+    "on all 9 (probed against expected/regex.out).",
+    ("regex", "scalar"),
+    oracle="""
+SELECT true AS t1, true AS t2, false AS f1, true AS t3, true AS t4,
+       false AS f2, true AS t5, false AS f3, false AS f4
+""",
+)
+
+register_regress(
+    "regress_regex_substring_pmatch",
+    """
+SELECT substring('asd TO foo'
+                 from ' TO (([a-z0-9._]+|"([^"]+|"")+")+)') AS s1,
+       substring('a' from '((a))+') AS s2,
+       substring('a' from '((a)+)') AS s3,
+       substring('foobar' from 'o.b') AS s4,
+       substring('foobar' from 'o(.)b') AS s5,
+       substring('foobar' from 'x(.)y') AS s6
+""",
+    "src/test/regress/sql/regex.sql:24-27 + qp_regexp.sql:95-96 — the "
+    "9.2beta1 pmatch[]-overrun crash patterns plus the basic POSIX "
+    "substring forms: first capture group when present, whole match "
+    "otherwise, NULL on no match (textregexsubstr, adt/regexp.c).",
+    ("regex", "scalar"),
+    oracle="""
+SELECT 'foo' AS s1, 'a' AS s2, 'a' AS s3, 'oob' AS s4, 'o' AS s5,
+       CAST(NULL AS VARCHAR) AS s6
+""",
+)
