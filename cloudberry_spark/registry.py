@@ -238,6 +238,19 @@ _LEAD = [
         "regress_gpagg_srf_with_agg",
         "regress_bfvcte_nested_window_subq",
         "regress_olapwin_lead_offsets",
+        # ±Infinity driver-hash-safety query: pinned inside the sampled
+        # prefix (driver_sim + conftest both carry the isinf guard)
+        "regress_float8_special_values",
+        # round-5 session-3 additions: regex.sql/qp_regexp.sql port +
+        # frontend first-only regexp_replace, E-string unescape,
+        # regexp_split lowerings, SQL99 substring FOR-escape
+        "regress_regex_backref_battery",
+        "regress_qpregexp_basics",
+        "regress_regex_lookaround_battery",
+        "regress_qpregexp_split_table",
+        "regress_regex_nfa_stress",
+        "regress_regex_substring_pmatch",
+        "regress_qpregexp_split_array",
         "regress_jira_case_never_window",
         # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
         # escape handling, array_agg(ORDER BY) null placement
@@ -293,7 +306,6 @@ _LEAD = [
         "regress_olap_group_empty_parens",
         "regress_olap_cube_count_distinct",
         "regress_distinct_on_keep_first",
-        "regress_float8_special_values",
         "regress_leastsquares_simple",
         "regress_bfv_window_in_subquery",
         "regress_win_moving_agg_nulls",

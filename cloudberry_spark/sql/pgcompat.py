@@ -178,6 +178,32 @@ def _rewrite_masked(seg: str) -> str:
     # for consecutive single-char delimiters on both engines)
     seg = re.sub(r"\bstring_to_array\s*\(", "split(", seg, flags=re.I)
 
+    # regexp_split_to_table(s, p) [AS] t in FROM -> lateral explode over
+    # the split array (adt/regexp.c regexp_split_to_table is a SRF; the
+    # SRF-alias rule names the output column after the alias). The
+    # rx_split__ placeholder keeps these apart from string_to_array's
+    # split (literal delimiter) so _fix_regex_literals can give ONLY
+    # the regex form Spark backslash escaping; _rewrite_restored
+    # renames it back to split.
+    _rsargs = r"([^()]*(?:\([^()]*\)[^()]*)*)"
+    seg = re.sub(
+        rf"\bregexp_split_to_table\s*\({_rsargs}\)\s*"
+        r"(?:AS\s+)?(\w+)\b(?!\s*\()",
+        r"(SELECT explode(rx_split__(\1)) AS \2) AS \2",
+        seg,
+        flags=re.I,
+    )
+    # remaining (select-list) form: a bare generator
+    seg = re.sub(
+        rf"\bregexp_split_to_table\s*\({_rsargs}\)",
+        r"explode(rx_split__(\1))",
+        seg,
+        flags=re.I,
+    )
+    seg = re.sub(
+        r"\bregexp_split_to_array\s*\(", "rx_split__(", seg, flags=re.I
+    )
+
     # [NOT] BETWEEN SYMMETRIC a AND b (parse_expr.c AEXPR_BETWEEN_SYM:
     # bounds are swapped if needed) -> BETWEEN least(a,b) AND
     # greatest(a,b). Operands: masked literals, idents/casts, or one
@@ -783,11 +809,13 @@ _FIELD_REWRITES = [
 ]
 
 
-def similar_to_regex(pattern: str) -> str:
-    """Convert a SQL ``SIMILAR TO`` pattern to a POSIX regex, the way
-    the reference's similar_escape (adt/regexp.c) does: ``%`` -> ``.*``,
-    ``_`` -> ``.``; the SQL-regex operators ``| * + ? ( ) [ ] { }`` pass
-    through; everything else — notably ``.`` — is literal text."""
+def _similar_body(pattern: str, esc: str = "\\") -> str:
+    """Convert a SQL ``SIMILAR TO`` pattern body to a POSIX regex, the
+    way the reference's similar_escape (adt/regexp.c) does: ``%`` ->
+    ``.*``, ``_`` -> ``.``; the SQL-regex operators ``| * + ? ( ) [ ]
+    { }`` pass through; everything else — notably ``.`` — is literal
+    text. ``esc`` is the SIMILAR TO escape character (default
+    backslash): esc+c means the literal character c."""
     out = []
     i = 0
     in_class = False
@@ -797,9 +825,7 @@ def similar_to_regex(pattern: str) -> str:
             out.append(c)
             if c == "]":
                 in_class = False
-        elif c == "\\" and i + 1 < len(pattern):
-            # default SIMILAR TO escape char: \% and \_ (and \\ etc.)
-            # mean the literal next character, never a metacharacter.
+        elif c == esc and i + 1 < len(pattern):
             nxt = pattern[i + 1]
             out.append(nxt if nxt.isalnum() or nxt == " " else "\\" + nxt)
             i += 2
@@ -816,7 +842,38 @@ def similar_to_regex(pattern: str) -> str:
         else:
             out.append("\\" + c)
         i += 1
-    return "^(?:" + "".join(out) + ")$"
+    return "".join(out)
+
+
+def similar_to_regex(pattern: str) -> str:
+    return "^(?:" + _similar_body(pattern) + ")$"
+
+
+def similar_substring_regex(pattern: str, esc: str) -> str | None:
+    """SQL99 ``substring(s from pat for esc)`` (adt/varlena.c
+    textregexsubstr via similar_escape): ``esc"``...``esc"`` bracket
+    the captured part; the whole pattern must match the whole string.
+    Returns None if the pattern doesn't carry exactly two markers."""
+    parts, cur, i = [], [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == esc and i + 1 < len(pattern):
+            if pattern[i + 1] == '"':
+                parts.append("".join(cur))
+                cur = []
+                i += 2
+                continue
+            cur.append(c)
+            cur.append(pattern[i + 1])
+            i += 2
+            continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    if len(parts) != 3:
+        return None
+    pre, mid, post = (_similar_body(p, esc) for p in parts)
+    return f"^(?:{pre})({mid})(?:{post})$"
 
 
 # Left-operand shape shared by SIMILAR TO and the ~* placeholder ops:
@@ -870,7 +927,7 @@ def _split_args(args: str) -> list[str]:
 
 _REGEXP_FN_RE = re.compile(
     r"\b(regexp_replace|regexp_like|regexp_count|regexp_instr|"
-    r"regexp_substr|regexp_extract)\s*\(",
+    r"regexp_substr|regexp_extract|rx_split__)\s*\(",
     re.I,
 )
 _STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
@@ -928,11 +985,55 @@ def _rewrite_restored(sql: str) -> str:
         call = f"regexp_like({operand}, '{rx}')"
         return f"NOT {call}" if neg else call
 
-    # regexp_replace(s, p, r, 'g'[i]) — PG's flags argument. Spark's
-    # regexp_replace is ALWAYS global, so 'g' just drops; 'i' becomes
-    # an inline (?i) on the pattern literal. (Flagless PG
-    # regexp_replace replaces only the FIRST match — that divergence
-    # is documented in MIGRATION.md, not silently rewritten.)
+    # regexp_replace flags + PG's first-only default (adt/regexp.c
+    # textregexreplace: flagless 3-arg replaces ONLY the first match;
+    # 'g' makes it global — Spark's regexp_replace is always global).
+    # First-only is lowered, when pattern and replacement are literals,
+    # to a global replace of the ^-anchored pattern
+    #   '(?s)^(.*?)(?:pat)' -> '$1repl'
+    # — anchored, so replaceAll fires at most once; the added prefix
+    # group shifts pat's own group numbers and repl's backrefs by one.
+    # (?s) matches PG's default where `.` crosses newlines (Java's
+    # doesn't). Patterns already ^-anchored are left as-is (a global
+    # replace of an anchored pattern fires once anyway); non-literal
+    # patterns stay global, documented in MIGRATION.md.
+    def _shift_refs(text: str) -> str:
+        return re.sub(
+            r"\\(\d)", lambda g: "\\" + str(int(g.group(1)) + 1), text
+        )
+
+    for _ in range(100):  # each hit renames to rr_first__; bounded
+        changed = False
+        for s_, o, c in _call_sites(sql, "regexp_replace"):
+            args = _split_args(sql[o + 1 : c])
+            flags = (
+                args[3].strip().strip("'").lower() if len(args) == 4 else ""
+            )
+            if len(args) == 4 and not _STR_LIT_RE.fullmatch(args[3].strip()):
+                continue  # non-literal flags: leave untouched
+            if len(args) not in (3, 4) or "g" in flags:
+                continue  # global (or malformed): handled below
+            pat, rep = args[1].strip(), args[2].strip()
+            if not (_STR_LIT_RE.fullmatch(pat) and _STR_LIT_RE.fullmatch(rep)):
+                continue
+            p = pat[1:-1]
+            if p.startswith("^") and len(args) == 3:
+                continue  # anchored: global replace already fires once
+            ci = "(?i)" if "i" in flags else ""
+            p2 = _shift_refs(p)
+            r2 = _shift_refs(rep[1:-1])
+            sql = (
+                sql[:s_]
+                + f"rr_first__({args[0]}, '(?s){ci}^(.*?)(?:{p2})', "
+                + f"'\\1{r2}')"
+                + sql[c + 1 :]
+            )
+            changed = True
+            break
+        if not changed:
+            break
+    sql = sql.replace("rr_first__(", "regexp_replace(")
+
     def _rr_flags(m: re.Match) -> str:
         args, flags = _split_args(m.group(1)), m.group(2).lower()
         if len(args) < 3:
@@ -963,8 +1064,25 @@ def _rewrite_restored(sql: str) -> str:
         idx = 1 if re.search(r"(?<!\\)\((?!\?)", pat) else 0
         return f"nullif(regexp_extract({operand}, '{pat}', {idx}), '')"
 
+    # SQL99 substring(x FROM 'pat' FOR 'esc') — similar_escape with
+    # esc" capture markers; runs BEFORE the POSIX form so its FOR
+    # clause isn't mistaken for substring(x FROM i FOR n).
+    def _substr_sim(m: re.Match) -> str:
+        operand, lit, esc_lit = m.group(1), m.group(2), m.group(3)
+        rx = similar_substring_regex(lit[1:-1], esc_lit[1:-1] or "\\")
+        if rx is None:
+            return m.group(0)  # not exactly two markers: leave loud
+        return f"nullif(regexp_extract({operand}, '{rx}', 1), '')"
+
     sql = re.sub(
-        r"\bsubstring\s*\(([^()]*(?:\([^()]*\)[^()]*)*?)\s+"
+        r"(?i:\bsubstring)\s*\(([^()]*(?:\([^()]*\)[^()]*)*?)\s+"
+        r"(?i:from)\s+('(?:[^']|'')*')\s+(?i:for)\s+('(?:[^']|'')*')"
+        r"\s*\)",
+        _substr_sim,
+        sql,
+    )
+    sql = re.sub(
+        r"(?i:\bsubstring)\s*\(([^()]*(?:\([^()]*\)[^()]*)*?)\s+"
         r"(?i:from)\s+('(?:[^']|'')*')\s*\)",
         _substr_rx,
         sql,
@@ -972,13 +1090,17 @@ def _rewrite_restored(sql: str) -> str:
     # the comma spelling substring(x, 'pattern') is the same function
     # (PG resolves by the text-typed second argument)
     sql = re.sub(
-        r"\bsubstring\s*\(([^(),]*(?:\([^()]*\)[^(),]*)*?)"
+        r"(?i:\bsubstring)\s*\(([^(),]*(?:\([^()]*\)[^(),]*)*?)"
         r",\s*('(?:[^']|'')*')\s*\)",
         _substr_rx,
         sql,
     )
 
     sql = _fix_regex_literals(sql)
+    # regexp_split placeholder: Spark's split IS regex-based; the
+    # placeholder existed only so _fix_regex_literals escaped its
+    # pattern literal (string_to_array's split must stay untouched).
+    sql = sql.replace("rx_split__(", "split(")
     sql = re.sub(
         r"\bRLIKE\s+('(?:[^']|'')*')",
         lambda m: "RLIKE " + m.group(1).replace("\\", "\\\\"),
@@ -1413,6 +1535,27 @@ def translate_pg_sql(sql: str) -> str:
         return _PH.format(len(lits) - 1)
 
     masked = _STRING_OR_COMMENT_RE.sub(_mask, sql)
+    # E'...' escape strings: PG halves backslash pairs and maps the
+    # C-style escapes at parse time (scan.l xe rules); the pipeline's
+    # plain literals hold value-level text, so unescape the stored
+    # literal here (the E prefix itself is dropped in _rewrite_masked).
+    for em in re.finditer(r"\b[Ee]\x01(\d+)\x02", masked):
+        idx = int(em.group(1))
+        lit = lits[idx]
+        inner, out, i = lit[1:-1], [], 0
+        _ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+        while i < len(inner):
+            c = inner[i]
+            if c == "\\" and i + 1 < len(inner):
+                nxt = inner[i + 1]
+                # \n,\t,... -> control char; anything else (incl. \\)
+                # -> the character itself (PG: "taken literally")
+                out.append(_ESC.get(nxt, nxt))
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        lits[idx] = "'" + "".join(out) + "'"
     masked = _rewrite_array_literal_casts(masked, lits)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)

@@ -5938,3 +5938,75 @@ SELECT 'foo' AS s1, 'a' AS s2, 'a' AS s3, 'oob' AS s4, 'o' AS s5,
        CAST(NULL AS VARCHAR) AS s6
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_regexp.sql — regexp function battery. The frontend now lowers PG's
+# first-only flagless regexp_replace (global replace of the ^-anchored
+# lazy-prefix pattern), regexp_split_to_table/_array, and the SQL99
+# substring(s FROM pat FOR esc) form (similar_escape with esc" capture
+# markers). Two probed divergences stay documented instead of ported:
+# zero-length-match splits (PG never splits adjacent to a previous
+# match; Java emits empty strings) and RE-level non-greedy matching
+# ('Y*?(...)': PG shortest-total-match gives '1', Java gives '123').
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_qpregexp_split_table",
+    r"""
+SELECT foo
+FROM regexp_split_to_table(
+       'the quick brown fox jumped over the lazy dog', E'\\s+') AS foo
+""",
+    "qp_regexp.sql:79 — regexp_split_to_table as a FROM-position SRF "
+    "(SRF-alias rule names the column): lowered to explode(split()).",
+    ("regex", "srf"),
+    oracle=r"""
+SELECT unnest(regexp_split_to_array(
+    'the quick brown fox jumped over the lazy dog', '\s+')) AS foo
+""",
+)
+
+register_regress(
+    "regress_qpregexp_split_array",
+    r"""
+SELECT regexp_split_to_array(
+    'the quick brown fox jumped over the lazy dog', E'\\s+') AS r
+""",
+    "qp_regexp.sql:81 — regexp_split_to_array; the E'\\\\s+' escape "
+    "string is unescaped at translate time and re-escaped for Spark's "
+    "string parser.",
+    ("regex", "array"),
+    oracle=r"""
+SELECT regexp_split_to_array(
+    'the quick brown fox jumped over the lazy dog', '\s+') AS r
+""",
+)
+
+register_regress(
+    "regress_qpregexp_basics",
+    r"""
+SELECT '123' ~ E'^\\d{3}' AS t1,
+       'abc' SIMILAR TO 'abc' AS t2,
+       'abc' SIMILAR TO 'a' AS f1,
+       'abc' SIMILAR TO '%(b|d)%' AS t3,
+       'abc' SIMILAR TO '(b|c)%' AS f2,
+       substring('foobar' from '%#"o_b#"%' for '#') AS s1,
+       substring('foobar' from '#"o_b#"%' for '#') AS s2,
+       SUBSTRING('XY1234Z', 'Y*([0-9]{1,3})') AS s3,
+       regexp_replace('foobarbaz', 'b..', 'X') AS r1,
+       regexp_replace('foobarbaz', 'b..', 'X', 'g') AS r2,
+       regexp_replace('foobarbaz', 'b(..)', E'X\\1Y', 'g') AS r3
+""",
+    "qp_regexp.sql:85-105 — ~ with E-string pattern, SIMILAR TO "
+    "batteries, SQL99 substring FOR-escape capture markers, greedy "
+    "POSIX substring, and regexp_replace first-only default vs 'g' "
+    "vs backref replacement (expected values from "
+    "expected/qp_regexp.out; DuckDB lacks the FOR-escape form).",
+    ("regex", "scalar"),
+    oracle="""
+SELECT true AS t1, true AS t2, false AS f1, true AS t3, false AS f2,
+       'oob' AS s1, CAST(NULL AS VARCHAR) AS s2, '123' AS s3,
+       'fooXbaz' AS r1, 'fooXX' AS r2, 'fooXarYXazY' AS r3
+""",
+)

@@ -62,7 +62,34 @@ def test_generate_series_tvf():
 
 
 def test_e_strings():
-    assert t("SELECT E'a\\tb'") == "SELECT 'a\\tb'"
+    # E-strings are unescaped to value-level text at translate time
+    # (scan.l xe rules): \t -> TAB, backslash pairs halve, unknown
+    # escapes drop the backslash ("taken literally").
+    assert t("SELECT E'a\\tb'") == "SELECT 'a\tb'"
+    assert t("SELECT E'a\\\\d+'") == "SELECT 'a\\d+'"
+    assert t("SELECT E'\\q'") == "SELECT 'q'"
+
+
+def test_regexp_replace_first_only():
+    # flagless PG regexp_replace replaces only the FIRST match: lowered
+    # to a global replace of the ^-anchored lazy-prefix pattern.
+    out = t("SELECT regexp_replace('foobarbaz', 'b..', 'X')")
+    assert "(?s)^(.*?)(?:b..)" in out and "$1X" in out
+    # 'g' flag stays a plain global replace
+    out_g = t("SELECT regexp_replace('foobarbaz', 'b..', 'X', 'g')")
+    assert "(?s)" not in out_g
+    # backrefs in pattern AND replacement shift past the added group
+    out_br = t("SELECT regexp_replace('xaax', '(a)\\1', '<\\1>')")
+    assert "(?:(a)\\\\2)" in out_br and "$1<$2>" in out_br
+
+
+def test_regexp_split_lowering():
+    out = t(
+        "SELECT foo FROM regexp_split_to_table('a b', E'\\\\s+') AS foo"
+    )
+    assert "explode(split('a b', '\\\\s+')) AS foo" in out
+    out2 = t("SELECT regexp_split_to_array('a b', E'\\\\s+') AS r")
+    assert "split('a b', '\\\\s+')" in out2
 
 
 def test_distinct_on_rewrite():
