@@ -251,6 +251,9 @@ _LEAD = [
         "regress_regex_nfa_stress",
         "regress_regex_substring_pmatch",
         "regress_qpregexp_split_array",
+        "regress_decode_null_semantics",
+        "regress_decode_int_battery",
+        "regress_decode_expr_shapes",
         "regress_jira_case_never_window",
         # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
         # escape handling, array_agg(ORDER BY) null placement

@@ -6010,3 +6010,114 @@ SELECT true AS t1, true AS t2, false AS f1, true AS t3, false AS f2,
        'fooXbaz' AS r1, 'fooXX' AS r2, 'fooXarYXazY' AS r3
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# decode_expr.sql — Oracle-style DECODE. Spark's built-in decode()
+# (since 3.2) already implements the Oracle semantics the reference's
+# parser provides (decode -> CASE with null-safe matching,
+# gram.y/parse_expr.c DECODE support): NULL search values MATCH a NULL
+# expr, unlike a simple CASE. DuckDB has no decode, so oracles spell
+# the IS NOT DISTINCT FROM CASE expansion.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_decode_int_battery",
+    """
+WITH decodeint(a, b) AS (
+  VALUES (0,0),(1,1),(2,2),(3,3),(4,4),(5,5),(6,6),
+         (NULL,1),(1,1),(2,1),(3,1),(4,1),(5,1),(6,1)
+)
+select a, b,
+       decode(a, 1, 'A', 2, 'B', 3, 'C', 4, 'D', 5, 'E') as dec_nodef,
+       decode(a, 1, 'A', 2, 'B', 3, 'C', 4, 'D', 5, 'E', 'Z')
+           as dec_def,
+       decode(a, 10, 'J', 11, 'K', 12, 'L', 13, 'M') as dec_nomatch,
+       decode(a, 10, 'J', 11, 'K', 12, 'L', 13, 'M', 'Z')
+           as dec_nomatch_def
+from decodeint order by a, b
+""",
+    "decode_expr.sql:23-28 — DECODE over an int column incl. a NULL "
+    "row: no-default -> NULL, default, no-match, no-match-with-default "
+    "arms.",
+    ("scalar", "conditional"),
+    oracle="""
+WITH decodeint(a, b) AS (
+  VALUES (0,0),(1,1),(2,2),(3,3),(4,4),(5,5),(6,6),
+         (NULL,1),(1,1),(2,1),(3,1),(4,1),(5,1),(6,1)
+)
+select a, b,
+       CASE WHEN a IS NOT DISTINCT FROM 1 THEN 'A'
+            WHEN a IS NOT DISTINCT FROM 2 THEN 'B'
+            WHEN a IS NOT DISTINCT FROM 3 THEN 'C'
+            WHEN a IS NOT DISTINCT FROM 4 THEN 'D'
+            WHEN a IS NOT DISTINCT FROM 5 THEN 'E' END as dec_nodef,
+       CASE WHEN a IS NOT DISTINCT FROM 1 THEN 'A'
+            WHEN a IS NOT DISTINCT FROM 2 THEN 'B'
+            WHEN a IS NOT DISTINCT FROM 3 THEN 'C'
+            WHEN a IS NOT DISTINCT FROM 4 THEN 'D'
+            WHEN a IS NOT DISTINCT FROM 5 THEN 'E'
+            ELSE 'Z' END as dec_def,
+       CAST(NULL AS VARCHAR) as dec_nomatch,
+       'Z' as dec_nomatch_def
+from decodeint order by a, b
+""",
+)
+
+register_regress(
+    "regress_decode_null_semantics",
+    """
+select decode(CAST(NULL AS int), 1, 'null = 1', 'null != 1') AS r1,
+       decode(CAST(NULL AS int), CAST(NULL AS int),
+              'null = null', 'null != null') AS r2,
+       decode(1, CAST(NULL AS int), '1 = null', '1 != null') AS r3,
+       decode(10, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+              9, 9, 10, CAST(NULL AS int), 1) AS r4,
+       decode(11, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+              9, 9, 10, 10, CAST(NULL AS int)) AS r5
+""",
+    "decode_expr.sql:614-624 — DECODE's null-safe matching: a NULL "
+    "search value MATCHES a NULL expr (unlike simple CASE); a matched "
+    "NULL result stays NULL even with a trailing default.",
+    ("scalar", "conditional"),
+    oracle="""
+select 'null != 1' AS r1, 'null = null' AS r2, '1 != null' AS r3,
+       CAST(NULL AS int) AS r4, CAST(NULL AS int) AS r5
+""",
+)
+
+register_regress(
+    "regress_decode_expr_shapes",
+    """
+WITH s(empid, startdate) AS (
+  VALUES (1, DATE '2011-01-05'), (2, DATE '2010-12-30'),
+         (3, DATE '2011-03-15'), (4, DATE '2009-07-01')
+)
+select empid,
+       decode((s.startdate >= DATE '2011-01-01'), true, 'Y', 'N')
+           AS started_2011,
+       decode(extract(year from s.startdate),
+              2011, 2011, 2010, 2010, 2009, 2009, 2005) AS start_yr,
+       decode(s.startdate, DATE '2011-01-05', 1,
+              DATE '2010-12-30', 12, 0) AS start_mon
+from s order by empid
+""",
+    "decode_expr.sql:303,407,211 — DECODE over a boolean expression, "
+    "an extract() result, and date search values.",
+    ("scalar", "conditional"),
+    oracle="""
+WITH s(empid, startdate) AS (
+  VALUES (1, DATE '2011-01-05'), (2, DATE '2010-12-30'),
+         (3, DATE '2011-03-15'), (4, DATE '2009-07-01')
+)
+select empid,
+       CASE WHEN (s.startdate >= DATE '2011-01-01') THEN 'Y'
+            ELSE 'N' END AS started_2011,
+       CASE extract(year from s.startdate)
+            WHEN 2011 THEN 2011 WHEN 2010 THEN 2010
+            WHEN 2009 THEN 2009 ELSE 2005 END AS start_yr,
+       CASE s.startdate WHEN DATE '2011-01-05' THEN 1
+            WHEN DATE '2010-12-30' THEN 12 ELSE 0 END AS start_mon
+from s order by empid
+""",
+)
