@@ -6121,3 +6121,54 @@ select empid,
 from s order by empid
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_union_intersect.sql — set operations over inputs with NULL rows
+# and duplicates: NULL rows compare EQUAL for set-op purposes
+# (grouping semantics, not =), and the ALL forms do multiplicity
+# arithmetic min(m,n) / max(m-n, 0). The fixture mirrors the file's
+# dml_union_r/s: dup rows + 3 all-NULL rows on one side, 1 on the
+# other.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_qpunion_null_multiplicity",
+    """
+WITH u_r(a, b) AS (
+  VALUES (1,1),(1,1),(2,2),(3,3),(3,3),(3,3),
+         (NULL,NULL),(NULL,NULL),(NULL,NULL),(5,6)
+),
+u_s(a, b) AS (
+  VALUES (1,1),(3,3),(3,3),(NULL,NULL),(7,8)
+)
+SELECT 'int' AS arm, a, b FROM (
+  SELECT a, b FROM u_r INTERSECT SELECT a, b FROM u_s) x
+UNION ALL
+SELECT 'int_all', a, b FROM (
+  SELECT a, b FROM u_r INTERSECT ALL SELECT a, b FROM u_s) y
+UNION ALL
+SELECT 'exc', a, b FROM (
+  SELECT a, b FROM u_r EXCEPT SELECT a, b FROM u_s) z
+UNION ALL
+SELECT 'exc_all', a, b FROM (
+  SELECT a, b FROM u_r EXCEPT ALL SELECT a, b FROM u_s) w
+""",
+    "qp_union_intersect.sql:55-100 shapes — INTERSECT [ALL] / EXCEPT "
+    "[ALL] where both inputs carry duplicate and all-NULL rows: NULLs "
+    "group equal, INTERSECT ALL keeps min(m,n) copies, EXCEPT ALL "
+    "keeps max(m-n,0).",
+    ("setop",),
+)
+
+register_regress(
+    "regress_qpunion_series_prune",
+    """
+SELECT count(*) AS c1 FROM (
+  SELECT g AS i FROM generate_series(1,10) t(g)
+  INTERSECT SELECT g FROM generate_series(1,100) t2(g)) foo
+""",
+    "qp_union_intersect.sql:73-84 — INTERSECT between two "
+    "generate_series SRFs (the small side prunes the big one).",
+    ("setop", "srf"),
+)
