@@ -254,6 +254,10 @@ _LEAD = [
         "regress_decode_null_semantics",
         "regress_decode_int_battery",
         "regress_decode_expr_shapes",
+        "regress_jsonb_op_chains",
+        "regress_json_length_keys",
+        "regress_qpunion_null_multiplicity",
+        "regress_qpunion_series_prune",
         "regress_jira_case_never_window",
         # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
         # escape handling, array_agg(ORDER BY) null placement

@@ -1124,16 +1124,49 @@ def _rewrite_restored(sql: str) -> str:
         sql,
         flags=re.I,
     )
-    # j ->> 'k'  /  j -> 'k'   -> get_json_object(j, '$.k')
+    # json access chains: j -> 'a' -> 0 ->> 'b' composes into ONE
+    # get_json_object(j, '$.a[0].b') (jsonfuncs.c json_object_field /
+    # json_array_element). String-typed keys become .k steps, integers
+    # [n] steps. Spark's get_json_object unquotes scalar strings, so
+    # `->` (json-typed) on a string leaf diverges — documented; the
+    # corpus chains end in ->> or yield objects/arrays.
+    def _json_chain(m: re.Match) -> str:
+        base, steps = m.group(1), m.group(2)
+        path = "$"
+        for key, idx in re.findall(r"->>?\s*(?:'([^']*)'|(\d+))", steps):
+            path += f"[{idx}]" if idx else f".{key}"
+        return f"get_json_object({base}, '{path}')"
+
     sql = re.sub(
-        r"([A-Za-z_][\w.]*|\))\s*->>?\s*'([^']+)'",
+        r"([A-Za-z_][\w.]*)((?:\s*->>?\s*(?:'[^']*'|\d+))+)",
+        _json_chain,
+        sql,
+    )
+    # single-step forms on a parenthesized operand (kept from the
+    # pre-chain rewrite; the chain composer handles identifier bases)
+    sql = re.sub(
+        r"(\))\s*->>?\s*'([^']+)'",
         r"get_json_object(\1, '$.\2')",
         sql,
     )
-    # j ->> 0  /  j -> 0 (integer index) -> get_json_object(j, '$[0]')
     sql = re.sub(
-        r"([A-Za-z_][\w.]*|\))\s*->>?\s*(\d+)",
+        r"(\))\s*->>?\s*(\d+)",
         r"get_json_object(\1, '$[\2]')",
+        sql,
+    )
+    # j #> '{a,b,1}' / #>> — path-array spelling of the same chains
+    # (jsonfuncs.c json_extract_path): numeric elements index arrays.
+    def _json_path_arr(m: re.Match) -> str:
+        base, lit = m.group(1), m.group(2)
+        path = "$"
+        for el in lit[1:-1].strip("{}").split(","):
+            el = el.strip().strip('"')
+            path += f"[{el}]" if el.isdigit() else f".{el}"
+        return f"get_json_object({base}, '{path}')"
+
+    sql = re.sub(
+        r"([A-Za-z_][\w.]*|\))\s*#>>?\s*('\{[^']*\}')",
+        _json_path_arr,
         sql,
     )
     # case-insensitive regex placeholder ops. Operand shares

@@ -6172,3 +6172,80 @@ SELECT count(*) AS c1 FROM (
     "generate_series SRFs (the small side prunes the big one).",
     ("setop", "srf"),
 )
+
+
+# ---------------------------------------------------------------------------
+# json.sql / jsonb.sql — operator chains through the frontend. The
+# chain composer folds j -> 'a' -> 0 ->> 'b' into ONE
+# get_json_object path (and #>/#>> path-array spellings into the
+# same), so a chain costs one JVM expression, not N string parses.
+# Divergence (documented in MIGRATION.md): a `->` whose LEAF is a
+# json string returns it unquoted here (get_json_object strips
+# quotes); chains ending in ->> or yielding objects/arrays agree.
+# ---------------------------------------------------------------------------
+
+register_regress(
+    "regress_jsonb_op_chains",
+    """
+WITH t(id, j) AS (VALUES
+  (1, '{"a":{"b":"c","d":[1,2,3]},"n":null,"num":42}'),
+  (2, '{"a":{"b":"x","d":[9]},"num":7}'),
+  (3, '{"other":true}')
+)
+SELECT id,
+       j -> 'a' ->> 'b' AS ab,
+       j -> 'a' -> 'd' ->> 1 AS ad1,
+       j #>> '{a,d,2}' AS ad2,
+       j #> '{a,d}' AS ad_json,
+       j ->> 'num' AS num_text,
+       j ->> 'missing' AS missing
+FROM t ORDER BY id
+""",
+    "jsonb.sql operator battery (jsonfuncs.c json_object_field/"
+    "json_array_element/json_extract_path): -> chains, integer index "
+    "steps, #>/#>> path arrays, NULL on missing keys.",
+    ("json",),
+    oracle="""
+WITH t(id, j) AS (VALUES
+  (1, '{"a":{"b":"c","d":[1,2,3]},"n":null,"num":42}'),
+  (2, '{"a":{"b":"x","d":[9]},"num":7}'),
+  (3, '{"other":true}')
+)
+SELECT id,
+       json_extract_string(j, '$.a.b') AS ab,
+       json_extract_string(j, '$.a.d[1]') AS ad1,
+       json_extract_string(j, '$.a.d[2]') AS ad2,
+       CAST(json_extract(j, '$.a.d') AS VARCHAR) AS ad_json,
+       json_extract_string(j, '$.num') AS num_text,
+       json_extract_string(j, '$.missing') AS missing
+FROM t ORDER BY id
+""",
+)
+
+register_regress(
+    "regress_json_length_keys",
+    """
+WITH t(id, j) AS (VALUES
+  (1, '{"k1":1,"k2":[10,20,30,40],"k3":{"x":1}}'),
+  (2, '{"z":[],"a":[5]}')
+)
+SELECT id,
+       json_array_length(j -> 'k2') AS len_k2,
+       json_object_keys(j) AS keys
+FROM t ORDER BY id
+""",
+    "json.sql — json_array_length + json_object_keys (Spark builtins "
+    "share PG's names; PG's keys SRF becomes an array column, the "
+    "set-returning spelling is covered by json_each_object_keys).",
+    ("json",),
+    oracle="""
+WITH t(id, j) AS (VALUES
+  (1, '{"k1":1,"k2":[10,20,30,40],"k3":{"x":1}}'),
+  (2, '{"z":[],"a":[5]}')
+)
+SELECT id,
+       json_array_length(j, '$.k2') AS len_k2,
+       json_keys(j) AS keys
+FROM t ORDER BY id
+""",
+)
