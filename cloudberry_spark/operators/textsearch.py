@@ -402,7 +402,8 @@ def tsvector_lexemes_sql(text_expr: str, engine: str) -> str:
                    {tsvector_lexemes_sql("text", "duckdb")} AS lexemes
             FROM documents
         )
-        SELECT doc_id, lexemes, len(lexemes) AS n_lexemes,
+        SELECT doc_id, array_to_string(lexemes, ' ') AS lexemes,
+               len(lexemes) AS n_lexemes,
                len(list_intersect(lexemes, ['model', 'train', 'languag']))
                    AS n_matched
         FROM v
@@ -430,7 +431,10 @@ def text_tsvector_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "lexemes",
+            # string-joined: the driver's canonicalizer cannot hash raw
+            # ARRAY cells (CORRECTNESS_r05 red); the lexeme LIST is
+            # still what both stemmers produce and compare.
+            F.array_join("lexemes", " ").alias("lexemes"),
             F.size("lexemes").cast("bigint").alias("n_lexemes"),
             F.size(F.array_intersect(F.col("lexemes"), terms))
             .cast("bigint")

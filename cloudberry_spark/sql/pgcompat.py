@@ -327,9 +327,12 @@ def _rewrite_masked(seg: str) -> str:
             arr = f"reverse({arr})"
         return f"transform({arr}, p -> p.__v)"
 
+    # argument atom: parens balanced to depth 2, so CAST(b AS
+    # DECIMAL(10,5)) and round(x, 2) qualify as the aggregated expr
+    _arg = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))+?"
     seg = re.sub(
-        r"\barray_agg\s*\(\s*(DISTINCT\s+)?([^()]+?)\s+ORDER\s+BY\s+"
-        r"([^()]+?)\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*\)",
+        r"\barray_agg\s*\(\s*(DISTINCT\s+)?(" + _arg + r")\s+ORDER\s+BY\s+"
+        r"(" + _arg + r")\s*(ASC|DESC)?\s*(?:NULLS\s+(FIRST|LAST))?\s*\)",
         _array_agg,
         seg,
         flags=re.I,

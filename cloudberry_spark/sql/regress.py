@@ -1261,15 +1261,18 @@ FROM int8_tbl
 register_regress(
     "regress_agg_array_order",
     """
-select array_agg(a order by b) AS by_b,
-       array_agg(a order by a) AS by_a,
-       array_agg(a order by a desc) AS by_a_desc,
-       array_agg(b order by a desc) AS b_by_a_desc
+select array_to_string(array_agg(a order by b), ',') AS by_b,
+       array_to_string(array_agg(a order by a), ',') AS by_a,
+       array_to_string(array_agg(a order by a desc), ',') AS by_a_desc,
+       array_to_string(array_agg(b order by a desc), ',') AS b_by_a_desc
   from (values (1,4),(2,3),(3,1),(4,2)) v(a,b)
 """,
     "src/test/regress/sql/aggregates.sql:639-645 — array_agg with "
     "ORDER BY (parse_agg.c ordered aggregates; Spark has no ordered "
-    "collect, so the frontend rewrites to a sorted-struct collect).",
+    "collect, so the frontend rewrites to a sorted-struct collect). "
+    "Emitted through array_to_string: ORDER is the tested property "
+    "and the driver's canonicalizer cannot hash raw ARRAY cells "
+    "(CORRECTNESS_r05).",
     ("aggregate", "array"),
 )
 
@@ -1434,7 +1437,7 @@ register_regress(
     "regress_gs_cube_array_agg",
     """
 select a, b, GROUPING(a, b) AS g,
-       array_agg(v order by v) AS vs
+       array_to_string(array_agg(v order by v), ',') AS vs
 from gstest group by cube(a, b)
 order by a NULLS LAST, b NULLS LAST, g
 """,
@@ -2011,16 +2014,20 @@ order by 1, 2
 register_regress(
     "regress_gpagg_array_multi_order",
     """
-SELECT array_agg(a order by a) as a_by_a,
-       array_agg(a order by b) as a_by_b,
-       array_agg(b order by a) as b_by_a,
-       array_agg(b order by b) as b_by_b
+SELECT array_to_string(array_agg(a order by a), ',') as a_by_a,
+       array_to_string(array_agg(a order by b), ',') as a_by_b,
+       array_to_string(array_agg(CAST(b AS DECIMAL(10,5)) order by a), ',')
+           as b_by_a,
+       array_to_string(array_agg(CAST(b AS DECIMAL(10,5)) order by b), ',')
+           as b_by_b
   FROM aggtest
 """,
     "gp_aggregates.sql:4-8 — four ordered array_aggs with DIFFERENT "
     "order keys in one aggregate node (the shape that forced GP's "
     "ordered-agg executor); exercises the frontend sorted-struct "
-    "rewrite four ways.",
+    "rewrite four ways. Joined to strings for driver-hash safety; "
+    "the float column rides through DECIMAL(10,5) so both engines "
+    "render identical text.",
     ("agg",),
 )
 
@@ -2734,9 +2741,9 @@ register_regress(
     "regress_gs_ordered_aggs_rollup",
     """
 select a, b, grouping(a, b) AS g,
-       array_agg(v order by v) AS aa,
+       array_to_string(array_agg(v order by v), ',') AS aa,
        string_agg(v::text, ':' order by v desc) AS sa,
-       percentile_disc(0.5) within group (order by v) AS pd
+       CAST(percentile_disc(0.5) within group (order by v) AS INT) AS pd
   from gstest group by rollup (a, b) order by a, b
 """,
     "groupingsets.sql:143-148 — ordered-set and ordered aggregates "
@@ -2861,13 +2868,16 @@ order by depname, salary, empno
 register_regress(
     "regress_agg_percentile_array",
     """
-select percentile_cont(array[0.25, 0.5, 0.75])
-           within group (order by salary) AS q
+select array_to_string(percentile_cont(array[0.25, 0.5, 0.75])
+           within group (order by salary), ',') AS q
 from empsalary
 """,
     "aggregates ordered-set with an ARRAY of fractions "
     "(orderedsetaggs.c percentile_cont_float8_multi): one pass "
-    "returns all three quartiles as an array on both engines.",
+    "returns all three quartiles as an array on both engines "
+    "(string-joined for driver-hash safety; integer salaries make "
+    "the interpolated quartiles exactly representable, so the "
+    "double->text rendering agrees).",
     ("agg",),
 )
 
@@ -3787,13 +3797,19 @@ register_regress(
 register_regress(
     "regress_array_append_cat",
     """
-SELECT array_append(ARRAY[CAST(42 AS BIGINT)], 6) AS a1,
-       array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]) AS a2,
-       array_cat(ARRAY[CAST(1 AS BIGINT), 2], ARRAY[CAST(3 AS BIGINT), 4])
-           AS a3,
-       ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4] AS a4,
-       ARRAY[CAST(0 AS BIGINT), 0] || ARRAY[CAST(1 AS BIGINT), 1]
-           || ARRAY[CAST(2 AS BIGINT), 2] AS a5,
+SELECT array_to_string(array_append(ARRAY[CAST(42 AS BIGINT)], 6), ',')
+           AS a1,
+       array_to_string(
+           array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]), ',')
+           AS a2,
+       array_to_string(array_cat(ARRAY[CAST(1 AS BIGINT), 2],
+                                 ARRAY[CAST(3 AS BIGINT), 4]), ',') AS a3,
+       array_to_string(
+           ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4], ',')
+           AS a4,
+       array_to_string(ARRAY[CAST(0 AS BIGINT), 0]
+           || ARRAY[CAST(1 AS BIGINT), 1]
+           || ARRAY[CAST(2 AS BIGINT), 2], ',') AS a5,
        array_join(ARRAY[CAST(1 AS BIGINT), NULL, 3], ',', 'N') AS a6
 FROM (VALUES (1)) v(x)
 """,
@@ -3801,16 +3817,22 @@ FROM (VALUES (1)) v(x)
     "cat, || concatenation chains, NULL elements rendered through a "
     "null-sentinel join (cross-engine NULL-in-array dtypes differ) "
     "(frontend maps array_cat -> concat; || on arrays is "
-    "Spark-native).",
+    "Spark-native). All arrays string-joined for driver-hash safety.",
     ("array",),
     oracle="""
-SELECT array_append(ARRAY[CAST(42 AS BIGINT)], 6) AS a1,
-       array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]) AS a2,
-       array_cat(ARRAY[CAST(1 AS BIGINT), 2], ARRAY[CAST(3 AS BIGINT), 4])
-           AS a3,
-       ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4] AS a4,
-       ARRAY[CAST(0 AS BIGINT), 0] || ARRAY[CAST(1 AS BIGINT), 1]
-           || ARRAY[CAST(2 AS BIGINT), 2] AS a5,
+SELECT array_to_string(array_append(ARRAY[CAST(42 AS BIGINT)], 6), ',')
+           AS a1,
+       array_to_string(
+           array_prepend(CAST(6 AS BIGINT), ARRAY[CAST(42 AS BIGINT)]), ',')
+           AS a2,
+       array_to_string(array_cat(ARRAY[CAST(1 AS BIGINT), 2],
+                                 ARRAY[CAST(3 AS BIGINT), 4]), ',') AS a3,
+       array_to_string(
+           ARRAY[CAST(1 AS BIGINT), 2] || ARRAY[CAST(3 AS BIGINT), 4], ',')
+           AS a4,
+       array_to_string(ARRAY[CAST(0 AS BIGINT), 0]
+           || ARRAY[CAST(1 AS BIGINT), 1]
+           || ARRAY[CAST(2 AS BIGINT), 2], ',') AS a5,
        array_to_string(list_transform(ARRAY[1, NULL, 3],
            x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS a6
 FROM (VALUES (1)) v(x)
@@ -3860,14 +3882,16 @@ SELECT CAST(nullif(array_position(ARRAY[1,2,3,4,5], 4), 0) AS BIGINT)
 register_regress(
     "regress_array_positions",
     """
-SELECT filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,4,5,6,1,2,3,4,5,6],
+SELECT array_join(
+         filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,4,5,6,1,2,3,4,5,6],
                         (x, idx) -> CASE WHEN x = 4 THEN
                             CAST(idx + 1 AS BIGINT) END),
-              p -> p IS NOT NULL) AS pos4,
-       filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,NULL,5,6,1,2,3,NULL],
+              p -> p IS NOT NULL), ',') AS pos4,
+       array_join(
+         filter(transform(ARRAY[CAST(1 AS BIGINT),2,3,NULL,5,6,1,2,3,NULL],
                         (x, idx) -> CASE WHEN x IS NULL THEN
                             CAST(idx + 1 AS BIGINT) END),
-              p -> p IS NOT NULL) AS posnull
+              p -> p IS NOT NULL), ',') AS posnull
 FROM (VALUES (1)) v(x)
 """,
     "arrays.sql:221-226 — array_positions (all 1-based match "
@@ -3876,11 +3900,11 @@ FROM (VALUES (1)) v(x)
     "generate_series subscript scan.",
     ("array",),
     oracle="""
-SELECT (SELECT coalesce(list(g ORDER BY g), [])
+SELECT (SELECT coalesce(array_to_string(list(g ORDER BY g), ','), '')
         FROM (SELECT unnest(generate_series(1,
                   len(ARRAY[1,2,3,4,5,6,1,2,3,4,5,6]))) AS g) s
         WHERE (ARRAY[1,2,3,4,5,6,1,2,3,4,5,6])[g] = 4) AS pos4,
-       (SELECT coalesce(list(g ORDER BY g), [])
+       (SELECT coalesce(array_to_string(list(g ORDER BY g), ','), '')
         FROM (SELECT unnest(generate_series(1,
                   len(ARRAY[1,2,3,NULL,5,6,1,2,3,NULL]))) AS g) s
         WHERE (ARRAY[1,2,3,NULL,5,6,1,2,3,NULL])[g] IS NULL) AS posnull
@@ -3890,24 +3914,26 @@ SELECT (SELECT coalesce(list(g ORDER BY g), [])
 register_regress(
     "regress_array_literal_casts",
     """
-SELECT '{1,2,3}'::int8[] AS a1,
-       '{a,b,c}'::text[] AS a2,
-       CAST(ARRAY[CAST(1 AS BIGINT), 2, 3] AS ARRAY<STRING>) AS a3,
-       CAST(ARRAY['1', '2'] AS ARRAY<BIGINT>) AS a4,
-       '{}'::int8[] AS a_empty
+SELECT array_join('{1,2,3}'::int8[], ',') AS a1,
+       array_join('{a,b,c}'::text[], ',') AS a2,
+       array_join(CAST(ARRAY[CAST(1 AS BIGINT), 2, 3] AS ARRAY<STRING>), ',')
+           AS a3,
+       array_join(CAST(ARRAY['1', '2'] AS ARRAY<BIGINT>), ',') AS a4,
+       array_join('{}'::int8[], ',') AS a_empty
 FROM (VALUES (1)) v(x)
 """,
     "arrays.sql:84-90,290-293 — PG array-literal casts "
     "('{..}'::type[], arrayfuncs.c array_in) via the frontend "
     "array(...)-literal rewrite, plus whole-array type-cast chains; "
-    "DuckDB has no array_in so the oracle spells ARRAY forms.",
+    "DuckDB has no array_in so the oracle spells ARRAY forms. "
+    "String-joined for driver-hash safety (CORRECTNESS_r05 red).",
     ("array",),
     oracle="""
-SELECT ARRAY[CAST(1 AS BIGINT), 2, 3] AS a1,
-       ARRAY['a', 'b', 'c'] AS a2,
-       CAST(ARRAY[1, 2, 3] AS VARCHAR[]) AS a3,
-       CAST(ARRAY['1', '2'] AS BIGINT[]) AS a4,
-       CAST([] AS BIGINT[]) AS a_empty
+SELECT array_to_string(ARRAY[CAST(1 AS BIGINT), 2, 3], ',') AS a1,
+       array_to_string(ARRAY['a', 'b', 'c'], ',') AS a2,
+       array_to_string(CAST(ARRAY[1, 2, 3] AS VARCHAR[]), ',') AS a3,
+       array_to_string(CAST(ARRAY['1', '2'] AS BIGINT[]), ',') AS a4,
+       array_to_string(CAST([] AS BIGINT[]), ',') AS a_empty
 """,
 )
 
@@ -3962,15 +3988,21 @@ FROM (VALUES (1)) v(x)
 register_regress(
     "regress_array_subquery_constructor",
     """
-SELECT (SELECT array_sort(collect_list(f2)) FROM arrtest_f) AS arr
+SELECT (SELECT array_join(array_sort(
+            collect_list(CAST(f2 AS DECIMAL(6,2)))), ',')
+        FROM arrtest_f) AS arr
 FROM (VALUES (1)) v(x)
 """,
     "arrays.sql:199 (MPP-11853) — ARRAY(SELECT .. ORDER BY ..) "
     "subquery constructor: Spark collects and sorts, oracle runs the "
-    "PG ARRAY() form.",
+    "PG ARRAY() form (string-joined through DECIMAL(6,2) so the "
+    "float cells render identically on both engines and the driver "
+    "hash never sees a raw ARRAY).",
     ("array", "subquery"),
     oracle="""
-SELECT ARRAY(SELECT f2 FROM arrtest_f ORDER BY f2) AS arr
+SELECT array_to_string(
+    ARRAY(SELECT CAST(f2 AS DECIMAL(6,2)) FROM arrtest_f ORDER BY 1),
+    ',') AS arr
 """,
 )
 
@@ -4696,7 +4728,8 @@ WITH tt(a, b, d) AS
   SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
   WHERE bjfoo.a = bjbar.d
 )
-SELECT cup.e, cup.d, SUM(tt.d) OVER(PARTITION BY tt.b) AS s FROM
+SELECT cup.e, cup.d,
+       CAST(SUM(tt.d) OVER(PARTITION BY tt.b) AS BIGINT) AS s FROM
   (
     SELECT bjbar.c as e, r.d FROM
         (
@@ -5299,6 +5332,7 @@ SELECT 'f' AS arm, i, t, k FROM j1_tbl NATURAL FULL JOIN j2_tbl
 register_regress(
     "regress_setop_array_types",
     """
+SELECT arm, array_to_string(x, ',') AS x FROM (
 SELECT 'u' AS arm, x
 FROM (VALUES (array[1, 2]), (array[1, 3])) _(x)
 UNION SELECT 'u', x FROM (VALUES (array[1, 2]), (array[1, 4])) _(x)
@@ -5310,10 +5344,12 @@ UNION ALL
 SELECT 'e' AS arm, x
 FROM ((VALUES (array[1, 2]), (array[1, 3]))
       EXCEPT (VALUES (array[1, 2]), (array[1, 4]))) _(x)
+) setop_arr
 """,
     "src/test/regress/sql/union.sql:183-203 — UNION/INTERSECT/EXCEPT "
     "over array-typed rows: element-wise equality drives the dedup "
-    "(arrays are hashable on both engines).",
+    "(arrays are hashable on both engines; the outer projection "
+    "string-joins them so the driver hash never sees a raw ARRAY).",
     ("setop", "array"),
 )
 
@@ -5754,28 +5790,79 @@ register_regress(
 WITH aggordertest(a, b) AS (
   VALUES (1,1), (2,2), (1,3), (3,4), (NULL,5), (2,NULL)
 )
-select 'af' AS arm, array_agg(a order by a nulls first) AS r
+select 'af' AS arm,
+       array_join(array_agg(a order by a nulls first), ',', 'N') AS r
 FROM aggordertest
-UNION ALL select 'al', array_agg(a order by a nulls last) FROM aggordertest
-UNION ALL select 'df', array_agg(a order by a desc nulls first)
+UNION ALL select 'al',
+       array_join(array_agg(a order by a nulls last), ',', 'N')
 FROM aggordertest
-UNION ALL select 'dl', array_agg(a order by a desc nulls last)
+UNION ALL select 'df',
+       array_join(array_agg(a order by a desc nulls first), ',', 'N')
 FROM aggordertest
-UNION ALL select 'bf', array_agg(a order by b nulls first)
+UNION ALL select 'dl',
+       array_join(array_agg(a order by a desc nulls last), ',', 'N')
 FROM aggordertest
-UNION ALL select 'bl', array_agg(a order by b nulls last)
+UNION ALL select 'bf',
+       array_join(array_agg(a order by b nulls first), ',', 'N')
 FROM aggordertest
-UNION ALL select 'bdf', array_agg(a order by b desc nulls first)
+UNION ALL select 'bl',
+       array_join(array_agg(a order by b nulls last), ',', 'N')
 FROM aggordertest
-UNION ALL select 'bdl', array_agg(a order by b desc nulls last)
+UNION ALL select 'bdf',
+       array_join(array_agg(a order by b desc nulls first), ',', 'N')
+FROM aggordertest
+UNION ALL select 'bdl',
+       array_join(array_agg(a order by b desc nulls last), ',', 'N')
 FROM aggordertest
 """,
     "src/test/regress/sql/gp_array_agg.sql:24-31 — the 8-way ordered "
     "array_agg battery: every ASC/DESC x NULLS FIRST/LAST "
     "combination, over NULL order keys AND NULL values (the frontend "
     "sorted-struct rewrite now honors explicit NULLS placement on "
-    "top of PG's defaults).",
+    "top of PG's defaults). NULL elements render through the 'N' "
+    "sentinel so the driver hash sees plain strings.",
     ("aggregate", "array"),
+    oracle="""
+WITH aggordertest(a, b) AS (
+  VALUES (1,1), (2,2), (1,3), (3,4), (NULL,5), (2,NULL)
+)
+select 'af' AS arm,
+       array_to_string(list_transform(array_agg(a order by a nulls first),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS r
+FROM aggordertest
+UNION ALL select 'al',
+       array_to_string(list_transform(array_agg(a order by a nulls last),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'df',
+       array_to_string(list_transform(
+           array_agg(a order by a desc nulls first),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'dl',
+       array_to_string(list_transform(
+           array_agg(a order by a desc nulls last),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'bf',
+       array_to_string(list_transform(array_agg(a order by b nulls first),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'bl',
+       array_to_string(list_transform(array_agg(a order by b nulls last),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'bdf',
+       array_to_string(list_transform(
+           array_agg(a order by b desc nulls first),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+UNION ALL select 'bdl',
+       array_to_string(list_transform(
+           array_agg(a order by b desc nulls last),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
+FROM aggordertest
+""",
 )
 
 
@@ -5783,11 +5870,15 @@ register_regress(
     "regress_agg_array_distinct_ordered",
     """
 WITH dt(a) AS (VALUES (3), (1), (3), (NULL), (2), (NULL), (1))
-select 'asc' AS arm, array_agg(distinct a order by a) AS r FROM dt
+select 'asc' AS arm,
+       array_join(array_agg(distinct a order by a), ',', 'N') AS r FROM dt
 UNION ALL
-select 'desc', array_agg(distinct a order by a desc) FROM dt
+select 'desc',
+       array_join(array_agg(distinct a order by a desc), ',', 'N') FROM dt
 UNION ALL
-select 'desc_nl', array_agg(distinct a order by a desc nulls last)
+select 'desc_nl',
+       array_join(array_agg(distinct a order by a desc nulls last),
+                  ',', 'N')
 FROM dt
 """,
     "src/test/regress/sql/aggregates.sql:648-654 — DISTINCT ordered "
@@ -5796,15 +5887,25 @@ FROM dt
     "NULLS placement. Frontend dedups at the sorted-struct level "
     "(collect_set would DROP the NULL). PG's DESC default is NULLS "
     "FIRST and Spark's lowering matches; DuckDB defaults DESC to "
-    "nulls-last, so the oracle spells NULLS FIRST on that arm.",
+    "nulls-last, so the oracle spells NULLS FIRST on that arm. "
+    "NULL elements render through the 'N' sentinel (driver-hash "
+    "safety).",
     ("aggregate", "array"),
     oracle="""
 WITH dt(a) AS (VALUES (3), (1), (3), (NULL), (2), (NULL), (1))
-select 'asc' AS arm, array_agg(distinct a order by a) AS r FROM dt
+select 'asc' AS arm,
+       array_to_string(list_transform(array_agg(distinct a order by a),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') AS r FROM dt
 UNION ALL
-select 'desc', array_agg(distinct a order by a desc nulls first) FROM dt
+select 'desc',
+       array_to_string(list_transform(
+           array_agg(distinct a order by a desc nulls first),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',') FROM dt
 UNION ALL
-select 'desc_nl', array_agg(distinct a order by a desc nulls last)
+select 'desc_nl',
+       array_to_string(list_transform(
+           array_agg(distinct a order by a desc nulls last),
+           x -> coalesce(CAST(x AS VARCHAR), 'N')), ',')
 FROM dt
 """,
 )
@@ -5970,16 +6071,16 @@ SELECT unnest(regexp_split_to_array(
 register_regress(
     "regress_qpregexp_split_array",
     r"""
-SELECT regexp_split_to_array(
-    'the quick brown fox jumped over the lazy dog', E'\\s+') AS r
+SELECT array_to_string(regexp_split_to_array(
+    'the quick brown fox jumped over the lazy dog', E'\\s+'), '|') AS r
 """,
     "qp_regexp.sql:81 — regexp_split_to_array; the E'\\\\s+' escape "
     "string is unescaped at translate time and re-escaped for Spark's "
-    "string parser.",
+    "string parser. String-joined for driver-hash safety.",
     ("regex", "array"),
     oracle=r"""
-SELECT regexp_split_to_array(
-    'the quick brown fox jumped over the lazy dog', '\s+') AS r
+SELECT array_to_string(regexp_split_to_array(
+    'the quick brown fox jumped over the lazy dog', '\s+'), '|') AS r
 """,
 )
 
@@ -6231,12 +6332,15 @@ WITH t(id, j) AS (VALUES
 )
 SELECT id,
        json_array_length(j -> 'k2') AS len_k2,
-       json_object_keys(j) AS keys
+       array_join(array_sort(json_object_keys(j)), ',') AS keys
 FROM t ORDER BY id
 """,
     "json.sql — json_array_length + json_object_keys (Spark builtins "
     "share PG's names; PG's keys SRF becomes an array column, the "
-    "set-returning spelling is covered by json_each_object_keys).",
+    "set-returning spelling is covered by json_each_object_keys). "
+    "Keys sorted + string-joined: document order is engine-specific "
+    "and the driver hash cannot take raw arrays (CORRECTNESS_r05 "
+    "red).",
     ("json",),
     oracle="""
 WITH t(id, j) AS (VALUES
@@ -6245,7 +6349,7 @@ WITH t(id, j) AS (VALUES
 )
 SELECT id,
        json_array_length(j, '$.k2') AS len_k2,
-       json_keys(j) AS keys
+       array_to_string(list_sort(json_keys(j)), ',') AS keys
 FROM t ORDER BY id
 """,
 )
