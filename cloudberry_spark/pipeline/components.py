@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
-from cloudberry_spark.pipeline.dedup import lsh_candidate_pairs, lsh_oracle_ctes
+from cloudberry_spark.pipeline.dedup import (
+    lsh_candidate_pairs,
+    lsh_oracle_ctes,
+    lsh_pairs_sql,
+)
 from cloudberry_spark.registry import register
 
 
@@ -111,10 +115,7 @@ def _components_oracle() -> str:
     # the oracle for the iterative Spark loop.
     ctes = lsh_oracle_ctes().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     return f"""{ctes},
-    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.doc_id < b.doc_id),
+    pairs AS ({lsh_pairs_sql()}),
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL
               SELECT id_b, id_a FROM pairs),

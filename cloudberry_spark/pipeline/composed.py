@@ -30,6 +30,7 @@ from cloudberry_spark.pipeline.dedup import (
     N_BANDS,
     N_HASHES,
     lsh_candidate_pairs,
+    lsh_pairs_sql,
     words_col,
 )
 from cloudberry_spark.pipeline.hashing import duckdb_perm, duckdb_shingle_hashes
@@ -101,10 +102,7 @@ def _oracle() -> str:
     sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
     bands AS ({band_rows}),
     drops AS (
-      SELECT DISTINCT b.doc_id
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
+      SELECT DISTINCT id_b AS doc_id FROM ({lsh_pairs_sql()})
     ),
     final AS (
       SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)

@@ -315,14 +315,11 @@ def text_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonical_oracle() -> str:
-    from cloudberry_spark.pipeline.dedup import lsh_oracle_ctes
+    from cloudberry_spark.pipeline.dedup import lsh_oracle_ctes, lsh_pairs_sql
 
     ctes = lsh_oracle_ctes().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
     return f"""{ctes},
-    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.doc_id < b.doc_id),
+    pairs AS ({lsh_pairs_sql()}),
     edges AS (SELECT id_a AS u, id_b AS v FROM pairs
               UNION ALL
               SELECT id_b, id_a FROM pairs),

@@ -45,6 +45,15 @@ N_HASHES = 8  # k minhash permutations
 N_BANDS = 4  # LSH bands of r = k/bands rows each
 SHINGLE_WORDS = 3
 
+#: Hot-bucket cap for LSH candidate generation. A band bucket with <=
+#: this many members emits all pairs (full verify fidelity); a larger
+#: bucket emits only STAR links (bucket-min-id -> member), which is
+#: O(c) instead of O(c^2/2) and preserves exactly (a) the connected
+#: components and (b) the "has a smaller sibling" drop set. Web-corpus
+#: boilerplate clusters (c ~ 10^6 at 100 TB) would otherwise emit
+#: ~5*10^11 pairs per band and kill the job.
+LSH_MAX_BUCKET = 32
+
 
 # ---------------------------------------------------------------------------
 # Shared building blocks (Spark side)
@@ -149,21 +158,42 @@ def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) from band buckets."""
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) from band buckets.
+
+    Scale guard: buckets larger than ``max_bucket`` emit STAR links
+    (bucket min-id -> each other member, O(c)) instead of all pairs
+    (O(c^2/2)). Connectivity (hence connected-components dedup) and the
+    "appears as id_b" drop set are both invariant under this rewrite:
+    within a bucket, every member still reaches the min-id, and every
+    non-min member still appears exactly once on the id_b side. Only
+    pair-level outputs for hot buckets thin out — by construction those
+    are near-certain duplicates anyway (an entire bucket shares a band
+    hash). The bucket stats ride a window over the SAME key the
+    self-join shuffles on, so no extra exchange pattern is introduced.
+    """
     bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
-    left = bands.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    w = Window.partitionBy("band_idx", "band_hash")
+    stats = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+        "__bmin", F.min(id_col).over(w)
     )
-    right = bands.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
-    )
-    return (
+    small = stats.where(F.col("__bn") <= max_bucket)
+    left = small.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = small.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    all_pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    star = stats.where(
+        (F.col("__bn") > max_bucket) & (F.col(id_col) > F.col("__bmin"))
+    ).select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    return all_pairs.unionByName(star).distinct()
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -282,12 +312,39 @@ def lsh_oracle_ctes() -> str:
     bands AS ({band_rows})"""
 
 
+def lsh_pairs_sql(
+    bands: str = "bands",
+    id_col: str = "doc_id",
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> str:
+    """DuckDB SELECT producing the SAME capped candidate pairs as
+    lsh_candidate_pairs: all-pairs for buckets of <= max_bucket members,
+    star links (bucket min-id -> member) for hot buckets."""
+    bkt = (
+        f"(SELECT band_idx, band_hash, count(*) AS bn, "
+        f"min({id_col}) AS bmin FROM {bands} GROUP BY 1, 2)"
+    )
+    return f"""
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM {bands} a
+      JOIN {bands} b ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.{id_col} < b.{id_col}
+      JOIN {bkt} k
+        ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+      WHERE k.bn <= {max_bucket}
+      UNION
+      SELECT k.bmin AS id_a, a.{id_col} AS id_b
+      FROM {bands} a
+      JOIN {bkt} k
+        ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
+      WHERE k.bn > {max_bucket} AND a.{id_col} > k.bmin
+    """
+
+
 def _lsh_pairs_oracle() -> str:
     return f"""{lsh_oracle_ctes()}
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id
+    SELECT id_a, id_b FROM ({lsh_pairs_sql()})
     ORDER BY id_a, id_b
     """
 
@@ -581,12 +638,7 @@ def _minhash_estimate_oracle() -> str:
         for i in range(N_HASHES)
     )
     return f"""{lsh_oracle_ctes()},
-    cand AS (
-      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-       AND x.doc_id < y.doc_id
-    ),
+    cand AS ({lsh_pairs_sql()}),
     est AS (
       SELECT c.id_a, c.id_b,
              CAST({est} AS DOUBLE) / {N_HASHES} AS jaccard_est
@@ -808,12 +860,7 @@ def dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_edit_distance_verify",
     oracle=f"""{lsh_oracle_ctes()}
-    , cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-    )
+    , cand AS ({lsh_pairs_sql()})
     SELECT c.id_a, c.id_b,
            levenshtein(substr(da.text, 1, 160), substr(db.text, 1, 160))
                AS lev,

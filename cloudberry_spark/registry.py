@@ -208,6 +208,30 @@ _DRIVER_SAMPLED = frozenset(
     stream_stateful_sessionize text_vocab_coverage udf_sql_function
     win_exclude_group win_exclude_ties win_linear_interpolate
     win_variable_offset_lag xml_xpath_table
+    ddl_information_schema_columns ddl_information_schema_stats
+    ddl_information_schema_tables dml_partition_confined_update
+    dml_snapshot_merge_upsert dml_update_from_delete_using
+    dml_upsert_conditional json_jsonpath_filter_arith
+    json_jsonpath_methods pgsql_compat_similar_to regress_agg_array_order
+    regress_array_literal_casts regress_bfvcte_nested_window_subq
+    regress_bfvsubq_unnest_in regress_casegp_notdistinct_mixed
+    regress_csq_crosslevel_exists_in regress_csq_crosslevel_exists_in_agg
+    regress_decode_expr_shapes regress_decode_int_battery
+    regress_decode_null_semantics regress_float8_special_values
+    regress_gpagg_srf_with_agg regress_gs_cube_array_agg
+    regress_having_degenerate regress_jira_case_never_window
+    regress_join_natural_cross_rename regress_json_length_keys
+    regress_jsonb_op_chains regress_lasj_eq_all_battery
+    regress_lasj_rowctor_notin_nulls regress_olapwin_lead_offsets
+    regress_qpregexp_basics regress_qpregexp_split_array
+    regress_qpregexp_split_table regress_qpunion_null_multiplicity
+    regress_qpunion_series_prune regress_rcte_in_subquery
+    regress_regex_backref_battery regress_regex_lookaround_battery
+    regress_regex_nfa_stress regress_regex_substring_pmatch
+    regress_with_cte_shadowing stream_stream_full_outer
+    text_inverted_index_search text_ts_headline text_tsvector_stemmed
+    udf_plpgsql_branching udf_plpgsql_forloop udf_plpgsql_scalar
+    udf_plpgsql_while
     """.split()
 )
 

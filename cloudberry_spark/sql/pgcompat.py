@@ -186,9 +186,20 @@ def _rewrite_masked(seg: str) -> str:
     # the regex form Spark backslash escaping; _rewrite_restored
     # renames it back to split.
     _rsargs = r"([^()]*(?:\([^()]*\)[^()]*)*)"
+    # the alias word must not be a trailing clause keyword: in
+    # `SELECT regexp_split_to_table('a b',' ') FROM t1` the next word
+    # is FROM, not an alias (ADVICE r6: the capture swallowed it and
+    # emitted `... AS FROM) AS FROM t1`). Keyword-next forms fall
+    # through to the bare-generator rule below.
+    _noalias = (
+        r"(?!(?:FROM|WHERE|GROUP|ORDER|HAVING|UNION|INTERSECT|EXCEPT|"
+        r"LIMIT|OFFSET|FETCH|ON|USING|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|"
+        r"NATURAL|AND|OR|WHEN|THEN|ELSE|END|ASC|DESC|WINDOW|QUALIFY|"
+        r"AS)\b)"
+    )
     seg = re.sub(
         rf"\bregexp_split_to_table\s*\({_rsargs}\)\s*"
-        r"(?:AS\s+)?(\w+)\b(?!\s*\()",
+        rf"(?:AS\s+)?{_noalias}(\w+)\b(?!\s*\()",
         r"(SELECT explode(rx_split__(\1)) AS \2) AS \2",
         seg,
         flags=re.I,
@@ -337,6 +348,18 @@ def _rewrite_masked(seg: str) -> str:
         seg,
         flags=re.I,
     )
+    # _arg matches parens only to depth 2: an argument nesting deeper
+    # escapes the rewrite, and Spark (no ordered aggregates) would later
+    # fail analysis with an unrelated message. Fail at translate time
+    # with the real reason instead (ADVICE r6). _call_sites walks
+    # balanced parens, so depth-3+ survivors are found reliably.
+    for s_, o, c in _call_sites(seg, "array_agg"):
+        if re.search(r"\bORDER\s+BY\b", seg[o + 1 : c], flags=re.I):
+            raise NotImplementedError(
+                "array_agg(... ORDER BY ...) argument nests parentheses "
+                "deeper than the rewrite handles; flatten the expression "
+                "or pre-compute it in a subquery"
+            )
 
     # string_agg(e, d ORDER BY o) -> listagg(e, d) WITHIN GROUP (ORDER BY o)
     def _string_agg(m: re.Match) -> str:
@@ -385,7 +408,7 @@ def _rewrite_masked(seg: str) -> str:
     # follows so `= ANY(array_expr)` (different PG feature) is
     # untouched.
     seg = re.sub(
-        r"=\s*ANY\s*\(\s*SELECT\b", " IN (SELECT", seg, flags=re.I
+        r"(?<![<>!])=\s*ANY\s*\(\s*SELECT\b", " IN (SELECT", seg, flags=re.I
     )
     seg = re.sub(
         r"(?:<>|!=)\s*ALL\s*\(\s*SELECT\b",
@@ -393,6 +416,7 @@ def _rewrite_masked(seg: str) -> str:
         seg,
         flags=re.I,
     )
+    seg = _rewrite_quantified_ordering(seg)
 
     seg = _strip_empty_grouping(seg)
 
@@ -936,6 +960,36 @@ _REGEXP_FN_RE = re.compile(
 _STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
 
+def _pg_repl_to_java(v: str) -> str:
+    """PG regexp_replace replacement text -> Java replacement text
+    (value level). PG (adt/regexp.c): \\N backref, \\& whole match,
+    \\\\ literal backslash; `$` and `&` are plain characters. Java:
+    $N / $0, `\\$` for a literal dollar. Backslash runs are walked
+    left-to-right so a digit after an ESCAPED backslash ('\\\\1') stays
+    the literal character 1 (ADVICE r6)."""
+    out, i = [], 0
+    while i < len(v):
+        ch = v[i]
+        if ch == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            elif nxt == "&":
+                out.append("$0")
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                out.append("\\" + nxt)
+            i += 2
+        elif ch == "$":
+            out.append("\\$")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _fix_regex_literals(sql: str) -> str:
     """Spark string literals eat single backslashes (the session runs
     with escapedStringLiterals=false), so a PG pattern literal like
@@ -963,7 +1017,7 @@ def _fix_regex_literals(sql: str) -> str:
         if fn == "regexp_replace" and len(args) >= 3:
             a = args[2].strip()
             if _STR_LIT_RE.fullmatch(a):
-                a = re.sub(r"\\(\d)", r"$\1", a)  # \N backref -> $N
+                a = "'" + _pg_repl_to_java(a[1:-1]) + "'"
                 args[2] = " " + a.replace("\\", "\\\\")
         res.append(sql[i : o + 1] + ",".join(a for a in args) + ")")
         i = c + 1
@@ -1001,8 +1055,18 @@ def _rewrite_restored(sql: str) -> str:
     # replace of an anchored pattern fires once anyway); non-literal
     # patterns stay global, documented in MIGRATION.md.
     def _shift_refs(text: str) -> str:
+        # only a backref's digit shifts: a digit after an EVEN run of
+        # backslashes follows an escaped literal backslash ('(a)\\1' is
+        # backslash-then-literal-1, not group 1) and must not change
         return re.sub(
-            r"\\(\d)", lambda g: "\\" + str(int(g.group(1)) + 1), text
+            r"(\\+)(\d)",
+            lambda g: g.group(1)
+            + (
+                str(int(g.group(2)) + 1)
+                if len(g.group(1)) % 2 == 1
+                else g.group(2)
+            ),
+            text,
         )
 
     for _ in range(100):  # each hit renames to rr_first__; bounded
@@ -1133,11 +1197,21 @@ def _rewrite_restored(sql: str) -> str:
     # [n] steps. Spark's get_json_object unquotes scalar strings, so
     # `->` (json-typed) on a string leaf diverges — documented; the
     # corpus chains end in ->> or yield objects/arrays.
+    def _json_step(key: str) -> str:
+        # a key that isn't a plain identifier (dots, spaces, digits-
+        # first, ...) must be bracket-quoted: PG's ->'a.b' looks up the
+        # single key "a.b", while an unquoted $.a.b path would drill
+        # two levels (ADVICE r6 — silently wrong data). The inner
+        # quotes are doubled to survive the enclosing SQL literal.
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            return f".{key}"
+        return "[''" + key.replace("'", "''''") + "'']"
+
     def _json_chain(m: re.Match) -> str:
         base, steps = m.group(1), m.group(2)
         path = "$"
         for key, idx in re.findall(r"->>?\s*(?:'([^']*)'|(\d+))", steps):
-            path += f"[{idx}]" if idx else f".{key}"
+            path += f"[{idx}]" if idx else _json_step(key)
         return f"get_json_object({base}, '{path}')"
 
     sql = re.sub(
@@ -1149,7 +1223,8 @@ def _rewrite_restored(sql: str) -> str:
     # pre-chain rewrite; the chain composer handles identifier bases)
     sql = re.sub(
         r"(\))\s*->>?\s*'([^']+)'",
-        r"get_json_object(\1, '$.\2')",
+        lambda m: f"get_json_object({m.group(1)}, "
+                  f"'${_json_step(m.group(2))}')",
         sql,
     )
     sql = re.sub(
@@ -1164,7 +1239,7 @@ def _rewrite_restored(sql: str) -> str:
         path = "$"
         for el in lit[1:-1].strip("{}").split(","):
             el = el.strip().strip('"')
-            path += f"[{el}]" if el.isdigit() else f".{el}"
+            path += f"[{el}]" if el.isdigit() else _json_step(el)
         return f"get_json_object({base}, '{path}')"
 
     sql = re.sub(
@@ -1239,6 +1314,81 @@ _CLAUSE_KW_RE = re.compile(
     r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
     re.I,
 )
+
+
+_QUANT_OP_RE = re.compile(r"(<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.I)
+
+
+def _rewrite_quantified_ordering(seg: str) -> str:
+    """``x <op> ALL/ANY/SOME (SELECT ...)`` -> summary-aggregate CASE.
+
+    PG plans quantified ordering comparisons as a sublink
+    (optimizer/plan/subselect.c:1521); Spark's parser has no op-ALL/ANY
+    at all. The (count, count-non-null, min/max) summary reproduces the
+    three-valued semantics exactly:
+
+      x < ALL (sub):  empty -> TRUE; any FALSE witness (x >= min e)
+                      -> FALSE (FALSE beats NULL); else NULL if x IS
+                      NULL or sub has NULL elements; else TRUE.
+      x < ANY (sub):  empty -> FALSE; any TRUE witness (x < max e)
+                      -> TRUE (TRUE beats NULL); else NULL if x IS
+                      NULL or sub has NULL elements; else FALSE.
+
+    The subquery is wrapped, not parsed: ``(SELECT agg(__qe) FROM
+    (sub) __qsub(__qe))`` — correlation inside sub survives as a
+    correlated scalar aggregate, which Catalyst decorrelates into the
+    summary JOIN the PG rewrite builds by hand.
+    """
+    for _ in range(20):  # each pass removes one quantifier; bounded
+        m = None
+        for cand in _QUANT_OP_RE.finditer(seg):
+            if re.match(r"\s*SELECT\b", seg[cand.end() :], re.I):
+                m = cand
+                break
+        if m is None:
+            return seg
+        op, quant = m.group(1), m.group(2).upper()
+        o = m.end() - 1
+        c = _match_paren(seg, o)
+        if c < 0:
+            return seg
+        lm = re.search(rf"{_LEFT_OPERAND}\s*$", seg[: m.start()], re.I)
+        if lm is None:
+            raise NotImplementedError(
+                f"cannot locate the left operand of `{op} {quant} "
+                f"(SELECT ...)`; parenthesize it"
+            )
+        x, start = lm.group(1), lm.start(1)
+        sub = seg[o + 1 : c]
+        is_all = quant == "ALL"
+        if is_all:  # witness comparison DISPROVES: x >= min beats NULL
+            agg, wop = {
+                "<": ("min", ">="),
+                "<=": ("min", ">"),
+                ">": ("max", "<="),
+                ">=": ("max", "<"),
+            }[op]
+            empty, wit_res, dflt = "true", "false", "true"
+        else:  # witness comparison PROVES
+            agg, wop = {
+                "<": ("max", "<"),
+                "<=": ("max", "<="),
+                ">": ("min", ">"),
+                ">=": ("min", ">="),
+            }[op]
+            empty, wit_res, dflt = "false", "true", "false"
+        cnt = f"(SELECT count(*) FROM ({sub}) __qsub(__qe))"
+        cntn = f"(SELECT count(__qe) FROM ({sub}) __qsub(__qe))"
+        ag = f"(SELECT {agg}(__qe) FROM ({sub}) __qsub(__qe))"
+        repl = (
+            f"CASE WHEN {cnt} = 0 THEN {empty}"
+            f" WHEN ({x}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" WHEN ({x}) {wop} {ag} THEN {wit_res}"
+            f" WHEN {cnt} > {cntn} THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE {dflt} END"
+        )
+        seg = seg[:start] + repl + seg[c + 1 :]
+    return seg
 
 
 def _match_paren(s: str, i: int) -> int:
@@ -1580,14 +1730,38 @@ def translate_pg_sql(sql: str) -> str:
         lit = lits[idx]
         inner, out, i = lit[1:-1], [], 0
         _ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+        _HEX = "0123456789abcdefABCDEF"
         while i < len(inner):
             c = inner[i]
             if c == "\\" and i + 1 < len(inner):
                 nxt = inner[i + 1]
-                # \n,\t,... -> control char; anything else (incl. \\)
-                # -> the character itself (PG: "taken literally")
-                out.append(_ESC.get(nxt, nxt))
-                i += 2
+                # scan.l xe rules: \xHH (1-2 hex), \ooo (1-3 octal),
+                # \uXXXX / \UXXXXXXXX codepoints, \n-style controls;
+                # anything else (incl. \\) is the char itself
+                if nxt in "xX" and i + 2 < len(inner) and inner[i + 2] in _HEX:
+                    j = i + 2
+                    while j < len(inner) and j < i + 4 and inner[j] in _HEX:
+                        j += 1
+                    out.append(chr(int(inner[i + 2 : j], 16)))
+                    i = j
+                elif nxt in "01234567":
+                    j = i + 1
+                    while j < len(inner) and j < i + 4 and inner[j] in "01234567":
+                        j += 1
+                    out.append(chr(int(inner[i + 1 : j], 8)))
+                    i = j
+                elif nxt in "uU":
+                    width = 4 if nxt == "u" else 8
+                    hexs = inner[i + 2 : i + 2 + width]
+                    if len(hexs) == width and all(h in _HEX for h in hexs):
+                        out.append(chr(int(hexs, 16)))
+                        i += 2 + width
+                    else:  # malformed: PG errors; we keep it literal
+                        out.append(nxt)
+                        i += 2
+                else:
+                    out.append(_ESC.get(nxt, nxt))
+                    i += 2
             else:
                 out.append(c)
                 i += 1

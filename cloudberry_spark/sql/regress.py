@@ -3933,7 +3933,7 @@ SELECT array_to_string(ARRAY[CAST(1 AS BIGINT), 2, 3], ',') AS a1,
        array_to_string(ARRAY['a', 'b', 'c'], ',') AS a2,
        array_to_string(CAST(ARRAY[1, 2, 3] AS VARCHAR[]), ',') AS a3,
        array_to_string(CAST(ARRAY['1', '2'] AS BIGINT[]), ',') AS a4,
-       array_to_string(CAST([] AS BIGINT[]), ',') AS a_empty
+       coalesce(array_to_string(CAST([] AS BIGINT[]), ','), '') AS a_empty
 """,
 )
 
@@ -4215,7 +4215,7 @@ GROUP BY x.b ORDER BY x.b
 register_regress(
     "regress_implicit_ambiguous_groupexpr",
     """
-SELECT floor(x.b/2) AS bh, count(x.b) AS n
+SELECT CAST(floor(x.b/2) AS BIGINT) AS bh, count(x.b) AS n
 FROM test_missing_target x, test_missing_target y
 WHERE x.a = y.a
 GROUP BY floor(x.b/2) ORDER BY floor(x.b/2)
@@ -4529,23 +4529,52 @@ register_regress(
 WITH sq_t3(a, b) AS (VALUES (1, 4), (0, 3)),
 sq_s3(i, j) AS (SELECT x, x FROM generate_series(1, 1) t(x) WHERE x < 0)
 SELECT a, b FROM sq_t3
-WHERE NOT EXISTS (SELECT 1 FROM sq_s3
-                  WHERE sq_s3.i <= sq_t3.a OR sq_s3.i IS NULL)
-ORDER BY a
-""",
-    "bfv_subquery.sql:75-81 — `a < ALL (SELECT i FROM empty)` is "
-    "vacuously true for every row. Spark's parser has no quantified "
-    "`< ALL (subquery)`, so the Spark side runs the NOT EXISTS "
-    "equivalent (anti-join on the negated comparison, NULL elements "
-    "rejecting); the oracle keeps PG's `< ALL` text.",
-    ("subquery",),
-    oracle="""
-WITH sq_t3(a, b) AS (VALUES (1, 4), (0, 3)),
-sq_s3(i, j) AS (SELECT x, x FROM generate_series(1, 1) t(x) WHERE x < 0)
-SELECT a, b FROM sq_t3
 WHERE a < ALL (SELECT i FROM sq_s3)
 ORDER BY a
 """,
+    "bfv_subquery.sql:75-81 — `a < ALL (SELECT i FROM empty)` is "
+    "vacuously true for every row. NATIVE quantified spelling through "
+    "the frontend's summary-aggregate rewrite "
+    "(_rewrite_quantified_ordering, subselect.c:1521 parity).",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_quant_lt_all_nulls_battery",
+    """
+SELECT x,
+       x <= ALL (SELECT y FROM (VALUES (2), (NULL)) w(y)) AS le_all_null,
+       x >  ALL (SELECT y FROM (VALUES (2), (4)) w(y))    AS gt_all,
+       x <  ANY (SELECT y FROM (VALUES (2), (NULL)) w(y)) AS lt_any_null,
+       x >= ANY (SELECT y FROM (VALUES (5), (7)) w(y))    AS ge_any,
+       x >  SOME (SELECT y FROM (VALUES (9)) w(y) WHERE y < 0)
+           AS gt_some_empty
+FROM (VALUES (1), (3), (5), (NULL)) v(x)
+ORDER BY x NULLS LAST
+""",
+    "optimizer/plan/subselect.c:1521 quantified ordering comparisons — "
+    "full three-valued battery: FALSE beats NULL under ALL, TRUE beats "
+    "NULL under ANY, empty subquery is vacuous TRUE (ALL) / FALSE "
+    "(ANY/SOME), NULL left operand propagates. Summary-aggregate "
+    "(count, count non-null, min/max) rewrite on the Spark side.",
+    ("subquery",),
+)
+
+register_regress(
+    "regress_quant_correlated_any",
+    """
+WITH csq_t1(a, b) AS (VALUES (1, 10), (2, 20), (3, 30)),
+csq_t2(x, y) AS (VALUES (1, 15), (1, 5), (2, 25), (3, NULL))
+SELECT a, b FROM csq_t1
+WHERE b > ANY (SELECT y FROM csq_t2 WHERE csq_t2.x = csq_t1.a)
+ORDER BY a
+""",
+    "qp_correlated_query.sql — correlated quantified comparison: the "
+    "summary aggregate stays correlated on csq_t1.a and Catalyst "
+    "decorrelates it into the grouped summary join PG's planner "
+    "builds by hand. Row a=3 compares only against NULL -> NULL -> "
+    "filtered.",
+    ("subquery",),
 )
 
 register_regress(
@@ -4681,7 +4710,8 @@ WITH tt(a, b, d) AS
   SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
   WHERE bjfoo.a = bjbar.d
 )
-SELECT cup.c, cup.d, cup.e, SUM(tt.d) OVER(PARTITION BY tt.b) AS s FROM
+SELECT cup.c, cup.d, cup.e,
+       CAST(SUM(tt.d) OVER(PARTITION BY tt.b) AS BIGINT) AS s FROM
   (
     SELECT bjbar.c, bjbar.d,
            AVG(tt.b) OVER(PARTITION BY tt.a ORDER BY tt.b desc) AS e
@@ -4707,7 +4737,7 @@ WITH tt(a, b, d) AS
   SELECT bjfoo.a, bjfoo.b, bjbar.d FROM bjfoo, bjbar
   WHERE bjfoo.a = bjbar.d
 )
-SELECT cup.c, cup.d, cup.e, SUM(tt.d) AS s FROM
+SELECT cup.c, cup.d, cup.e, CAST(SUM(tt.d) AS BIGINT) AS s FROM
   (
     SELECT bjbar.c, bjbar.d, count(*) OVER() AS e FROM tt, bjbar
     WHERE tt.a = bjbar.c

@@ -531,3 +531,75 @@ def test_row_comparison_expansion():
     # row_number is never touched by the ROW rewrite
     out = tr("SELECT row_number() OVER (ORDER BY a) FROM t")
     assert "row_number()" in out
+
+
+def test_regexp_split_to_table_selectlist_no_alias_capture():
+    # ADVICE r6 (pgcompat.py:190): the SRF-alias capture must not
+    # swallow a following clause keyword — `... FROM t1` is not an
+    # alias. Former output: `... AS FROM) AS FROM t1` (malformed).
+    out = t("SELECT regexp_split_to_table('a b', ' ') FROM t1")
+    assert "AS FROM" not in out.upper()
+    assert "explode(split('a b', ' '))" in out
+    # explicit-alias and FROM-position forms still alias correctly
+    out = t("SELECT regexp_split_to_table('a b', ' ') AS w FROM t1")
+    assert "AS w" in out
+    out = t("SELECT w FROM regexp_split_to_table('a b', ' ') w")
+    assert "(SELECT explode(split('a b', ' ')) AS w) AS w" in out
+    # bare call followed by WHERE (keyword) also falls to generator
+    out = t("SELECT regexp_split_to_table(s, ',') FROM t1 WHERE x > 0")
+    assert "AS WHERE" not in out.upper()
+
+
+def test_estring_hex_octal_unicode_escapes():
+    # ADVICE r6 (E-string scan.l xe rules): \xHH / \ooo / \uXXXX /
+    # \UXXXXXXXX must produce the CHARACTER, not drop the backslash.
+    assert t(r"SELECT E'\x41'") == "SELECT 'A'"
+    assert t(r"SELECT E'\101'") == "SELECT 'A'"
+    assert t(r"SELECT E'A'") == "SELECT 'A'"
+    assert t(r"SELECT E'\U00000041'") == "SELECT 'A'"
+    # 1-digit hex, 2-digit octal, bounded lengths
+    assert t(r"SELECT E'\x9Z'") == "SELECT '\tZ'"
+    assert t(r"SELECT E'\509'") == "SELECT '(9'"
+    # controls + literal fallback still work
+    assert t(r"SELECT E'a\nb\\c\q'") == "SELECT 'a\nb\\c" + "q'"
+
+
+def test_json_dotted_key_bracket_quoted():
+    # ADVICE r6 (pgcompat.py:1133): ->> 'a.b' is ONE key lookup; the
+    # path must bracket-quote it, not drill $.a.b two levels.
+    out = t("SELECT j ->> 'a.b' FROM t")
+    assert "$[''a.b'']" in out
+    # plain identifier keys keep dot-notation, chains compose
+    out = t("SELECT j -> 'a' ->> 'b' FROM t")
+    assert "'$.a.b'" in out
+    out = t("SELECT j -> 'a' ->> 'x y' FROM t")
+    assert "$.a[''x y'']" in out
+    # #> path arrays with dotted elements bracket-quote too
+    out = t("SELECT j #>> '{a,b.c,1}' FROM t")
+    assert "$.a[''b.c''][1]" in out
+
+
+def test_first_only_regexp_replace_literal_backslash_refs():
+    # ADVICE r6 (pgcompat.py:1000): \\1 at value level is an escaped
+    # literal backslash + digit 1, NOT backref \1 — it must not shift.
+    out = t(r"SELECT regexp_replace(s, '(a)\\x', 'y') FROM t")
+    # \\x (escaped backslash + x) must NOT become \\y-shifted or lose
+    # the pair; SQL-literal layer doubles it to 4 backslashes
+    assert "(a)" + "\\" * 4 + "x" in out
+    # a REAL backref \1 (odd backslash run) still shifts (prefix group)
+    out = t(r"SELECT regexp_replace(s, '(a)\1', 'z') FROM t")
+    assert "(a)" + "\\" * 2 + "2" in out
+    # replacement side: \1 backref -> Java $2 (shifted); \\1 stays a
+    # literal backslash + '1' (NOT group 1 — the former bug emitted $1)
+    out = t(r"SELECT regexp_replace(s, '(a)', '\1\\1') FROM t")
+    assert "$1$2" + "\\" * 4 + "1'" in out
+
+
+def test_array_agg_order_by_deep_nesting_is_loud():
+    # ADVICE r6 (pgcompat.py:332): a depth-3 argument escapes the
+    # ordered-aggregate rewrite; that must be a translate-time error,
+    # not a downstream Spark analysis failure.
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="array_agg"):
+        t("SELECT array_agg(f(g(h(x))) ORDER BY y) FROM t GROUP BY k")

@@ -219,3 +219,42 @@ def test_connected_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_p
     finally:
         # SparkContext.setCheckpointDir(null) clears it (Option(null)=None)
         sc._jsc.setCheckpointDir(None)
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A c-copy boilerplate cluster must emit O(c) star links, not
+    O(c^2/2) all-pairs (r5/r6 verdict: the 100 TB job-killer). 1000
+    identical docs share every band bucket; with the cap the candidate
+    count is exactly c-1 = 999 (min-id star), not 499500."""
+    from cloudberry_spark.pipeline.dedup import lsh_candidate_pairs
+
+    c = 1000
+    text = "the same boilerplate sentence repeated across the corpus ok"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(c)]
+        + [(c + i, f"unique document number {i} with its own words {i}")
+           for i in range(5)],
+        "doc_id: long, text: string",
+    )
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text")
+    n = pairs.count()
+    assert n < 2 * c, f"hot bucket emitted {n} pairs (O(c^2) blowup)"
+    # connectivity is preserved: every clone still reaches doc 0
+    ids = {r.id_b for r in pairs.where("id_a = 0").collect()}
+    assert ids == set(range(1, c))
+
+
+def test_lsh_small_buckets_keep_all_pairs(spark):
+    """Below the cap the full verify-fidelity pair set survives."""
+    from cloudberry_spark.pipeline.dedup import lsh_candidate_pairs
+
+    text = "another boilerplate sentence repeated a handful of times only"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == {(a, b) for a in range(4) for b in range(4) if a < b}

@@ -40,11 +40,39 @@ def complex_fields(schema: T.StructType) -> list[str]:
     ]
 
 
+DUCK_COMPLEX = ("[]", "STRUCT(", "MAP(", "UNION(")
+
+
+def oracle_complex_fields(con, sql: str) -> list[str]:
+    """Complex-typed columns in the DuckDB oracle's OWN result schema.
+
+    The driver canonicalizes BOTH frames, so a LIST/STRUCT/MAP produced
+    only by the oracle SQL would error the driver even when the Spark
+    side is scalar. DESCRIBE plans without executing.
+    """
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"{name}:{typ}"
+        for name, typ, *_ in rows
+        if any(m in typ for m in DUCK_COMPLEX)
+    ]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filters = [a for a in sys.argv[2:] if a != "-v"]
+    import duckdb
+
+    args = [a for a in sys.argv[1:] if a != "-v"]
+    verbose = "-v" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    filters = args[1:]
 
     spark = get_session("hash-safety-audit")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
     qs = all_queries()
     names = [
         n for n in sorted(qs) if not filters or any(f in n for f in filters)
@@ -62,12 +90,23 @@ def main() -> int:
             err += 1
             continue
         cf = complex_fields(df.schema)
+        if q.oracle != "same":
+            try:
+                cf += [
+                    f"oracle:{c}"
+                    for c in oracle_complex_fields(con, q.oracle)
+                ]
+            except Exception as ex:
+                print(f"ERR  {name}: oracle DESCRIBE failed: "
+                      f"{str(ex)[:200]}")
+                err += 1
+                continue
         if cf:
             print(f"FAIL {name}: complex top-level columns {cf}")
             bad += 1
         else:
             ok += 1
-            if "-v" in sys.argv:
+            if verbose:
                 print(f"ok   {name}")
     print(f"== hash-safety: {ok} ok, {bad} fail, {err} err, "
           f"{skipped} no-oracle ==")
