@@ -177,6 +177,31 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
             # non-constant bounds would need runtime iteration, which
             # has no single-expression form — rejected loudly below)
             p._skip_ws()
+            qm = re.match(
+                r"([A-Za-z_]\w*)\s+(?i:IN)\s+(?=(?i:SELECT)\b)",
+                p.text[p.pos :],
+            )
+            if qm:
+                # FOR r IN SELECT ... LOOP acc := acc + f(r.col); END
+                # LOOP; — the data-dependent loop (pl_exec.c
+                # exec_stmt_fors). Sequential += accumulation is a
+                # commutative reduce, so it compiles to a scalar
+                # aggregate subquery instead of row-at-a-time
+                # iteration (the join/aggregate form).
+                p.pos += qm.end()
+                query = p.until("LOOP")
+                if not p.take_kw("LOOP"):
+                    raise NotImplementedError(
+                        "plpgsql subset: missing LOOP"
+                    )
+                body = _parse_stmts(p, ("END LOOP",))
+                if not p.take_kw("END LOOP"):
+                    raise NotImplementedError(
+                        "plpgsql subset: missing END LOOP"
+                    )
+                p.expect(";")
+                stmts.append(("forq", qm.group(1).lower(), query, body))
+                continue
             fm = re.match(
                 r"([A-Za-z_]\w*)\s+(?i:IN)\s+(?:(?i:REVERSE)\s+)?"
                 r"(-?\d+)\s*\.\.\s*(-?\d+)",
@@ -185,7 +210,8 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
             if not fm:
                 raise NotImplementedError(
                     "plpgsql subset: FOR supports only constant integer "
-                    "ranges (FOR i IN 1..10 LOOP ...)"
+                    "ranges (FOR i IN 1..10 LOOP ...) or FOR r IN "
+                    "SELECT ... accumulation loops"
                 )
             p.pos += fm.end()
             if not p.take_kw("LOOP"):
@@ -282,6 +308,128 @@ def _subst(expr: str, env: dict[str, str]) -> str:
     return _IDENT_RE.sub(repl, expr).strip()
 
 
+def _apply_query_loop(
+    var: str, query: str, body: list, env: dict[str, str]
+) -> dict[str, str]:
+    """Environment effect of ``FOR var IN <query> LOOP body END LOOP``.
+
+    Each body statement must be ``acc := acc + expr`` (expr may use
+    var.field record references): sequential += accumulation is
+    order-insensitive, so it becomes
+
+        acc := acc + coalesce((SELECT sum(expr) FROM (query) var), 0)
+
+    — one scalar-aggregate subquery per accumulator, which Catalyst
+    plans as a plain aggregate (and decorrelates if query references
+    outer columns). Anything else inside the loop (cross-accumulator
+    reads, IF, RETURN) has no single-expression form and fails loudly.
+    """
+    # protect var.field record refs from variable substitution (a
+    # declared variable named like the FIELD must not substitute into
+    # the record reference)
+    recs: list[str] = []
+
+    def _mask_rec(m: re.Match) -> str:
+        recs.append(m.group(0))
+        return f"__rec{len(recs) - 1}__"
+
+    accs: list[str] = []
+    for s in body:
+        if s[0] != "assign":
+            raise NotImplementedError(
+                "plpgsql subset: FOR-IN-SELECT bodies support only "
+                "`acc := acc + expr` accumulations"
+            )
+        acc, rhs = s[1], s[2]
+        rm = re.match(
+            rf"\s*{re.escape(acc)}\s*\+\s*(.+)$", rhs, re.I | re.S
+        )
+        if rm is None:
+            raise NotImplementedError(
+                "plpgsql subset: FOR-IN-SELECT accumulations must have "
+                f"the shape `{acc} := {acc} + expr`"
+            )
+        if acc in accs:
+            raise NotImplementedError(
+                "plpgsql subset: one accumulation per accumulator "
+                "inside a FOR-IN-SELECT loop"
+            )
+        step = re.sub(rf"\b{re.escape(var)}\.\w+", _mask_rec, rm.group(1))
+        for other in (b[1] for b in body if b is not s):
+            if re.search(rf"\b{re.escape(other)}\b", step, re.I):
+                raise NotImplementedError(
+                    "plpgsql subset: FOR-IN-SELECT accumulators must "
+                    "be independent of each other"
+                )
+        step = _subst(step, env)
+        qtext = re.sub(rf"\b{re.escape(var)}\.\w+", _mask_rec, query)
+        qtext = _subst(qtext, env)
+        qtext = re.sub(
+            r"__rec(\d+)__", lambda g: recs[int(g.group(1))], qtext
+        )
+        # Spark rejects aggregates whose argument mixes outer (function
+        # argument) and local (record) references, so split the step
+        # into top-level signed terms: record terms ride sum(), free
+        # terms ride count(*) * term — sum(A + B) = sum(A) + count(*)*B
+        # for record-free B. Terms the splitter cannot see through stay
+        # in the sum and fail loudly if Spark cannot plan them.
+        rec_terms, free_terms = [], []
+        for sign, term in _split_terms(step):
+            (rec_terms if "__rec" in term else free_terms).append(
+                (sign, term)
+            )
+        parts = []
+        if rec_terms:
+            rec_expr = _join_terms(rec_terms)
+            rec_expr = re.sub(
+                r"__rec(\d+)__", lambda g: recs[int(g.group(1))], rec_expr
+            )
+            parts.append(
+                f"coalesce((SELECT sum({rec_expr}) "
+                f"FROM ({qtext}) {var}), 0)"
+            )
+        if free_terms:
+            parts.append(
+                f"({_join_terms(free_terms)}) * "
+                f"(SELECT count(*) FROM ({qtext}) {var})"
+            )
+        agg = " + ".join(parts) if parts else "0"
+        env = {**env, acc: f"({env.get(acc, acc)} + {agg})"}
+        accs.append(acc)
+    return env
+
+
+def _split_terms(expr: str) -> list[tuple[str, str]]:
+    """Split an expression into (sign, term) at depth-0 +/- operators.
+    A '-' that looks like a unary minus (start of expression or right
+    after another operator) binds to its term."""
+    terms: list[tuple[str, str]] = []
+    depth, start, sign = 0, 0, "+"
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "+-" and expr[start:i].strip():
+            terms.append((sign, expr[start:i].strip()))
+            sign, start = ch, i + 1
+        i += 1
+    terms.append((sign, expr[start:].strip()))
+    return terms
+
+
+def _join_terms(terms: list[tuple[str, str]]) -> str:
+    out = ""
+    for sign, term in terms:
+        if not out:
+            out = term if sign == "+" else f"-({term})"
+        else:
+            out += f" {sign} {term}"
+    return out
+
+
 def _run_straightline(stmts: list, env: dict[str, str]) -> dict[str, str]:
     """Execute a straight-line block (assignments and nested constant
     FOR loops) for its environment effect — the unrolled loop body."""
@@ -294,6 +442,8 @@ def _run_straightline(stmts: list, env: dict[str, str]) -> dict[str, str]:
                 env = {**env, var: str(iv)}
                 env = _run_straightline(body, env)
             env = {k: v for k, v in env.items() if k != var}
+        elif s[0] == "forq":
+            env = _apply_query_loop(s[1], s[2], s[3], env)
         else:
             raise NotImplementedError(
                 "plpgsql subset: FOR bodies support assignments and "
@@ -339,6 +489,8 @@ def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
             return _subst(s[1], env)
         elif s[0] == "for":
             env = _run_straightline([s], env)
+        elif s[0] == "forq":
+            env = _apply_query_loop(s[1], s[2], s[3], env)
         elif s[0] == "while":
             return _compile_while(s[1], s[2], stmts[i + 1 :], env, 0)
         else:  # if
@@ -358,6 +510,32 @@ def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
             )
             return f"{case} ELSE {else_expr} END"
     return None
+
+
+#: right-hand operand of a division: parenthesized group (2 deep), a
+#: function call / identifier chain, or a numeric literal
+_DIV_OPERAND_RE = re.compile(
+    r"/\s*(\((?:[^()]|\([^()]*\))*\)"
+    r"|[A-Za-z_$][\w.$]*\s*\((?:[^()]|\([^()]*\))*\)"
+    r"|[A-Za-z_$][\w.$]*|\d+(?:\.\d+)?)"
+)
+
+
+def _div_zero_guards(expr: str) -> list[str]:
+    """One `divisor = 0` guard per division site in the compiled
+    expression (string literals are still masked at this point, so a
+    '/' inside one is invisible). A '/' whose divisor the operand
+    grammar cannot parse fails loudly rather than guard silently."""
+    guards = [
+        f"({m.group(1)}) = 0" for m in _DIV_OPERAND_RE.finditer(expr)
+    ]
+    if len(guards) != expr.count("/"):
+        raise NotImplementedError(
+            "plpgsql subset: cannot analyze a division site for the "
+            "EXCEPTION division_by_zero guard; parenthesize the divisor"
+        )
+    # dedupe, order-preserving
+    return list(dict.fromkeys(guards))
 
 
 _CREATE_RE = re.compile(
@@ -449,12 +627,51 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
 
     body = re.sub(r"(?i:\bEND\s*;?\s*)$", "", body.strip())
 
+    # EXCEPTION WHEN division_by_zero/OTHERS THEN <stmts> (pl_exec.c
+    # exec_stmt_block): the only exception a pure scalar expression can
+    # raise here is division by zero, so the handler compiles to a
+    # guard on every division site's divisor — exactly PG's semantics
+    # for non-exceptional paths (a NULL divisor is NOT an exception and
+    # still flows through the main expression as NULL).
+    handler_src = None
+    for x in re.finditer(r"\bEXCEPTION\b", body, re.I):
+        if body.count("(", 0, x.start()) == body.count(")", 0, x.start()):
+            handler_src = body[x.end() :]
+            body = body[: x.start()]
+            break
+    handler_expr = None
+    if handler_src is not None:
+        hm = re.match(
+            r"\s*WHEN\s+(division_by_zero|OTHERS)\s+THEN\s+(.*)$",
+            handler_src,
+            re.I | re.S,
+        )
+        if not hm:
+            raise NotImplementedError(
+                "plpgsql subset: only EXCEPTION WHEN division_by_zero "
+                "/ OTHERS THEN ... is supported"
+            )
+        handler_expr = _compile_block(
+            _parse_stmts(_Parser(hm.group(2)), ()), dict(env)
+        )
+        if handler_expr is None:
+            raise NotImplementedError(
+                "plpgsql subset: the EXCEPTION handler must RETURN"
+            )
+
     stmts = _parse_stmts(_Parser(body), ())
     expr = _compile_block(stmts, env)
     if expr is None:
         raise NotImplementedError(
             "plpgsql subset: function body never RETURNs"
         )
+    if handler_expr is not None:
+        guards = _div_zero_guards(expr)
+        if guards:
+            expr = (
+                f"CASE WHEN {' OR '.join(guards)} THEN {handler_expr} "
+                f"ELSE {expr} END"
+            )
     expr = re.sub(r"__plit(\d+)__", lambda pm: lits[int(pm.group(1))], expr)
     return (
         name.lower(),

@@ -294,6 +294,94 @@ def udf_plpgsql_while(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_plpgsql_query_loop",
+    oracle="""
+        SELECT offs,
+               CAST((SELECT 0 + coalesce(sum(r_regionkey + offs), 0)
+                     FROM region) AS BIGINT) AS s
+        FROM (VALUES (0), (10), (100)) v(offs)
+        ORDER BY offs
+    """,
+    doc="PL/pgSQL data-dependent loop `FOR r IN SELECT ... LOOP acc := "
+    "acc + expr` (pl_exec.c exec_stmt_fors): sequential += accumulation "
+    "is a commutative reduce, so the compiler emits ONE scalar sum() "
+    "subquery instead of row-at-a-time iteration — the join/aggregate "
+    "form, still a single Catalyst-inlined expression per call.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_query_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    region = load_table(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region")
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION region_key_sum(offs int8)
+        RETURNS int8 AS $$
+        DECLARE total int8 := 0;
+        BEGIN
+          FOR r IN SELECT r_regionkey FROM region LOOP
+            total := total + r.r_regionkey + offs;
+          END LOOP;
+          RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    return spark.sql(
+        """
+        SELECT offs, CAST(region_key_sum(offs) AS BIGINT) AS s
+        FROM VALUES (0), (10), (100) AS v(offs)
+        ORDER BY offs
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_exception_divzero",
+    oracle="""
+        SELECT a, b,
+               CASE WHEN b = 0 THEN -1.0 ELSE a / b END AS ratio
+        FROM (VALUES (10.0, 4.0), (3.0, 0.0), (5.0, NULL), (NULL, 2.0))
+             v(a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST
+    """,
+    doc="PL/pgSQL EXCEPTION WHEN division_by_zero (pl_exec.c "
+    "exec_stmt_block): compiled to a guard on every division site's "
+    "divisor, so a zero divisor routes to the handler while a NULL "
+    "divisor (NOT an exception in PG) still yields NULL through the "
+    "main expression.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_exception_divzero(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION safe_ratio(a float8, b float8)
+        RETURNS float8 AS $$
+        BEGIN
+          RETURN a / b;
+        EXCEPTION WHEN division_by_zero THEN RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    return spark.sql(
+        """
+        SELECT a, b, safe_ratio(a, b) AS ratio
+        FROM VALUES (10.0D, 4.0D), (3.0D, 0.0D), (5.0D, CAST(NULL AS DOUBLE)),
+                    (CAST(NULL AS DOUBLE), 2.0D) AS v(a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST
+        """
+    )
+
+
 def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
     The prelimfn (partial combine) would be '+' over (log_sum, n) —

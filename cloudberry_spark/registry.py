@@ -244,6 +244,21 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
+        # round-7 additions: quantified ordering comparisons (summary-
+        # aggregate rewrite), GROUP_ID emulation + CUBExROLLUP product,
+        # empty-input grouping-sets fallback, PL/pgSQL query loops +
+        # EXCEPTION division_by_zero, LSH hot-bucket star links
+        "regress_quant_lt_all_nulls_battery",
+        "regress_quant_correlated_any",
+        "regress_bfvsubq_lt_all_empty",
+        "regress_gs_empty_input",
+        "regress_gs_empty_input_cube",
+        "regress_olapgrp_groupid_dup_sets",
+        "regress_olapgrp_cube_rollup_product",
+        "udf_plpgsql_query_loop",
+        "udf_plpgsql_exception_divzero",
+        "dedup_minhash_lsh_pairs",
+        "dedup_components",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
         # loops, NATURAL JOIN, array_in literal casts

@@ -137,6 +137,16 @@ def _rewrite_selectlist_srf(seg: str) -> str:
 
 def _rewrite_masked(seg: str) -> str:
     """All rewrites that run on literal-masked text."""
+    # COLLATE "de_DE" etc. (varlena.c varstr_cmp / pg_collation): Spark
+    # sorts binary UTF-8 and has no per-expression collations. Silently
+    # dropping the clause would return wrongly-ordered data, so fail at
+    # translate time (MIGRATION.md "COLLATE").
+    if re.search(r"\bCOLLATE\b", seg, flags=re.I):
+        raise NotImplementedError(
+            "COLLATE is not supported: Spark compares strings by binary "
+            "UTF-8 code point, not locale order; pre-compute a sort key "
+            "column instead (see MIGRATION.md)"
+        )
     # E'...' prefix: the literal is already a placeholder; drop the E.
     seg = re.sub(r"\bE(?=\x01)", "", seg)
 
@@ -1316,6 +1326,189 @@ _CLAUSE_KW_RE = re.compile(
 )
 
 
+_GS_HEAD_RE = re.compile(
+    r"\bGROUP\s+BY\s+(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", re.I
+)
+
+
+def _gs_flat_cols(kind: str, inner: str) -> list[str]:
+    """Flatten the column expressions of a GROUPING SETS/CUBE/ROLLUP
+    argument list (nested set parens stripped), order-preserving."""
+    cols: list[str] = []
+    for x in _split_args(inner):
+        x = x.strip()
+        if not x or x == "()":
+            continue
+        parts = _split_args(x[1:-1]) if x.startswith("(") else [x]
+        for p in parts:
+            p = p.strip()
+            if p and p not in cols:
+                cols.append(p)
+    return cols
+
+
+def _rewrite_group_id(seg: str) -> str:
+    """GROUP_ID() -> row_number over the grouping keys, minus one.
+
+    PG's GROUP_ID() (parse_agg.c) numbers DUPLICATE grouping sets
+    0..k-1 so they stay distinguishable. Spark keeps duplicate sets as
+    duplicate output rows but has no numbering function; within a
+    duplicate group the rows are identical except for GROUP_ID, so a
+    row_number partitioned by (grouping_id(all cols), all cols)
+    reproduces the multiset {0..k-1} exactly (qp_olap_group.sql).
+    """
+    if not re.search(r"\bGROUP_ID\s*\(\s*\)", seg, re.I):
+        return seg
+    m = _GS_HEAD_RE.search(seg)
+    if m is None:
+        raise NotImplementedError(
+            "GROUP_ID() is only supported together with a GROUP BY "
+            "GROUPING SETS/CUBE/ROLLUP clause"
+        )
+    o = seg.index("(", m.end() - 1)
+    c = _match_paren(seg, o)
+    cols = _gs_flat_cols(m.group(1).upper(), seg[o + 1 : c])
+    if not cols:
+        raise NotImplementedError("GROUP_ID() over empty grouping sets")
+    keys = ", ".join(cols)
+    repl = (
+        f"(row_number() OVER (PARTITION BY grouping_id({keys}), {keys} "
+        f"ORDER BY 1) - 1)"
+    )
+    return re.sub(r"\bGROUP_ID\s*\(\s*\)", repl, seg, flags=re.I)
+
+
+def _gs_empty_input_fallback(seg: str) -> str:
+    """Emit PG's scalar-set row over EMPTY input for grouping sets.
+
+    Over zero input rows, PG/DuckDB emit one row per scalar ``()``
+    grouping set (nodeAgg.c: the Agg node initializes one group per
+    empty set even with no tuples; groupingsets.sql), while Spark's
+    expand-based implementation emits none. Append, per empty set, a
+    global-aggregate branch that fires only on empty input:
+
+        UNION ALL SELECT <list'> FROM <body> HAVING count(*) = 0
+
+    where grouping columns become max(col) (NULL with the right type
+    over empty input), grouping(x) -> 1 and grouping_id(..n..) ->
+    2^n - 1 (every column un-grouped). Applies to the constrained
+    top-level shape ``[WITH ...] SELECT .. FROM .. GROUP BY GROUPING
+    SETS/CUBE/ROLLUP (..) [ORDER BY ..] [LIMIT ..]``; composite GROUP
+    BY items, HAVING, set-ops and windowed select lists are left
+    untouched (the divergence stays documented for those).
+    """
+    m = _GS_HEAD_RE.search(seg)
+    if m is None or _depth_at(seg, m.start()) != 0:
+        return seg
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    o = seg.index("(", m.end() - 1)
+    c = _match_paren(seg, o)
+    if c < 0:
+        return seg
+    inner = seg[o + 1 : c]
+    if kind == "GROUPING SETS":
+        sets = _split_args(inner)
+        n_empty = sum(1 for x in sets if x.strip() in ("()", ""))
+        flat: list[str] = []
+        for x in sets:
+            x = x.strip()
+            if x in ("()", ""):
+                continue
+            flat += [
+                p.strip()
+                for p in _split_args(x[1:-1] if x.startswith("(") else x)
+                if p.strip()
+            ]
+        cols = flat
+    else:  # CUBE / ROLLUP product always includes the empty set once
+        n_empty = 1
+        cols = [p.strip() for p in _split_args(inner) if p.strip()]
+    if n_empty == 0:
+        return seg
+    tail = seg[c + 1 :]
+    tm = re.fullmatch(r"\s*((?:ORDER\s+BY|LIMIT)\b.*)?\s*", tail,
+                      re.I | re.S)
+    if tm is None:
+        return seg
+    tail_clause = (" " + tm.group(1).strip()) if tm.group(1) else ""
+    head = seg[: m.start()]
+    sm = next(
+        (
+            x
+            for x in re.finditer(r"\bSELECT\b", head, re.I)
+            if _depth_at(head, x.start()) == 0
+        ),
+        None,
+    )
+    if sm is None:
+        return seg
+    fm = next(
+        (
+            x
+            for x in re.finditer(r"\bFROM\b", head, re.I)
+            if x.start() > sm.end() and _depth_at(head, x.start()) == 0
+        ),
+        None,
+    )
+    if fm is None:
+        return seg
+    after_sel = head[sm.end() :]
+    for kw in ("UNION", "INTERSECT", "EXCEPT", "HAVING", "DISTINCT"):
+        if any(
+            _depth_at(after_sel, x.start()) == 0
+            for x in re.finditer(rf"\b{kw}\b", after_sel, re.I)
+        ):
+            return seg
+    # a window ANYWHERE in the select list (it may hide inside CAST(..)
+    # parens) cannot ride the global-aggregate branch
+    if re.search(r"\bOVER\b", head[sm.end() : fm.start()], re.I):
+        return seg
+    # a trailing ORDER BY may only use ordinals / bare output names
+    # (after UNION ALL it can no longer see base-table expressions)
+    if tail_clause and not re.fullmatch(
+        r"\s*(ORDER\s+BY\s+(\d+|\w+)(\s+(ASC|DESC))?"
+        r"(\s+NULLS\s+(FIRST|LAST))?"
+        r"(\s*,\s*(\d+|\w+)(\s+(ASC|DESC))?"
+        r"(\s+NULLS\s+(FIRST|LAST))?)*)?"
+        r"(\s*LIMIT\s+\d+)?\s*",
+        tail_clause,
+        re.I,
+    ):
+        return seg
+    sel_list = head[sm.end() : fm.start()]
+    body = head[fm.start() :].rstrip()
+    norm = lambda t: re.sub(r"\s+", "", t).lower()  # noqa: E731
+    col_keys = {norm(x) for x in cols}
+    _AGG_RE = re.compile(
+        r"\b(count|sum|min|max|avg|stddev\w*|var\w*|corr|covar\w*|"
+        r"bool_and|bool_or|every|listagg|string_agg|collect_\w+|"
+        r"first|last|any_value|percentile\w*|median|approx_\w+|"
+        r"bit_and|bit_or|bit_xor|regr_\w+|skewness|kurtosis)\s*\(",
+        re.I,
+    )
+    items = []
+    for item in _split_args(sel_list):
+        item = item.strip()
+        am = re.fullmatch(r"(.*?)(\s+AS\s+\w+)", item, re.I | re.S)
+        expr, alias = (am.group(1), am.group(2)) if am else (item, "")
+        gm = re.fullmatch(
+            r"grouping(?:_id)?\s*\(([^()]*)\)", expr.strip(), re.I
+        )
+        if gm:
+            nargs = len(_split_args(gm.group(1)))
+            expr = str((1 << nargs) - 1)
+        elif norm(expr) in col_keys:
+            expr = f"max({expr.strip()})"
+        elif not _AGG_RE.search(expr):
+            return seg  # unclassifiable item: keep Spark semantics
+        items.append(expr + alias)
+    branch = (
+        f" UNION ALL SELECT {', '.join(items)} {body} "
+        f"HAVING count(*) = 0"
+    )
+    return seg[: c + 1] + branch * n_empty + tail_clause
+
+
 _QUANT_OP_RE = re.compile(r"(<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.I)
 
 
@@ -1773,5 +1966,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_to_char(masked, lits)
     masked = _expand_window_inheritance(masked)
     masked = _flatten_in_under_exists(masked)
+    masked = _rewrite_group_id(masked)
+    masked = _gs_empty_input_fallback(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

@@ -1685,6 +1685,81 @@ order by cn, vn
 )
 
 register_regress(
+    "regress_gs_empty_input",
+    """
+SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s, max(k) AS mk,
+       grouping(k) AS g
+FROM (VALUES (1, 2), (3, 4)) v(k, x) WHERE k < 0
+GROUP BY GROUPING SETS ((k), ())
+ORDER BY n, g
+""",
+    "src/test/regress/sql/groupingsets.sql (empty-input battery; "
+    "nodeAgg.c initializes one group per scalar set even with zero "
+    "tuples) — PG emits ONE row for the () set over empty input where "
+    "Spark's expand-based grouping sets emit none. The frontend's "
+    "_gs_empty_input_fallback appends a `UNION ALL ... HAVING "
+    "count(*) = 0` branch that fires exactly on empty input.",
+    ("aggregate", "groupingsets"),
+)
+
+register_regress(
+    "regress_gs_empty_input_cube",
+    """
+SELECT cn, count(*) AS n, grouping(cn) AS g
+FROM (SELECT cn FROM sale WHERE cn < -999) empty_sale
+GROUP BY CUBE (cn)
+ORDER BY g, cn
+""",
+    "groupingsets.sql empty-input over CUBE: the product includes the "
+    "scalar set once, so empty input yields exactly one all-NULL "
+    "grand-total row (n=0, grouping=1).",
+    ("aggregate", "groupingsets"),
+)
+
+register_regress(
+    "regress_olapgrp_groupid_dup_sets",
+    """
+SELECT cn, count(*) AS n, GROUP_ID() AS gid
+FROM sale GROUP BY GROUPING SETS ((cn), (cn), ())
+ORDER BY cn NULLS LAST, gid
+""",
+    "src/test/regress/sql/qp_olap_group.sql — GROUP_ID() numbers "
+    "DUPLICATE grouping sets 0..k-1 (parse_agg.c). The frontend "
+    "emulates it with row_number over (grouping_id(keys), keys); the "
+    "DuckDB oracle spells the same emulation since DuckDB also lacks "
+    "GROUP_ID.",
+    ("aggregate", "groupingsets"),
+    oracle="""
+SELECT cn, count(*) AS n,
+       (row_number() OVER (PARTITION BY grouping(cn), cn ORDER BY 1) - 1)
+           AS gid
+FROM sale GROUP BY GROUPING SETS ((cn), (cn), ())
+ORDER BY cn NULLS LAST, gid
+""",
+)
+
+register_regress(
+    "regress_olapgrp_cube_rollup_product",
+    """
+SELECT cn, vn, pn, CAST(sum(qty) AS BIGINT) AS s,
+       GROUPING(cn, vn, pn) AS gbits
+FROM sale GROUP BY CUBE (cn), ROLLUP (vn, pn)
+ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
+""",
+    "qp_olap_group.sql — composite grouping-item PRODUCT: CUBE(cn) x "
+    "ROLLUP(vn, pn) yields the 2x3 cross of sets; multi-argument "
+    "GROUPING() is the per-column null-provenance bitmask "
+    "(frontend maps it to Spark grouping_id).",
+    ("aggregate", "groupingsets"),
+    oracle="""
+SELECT cn, vn, pn, CAST(sum(qty) AS BIGINT) AS s,
+       GROUPING(cn, vn, pn) AS gbits
+FROM sale GROUP BY CUBE (cn), ROLLUP (vn, pn)
+ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
+""",
+)
+
+register_regress(
     "regress_olap_rollup_revenue",
     """
 select cn, vn, pn, sum(qty*prc) AS s from sale group by rollup(cn,vn,pn)

@@ -389,3 +389,75 @@ def test_partition_confined_rewrite_leaves_files_untouched(spark, tmp_path):
         assert os.path.getmtime(os.path.join(path, b_dir, f)) == mt
     rows = {(r.k, r.v) for r in st.read(spark).collect()}
     assert rows == {(1, 20.0), (3, 60.0), (2, 20.0)}
+
+
+def test_plpgsql_query_loop_compiles_to_aggregate():
+    """FOR r IN SELECT ... LOOP acc := acc + f(r.col) compiles to ONE
+    scalar sum() subquery (exec_stmt_fors as join/aggregate form);
+    free (non-record) terms ride count(*) so Spark never sees an
+    aggregate mixing outer and local references."""
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    _, args, ret, expr = compile_plpgsql(
+        """
+        CREATE FUNCTION f(offs int8) RETURNS int8 AS $$
+        DECLARE total int8 := 0;
+        BEGIN
+          FOR r IN SELECT k FROM src LOOP
+            total := total + r.k + offs;
+          END LOOP;
+          RETURN total;
+        END;
+        $$ LANGUAGE plpgsql
+        """
+    )
+    assert "sum(r.k)" in expr
+    assert "count(*)" in expr and "offs" in expr
+    # non-accumulation loop bodies fail loudly
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="accumulation"):
+        compile_plpgsql(
+            """
+            CREATE FUNCTION g() RETURNS int8 AS $$
+            DECLARE total int8 := 0;
+            BEGIN
+              FOR r IN SELECT k FROM src LOOP
+                total := total * r.k;
+              END LOOP;
+              RETURN total;
+            END;
+            $$ LANGUAGE plpgsql
+            """
+        )
+
+
+def test_plpgsql_exception_divzero_guard():
+    """EXCEPTION WHEN division_by_zero guards every division site's
+    divisor; NULL divisors are NOT exceptions and stay NULL."""
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    _, _, _, expr = compile_plpgsql(
+        """
+        CREATE FUNCTION sr(a float8, b float8) RETURNS float8 AS $$
+        BEGIN
+          RETURN a / b;
+        EXCEPTION WHEN division_by_zero THEN RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+        """
+    )
+    assert "CASE WHEN (b) = 0 THEN" in expr
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="EXCEPTION"):
+        compile_plpgsql(
+            """
+            CREATE FUNCTION h(a float8) RETURNS float8 AS $$
+            BEGIN
+              RETURN a;
+            EXCEPTION WHEN undefined_table THEN RETURN 0;
+            END;
+            $$ LANGUAGE plpgsql
+            """
+        )

@@ -178,14 +178,21 @@ def test_empty_grouping_parens_stripped():
     )
     # a lone () means grand-total aggregation: clause dropped entirely
     assert n("SELECT count(*) FROM t GROUP BY ()") == "SELECT count(*) FROM t"
-    # () nested inside GROUPING SETS is meaningful and preserved
-    assert n("SELECT a FROM t GROUP BY GROUPING SETS ((), (a)) ORDER BY 1") == (
-        "SELECT a FROM t GROUP BY GROUPING SETS ((), (a)) ORDER BY 1"
+    # () nested inside GROUPING SETS is meaningful and preserved (the
+    # empty-input fallback then appends its UNION ALL branch)
+    out = n("SELECT a FROM t GROUP BY GROUPING SETS ((), (a)) ORDER BY 1")
+    assert out.startswith(
+        "SELECT a FROM t GROUP BY GROUPING SETS ((), (a))"
     )
+    assert "UNION ALL SELECT max(a) FROM t HAVING count(*) = 0" in out
+    assert out.endswith("ORDER BY 1")
     # subquery scope: the () of the inner GROUP BY goes, cube( ) stays
-    assert n(
+    out = n(
         "SELECT x FROM (SELECT a FROM t GROUP BY a, ()) s GROUP BY cube (x)"
-    ) == ("SELECT x FROM (SELECT a FROM t GROUP BY a ) s GROUP BY cube (x)")
+    )
+    assert out.startswith(
+        "SELECT x FROM (SELECT a FROM t GROUP BY a ) s GROUP BY cube (x)"
+    )
 
 
 def test_parenthesized_operand_regex_ci():
@@ -603,3 +610,72 @@ def test_array_agg_order_by_deep_nesting_is_loud():
 
     with pytest.raises(NotImplementedError, match="array_agg"):
         t("SELECT array_agg(f(g(h(x))) ORDER BY y) FROM t GROUP BY k")
+
+
+def test_collate_is_loud():
+    # r5/r6 verdict: `ORDER BY x COLLATE "de_DE"` silently sorted
+    # binary-UTF8; now a translate-time error (varstr_cmp has no
+    # Spark analog).
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="COLLATE"):
+        t('SELECT a FROM x ORDER BY a COLLATE "de_DE"')
+    # the word inside a string literal is NOT a collation clause
+    assert "COLLATE" in t("SELECT 'COLLATE me' FROM x")
+
+
+def test_gs_empty_input_fallback_shape():
+    out = t(
+        "SELECT count(*) AS n, max(k) AS mk, grouping(k) AS g FROM t "
+        "GROUP BY GROUPING SETS ((k), ())"
+    )
+    assert "UNION ALL" in out and "HAVING count(*) = 0" in out
+    # grouping(k) becomes the all-ungrouped constant in the branch
+    assert " 1 AS g" in out
+    # CUBE gets exactly one branch
+    out = t("SELECT count(*) AS n FROM t GROUP BY CUBE (a, b)")
+    assert out.count("UNION ALL") == 1
+    # plain GROUP BY, composite items, HAVING, windows: untouched
+    assert "UNION ALL" not in t(
+        "SELECT a, count(*) FROM t GROUP BY a"
+    )
+    assert "UNION ALL" not in t(
+        "SELECT count(*) AS n FROM t GROUP BY CUBE (a) HAVING count(*) > 0"
+    )
+    # unclassifiable select item (bare col not in the sets): untouched
+    assert "UNION ALL" not in t(
+        "SELECT b, count(*) AS n FROM t GROUP BY GROUPING SETS ((a), ())"
+    )
+
+
+def test_quantified_ordering_rewrite_units():
+    # subselect.c:1521 parity: x < ALL (SELECT ...) -> summary CASE
+    out = t("SELECT 1 WHERE x < ALL (SELECT y FROM t)")
+    assert "count(*)" in out and "min(__qe)" in out
+    assert "CAST(NULL AS BOOLEAN)" in out
+    out = t("SELECT 1 WHERE x >= ANY (SELECT y FROM t)")
+    assert "min(__qe)" in out and "THEN true" in out
+    # SOME is a synonym of ANY
+    out = t("SELECT 1 WHERE x > SOME (SELECT y FROM t)")
+    assert "min(__qe)" in out
+    # = ANY / <> ALL keep their IN / NOT IN lowering, and >= ANY must
+    # NOT be half-eaten by the = ANY rule (the former bug)
+    assert " IN (SELECT" in t("SELECT 1 WHERE x = ANY (SELECT y FROM t)")
+    assert " NOT IN (SELECT" in t(
+        "SELECT 1 WHERE x <> ALL (SELECT y FROM t)"
+    )
+    assert "> IN" not in t("SELECT 1 WHERE x >= ANY (SELECT y FROM t)")
+    # = ANY(array) is a different PG feature and stays untouched
+    assert "= ANY (arr)" in t("SELECT 1 WHERE x = ANY (arr)")
+
+
+def test_group_id_rewrite():
+    out = t(
+        "SELECT a, count(*), GROUP_ID() FROM t "
+        "GROUP BY GROUPING SETS ((a), (a))"
+    )
+    assert "row_number() OVER (PARTITION BY grouping_id(a), a" in out
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="GROUP_ID"):
+        t("SELECT GROUP_ID() FROM t GROUP BY a")
