@@ -248,6 +248,7 @@ _LEAD = [
         # aggregate rewrite), GROUP_ID emulation + CUBExROLLUP product,
         # empty-input grouping-sets fallback, PL/pgSQL query loops +
         # EXCEPTION division_by_zero, LSH hot-bucket star links
+        "regress_interval_mixed_units",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

@@ -147,6 +147,15 @@ def _rewrite_masked(seg: str) -> str:
             "UTF-8 code point, not locale order; pre-compute a sort key "
             "column instead (see MIGRATION.md)"
         )
+    # chained subscripts are PG MULTIDIMENSIONAL array access
+    # (arrayfuncs.c) — a documented non-goal with no Spark analog
+    # (Spark nests 1-D arrays instead). Fail loudly, never index wrong.
+    if re.search(r"\]\s*\[", seg):
+        raise NotImplementedError(
+            "multidimensional array subscripts (a[i][j]) are not "
+            "supported; model nested data as array<array<...>> and use "
+            "element_at (see MIGRATION.md)"
+        )
     # E'...' prefix: the literal is already a placeholder; drop the E.
     seg = re.sub(r"\bE(?=\x01)", "", seg)
 
@@ -1805,6 +1814,91 @@ _ARR_SPARK_TYPE = {
 }
 
 
+_IV_YM = {
+    "year", "years", "yr", "yrs", "month", "months", "mon", "mons",
+}
+_IV_DT = {
+    "week", "weeks", "day", "days", "hour", "hours", "hr", "hrs",
+    "minute", "minutes", "min", "mins", "second", "seconds", "sec",
+    "secs", "millisecond", "milliseconds", "ms", "microsecond",
+    "microseconds", "us",
+}
+_IV_TOKEN_RE = re.compile(
+    r"\s*(?:([+-]?\d+(?:\.\d+)?)\s*([A-Za-z]+)"
+    r"|([+-]?\d+:\d+(?::\d+(?:\.\d+)?)?))"
+)
+
+
+def _split_interval_text(text: str):
+    """Split a PG interval literal body into (ym_text, dt_text), or
+    None when it isn't a cleanly-parseable MIXED interval."""
+    pos, ym, dt = 0, [], []
+    while pos < len(text.rstrip()):
+        m = _IV_TOKEN_RE.match(text, pos)
+        if not m:
+            return None
+        if m.group(3):  # hh:mm[:ss] clock part
+            dt.append(m.group(3))
+        else:
+            num, unit = m.group(1), m.group(2).lower()
+            # PG abbreviations Spark's parser rejects -> full unit names
+            unit = {
+                "mon": "months", "mons": "months", "yr": "years",
+                "yrs": "years", "hr": "hours", "hrs": "hours",
+                "min": "minutes", "mins": "minutes", "sec": "seconds",
+                "secs": "seconds", "ms": "milliseconds",
+                "us": "microseconds",
+            }.get(unit, unit)
+            if unit in _IV_YM:
+                ym.append(f"{num} {unit}")
+            elif unit in _IV_DT:
+                dt.append(f"{num} {unit}")
+            else:
+                return None
+        pos = m.end()
+    if not ym or not dt:
+        return None
+    return " ".join(ym), " ".join(dt)
+
+
+def _rewrite_mixed_intervals(masked: str, lits: list[str]) -> str:
+    """PG interval VALUES mix year-month and day-time fields in one
+    datum (timestamp.c); Spark's types are disjoint (YearMonthInterval
+    vs DayTimeInterval) and the parser rejects the mixed literal. In
+    additive position the split is exact:
+
+        ts + INTERVAL '5 months 12 hours'
+          -> ts + INTERVAL '5 months' + INTERVAL '12 hours'
+
+    (and `-` distributes over both parts). A mixed interval anywhere
+    else has no Spark value representation and fails loudly.
+    """
+
+    def _repl(m: re.Match) -> str:
+        op, idx = m.group(1), int(m.group(2))
+        parts = _split_interval_text(lits[idx][1:-1])
+        if parts is None:
+            return m.group(0)
+        lits.append(f"'{parts[0]}'")
+        ym_ph = _PH.format(len(lits) - 1)
+        lits.append(f"'{parts[1]}'")
+        dt_ph = _PH.format(len(lits) - 1)
+        return f"{op} INTERVAL {ym_ph} {op} INTERVAL {dt_ph}"
+
+    masked = re.sub(
+        r"([+-])\s*INTERVAL\s+\x01(\d+)\x02", _repl, masked, flags=re.I
+    )
+    for m in re.finditer(r"\bINTERVAL\s+\x01(\d+)\x02", masked, re.I):
+        if _split_interval_text(lits[int(m.group(1))][1:-1]) is not None:
+            raise NotImplementedError(
+                "mixed year-month/day-time INTERVAL value "
+                f"({lits[int(m.group(1))]}) is only supported in "
+                "additive position (ts + INTERVAL '...'); Spark has no "
+                "unified interval type (see MIGRATION.md)"
+            )
+    return masked
+
+
 def _rewrite_array_literal_casts(masked: str, lits: list[str]) -> str:
     """PG array-literal casts `'{1,2,3}'::int[]` / `'{a,b}'::text[]` /
     `'{..}'::_int4` -> array(...) with typed element literals
@@ -1959,6 +2053,7 @@ def translate_pg_sql(sql: str) -> str:
                 out.append(c)
                 i += 1
         lits[idx] = "'" + "".join(out) + "'"
+    masked = _rewrite_mixed_intervals(masked, lits)
     masked = _rewrite_array_literal_casts(masked, lits)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_masked(masked)

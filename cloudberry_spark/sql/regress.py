@@ -1685,6 +1685,23 @@ order by cn, vn
 )
 
 register_regress(
+    "regress_interval_mixed_units",
+    """
+SELECT TIMESTAMP '2020-01-15 10:00:00' + INTERVAL '5 months 12 hours'
+           AS plus_v,
+       TIMESTAMP '2020-03-31 23:30:00' - INTERVAL '1 year 2 mons 3 days'
+           AS minus_v,
+       DATE '2021-02-28' + INTERVAL '1 month 1 day 90 minutes' AS d_plus
+""",
+    "src/backend/utils/adt/timestamp.c — PG's unified interval datum "
+    "mixes year-month and day-time fields; Spark's types are disjoint, "
+    "so the frontend splits the literal in additive position "
+    "(ts + INTERVAL ym + INTERVAL dt — exact, since PG applies months "
+    "before days before time, interval_pl ordering).",
+    ("datetime", "interval"),
+)
+
+register_regress(
     "regress_gs_empty_input",
     """
 SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s, max(k) AS mk,

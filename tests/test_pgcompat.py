@@ -679,3 +679,33 @@ def test_group_id_rewrite():
 
     with pytest.raises(NotImplementedError, match="GROUP_ID"):
         t("SELECT GROUP_ID() FROM t GROUP BY a")
+
+
+def test_mixed_interval_split():
+    # PG unified interval values split into Spark's disjoint YM/DT
+    # types in additive position; exact because PG applies months
+    # before days before time (timestamp.c interval_pl ordering).
+    out = t("SELECT ts + INTERVAL '5 months 12 hours' FROM x")
+    assert "+ INTERVAL '5 months' + INTERVAL '12 hours'" in out
+    out = t("SELECT ts - INTERVAL '1 year 2 mons 3 days 04:05:06' FROM x")
+    # PG's 'mons' abbreviation normalizes to Spark's 'months'
+    assert "- INTERVAL '1 year 2 months'" in out
+    assert "- INTERVAL '3 days 04:05:06'" in out
+    # single-kind intervals stay untouched
+    assert "INTERVAL '3 days'" in t("SELECT ts + INTERVAL '3 days' FROM x")
+    # non-additive mixed interval: loud
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="interval"):
+        t("SELECT INTERVAL '5 months 12 hours' AS i")
+
+
+def test_multidim_subscripts_are_loud():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="multidimensional"):
+        t("SELECT m[1][2] FROM x")
+    # nested ARRAY literals and single subscripts still fine
+    assert "array(array(1), array(2))" in t(
+        "SELECT ARRAY[ARRAY[1], ARRAY[2]] FROM x"
+    )
