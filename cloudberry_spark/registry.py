@@ -249,6 +249,14 @@ _LEAD = [
         # empty-input grouping-sets fallback, PL/pgSQL query loops +
         # EXCEPTION division_by_zero, LSH hot-bucket star links
         "regress_interval_mixed_units",
+        "regress_olapgrp2_grouping_join_gs_dups",
+        "regress_olapgrp2_rollup_composite",
+        "regress_olapgrp2_rollup_repeated_col",
+        "regress_olapgrp2_keycol_with_grouping",
+        "regress_qpdpe_partkey_join_count",
+        "regress_qpdpe_quantified_pred",
+        "regress_bfvpart_ts_eq_coercions",
+        "regress_bfvpart_cte_over_partitioned",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

@@ -1999,6 +1999,58 @@ def _rewrite_to_char(masked: str, lits: list[str]) -> str:
     return masked
 
 
+def _pg_datetime_template(inner: str) -> str | None:
+    """PG datetime template -> Java pattern, or None if not purely a
+    datetime template (shared token table with to_char)."""
+    if not inner or not _TO_CHAR_OK_RE.match(inner):
+        return None
+    out, i = [], 0
+    while i < len(inner):
+        for k, v in _TO_CHAR_TOKENS:
+            if inner.startswith(k, i):
+                out.append(v)
+                i += len(k)
+                break
+        else:
+            out.append(inner[i])
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_to_datetime(masked: str, lits: list[str]) -> str:
+    """2-arg to_timestamp/to_date (formatting.c to_timestamp): map the
+    PG template to Spark's Java pattern. Spark's functions of the same
+    name parse Java patterns, so only the template literal changes
+    (bfv_partition.sql's TO_TIMESTAMP('...', 'YYYY-MM-DD') battery)."""
+    for fn in ("to_timestamp", "to_date"):
+        for _ in range(50):
+            target = None
+            for s, o, c in _call_sites(masked, fn):
+                args = _split_args(masked[o + 1 : c])
+                if len(args) != 2:
+                    continue
+                ph = _PH_RE.fullmatch(args[1].strip())
+                if not ph:
+                    continue
+                java = _pg_datetime_template(lits[int(ph.group(1))][1:-1])
+                # pure-Java templates (all-lowercase tokens) pass
+                # through; identical mappings (MM-dd...) are no-ops
+                if java is None or f"'{java}'" == lits[int(ph.group(1))]:
+                    continue
+                lits.append(f"'{java}'")
+                target = (
+                    s, c, args[0].strip(), _PH.format(len(lits) - 1)
+                )
+                break
+            if not target:
+                break
+            s, c, arg0, ph_new = target
+            masked = (
+                masked[:s] + f"{fn}({arg0}, {ph_new})" + masked[c + 1 :]
+            )
+    return masked
+
+
 def translate_pg_sql(sql: str) -> str:
     """Translate a PostgreSQL-dialect query to Spark SQL."""
     lits: list[str] = []
@@ -2059,6 +2111,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_masked(masked)
     masked = _rewrite_format(masked, lits)
     masked = _rewrite_to_char(masked, lits)
+    masked = _rewrite_to_datetime(masked, lits)
     masked = _expand_window_inheritance(masked)
     masked = _flatten_in_under_exists(masked)
     masked = _rewrite_group_id(masked)

@@ -123,6 +123,12 @@ sale(cn, vn, pn, dt, qty, prc) AS (
          (4, 40, 700, DATE '1401-06-01', 1, 1),
          (4, 40, 800, DATE '1401-06-01', 1, 1)
 ),
+product(pn, pname, pcolor) AS (
+  VALUES (100, 'Sword', 'Black'), (200, 'Dream', 'Black'),
+         (300, 'Castle', 'Grey'), (400, 'Justice', 'Clear'),
+         (500, 'Donuts', 'Plain'), (600, 'Donuts', 'Chocolate'),
+         (700, 'Hamburger', 'Grey'), (800, 'Fries', 'Grey')
+),
 test1 AS (
   SELECT CAST(a AS BIGINT) AS x, CAST(b AS BIGINT) AS y,
          CAST(a * 10 + b AS DOUBLE) AS z
@@ -1774,6 +1780,162 @@ SELECT cn, vn, pn, CAST(sum(qty) AS BIGINT) AS s,
 FROM sale GROUP BY CUBE (cn), ROLLUP (vn, pn)
 ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
 """,
+)
+
+register_regress(
+    "regress_bfvpart_ts_eq_coercions",
+    """
+WITH ts_part(i1, f2) AS (VALUES
+  (1, TIMESTAMP '2000-07-16 00:00:00'),
+  (2, TIMESTAMP '2000-01-01 00:00:00'),
+  (3, TIMESTAMP '2000-01-02 00:00:00'),
+  (4, TIMESTAMP '2000-12-31 00:00:00'),
+  (5, TIMESTAMP '2001-01-01 00:00:00'))
+SELECT
+  (SELECT count(*) FROM ts_part WHERE f2 = '2000-07-16') AS eq_str,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 = TO_TIMESTAMP('2000-07-16', 'YYYY-MM-DD')) AS eq_tots,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 = TO_DATE('2000-01-01', 'YYYY-MM-DD')) AS eq_todate,
+  (SELECT count(*) FROM ts_part WHERE f2 = DATE '2001-01-01') AS eq_date,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 >= '2000-01-02' AND f2 < '2000-12-31') AS range_str
+""",
+    "src/test/regress/sql/bfv_partition.sql:34-87 — the partition-"
+    "boundary probe battery's COMPARISON semantics: timestamp = "
+    "string / TO_TIMESTAMP(s, 'YYYY-MM-DD') / TO_DATE / DATE literal "
+    "must all coerce identically (the reference verifies each "
+    "spelling prunes to the same partition; here each must count the "
+    "same rows). PG templates map to Java patterns in the frontend.",
+    ("datetime", "partition"),
+    oracle="""
+WITH ts_part(i1, f2) AS (VALUES
+  (1, TIMESTAMP '2000-07-16 00:00:00'),
+  (2, TIMESTAMP '2000-01-01 00:00:00'),
+  (3, TIMESTAMP '2000-01-02 00:00:00'),
+  (4, TIMESTAMP '2000-12-31 00:00:00'),
+  (5, TIMESTAMP '2001-01-01 00:00:00'))
+SELECT
+  (SELECT count(*) FROM ts_part WHERE f2 = '2000-07-16') AS eq_str,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 = strptime('2000-07-16', '%Y-%m-%d')) AS eq_tots,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 = CAST(strptime('2000-01-01', '%Y-%m-%d') AS DATE))
+      AS eq_todate,
+  (SELECT count(*) FROM ts_part WHERE f2 = DATE '2001-01-01') AS eq_date,
+  (SELECT count(*) FROM ts_part
+   WHERE f2 >= '2000-01-02' AND f2 < '2000-12-31') AS range_str
+""",
+)
+
+register_regress(
+    "regress_bfvpart_cte_over_partitioned",
+    """
+WITH part_cte AS (
+  SELECT i AS c1, i % 3 AS c2 FROM generate_series(1, 10) t(i)
+  WHERE i < 5
+)
+SELECT c1, c2 FROM part_cte WHERE c1 = 1
+""",
+    "bfv_partition.sql:1554-1557 — predicate stacking through a CTE "
+    "over a partitioned relation (outer c1 = 1 must compose with the "
+    "CTE's c1 < 2 filter, both reaching the scan).",
+    ("cte", "partition"),
+)
+
+register_regress(
+    "regress_qpdpe_partkey_join_count",
+    """
+WITH dpe_foo1(i, j) AS (SELECT i, (i % 5) || '' FROM
+                        generate_series(1, 100) t(i)),
+dpe_foo2(i, j) AS (SELECT i, i || '' FROM generate_series(1, 2) t(i))
+SELECT count(*) AS n FROM dpe_foo1, dpe_foo2
+WHERE dpe_foo1.j = dpe_foo2.j
+""",
+    "src/test/regress/sql/qp_dpe.sql:41-63 — the dynamic-partition-"
+    "elimination fixture's RESULT check: fact list-partitioned on the "
+    "string join key x tiny dim (Spark analog: DPP, plan-audited in "
+    "tests/test_plans.py::test_dpp_prunes_fact_scan). int-to-text "
+    "concat on both engines via the || '' coercion.",
+    ("join", "dpe"),
+)
+
+register_regress(
+    "regress_qpdpe_quantified_pred",
+    """
+WITH dpe_foo1(i, j) AS (SELECT i, (i % 5) || '' FROM
+                        generate_series(1, 100) t(i)),
+dpe_foo2(i, j) AS (SELECT i, i || '' FROM generate_series(1, 2) t(i))
+SELECT count(*) AS n FROM dpe_foo1, dpe_foo2
+WHERE dpe_foo1.j = dpe_foo2.j
+  AND dpe_foo2.i <= ALL (SELECT 1 UNION SELECT 2)
+""",
+    "qp_dpe.sql:186-188 — DPE join shape with an extra quantified "
+    "ordering predicate `i <= ALL (SELECT 1 UNION SELECT 2)` (only "
+    "i <= 1 survives) through the summary-aggregate rewrite.",
+    ("join", "dpe", "subquery"),
+)
+
+register_regress(
+    "regress_olapgrp2_grouping_join_gs_dups",
+    """
+SELECT GROUPING(product.pname) AS g1, GROUPING(sale.pn) AS g2,
+       CAST(SUM(sale.pn) AS BIGINT) AS s
+FROM product, sale WHERE product.pn = sale.pn
+GROUP BY GROUPING SETS (sale.pn, product.pname, sale.pn)
+ORDER BY g1, g2, s
+""",
+    "src/test/regress/sql/qp_olap_group2.sql Q2/Q50 class — GROUPING "
+    "null-provenance over a JOIN's columns with a DUPLICATE bare "
+    "single-column grouping set (the (pn) set appears twice, so its "
+    "rows double).",
+    ("aggregate", "groupingsets", "join"),
+)
+
+register_regress(
+    "regress_olapgrp2_rollup_composite",
+    """
+SELECT GROUPING(product.pname) AS g1, GROUPING(sale.pn) AS g2,
+       CAST(SUM(sale.pn) AS BIGINT) AS s
+FROM product, sale WHERE product.pn = sale.pn
+GROUP BY ROLLUP((sale.pn, product.pname))
+ORDER BY g1, g2, s
+""",
+    "qp_olap_group2.sql Q4/Q52 class — ROLLUP over a COMPOSITE "
+    "element: (pn, pname) roll up together as one unit, so the only "
+    "sets are {(pn,pname), ()}.",
+    ("aggregate", "groupingsets", "join"),
+)
+
+register_regress(
+    "regress_olapgrp2_rollup_repeated_col",
+    """
+SELECT GROUPING(sale.pn) AS g1, GROUPING(product.pname) AS g2,
+       CAST(SUM(sale.pn) AS BIGINT) AS s
+FROM product, sale WHERE product.pn = sale.pn
+GROUP BY ROLLUP((sale.pn), (product.pname), (sale.pn))
+ORDER BY g1, g2, s
+""",
+    "qp_olap_group2.sql Q6/Q54 class — a column REPEATED across "
+    "rollup levels: (pn),(pname),(pn) yields prefixes where pn is "
+    "grouped at level 1 AND level 3, so its grouping bit clears "
+    "whenever either copy is active.",
+    ("aggregate", "groupingsets", "join"),
+)
+
+register_regress(
+    "regress_olapgrp2_keycol_with_grouping",
+    """
+SELECT sale.pn AS pn, GROUPING(sale.pn) + 1 AS g1,
+       CAST(SUM(sale.pn) AS BIGINT) AS s
+FROM product, sale WHERE product.pn = sale.pn
+GROUP BY GROUPING SETS ((sale.pn), (product.pname, sale.pn))
+ORDER BY 1, 2, 3
+""",
+    "qp_olap_group2.sql Q391+ class — the grouping key itself in the "
+    "select list beside GROUPING()+1 arithmetic over multi-column "
+    "sets that both contain the key (pn is non-NULL in every row).",
+    ("aggregate", "groupingsets", "join"),
 )
 
 register_regress(
