@@ -790,3 +790,69 @@ def json_jsonpath_filter_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "json_jsonpath_range_exists",
+    oracle="""
+        WITH j AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS items
+            FROM lineitem
+            GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(list_sum(list_transform(items[1:3], x ->
+                    CAST(x AS BIGINT))) AS BIGINT) AS head_sum,
+               len(list_filter(items[1:3], x -> x > 25)) AS n_head_big,
+               len(list_filter(items, x -> x > 45)) > 0 AS has_big
+        FROM j
+        WHERE l_orderkey < 2000
+        ORDER BY l_orderkey
+    """,
+    doc="SQL/JSON path RANGE subscripts and @? existence "
+    "(adt/jsonpath_exec.c executeItemOptUnwrapTarget array ranges; "
+    "jsonb_jsonpath.sql `$[0 to 1] ? (@.a > 1)` battery): "
+    "$.items[0 to 2] slices the variant array inclusively 0-based, "
+    "composes with ? filters, and jsonb_path_exists lowers to a "
+    "size()>0 predicate — all JVM-side variant expressions. The `lax` "
+    "mode prefix is accepted (PG's default); strict fails loudly.",
+    tags=("json", "jsonpath"),
+)
+def json_jsonpath_range_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.operators.jsonpath import (
+        jsonb_path_exists,
+        jsonb_path_query_array,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__jpr_lineitem")
+    doc = spark.sql(
+        """
+        SELECT l_orderkey,
+               to_json(named_struct(
+                   'items',
+                   sort_array(collect_list(CAST(l_quantity AS BIGINT)))
+               )) AS doc
+        FROM __jpr_lineitem
+        GROUP BY l_orderkey
+        """
+    )
+    doc.createOrReplaceTempView("__jpr_docs")
+    head_e = jsonb_path_query_array("doc", "lax $.items[0 to 2]", "bigint")
+    headbig_e = jsonb_path_query_array(
+        "doc", "$.items[0 to 2] ? (@ > 25)", "bigint"
+    )
+    exists_e = jsonb_path_exists("doc", "$.items[*] ? (@ > 45)")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               CAST(aggregate({head_e}, CAST(0 AS BIGINT), (a, x) -> a + x)
+                    AS BIGINT) AS head_sum,
+               CAST(size({headbig_e}) AS BIGINT) AS n_head_big,
+               {exists_e} AS has_big
+        FROM __jpr_docs
+        WHERE l_orderkey < 2000
+        ORDER BY l_orderkey
+        """
+    )

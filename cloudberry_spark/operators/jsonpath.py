@@ -44,6 +44,7 @@ _TOKEN_RE = re.compile(
     r"(?P<root>\$)"
     r"|\.(?P<method>size|type|double|abs|floor|ceiling)\(\)"
     r"|\.(?P<member>[A-Za-z_]\w*)"
+    r"|\[(?P<lo>\d+)\s+to\s+(?P<hi>\d+)\]"
     r"|\[(?P<index>\d+)\]"
     r"|\[(?P<star>\*)\]"
     r"|\?\s*\((?P<filter>(?:[^()'\"]|'[^']*'|\"[^\"]*\"|\([^()]*\))*)\)"
@@ -203,6 +204,17 @@ def compile_jsonpath(json_expr: str, path: str) -> _Value:
     """Compile `jsonb_path_query(json_expr, path)` to a _Value whose
     .expr is a Spark SQL expression (variant, array<variant>, or a
     final scalar when the path ends in a method)."""
+    # mode prefix (jsonpath_gram.y): lax is PG's default and ours;
+    # strict mode (errors instead of sequence adaptation) has no
+    # Spark expression analog and fails loudly.
+    path = path.strip()
+    if path.startswith("lax "):
+        path = path[4:]
+    elif path.startswith("strict "):
+        raise NotImplementedError(
+            "jsonpath strict mode is not supported (lax is the "
+            "default on both engines' happy path)"
+        )
     pos = 0
     val: _Value | None = None
     while pos < len(path):
@@ -226,6 +238,19 @@ def compile_jsonpath(json_expr: str, path: str) -> _Value:
         if m.group("member"):
             k = m.group("member")
             val = val.map_elements(lambda v, k=k: f"variant_get({v}, '$.{k}')")
+        elif m.group("lo") is not None:
+            # $[lo to hi] range subscript (jsonpath_exec.c
+            # executeItemOptUnwrapTarget array ranges): inclusive
+            # 0-based bounds -> slice(arr, lo+1, hi-lo+1)
+            lo, hi = int(m.group("lo")), int(m.group("hi"))
+            arr = (
+                val.expr
+                if val.is_seq
+                else f"variant_get({val.expr}, '$', 'array<variant>')"
+            )
+            val = _Value(
+                f"slice({arr}, {lo + 1}, {hi - lo + 1})", True
+            )
         elif m.group("index") is not None:
             n = int(m.group("index"))
             if val.is_seq:

@@ -257,6 +257,14 @@ _LEAD = [
         "regress_qpdpe_quantified_pred",
         "regress_bfvpart_ts_eq_coercions",
         "regress_bfvpart_cte_over_partitioned",
+        "regress_qpwith_nested_cte_pyramid",
+        "regress_qpwith_cte_in_select_list",
+        "regress_qpwith_forward_chain",
+        "regress_qpwith_cte_three_positions",
+        "regress_olapwin_partition_by_agg",
+        "regress_olapwin_named_empty_window",
+        "regress_olapwin_forward_frames",
+        "json_jsonpath_range_exists",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

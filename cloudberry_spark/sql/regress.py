@@ -123,6 +123,22 @@ sale(cn, vn, pn, dt, qty, prc) AS (
          (4, 40, 700, DATE '1401-06-01', 1, 1),
          (4, 40, 800, DATE '1401-06-01', 1, 1)
 ),
+city(cid, cityname, countrycode, district, population) AS (
+  SELECT i, 'City_' || i, 'C' || CAST(i % 7 AS STRING),
+         'D' || CAST(i % 3 AS STRING), ((i * 37) % 97) * 10000 + i
+  FROM generate_series(1, 60) t(i)
+),
+country(code, countryname, continent, region, cpop, gnp) AS (
+  SELECT 'C' || CAST(i AS STRING), 'Country_' || i,
+         'Cont_' || CAST(i % 3 AS STRING), 'R' || CAST(i % 5 AS STRING),
+         (i + 1) * 1000000, CAST((i + 1) * 1111.5 AS DOUBLE)
+  FROM generate_series(0, 6) t(i)
+),
+countrylanguage(countrycode, language, isofficial, percentage) AS (
+  SELECT 'C' || CAST(i % 7 AS STRING), 'Lang_' || CAST(i % 4 AS STRING),
+         i % 2 = 0, CAST((i * 13) % 100 AS DOUBLE)
+  FROM generate_series(1, 20) t(i)
+),
 product(pn, pname, pcolor) AS (
   VALUES (100, 'Sword', 'Black'), (200, 'Dream', 'Black'),
          (300, 'Castle', 'Grey'), (400, 'Justice', 'Clear'),
@@ -1780,6 +1796,149 @@ SELECT cn, vn, pn, CAST(sum(qty) AS BIGINT) AS s,
 FROM sale GROUP BY CUBE (cn), ROLLUP (vn, pn)
 ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
 """,
+)
+
+register_regress(
+    "regress_olapwin_partition_by_agg",
+    """
+SELECT n, count(*) AS n_vendors, min(r) AS min_rn, max(r) AS max_rn
+FROM (
+  SELECT vn, count(*) AS n,
+         row_number() OVER (PARTITION BY count(*) ORDER BY vn) AS r
+  FROM sale GROUP BY vn
+) g
+GROUP BY n ORDER BY n
+""",
+    "src/test/regress/sql/olap_window.sql:114,168 — a window "
+    "PARTITIONED BY an aggregate expression (count(*)) computed by "
+    "the same query's GROUP BY: vendors with equal sale counts share "
+    "a partition and get dense 1..k row numbers.",
+    ("window", "aggregate"),
+)
+
+register_regress(
+    "regress_olapwin_named_empty_window",
+    """
+SELECT cn, count(*) OVER (w) AS n_rows,
+       CAST(sum(qty) OVER (w) AS BIGINT) AS total_qty
+FROM sale WINDOW w AS ()
+ORDER BY cn, n_rows
+""",
+    "olap_window.sql:39-59 — the NAMED EMPTY window `WINDOW w AS ()`: "
+    "every row sees the whole input as one unordered frame "
+    "(aggregates only; ranking functions over () have no "
+    "deterministic value and stay with PG).",
+    ("window",),
+)
+
+register_regress(
+    "regress_olapwin_forward_frames",
+    """
+SELECT cn, prc,
+       CAST(sum(prc) OVER (ORDER BY dt, cn, pn
+            ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS f,
+       first_value(CAST(prc AS BIGINT)) OVER (ORDER BY dt, cn, pn
+            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS fv,
+       first_value(vn) OVER (ORDER BY vn RANGE 2 PRECEDING) AS rp
+FROM sale
+ORDER BY dt, cn, pn
+""",
+    "olap_window.sql:468,530,533 — FORWARD-ONLY frames (both bounds "
+    "FOLLOWING; rows past the end yield NULL) and the one-sided "
+    "`RANGE 2 PRECEDING` shorthand (= RANGE BETWEEN 2 PRECEDING AND "
+    "CURRENT ROW).",
+    ("window",),
+)
+
+register_regress(
+    "regress_qpwith_nested_cte_pyramid",
+    """
+SELECT CAST(avg(population) AS BIGINT) AS avg_pop, cityname
+FROM (
+  WITH size0(cityname, population) AS
+    (SELECT cityname, population FROM city WHERE population >= 100)
+  SELECT cityname, population FROM (
+    WITH size1(cityname, population) AS
+      (SELECT cityname, population FROM size0 WHERE population >= 10000)
+    SELECT cityname, population FROM (
+      WITH size2(cityname, population) AS
+        (SELECT cityname, population FROM size1 WHERE population >= 100000)
+      SELECT cityname, population FROM (
+        WITH size3 AS
+          (SELECT cityname, population FROM size2
+           WHERE population >= 500000)
+        SELECT s1.cityname, s1.population FROM size3 s1, size2 s2
+        WHERE s2.population >= 900000
+      ) foo3
+    ) foo2
+  ) foo1
+) pyramid
+GROUP BY cityname
+ORDER BY avg_pop DESC, cityname
+LIMIT 10
+""",
+    "src/test/regress/sql/qp_with_clause.sql:9425+ — deeply nested "
+    "WITH-inside-derived-table pyramid where each level's CTE scans "
+    "the previous level's (the reference checks ShareInputScan "
+    "plans); condensed to 4 levels plus a self-join at the apex.",
+    ("cte",),
+)
+
+register_regress(
+    "regress_qpwith_cte_in_select_list",
+    """
+WITH big(cityname, population, countrycode) AS (
+  SELECT cityname, population, countrycode FROM city
+  WHERE population > 500000
+)
+SELECT c.countryname,
+       (SELECT count(*) FROM big WHERE big.countrycode = c.code) AS n_big
+FROM country c
+ORDER BY n_big DESC, c.countryname
+""",
+    "qp_with_clause.sql:5472-5500 (query5/query6) — a CTE consumed "
+    "from a correlated scalar subquery in the SELECT list with a "
+    "correlation qual.",
+    ("cte", "subquery"),
+)
+
+register_regress(
+    "regress_qpwith_forward_chain",
+    """
+WITH lang_share(countrycode, n_lang) AS (
+  SELECT countrycode, count(*) FROM countrylanguage GROUP BY countrycode
+),
+rich(code, countryname, n_lang) AS (
+  SELECT c.code, c.countryname, ls.n_lang
+  FROM country c JOIN lang_share ls ON ls.countrycode = c.code
+  WHERE c.gnp > 2000
+)
+SELECT countryname, n_lang FROM rich ORDER BY n_lang DESC, countryname
+""",
+    "qp_with_clause.sql:5743 (query2) — a CTE referencing an EARLIER "
+    "CTE by name (forward chain), then the main query scanning only "
+    "the second.",
+    ("cte", "join"),
+)
+
+register_regress(
+    "regress_qpwith_cte_three_positions",
+    """
+WITH hot(countrycode, maxpop) AS (
+  SELECT countrycode, max(population) FROM city GROUP BY countrycode
+)
+SELECT (SELECT count(*) FROM hot) AS n_codes,
+       h.countrycode,
+       h.maxpop
+FROM hot h
+WHERE h.maxpop > (SELECT CAST(avg(maxpop) AS BIGINT) FROM hot)
+ORDER BY h.maxpop DESC, h.countrycode
+""",
+    "qp_with_clause.sql:6741 (query 5) — the SAME CTE consumed from "
+    "the select list, the FROM clause and an uncorrelated WHERE "
+    "subquery (the reference shares one scan; Spark re-evaluates or "
+    "reuses the exchange — semantics identical either way).",
+    ("cte", "subquery"),
 )
 
 register_regress(
