@@ -606,6 +606,50 @@ register_sql(
 )
 
 register_sql(
+    "tpch_q16_mpph_outer_anti",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    LEFT JOIN supplier
+      ON l_suppkey = s_suppkey AND s_acctbal < 0
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND s_suppkey IS NULL
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="q16 spelled as bb_mpph.sql's mpph16 variant "
+    "(src/test/regress/sql/bb_mpph.sql:815-838): the NOT IN anti-join "
+    "hand-rewritten as LEFT JOIN ... IS NULL — the two plans must "
+    "produce identical rows (here the filtered supplier side has no "
+    "NULL keys, so LASJ and outer-null agree).",
+    tags=("tpch", "antijoin", "dqa"),
+)
+
+register_sql(
+    "tpch_q17_mpph_derived",
+    """
+    SELECT (CAST(sum(CAST(CAST(round((l_extendedprice) * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / 7.0 AS avg_yearly
+    FROM lineitem l1,
+         (SELECT p_partkey AS x_partkey,
+                 0.2 * avg(l_quantity) AS x_avg_20
+          FROM part, lineitem
+          WHERE p_partkey = l_partkey
+            AND p_brand = 'Brand#3' AND p_size = 5
+          GROUP BY p_partkey) x
+    WHERE x_partkey = l1.l_partkey AND l1.l_quantity < x_avg_20
+    """,
+    doc="q17 spelled as bb_mpph.sql's mpph17 variant (bb_mpph.sql:"
+    "870-890): the correlated scalar subquery hand-decorrelated into "
+    "a derived per-part aggregate joined back — must match tpch_q17 "
+    "exactly (the rewrite the reference's planner performs "
+    "internally, cdbsubselect.c).",
+    tags=("tpch", "subquery"),
+)
+
+register_sql(
     "tpch_q18",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

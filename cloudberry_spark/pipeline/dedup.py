@@ -176,6 +176,14 @@ def lsh_candidate_pairs(
     are near-certain duplicates anyway (an entire bucket shares a band
     hash). The bucket stats ride a window over the SAME key the
     self-join shuffles on, so no extra exchange pattern is introduced.
+
+    Plan note: the three branches (all-pairs left/right, star) each
+    re-derive the windowed bands lineage, so unpersisted input pays the
+    signature map ~3x. That is bounded (bands are 3 narrow columns,
+    signatures are map-side) and NOT the hazard the cap removes (the
+    O(c^2) pair blowup); a production pipeline at 100 TB persists the
+    band index once and probes it incrementally —
+    dedup_incremental_index_probe (below) is that path.
     """
     bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
     w = Window.partitionBy("band_idx", "band_hash")

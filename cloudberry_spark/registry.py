@@ -265,6 +265,8 @@ _LEAD = [
         "regress_olapwin_named_empty_window",
         "regress_olapwin_forward_frames",
         "json_jsonpath_range_exists",
+        "tpch_q16_mpph_outer_anti",
+        "tpch_q17_mpph_derived",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",
