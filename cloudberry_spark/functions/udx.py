@@ -554,3 +554,83 @@ def udaf_regression_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fit, "label int, n bigint, slope double, intercept double")
         .orderBy("label")
     )
+
+
+@register(
+    "udf_sql_table_function_from",
+    oracle="""
+        SELECT g.x, f.r_regionkey
+        FROM generate_series(1, 3) g(x), region f
+        WHERE f.r_regionkey >= 1
+        ORDER BY g.x, f.r_regionkey
+    """,
+    doc="SQL-bodied SET-RETURNING function used in FROM position and "
+    "cross-joined to a table (qp_functions_in_from.sql's "
+    "func1_sql_setint battery; PG CREATE FUNCTION RETURNS SETOF int): "
+    "Spark SQL table functions (CREATE FUNCTION ... RETURNS TABLE) "
+    "inline into the plan like a parameterized view — the lateral "
+    "cross join is a plain generator expansion, no Python.",
+    tags=("udf", "srf"),
+)
+def udf_sql_table_function_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION setint_tf(n INT)
+        RETURNS TABLE (x INT)
+        RETURN SELECT explode(sequence(1, n))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT g.x, f.r_regionkey
+        FROM setint_tf(3) g, region f
+        WHERE f.r_regionkey >= 1
+        ORDER BY g.x, f.r_regionkey
+        """
+    )
+
+
+@register(
+    "udf_sql_table_function_nested_arg",
+    oracle="""
+        SELECT g.x, g.x + 2 AS shifted, count(*) AS n
+        FROM generate_series(1, greatest(2, 1) + 2) g(x), nation
+        GROUP BY g.x
+        ORDER BY g.x
+    """,
+    doc="Set-returning SQL function with a COMPUTED argument "
+    "(qp_functions_in_from.sql func1(func2(5)) nesting class — Spark "
+    "forbids SQL UDFs inside table-function args, so the nesting here "
+    "is builtin-in-arg + scalar SQL UDF in the select list): both "
+    "inline at plan time; the aggregate over the cross join proves "
+    "cardinality (one group per generated row).",
+    tags=("udf", "srf"),
+)
+def udf_sql_table_function_nested_arg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION plus2_sf(n INT) RETURNS INT
+        RETURN n + 2
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION setint_tf2(n INT)
+        RETURNS TABLE (x INT)
+        RETURN SELECT explode(sequence(1, n))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT g.x, plus2_sf(g.x) AS shifted, count(*) AS n
+        FROM setint_tf2(greatest(2, 1) + 2) g, nation
+        GROUP BY g.x
+        ORDER BY g.x
+        """
+    )

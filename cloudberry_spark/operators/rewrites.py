@@ -198,3 +198,50 @@ def aqumv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv = spark.read.parquet(mv_path)
     return rollup_from_matview(mv, ["l_returnflag"]).orderBy("l_returnflag")
+
+
+@register(
+    "aqumv_filter_subsumption",
+    oracle="""
+    SELECT o_orderpriority AS col_pri, o_orderkey, 200 AS c_const,
+           round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderpriority <> '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+    doc="AQUMV filter subsumption + projection permutation (optimizer/"
+    "plan/aqumv.c; src/test/regress/sql/aqumv.sql:24-66): the matview "
+    "stores `WHERE o_totalprice > 100000`; the query's stricter "
+    "predicate (> 150000 AND priority filter) is answered by "
+    "RE-FILTERING the view — valid because the query predicate "
+    "implies the view predicate — with columns permuted, renamed and "
+    "a constant injected (aqumv.sql's `select c2, 200` class). The "
+    "oracle computes from the base table, proving losslessness; at "
+    "scale the view is the (much smaller) hot slice.",
+    tags=("rewrite", "aqumv", "matview"),
+)
+def aqumv_filter_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.sources.external import _scratch
+
+    orders = load_table(spark, sf_dir, "orders")
+    mv_path = _scratch(sf_dir, "aqumv_filter_mv")
+    (
+        orders.where(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(mv_path)
+    )
+    mv = spark.read.parquet(mv_path)
+    return (
+        mv.where(
+            (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderpriority") != "1-URGENT")
+        )
+        .select(
+            F.col("o_orderpriority").alias("col_pri"),
+            "o_orderkey",
+            F.lit(200).alias("c_const"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

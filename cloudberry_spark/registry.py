@@ -267,6 +267,10 @@ _LEAD = [
         "json_jsonpath_range_exists",
         "tpch_q16_mpph_outer_anti",
         "tpch_q17_mpph_derived",
+        "udf_sql_table_function_from",
+        "udf_sql_table_function_nested_arg",
+        "regress_rangetypes_canonical_battery",
+        "aqumv_filter_subsumption",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

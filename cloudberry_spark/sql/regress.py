@@ -1799,6 +1799,48 @@ ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
 )
 
 register_regress(
+    "regress_rangetypes_canonical_battery",
+    """
+WITH raw(rid, lo, hi, lo_inc, hi_inc) AS (VALUES
+  (1, 1, 4, false, false),
+  (2, 1, 4, true,  false),
+  (3, 1, 4, true,  true),
+  (4, 2, 2, true,  false),
+  (5, 2, 2, true,  true),
+  (6, 4, 8, true,  false),
+  (7, 9, 12, true, false)),
+canon AS (
+  SELECT rid,
+         lo + (CASE WHEN lo_inc THEN 0 ELSE 1 END) AS clo,
+         hi + (CASE WHEN hi_inc THEN 1 ELSE 0 END) AS chi
+  FROM raw
+)
+SELECT a.rid AS ra, b.rid AS rb,
+       (a.clo >= a.chi) AS a_empty,
+       (a.clo < b.chi AND b.clo < a.chi
+        AND a.clo < a.chi AND b.clo < b.chi) AS overlaps,
+       (a.chi = b.clo AND a.clo < a.chi AND b.clo < b.chi) AS adjacent,
+       (a.chi <= b.clo AND a.clo < a.chi AND b.clo < b.chi)
+           AS strictly_left,
+       CASE WHEN a.clo < a.chi AND b.clo < b.chi
+                 AND a.clo <= b.chi AND b.clo <= a.chi
+            THEN least(a.clo, b.clo) END AS merged_lo,
+       CASE WHEN a.clo < a.chi AND b.clo < b.chi
+                 AND a.clo <= b.chi AND b.clo <= a.chi
+            THEN greatest(a.chi, b.chi) END AS merged_hi
+FROM canon a JOIN canon b ON a.rid < b.rid
+ORDER BY ra, rb
+""",
+    "src/test/regress/sql/rangetypes.sql — discrete int4range "
+    "semantics over (lo, hi, inclusivity) columns: canonicalization "
+    "to [lo, hi) ((1,4) == [2,4), rangetypes.c int4range_canonical), "
+    "isempty ([2,2) is empty), &&, -|- adjacency, << strictly-left, "
+    "and + union/merge bounds for connectable pairs — every operator "
+    "as its defining comparison, identical text on both engines.",
+    ("range",),
+)
+
+register_regress(
     "regress_olapwin_partition_by_agg",
     """
 SELECT n, count(*) AS n_vendors, min(r) AS min_rn, max(r) AS max_rn
