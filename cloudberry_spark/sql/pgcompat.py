@@ -439,12 +439,23 @@ def _rewrite_masked(seg: str) -> str:
 
     seg = _strip_empty_grouping(seg)
 
-    # multi-argument GROUPING(a, b, ...) -> grouping_id(a, b, ...): same
-    # bit-per-argument integer on both engines (parse_agg.c GROUPING);
-    # single-argument GROUPING(a) is Spark-native and left alone.
+    # multi-argument GROUPING(a, b, ...) -> per-column bit arithmetic
+    # (parse_agg.c GROUPING): PG accepts ANY SUBSET of the grouping
+    # columns, while Spark's grouping_id() demands the exact full list
+    # (GROUPING_ID_COLUMN_MISMATCH) — so expand to
+    # grouping(a)*2^(n-1) + ... + grouping(z), identical semantics.
+    def _grouping_bits(m: re.Match) -> str:
+        args = [a.strip() for a in _split_args(m.group(1)) if a.strip()]
+        n = len(args)
+        terms = [
+            f"grouping({a})" + (f" * {1 << (n - 1 - i)}" if n - 1 - i else "")
+            for i, a in enumerate(args)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
     seg = re.sub(
         r"\bGROUPING\s*\(([^()]*,[^()]*)\)",
-        r"grouping_id(\1)",
+        _grouping_bits,
         seg,
         flags=re.I,
     )
@@ -1377,8 +1388,58 @@ def _rewrite_group_id(seg: str) -> str:
     o = seg.index("(", m.end() - 1)
     c = _match_paren(seg, o)
     cols = _gs_flat_cols(m.group(1).upper(), seg[o + 1 : c])
+    # composite GROUP BY: bare items AFTER the construct (`GROUP BY
+    # CUBE(..), cn, pn`) are grouped in EVERY set and must join the
+    # row_number partition, else distinct groups would number as
+    # duplicates (qp_olap_mdqa.sql shapes)
+    tm = re.match(
+        r"\s*,\s*((?:[A-Za-z_][\w.]*)(?:\s*,\s*[A-Za-z_][\w.]*)*)",
+        seg[c + 1 :],
+    )
+    if tm:
+        for p in tm.group(1).split(","):
+            p = p.strip()
+            if p and p not in cols:
+                cols.append(p)
     if not cols:
         raise NotImplementedError("GROUP_ID() over empty grouping sets")
+    # grouping keys that are SELECT-list aliases must be spelled as
+    # their defining expressions: Spark rejects lateral column aliases
+    # inside the window the emulation adds (qp_olap_mdqa.sql `GROUP BY
+    # CUBE((dt, newalias2, ...))` shapes)
+    sm = next(
+        (
+            x
+            for x in re.finditer(r"\bSELECT\b", seg, re.I)
+            if _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    fm = next(
+        (
+            x
+            for x in re.finditer(r"\bFROM\b", seg, re.I)
+            if sm and x.start() > sm.end()
+            and _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    if sm and fm:
+        aliases: dict[str, str] = {}
+        for item in _split_args(seg[sm.end() : fm.start()]):
+            am = re.fullmatch(
+                r"(.*?)\s+AS\s+(\w+)", item.strip(), re.I | re.S
+            )
+            if am:
+                aliases[am.group(2).lower()] = am.group(1).strip()
+        if any(col.lower() in aliases for col in cols):
+            # Spark's grouping() cannot reference an aliased grouping
+            # expression (GROUPING_COLUMN_MISMATCH) nor a lateral alias
+            # in the emulation's window — no lowering exists
+            raise NotImplementedError(
+                "GROUP_ID() with SELECT-alias grouping items is not "
+                "supported; spell the grouping expression inline"
+            )
     keys = ", ".join(cols)
     repl = (
         f"(row_number() OVER (PARTITION BY grouping_id({keys}), {keys} "

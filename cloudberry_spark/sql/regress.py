@@ -1799,6 +1799,50 @@ ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
 )
 
 register_regress(
+    "regress_mdqa_cube_composite_groupid",
+    """
+SELECT CASE WHEN sale.cn < 3 THEN 1 ELSE 2 END AS ka,
+       CASE WHEN sale.pn < 300 THEN 1 ELSE 2 END AS kb,
+       GROUPING(sale.cn, sale.pn) AS gbits,
+       GROUP_ID() AS gid,
+       count(DISTINCT floor(sale.cn)) AS cd,
+       CAST(round(avg(DISTINCT floor(sale.qty)), 4) AS DOUBLE) AS ad,
+       CAST(round(coalesce(var_samp(DISTINCT floor(sale.vn - sale.cn)),
+                           0), 4) AS DOUBLE) AS vd,
+       CAST(sum(DISTINCT floor(sale.vn)) AS BIGINT) AS sd,
+       CAST(max(DISTINCT floor(sale.prc * sale.vn)) AS BIGINT) AS md
+FROM sale
+GROUP BY CUBE((sale.dt, sale.prc), (sale.vn)), sale.cn, sale.pn
+ORDER BY ka, kb, gbits, gid, cd, ad, vd, sd, md
+""",
+    "src/test/regress/sql/qp_olap_mdqa.sql — the generated multi-DQA "
+    "stress class condensed: FIVE distinct-qualified aggregates over "
+    "expression arguments (the TupleSplit multi-DQA path), grouped by "
+    "a composite CUBE with a two-column first element, trailing "
+    "bare grouping columns, GROUPING "
+    "bitmask and GROUP_ID over the product's duplicate sets.",
+    ("aggregate", "groupingsets", "dqa"),
+    oracle="""
+SELECT CASE WHEN sale.cn < 3 THEN 1 ELSE 2 END AS ka,
+       CASE WHEN sale.pn < 300 THEN 1 ELSE 2 END AS kb,
+       GROUPING(sale.cn, sale.pn) AS gbits,
+       (row_number() OVER (PARTITION BY
+            grouping(sale.dt), grouping(sale.vn),
+            sale.dt, sale.prc,
+            sale.vn, sale.cn, sale.pn ORDER BY 1) - 1) AS gid,
+       count(DISTINCT floor(sale.cn)) AS cd,
+       CAST(round(avg(DISTINCT floor(sale.qty)), 4) AS DOUBLE) AS ad,
+       CAST(round(coalesce(var_samp(DISTINCT floor(sale.vn - sale.cn)),
+                           0), 4) AS DOUBLE) AS vd,
+       CAST(sum(DISTINCT floor(sale.vn)) AS BIGINT) AS sd,
+       CAST(max(DISTINCT floor(sale.prc * sale.vn)) AS BIGINT) AS md
+FROM sale
+GROUP BY CUBE((sale.dt, sale.prc), (sale.vn)), sale.cn, sale.pn
+ORDER BY ka, kb, gbits, gid, cd, ad, vd, sd, md
+""",
+)
+
+register_regress(
     "regress_rangetypes_canonical_battery",
     """
 WITH raw(rid, lo, hi, lo_inc, hi_inc) AS (VALUES

@@ -709,3 +709,25 @@ def test_multidim_subscripts_are_loud():
     assert "array(array(1), array(2))" in t(
         "SELECT ARRAY[ARRAY[1], ARRAY[2]] FROM x"
     )
+
+
+def test_multiarg_grouping_subset_arithmetic():
+    # PG GROUPING(a, b) accepts ANY SUBSET of the grouping columns;
+    # Spark's grouping_id() demands the full list, so the frontend
+    # expands to per-column bit arithmetic.
+    out = t("SELECT GROUPING(a, b) FROM x GROUP BY CUBE (a, b, c)")
+    assert "grouping(a) * 2 + grouping(b)" in out
+    out = t("SELECT GROUPING(a, b, c) FROM x GROUP BY CUBE (a, b, c)")
+    assert "grouping(a) * 4 + grouping(b) * 2 + grouping(c)" in out
+    # single-arg stays native
+    assert "grouping(a)" in t("SELECT GROUPING(a) FROM x GROUP BY CUBE (a)")
+
+
+def test_group_id_alias_grouping_items_loud():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="alias"):
+        t(
+            "SELECT a + 1 AS ka, GROUP_ID() FROM x "
+            "GROUP BY GROUPING SETS ((ka), (ka))"
+        )
