@@ -719,8 +719,8 @@ def test_multiarg_grouping_subset_arithmetic():
     assert "grouping(a) * 2 + grouping(b)" in out
     out = t("SELECT GROUPING(a, b, c) FROM x GROUP BY CUBE (a, b, c)")
     assert "grouping(a) * 4 + grouping(b) * 2 + grouping(c)" in out
-    # single-arg stays native
-    assert "grouping(a)" in t("SELECT GROUPING(a) FROM x GROUP BY CUBE (a)")
+    # single-arg stays native (Spark accepts GROUPING(col) as-is)
+    assert "GROUPING(a)" in t("SELECT GROUPING(a) FROM x GROUP BY CUBE (a)")
 
 
 def test_group_id_alias_grouping_items_loud():
