@@ -1128,3 +1128,83 @@ def dml_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def delete_using_multi(
+    spark: SparkSession,
+    table: SnapshotTable,
+    key: list[str],
+    sources: list[tuple[DataFrame, list[str]]],
+) -> None:
+    """DELETE FROM t USING s1, s2, ... WHERE t.k1 = s1.k1 AND t.k2 =
+    s2.k2 ... (qp_dml_joins.sql's multi-relation USING): the doomed set
+    is the CONJUNCTION of per-source matches — each source contributes
+    one semi join on its own keys, never a cross join of the sources —
+    then one anti join on the table key removes the doomed rows."""
+    base = table.current_version()
+    cur = table.read(spark, base)
+    doomed = cur.select(*{*key, *(c for _, on in sources for c in on)})
+    for src, on in sources:
+        doomed = doomed.join(
+            src.select(*on).distinct(), on=on, how="left_semi"
+        )
+    kept = cur.join(
+        doomed.select(*key).distinct(), on=key, how="left_anti"
+    )
+    table.commit_rewrite(kept, base, label="delete_using_multi")
+
+
+@register(
+    "dml_delete_using_multi",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+          AND NOT (o_custkey IN (SELECT c_custkey FROM customer
+                                 WHERE c_acctbal < 0)
+                   AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                      WHERE l_quantity > 45))
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="DELETE FROM orders USING customer, lineitem WHERE "
+    "o_custkey = c_custkey AND o_orderkey = l_orderkey "
+    "(qp_dml_joins.sql multi-relation USING; nodeModifyTable.c): rows "
+    "are doomed only when BOTH relations match — two independent semi "
+    "joins (no source cross product), one anti join, one snapshot "
+    "commit.",
+    tags=("dml", "delete", "join"),
+)
+def dml_delete_using_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scratch(sf_dir, "dml_multi_using")
+    st = SnapshotTable.init(path, od)
+    delete_using_multi(
+        spark,
+        st,
+        ["o_orderkey"],
+        [
+            (
+                cust.filter(F.col("c_acctbal") < 0).select(
+                    F.col("c_custkey").alias("o_custkey")
+                ),
+                ["o_custkey"],
+            ),
+            (
+                li.filter(F.col("l_quantity") > 45).select(
+                    F.col("l_orderkey").alias("o_orderkey")
+                ),
+                ["o_orderkey"],
+            ),
+        ],
+    )
+    return (
+        st.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -271,6 +271,8 @@ _LEAD = [
         "udf_sql_table_function_nested_arg",
         "regress_rangetypes_canonical_battery",
         "aqumv_filter_subsumption",
+        "regress_mdqa_cube_composite_groupid",
+        "dml_delete_using_multi",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

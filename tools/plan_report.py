@@ -142,6 +142,19 @@ def main() -> None:
         "regress_gpagg_subq_join",
         "regress_olapgrp_gsets_cube_having",
         "regress_bfvjoin_window_under_join",
+        # round 7 additions
+        "tpch_q16_mpph_outer_anti",
+        "tpch_q17_mpph_derived",
+        "regress_quant_correlated_any",
+        "regress_olapgrp_groupid_dup_sets",
+        "regress_mdqa_cube_composite_groupid",
+        "regress_gs_empty_input",
+        "dml_delete_using_multi",
+        "json_jsonpath_range_exists",
+        "udf_plpgsql_query_loop",
+        "udf_sql_table_function_from",
+        "aqumv_filter_subsumption",
+        "regress_qpwith_nested_cte_pyramid",
     ]
     from cloudberry_spark import planhook
 

@@ -91,9 +91,11 @@ def compare(name: str, spark_pd: pd.DataFrame, ddb_pd: pd.DataFrame) -> list[str
             # datetime-ish: compare NaT==NaT, and date == midnight
             # timestamp (Spark DATE arrives as object-of-date, DuckDB
             # DATE as datetime64 — the driver's canonicalizer treats
-            # them alike, proven by green r2 rows with DATE outputs)
-            sa = pd.to_datetime(pd.Series(va))
-            sb = pd.to_datetime(pd.Series(vb))
+            # them alike, proven by green r2 rows with DATE outputs).
+            # us (not ns) resolution: pre-1677 dates (the olap sale
+            # fixture's year 1401) overflow datetime64[ns].
+            sa = pd.Series(va).astype("datetime64[us]")
+            sb = pd.Series(vb).astype("datetime64[us]")
             neq = ~((sa == sb) | (sa.isna() & sb.isna())).to_numpy()
         else:
             try:
