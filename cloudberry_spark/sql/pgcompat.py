@@ -252,6 +252,8 @@ def _rewrite_masked(seg: str) -> str:
     # LIMIT ALL is a no-op (PG gram.y); Spark has no spelling for it.
     seg = re.sub(r"\bLIMIT\s+ALL\b", "", seg, flags=re.I)
 
+    seg = _rewrite_rows_from(seg)
+
     # unnest(arr) WITH ORDINALITY [AS] t(v, o) -> 1-based posexplode
     # derived table (nodeFunctionscan.c ORDINALITY). Must run before
     # the plain unnest rewrite below. The single-alias form names the
@@ -1344,6 +1346,80 @@ _CLAUSE_KW_RE = re.compile(
     r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT)\b",
     re.I,
 )
+
+
+_ROWS_FROM_RE = re.compile(r"\bROWS\s+FROM\s*\(", re.I)
+
+
+def _rewrite_rows_from(seg: str) -> str:
+    """``ROWS FROM(f1(..), f2(..)) [WITH ORDINALITY] [AS] a(c1, ..)``
+    -> index-driven zip (nodeFunctionscan.c multi-function scans,
+    rangefuncs.sql): each fi must be unnest(arr) or generate_series
+    (others fail loudly); columns align positionally and shorter
+    sources pad with NULL (element_at past the end is NULL). Lowered to
+
+        (SELECT try_element_at(a1, __i) AS c1, ..., __i AS ord
+         FROM (SELECT explode(sequence(1, greatest(size(a1), ...)))
+               AS __i)) AS alias
+    """
+    while True:
+        m = _ROWS_FROM_RE.search(seg)
+        if m is None:
+            return seg
+        o = m.end() - 1
+        c = _match_paren(seg, o)
+        if c < 0:
+            return seg
+        arrays: list[str] = []
+        for arg in _split_args(seg[o + 1 : c]):
+            am = re.fullmatch(
+                r"\s*unnest\s*\((.*)\)\s*", arg, re.I | re.S
+            )
+            gm = re.fullmatch(
+                r"\s*generate_series\s*\((.*)\)\s*", arg, re.I | re.S
+            )
+            if am:
+                arrays.append(am.group(1).strip())
+            elif gm:
+                arrays.append(f"sequence({gm.group(1).strip()})")
+            else:
+                raise NotImplementedError(
+                    "ROWS FROM supports only unnest(...) and "
+                    "generate_series(...) sources"
+                )
+        tail = seg[c + 1 :]
+        tm = re.match(
+            r"\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?(\w+)\s*\(([^()]*)\)",
+            tail,
+            re.I,
+        )
+        if tm is None:
+            raise NotImplementedError(
+                "ROWS FROM requires an alias with a column list"
+            )
+        with_ord = bool(tm.group(1))
+        alias, colnames = tm.group(2), [
+            x.strip() for x in tm.group(3).split(",") if x.strip()
+        ]
+        need = len(arrays) + (1 if with_ord else 0)
+        if len(colnames) != need:
+            raise NotImplementedError(
+                f"ROWS FROM alias needs {need} column names, got "
+                f"{len(colnames)}"
+            )
+        items = [
+            f"try_element_at({arr}, __i) AS {col}"
+            for arr, col in zip(arrays, colnames)
+        ]
+        if with_ord:
+            items.append(f"__i AS {colnames[-1]}")
+        sizes = ", ".join(f"size({a})" for a in arrays)
+        longest = f"greatest({sizes})" if len(arrays) > 1 else sizes
+        repl = (
+            f"(SELECT {', '.join(items)} FROM (SELECT "
+            f"explode(sequence(1, {longest})) AS __i)) AS {alias}"
+        )
+        seg = seg[: m.start()] + repl + seg[c + 1 + tm.end() :]
 
 
 _GS_HEAD_RE = re.compile(

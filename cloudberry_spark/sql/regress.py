@@ -1799,6 +1799,31 @@ ORDER BY gbits, cn NULLS LAST, vn NULLS LAST, pn NULLS LAST, s
 )
 
 register_regress(
+    "regress_rowsfrom_zip_ordinality",
+    """
+SELECT a, b, c, ord
+FROM ROWS FROM(unnest(ARRAY[10, 20]),
+               unnest(ARRAY['foo', 'bar', 'baz']),
+               generate_series(101, 102))
+     WITH ORDINALITY AS z(a, b, c, ord)
+ORDER BY ord
+""",
+    "src/test/regress/sql/rangefuncs.sql — ROWS FROM(f1, f2, ...) "
+    "multi-function scan (nodeFunctionscan.c): sources align "
+    "POSITIONALLY (zip, not cross product), shorter sources pad with "
+    "NULL, WITH ORDINALITY numbers the zipped rows. Lowered to an "
+    "index-driven try_element_at projection over one explode.",
+    ("srf",),
+    oracle="""
+SELECT l1[i] AS a, l2[i] AS b, l3[i] AS c, i AS ord
+FROM (SELECT [10, 20] AS l1, ['foo', 'bar', 'baz'] AS l2,
+             [101, 102] AS l3),
+     generate_series(1, 3) g(i)
+ORDER BY ord
+""",
+)
+
+register_regress(
     "regress_mdqa_cube_composite_groupid",
     """
 SELECT CASE WHEN sale.cn < 3 THEN 1 ELSE 2 END AS ka,

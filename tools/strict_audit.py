@@ -7,7 +7,10 @@ deliberately tolerant, which is right for the inner dev loop but hides
 exactly the three failure classes that went red in CORRECTNESS_r02:
 
   1. float accumulation-order drift (Spark partial aggs vs DuckDB order),
-  2. int32 (Spark size()/month()/grouping()) vs int64 (DuckDB) outputs,
+  2. int-vs-FLOAT kind divergence (e.g. a Spark BIGINT window sum vs a
+     DuckDB HUGEINT that lands as float64 — the CORRECTNESS_r05 red;
+     integer WIDTHS int8/int32/int64 hash identically in the driver's
+     pandas hash and are NOT flagged),
   3. timestamps outside the pandas ns range (Arrow ArrowInvalid on cast).
 
 This audit reproduces the stricter bar: for every registered query with
@@ -39,13 +42,27 @@ NS_MIN = pd.Timestamp.min
 NS_MAX = pd.Timestamp.max
 
 
+def _cell_str(x) -> str:
+    """NULL-stable stringification: None and (float) NaN sort together —
+    the two engines render SQL NULL differently per column dtype
+    (object None vs float64 NaN) and a divergent sort key would
+    misalign whole rows."""
+    if x is None:
+        return "\x00"
+    if isinstance(x, float) and x != x:
+        return "\x00"
+    return str(x)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns, key=str.lower)]
     df.columns = [c.lower() for c in df.columns]
-    # total row order: stringify every cell (stable across dtypes),
-    # sort on the tuple — mirrors the driver's canonicalization.
+    # total row order: stringify every cell (NULL-stable), sort on the
+    # tuple — mirrors the driver's canonicalization.
     if len(df):
-        key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
+        key = df.apply(
+            lambda r: "\x00".join(_cell_str(x) for x in r), axis=1
+        )
         df = df.loc[key.sort_values(kind="mergesort").index].reset_index(
             drop=True
         )
@@ -53,10 +70,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _dtype_kind(dt) -> str:
-    """Collapse dtypes to the equivalence the driver's hash cares about."""
+    """Collapse dtypes to the equivalence the driver's hash cares about.
+
+    Integer WIDTHS collapse (int8/int32/int64 all hash identically in
+    pandas.util.hash_pandas_object — proven by rounds of driver-green
+    rows with Spark int32 vs DuckDB int64 outputs); int-vs-float and
+    Decimal-vs-native stay distinct (the classes that went red)."""
     s = str(dt)
     if s.startswith("datetime64"):
         return "datetime"
+    if s.startswith(("int", "uint")):
+        return "int"
     return s
 
 
@@ -98,6 +122,23 @@ def compare(name: str, spark_pd: pd.DataFrame, ddb_pd: pd.DataFrame) -> list[str
             sb = pd.Series(vb).astype("datetime64[us]")
             neq = ~((sa == sb) | (sa.isna() & sb.isna())).to_numpy()
         else:
+            if va.dtype == object or vb.dtype == object:
+                # SQL NULL arrives as None on one engine and float NaN
+                # on the other in object columns (e.g. boolean-with-
+                # NULL); unify before comparing
+                def _nn(arr):
+                    return np.array(
+                        [
+                            None
+                            if x is None
+                            or (isinstance(x, float) and x != x)
+                            else x
+                            for x in arr
+                        ],
+                        dtype=object,
+                    )
+
+                va, vb = _nn(va), _nn(vb)
             try:
                 neq = va != vb
                 # object columns of lists -> elementwise array; reduce
