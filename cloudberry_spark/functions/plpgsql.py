@@ -681,9 +681,84 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
     )
 
 
+def compile_plpgsql_setof(create_stmt: str) -> tuple[str, str, str, str]:
+    """Compile a RETURNS SETOF / RETURNS TABLE plpgsql function whose
+    body is ``BEGIN RETURN QUERY <select>; END`` (pl_exec.c
+    exec_stmt_return_query) into a Spark SQL TABLE function.
+
+    Returns (name, spark_args, table_cols, select_sql). The query text
+    goes through translate_pg_sql, so PG-dialect bodies work; anything
+    beyond a single RETURN QUERY (loops appending rows, RETURN NEXT)
+    stays out of the subset and fails loudly.
+    """
+    m = _CREATE_RE.search(create_stmt)
+    if not m:
+        raise NotImplementedError(
+            "not a recognizable CREATE FUNCTION ... LANGUAGE plpgsql"
+        )
+    name, argtext, rettype, _, dollar_body, quote_body = m.groups()
+    body = (
+        dollar_body
+        if dollar_body is not None
+        else quote_body.replace("''", "'")
+    )
+    rt = rettype.strip()
+    sm = re.match(r"SETOF\s+(.+)$", rt, re.I)
+    tm = re.match(r"TABLE\s*\((.*)\)\s*$", rt, re.I | re.S)
+    if sm:
+        # PG names a SETOF-scalar result column after the function
+        table_cols = f"{name.lower()} {_map_type(sm.group(1))}"
+    elif tm:
+        cols = []
+        for col in tm.group(1).split(","):
+            w = col.strip().split()
+            cols.append(f"{w[0]} {_map_type(' '.join(w[1:]))}")
+        table_cols = ", ".join(cols)
+    else:
+        raise NotImplementedError(
+            "compile_plpgsql_setof needs RETURNS SETOF/TABLE"
+        )
+    spark_args = []
+    for idx, raw in enumerate(
+        [a for a in argtext.split(",") if a.strip()], start=1
+    ):
+        words = raw.strip().split()
+        if len(words) == 1 or words[0].lower() in _TYPE_MAP:
+            argname, argtype = f"arg{idx}", " ".join(words)
+        else:
+            argname, argtype = words[0].lower(), " ".join(words[1:])
+        spark_args.append(f"{argname} {_map_type(argtype)}")
+    bm = re.fullmatch(
+        r"\s*BEGIN\s+RETURN\s+QUERY\s+(.*?);?\s*END\s*;?\s*",
+        body,
+        re.I | re.S,
+    )
+    if not bm:
+        raise NotImplementedError(
+            "plpgsql SETOF subset: body must be exactly "
+            "BEGIN RETURN QUERY <select>; END (RETURN NEXT / loops "
+            "have no single-query form)"
+        )
+    return (
+        name.lower(),
+        ", ".join(spark_args),
+        table_cols,
+        translate_pg_sql(bm.group(1).strip()),
+    )
+
+
 def create_plpgsql_function(spark: SparkSession, create_stmt: str) -> str:
-    """Compile + register as a Catalyst-inlined SQL temporary function;
-    returns the function name."""
+    """Compile + register as a Catalyst-inlined SQL temporary function
+    (scalar) or SQL table function (RETURNS SETOF/TABLE + RETURN
+    QUERY); returns the function name."""
+    m = _CREATE_RE.search(create_stmt)
+    if m and re.match(r"\s*(SETOF|TABLE)\b", m.group(3), re.I):
+        name, args, cols, sql = compile_plpgsql_setof(create_stmt)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS TABLE ({cols}) RETURN {sql}"
+        )
+        return name
     name, args, ret, expr = compile_plpgsql(create_stmt)
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "

@@ -382,6 +382,53 @@ def udf_plpgsql_exception_divzero(
     )
 
 
+@register(
+    "udf_plpgsql_return_query_setof",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, g.r_regionkey
+        FROM nation n,
+             (SELECT r_regionkey FROM region WHERE r_regionkey >= 2)
+                 g(r_regionkey)
+        WHERE n.n_regionkey = g.r_regionkey
+        ORDER BY n.n_nationkey
+    """,
+    doc="PL/pgSQL RETURNS SETOF with RETURN QUERY (pl_exec.c "
+    "exec_stmt_return_query): the body's query compiles through the "
+    "PG-dialect frontend into a Spark SQL TABLE function, used in "
+    "FROM position and joined — a parameterized view, zero Python.",
+    tags=("udf", "plpgsql", "srf"),
+)
+def udf_plpgsql_return_query_setof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    region = load_table(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation")
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION big_regions(minkey int)
+        RETURNS SETOF int8 AS $$
+        BEGIN
+          RETURN QUERY SELECT r_regionkey FROM region
+                       WHERE r_regionkey >= minkey;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, n.n_name, g.big_regions AS r_regionkey
+        FROM nation n, big_regions(2) g
+        WHERE n.n_regionkey = g.big_regions
+        ORDER BY n.n_nationkey
+        """
+    )
+
+
 def _geomean(pdf: pd.DataFrame) -> pd.DataFrame:
     """sfunc+finalfunc of a CREATE AGGREGATE: geometric mean via log-sum.
     The prelimfn (partial combine) would be '+' over (log_sum, n) —

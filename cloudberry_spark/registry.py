@@ -274,6 +274,7 @@ _LEAD = [
         "regress_mdqa_cube_composite_groupid",
         "dml_delete_using_multi",
         "regress_rowsfrom_zip_ordinality",
+        "udf_plpgsql_return_query_setof",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

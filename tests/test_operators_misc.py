@@ -461,3 +461,40 @@ def test_plpgsql_exception_divzero_guard():
             $$ LANGUAGE plpgsql
             """
         )
+
+
+def test_plpgsql_setof_return_query_compiles():
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql_setof
+
+    name, args, cols, sql = compile_plpgsql_setof(
+        """
+        CREATE FUNCTION keys_above(k int) RETURNS SETOF int8 AS $$
+        BEGIN
+          RETURN QUERY SELECT x FROM src WHERE x > k;
+        END;
+        $$ LANGUAGE plpgsql
+        """
+    )
+    assert name == "keys_above" and "k INT" in args
+    assert cols == "keys_above BIGINT"  # SETOF scalar names col by fn
+    assert sql.strip().startswith("SELECT x FROM src")
+    # RETURNS TABLE names come from the declaration
+    _, _, cols2, _ = compile_plpgsql_setof(
+        """
+        CREATE FUNCTION pairs() RETURNS TABLE(a int, b text) AS $$
+        BEGIN RETURN QUERY SELECT 1, 'x'; END;
+        $$ LANGUAGE plpgsql
+        """
+    )
+    assert cols2 == "a INT, b STRING"
+    # RETURN NEXT / loops stay out of the subset
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="RETURN QUERY"):
+        compile_plpgsql_setof(
+            """
+            CREATE FUNCTION f() RETURNS SETOF int AS $$
+            BEGIN RETURN NEXT 1; RETURN NEXT 2; END;
+            $$ LANGUAGE plpgsql
+            """
+        )
