@@ -550,3 +550,70 @@ def text_ts_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_setweight_zone_rank",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+'),
+                               w -> w <> '') AS words
+            FROM documents
+        ), zones AS (
+            SELECT doc_id,
+                   list_distinct(words[1:8]) AS title_lex,
+                   list_distinct(words[9:]) AS body_lex
+            FROM toks
+        )
+        SELECT doc_id,
+               len(list_intersect(title_lex, ['data', 'model'])) AS n_a,
+               len(list_intersect(body_lex, ['data', 'model'])) AS n_d,
+               round(1.0 * len(list_intersect(title_lex, ['data', 'model']))
+                     + 0.1 * len(list_intersect(body_lex, ['data', 'model'])),
+                     2) AS wrank
+        FROM zones
+        WHERE len(list_intersect(title_lex, ['data', 'model'])) > 0
+           OR len(list_intersect(body_lex, ['data', 'model'])) > 0
+    """,
+    doc="setweight + weighted ts_rank (tsrank.c calc_rank with the "
+    "'{0.1, 0.2, 0.4, 1.0}' weight vector; tstypes.sql "
+    "'w:4A,3B,2C,1D'): the document's head zone gets weight A (1.0), "
+    "the body weight D (0.1) — setweight(to_tsvector(title),'A') || "
+    "setweight(to_tsvector(body),'D') re-expressed as two lexeme "
+    "arrays whose match counts combine linearly. Zone split, "
+    "intersection and weighting are all JVM array expressions.",
+    tags=("textsearch", "pipeline"),
+)
+def text_setweight_zone_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(F.lit("data"), F.lit("model"))
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.slice(words, 1, 8)), terms
+            )
+        ).alias("n_a"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.slice(words, 9, F.greatest(F.size(words) - 8, F.lit(0)))
+                ),
+                terms,
+            )
+        ).alias("n_d"),
+    )
+    return d.filter((F.col("n_a") > 0) | (F.col("n_d") > 0)).select(
+        "doc_id",
+        "n_a",
+        "n_d",
+        F.round(
+            F.col("n_a") * F.lit(1.0) + F.col("n_d") * F.lit(0.1), 2
+        ).alias("wrank"),
+    )
