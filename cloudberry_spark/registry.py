@@ -138,15 +138,14 @@ def all_queries() -> dict[str, Query]:
 #: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r05's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r07's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r5's sample, ~260+ queries
-#: remain never-sampled; highest-value r6 leads are whatever r5 red
-#: rows exist (expect none), then the round-5 additions that missed the
-#: prefix, then the long tail by family depth — `interleaved_queries()`
-#: computes the never-sampled hoisting automatically, so updating
-#: _DRIVER_SAMPLED alone already rotates; _LEAD is only for priority
-#: overrides.
+#: only advances if both stay current. After r7's sample, ~470 queries
+#: remain never-sampled; highest-value r8 leads are whatever r7 red
+#: rows exist (expect none), then round-8 additions, then the long tail
+#: by family depth — `interleaved_queries()` computes the never-sampled
+#: hoisting automatically, so updating _DRIVER_SAMPLED alone already
+#: rotates; _LEAD is only for priority overrides.
 _DRIVER_SAMPLED = frozenset(
     """
     agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id

@@ -663,19 +663,24 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
+    # round-7 rotation: the r6 sample is folded into _DRIVER_SAMPLED, so
+    # the prefix must consist ENTIRELY of first-time queries, led by
+    # this round's additions (quantified comparisons, GROUP_ID,
+    # gs-empty-input, PL/pgSQL query loops / SETOF, LSH-affected rows)
     for must in (
-        "pgsql_compat_similar_to",
-        "regress_agg_array_order",
-        "regress_csq_crosslevel_exists_in",
-        "udf_plpgsql_scalar",
-        "dml_snapshot_merge_upsert",
-        "ddl_information_schema_columns",
-        "text_tsvector_stemmed",
-        "regress_float8_special_values",
+        "regress_quant_lt_all_nulls_battery",
+        "regress_bfvsubq_lt_all_empty",
+        "regress_gs_empty_input",
+        "regress_olapgrp_groupid_dup_sets",
+        "udf_plpgsql_query_loop",
+        "udf_plpgsql_exception_divzero",
+        "regress_interval_mixed_units",
+        "udf_plpgsql_return_query_setof",
+        "dml_delete_using_multi",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
-    assert never >= 40, f"only {never} never-sampled queries in prefix"
+    assert never == 50, f"only {never} never-sampled queries in prefix"
     rows_only = [n for n in prefix if qs[n].oracle is None]
     assert not rows_only, f"rows-only queries burning slots: {rows_only}"
     assert set(qs) == set(all_queries()), "interleave dropped queries"
