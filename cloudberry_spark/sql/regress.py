@@ -1868,6 +1868,42 @@ ORDER BY ka, kb, gbits, gid, cd, ad, vd, sd, md
 )
 
 register_regress(
+    "regress_multirange_normalize",
+    """
+WITH mr(rid, lo, hi) AS (VALUES
+  (1, 1, 5), (1, 4, 8), (1, 10, 12),
+  (2, 0, 1), (2, 1, 2), (2, 5, 6),
+  (3, 7, 9)),
+ordered AS (
+  SELECT rid, lo, hi,
+         CASE WHEN lo <= max(hi) OVER (PARTITION BY rid
+                  ORDER BY lo, hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM mr
+),
+grp AS (
+  SELECT rid, lo, hi,
+         CAST(sum(brk) OVER (PARTITION BY rid ORDER BY lo, hi
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS g
+  FROM ordered
+)
+SELECT rid, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+FROM grp GROUP BY rid, g
+ORDER BY rid, lo
+""",
+    "src/test/regress/sql/multirangetypes.sql — PG 14 multirange "
+    "CANONICALIZATION (multirangetypes.c make_multirange: overlapping/"
+    "touching member ranges merge, members stay sorted): the classic "
+    "gaps-and-islands merge — a running max(hi) finds island breaks, "
+    "the break prefix-sum numbers islands, one aggregate emits the "
+    "normalized members. [1,5)+[4,8) merge; [0,1)+[1,2) touch and "
+    "merge; [10,12) stands alone. Identical text on both engines.",
+    ("range", "multirange", "window"),
+)
+
+register_regress(
     "regress_rangetypes_canonical_battery",
     """
 WITH raw(rid, lo, hi, lo_inc, hi_inc) AS (VALUES
