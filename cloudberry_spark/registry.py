@@ -276,6 +276,7 @@ _LEAD = [
         "udf_plpgsql_return_query_setof",
         "text_setweight_zone_rank",
         "regress_multirange_normalize",
+        "regress_timeseries_generate_series_ts",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

@@ -1868,6 +1868,39 @@ ORDER BY ka, kb, gbits, gid, cd, ad, vd, sd, md
 )
 
 register_regress(
+    "regress_timeseries_generate_series_ts",
+    """
+SELECT 'monthly' AS series, count(*) AS n, min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM generate_series(TIMESTAMP '2011-01-01 12:00:00',
+                     TIMESTAMP '2012-01-01 12:00:00',
+                     INTERVAL '1 month') g(ts)
+UNION ALL
+SELECT 'biweekly', count(*), min(ts), max(ts)
+FROM generate_series(TIMESTAMP '2011-01-01 12:00:00',
+                     TIMESTAMP '2011-01-31 12:00:00',
+                     INTERVAL '14 days') g(ts)
+UNION ALL
+SELECT 'desc_2mo', count(*), min(ts), max(ts)
+FROM generate_series(TIMESTAMP '2013-01-01 12:00:00',
+                     TIMESTAMP '2011-01-01 12:00:00',
+                     INTERVAL '-2 months') g(ts)
+UNION ALL
+SELECT 'single', count(*), min(ts), max(ts)
+FROM generate_series(TIMESTAMP '2011-01-01 12:00:00',
+                     TIMESTAMP '2011-01-01 12:00:00',
+                     INTERVAL '1 year') g(ts)
+ORDER BY series
+""",
+    "src/test/regress/sql/timeseries.sql — TIMESTAMP generate_series "
+    "with interval strides (monthly calendar stepping, day strides, "
+    "DESCENDING negative-month steps, single-point series): the "
+    "frontend's explode(sequence(ts, ts, interval)) lowering carries "
+    "typed timestamp bounds straight through.",
+    ("datetime", "srf"),
+)
+
+register_regress(
     "regress_multirange_normalize",
     """
 WITH mr(rid, lo, hi) AS (VALUES
