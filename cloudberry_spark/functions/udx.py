@@ -681,3 +681,47 @@ def udf_sql_table_function_nested_arg(
         ORDER BY g.x
         """
     )
+
+
+@register(
+    "udf_sql_function_in_subqueries",
+    oracle="""
+        SELECT n_nationkey, n_name
+        FROM nation
+        WHERE n_nationkey IN (SELECT r_regionkey * 5 FROM region)
+          AND EXISTS (SELECT 1 FROM region
+                      WHERE r_regionkey * 5 = n_nationkey)
+          AND n_regionkey <= (SELECT max(r_regionkey * 5) / 5
+                              FROM region)
+        ORDER BY n_nationkey
+    """,
+    doc="SQL UDF calls inside IN / EXISTS / scalar subqueries "
+    "(qp_functions_in_subquery*.sql volatility battery's IMMUTABLE "
+    "class): the Catalyst-inlined function body flows through semi-"
+    "join conversion, decorrelation and scalar-subquery planning like "
+    "any expression — no per-row invocation boundary.",
+    tags=("udf", "sql", "subquery"),
+)
+def udf_sql_function_in_subqueries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation")
+    region = load_table(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION times5_sf(n BIGINT) "
+        "RETURNS BIGINT RETURN n * 5"
+    )
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name
+        FROM nation
+        WHERE n_nationkey IN (SELECT times5_sf(r_regionkey) FROM region)
+          AND EXISTS (SELECT 1 FROM region
+                      WHERE times5_sf(r_regionkey) = n_nationkey)
+          AND n_regionkey <= (SELECT max(times5_sf(r_regionkey)) / 5
+                              FROM region)
+        ORDER BY n_nationkey
+        """
+    )

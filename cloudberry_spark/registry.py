@@ -277,6 +277,7 @@ _LEAD = [
         "text_setweight_zone_rank",
         "regress_multirange_normalize",
         "regress_timeseries_generate_series_ts",
+        "udf_sql_function_in_subqueries",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",
