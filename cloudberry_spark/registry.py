@@ -278,6 +278,7 @@ _LEAD = [
         "regress_multirange_normalize",
         "regress_timeseries_generate_series_ts",
         "udf_sql_function_in_subqueries",
+        "regress_qpsubq_array_quantifiers",
         "regress_quant_lt_all_nulls_battery",
         "regress_quant_correlated_any",
         "regress_bfvsubq_lt_all_empty",

@@ -2036,6 +2036,94 @@ def _rewrite_mixed_intervals(masked: str, lits: list[str]) -> str:
     return masked
 
 
+#: operand to the left of `op ANY/ALL(array)`: parenthesized expr,
+#: masked literal, number, or identifier/call — each with an optional
+#: ::cast suffix (qp_subquery.sql `null::int >= any ('{}')`)
+_AQ_CAST = r"(?:\s*::\s*\w+(?:\(\d+(?:,\s*\d+)?\))?)?"
+_AQ_OPERAND = (
+    r"(\((?:[^()]|\([^()]*\))*\)" + _AQ_CAST
+    + r"|\x01\d+\x02" + _AQ_CAST
+    + r"|-?\d+(?:\.\d+)?" + _AQ_CAST
+    + r"|[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?" + _AQ_CAST
+    + r")"
+)
+_ARR_QUANT_RE = re.compile(
+    _AQ_OPERAND + r"\s*(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(",
+    re.I,
+)
+
+
+def _untyped_brace_array(lit: str, lits: list[str]) -> str | None:
+    """'{1,2,25}' / '{abc,d,e}' / '{" "}' -> array(...) SQL, guessing
+    numeric elements bare and everything else as strings (PG infers
+    the element type from the comparison context; arrayfuncs.c
+    array_in quoting rules for the double-quoted form)."""
+    inner = lit[1:-1].strip()
+    if not (inner.startswith("{") and inner.endswith("}")):
+        return None
+    body = inner[1:-1].strip()
+    if not body:
+        return "array()"
+    elems = []
+    for e in body.split(","):
+        e = e.strip()
+        if e.upper() == "NULL":
+            elems.append("NULL")
+        elif re.fullmatch(r"-?\d+(?:\.\d+)?", e):
+            elems.append(e)
+        else:
+            if e.startswith('"') and e.endswith('"') and len(e) >= 2:
+                e = e[1:-1]
+            lits.append("'" + e.replace("'", "''") + "'")
+            elems.append(_PH.format(len(lits) - 1))
+    return "array(" + ", ".join(elems) + ")"
+
+
+def _rewrite_array_quantified(masked: str, lits: list[str]) -> str:
+    """``x op ANY/ALL/SOME(array)`` -> exists/forall higher-order
+    predicates (parse_expr.c ScalarArrayOpExpr over arrays — the
+    NON-subquery form; subquery forms are lowered earlier). Spark's
+    exists()/forall() follow SQL three-valued logic, matching PG
+    exactly: any TRUE wins under ANY, any FALSE wins under ALL, else
+    NULL if any element comparison is NULL; the empty array is FALSE
+    under ANY and TRUE under ALL (constant-folded here, since an
+    untyped empty '{}' has no inferable Spark element type)."""
+    while True:
+        m = None
+        for cand in _ARR_QUANT_RE.finditer(masked):
+            o = cand.end() - 1
+            c = _match_paren(masked, o)
+            if c < 0:
+                continue
+            if re.match(r"\s*(?i:SELECT)\b", masked[o + 1 : c]):
+                continue  # subquery form: handled by earlier rewrites
+            m = cand
+            break
+        if m is None:
+            return masked
+        x, op, quant = m.group(1), m.group(2), m.group(3).upper()
+        o = m.end() - 1
+        c = _match_paren(masked, o)
+        arg = masked[o + 1 : c].strip()
+        ph = _PH_RE.fullmatch(arg)
+        if ph:
+            arr = _untyped_brace_array(lits[int(ph.group(1))], lits)
+            if arr is None:
+                raise NotImplementedError(
+                    f"{quant}({lits[int(ph.group(1))]}) is not an "
+                    "array literal"
+                )
+            arg = arr
+        if op == "!=":
+            op = "<>"
+        hof = "exists" if quant in ("ANY", "SOME") else "forall"
+        if arg == "array()":
+            repl = "false" if hof == "exists" else "true"
+        else:
+            repl = f"{hof}({arg}, __qe -> ({x}) {op} __qe)"
+        masked = masked[: m.start(1)] + repl + masked[c + 1 :]
+
+
 def _rewrite_array_literal_casts(masked: str, lits: list[str]) -> str:
     """PG array-literal casts `'{1,2,3}'::int[]` / `'{a,b}'::text[]` /
     `'{..}'::_int4` -> array(...) with typed element literals
@@ -2253,5 +2341,6 @@ def translate_pg_sql(sql: str) -> str:
     masked = _flatten_in_under_exists(masked)
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
+    masked = _rewrite_array_quantified(masked, lits)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)

@@ -1868,6 +1868,53 @@ ORDER BY ka, kb, gbits, gid, cd, ad, vd, sd, md
 )
 
 register_regress(
+    "regress_qpsubq_array_quantifiers",
+    """
+SELECT 25 = ANY ('{1,2,25}')        AS any_hit,
+       25 = ANY ('{1,2,3}')         AS any_miss,
+       'abc' = ANY('{abc,d,e}')     AS any_str,
+       40 = ALL ('{3,4,40,10}')     AS all_miss,
+       25 = ALL ('{25,25,25}')      AS all_hit,
+       55 >= ALL ('{1,2,55}')       AS ge_all,
+       CAST(NULL AS INT) >= ANY ('{}') AS empty_any,
+       3 = ANY (ARRAY[1, NULL, 3])  AS null_hit,
+       9 = ANY (ARRAY[1, NULL])     AS null_unknown,
+       2 < ALL (ARRAY[3, NULL])     AS lt_all_unknown
+""",
+    "src/test/regress/sql/qp_subquery.sql:120+ — quantified "
+    "comparisons over ARRAYS (ScalarArrayOpExpr, the non-subquery "
+    "form): lowered to Spark exists()/forall() higher-order "
+    "predicates, whose three-valued logic matches PG exactly (TRUE "
+    "beats NULL under ANY, FALSE beats NULL under ALL, empty array is "
+    "FALSE/TRUE). Untyped '{...}' literals parse via array_in rules.",
+    ("subquery", "array"),
+    oracle="""
+SELECT true  AS any_hit,
+       false AS any_miss,
+       true  AS any_str,
+       false AS all_miss,
+       true  AS all_hit,
+       true  AS ge_all,
+       false AS empty_any,
+       CASE WHEN list_aggregate(list_transform([1, NULL, 3],
+                 e -> 3 = e), 'bool_or') THEN true
+            WHEN len(list_filter([1, NULL, 3],
+                 e -> (3 = e) IS NULL)) > 0 THEN NULL
+            ELSE false END AS null_hit,
+       CASE WHEN list_aggregate(list_transform([1, NULL],
+                 e -> 9 = e), 'bool_or') THEN true
+            WHEN len(list_filter([1, NULL],
+                 e -> (9 = e) IS NULL)) > 0 THEN NULL
+            ELSE false END AS null_unknown,
+       CASE WHEN NOT list_aggregate(list_transform([3, NULL],
+                 e -> 2 < e), 'bool_and') THEN false
+            WHEN len(list_filter([3, NULL],
+                 e -> (2 < e) IS NULL)) > 0 THEN NULL
+            ELSE true END AS lt_all_unknown
+""",
+)
+
+register_regress(
     "regress_timeseries_generate_series_ts",
     """
 SELECT 'monthly' AS series, count(*) AS n, min(ts) AS first_ts,

@@ -665,8 +665,19 @@ def test_quantified_ordering_rewrite_units():
         "SELECT 1 WHERE x <> ALL (SELECT y FROM t)"
     )
     assert "> IN" not in t("SELECT 1 WHERE x >= ANY (SELECT y FROM t)")
-    # = ANY(array) is a different PG feature and stays untouched
-    assert "= ANY (arr)" in t("SELECT 1 WHERE x = ANY (arr)")
+    # = ANY(array) is the ScalarArrayOpExpr form: exists() HOF now
+    assert "exists(arr, __qe -> (x) = __qe)" in t(
+        "SELECT 1 WHERE x = ANY (arr)"
+    )
+    assert "forall(arr, __qe -> (x) <> __qe)" in t(
+        "SELECT 1 WHERE x <> ALL (arr)"
+    )
+    # untyped brace literal parses via array_in rules
+    out = t("SELECT 25 = ANY ('{1,2,25}')")
+    assert "exists(array(1, 2, 25)" in out
+    # empty untyped array constant-folds (no inferable element type)
+    assert "false" in t("SELECT 1 = ANY ('{}')")
+    assert "true" in t("SELECT 1 = ALL ('{}')")
 
 
 def test_group_id_rewrite():
