@@ -138,11 +138,11 @@ def all_queries() -> dict[str, Query]:
 #: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r07's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r08's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r7's sample, ~470 queries
-#: remain never-sampled; highest-value r8 leads are whatever r7 red
-#: rows exist (expect none), then round-8 additions, then the long tail
+#: only advances if both stay current. After r8's sample, ~460+ queries
+#: remain never-sampled; highest-value r9 leads are whatever r8 red
+#: rows exist (expect none), then round-9 additions, then the long tail
 #: by family depth — `interleaved_queries()` computes the never-sampled
 #: hoisting automatically, so updating _DRIVER_SAMPLED alone already
 #: rotates; _LEAD is only for priority overrides.
@@ -231,6 +231,33 @@ _DRIVER_SAMPLED = frozenset(
     text_inverted_index_search text_ts_headline text_tsvector_stemmed
     udf_plpgsql_branching udf_plpgsql_forloop udf_plpgsql_scalar
     udf_plpgsql_while
+    aqumv_filter_subsumption dedup_components dml_delete_using_multi
+    json_jsonpath_range_exists regress_all_quantified_select_list
+    regress_bfvpart_cte_over_partitioned regress_bfvpart_ts_eq_coercions
+    regress_bfvsubq_lt_all_empty regress_decode_nested
+    regress_dedup_in_exists_nested regress_filter_covar_pop
+    regress_filter_window_cumulative regress_gs_empty_input
+    regress_gs_empty_input_cube regress_interval_mixed_units
+    regress_mdqa_cube_composite_groupid regress_median_selfjoin_having
+    regress_multirange_normalize regress_olapgrp2_grouping_join_gs_dups
+    regress_olapgrp2_keycol_with_grouping
+    regress_olapgrp2_rollup_composite
+    regress_olapgrp2_rollup_repeated_col
+    regress_olapgrp_cube_rollup_product regress_olapgrp_groupid_dup_sets
+    regress_olapwin_forward_frames regress_olapwin_named_empty_window
+    regress_olapwin_partition_by_agg regress_qpdpe_partkey_join_count
+    regress_qpdpe_quantified_pred regress_qpsubq_array_quantifiers
+    regress_qpwith_cte_in_select_list regress_qpwith_cte_three_positions
+    regress_qpwith_forward_chain regress_qpwith_nested_cte_pyramid
+    regress_quant_correlated_any regress_quant_lt_all_nulls_battery
+    regress_rangetypes_canonical_battery regress_rowsfrom_zip_ordinality
+    regress_subq_in_pullup_distinct
+    regress_timeseries_generate_series_ts regress_with_cycle_detection
+    text_setweight_zone_rank tpch_q16_mpph_outer_anti
+    tpch_q17_mpph_derived udf_plpgsql_exception_divzero
+    udf_plpgsql_query_loop udf_plpgsql_return_query_setof
+    udf_sql_function_in_subqueries udf_sql_table_function_from
+    udf_sql_table_function_nested_arg
     """.split()
 )
 
@@ -243,53 +270,36 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-7 additions: quantified ordering comparisons (summary-
-        # aggregate rewrite), GROUP_ID emulation + CUBExROLLUP product,
-        # empty-input grouping-sets fallback, PL/pgSQL query loops +
-        # EXCEPTION division_by_zero, LSH hot-bucket star links
-        "regress_interval_mixed_units",
-        "regress_olapgrp2_grouping_join_gs_dups",
-        "regress_olapgrp2_rollup_composite",
-        "regress_olapgrp2_rollup_repeated_col",
-        "regress_olapgrp2_keycol_with_grouping",
-        "regress_qpdpe_partkey_join_count",
-        "regress_qpdpe_quantified_pred",
-        "regress_bfvpart_ts_eq_coercions",
-        "regress_bfvpart_cte_over_partitioned",
-        "regress_qpwith_nested_cte_pyramid",
-        "regress_qpwith_cte_in_select_list",
-        "regress_qpwith_forward_chain",
-        "regress_qpwith_cte_three_positions",
-        "regress_olapwin_partition_by_agg",
-        "regress_olapwin_named_empty_window",
-        "regress_olapwin_forward_frames",
-        "json_jsonpath_range_exists",
-        "tpch_q16_mpph_outer_anti",
-        "tpch_q17_mpph_derived",
-        "udf_sql_table_function_from",
-        "udf_sql_table_function_nested_arg",
-        "regress_rangetypes_canonical_battery",
-        "aqumv_filter_subsumption",
-        "regress_mdqa_cube_composite_groupid",
-        "dml_delete_using_multi",
-        "regress_rowsfrom_zip_ordinality",
-        "udf_plpgsql_return_query_setof",
-        "text_setweight_zone_rank",
-        "regress_multirange_normalize",
-        "regress_timeseries_generate_series_ts",
-        "udf_sql_function_in_subqueries",
-        "regress_qpsubq_array_quantifiers",
-        "regress_quant_lt_all_nulls_battery",
-        "regress_quant_correlated_any",
-        "regress_bfvsubq_lt_all_empty",
-        "regress_gs_empty_input",
-        "regress_gs_empty_input_cube",
-        "regress_olapgrp_groupid_dup_sets",
-        "regress_olapgrp_cube_rollup_product",
-        "udf_plpgsql_query_loop",
-        "udf_plpgsql_exception_divzero",
-        "dedup_minhash_lsh_pairs",
-        "dedup_components",
+        # round-8 additions (names registered as the round progresses;
+        # rank lookups are by name so not-yet-registered names are
+        # inert): real TPC-DS query texts, qp_derived_table /
+        # qp_functions_in_from ports, SIRV initplan functions, DML
+        # through updatable views, wide-numeric aggregates, real PNG
+        # decode, partition_join / join_gp / qp_dml_joins batteries
+        "tpcds_q04_real",
+        "tpcds_q47_real",
+        "tpcds_q67_real",
+        "regress_qpdt_derived_in_from",
+        "regress_qpdt_derived_join_derived",
+        "regress_qpdt_derived_in_in",
+        "regress_qpdt_derived_union_agg",
+        "regress_qpdt_nested_derived",
+        "regress_qpff_setof_in_from",
+        "regress_qpff_func_join_table",
+        "regress_qpff_func_in_select",
+        "regress_qpff_func_with_ordinality",
+        "udf_sirv_in_targetlist",
+        "udf_sirv_in_where",
+        "udf_sirv_in_update_set",
+        "dml_view_insert_simple",
+        "dml_view_update_filtered",
+        "dml_view_delete_where",
+        "regress_numeric_big_agg",
+        "multimodal_image_png_decode",
+        "regress_partition_join_pruned",
+        "regress_qpdml_join_update",
+        "regress_qpdml_join_delete",
+        "udf_plpgsql_conditional_divzero",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
         # loops, NATURAL JOIN, array_in literal casts

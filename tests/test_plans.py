@@ -663,20 +663,20 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-7 rotation: the r6 sample is folded into _DRIVER_SAMPLED, so
+    # round-8 rotation: the r7 sample is folded into _DRIVER_SAMPLED, so
     # the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's additions (quantified comparisons, GROUP_ID,
-    # gs-empty-input, PL/pgSQL query loops / SETOF, LSH-affected rows)
+    # this round's additions (real TPC-DS texts, derived-table /
+    # functions-in-FROM batteries, SIRV functions, DML-through-views,
+    # wide numerics, PNG decode)
     for must in (
-        "regress_quant_lt_all_nulls_battery",
-        "regress_bfvsubq_lt_all_empty",
-        "regress_gs_empty_input",
-        "regress_olapgrp_groupid_dup_sets",
-        "udf_plpgsql_query_loop",
-        "udf_plpgsql_exception_divzero",
-        "regress_interval_mixed_units",
-        "udf_plpgsql_return_query_setof",
-        "dml_delete_using_multi",
+        "tpcds_q04_real",
+        "regress_qpdt_derived_in_from",
+        "regress_qpff_setof_in_from",
+        "udf_sirv_in_targetlist",
+        "dml_view_insert_simple",
+        "regress_numeric_big_agg",
+        "udf_plpgsql_conditional_divzero",
+        "regress_qpdml_join_update",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
