@@ -107,6 +107,7 @@ def _load_all() -> None:
     import cloudberry_spark.functions.udx  # noqa: F401
     import cloudberry_spark.sql.compat_queries  # noqa: F401
     import cloudberry_spark.sql.regress  # noqa: F401
+    import cloudberry_spark.sql.tpcds_real  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -279,6 +280,8 @@ _LEAD = [
         "tpcds_q04_real",
         "tpcds_q47_real",
         "tpcds_q67_real",
+        "tpcds_q23_frequent_items",
+        "tpcds_q95_order_warehouses",
         "regress_qpdt_derived_in_from",
         "regress_qpdt_derived_join_derived",
         "regress_qpdt_derived_in_in",
