@@ -460,13 +460,24 @@ _WHILE_CAP = 32
 
 
 def _compile_while(
-    cond: str, body: list, tail: list, env: dict[str, str], depth: int
+    cond: str,
+    body: list,
+    tail: list,
+    env: dict[str, str],
+    depth: int,
+    handler: str | None = None,
+    pending: tuple[str, ...] = (),
 ) -> str:
     """Unroll `WHILE cond LOOP body END LOOP; tail` into nested CASEs:
     each level tests the (symbolically advanced) condition, exiting
     into the tail's expression with that level's environment."""
     cond_s = _subst(cond, env)
-    exit_expr = _compile_block(tail, env)
+    if handler is not None:
+        # this level's condition is evaluated whenever control reaches
+        # it, so its division sites join the pending guard set for the
+        # exit path and for every deeper level
+        pending = pending + tuple(_div_zero_guards(cond_s))
+    exit_expr = _compile_block(tail, env, handler, pending)
     if exit_expr is None:
         raise NotImplementedError(
             "plpgsql subset: every control path must RETURN"
@@ -474,33 +485,89 @@ def _compile_while(
     if depth >= _WHILE_CAP:
         return f"CASE WHEN NOT ({cond_s}) THEN {exit_expr} ELSE NULL END"
     nxt = _compile_while(
-        cond, body, tail, _run_straightline(body, env), depth + 1
+        cond, body, tail, _run_straightline(body, env), depth + 1,
+        handler, pending,
     )
     return f"CASE WHEN NOT ({cond_s}) THEN {exit_expr} ELSE {nxt} END"
 
 
-def _compile_block(stmts: list, env: dict[str, str]) -> str | None:
+def _guarded(expr: str, handler: str | None, pending: tuple[str, ...]) -> str:
+    """Wrap a RETURN-path expression with its division_by_zero guards:
+    the pending set (divisions PG already evaluated on the way here —
+    assignments and branch conditions) plus the expression's own sites.
+    Guards fire per control path, so a division in a branch PG never
+    takes cannot trip the handler (the ADVICE r7 conditional-division
+    fix)."""
+    if handler is None:
+        return expr
+    guards = list(
+        dict.fromkeys(list(pending) + _div_zero_guards(expr))
+    )
+    if not guards:
+        return expr
+    return (
+        f"CASE WHEN {' OR '.join(guards)} THEN {handler} ELSE {expr} END"
+    )
+
+
+def _compile_block(
+    stmts: list,
+    env: dict[str, str],
+    handler: str | None = None,
+    pending: tuple[str, ...] = (),
+) -> str | None:
     """Symbolically execute; returns the RETURN expression reached on
-    this path, or None if the block falls through."""
+    this path, or None if the block falls through.
+
+    ``handler``/``pending`` implement EXCEPTION WHEN division_by_zero
+    with PG's evaluation-order semantics: each statement that PG would
+    evaluate on the way to a RETURN (assignment right-hand sides, IF /
+    ELSIF conditions in order, WHILE conditions) contributes its
+    division sites to the pending guard set for everything downstream,
+    and each RETURN expression adds its own sites — so the handler
+    fires exactly when an *evaluated* division has a zero divisor.
+    Divisions introduced inside FOR / query-loop bodies are guarded at
+    their use sites (lazily, via substitution) rather than at loop
+    execution time — the one remaining timing approximation, noted in
+    compile_plpgsql."""
     for i, s in enumerate(stmts):
         if s[0] == "assign":
-            env = {**env, s[1]: f"({_subst(s[2], env)})"}
+            rhs = _subst(s[2], env)
+            if handler is not None:
+                # PG evaluates the RHS at the assignment, before any
+                # later branching — its guards join every later path
+                pending = pending + tuple(_div_zero_guards(rhs))
+            env = {**env, s[1]: f"({rhs})"}
         elif s[0] == "return":
-            return _subst(s[1], env)
+            return _guarded(_subst(s[1], env), handler, pending)
         elif s[0] == "for":
             env = _run_straightline([s], env)
         elif s[0] == "forq":
             env = _apply_query_loop(s[1], s[2], s[3], env)
         elif s[0] == "while":
-            return _compile_while(s[1], s[2], stmts[i + 1 :], env, 0)
+            return _compile_while(
+                s[1], s[2], stmts[i + 1 :], env, 0, handler, pending
+            )
         else:  # if
             _, arms, else_body = s
             tail = stmts[i + 1 :]
             parts = []
+            arm_pending = pending
             for cond, body in arms:
-                sub = _compile_block(list(body) + tail, env)
-                parts.append((_subst(cond, env), sub))
-            else_expr = _compile_block(list(else_body) + tail, env)
+                cond_s = _subst(cond, env)
+                if handler is not None:
+                    # IF/ELSIF conditions evaluate in order: arm k's
+                    # body (and later arms) see guards for conds 1..k
+                    arm_pending = arm_pending + tuple(
+                        _div_zero_guards(cond_s)
+                    )
+                sub = _compile_block(
+                    list(body) + tail, env, handler, arm_pending
+                )
+                parts.append((cond_s, sub))
+            else_expr = _compile_block(
+                list(else_body) + tail, env, handler, arm_pending
+            )
             if any(b is None for _, b in parts) or else_expr is None:
                 raise NotImplementedError(
                     "plpgsql subset: every control path must RETURN"
@@ -629,10 +696,15 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
 
     # EXCEPTION WHEN division_by_zero/OTHERS THEN <stmts> (pl_exec.c
     # exec_stmt_block): the only exception a pure scalar expression can
-    # raise here is division by zero, so the handler compiles to a
-    # guard on every division site's divisor — exactly PG's semantics
-    # for non-exceptional paths (a NULL divisor is NOT an exception and
-    # still flows through the main expression as NULL).
+    # raise here is division by zero, so the handler compiles to
+    # per-control-path guards on every division site PG would evaluate
+    # on that path (assignments, IF/ELSIF/WHILE conditions in order,
+    # the RETURN expression) — a division inside a branch PG never
+    # takes cannot trip the handler, and a NULL divisor is NOT an
+    # exception and still flows through the main expression as NULL.
+    # Remaining approximation: divisions introduced inside FOR /
+    # query-loop bodies are guarded where their value is used, not at
+    # loop-iteration time.
     handler_src = None
     for x in re.finditer(r"\bEXCEPTION\b", body, re.I):
         if body.count("(", 0, x.start()) == body.count(")", 0, x.start()):
@@ -660,18 +732,11 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
             )
 
     stmts = _parse_stmts(_Parser(body), ())
-    expr = _compile_block(stmts, env)
+    expr = _compile_block(stmts, env, handler_expr)
     if expr is None:
         raise NotImplementedError(
             "plpgsql subset: function body never RETURNs"
         )
-    if handler_expr is not None:
-        guards = _div_zero_guards(expr)
-        if guards:
-            expr = (
-                f"CASE WHEN {' OR '.join(guards)} THEN {handler_expr} "
-                f"ELSE {expr} END"
-            )
     expr = re.sub(r"__plit(\d+)__", lambda pm: lits[int(pm.group(1))], expr)
     return (
         name.lower(),

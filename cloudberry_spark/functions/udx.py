@@ -383,6 +383,73 @@ def udf_plpgsql_exception_divzero(
 
 
 @register(
+    "udf_plpgsql_conditional_divzero",
+    oracle="""
+        SELECT a, b,
+               CASE WHEN b <> 0 THEN a / b ELSE 0.0 END AS cond_ratio,
+               CASE WHEN b = 0 THEN -1.0
+                    WHEN a > 100 THEN a / b
+                    ELSE 0.0 END AS eager_ratio
+        FROM (VALUES (10.0, 4.0), (3.0, 0.0), (200.0, 0.0), (200.0, 8.0),
+                     (5.0, NULL), (NULL, 2.0)) v(a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST
+    """,
+    doc="EXCEPTION WHEN division_by_zero with PG evaluation-order "
+    "semantics (the ADVICE r7 medium): a division inside an IF branch "
+    "PG never takes must NOT trip the handler (cond_ratio(3,0) = 0, "
+    "not -1), while a division evaluated eagerly in an assignment "
+    "BEFORE branching must trip it on every path (eager_ratio(3,0) = "
+    "-1 even though the a>100 branch is not taken). Compiled via "
+    "per-control-path pending guards in functions/plpgsql.py "
+    "_compile_block.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_conditional_divzero(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION cond_ratio(a float8, b float8)
+        RETURNS float8 AS $$
+        BEGIN
+          IF b <> 0 THEN RETURN a / b; END IF;
+          RETURN 0.0;
+        EXCEPTION WHEN division_by_zero THEN RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION eager_ratio(a float8, b float8)
+        RETURNS float8 AS $$
+        DECLARE r float8;
+        BEGIN
+          r := a / b;
+          IF a > 100 THEN RETURN r; END IF;
+          RETURN 0.0;
+        EXCEPTION WHEN division_by_zero THEN RETURN -1.0;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    return spark.sql(
+        """
+        SELECT a, b, cond_ratio(a, b) AS cond_ratio,
+               eager_ratio(a, b) AS eager_ratio
+        FROM VALUES (10.0D, 4.0D), (3.0D, 0.0D), (200.0D, 0.0D),
+                    (200.0D, 8.0D), (5.0D, CAST(NULL AS DOUBLE)),
+                    (CAST(NULL AS DOUBLE), 2.0D) AS v(a, b)
+        ORDER BY a NULLS LAST, b NULLS LAST
+        """
+    )
+
+
+@register(
     "udf_plpgsql_return_query_setof",
     oracle="""
         SELECT n.n_nationkey, n.n_name, g.r_regionkey
