@@ -1473,6 +1473,18 @@ def _rewrite_group_id(seg: str) -> str:
         seg[c + 1 :],
     )
     if tm:
+        # a trailing item followed by '(' is a second composite
+        # construct (`GROUP BY CUBE(a), ROLLUP(b,c)`), not a bare
+        # column — treating its keyword as a partition key would drop
+        # b/c from the numbering; fail loudly instead (ADVICE r7,
+        # mirroring the alias-grouping-item guard)
+        if seg[c + 1 :][tm.end() :].lstrip().startswith("("):
+            raise NotImplementedError(
+                "GROUP_ID() with multiple composite grouping "
+                "constructs (CUBE/ROLLUP/GROUPING SETS) in one GROUP "
+                "BY is not supported; spell the sets out as a single "
+                "GROUPING SETS list"
+            )
         for p in tm.group(1).split(","):
             p = p.strip()
             if p and p not in cols:
@@ -1698,6 +1710,17 @@ def _rewrite_quantified_ordering(seg: str) -> str:
                 f"(SELECT ...)`; parenthesize it"
             )
         x, start = lm.group(1), lm.start(1)
+        # _LEFT_OPERAND captures one atom; if the atom is preceded by a
+        # binary operator the true left operand is a compound
+        # expression (`a + b < ALL (...)`) and rewriting just the
+        # trailing atom would silently misassociate — demand parens
+        # (ADVICE r7)
+        before = seg[:start].rstrip()
+        if before and before[-1] in "+-*/%&|^":
+            raise NotImplementedError(
+                f"compound left operand of `{op} {quant} (SELECT ...)`"
+                " — parenthesize it"
+            )
         sub = seg[o + 1 : c]
         is_all = quant == "ALL"
         if is_all:  # witness comparison DISPROVES: x >= min beats NULL
