@@ -108,6 +108,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.compat_queries  # noqa: F401
     import cloudberry_spark.sql.regress  # noqa: F401
     import cloudberry_spark.sql.tpcds_real  # noqa: F401
+    import cloudberry_spark.sql.qp_derived  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -283,10 +284,15 @@ _LEAD = [
         "tpcds_q23_frequent_items",
         "tpcds_q95_order_warehouses",
         "regress_qpdt_derived_in_from",
-        "regress_qpdt_derived_join_derived",
-        "regress_qpdt_derived_in_in",
-        "regress_qpdt_derived_union_agg",
         "regress_qpdt_nested_derived",
+        "regress_qpdt_scalarsub_derived",
+        "regress_qpdt_loj_in_join_tree",
+        "regress_qpdt_roj_pair",
+        "regress_qpdt_join_chain_3way",
+        "regress_qpdt_inner_4way",
+        "regress_qpdt_pair_minmax",
+        "regress_qpdt_loj_groupby",
+        "regress_qpdt_mixed_4way",
         "regress_qpff_setof_in_from",
         "regress_qpff_func_join_table",
         "regress_qpff_func_in_select",

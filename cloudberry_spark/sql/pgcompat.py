@@ -2365,5 +2365,88 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
     masked = _rewrite_array_quantified(masked, lits)
+    masked = _pg_null_ordering(masked)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)
+
+
+_ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.I)
+_ORD_TERM_RE = re.compile(
+    r"(LIMIT|OFFSET|FETCH|WINDOW|UNION|INTERSECT|EXCEPT|ROWS|RANGE"
+    r"|GROUPS|FOR|HAVING)\b",
+    re.I,
+)
+
+
+def _pg_null_ordering(seg: str) -> str:
+    """Make PG's default NULL placement explicit on every ORDER BY item.
+
+    PG sorts NULLs LAST under ASC and FIRST under DESC
+    (backend/utils/sort — nulls are "larger than" non-nulls); Spark
+    defaults exactly the opposite. Order-insensitive comparisons never
+    see the difference, but any ORDER BY under a LIMIT (top-k over a
+    nullable key, `ORDER BY x LIMIT 1` scalar subqueries — the
+    qp_derived_table.sql fuzzer shapes) silently selects different
+    rows. Appending the explicit clause wherever it is absent (outer
+    sorts, subqueries, window and aggregate ORDER BYs alike) restores
+    PG semantics; items already carrying NULLS FIRST/LAST keep it.
+    """
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ORDER_BY_KW_RE.search(seg, pos)
+        if m is None:
+            out.append(seg[pos:])
+            return "".join(out)
+        # extent of the item list: up to the enclosing ')' or a depth-0
+        # terminator keyword
+        i, depth, end = m.end(), 0, len(seg)
+        while i < len(seg):
+            ch = seg[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                if _ORD_TERM_RE.match(seg, i) and not (
+                    i > 0 and (seg[i - 1].isalnum() or seg[i - 1] == "_")
+                ):
+                    end = i
+                    break
+                while i < len(seg) and (
+                    seg[i].isalnum() or seg[i] == "_"
+                ):
+                    i += 1
+                continue
+            i += 1
+        items_txt = seg[m.end() : end]
+        items, depth, start = [], 0, 0
+        for j, ch in enumerate(items_txt):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(items_txt[start:j])
+                start = j + 1
+        items.append(items_txt[start:])
+        fixed = []
+        for it in items:
+            body = it.rstrip()
+            pad = it[len(body) :]
+            if not body.strip():
+                fixed.append(it)
+                continue
+            if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", body):
+                fixed.append(it)
+            elif re.search(r"(?i)\bDESC\s*$", body):
+                fixed.append(body + " NULLS FIRST" + pad)
+            else:
+                fixed.append(body + " NULLS LAST" + pad)
+        out.append(seg[pos : m.end()])
+        out.append(",".join(fixed))
+        pos = end
+    return "".join(out)

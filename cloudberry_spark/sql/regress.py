@@ -399,19 +399,17 @@ arr_op(seqno, i, t) AS (
 """
 
 
-def _with_prelude(sql: str) -> str:
+def _with_prelude(sql: str, prelude: str | None = None) -> str:
     """Prepend the table prelude; a query carrying its own WITH merges
     its CTE list into the prelude's (hoisting RECURSIVE to the top,
     where both engines require it)."""
+    base = PRELUDE if prelude is None else prelude
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, flags=re.I)
     if not m:
-        return PRELUDE + sql
-    prelude = (
-        PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
-        if m.group(1)
-        else PRELUDE
-    )
-    return prelude + ",\n" + sql[m.end():]
+        return base + sql
+    if m.group(1):
+        base = base.replace("WITH ", "WITH RECURSIVE ", 1)
+    return base + ",\n" + sql[m.end():]
 
 
 def register_regress(
@@ -420,13 +418,16 @@ def register_regress(
     doc: str,
     tags: tuple[str, ...] = (),
     oracle: str | None = "same",
+    prelude: str | None = None,
 ) -> None:
     """Register one regress query: Spark side through translate_pg_sql,
     DuckDB oracle on the identical untranslated text (``oracle='same'``)
     or, where DuckDB lacks the construct, an equivalent spelled-out
-    oracle (also run with the prelude)."""
-    full = _with_prelude(sql)
-    duck = full if oracle == "same" else _with_prelude(oracle)
+    oracle (also run with the prelude). ``prelude`` overrides the
+    shared fixture prelude for batteries carrying their own tables
+    (e.g. the qp_derived_table T0..T99 ports)."""
+    full = _with_prelude(sql, prelude)
+    duck = full if oracle == "same" else _with_prelude(oracle, prelude)
 
     @register(name, oracle=duck, doc=doc, tags=("regress",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:

@@ -42,7 +42,7 @@ def test_regex_operators():
 
 def test_string_agg_to_listagg():
     out = t("SELECT string_agg(n, ',' ORDER BY n) FROM x GROUP BY g")
-    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n)" in out
+    assert "listagg(n, ',') WITHIN GROUP (ORDER BY n NULLS LAST)" in out
     assert "listagg(n, '|')" in t("SELECT string_agg(n, '|') FROM x")
 
 
@@ -96,7 +96,7 @@ def test_distinct_on_rewrite():
     out = t(
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
     )
-    assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+    assert ("row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, v DESC NULLS FIRST)") in out
     assert "rn__ = 1" in out
 
 
@@ -171,7 +171,7 @@ def test_empty_grouping_parens_stripped():
         return " ".join(t(sql).split())
 
     assert n("SELECT a, count(*) FROM t GROUP BY (), a ORDER BY a") == (
-        "SELECT a, count(*) FROM t GROUP BY a ORDER BY a"
+        "SELECT a, count(*) FROM t GROUP BY a ORDER BY a NULLS LAST"
     )
     assert n("SELECT a FROM t GROUP BY a, (), b, () HAVING a > 1") == (
         "SELECT a FROM t GROUP BY a, b HAVING a > 1"
@@ -185,7 +185,7 @@ def test_empty_grouping_parens_stripped():
         "SELECT a FROM t GROUP BY GROUPING SETS ((), (a))"
     )
     assert "UNION ALL SELECT max(a) FROM t HAVING count(*) = 0" in out
-    assert out.endswith("ORDER BY 1")
+    assert out.endswith("ORDER BY 1 NULLS LAST")
     # subquery scope: the () of the inner GROUP BY goes, cube( ) stays
     out = n(
         "SELECT x FROM (SELECT a FROM t GROUP BY a, ()) s GROUP BY cube (x)"
@@ -424,16 +424,16 @@ def test_window_inheritance_expansion():
         "select rank() over w2 from e window w1 as (partition by d), "
         "w2 as (w1 order by s)"
     )
-    assert "w2 AS (partition by d order by s)" in out
+    assert "w2 AS (partition by d order by s NULLS LAST)" in out
     # transitive chains
     out = t(
         "select 1 from e window w1 as (partition by d), "
         "w2 as (w1 order by s), w3 as (w2)"
     )
-    assert "w3 AS (partition by d order by s)" in out
+    assert "w3 AS (partition by d order by s NULLS LAST)" in out
     # non-referencing definitions pass through
     out = t("select 1 from e window w1 as (order by s)")
-    assert "w1 AS (order by s)" in out
+    assert "w1 AS (order by s NULLS LAST)" in out
 
 
 def test_window_filter_rewrite():
