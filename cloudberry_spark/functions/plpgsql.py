@@ -694,6 +694,19 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
 
     body = re.sub(r"(?i:\bEND\s*;?\s*)$", "", body.strip())
 
+    # SELECT ... INTO var; (pl_gram.y INTO-target capture) becomes an
+    # ordinary assignment from a scalar subquery: `SELECT d FROM bar
+    # WHERE c = $1 LIMIT 1 INTO r;` == `r := (SELECT d FROM bar WHERE
+    # c = $1 LIMIT 1);` — the single-row-single-column subset; a
+    # multi-column INTO list stays out and fails loudly at the parser.
+    body = re.sub(
+        r"(?i:\bSELECT\b)\s+"
+        r"((?:[^;()]|\((?:[^()]|\([^()]*\))*\))*?)"
+        r"\s+(?i:INTO)\s+([A-Za-z_]\w*)\s*;",
+        lambda sm: f"{sm.group(2)} := (SELECT {sm.group(1)});",
+        body,
+    )
+
     # EXCEPTION WHEN division_by_zero/OTHERS THEN <stmts> (pl_exec.c
     # exec_stmt_block): the only exception a pure scalar expression can
     # raise here is division by zero, so the handler compiles to
@@ -793,29 +806,77 @@ def compile_plpgsql_setof(create_stmt: str) -> tuple[str, str, str, str]:
         else:
             argname, argtype = words[0].lower(), " ".join(words[1:])
         spark_args.append(f"{argname} {_map_type(argtype)}")
+    # strip an optional DECLARE section (loop variables)
+    body = re.sub(r"^\s*DECLARE\s+.*?(?=(?i:\bBEGIN\b))", "", body,
+                  flags=re.I | re.S)
     bm = re.fullmatch(
         r"\s*BEGIN\s+RETURN\s+QUERY\s+(.*?);?\s*END\s*;?\s*",
         body,
         re.I | re.S,
     )
-    if not bm:
-        raise NotImplementedError(
-            "plpgsql SETOF subset: body must be exactly "
-            "BEGIN RETURN QUERY <select>; END (RETURN NEXT / loops "
-            "have no single-query form)"
+    if bm:
+        query = bm.group(1).strip()
+    else:
+        # FOR v IN <query> LOOP RETURN NEXT v; END LOOP; RETURN; — the
+        # reference's canonical SETOF idiom (qp_functions_in_contexts_
+        # setup.sql func1_sql_setint_*): row-at-a-time emission of the
+        # query's rows IS the query, so it compiles to the same table
+        # function as RETURN QUERY (no per-row execution).
+        fm = re.fullmatch(
+            r"\s*BEGIN\s+FOR\s+([A-Za-z_]\w*)\s+IN\s+(.*?)\s+LOOP\s+"
+            r"RETURN\s+NEXT\s+\1\s*;\s*END\s+LOOP\s*;\s*"
+            r"(?:RETURN\s*;)?\s*END\s*;?\s*",
+            body,
+            re.I | re.S,
         )
+        if not fm:
+            raise NotImplementedError(
+                "plpgsql SETOF subset: body must be BEGIN RETURN QUERY "
+                "<select>; END or BEGIN FOR v IN <select> LOOP RETURN "
+                "NEXT v; END LOOP; RETURN; END (row-transforming RETURN "
+                "NEXT bodies have no single-query form)"
+            )
+        query = fm.group(2).strip()
+    # $N positionals -> argument names (pl_comp.c positional binding)
+    argnames = [a.split()[0] for a in spark_args]
+    query = re.sub(
+        r"\$(\d+)",
+        lambda pm: argnames[int(pm.group(1)) - 1],
+        query,
+    )
     return (
         name.lower(),
         ", ".join(spark_args),
         table_cols,
-        translate_pg_sql(bm.group(1).strip()),
+        translate_pg_sql(query),
     )
 
 
-def create_plpgsql_function(spark: SparkSession, create_stmt: str) -> str:
+def _match_paren_str(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at i, or -1."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def create_plpgsql_function(
+    spark: SparkSession, create_stmt: str, table_form: bool = False
+) -> str:
     """Compile + register as a Catalyst-inlined SQL temporary function
     (scalar) or SQL table function (RETURNS SETOF/TABLE + RETURN
-    QUERY); returns the function name."""
+    QUERY / RETURN NEXT loop); returns the function name.
+
+    ``table_form=True`` registers a SCALAR function as a single-row
+    table function instead, so PG's function-in-FROM placement
+    (`SELECT * FROM f(5)`, qp_functions_in_from.sql) runs natively:
+    PG names the one result column after the function, which the
+    wrapper reproduces."""
     m = _CREATE_RE.search(create_stmt)
     if m and re.match(r"\s*(SETOF|TABLE)\b", m.group(3), re.I):
         name, args, cols, sql = compile_plpgsql_setof(create_stmt)
@@ -825,6 +886,35 @@ def create_plpgsql_function(spark: SparkSession, create_stmt: str) -> str:
         )
         return name
     name, args, ret, expr = compile_plpgsql(create_stmt)
+    if table_form:
+        body = f"SELECT {expr} AS {name}"
+        # a body that is exactly one scalar subquery (the SELECT ...
+        # INTO r form) must be unwrapped into the table function's own
+        # query: Spark does not resolve function parameters inside
+        # subqueries of a SQLTableFunction body, but resolves them
+        # fine in the body's top-level WHERE/LIMIT
+        q = expr.strip()
+        while q.startswith("(") and _match_paren_str(q, 0) == len(q) - 1:
+            q = q[1:-1].strip()
+        if re.match(r"SELECT\b", q, re.I):
+            fm, depth = None, 0
+            for i, ch in enumerate(q):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif depth == 0 and q[i : i + 4].upper() == "FROM":
+                    fm = i
+                    break
+            if fm is not None:
+                item = q[len("SELECT") : fm].strip()
+                if "," not in item:
+                    body = f"SELECT ({item}) AS {name} {q[fm:]}"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS TABLE ({name} {ret}) RETURN {body}"
+        )
+        return name
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
         f"RETURNS {ret} RETURN {expr}"

@@ -109,6 +109,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.regress  # noqa: F401
     import cloudberry_spark.sql.tpcds_real  # noqa: F401
     import cloudberry_spark.sql.qp_derived  # noqa: F401
+    import cloudberry_spark.sql.qp_functions  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -296,7 +297,10 @@ _LEAD = [
         "regress_qpff_setof_in_from",
         "regress_qpff_func_join_table",
         "regress_qpff_func_in_select",
-        "regress_qpff_func_with_ordinality",
+        "regress_qpff_scalar_in_from",
+        "regress_qpff_nested_func_args",
+        "regress_qpff_read_scalar_in_from",
+        "regress_qpff_read_setof_in_from",
         "udf_sirv_in_targetlist",
         "udf_sirv_in_where",
         "udf_sirv_in_update_set",
