@@ -102,6 +102,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.reports  # noqa: F401
     import cloudberry_spark.operators.infoschema  # noqa: F401
     import cloudberry_spark.operators.maps  # noqa: F401
+    import cloudberry_spark.operators.views  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
@@ -308,6 +309,7 @@ _LEAD = [
         "dml_view_insert_simple",
         "dml_view_update_filtered",
         "dml_view_delete_where",
+        "dml_view_check_option",
         "regress_numeric_big_agg",
         "multimodal_image_png_decode",
         "regress_partition_join_pruned",
