@@ -103,6 +103,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.infoschema  # noqa: F401
     import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.operators.views  # noqa: F401
+    import cloudberry_spark.operators.widenum  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
