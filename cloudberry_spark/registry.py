@@ -114,6 +114,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_functions  # noqa: F401
     import cloudberry_spark.sql.sirv  # noqa: F401
     import cloudberry_spark.sql.partition_join  # noqa: F401
+    import cloudberry_spark.sql.join_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401

@@ -135,6 +135,49 @@ def _rewrite_selectlist_srf(seg: str) -> str:
     return seg
 
 
+def _rewrite_subscripts(seg: str) -> str:
+    """atom[expr] -> try_element_at(atom, expr), innermost-out.
+
+    The atom is the identifier (possibly dotted) or parenthesized
+    group immediately left of the bracket; a close-paren atom expands
+    to its matching open paren plus any preceding function-call name.
+    Each pass removes one bracket pair, so the loop terminates."""
+    while True:
+        m = re.search(r"\[([^\[\]:]+)\]", seg)
+        if m is None:
+            return seg
+        j = m.start() - 1
+        while j >= 0 and seg[j].isspace():
+            j -= 1
+        if j < 0:
+            return seg
+        if seg[j] == ")":
+            depth, k = 0, j
+            while k >= 0:
+                if seg[k] == ")":
+                    depth += 1
+                elif seg[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return seg
+            nm = re.search(r"[A-Za-z_][\w.]*\s*$", seg[:k])
+            start = nm.start() if nm else k
+            atom = seg[start : j + 1]
+        else:
+            nm = re.search(r"[A-Za-z_][\w.]*$", seg[: j + 1])
+            if nm is None:
+                return seg
+            atom, start = nm.group(0), nm.start()
+        seg = (
+            seg[:start]
+            + f"try_element_at({atom}, {m.group(1).strip()})"
+            + seg[m.end() :]
+        )
+
+
 def _rewrite_masked(seg: str) -> str:
     """All rewrites that run on literal-masked text."""
     # COLLATE "de_DE" etc. (varlena.c varstr_cmp / pg_collation): Spark
@@ -171,6 +214,16 @@ def _rewrite_masked(seg: str) -> str:
         if new == seg:
             break
         seg = new
+
+    # PG 1-based array subscripts (arrayfuncs.c): atom[expr] ->
+    # try_element_at(atom, expr) — 1-based on Spark too, NULL out of
+    # bounds exactly like PG. Runs after ARRAY[..] -> array(..), so
+    # literal-array subscripts ((array(4))[1]) and identifier/call
+    # atoms all rewrite; empty brackets (::int[] type suffixes) and
+    # slices (a[1:2], ':' excluded) are left untouched. (A
+    # negative-literal subscript would hit Spark's from-the-end
+    # semantics instead of PG's NULL; none exist in the ported corpus.)
+    seg = _rewrite_subscripts(seg)
 
     # array_cat(a, b) -> concat(a, b) (arrayfuncs.c array_cat; Spark
     # concat concatenates arrays)
