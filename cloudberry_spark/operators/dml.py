@@ -96,6 +96,55 @@ def update_from(
     )
 
 
+def update_join(
+    spark: SparkSession,
+    table: SnapshotTable,
+    source: DataFrame,
+    cond: Column,
+    assignments: dict[str, Column],
+) -> None:
+    """UPDATE t SET col = expr FROM source WHERE <theta cond>, where
+    SET expressions may reference source columns (exposed as
+    ``src_<name>``) — the qp_dml_joins.sql UPDATE-with-fromlist
+    general form. Each target row must match at most one source row
+    (PG would silently pick an arbitrary one — nodeModifyTable.c just
+    takes the first; we fail loudly instead, the deterministic
+    choice). The theta join is a plain left join; at scale AQE
+    broadcasts a small source exactly like the reference's motion.
+    """
+    base = table.current_version()
+    cur = table.read(spark, base).withColumn(
+        "__tid__", F.monotonically_increasing_id()
+    )
+    src = source.select(
+        F.lit(True).alias("__hit__"),
+        *[F.col(c).alias(f"src_{c}") for c in source.columns],
+    )
+    joined = cur.join(src, cond, "left")
+    dup = (
+        joined.groupBy("__tid__")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "update_join: a target row matches multiple source rows; "
+            "PG picks one arbitrarily — make the join key unique"
+        )
+    hit = F.coalesce(F.col("__hit__"), F.lit(False))
+    for col, expr in assignments.items():
+        joined = joined.withColumn(
+            col, F.when(hit, expr).otherwise(F.col(col))
+        )
+    table.commit_rewrite(
+        joined.select(*table.read(spark, base).columns),
+        base,
+        label="update_join",
+    )
+
+
 def delete_using(
     spark: SparkSession,
     table: SnapshotTable,

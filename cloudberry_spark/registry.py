@@ -104,6 +104,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.maps  # noqa: F401
     import cloudberry_spark.operators.views  # noqa: F401
     import cloudberry_spark.operators.widenum  # noqa: F401
+    import cloudberry_spark.operators.dml_joins  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
@@ -318,6 +319,8 @@ _LEAD = [
         "regress_partition_join_pruned",
         "regress_qpdml_join_update",
         "regress_qpdml_join_delete",
+        "regress_qpdml_join_update_values",
+        "regress_qpdml_delete_multi_using",
         "udf_plpgsql_conditional_divzero",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
