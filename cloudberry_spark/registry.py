@@ -308,6 +308,7 @@ _LEAD = [
         "regress_qpff_read_scalar_in_from",
         "regress_qpff_read_setof_in_from",
         "udf_sirv_in_targetlist",
+        "udf_sirv_in_from",
         "udf_sirv_in_where",
         "udf_sirv_in_update_set",
         "dml_view_insert_simple",
