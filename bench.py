@@ -79,9 +79,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    # SPARK_GRAFT_RUNS (default 3): raise to 5+ when verifying whether a
+    # cross-round delta is noise (r7 verdict bench-hygiene item) — the
+    # median of more steady-state runs tightens the spread estimate.
+    n_runs = max(3, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     for label, name in {**TPCH, **PIPELINE}.items():
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             # Time fn() + execution together: operators that materialize
             # intermediate state eagerly (iterative matviews, DML
             # scenarios) do real work inside fn(), and excluding it
@@ -96,7 +100,7 @@ def main() -> None:
         # fleet-wide drift between rounds is attributable to
         # environment vs plan change (r4 verdict item).
         runs.sort()
-        timings[label] = round(runs[1], 3)
+        timings[label] = round(runs[len(runs) // 2], 3)
         spread[label] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)

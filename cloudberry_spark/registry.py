@@ -116,6 +116,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.sirv  # noqa: F401
     import cloudberry_spark.sql.partition_join  # noqa: F401
     import cloudberry_spark.sql.join_gp  # noqa: F401
+    import cloudberry_spark.sql.tpch_real  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -323,6 +324,14 @@ _LEAD = [
         "regress_qpdml_join_update_values",
         "regress_qpdml_delete_multi_using",
         "udf_plpgsql_conditional_divzero",
+        "tpch_q2_real",
+        "tpch_q11_real",
+        "tpch_q16_real",
+        "tpch_q20_real",
+        "tpch_q21_real",
+        "tpch_q22_real",
+        "tpch_q15_real",
+        "tpch_q17_real",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
         # loops, NATURAL JOIN, array_in literal casts

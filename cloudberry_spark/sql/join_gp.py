@@ -93,9 +93,12 @@ test_int2(id, data) AS (
 """
 
 
-def _jg(name: str, sql: str, doc: str, oracle: str | None = "same") -> None:
+def _jg(
+    name: str, sql: str, doc: str, oracle: str | None = "same",
+    extra_tags: tuple[str, ...] = (),
+) -> None:
     register_regress(
-        name, sql, doc, tags=("joingp", "join"),
+        name, sql, doc, tags=("joingp", "join") + extra_tags,
         oracle=oracle, prelude=JOIN_GP_PRELUDE,
     )
 
@@ -123,7 +126,10 @@ _jg(
     "regress_joingp_anti_two_cols",
     "select t1.a AS a from aj_t1 t1 where not exists "
     "(select 1 from aj_t2 t2 where t1.b = t2.b and t1.c = t2.c)",
-    "join_gp.sql:36 — two-column anti-join (LASJ selectivity case).",
+    "join_gp.sql:36 — two-column anti-join (LASJ selectivity case); "
+    "the reference's expected output is empty (the only t1 row "
+    "matches).",
+    extra_tags=("may_be_empty",),
 )
 
 _jg(
@@ -212,6 +218,7 @@ _jg(
     "join_gp.sql:183 — LASJ whose outer rel is provably empty "
     "(contradictory quals): the dummy-join case, zero rows with the "
     "right schema.",
+    extra_tags=("may_be_empty",),
 )
 
 _jg(
