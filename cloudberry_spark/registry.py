@@ -117,6 +117,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.partition_join  # noqa: F401
     import cloudberry_spark.sql.join_gp  # noqa: F401
     import cloudberry_spark.sql.tpch_real  # noqa: F401
+    import cloudberry_spark.sql.qp_olap_window  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -332,6 +333,12 @@ _LEAD = [
         "tpch_q22_real",
         "tpch_q15_real",
         "tpch_q17_real",
+        "regress_qpow_dense_rank_00",
+        "regress_qpow_cume_dist_01",
+        "regress_qpow_percent_rank_02",
+        "regress_qpow_dense_rank_percent_rank_rank_03",
+        "regress_qpow_dense_rank_04",
+        "regress_qpow_percent_rank_05",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
         # loops, NATURAL JOIN, array_in literal casts

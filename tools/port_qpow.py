@@ -78,21 +78,40 @@ _ANY_WIN_RE = re.compile(
     r"lead|first_value|last_value|nth_value)\s*\(",
     re.I,
 )
-_TO_CHAR_RE = re.compile(
-    r"TO_CHAR\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)\s*,"
-    r"\s*'(9+\.9+)'\s*\)",
-    re.I,
-)
-
-
-def _oracle_to_char(q: str) -> str:
-    def repl(m: re.Match) -> str:
-        tpl = m.group(2)
-        ints, frac = tpl.split(".")
+def _map_to_char(q: str, fn: str) -> str:
+    """TO_CHAR(expr, '99...9.99...9') -> fixed-point render via ``fn``
+    (format_string on Spark, printf on DuckDB), paren-matched so the
+    expr may nest arbitrarily (COALESCE(COUNT(..) OVER (..), 0)).
+    Spark's native to_char cannot render negatives or sub-1 fractions
+    the way PG's '9' templates do (it emits ########), so BOTH engines
+    get the same %W.Df rendering — the checked content is the values;
+    PG's exact blank-vs-zero padding is a noted adaptation."""
+    out = q
+    while True:
+        m = re.search(r"TO_CHAR\(", out, re.I)
+        if m is None:
+            return out
+        o = m.end() - 1
+        depth, c = 0, -1
+        for i in range(o, len(out)):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    c = i
+                    break
+        inner = out[o + 1 : c]
+        am = re.search(r",\s*'(9+\.9+)'\s*$", inner)
+        assert am, inner[-60:]
+        expr = inner[: am.start()]
+        ints, frac = am.group(1).split(".")
         width = len(ints) + 1 + len(frac)
-        return f"printf('%{width}.{len(frac)}f', CAST({m.group(1)} AS DOUBLE))"
-
-    return _TO_CHAR_RE.sub(repl, q)
+        out = (
+            out[: m.start()]
+            + f"{fn}('%{width}.{len(frac)}f', CAST({expr} AS DOUBLE))"
+            + out[c + 1 :]
+        )
 
 
 def split_outer(q: str):
@@ -121,6 +140,47 @@ def alias_outer(q: str) -> str:
     return "SELECT " + ",\n  ".join(out) + "\n" + rest
 
 
+_WINDEF_RE = re.compile(r"\bWINDOW\s+", re.I)
+
+
+def _inline_windows(q: str) -> str:
+    """DuckDB cannot reference a named window that carries a frame
+    clause; inline every `OVER(name)` with the window's body and drop
+    the whole WINDOW clause (comma-separated definitions supported;
+    the sampled slice has no window inheritance)."""
+    m = _WINDEF_RE.search(q)
+    if m is None:
+        return q
+    pos = m.end()
+    defs = {}
+    while True:
+        dm = re.match(r"\s*(\w+)\s+as\s*\(", q[pos:], re.I)
+        if dm is None:
+            break
+        o = pos + dm.end() - 1
+        depth, c = 0, -1
+        for i in range(o, len(q)):
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    c = i
+                    break
+        defs[dm.group(1)] = q[o + 1 : c]
+        pos = c + 1
+        cm = re.match(r"\s*,", q[pos:])
+        if cm is None:
+            break
+        pos += cm.end()
+    q = q[: m.start()] + q[pos:]
+    for name, body in defs.items():
+        q = re.sub(
+            rf"OVER\s*\(\s*{name}\s*\)", f"OVER ({body})", q, flags=re.I
+        )
+    return q
+
+
 def main() -> None:
     s = open(SRC).read()
     # drop the start_ignore setup block
@@ -136,6 +196,25 @@ def main() -> None:
             continue
         if re.search(r"\bROWS\b", st, re.I):
             continue  # ROWS frames are tie-ambiguous
+        # Spark frame bounds must be literals; the fuzzer also emits
+        # expression bounds (floor(col)::integer PRECEDING) — a
+        # documented non-goal (variable-offset frames are emulated
+        # separately, win_variable_offset_lag)
+        bounds = re.findall(r"(\S+)\s+(?:preceding|following)\b", st, re.I)
+        if not all(re.fullmatch(r"(?i)(unbounded|\d+)", b) for b in bounds):
+            continue
+        # Spark rejects frames whose bounds are both on the same side
+        # (e.g. BETWEEN 2 PRECEDING AND 3 PRECEDING): PG evaluates
+        # them (often empty), Spark raises WRONG_COMPARISON
+        if re.search(
+            r"between\s+\d+\s+(preceding|following)\s+and\s+\d+\s+\1",
+            st, re.I,
+        ):
+            continue
+        # fuzzer division decorations can hit /0 at runtime (an ERROR
+        # on PG and Spark alike — not a comparable result)
+        if "/" in re.sub(r"'[^']*'", "", st):
+            continue
         picked.append(st)
     print(f"deterministic candidates: {len(picked)}", file=sys.stderr)
     # take an evenly spaced sample across the battery
@@ -161,8 +240,9 @@ def main() -> None:
         "                     oracle=oracle, prelude=QPOW_PRELUDE)\n\n",
     ]
     for k, st in enumerate(take):
-        q = alias_outer(st)
-        oracle = _oracle_to_char(q)
+        aliased = alias_outer(st)
+        q = _map_to_char(aliased, "format_string")
+        oracle = _inline_windows(_map_to_char(aliased, "printf"))
         full_o = PRELUDE + oracle
         df = duckdb.sql(full_o).df()
         funcs = sorted({f.lower() for f in _ANY_WIN_RE.findall(st)})
