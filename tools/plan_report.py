@@ -155,6 +155,28 @@ def main() -> None:
         "udf_sql_table_function_from",
         "aqumv_filter_subsumption",
         "regress_qpwith_nested_cte_pyramid",
+        # round 8 additions
+        "tpcds_q04_real",
+        "tpcds_q47_real",
+        "tpcds_q67_real",
+        "tpch_q2_real",
+        "tpch_q9_real",
+        "tpch_q11_real",
+        "tpch_q18_real",
+        "tpch_q20_real",
+        "tpch_q21_real",
+        "regress_qpdt_derived_in_from",
+        "regress_qpdt_scalarsub_derived",
+        "regress_qpff_setof_in_from",
+        "udf_sirv_in_targetlist",
+        "udf_sirv_in_update_set",
+        "dml_view_update_filtered",
+        "regress_numeric_big_agg",
+        "multimodal_image_png_decode",
+        "regress_partition_join_pruned",
+        "regress_partjoin_phv_foj_3way",
+        "regress_joingp_rcte_spill_hashjoin",
+        "regress_qpdml_join_update",
     ]
     from cloudberry_spark import planhook
 
