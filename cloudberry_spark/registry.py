@@ -310,6 +310,9 @@ _LEAD = [
         "regress_qpff_nested_func_args",
         "regress_qpff_read_scalar_in_from",
         "regress_qpff_read_setof_in_from",
+        "regress_qpff_scalar_in_with",
+        "regress_qpff_scalar_in_subqry",
+        "regress_qpff_scalar_notable",
         "udf_sirv_in_targetlist",
         "udf_sirv_in_from",
         "udf_sirv_in_where",

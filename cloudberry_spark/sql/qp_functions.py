@@ -291,3 +291,96 @@ _qpff(
     "list; both bodies through the plpgsql compiler (RETURN-expression "
     "and SELECT-INTO forms).",
 )
+
+
+_qpff(
+    "regress_qpff_scalar_in_with",
+    [
+        (
+            """
+            CREATE FUNCTION func1_nosql_stb(x int) RETURNS int AS $$
+            BEGIN
+            RETURN $1 +1;
+            END
+            $$ LANGUAGE plpgsql NO SQL STABLE
+            """,
+            False,
+        )
+    ],
+    "WITH v(a, b) AS (SELECT func1_nosql_stb(a), b FROM foo "
+    "WHERE b < 5) "
+    "SELECT v1.a AS a, v2.b AS b FROM v AS v1, v AS v2 "
+    "WHERE v1.a < v2.a order by v1.a, v2.b",
+    _FIXTURES
+    + ", v(a, b) AS (SELECT a + 1, b FROM foo WHERE b < 5) "
+    "SELECT v1.a AS a, v2.b AS b FROM v AS v1, v AS v2 "
+    "WHERE v1.a < v2.a ORDER BY v1.a, v2.b",
+    "qp_functions_in_with.sql:14 (function_in_with_1) — a plpgsql "
+    "scalar over a table column inside a CTE consumed twice by a "
+    "theta self-join; the compiled SQL function inlines into both "
+    "CTE consumers.",
+)
+
+_qpff(
+    "regress_qpff_scalar_in_subqry",
+    [
+        (
+            """
+            CREATE FUNCTION func1_sql_int_imm(x int) RETURNS int AS $$
+            DECLARE
+                r int;
+            BEGIN
+                SELECT $1 + 1 INTO r;
+                return r;
+            END
+            $$ LANGUAGE plpgsql CONTAINS SQL IMMUTABLE
+            """,
+            False,
+        )
+    ],
+    "SELECT foo.a AS a, foo.b AS b, r.f AS f FROM foo, "
+    "(SELECT func1_sql_int_imm(5) AS f) r order by 1,2,3",
+    _FIXTURES
+    + "SELECT foo.a AS a, foo.b AS b, r.f AS f FROM foo, "
+    "(SELECT 5 + 1 AS f) r ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery.sql:26 (function_in_subqry_5) — the "
+    "function call inside a derived-table subquery crossed with a "
+    "table (PG plans the one-row subquery as an InitPlan-fed Result).",
+)
+
+_qpff(
+    "regress_qpff_scalar_notable",
+    [
+        (
+            """
+            CREATE FUNCTION func2_sql_int_stb(x int) RETURNS int AS $$
+            DECLARE
+                r int;
+            BEGIN
+                SELECT $1 + 1 INTO r;
+                return r;
+            END
+            $$ LANGUAGE plpgsql CONTAINS SQL STABLE
+            """,
+            False,
+        ),
+        (
+            """
+            CREATE FUNCTION func1_sql_int_stb2(x int) RETURNS int AS $$
+            DECLARE
+                r int;
+            BEGIN
+                SELECT $1 + 1 INTO r;
+                return r;
+            END
+            $$ LANGUAGE plpgsql CONTAINS SQL STABLE
+            """,
+            False,
+        ),
+    ],
+    "SELECT func1_sql_int_stb2(func2_sql_int_stb(5)) AS f",
+    "SELECT 5 + 1 + 1 AS f",
+    "qp_functions_in_select.sql function_in_select_notable_withfunc2 "
+    "class — nested calls with no table at all (pure Result node in "
+    "PG; a one-row projection here).",
+)
