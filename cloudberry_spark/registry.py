@@ -293,6 +293,7 @@ _LEAD = [
         "tpcds_q23_frequent_items",
         "tpcds_q95_order_warehouses",
         "tpcds_q11_real",
+        "tpcds_q04_shared_cte",
         "regress_qpdt_derived_in_from",
         "regress_qpdt_nested_derived",
         "regress_qpdt_scalarsub_derived",
