@@ -323,6 +323,7 @@ _LEAD = [
         "dml_view_delete_where",
         "dml_view_check_option",
         "regress_numeric_big_agg",
+        "regress_numeric_big_addsub",
         "multimodal_image_png_decode",
         "regress_partition_join_pruned",
         "regress_qpdml_join_update",
