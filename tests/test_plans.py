@@ -740,3 +740,32 @@ def test_inverted_index_probe_prunes_buckets(spark):
     i = plan.find("PartitionFilters: [bucket")
     assert i >= 0, "no bucket partition pruning in the probe scan"
     assert "In(w, [" in plan, "term filter not pushed to postings scan"
+
+
+def test_q4_shared_cte_materializes_year_total_once(spark):
+    """tpcds_q04_shared_cte is the gp_cte_sharing analog: Catalyst
+    would inline a 6-times-referenced CTE into six generator copies;
+    the shared variant computes year_total once into scratch parquet,
+    so the final 6-way self-join plan reads ONLY the materialized
+    relation — no Range generators (channel scans) survive in it."""
+    plan = _plan(spark, "tpcds_q04_shared_cte")
+    assert "OneRowRelation" not in plan, (
+        "channel generators leaked into the join plan"
+    )
+    assert plan.count("parquet") >= 1
+    # and the text-faithful variant does inline (the contrast the
+    # reference's gp_cte_sharing GUC exists to fix): the generator
+    # leaf (explode over OneRowRelation) appears once per CTE copy
+    inline = _plan(spark, "tpcds_q04_real")
+    assert inline.count("OneRowRelation") >= 6
+
+
+def test_partition_join_pruned_filters(spark):
+    """regress_partition_join_pruned carries range predicates on both
+    join sides (a < 450, b > 250): both must appear as filters in the
+    plan (partition pruning's logical content; the fixture is a CTE so
+    there is no parquet scan to push into)."""
+    plan = _plan(spark, "regress_partition_join_pruned")
+    assert "450" in plan and "250" in plan
+    # the join itself must be a broadcast hash join at this size
+    assert "BroadcastHashJoin" in plan
