@@ -330,6 +330,7 @@ _LEAD = [
         "regress_qpdml_join_delete",
         "regress_qpdml_join_update_values",
         "regress_qpdml_delete_multi_using",
+        "regress_rio_band_join_fivemin",
         "udf_plpgsql_conditional_divzero",
         "tpch_q2_real",
         "tpch_q11_real",

@@ -283,3 +283,52 @@ _jg(
     "from test_int1 t1, test_int2 t2 where t1.data = t2.data",
     "join_gp.sql:311 — int4 = int8 join key.",
 )
+
+
+RIO_PRELUDE = """
+WITH my_tt_agg_small(symbol, event_ts, trade_price, trade_volume) AS (
+  SELECT 'SYM' || CAST(i % 5 AS STRING),
+         CAST(20101126100000000 + (i * 7919) % 3000000 AS BIGINT),
+         CAST((i * 13) % 1000 AS DOUBLE) / 4 + 400000,
+         CAST((i * 7) % 900 + 100 AS BIGINT)
+  FROM generate_series(0, 1999) AS t(i)
+),
+my_tq_agg_small(ets, sym, bid_px, ask_px, end_ts) AS (
+  SELECT CAST(20101126100000000 + j * 30000 AS BIGINT),
+         'SYM' || CAST(k AS STRING),
+         CAST(431000 + (j * 7 + k) % 500 AS BIGINT),
+         CAST(431100 + (j * 7 + k) % 500 AS BIGINT),
+         CAST(20101126100000000 + j * 30000 + 20000 + (j % 3) * 10000
+              AS BIGINT)
+  FROM generate_series(0, 99) AS tj(j), generate_series(0, 4) AS tk(k)
+)
+"""
+
+register_regress(
+    "regress_rio_band_join_fivemin",
+    """
+SELECT CAST(floor(floor(tt.event_ts / 100000) / 5) * 5 AS BIGINT) as fivemin
+      , COUNT(*) AS n
+   FROM my_tt_agg_small tt
+      , my_tq_agg_small tq
+  WHERE tq.sym      =  tt.symbol
+    AND tt.event_ts >= tq.ets
+    AND tt.event_ts <  tq.end_ts
+  GROUP BY 1
+  ORDER BY 1 asc
+""",
+    "src/test/regress/sql/qp_misc_rio_join_small.sql:24090-24098 — "
+    "the reference's tick/quote BAND JOIN workload (trade timestamp "
+    "inside the quote's [ets, end_ts) interval, equi on symbol), "
+    "bucketed to five-minute groups. The fixture is a deterministic "
+    "analog of its 24k-row COPY dump (overlapping 20-40s quote "
+    "windows per symbol); the reference's (int/int)/int bucket "
+    "arithmetic is PG integer division, spelled floor() explicitly "
+    "(Spark and DuckDB both divide integers as doubles; floor of "
+    "these magnitudes is exact below 2^53). At scale this is the equi-key band join "
+    "Spark executes as hash-partition-by-symbol + per-partition "
+    "interval filter — the reference forces merge join via its "
+    "btree index on (ets, end_ts).",
+    tags=("joingp", "bandjoin"),
+    prelude=RIO_PRELUDE,
+)
