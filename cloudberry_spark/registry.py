@@ -118,6 +118,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.join_gp  # noqa: F401
     import cloudberry_spark.sql.tpch_real  # noqa: F401
     import cloudberry_spark.sql.qp_olap_window  # noqa: F401
+    import cloudberry_spark.sql.qp_with_world  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -331,6 +332,10 @@ _LEAD = [
         "regress_qpdml_join_update_values",
         "regress_qpdml_delete_multi_using",
         "regress_rio_band_join_fivemin",
+        "regress_qpwith_shadow_cte_over_table",
+        "regress_qpwith_shadow_two_table_names",
+        "regress_qpwith_cte_alias_same_name",
+        "regress_qpwith_shadow_chain_consume",
         "udf_plpgsql_conditional_divzero",
         "tpch_q2_real",
         "tpch_q11_real",
