@@ -305,6 +305,15 @@ _LEAD = [
         "regress_qpdt_pair_minmax",
         "regress_qpdt_loj_groupby",
         "regress_qpdt_mixed_4way",
+        "regress_qpdt_pair_wide_tlist",
+        "regress_qpdt_pair_compact",
+        "regress_qpdt_3way_deep_quals",
+        "regress_qpdt_multiway_wide",
+        "regress_qpdt_multiway_outer",
+        "regress_qpdt_derived_loj_scalarsub",
+        "regress_qpdt_derived_loj_scalarsub_b",
+        "regress_qpdt_derived_loj_roj_scalarsub",
+        "regress_qpdt_derived_loj_scalarsub_c",
         "regress_qpff_setof_in_from",
         "regress_qpff_func_join_table",
         "regress_qpff_func_in_select",

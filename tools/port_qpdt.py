@@ -42,6 +42,24 @@ CHOSEN = [
      "+ aggregated scalar subquery over it"),
     (895, "regress_qpdt_scalarsub_derived",
      "scalar subquery over nested derived tables with LOJ"),
+    (100, "regress_qpdt_pair_wide_tlist",
+     "2-table join, wide grouped target list"),
+    (150, "regress_qpdt_pair_compact",
+     "compact 2-table join with aggregate ordering"),
+    (210, "regress_qpdt_3way_deep_quals",
+     "3-way join, deeply nested OR quals"),
+    (260, "regress_qpdt_multiway_wide",
+     "multi-table join with a wide grouped result"),
+    (270, "regress_qpdt_multiway_outer",
+     "multi-table join tree with outer joins"),
+    (800, "regress_qpdt_derived_loj_scalarsub",
+     "derived table + LOJ + aggregated scalar subquery"),
+    (804, "regress_qpdt_derived_loj_scalarsub_b",
+     "second derived/LOJ/scalar-subquery composition"),
+    (810, "regress_qpdt_derived_loj_roj_scalarsub",
+     "derived table with both LOJ and ROJ under a scalar subquery"),
+    (872, "regress_qpdt_derived_loj_scalarsub_c",
+     "20-table derived/LOJ/scalar-subquery composition"),
 ]
 
 
