@@ -310,10 +310,6 @@ _LEAD = [
         "regress_qpdt_3way_deep_quals",
         "regress_qpdt_multiway_wide",
         "regress_qpdt_multiway_outer",
-        "regress_qpdt_derived_loj_scalarsub",
-        "regress_qpdt_derived_loj_scalarsub_b",
-        "regress_qpdt_derived_loj_roj_scalarsub",
-        "regress_qpdt_derived_loj_scalarsub_c",
         "regress_qpff_setof_in_from",
         "regress_qpff_func_join_table",
         "regress_qpff_func_in_select",
@@ -335,6 +331,7 @@ _LEAD = [
         "regress_numeric_big_agg",
         "regress_numeric_big_addsub",
         "multimodal_image_png_decode",
+        "udf_plpgsql_conditional_divzero",
         "regress_partition_join_pruned",
         "regress_qpdml_join_update",
         "regress_qpdml_join_delete",
@@ -345,7 +342,6 @@ _LEAD = [
         "regress_qpwith_shadow_two_table_names",
         "regress_qpwith_cte_alias_same_name",
         "regress_qpwith_shadow_chain_consume",
-        "udf_plpgsql_conditional_divzero",
         "tpch_q2_real",
         "tpch_q11_real",
         "tpch_q16_real",
