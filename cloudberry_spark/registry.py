@@ -351,11 +351,11 @@ _LEAD = [
         "tpch_q15_real",
         "tpch_q17_real",
         "regress_qpow_dense_rank_00",
-        "regress_qpow_cume_dist_01",
-        "regress_qpow_percent_rank_02",
-        "regress_qpow_dense_rank_percent_rank_rank_03",
-        "regress_qpow_dense_rank_04",
-        "regress_qpow_percent_rank_05",
+        "regress_qpow_dense_rank_01",
+        "regress_qpow_rank_02",
+        "regress_qpow_dense_rank_rank_03",
+        "regress_qpow_rank_04",
+        "regress_qpow_cume_dist_05",
         # round-5 session-2 additions: GP CASE grammar lowering,
         # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
         # loops, NATURAL JOIN, array_in literal casts
