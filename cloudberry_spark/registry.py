@@ -330,6 +330,8 @@ _LEAD = [
         "dml_view_check_option",
         "regress_numeric_big_agg",
         "regress_numeric_big_addsub",
+        "regress_collate_c_order",
+        "regress_multidim_array_subset",
         "multimodal_image_png_decode",
         "udf_plpgsql_conditional_divzero",
         "regress_partition_join_pruned",

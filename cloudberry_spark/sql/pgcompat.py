@@ -164,6 +164,14 @@ def _rewrite_subscripts(seg: str) -> str:
             if k < 0:
                 return seg
             nm = re.search(r"[A-Za-z_][\w.]*\s*$", seg[:k])
+            # a preceding identifier is part of the atom only when it
+            # is a function-call name, never a keyword (SELECT (a)[1])
+            if nm and nm.group(0).strip().upper() in (
+                "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN",
+                "ELSE", "BY", "ON", "FROM", "AS", "IN", "THEN", "CASE",
+                "HAVING", "RETURN", "VALUES", "SET", "LIKE", "ILIKE",
+            ):
+                nm = None
             start = nm.start() if nm else k
             atom = seg[start : j + 1]
         else:
@@ -180,25 +188,38 @@ def _rewrite_subscripts(seg: str) -> str:
 
 def _rewrite_masked(seg: str) -> str:
     """All rewrites that run on literal-masked text."""
-    # COLLATE "de_DE" etc. (varlena.c varstr_cmp / pg_collation): Spark
-    # sorts binary UTF-8 and has no per-expression collations. Silently
-    # dropping the clause would return wrongly-ordered data, so fail at
-    # translate time (MIGRATION.md "COLLATE").
+    # COLLATE (varlena.c varstr_cmp / pg_collation): Spark sorts binary
+    # UTF-8 by default. PG's "C"/"POSIX" collations ARE byte order, so
+    # those clauses drop to a no-op; any locale collation would change
+    # sort results and still fails at translate time (MIGRATION.md
+    # "COLLATE"). The literal is masked at this point, so the collation
+    # name is a placeholder — resolve it before deciding.
+    for cm in list(re.finditer(r"COLLATE\s+(\x01(\d+)\x02|\"[^\"]+\")",
+                               seg, flags=re.I)):
+        pass
+    def _collate_repl(cm: re.Match) -> str:
+        name = cm.group(1).strip('"')
+        if name.upper() in ("C", "POSIX", "UCS_BASIC"):
+            return ""
+        raise NotImplementedError(
+            f"COLLATE {name} is not supported: Spark compares strings "
+            "by binary UTF-8 code point, not locale order; pre-compute "
+            "a sort key column instead (see MIGRATION.md). COLLATE "
+            '"C"/"POSIX" (byte order) are accepted as no-ops.'
+        )
+    seg = re.sub(r"\bCOLLATE\s+\"([^\"]+)\"", _collate_repl, seg, flags=re.I)
     if re.search(r"\bCOLLATE\b", seg, flags=re.I):
         raise NotImplementedError(
-            "COLLATE is not supported: Spark compares strings by binary "
-            "UTF-8 code point, not locale order; pre-compute a sort key "
-            "column instead (see MIGRATION.md)"
+            "COLLATE with a non-quoted or expression collation is not "
+            "supported (see MIGRATION.md)"
         )
-    # chained subscripts are PG MULTIDIMENSIONAL array access
-    # (arrayfuncs.c) — a documented non-goal with no Spark analog
-    # (Spark nests 1-D arrays instead). Fail loudly, never index wrong.
-    if re.search(r"\]\s*\[", seg):
-        raise NotImplementedError(
-            "multidimensional array subscripts (a[i][j]) are not "
-            "supported; model nested data as array<array<...>> and use "
-            "element_at (see MIGRATION.md)"
-        )
+    # chained subscripts: PG MULTIDIMENSIONAL array access
+    # (arrayfuncs.c). PG multidim arrays are rectangular, not
+    # array-of-arrays, but a literal-constructed rectangle maps onto
+    # Spark nested arrays with identical element access: a[i][j]
+    # rewrites innermost-out to try_element_at(try_element_at(a,i),j)
+    # in _rewrite_subscripts below (1-based, NULL OOB). Slices and
+    # non-default lower bounds stay out (MIGRATION.md).
     # E'...' prefix: the literal is already a placeholder; drop the E.
     seg = re.sub(r"\bE(?=\x01)", "", seg)
 

@@ -7024,3 +7024,42 @@ SELECT id,
 FROM t ORDER BY id
 """,
 )
+
+register_regress(
+    "regress_collate_c_order",
+    """
+SELECT f1 AS f1 FROM varchar_tbl ORDER BY f1 COLLATE "C", f1
+""",
+    'collate.sql "C" collation class — PG\'s "C"/"POSIX" collations '
+    "ARE byte order, which is Spark's (and DuckDB's default) string "
+    "comparison, so the clause drops to a no-op; locale collations "
+    "still fail loudly at translate time (varlena.c varstr_cmp; "
+    "MIGRATION.md COLLATE).",
+    ("scalar", "collate"),
+    oracle="""
+SELECT f1 AS f1 FROM varchar_tbl ORDER BY f1, f1
+""",
+)
+
+register_regress(
+    "regress_multidim_array_subset",
+    """
+SELECT (ARRAY[ARRAY[1,2,3],ARRAY[4,5,6]])[2][1] AS a21,
+       (ARRAY[ARRAY[1,2,3],ARRAY[4,5,6]])[1][3] AS a13,
+       (ARRAY[ARRAY[1,2,3],ARRAY[4,5,6]])[3][1] AS oob,
+       (ARRAY[ARRAY['x','y'],ARRAY['z','w']])[2][2] AS s22
+""",
+    "arrays.sql multidimensional subset (arrayfuncs.c): PG rectangular "
+    "multidim arrays map onto nested Spark arrays for literal "
+    "construction + element access — a[i][j] rewrites innermost-out "
+    "to chained 1-based try_element_at, out-of-bounds yields NULL as "
+    "in PG. Slices and explicit lower bounds remain out "
+    "(MIGRATION.md).",
+    ("scalar", "array"),
+    oracle="""
+SELECT ([[1,2,3],[4,5,6]])[2][1] AS a21,
+       ([[1,2,3],[4,5,6]])[1][3] AS a13,
+       ([[1,2,3],[4,5,6]])[3][1] AS oob,
+       ([['x','y'],['z','w']])[2][2] AS s22
+""",
+)

@@ -711,11 +711,12 @@ def test_mixed_interval_split():
         t("SELECT INTERVAL '5 months 12 hours' AS i")
 
 
-def test_multidim_subscripts_are_loud():
-    import pytest
-
-    with pytest.raises(NotImplementedError, match="multidimensional"):
-        t("SELECT m[1][2] FROM x")
+def test_multidim_subscripts_nest():
+    """Round 8: a[i][j] maps onto nested 1-based try_element_at (the
+    literal-rectangle subset of PG multidim arrays); slices stay
+    loud."""
+    out = t("SELECT m[1][2] AS v FROM x")
+    assert "try_element_at(try_element_at(m, 1), 2)" in out
     # nested ARRAY literals and single subscripts still fine
     assert "array(array(1), array(2))" in t(
         "SELECT ARRAY[ARRAY[1], ARRAY[2]] FROM x"
