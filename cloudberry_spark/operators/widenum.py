@@ -18,10 +18,11 @@ split-long trick from operators/tpch.py dsum into a limb machine:
   carries handle mixed-sign limb totals) and renders the exact digit
   string, choosing the negated chain when the total is negative;
 - `wide_avg` long-divides the carried digit groups by the group count
-  (remainder cascade, most-significant first; integer steps spelled
-  as (x - pmod(x, n)) / n so every double division is of an exact
-  multiple and therefore exact), rounding half-up at the output scale
-  exactly as PG's numeric AVG does.
+  (remainder cascade, most-significant first; every integer step is
+  Spark's integral `div`, exact over the full int64 range — no IEEE
+  2^53 ceiling), rounding half-up at the output scale exactly as PG's
+  numeric AVG does, with the rounding carry propagated into the
+  integer digits and the group sign rendered (never -0).
 
 Everything is Column arithmetic inside whole-stage codegen; at 100 TB
 the plan is scan -> partial per-limb sums -> final sums -> a one-row
@@ -42,11 +43,12 @@ RADIX = 10 ** LIMB_W
 
 
 def _intdiv(x: Column, n) -> Column:
-    """Exact floored integer division via (x - pmod(x, n)) / n: the
-    dividend is an exact multiple, so the IEEE division is exact for
-    quotients < 2^53."""
+    """Exact floored integer division for nonnegative operands: Spark's
+    integral `div` (long-to-long, no IEEE round-trip), so quotients are
+    exact over the full int64 range — not just below 2^53 as the old
+    (x - pmod(x, n)) / n double-division trick was."""
     n = F.lit(n) if not isinstance(n, Column) else n
-    return ((x - F.pmod(x, n)) / n).cast("long")
+    return F.call_function("div", x, n)
 
 
 def wide_parse(
@@ -87,12 +89,12 @@ def _carry(limb_sums: list[Column]) -> tuple[list[Column], Column]:
     for l in reversed(limb_sums):
         t = l + carry
         d = F.pmod(t, F.lit(RADIX))
-        # (t - d) is an exact multiple of RADIX and |t| < 2^53, so the
-        # double division is exact. Expression-size note: referencing
-        # t twice doubles the tree per limb (2^n growth on named-column
-        # leaves — fine); routing this through _intdiv would reference
-        # t four times per level (4^n) and melt Catalyst analysis.
-        carry = ((t - d) / F.lit(RADIX)).cast("long")
+        # (t - d) is an exact multiple of RADIX, so truncating integral
+        # `div` equals floor division here even for negative t — exact
+        # over the full int64 range (no IEEE round-trip). Expression-
+        # size note: referencing t twice doubles the tree per limb
+        # (2^n growth on named-column leaves — fine).
+        carry = F.call_function("div", t - d, F.lit(RADIX))
         digits.append(d)
     return list(reversed(digits)), carry
 
@@ -155,11 +157,18 @@ def wide_avg_string(
     count_col: Column,
     int_limbs: int = 6,
     frac_digits: int = 10,
+    neg: Column | None = None,
 ) -> Column:
     """Digit-string AVG from carry-normalized nonnegative digit groups
     (remainder-cascade long division, most significant first), rounded
-    half-up at ``frac_digits`` per PG numeric AVG. Count must stay
-    under ~9e9 so every step is exact below 2^53."""
+    half-up at ``frac_digits`` per PG numeric AVG. ``neg`` is the sign
+    flag from ``wide_digits`` (``{prefix}_neg``): the digit groups hold
+    the absolute value, so a negative group sum renders with a leading
+    '-' (unless the rounded AVG is exactly zero — PG never prints -0).
+    Every long-division step is `rem * RADIX + digit` with rem < count,
+    so counts up to ~9.2e9 per group keep each step inside int64; the
+    division itself is Spark's integral `div` (exact, no 2^53 IEEE
+    ceiling)."""
     rem: Column = F.lit(0).cast("long")
     q: list[Column] = []
     for d in digits:
@@ -172,18 +181,36 @@ def wide_avg_string(
     # round half-up at frac_digits using one extra quotient digit
     q_extra = F.substring(frac_full, 1, frac_digits + 1).cast("long")
     rounded = _intdiv(q_extra + 5, 10)
+    # Rounding can carry out of the fraction (all-nines rounds to
+    # 10^frac_digits): propagate the carry into the integer digit
+    # groups instead of lpad-truncating the overflowed string. Each
+    # integer quotient group is < RADIX (rem < count bounds every
+    # long-division step), so +1 carries cleanly limb by limb.
+    frac_ovf = rounded >= F.lit(10 ** frac_digits)
+    frac_val = F.when(frac_ovf, F.lit(0).cast("long")).otherwise(rounded)
+    carry: Column = frac_ovf.cast("long")
+    int_q: list[Column] = []
+    for x in reversed(q[:int_limbs]):
+        t = x + carry
+        int_q.append(F.pmod(t, F.lit(RADIX)))
+        carry = F.call_function("div", t, F.lit(RADIX))
+    int_q.reverse()
     int_full = F.concat(
-        *[F.lpad(x.cast("string"), LIMB_W, "0") for x in q[:int_limbs]]
+        *[F.lpad(x.cast("string"), LIMB_W, "0") for x in int_q]
     )
     int_str = F.coalesce(
         F.nullif(F.regexp_replace(int_full, "^0+", ""), F.lit("")),
         F.lit("0"),
     )
-    return F.concat(
+    body = F.concat(
         int_str,
         F.lit("."),
-        F.lpad(rounded.cast("string"), frac_digits, "0"),
+        F.lpad(frac_val.cast("string"), frac_digits, "0"),
     )
+    if neg is None:
+        return body
+    is_zero = body.rlike(r"^0\.0*$")
+    return F.when(neg & ~is_zero, F.concat(F.lit("-"), body)).otherwise(body)
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +342,98 @@ def regress_numeric_big_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wd_neg"), digits, int_limbs=6, frac_digits=10
         ).alias("wide_sum"),
         wide_avg_string(
-            digits, F.col("n"), int_limbs=6, frac_digits=10
+            digits, F.col("n"), int_limbs=6, frac_digits=10,
+            neg=F.col("wd_neg"),
+        ).alias("wide_avg"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# sign / rounding-carry pins for the limb machine (ADVICE r9 fixes)
+# ---------------------------------------------------------------------------
+
+#: (grp, [values...]) — each group exercises one fixed path: g0 big
+#: negative 42-digit sum; g1 rounding carry out of the fraction
+#: (5.99999999995 -> 6.0000000000); g2 negative AVG that rounds to
+#: zero (PG never prints -0); g3 sign + carry together; g4 borrow
+#: across every limb (sum is exactly -10^42).
+_SIGN_FIX = [
+    (0, "-123456789012345678901234567890123456789012.1234567890"),
+    (0, "1.0000000001"),
+    (0, "-876543210987654321098765432109876543210987.8765432109"),
+    (1, "5.9999999999"),
+    (1, "6.0000000000"),
+    (2, "-0.0000000001"),
+    (2, "0.0000000000"),
+    (2, "0.0000000000"),
+    (3, "-5.9999999999"),
+    (3, "-6.0000000000"),
+    (4, "-999999999999999999999999999999999999999999.9999999999"),
+    (4, "-0.0000000001"),
+]
+
+#: expected (grp, sum, avg) computed with Python Decimal at scale 10,
+#: ROUND_HALF_UP on the absolute value (PG rounds half away from zero)
+#: — see the generator one-liner in this commit's message; embedded as
+#: literals because neither engine's native DECIMAL reaches 42 digits.
+_SIGN_EXPECTED = [
+    (0, "-999999999999999999999999999999999999999998.9999999998",
+     "-333333333333333333333333333333333333333332.9999999999"),
+    (1, "11.9999999999", "6.0000000000"),
+    (2, "-0.0000000001", "0.0000000000"),
+    (3, "-11.9999999999", "-6.0000000000"),
+    (4, "-1000000000000000000000000000000000000000000.0000000000",
+     "-500000000000000000000000000000000000000000.0000000000"),
+]
+
+
+@register(
+    "regress_numeric_big_avg_sign",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, '-999999999999999999999999999999999999999998.9999999998',
+                '-333333333333333333333333333333333333333332.9999999999'),
+            (1, '11.9999999999', '6.0000000000'),
+            (2, '-0.0000000001', '0.0000000000'),
+            (3, '-11.9999999999', '-6.0000000000'),
+            (4, '-1000000000000000000000000000000000000000000.0000000000',
+                '-500000000000000000000000000000000000000000.0000000000')
+        ) t(grp, wide_sum, wide_avg)
+        ORDER BY grp
+    """,
+    doc="numeric_big.sql AVG sign/rounding edge battery (numeric.c "
+    "half-away-from-zero rounding, no -0 display): negative 42-digit "
+    "group sums, a rounding carry out of the fraction (x.99999999995 "
+    "-> x+1), a negative AVG that rounds to exactly zero, and a "
+    "full-width borrow (sum -10^42). Expected strings are "
+    "Decimal-computed literals (no engine DECIMAL reaches 42 digits). "
+    "Pins the r9 ADVICE fixes: wide_avg_string sign handling and "
+    "carry-propagated (not lpad-truncated) rounding overflow.",
+    tags=("regress", "numeric", "widenum"),
+)
+def regress_numeric_big_avg_sign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fix = spark.createDataFrame(_SIGN_FIX, "grp int, val string")
+    limbs = wide_parse(F.col("val"), int_limbs=6, frac_limbs=2)
+    agg = (
+        fix.select(F.col("grp"), *limbs)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            *wide_sum_aggs([F.col(f"wl{i}") for i in range(8)]),
+        )
+    )
+    staged = wide_digits(agg, [f"ws{i}" for i in range(8)])
+    digits = [F.col(f"wd{i}") for i in range(8)]
+    return staged.select(
+        "grp",
+        wide_sum_string(
+            F.col("wd_neg"), digits, int_limbs=6, frac_digits=10
+        ).alias("wide_sum"),
+        wide_avg_string(
+            digits, F.col("n"), int_limbs=6, frac_digits=10,
+            neg=F.col("wd_neg"),
         ).alias("wide_avg"),
     ).orderBy("grp")
 

@@ -146,6 +146,18 @@ def _rewrite_subscripts(seg: str) -> str:
         m = re.search(r"\[([^\[\]:]+)\]", seg)
         if m is None:
             return seg
+        # PG returns NULL for zero/negative subscripts (1-based, OOB
+        # is NULL); Spark's try_element_at(a, -1) means LAST element
+        # and try_element_at(a, 0) raises. Loud-fail instead of
+        # silently diverging (fail-loud policy, see MIGRATION.md).
+        idx_txt = m.group(1).strip()
+        if re.fullmatch(r"-\s*\d+|0", idx_txt):
+            raise NotImplementedError(
+                f"array subscript [{idx_txt}] is not supported: PG "
+                "returns NULL for zero/negative subscripts while Spark "
+                "indexes from the end (or raises); rewrite with "
+                "element_at on a computed positive index (MIGRATION.md)"
+            )
         j = m.start() - 1
         while j >= 0 and seg[j].isspace():
             j -= 1
@@ -192,11 +204,9 @@ def _rewrite_masked(seg: str) -> str:
     # UTF-8 by default. PG's "C"/"POSIX" collations ARE byte order, so
     # those clauses drop to a no-op; any locale collation would change
     # sort results and still fails at translate time (MIGRATION.md
-    # "COLLATE"). The literal is masked at this point, so the collation
-    # name is a placeholder — resolve it before deciding.
-    for cm in list(re.finditer(r"COLLATE\s+(\x01(\d+)\x02|\"[^\"]+\")",
-                               seg, flags=re.I)):
-        pass
+    # "COLLATE"). Double-quoted identifiers are never masked (only
+    # single-quoted literals and comments are), so the collation name
+    # is readable directly here.
     def _collate_repl(cm: re.Match) -> str:
         name = cm.group(1).strip('"')
         if name.upper() in ("C", "POSIX", "UCS_BASIC"):
@@ -2439,7 +2449,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
     masked = _rewrite_array_quantified(masked, lits)
-    masked = _pg_null_ordering(masked)
+    masked = _pg_null_ordering(masked, lits)
     restored = _PH_RE.sub(lambda m: lits[int(m.group(1))], masked)
     return _rewrite_restored(restored)
 
@@ -2452,7 +2462,7 @@ _ORD_TERM_RE = re.compile(
 )
 
 
-def _pg_null_ordering(seg: str) -> str:
+def _pg_null_ordering(seg: str, lits: list[str] | None = None) -> str:
     """Make PG's default NULL placement explicit on every ORDER BY item.
 
     PG sorts NULLs LAST under ASC and FIRST under DESC
@@ -2514,12 +2524,33 @@ def _pg_null_ordering(seg: str) -> str:
             if not body.strip():
                 fixed.append(it)
                 continue
-            if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", body):
+            # Peel trailing COMMENT placeholders (a restored `-- ...`
+            # line comment would swallow an appended NULLS clause and
+            # silently keep Spark's opposite NULL placement); the
+            # clause goes before them, the comments re-attach after.
+            tail = ""
+            while lits is not None:
+                pm = re.search(r"(\x01(\d+)\x02)\s*$", body)
+                if pm is None:
+                    break
+                lit = lits[int(pm.group(2))]
+                if not (lit.startswith("--") or lit.startswith("/*")):
+                    break
+                tail = body[pm.start() :] + tail
+                body = body[: pm.start()].rstrip()
+            if not body.strip():
                 fixed.append(it)
+                continue
+            if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", body):
+                fixed.append(body + (" " + tail if tail else "") + pad)
             elif re.search(r"(?i)\bDESC\s*$", body):
-                fixed.append(body + " NULLS FIRST" + pad)
+                fixed.append(
+                    body + " NULLS FIRST" + (" " + tail if tail else "") + pad
+                )
             else:
-                fixed.append(body + " NULLS LAST" + pad)
+                fixed.append(
+                    body + " NULLS LAST" + (" " + tail if tail else "") + pad
+                )
         out.append(seg[pos : m.end()])
         out.append(",".join(fixed))
         pos = end

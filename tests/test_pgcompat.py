@@ -743,3 +743,39 @@ def test_group_id_alias_grouping_items_loud():
             "SELECT a + 1 AS ka, GROUP_ID() FROM x "
             "GROUP BY GROUPING SETS ((ka), (ka))"
         )
+
+
+def test_null_ordering_trailing_comment_not_swallowed():
+    """A line comment at the end of an ORDER BY item must not swallow
+    the appended NULLS clause (ADVICE r9 medium): the clause goes
+    before the comment, the comment re-attaches after it."""
+    out = t("SELECT a FROM t ORDER BY a -- top key\n, b LIMIT 5")
+    # the NULLS clause precedes the restored comment on the first item
+    assert "ORDER BY a NULLS LAST" in out
+    assert "-- top key" in out
+    assert ", b NULLS LAST" in out.replace("\n", " ")
+    # DESC with a trailing comment keeps FIRST placement
+    out = t("SELECT a FROM t ORDER BY a DESC -- note\n LIMIT 1")
+    assert "a DESC NULLS FIRST" in out
+    # block comments too
+    out = t("SELECT a FROM t ORDER BY a /* c */ LIMIT 1")
+    assert "a NULLS LAST" in out
+    assert "/* c */" in out
+    # already-explicit NULLS survives with its comment
+    out = t("SELECT a FROM t ORDER BY a NULLS FIRST -- c\n LIMIT 1")
+    assert "a NULLS FIRST" in out
+    assert out.count("NULLS") == 1
+
+
+def test_negative_or_zero_subscript_loud():
+    """PG returns NULL for zero/negative subscripts; Spark indexes
+    from the end (or raises). Loud-fail instead of silent divergence
+    (ADVICE r9 low)."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="subscript"):
+        t("SELECT a[-1] FROM x")
+    with pytest.raises(NotImplementedError, match="subscript"):
+        t("SELECT a[0] FROM x")
+    # positive subscripts still rewrite
+    assert "try_element_at(a, 1)" in t("SELECT a[1] FROM x")
