@@ -270,6 +270,28 @@ _DRIVER_SAMPLED = frozenset(
     udf_plpgsql_query_loop udf_plpgsql_return_query_setof
     udf_sql_function_in_subqueries udf_sql_table_function_from
     udf_sql_table_function_nested_arg
+    tpcds_q04_real tpcds_q47_real tpcds_q67_real tpcds_q23_frequent_items
+    tpcds_q95_order_warehouses tpcds_q11_real tpcds_q04_shared_cte
+    regress_qpdt_derived_in_from regress_qpdt_nested_derived
+    regress_qpdt_scalarsub_derived regress_qpdt_loj_in_join_tree
+    regress_qpdt_roj_pair regress_qpdt_join_chain_3way
+    regress_qpdt_inner_4way regress_qpdt_pair_minmax
+    regress_qpdt_loj_groupby regress_qpdt_mixed_4way
+    regress_qpdt_pair_wide_tlist regress_qpdt_pair_compact
+    regress_qpdt_3way_deep_quals regress_qpdt_multiway_wide
+    regress_qpdt_multiway_outer regress_qpff_setof_in_from
+    regress_qpff_func_join_table regress_qpff_func_in_select
+    regress_qpff_scalar_in_from regress_qpff_nested_func_args
+    regress_qpff_read_scalar_in_from regress_qpff_read_setof_in_from
+    regress_qpff_scalar_in_with regress_qpff_scalar_in_subqry
+    regress_qpff_scalar_notable udf_sirv_in_targetlist udf_sirv_in_from
+    udf_sirv_in_where udf_sirv_in_update_set dml_view_insert_simple
+    dml_view_update_filtered dml_view_delete_where dml_view_check_option
+    regress_numeric_big_agg regress_numeric_big_addsub
+    regress_collate_c_order regress_multidim_array_subset
+    multimodal_image_png_decode udf_plpgsql_conditional_divzero
+    regress_partition_join_pruned regress_qpdml_join_update
+    regress_qpdml_join_delete regress_qpdml_join_update_values
     """.split()
 )
 
@@ -282,68 +304,15 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-8 additions (names registered as the round progresses;
+        # round-9 additions (names registered as the round progresses;
         # rank lookups are by name so not-yet-registered names are
-        # inert): real TPC-DS query texts, qp_derived_table /
-        # qp_functions_in_from ports, SIRV initplan functions, DML
-        # through updatable views, wide-numeric aggregates, real PNG
-        # decode, partition_join / join_gp / qp_dml_joins batteries
-        "tpcds_q04_real",
-        "tpcds_q47_real",
-        "tpcds_q67_real",
-        "tpcds_q23_frequent_items",
-        "tpcds_q95_order_warehouses",
-        "tpcds_q11_real",
-        "tpcds_q04_shared_cte",
-        "regress_qpdt_derived_in_from",
-        "regress_qpdt_nested_derived",
-        "regress_qpdt_scalarsub_derived",
-        "regress_qpdt_loj_in_join_tree",
-        "regress_qpdt_roj_pair",
-        "regress_qpdt_join_chain_3way",
-        "regress_qpdt_inner_4way",
-        "regress_qpdt_pair_minmax",
-        "regress_qpdt_loj_groupby",
-        "regress_qpdt_mixed_4way",
-        "regress_qpdt_pair_wide_tlist",
-        "regress_qpdt_pair_compact",
-        "regress_qpdt_3way_deep_quals",
-        "regress_qpdt_multiway_wide",
-        "regress_qpdt_multiway_outer",
-        "regress_qpff_setof_in_from",
-        "regress_qpff_func_join_table",
-        "regress_qpff_func_in_select",
-        "regress_qpff_scalar_in_from",
-        "regress_qpff_nested_func_args",
-        "regress_qpff_read_scalar_in_from",
-        "regress_qpff_read_setof_in_from",
-        "regress_qpff_scalar_in_with",
-        "regress_qpff_scalar_in_subqry",
-        "regress_qpff_scalar_notable",
-        "udf_sirv_in_targetlist",
-        "udf_sirv_in_from",
-        "udf_sirv_in_where",
-        "udf_sirv_in_update_set",
-        "dml_view_insert_simple",
-        "dml_view_update_filtered",
-        "dml_view_delete_where",
-        "dml_view_check_option",
-        "regress_numeric_big_agg",
-        "regress_numeric_big_addsub",
-        "regress_collate_c_order",
-        "regress_multidim_array_subset",
-        "multimodal_image_png_decode",
-        "udf_plpgsql_conditional_divzero",
-        "regress_partition_join_pruned",
-        "regress_qpdml_join_update",
-        "regress_qpdml_join_delete",
-        "regress_qpdml_join_update_values",
-        "regress_qpdml_delete_multi_using",
-        "regress_rio_band_join_fivemin",
-        "regress_qpwith_shadow_cte_over_table",
-        "regress_qpwith_shadow_two_table_names",
-        "regress_qpwith_cte_alias_same_name",
-        "regress_qpwith_shadow_chain_consume",
+        # inert and test_interleave_lead_names_all_registered keeps the
+        # list honest): ADVICE-fix pins, more real TPC-DS texts,
+        # qp_misc / qp_dropped_cols / rpt_tpch / plpgsql-battery ports
+        "regress_numeric_big_avg_sign",
+        # never-sampled round-8 leads that did not reach the r8 prefix:
+        # the remaining spec TPC-H texts, CTE name-shadowing battery,
+        # band join, multi-USING DML, qp_olap_window slice heads
         "tpch_q2_real",
         "tpch_q11_real",
         "tpch_q16_real",
@@ -352,144 +321,15 @@ _LEAD = [
         "tpch_q22_real",
         "tpch_q15_real",
         "tpch_q17_real",
+        "regress_qpwith_shadow_cte_over_table",
+        "regress_qpwith_shadow_two_table_names",
+        "regress_qpwith_cte_alias_same_name",
+        "regress_qpwith_shadow_chain_consume",
+        "regress_qpdml_delete_multi_using",
+        "regress_rio_band_join_fivemin",
         "regress_qpow_dense_rank_00",
-        "regress_qpow_dense_rank_01",
         "regress_qpow_rank_02",
-        "regress_qpow_dense_rank_rank_03",
-        "regress_qpow_rank_04",
         "regress_qpow_cume_dist_05",
-        # round-5 session-2 additions: GP CASE grammar lowering,
-        # quantified = ALL spelling, recursive-CTE-in-subquery, WHILE
-        # loops, NATURAL JOIN, array_in literal casts
-        "regress_casegp_notdistinct_mixed",
-        "regress_lasj_eq_all_battery",
-        "regress_rcte_in_subquery",
-        "udf_plpgsql_while",
-        "regress_join_natural_cross_rename",
-        "regress_array_literal_casts",
-        "dml_update_from_delete_using",
-        "dml_upsert_conditional",
-        "regress_bfvsubq_unnest_in",
-        "regress_having_degenerate",
-        "regress_with_cte_shadowing",
-        "regress_lasj_rowctor_notin_nulls",
-        "regress_gpagg_srf_with_agg",
-        "regress_bfvcte_nested_window_subq",
-        "regress_olapwin_lead_offsets",
-        # ±Infinity driver-hash-safety query: pinned inside the sampled
-        # prefix (driver_sim + conftest both carry the isinf guard)
-        "regress_float8_special_values",
-        # round-5 session-3 additions: regex.sql/qp_regexp.sql port +
-        # frontend first-only regexp_replace, E-string unescape,
-        # regexp_split lowerings, SQL99 substring FOR-escape
-        "regress_regex_backref_battery",
-        "regress_qpregexp_basics",
-        "regress_regex_lookaround_battery",
-        "regress_qpregexp_split_table",
-        "regress_regex_nfa_stress",
-        "regress_regex_substring_pmatch",
-        "regress_qpregexp_split_array",
-        "regress_decode_null_semantics",
-        "regress_decode_int_battery",
-        "regress_decode_expr_shapes",
-        "regress_jsonb_op_chains",
-        "regress_json_length_keys",
-        "regress_qpunion_null_multiplicity",
-        "regress_qpunion_series_prune",
-        "regress_jira_case_never_window",
-        # round-5 bug-fix paths (ADVICE r4): SIMILAR TO / ~* operand +
-        # escape handling, array_agg(ORDER BY) null placement
-        "pgsql_compat_similar_to",
-        "regress_agg_array_order",
-        "regress_gs_cube_array_agg",
-        # round-5 additions: cross-level decorrelation, PL/pgSQL subset,
-        # snapshot DML, information_schema, stemmed text search
-        "regress_csq_crosslevel_exists_in",
-        "regress_csq_crosslevel_exists_in_agg",
-        "udf_plpgsql_scalar",
-        "udf_plpgsql_branching",
-        "dml_snapshot_merge_upsert",
-        "ddl_information_schema_columns",
-        "ddl_information_schema_tables",
-        "text_tsvector_stemmed",
-        "udf_plpgsql_forloop",
-        "udf_plpgsql_while",
-        "json_jsonpath_methods",
-        "json_jsonpath_filter_arith",
-        "text_ts_headline",
-        "text_inverted_index_search",
-        "stream_stream_full_outer",
-        "dml_partition_confined_update",
-        "ddl_information_schema_stats",
-        # batch-21 frontend-rewrite paths (window FILTER -> CASE args,
-        # select-list = ALL decorrelation, DECODE null-matching)
-        "regress_filter_window_cumulative",
-        "regress_filter_covar_pop",
-        "regress_all_quantified_select_list",
-        "regress_decode_nested",
-        "regress_median_selfjoin_having",
-        "regress_dedup_in_exists_nested",
-        "regress_with_cycle_detection",
-        "regress_subq_in_pullup_distinct",
-        "regress_agg_regr_bivariate",
-        "regress_gpagg_array_multi_order",
-        "regress_strings_regexp_replace_global",
-        "regress_float4_arith",
-        # regress batteries never driver-sampled: NOT-IN null semantics,
-        # correlated subqueries, multi-DQA, OLAP grouping, specials
-        "regress_notin_null_inner",
-        "regress_notin_nested_triple",
-        "regress_notin_row_constructor",
-        "regress_notin_subq_from",
-        "regress_csq_notin_correlated",
-        "regress_csq_eq_any_agg",
-        "regress_csq_scalar_nested_in",
-        "regress_csq_exists_notin_agg",
-        "regress_dqa_triple_distinct",
-        "regress_dqa_count_sum_distinct_grouped",
-        "regress_olap_gsets_dup_sets",
-        "regress_olap_group_empty_parens",
-        "regress_olap_cube_count_distinct",
-        "regress_distinct_on_keep_first",
-        "regress_leastsquares_simple",
-        "regress_bfv_window_in_subquery",
-        "regress_win_moving_agg_nulls",
-        "regress_with_recursive_sum",
-        "regress_union_mixed_types",
-        "regress_strings_like",
-        "regress_timestamp_diff",
-        "regress_int8_arith",
-        "regress_subq_row_notin",
-        # window-family depth (8/27 confirmed before r5)
-        "win_time_range_frame",
-        "win_limit_with_ties",
-        "win_named_window_clause",
-        "win_filter_clause",
-        "win_cumulative_distinct",
-        "win_topk_two_level",
-        "win_gapfill_locf",
-        "win_distinct_on",
-        "events_ewma_smoothing",
-        # pipeline.ml depth (3/24 confirmed before r5)
-        "ml_logistic_regression",
-        "ml_gmm_em_1d",
-        "ml_kaplan_meier",
-        "ml_naive_bayes_langid",
-        "ml_auc_roc",
-        "ml_t_test_welch",
-        "ml_feature_hashing",
-        "ml_ipw_treatment_effect",
-        # one lead per remaining shallow family
-        "scalar_decimal_exact",
-        "json_nested_path",
-        "dml_update_delete",
-        "stream_stream_join",
-        "setop_intersect_all",
-        "sample_importance",
-        "graph_triangle_count",
-        "recursive_month_series",
-        "array_set_operations",
-        "copy_reject_limit",
 ]
 
 

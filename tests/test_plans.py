@@ -673,20 +673,19 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-8 rotation: the r7 sample is folded into _DRIVER_SAMPLED, so
+    # round-9 rotation: the r8 sample is folded into _DRIVER_SAMPLED, so
     # the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's additions (real TPC-DS texts, derived-table /
-    # functions-in-FROM batteries, SIRV functions, DML-through-views,
-    # wide numerics, PNG decode)
+    # this round's ADVICE-fix pin (widenum AVG sign/rounding-carry) and
+    # the never-sampled round-8 leads (remaining spec TPC-H texts, CTE
+    # shadowing battery, band join, qp_olap_window heads)
     for must in (
-        "tpcds_q04_real",
-        "regress_qpdt_derived_in_from",
-        "regress_qpff_setof_in_from",
-        "udf_sirv_in_targetlist",
-        "dml_view_insert_simple",
-        "regress_numeric_big_agg",
-        "udf_plpgsql_conditional_divzero",
-        "regress_qpdml_join_update",
+        "regress_numeric_big_avg_sign",
+        "tpch_q2_real",
+        "tpch_q21_real",
+        "regress_qpwith_shadow_cte_over_table",
+        "regress_qpdml_delete_multi_using",
+        "regress_rio_band_join_fivemin",
+        "regress_qpow_dense_rank_00",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
