@@ -310,6 +310,28 @@ _LEAD = [
         # list honest): ADVICE-fix pins, more real TPC-DS texts,
         # qp_misc / qp_dropped_cols / rpt_tpch / plpgsql-battery ports
         "regress_numeric_big_avg_sign",
+        "tpcds_q72_real",
+        "tpcds_q70a_real",
+        "tpcds_q37_real",
+        "tpcds_q23_real",
+        "tpcds_q95_real",
+        "tpcds_q59_real",
+        "tpcds_q01_real",
+        "tpcds_q68_real",
+        "tpcds_q98_real",
+        "tpcds_q25_real",
+        "tpcds_q61_real",
+        "tpcds_q06_real",
+        "tpcds_q90_real",
+        "tpcds_q96_real",
+        "tpcds_q07_real",
+        "tpcds_q15_real",
+        "tpcds_q19_real",
+        "tpcds_q26_real",
+        "tpcds_q03_real",
+        "tpcds_q42_real",
+        "tpcds_q52_real",
+        "tpcds_q55_real",
         # never-sampled round-8 leads that did not reach the r8 prefix:
         # the remaining spec TPC-H texts, CTE name-shadowing battery,
         # band join, multi-USING DML, qp_olap_window slice heads
