@@ -32,6 +32,25 @@ if _REPO not in sys.path:
 #: TPC-H headliners, named to match BASELINE.md's per-query table.
 TPCH = {f"q{i}": f"tpch_q{i}" for i in range(1, 23)}
 
+#: The reference's own spec texts (tpch500GB.sql, WITH partsupp) through
+#: the PG frontend. These run over the deterministic CTE fixture, not
+#: the sf parquet, so their time is frontend translate + planning +
+#: fixed-small execution — a plan-shape/overhead comparison against
+#: BASELINE.md's per-query floor, not a data-scale throughput number
+#: (the fixture-schema TPCH group above carries the scale story).
+#: Reported as tpch22_real_total, EXCLUDED from the headline `value`.
+TPCH_REAL = {f"q{i}_real": f"tpch_q{i}_real" for i in range(1, 23)}
+
+#: Real TPC-DS texts (reference regress/minidump corpus + spec),
+#: same fixed-fixture caveat; reported as tpcds_real_total.
+TPCDS_REAL = {
+    f"ds_{q}_real": f"tpcds_{q}_real"
+    for q in (
+        "q01 q03 q04 q06 q07 q11 q15 q19 q23 q25 q26 q37 q42 q47 q52 "
+        "q55 q59 q61 q67 q68 q70a q72 q90 q95 q96 q98"
+    ).split()
+}
+
 #: Pipeline / scale-path headliners beyond the reference's surface.
 #: graph_pagerank and ml_text_classifier_e2e are the two heaviest
 #: iterative plan families (unrolled join+groupBy rounds) — in the bench
@@ -106,6 +125,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     tpch_total = round(sum(timings[q] for q in TPCH), 3)
 
+    # Spec-text suites (fixed CTE fixture — frontend+plan+overhead cost,
+    # not data-scale): timed after the headline groups, separate totals.
+    for label, name in {**TPCH_REAL, **TPCDS_REAL}.items():
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = queries[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[label] = round(runs[len(runs) // 2], 3)
+        spread[label] = round(runs[-1] - runs[0], 3)
+    tpch_real_total = round(sum(timings[q] for q in TPCH_REAL), 3)
+    tpcds_real_total = round(sum(timings[q] for q in TPCDS_REAL), 3)
+
     # Multi-stream throughput (the MPP concurrency story): 4 distinct
     # query streams submitted from 4 threads share the scheduler; wall
     # clock well under the sum of their solo times shows inter-query
@@ -141,6 +175,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tpch22_total": tpch_total,
+                "tpch22_real_total": tpch_real_total,
+                "tpcds_real_total": tpcds_real_total,
                 "spread": spread,
                 "runs_per_query": 3,
                 "aggregation": "median",
