@@ -171,6 +171,66 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
     while not p.at_end():
         if p.peek_kw(*terminators):
             return stmts
+        p._skip_ws()
+        # <<label>> before a loop or a nested block (pl_gram.y
+        # opt_block_label); the label scopes EXIT/CONTINUE targets and
+        # block-qualified variable names
+        label = None
+        lm = re.match(r"<<\s*([A-Za-z_]\w*)\s*>>", p.text[p.pos :])
+        if lm:
+            label = lm.group(1).lower()
+            p.pos += lm.end()
+        if p.take_kw("DECLARE", "BEGIN"):
+            # nested block (pl_exec.c exec_stmt_block): DECLARE'd names
+            # shadow outer ones and revert at END; label-qualified
+            # references (label.var) reach the block's own bindings
+            back = p.text[: p.pos].rstrip().upper()
+            has_decl = back.endswith("DECLARE")
+            decls_text = ""
+            if has_decl:
+                decls_text = p.until("BEGIN")
+                if not p.take_kw("BEGIN"):
+                    raise NotImplementedError(
+                        "plpgsql subset: nested DECLARE without BEGIN"
+                    )
+            body = _parse_stmts(p, ("END",))
+            if not p.take_kw("END"):
+                raise NotImplementedError(
+                    "plpgsql subset: nested block missing END"
+                )
+            p.expect(";")
+            stmts.append(("block", label, decls_text, body))
+            continue
+        if p.take_kw("EXIT"):
+            tgt = None
+            p._skip_ws()
+            tm = re.match(r"([A-Za-z_]\w*)", p.text[p.pos :])
+            if tm and tm.group(1).upper() != "WHEN":
+                tgt = tm.group(1).lower()
+                p.pos += tm.end()
+            cond = None
+            if p.take_kw("WHEN"):
+                cond = p.until(";")
+            else:
+                p._skip_ws()
+            p.expect(";")
+            stmts.append(("exit", tgt, cond))
+            continue
+        if p.take_kw("CONTINUE"):
+            tgt = None
+            p._skip_ws()
+            tm = re.match(r"([A-Za-z_]\w*)", p.text[p.pos :])
+            if tm and tm.group(1).upper() != "WHEN":
+                tgt = tm.group(1).lower()
+                p.pos += tm.end()
+            cond = None
+            if p.take_kw("WHEN"):
+                cond = p.until(";")
+            else:
+                p._skip_ws()
+            p.expect(";")
+            stmts.append(("continue", tgt, cond))
+            continue
         if p.take_kw("FOR"):
             # FOR i IN <int>..<int> LOOP stmts END LOOP; — constant
             # bounds unroll at compile time (pl_exec.c exec_stmt_fori;
@@ -201,6 +261,11 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
                     )
                 p.expect(";")
                 stmts.append(("forq", qm.group(1).lower(), query, body))
+                if label is not None:
+                    raise NotImplementedError(
+                        "plpgsql subset: labels on query loops are not "
+                        "supported (the loop compiles to an aggregate)"
+                    )
                 continue
             fm = re.match(
                 r"([A-Za-z_]\w*)\s+(?i:IN)\s+(?:(?i:REVERSE)\s+)?"
@@ -230,7 +295,7 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
                     "plpgsql subset: FOR range unrolls at compile time; "
                     f"{len(rng)} iterations exceeds the 64-iteration cap"
                 )
-            stmts.append(("for", fm.group(1).lower(), list(rng), body))
+            stmts.append(("for", fm.group(1).lower(), list(rng), body, label))
         elif p.take_kw("WHILE"):
             # WHILE cond LOOP stmts END LOOP; — unrolled to a bounded
             # CASE chain at compile time (pl_exec.c exec_stmt_while).
@@ -246,6 +311,10 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
                 raise NotImplementedError("plpgsql subset: missing END LOOP")
             p.expect(";")
             stmts.append(("while", cond, body))
+            if label is not None:
+                raise NotImplementedError(
+                    "plpgsql subset: labels on WHILE are not supported"
+                )
         elif p.take_kw("IF"):
             arms = []
             cond = p.until("THEN")
@@ -280,7 +349,7 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
             # assignment: ident := expr  or  ident = expr (pl_gram.y
             # accepts both; reference plpgsql.sql:1441 uses '=')
             p._skip_ws()
-            m = re.match(r"([A-Za-z_]\w*)\s*:?=", p.text[p.pos :])
+            m = re.match(r"([A-Za-z_][\w.]*)\s*:?=", p.text[p.pos :])
             if not m:
                 raise NotImplementedError(
                     "plpgsql subset: unsupported statement at "
@@ -295,7 +364,12 @@ def _parse_stmts(p: _Parser, terminators: tuple[str, ...]) -> list:
     return stmts
 
 
-_IDENT_RE = re.compile(r"\b[A-Za-z_]\w*\b|\$\d+")
+#: dotted pair first so label-qualified (outerblock.param1) and record
+#: (rec.field) references resolve as one unit; unresolved dotted names
+#: (table.col inside SQL subqueries) pass through untouched
+_IDENT_RE = re.compile(
+    r"\b[A-Za-z_]\w*\.[A-Za-z_]\w*\b|\b[A-Za-z_]\w*\b|\$\d+"
+)
 
 
 def _subst(expr: str, env: dict[str, str]) -> str:
@@ -430,25 +504,133 @@ def _join_terms(terms: list[tuple[str, str]]) -> str:
     return out
 
 
+class _LoopExit(Exception):
+    """Compile-time EXIT unwinding (exec_stmt_exit): carries the target
+    loop label (None = innermost) and the environment as of the raise —
+    assignments earlier in the same iteration must survive the unwind."""
+
+    def __init__(self, label: str | None, env: dict[str, str]):
+        self.label = label
+        self.env = env
+
+
+class _LoopContinue(Exception):
+    def __init__(self, label: str | None, env: dict[str, str]):
+        self.label = label
+        self.env = env
+
+
+_FOLD_KEYWORDS = frozenset(
+    "and or not in between is null true false case when then else end "
+    "like cast as int integer bigint double string boolean mod "
+    "abs".split()
+)
+
+
+def _fold_bool(expr: str) -> bool | None:
+    """Constant-fold a fully-substituted boolean condition at compile
+    time (the unrolled-loop analog of exec_stmt_exit's runtime test).
+    Loop state is literal arithmetic after substitution, so most
+    EXIT/CONTINUE WHEN conditions fold; anything still referencing an
+    identifier (a function parameter, a masked string literal) returns
+    None — the caller loud-fails. Folding evaluates through DuckDB so
+    SQL semantics (integer division, NULL logic) are exact."""
+    for m in _IDENT_RE.finditer(expr):
+        tok = m.group(0).lower()
+        if tok.startswith("$") or tok in _FOLD_KEYWORDS:
+            continue
+        return None
+    import duckdb
+
+    try:
+        r = duckdb.sql(
+            f"SELECT CASE WHEN {expr} THEN 1 ELSE 0 END"
+        ).fetchone()
+    except Exception:
+        return None
+    return bool(r[0])
+
+
 def _run_straightline(stmts: list, env: dict[str, str]) -> dict[str, str]:
-    """Execute a straight-line block (assignments and nested constant
-    FOR loops) for its environment effect — the unrolled loop body."""
+    """Execute a straight-line block (assignments, nested constant FOR
+    loops, compile-time-foldable IFs, EXIT/CONTINUE) for its
+    environment effect — the unrolled loop body. EXIT and CONTINUE
+    unwind through Python exceptions during this compile-time
+    interpretation; their WHEN conditions (and IF conditions inside
+    loop bodies) must constant-fold — loop counters and literal
+    accumulators do, free function parameters do not and fail loudly."""
     for s in stmts:
         if s[0] == "assign":
             env = {**env, s[1]: f"({_subst(s[2], env)})"}
         elif s[0] == "for":
-            _, var, rng, body = s
+            _, var, rng, body, label = (s + (None,))[:5] if len(s) < 5 else s
+            saved = env.get(var)
+            propagate: tuple[type, str] | None = None
             for iv in rng:
                 env = {**env, var: str(iv)}
-                env = _run_straightline(body, env)
+                try:
+                    env = _run_straightline(body, env)
+                except _LoopContinue as c:
+                    env = c.env
+                    if c.label is not None and c.label != label:
+                        propagate = (_LoopContinue, c.label)
+                        break
+                    continue
+                except _LoopExit as x:
+                    env = x.env
+                    if x.label is not None and x.label != label:
+                        propagate = (_LoopExit, x.label)
+                        break
+                    break
+            # loop var goes out of scope before any outward unwind
             env = {k: v for k, v in env.items() if k != var}
+            if saved is not None:
+                env[var] = saved
+            if propagate is not None:
+                raise propagate[0](propagate[1], env)
         elif s[0] == "forq":
             env = _apply_query_loop(s[1], s[2], s[3], env)
+        elif s[0] in ("exit", "continue"):
+            _, tgt, cond = s
+            fire = True
+            if cond is not None:
+                folded = _fold_bool(_subst(cond, env))
+                if folded is None:
+                    raise NotImplementedError(
+                        "plpgsql subset: EXIT/CONTINUE WHEN condition "
+                        "must constant-fold at unroll time (loop "
+                        "counters and literal accumulators do; free "
+                        f"parameters do not): {cond!r}"
+                    )
+                fire = folded
+            if fire:
+                raise (_LoopExit if s[0] == "exit" else _LoopContinue)(
+                    tgt, env
+                )
+        elif s[0] == "if":
+            # IF inside a loop body: the condition must fold at unroll
+            # time (it usually tests the loop counter); exactly one arm
+            # executes for its env effect
+            _, arms, else_body = s
+            taken = None
+            for cond, body in arms:
+                folded = _fold_bool(_subst(cond, env))
+                if folded is None:
+                    raise NotImplementedError(
+                        "plpgsql subset: IF inside a loop body must "
+                        f"constant-fold at unroll time: {cond!r}"
+                    )
+                if folded:
+                    taken = body
+                    break
+            env = _run_straightline(
+                list(taken if taken is not None else else_body), env
+            )
         else:
             raise NotImplementedError(
-                "plpgsql subset: FOR bodies support assignments and "
-                "nested constant FOR loops only (no IF/RETURN inside "
-                "a loop)"
+                "plpgsql subset: FOR bodies support assignments, nested "
+                "constant FOR loops, foldable IFs and EXIT/CONTINUE "
+                "only (no RETURN inside a loop)"
             )
     return env
 
@@ -538,6 +720,20 @@ def _compile_block(
                 # later branching — its guards join every later path
                 pending = pending + tuple(_div_zero_guards(rhs))
             env = {**env, s[1]: f"({rhs})"}
+            # keep a block-label-qualified alias (label.var) in sync;
+            # with nested same-name declarations the plain name is
+            # ambiguous against multiple aliases — loud-fail
+            aliases = [
+                k for k in env if k.endswith(f".{s[1]}") and "." in k
+            ]
+            if len(aliases) == 1:
+                env[aliases[0]] = env[s[1]]
+            elif len(aliases) > 1:
+                raise NotImplementedError(
+                    "plpgsql subset: assignment to a variable shadowed "
+                    "across multiple labeled blocks is ambiguous; "
+                    "qualify the target"
+                )
         elif s[0] == "return":
             return _guarded(_subst(s[1], env), handler, pending)
         elif s[0] == "for":
@@ -547,6 +743,47 @@ def _compile_block(
         elif s[0] == "while":
             return _compile_while(
                 s[1], s[2], stmts[i + 1 :], env, 0, handler, pending
+            )
+        elif s[0] in ("exit", "continue"):
+            raise NotImplementedError(
+                "plpgsql subset: EXIT/CONTINUE outside a loop"
+            )
+        elif s[0] == "restore":
+            # nested-block END: inner declarations revert (shadowed
+            # outer bindings restore, block-local names and the
+            # label-qualified aliases disappear)
+            _, saved, label, declared = s
+            env = dict(env)
+            for v in declared:
+                if saved.get(v) is not None:
+                    env[v] = saved[v]
+                else:
+                    env.pop(v, None)
+                if label is not None:
+                    env.pop(f"{label}.{v}", None)
+        elif s[0] == "block":
+            # nested block (exec_stmt_block): run declarations into a
+            # shadowing scope, splice body + restore + tail so RETURNs
+            # inside the block compose with the outer continuation
+            _, label, decls_text, body = s
+            declared: list[str] = []
+            env2 = dict(env)
+            for var, vtype, init in _parse_decls(decls_text):
+                declared.append(var)
+                val = (
+                    f"({_subst(init, env2)})"
+                    if init
+                    else f"(CAST(NULL AS {_map_type(vtype)}))"
+                )
+                env2[var] = val
+                if label is not None:
+                    env2[f"{label}.{var}"] = val
+            saved = {v: env.get(v) for v in declared}
+            rest = [("restore", saved, label, declared)] + list(
+                stmts[i + 1 :]
+            )
+            return _compile_block(
+                list(body) + rest, env2, handler, pending
             )
         else:  # if
             _, arms, else_body = s
@@ -618,6 +855,27 @@ _DECLARE_RE = re.compile(
 _BEGIN_RE = re.compile(r"^\s*BEGIN\b", re.I)
 
 
+def _parse_decls(decl_text: str) -> list[tuple[str, str, str | None]]:
+    """DECLARE section -> [(var, pg_type, init_or_None)]."""
+    out: list[tuple[str, str, str | None]] = []
+    for decl in decl_text.split(";"):
+        decl = decl.strip()
+        if not decl:
+            continue
+        dmm = re.match(
+            r"([A-Za-z_]\w*)\s+([\w ()0-9,]+?)(?:\s*:?=\s*(.+))?$",
+            decl,
+            re.S,
+        )
+        if not dmm:
+            raise NotImplementedError(
+                f"plpgsql subset: bad declaration {decl!r}"
+            )
+        var, vtype, init = dmm.groups()
+        out.append((var.lower(), vtype, init.strip() if init else None))
+    return out
+
+
 def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
     """Compile a CREATE FUNCTION ... LANGUAGE plpgsql statement.
 
@@ -662,35 +920,97 @@ def compile_plpgsql(create_stmt: str) -> tuple[str, str, str, str]:
 
     body = re.sub(r"'(?:[^']|'')*'", _mask, body)
 
+    # function-name-qualified parameter references (pl_comp.c makes
+    # every function's own name a label for its parameters:
+    # fn_name.param — the pl_qual_names shape)
+    for argdef in spark_args:
+        an = argdef.split()[0]
+        env[f"{name.lower()}.{an}"] = an
+
+    # optional top-level <<label>> (pl_gram.y opt_block_label): the
+    # outermost block's declarations gain label-qualified aliases
+    top_label = None
+    tlm = re.match(r"\s*<<\s*([A-Za-z_]\w*)\s*>>", body)
+    if tlm:
+        top_label = tlm.group(1).lower()
+        body = body[tlm.end() :]
+
     # strip DECLARE ... BEGIN ... END;
     dm = _DECLARE_RE.match(body)
+    record_vars: set[str] = set()
     if dm:
-        for decl in dm.group(1).split(";"):
-            decl = decl.strip()
-            if not decl:
+        for var, vtype, init in _parse_decls(dm.group(1)):
+            if vtype.strip().lower() == "record":
+                # record variables bind via SELECT ... INTO rec; their
+                # fields live under dotted keys (rec.field)
+                record_vars.add(var)
                 continue
-            dmm = re.match(
-                r"([A-Za-z_]\w*)\s+([\w ()0-9,]+?)"
-                r"(?:\s*:?=\s*(.+))?$",
-                decl,
-                re.S,
-            )
-            if not dmm:
-                raise NotImplementedError(
-                    f"plpgsql subset: bad declaration {decl!r}"
-                )
-            var, vtype, init = dmm.groups()
-            env[var.lower()] = (
-                f"({init.strip()})"
+            env[var] = (
+                f"({init})"
                 if init
                 else f"(CAST(NULL AS {_map_type(vtype)}))"
             )
+            if top_label is not None:
+                env[f"{top_label}.{var}"] = env[var]
         body = body[dm.end() :]
     else:
         bm = _BEGIN_RE.match(body)
         if not bm:
             raise NotImplementedError("plpgsql subset: missing BEGIN")
         body = body[bm.end() :]
+
+    # normalize the `SELECT INTO tgt <list> FROM ...` spelling
+    # (pl_gram.y accepts INTO anywhere; the reference uses select-into
+    # first) to the trailing-INTO form both rewrites below handle
+    body = re.sub(
+        r"(?i:\bSELECT\s+INTO\s+)([A-Za-z_]\w*)\s+"
+        r"((?:[^;()]|\((?:[^()]|\([^()]*\))*\))*?)"
+        r"((?i:\bFROM\b)(?:[^;()]|\((?:[^()]|\([^()]*\))*\))*;)",
+        lambda nm: f"SELECT {nm.group(2).strip()} INTO {nm.group(1)} {nm.group(3)}",
+        body,
+    )
+
+    # record SELECT INTO (pl_exec.c exec_stmt_execsql row target):
+    # `SELECT a, b INTO rec FROM ... ;` binds one dotted env key per
+    # select-list item to an independent scalar subquery over the same
+    # FROM/WHERE — deterministic single-row queries only (the
+    # reference's `select into rec * from t where pk = x` class, spelled
+    # with an explicit column list).
+    def _rec_into(sm: re.Match) -> str:
+        sel_list, rec, rest = sm.group(1), sm.group(2).lower(), sm.group(3)
+        if rec not in record_vars:
+            return sm.group(0)
+        items, depth, start = [], 0, 0
+        for j, ch in enumerate(sel_list):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(sel_list[start:j])
+                start = j + 1
+        items.append(sel_list[start:])
+        outs = []
+        for it in items:
+            it = it.strip()
+            am = re.match(r"(.+?)\s+(?:AS\s+)?([A-Za-z_]\w*)$", it, re.I | re.S)
+            fld = (
+                am.group(2)
+                if am and not re.fullmatch(r"[\w.]+", it)
+                else it.split(".")[-1]
+            )
+            ex = am.group(1) if am and not re.fullmatch(r"[\w.]+", it) else it
+            outs.append(f"{rec}.{fld.lower()} := (SELECT {ex} {rest});")
+        return " ".join(outs)
+
+    body = re.sub(
+        r"(?i:\bSELECT\b)\s+"
+        r"((?:[^;()]|\((?:[^()]|\([^()]*\))*\))*?)"
+        r"\s+(?i:INTO)\s+([A-Za-z_]\w*)\s+"
+        r"((?i:FROM)\b(?:[^;()]|\((?:[^()]|\([^()]*\))*\))*);",
+        _rec_into,
+        body,
+    )
 
     body = re.sub(r"(?i:\bEND\s*;?\s*)$", "", body.strip())
 

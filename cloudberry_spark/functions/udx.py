@@ -792,3 +792,330 @@ def udf_sql_function_in_subqueries(
         ORDER BY n_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# plpgsql.sql battery slice (round 9): nested labeled blocks + qualified
+# names, EXIT/CONTINUE (labels, WHEN), IF inside loops, record SELECT INTO
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_plpgsql_qual_names",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               '2,' || n_nationkey || ',1,2' AS quals
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey
+    """,
+    doc="The reference's pl_qual_names test (plpgsql.sql:2856-2874) — "
+    "nested labeled blocks <<outerblock>>/<<innerblock>> each declaring "
+    "param1, read back unqualified (innermost shadow), function-name-"
+    "qualified (the argument), and block-label-qualified. Adapted: the "
+    "four RAISE NOTICE outputs return as one text value. The compiler "
+    "resolves each qualification class at compile time — the emitted "
+    "expression is pure (literals + the argument), zero per-row cost.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_qual_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION pl_qual_names (param1 int)
+        RETURNS text AS $$
+        <<outerblock>>
+        declare
+          param1 int := 1;
+        begin
+          <<innerblock>>
+          declare
+            param1 int := 2;
+          begin
+            return param1 || ',' || pl_qual_names.param1 || ','
+                   || outerblock.param1 || ',' || innerblock.param1;
+          end;
+        end;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               pl_qual_names(CAST(n_nationkey AS INT)) AS quals
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_exit_when",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               CAST(15 * n_nationkey AS INT) AS scaled
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+    """,
+    doc="EXIT WHEN inside a constant FOR (pl_exec.c exec_stmt_exit; the "
+    "plpgsql.sql loop-control class): acc accumulates i*x and the loop "
+    "exits when i >= 5 — the WHEN condition constant-folds at unroll "
+    "time (DuckDB-evaluated literal arithmetic), the argument stays "
+    "symbolic, so the function compiles to (0 + 1x + 2x + ... + 5x).",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_exit_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION sum_until_five(x int) RETURNS int AS $$
+        DECLARE acc int := 0;
+        BEGIN
+          FOR i IN 1 .. 10 LOOP
+            acc := acc + i * x;
+            EXIT WHEN i >= 5;
+          END LOOP;
+          RETURN acc;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               sum_until_five(CAST(n_nationkey AS INT)) AS scaled
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_continue_when",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               CAST(16 * n_nationkey AS INT) AS odd_scaled
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+    """,
+    doc="CONTINUE WHEN inside a constant FOR (exec_stmt_exit's continue "
+    "variant): even iterations skip the accumulation, so the compiled "
+    "expression is x*(1+3+5+7) = 16x.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_continue_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION sum_odds(x int) RETURNS int AS $$
+        DECLARE acc int := 0;
+        BEGIN
+          FOR i IN 1 .. 8 LOOP
+            CONTINUE WHEN i % 2 = 0;
+            acc := acc + i * x;
+          END LOOP;
+          RETURN acc;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               sum_odds(CAST(n_nationkey AS INT)) AS odd_scaled
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_exit_label_nested",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               CAST(8 * n_nationkey AS INT) AS pairs
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+    """,
+    doc="Labeled nested loops with EXIT <label> WHEN (pl_gram.y "
+    "opt_block_label + exec_stmt_exit label targeting, the <<outer>> "
+    "shape at plpgsql.sql:1011): the inner loop's EXIT outer unwinds "
+    "BOTH loops the moment i*j >= 6 — 8 accumulations (5 at i=1, 3 at "
+    "i=2) survive, each scaled by the argument.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_exit_label_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION pair_scan(x int) RETURNS int AS $$
+        DECLARE acc int := 0;
+        BEGIN
+          <<outer>>
+          FOR i IN 1 .. 5 LOOP
+            FOR j IN 1 .. 5 LOOP
+              acc := acc + x;
+              EXIT outer WHEN i * j >= 6;
+            END LOOP;
+          END LOOP;
+          RETURN acc;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               pair_scan(CAST(n_nationkey AS INT)) AS pairs
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_if_in_loop",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               CAST(12 * n_nationkey + 200 AS INT) AS mixed
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+    """,
+    doc="IF/ELSE inside a constant FOR body (exec_stmt_if under "
+    "exec_stmt_fori): the branch condition tests the loop counter and "
+    "constant-folds per unrolled iteration — multiples of 3 add the "
+    "constant 100, others add i*x, compiling to 12x + 200 over 1..6.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_if_in_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION clamp_sum(x int) RETURNS int AS $$
+        DECLARE acc int := 0;
+        BEGIN
+          FOR i IN 1 .. 6 LOOP
+            IF i % 3 = 0 THEN
+              acc := acc + 100;
+            ELSE
+              acc := acc + i * x;
+            END IF;
+          END LOOP;
+          RETURN acc;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               clamp_sum(CAST(n_nationkey AS INT)) AS mixed
+        FROM nation WHERE n_nationkey < 6 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_nested_block_shadow",
+    oracle="""
+        SELECT CAST(n_nationkey AS INT) AS k,
+               '10/' || (99 + n_nationkey) AS shadowed
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey
+    """,
+    doc="Unlabeled nested block with shadow-and-restore (exec_stmt_block "
+    "scoping): the inner block re-declares x := 99 and assigns through "
+    "to the OUTER y; at END the inner x reverts to the outer 10 while "
+    "the y mutation persists — '10/(99+arg)'.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_nested_block_shadow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION shadow_restore(a int) RETURNS text AS $$
+        DECLARE
+          x int := 10;
+          y int := 0;
+        BEGIN
+          DECLARE
+            x int := 99;
+          BEGIN
+            y := x + a;
+          END;
+          RETURN x || '/' || y;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               shadow_restore(CAST(n_nationkey AS INT)) AS shadowed
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey
+        """
+    )
+
+
+@register(
+    "udf_plpgsql_record_into",
+    oracle="""
+        SELECT CAST(n.n_nationkey AS INT) AS k,
+               r.r_name || '#' || n.n_regionkey AS tagged
+        FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE n.n_nationkey < 5 ORDER BY k
+    """,
+    doc="Record variable bound by SELECT ... INTO rec ... FROM "
+    "(pl_exec.c row-target INTO; the pslot_backlink_view shape at "
+    "plpgsql.sql:1011-1036 reduced to its record-field reads): each "
+    "rec.field compiles to an independent correlated scalar subquery "
+    "over the same FROM/WHERE, and Spark inlines the SQL-function body "
+    "so the lookups join-plan normally instead of row-at-a-time.",
+    tags=("udf", "plpgsql"),
+)
+def udf_plpgsql_record_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.functions.plpgsql import create_plpgsql_function
+
+    nat = load_table(spark, sf_dir, "nation")
+    nat.createOrReplaceTempView("nation")
+    reg = load_table(spark, sf_dir, "region")
+    reg.createOrReplaceTempView("region")
+    create_plpgsql_function(
+        spark,
+        """
+        CREATE OR REPLACE FUNCTION region_tag(nk int) RETURNS text AS $$
+        DECLARE
+          rec record;
+        BEGIN
+          SELECT INTO rec r.r_name, n.n_regionkey
+          FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+          WHERE n.n_nationkey = nk;
+          RETURN rec.r_name || '#' || rec.n_regionkey;
+        END;
+        $$ LANGUAGE plpgsql
+        """,
+    )
+    return spark.sql(
+        """
+        SELECT CAST(n_nationkey AS INT) AS k,
+               region_tag(CAST(n_nationkey AS INT)) AS tagged
+        FROM nation WHERE n_nationkey < 5 ORDER BY k
+        """
+    )

@@ -105,6 +105,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.views  # noqa: F401
     import cloudberry_spark.operators.widenum  # noqa: F401
     import cloudberry_spark.operators.dml_joins  # noqa: F401
+    import cloudberry_spark.operators.dropped_cols  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
@@ -119,6 +120,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.tpch_real  # noqa: F401
     import cloudberry_spark.sql.qp_olap_window  # noqa: F401
     import cloudberry_spark.sql.qp_with_world  # noqa: F401
+    import cloudberry_spark.sql.qp_misc  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -304,37 +306,30 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-9 additions (names registered as the round progresses;
-        # rank lookups are by name so not-yet-registered names are
-        # inert and test_interleave_lead_names_all_registered keeps the
-        # list honest): ADVICE-fix pins, more real TPC-DS texts,
-        # qp_misc / qp_dropped_cols / rpt_tpch / plpgsql-battery ports
+        # round-9 additions, new-code families first (each new operator
+        # class gets a pin inside the 50-query driver prefix):
         "regress_numeric_big_avg_sign",
+        "regress_dropped_cols_dml_sequence_int4",
+        "regress_dropped_cols_dml_sequence_int8",
+        "regress_dropped_cols_readd",
+        "regress_dropped_cols_join_after_drop",
+        "regress_qpmisc_b00_abs_aggregate_approximate",
+        "regress_qpmisc_b13_is_join_like_ln",
+        "regress_qpmisc_b24_string_subquery_substring",
+        "regress_qpmisc_b10_distinct_empty_exact_except_exp",
+        "udf_plpgsql_qual_names",
+        "udf_plpgsql_exit_label_nested",
+        "udf_plpgsql_record_into",
+        "udf_plpgsql_continue_when",
+        # the reference-corpus TPC-DS texts + the published-slowest spec
         "tpcds_q72_real",
         "tpcds_q70a_real",
         "tpcds_q37_real",
         "tpcds_q23_real",
         "tpcds_q95_real",
         "tpcds_q59_real",
-        "tpcds_q01_real",
-        "tpcds_q68_real",
-        "tpcds_q98_real",
-        "tpcds_q25_real",
-        "tpcds_q61_real",
-        "tpcds_q06_real",
-        "tpcds_q90_real",
-        "tpcds_q96_real",
-        "tpcds_q07_real",
-        "tpcds_q15_real",
-        "tpcds_q19_real",
-        "tpcds_q26_real",
-        "tpcds_q03_real",
-        "tpcds_q42_real",
-        "tpcds_q52_real",
-        "tpcds_q55_real",
-        # never-sampled round-8 leads that did not reach the r8 prefix:
-        # the remaining spec TPC-H texts, CTE name-shadowing battery,
-        # band join, multi-USING DML, qp_olap_window slice heads
+        # never-sampled round-8 leads (remaining spec TPC-H texts, CTE
+        # shadowing battery, band join, multi-USING DML, qpow heads)
         "tpch_q2_real",
         "tpch_q11_real",
         "tpch_q16_real",
@@ -352,6 +347,23 @@ _LEAD = [
         "regress_qpow_dense_rank_00",
         "regress_qpow_rank_02",
         "regress_qpow_cume_dist_05",
+        # spec TPC-DS tail (never-sampled; harmless if pushed past 50)
+        "tpcds_q01_real",
+        "tpcds_q68_real",
+        "tpcds_q98_real",
+        "tpcds_q25_real",
+        "tpcds_q61_real",
+        "tpcds_q06_real",
+        "tpcds_q90_real",
+        "tpcds_q96_real",
+        "tpcds_q07_real",
+        "tpcds_q15_real",
+        "tpcds_q19_real",
+        "tpcds_q26_real",
+        "tpcds_q03_real",
+        "tpcds_q42_real",
+        "tpcds_q52_real",
+        "tpcds_q55_real",
 ]
 
 

@@ -498,3 +498,117 @@ def test_plpgsql_setof_return_query_compiles():
             $$ LANGUAGE plpgsql
             """
         )
+
+
+def test_dropped_column_leaves_files_untouched(spark):
+    """ALTER TABLE DROP COLUMN must be catalog-only (tablecmds.c
+    ATExecDropColumn: attribute masked, heap never rewritten). The
+    column-map analog edits only the logical->physical map; every
+    standing parquet file must be byte-identical afterwards."""
+    import os
+
+    from cloudberry_spark.operators.dropped_cols import read_masked
+    from cloudberry_spark.sources.snapshot import SnapshotTable
+    from conftest import SF_DIR
+
+    root = "/tmp/cbspark_test_dropped_cols_immutable"
+    t = SnapshotTable.init(
+        root,
+        spark.createDataFrame(
+            [(1, "a", 99, 10), (2, "b", 98, 11)],
+            "col1 long, col3 string, col4 long, col5 long",
+        ),
+    )
+
+    def fileset() -> dict[str, tuple[float, int]]:
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = fileset()
+    # the DROP: a map edit, no table API call at all
+    mapping = [(c, c) for c in ("col1", "col3", "col5")]
+    df = read_masked(spark, t, mapping)
+    assert df.columns == ["col1", "col3", "col5"]
+    assert df.count() == 2
+    assert fileset() == before, "DROP COLUMN touched standing files"
+
+    # post-drop insert adds a new fileset but never rewrites old ones
+    t.commit_append(
+        spark.createDataFrame([(3, "c", 12)], "col1 long, col3 string, col5 long"),
+        t.current_version(),
+    )
+    after = fileset()
+    for p, sig in before.items():
+        if "_CURRENT" in p:
+            continue  # the snapshot pointer legitimately flips
+        assert after.get(p) == sig, f"standing file rewritten: {p}"
+    assert read_masked(spark, t, mapping).count() == 3
+
+
+def test_plpgsql_loop_control_and_blocks():
+    """Round-9 compiler extensions: EXIT/CONTINUE (labels, WHEN),
+    IF-in-loop folding, labeled nested blocks with qualified names,
+    record SELECT INTO."""
+    import duckdb
+    import pytest
+
+    from cloudberry_spark.functions.plpgsql import compile_plpgsql
+
+    ev = lambda e: duckdb.sql(f"SELECT {e}").fetchone()[0]  # noqa: E731
+
+    # EXIT fires AFTER same-iteration assignments (env survives unwind)
+    _, _, _, expr = compile_plpgsql(
+        "create function f() returns int as $$ declare acc int := 0; "
+        "begin for i in 1 .. 10 loop acc := acc + i; exit when i >= 5; "
+        "end loop; return acc; end; $$ language plpgsql"
+    )
+    assert ev(expr) == 15
+    # CONTINUE skips the rest of the iteration
+    _, _, _, expr = compile_plpgsql(
+        "create function f() returns int as $$ declare acc int := 0; "
+        "begin for i in 1 .. 8 loop continue when i % 2 = 0; "
+        "acc := acc + i; end loop; return acc; end; $$ language plpgsql"
+    )
+    assert ev(expr) == 16
+    # EXIT <label> unwinds both loops
+    _, _, _, expr = compile_plpgsql(
+        "create function f() returns int as $$ declare acc int := 0; "
+        "begin <<outer>> for i in 1 .. 5 loop for j in 1 .. 5 loop "
+        "acc := acc + 1; exit outer when i * j >= 6; end loop; "
+        "end loop; return acc; end; $$ language plpgsql"
+    )
+    assert ev(expr) == 8
+    # IF inside a loop folds per unrolled iteration
+    _, _, _, expr = compile_plpgsql(
+        "create function f() returns int as $$ declare acc int := 0; "
+        "begin for i in 1 .. 6 loop if i % 3 = 0 then acc := acc + 100; "
+        "else acc := acc + i; end if; end loop; return acc; end; "
+        "$$ language plpgsql"
+    )
+    assert ev(expr) == 212
+    # nested block: shadow reverts, outer mutation persists
+    _, _, _, expr = compile_plpgsql(
+        "create function f() returns text as $$ declare x int := 10; "
+        "y int := 0; begin declare x int := 99; begin y := x + 1; end; "
+        "return x || '/' || y; end; $$ language plpgsql"
+    )
+    assert ev(expr) == "10/100"
+    # non-foldable EXIT condition (free parameter) fails loudly
+    with pytest.raises(NotImplementedError, match="constant-fold"):
+        compile_plpgsql(
+            "create function f(x int) returns int as $$ declare "
+            "acc int := 0; begin for i in 1 .. 4 loop exit when x > 2; "
+            "acc := acc + i; end loop; return acc; end; "
+            "$$ language plpgsql"
+        )
+    # EXIT outside any loop fails loudly
+    with pytest.raises(NotImplementedError, match="outside a loop"):
+        compile_plpgsql(
+            "create function f() returns int as $$ begin exit; "
+            "return 1; end; $$ language plpgsql"
+        )

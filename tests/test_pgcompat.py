@@ -392,11 +392,22 @@ def test_plpgsql_for_loop_unrolling():
     )
     assert expr == "((((0) * 10 + 3) * 10 + 2) * 10 + 1)"
 
-    # non-constant bounds and oversized ranges are rejected loudly
+    # IF inside a loop with a counter-testing condition now folds per
+    # unrolled iteration (round-9 loop-control extension)
+    _, _, _, expr = compile_plpgsql(
+        "CREATE FUNCTION h() RETURNS int AS $$\n"
+        "DECLARE s int := 0;\n"
+        "BEGIN FOR i IN 1..2 LOOP IF i = 1 THEN s := 1; END IF; "
+        "END LOOP; RETURN s; END; $$ LANGUAGE plpgsql"
+    )
+    assert expr == "(1)"
+
+    # non-constant bounds, oversized ranges, and IFs whose condition
+    # cannot fold (free parameter) are rejected loudly
     for body in [
         "BEGIN FOR i IN 1..n LOOP s := i; END LOOP; RETURN s; END;",
         "BEGIN FOR i IN 1..1000 LOOP s := i; END LOOP; RETURN s; END;",
-        "BEGIN FOR i IN 1..2 LOOP IF i = 1 THEN s := 1; END IF; "
+        "BEGIN FOR i IN 1..2 LOOP IF x > 0 THEN s := 1; END IF; "
         "END LOOP; RETURN s; END;",
     ]:
         with _pytest.raises(NotImplementedError):
