@@ -121,6 +121,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_olap_window  # noqa: F401
     import cloudberry_spark.sql.qp_with_world  # noqa: F401
     import cloudberry_spark.sql.qp_misc  # noqa: F401
+    import cloudberry_spark.sql.rpt_tpch  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -321,6 +322,9 @@ _LEAD = [
         "udf_plpgsql_exit_label_nested",
         "udf_plpgsql_record_into",
         "udf_plpgsql_continue_when",
+        "regress_rpt_mpph5",
+        "regress_rpt_mpph8",
+        "regress_rpt_mpph18",
         # the reference-corpus TPC-DS texts + the published-slowest spec
         "tpcds_q72_real",
         "tpcds_q70a_real",

@@ -778,3 +778,35 @@ def test_partition_join_pruned_filters(spark):
     assert "450" in plan and "250" in plan
     # the join itself must be a broadcast hash join at this size
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name,n_repl",
+    [
+        ("regress_rpt_mpph5", 4),
+        ("regress_rpt_mpph7", 4),
+        ("regress_rpt_mpph8", 5),
+        ("regress_rpt_mpph10", 2),
+        ("regress_rpt_mpph18", 1),
+    ],
+)
+def test_rpt_replicated_dims_broadcast(spark, name, n_repl):
+    """rpt_tpch.sql runs TPC-H with customer/supplier/nation/region
+    DISTRIBUTED REPLICATED — a full copy per segment, so a join against
+    them never moves the fact side (cdbpath.c replicated locus = no
+    Motion under the join). The Spark analog is a broadcast relation:
+    each rpt port pins its replicated dims with /*+ BROADCAST */, and
+    the executed plan must carry one BroadcastExchange per replicated
+    relation and NO SortMergeJoin/ShuffledHashJoin anywhere — the only
+    hash exchanges left are the aggregation shuffles."""
+    df = all_queries()[name].fn(spark, SF_DIR)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bx = plan.count("BroadcastExchange")
+    assert n_bx >= n_repl, (
+        f"{name}: expected >= {n_repl} broadcast exchanges "
+        f"(one per REPLICATED relation), got {n_bx}"
+    )
+    assert "SortMergeJoin" not in plan, f"{name}: fact side shuffled"
+    assert "ShuffledHashJoin" not in plan, f"{name}: fact side shuffled"
+    assert "CartesianProduct" not in plan
