@@ -175,3 +175,65 @@ def ddl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+@register(
+    "ddl_stats_ext_columns",
+    oracle="""
+        SELECT 'n_nationkey' AS col,
+               CAST(min(n_nationkey) AS BIGINT) AS stat_min,
+               CAST(max(n_nationkey) AS BIGINT) AS stat_max,
+               CAST(0 AS BIGINT) AS stat_nulls
+        FROM nation
+        UNION ALL
+        SELECT 'n_regionkey',
+               CAST(min(n_regionkey) AS BIGINT),
+               CAST(max(n_regionkey) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM nation
+        ORDER BY col
+    """,
+    doc="Extended per-column statistics (stats_ext.sql / commands/"
+    "statscmds.c CREATE STATISTICS class; PG's compute_scalar_stats "
+    "min/max/null-fraction per attribute): ANALYZE TABLE ... COMPUTE "
+    "STATISTICS FOR ALL COLUMNS writes per-column min/max/null-count "
+    "into the catalog — the multi-column cardinality inputs Spark's "
+    "CostBasedJoinReorder consumes (the join-order flip itself is "
+    "plan-pinned by tests/test_plans.py::test_cbo_join_reorder_with_"
+    "stats). The query reads the catalog's stored stats back via "
+    "DESCRIBE EXTENDED and checks them against the exact aggregates; "
+    "min/max/null-count are exact in the catalog (distinct_count is "
+    "HLL-approximate and deliberately not compared).",
+    tags=("ddl", "stats", "cbo"),
+)
+def ddl_stats_ext_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    db = "cb_ddl"
+    loc = os.path.join(os.path.dirname(_scratch(sf_dir, "x")), "ddl_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"{db}.stats_ext_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(loc, tbl.split(".")[1]), ignore_errors=True)
+    nat.select("n_nationkey", "n_regionkey").write.mode(
+        "overwrite"
+    ).saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    def col_stats(col: str) -> DataFrame:
+        d = spark.sql(f"DESCRIBE EXTENDED {tbl} {col}")
+        # rows are (info_name, info_value); pivot the three exact stats
+        return d.groupBy().pivot(
+            "info_name", ["min", "max", "num_nulls"]
+        ).agg(F.first("info_value")).select(
+            F.lit(col).alias("col"),
+            F.col("min").cast("bigint").alias("stat_min"),
+            F.col("max").cast("bigint").alias("stat_max"),
+            F.col("num_nulls").cast("bigint").alias("stat_nulls"),
+        )
+
+    return (
+        col_stats("n_nationkey")
+        .unionAll(col_stats("n_regionkey"))
+        .orderBy("col")
+    )

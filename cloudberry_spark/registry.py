@@ -325,6 +325,7 @@ _LEAD = [
         "regress_rpt_mpph5",
         "regress_rpt_mpph8",
         "regress_rpt_mpph18",
+        "ddl_stats_ext_columns",
         # the reference-corpus TPC-DS texts + the published-slowest spec
         "tpcds_q72_real",
         "tpcds_q70a_real",

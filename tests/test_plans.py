@@ -810,3 +810,64 @@ def test_rpt_replicated_dims_broadcast(spark, name, n_repl):
     assert "SortMergeJoin" not in plan, f"{name}: fact side shuffled"
     assert "ShuffledHashJoin" not in plan, f"{name}: fact side shuffled"
     assert "CartesianProduct" not in plan
+
+
+def test_cbo_join_reorder_with_stats(spark):
+    """stats_ext.sql's point: extended/multi-column statistics change
+    the planner's join order (PG dependencies/ndistinct -> selectivity;
+    Spark CostBasedJoinReorder needs ANALYZE ... FOR ALL COLUMNS column
+    stats the same way). Pin the before/after: the same 3-way join text
+    plans with a DIFFERENT join order once column stats exist."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for t in ("cbo_big", "cbo_mid", "cbo_small"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.range(100000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).alias("g"),
+            F.lpad(F.lit("x"), 50, "x").alias("pad"),
+        ).write.mode("overwrite").saveAsTable("cbo_big")
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+        ).write.mode("overwrite").saveAsTable("cbo_mid")
+        spark.range(50).select(F.col("id").alias("g")).write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_small")
+        q = (
+            "SELECT count(*) AS n FROM cbo_big b "
+            "JOIN cbo_mid m ON b.k = m.k "
+            "JOIN cbo_small s ON b.g = s.g"
+        )
+
+        def order() -> list[str]:
+            p = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            return re.findall(r"cbo_(?:big|mid|small)", p)
+
+        before = order()
+        for t in ("cbo_big", "cbo_mid", "cbo_small"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = order()
+        assert before != after, (
+            f"column stats did not change the join order: {before}"
+        )
+        # and the result itself is stats-independent
+        assert spark.sql(q).collect()[0][0] > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("cbo_big", "cbo_mid", "cbo_small"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
