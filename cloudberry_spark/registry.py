@@ -326,6 +326,7 @@ _LEAD = [
         "regress_rpt_mpph8",
         "regress_rpt_mpph18",
         "ddl_stats_ext_columns",
+        "multimodal_video_avi_decode",
         # the reference-corpus TPC-DS texts + the published-slowest spec
         "tpcds_q72_real",
         "tpcds_q70a_real",
