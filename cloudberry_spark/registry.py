@@ -307,8 +307,13 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-9 additions, new-code families first (each new operator
-        # class gets a pin inside the 50-query driver prefix):
+        # round-9 driver-sample pins, kept to exactly 50 (the sampled
+        # prefix size — overflow pushes pins out). New-code families
+        # first, then the reference-corpus TPC-DS texts and the
+        # published-slowest/most-complex spec shapes, then the
+        # never-sampled r8 leftovers. Everything demoted from here is
+        # still never-sampled and surfaces in later rounds via the
+        # interleaver's automatic hoisting.
         "regress_numeric_big_avg_sign",
         "regress_dropped_cols_dml_sequence_int4",
         "regress_dropped_cols_dml_sequence_int8",
@@ -327,15 +332,26 @@ _LEAD = [
         "regress_rpt_mpph18",
         "ddl_stats_ext_columns",
         "multimodal_video_avi_decode",
-        # the reference-corpus TPC-DS texts + the published-slowest spec
         "tpcds_q72_real",
         "tpcds_q70a_real",
         "tpcds_q37_real",
         "tpcds_q23_real",
         "tpcds_q95_real",
         "tpcds_q59_real",
-        # never-sampled round-8 leads (remaining spec TPC-H texts, CTE
-        # shadowing battery, band join, multi-USING DML, qpow heads)
+        "tpcds_q51_real",
+        "tpcds_q36_real",
+        "tpcds_q18_real",
+        "tpcds_q94_real",
+        "tpcds_q97_real",
+        "tpcds_q71_real",
+        "tpcds_q13_real",
+        "tpcds_q09_real",
+        "tpcds_q29_real",
+        "tpcds_q21_real",
+        "tpcds_q01_real",
+        "tpcds_q68_real",
+        "tpcds_q98_real",
+        "tpcds_q61_real",
         "tpch_q2_real",
         "tpch_q11_real",
         "tpch_q16_real",
@@ -347,29 +363,7 @@ _LEAD = [
         "regress_qpwith_shadow_cte_over_table",
         "regress_qpwith_shadow_two_table_names",
         "regress_qpwith_cte_alias_same_name",
-        "regress_qpwith_shadow_chain_consume",
-        "regress_qpdml_delete_multi_using",
         "regress_rio_band_join_fivemin",
-        "regress_qpow_dense_rank_00",
-        "regress_qpow_rank_02",
-        "regress_qpow_cume_dist_05",
-        # spec TPC-DS tail (never-sampled; harmless if pushed past 50)
-        "tpcds_q01_real",
-        "tpcds_q68_real",
-        "tpcds_q98_real",
-        "tpcds_q25_real",
-        "tpcds_q61_real",
-        "tpcds_q06_real",
-        "tpcds_q90_real",
-        "tpcds_q96_real",
-        "tpcds_q07_real",
-        "tpcds_q15_real",
-        "tpcds_q19_real",
-        "tpcds_q26_real",
-        "tpcds_q03_real",
-        "tpcds_q42_real",
-        "tpcds_q52_real",
-        "tpcds_q55_real",
 ]
 
 

@@ -73,7 +73,8 @@ WITH date_dim AS (
          CASE CAST(i % 7 AS INT) WHEN 0 THEN 'Saturday' WHEN 1 THEN 'Sunday'
               WHEN 2 THEN 'Monday' WHEN 3 THEN 'Tuesday' WHEN 4 THEN 'Wednesday'
               WHEN 5 THEN 'Thursday' ELSE 'Friday' END AS d_day_name,
-         CAST(EXTRACT(DAY FROM DATE '2000-01-01' + CAST(i AS INT)) AS INT) AS d_dom
+         CAST(EXTRACT(DAY FROM DATE '2000-01-01' + CAST(i AS INT)) AS INT) AS d_dom,
+         CAST((i % 7 + 6) % 7 AS INT) AS d_dow
   FROM generate_series(0, 1095) AS gs(i)
 ),
 customer AS (
@@ -85,7 +86,11 @@ customer AS (
          'Country_' || CAST(i % 5 AS STRING) AS c_birth_country,
          'login_' || CAST(i AS STRING) AS c_login,
          'user' || CAST(i AS STRING) || '@example.com' AS c_email_address,
-         CAST(i % 40 + 1 AS INT) AS c_current_addr_sk
+         CAST(i % 40 + 1 AS INT) AS c_current_addr_sk,
+         CAST(i % 12 + 1 AS INT) AS c_birth_month,
+         CAST(1950 + i % 40 AS INT) AS c_birth_year,
+         CASE i % 3 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
+         CAST(i % 30 + 1 AS INT) AS c_current_cdemo_sk
   FROM generate_series(1, 49) AS gs(i)
 ),
 item AS (
@@ -102,7 +107,8 @@ item AS (
          CAST(i % 7 + 1 AS INT) AS i_manager_id,
          CAST(i % 5 + 5000 AS INT) AS i_brand_id,
          CAST(i % 3 + 1 AS INT) AS i_category_id,
-         CAST(i % 4 + 1 AS INT) AS i_class_id
+         CAST(i % 4 + 1 AS INT) AS i_class_id,
+         CAST((i * 7) % 50 + 5 AS DOUBLE) AS i_wholesale_cost
   FROM generate_series(1, 20) AS gs(i)
 ),
 store AS (
@@ -114,7 +120,8 @@ store AS (
          'County_' || CAST(i % 2 AS STRING) AS s_county,
          lpad(CAST((i * 7) % 90000 + 10000 AS STRING), 5, '0') AS s_zip,
          CASE i % 2 WHEN 0 THEN 'Midway' ELSE 'Fairview' END AS s_city,
-         CAST(0 - (i % 2 + 5) AS DOUBLE) AS s_gmt_offset
+         CAST(0 - (i % 2 + 5) AS DOUBLE) AS s_gmt_offset,
+         CAST(200 + i * 25 AS INT) AS s_number_employees
   FROM generate_series(1, 4) AS gs(i)
 ),
 store_sales AS (
@@ -158,7 +165,12 @@ catalog_sales AS (
          CAST(i % 30 + 1 AS INT) AS cs_bill_cdemo_sk,
          CAST((i * 2) % 10 + 1 AS INT) AS cs_bill_hdemo_sk,
          CASE WHEN i % 4 = 0 THEN CAST(NULL AS INT) ELSE CAST(i % 8 + 1 AS INT) END AS cs_promo_sk,
-         CAST((i * 31) % 140 - 30 AS DOUBLE) AS cs_net_profit
+         CAST((i * 31) % 140 - 30 AS DOUBLE) AS cs_net_profit,
+         CAST(i % 5 + 1 AS INT) AS cs_ship_mode_sk,
+         CAST((i * 3) % 5 + 1 AS INT) AS cs_warehouse_sk,
+         CAST(i % 2 + 1 AS INT) AS cs_call_center_sk,
+         CAST((i * 7) % 49 + 1 AS INT) AS cs_ship_customer_sk,
+         CAST((i * 41) % 1440 AS INT) AS cs_sold_time_sk
   FROM generate_series(0, 1999) AS gs(i)
 ),
 web_sales AS (
@@ -182,7 +194,8 @@ web_sales AS (
          CAST((i * 19) % 95 + 5 AS DOUBLE) AS ws_sales_price,
          CAST((i * 53) % 1440 AS INT) AS ws_sold_time_sk,
          CAST(i % 10 + 1 AS INT) AS ws_ship_hdemo_sk,
-         CAST(i % 6 + 1 AS INT) AS ws_web_page_sk
+         CAST(i % 6 + 1 AS INT) AS ws_web_page_sk,
+         CAST((i * 7) % 5 + 1 AS INT) AS ws_ship_mode_sk
   FROM generate_series(0, 1999) AS gs(i)
 ),
 customer_address AS (
@@ -193,7 +206,8 @@ customer_address AS (
          lpad(CAST((i * 13) % 100000 AS STRING), 5, '0') AS ca_zip,
          'City_' || CAST(i % 6 AS STRING) AS ca_city,
          'County_' || CAST(i % 4 AS STRING) AS ca_county,
-         CAST(0 - (i % 3 + 4) AS DOUBLE) AS ca_gmt_offset
+         CAST(0 - (i % 3 + 4) AS DOUBLE) AS ca_gmt_offset,
+         'United States' AS ca_country
   FROM generate_series(1, 40) AS gs(i)
 ),
 customer_demographics AS (
@@ -203,7 +217,12 @@ customer_demographics AS (
               WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
          CASE i % 4 WHEN 0 THEN 'College' WHEN 1 THEN 'High School'
               WHEN 2 THEN 'Primary' ELSE 'Secondary' END AS cd_education_status,
-         CAST(i % 5 AS INT) AS cd_dep_count
+         CAST(i % 5 AS INT) AS cd_dep_count,
+         CAST((i % 6) * 500 + 500 AS INT) AS cd_purchase_estimate,
+         CASE i % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+              WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+         CAST(i % 3 AS INT) AS cd_dep_employed_count,
+         CAST(i % 4 AS INT) AS cd_dep_college_count
   FROM generate_series(1, 30) AS gs(i)
 ),
 household_demographics AS (
@@ -249,14 +268,20 @@ store_returns AS (
          CAST(CAST(floor((j * 3) / 20.0) AS INT) % 4 + 1 AS INT) AS sr_store_sk,
          CAST((j * 13) % 180 + 20 AS DOUBLE) AS sr_return_amt,
          CAST((j * 7) % 90 + 10 AS DOUBLE) AS sr_net_loss,
-         CAST(j % 5 + 1 AS INT) AS sr_reason_sk
+         CAST(j % 5 + 1 AS INT) AS sr_reason_sk,
+         CAST(j % 7 + 1 AS INT) AS sr_return_quantity
   FROM generate_series(0, 999) AS gs(j)
 ),
 catalog_returns AS (
   -- every 5th catalog_sales order returns (cr key mirrors cs row 5j)
   SELECT CAST(j * 5 AS INT) AS cr_order_number,
          CAST(((j * 5) * 13) % 20 + 1 AS INT) AS cr_item_sk,
-         CAST((j * 11) % 60 + 5 AS DOUBLE) AS cr_return_amount
+         CAST((j * 11) % 60 + 5 AS DOUBLE) AS cr_return_amount,
+         CAST((j * 5) % 49 + 1 AS INT) AS cr_returning_customer_sk,
+         CAST(2450000 + ((CAST(floor((j * 5) / 80.0) AS INT) % 25) + 1) * 45 AS INT) AS cr_returned_date_sk,
+         CAST((j * 13) % 70 + 7 AS DOUBLE) AS cr_return_amt_inc_tax,
+         CAST(j % 6 + 1 AS INT) AS cr_return_quantity,
+         CAST((j * 3) % 5 + 1 AS INT) AS cr_warehouse_sk
   FROM generate_series(0, 399) AS gs(j)
 ),
 web_returns AS (
@@ -271,19 +296,41 @@ web_returns AS (
 time_dim AS (
   SELECT CAST(i AS INT) AS t_time_sk,
          CAST(floor(i / 60.0) AS INT) AS t_hour,
-         CAST(i % 60 AS INT) AS t_minute
+         CAST(i % 60 AS INT) AS t_minute,
+         CASE WHEN i >= 360 AND i < 540 THEN 'breakfast'
+              WHEN i >= 1020 AND i < 1140 THEN 'dinner'
+              ELSE NULL END AS t_meal_time
   FROM generate_series(0, 1439) AS gs(i)
 ),
 web_site AS (
   SELECT CAST(i AS INT) AS web_site_sk,
          CASE i % 2 WHEN 0 THEN 'pri' ELSE 'site' END AS web_company_name,
-         'WS_' || CAST(i AS STRING) AS web_site_id
+         'WS_' || CAST(i AS STRING) AS web_site_id,
+         'site_' || CAST(i AS STRING) AS web_name
   FROM generate_series(1, 3) AS gs(i)
 ),
 web_page AS (
   SELECT CAST(i AS INT) AS wp_web_page_sk,
          CAST(4800 + i * 80 AS INT) AS wp_char_count
   FROM generate_series(1, 6) AS gs(i)
+),
+reason AS (
+  SELECT CAST(i AS INT) AS r_reason_sk,
+         'reason ' || CAST(i AS STRING) AS r_reason_desc
+  FROM generate_series(1, 5) AS gs(i)
+),
+ship_mode AS (
+  SELECT CAST(i AS INT) AS sm_ship_mode_sk,
+         CASE i WHEN 1 THEN 'EXPRESS' WHEN 2 THEN 'NEXT DAY' WHEN 3 THEN 'OVERNIGHT'
+                WHEN 4 THEN 'REGULAR' ELSE 'LIBRARY' END AS sm_type,
+         'CODE_' || CAST(i AS STRING) AS sm_code,
+         'Carrier_' || CAST(i % 3 AS STRING) AS sm_carrier
+  FROM generate_series(1, 5) AS gs(i)
+),
+call_center AS (
+  SELECT CAST(i AS INT) AS cc_call_center_sk,
+         'CC_' || CAST(i AS STRING) AS cc_name
+  FROM generate_series(1, 2) AS gs(i)
 ),
 t1 AS (
   -- cte_prune.sql:7-8: t1(v1,v2,v3) = (1..10, 11..20, 21..30)
@@ -1572,4 +1619,954 @@ limit 100
 """,
     "TPC-DS spec q98 (item revenue with a windowed class-share ratio: sum over sum(sum()) OVER (PARTITION BY i_class); 30-day window anchored to the fixture's Feb-2000 trading date; categories mapped to the fixture's Category_0..2).",
     tags=("q98",),
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 9, tranche 2: 34 more spec texts toward the full 99-query corpus
+# (the reference publishes all-99 timings: contrib/pax_storage/doc/
+# performance.md:65-185). q69 is excluded: its EXISTS/NOT-EXISTS channel
+# split is structurally empty at fixture density (every customer is active
+# in every channel every month) — see MIGRATION.md.
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q09_real",
+    """
+select case when (select count(*) from store_sales
+                  where ss_quantity between 1 and 3) > 400
+            then (select cast(round(avg(ss_ext_sales_price), 2) as double) from store_sales
+                  where ss_quantity between 1 and 3)
+            else (select cast(round(avg(ss_net_profit), 2) as double) from store_sales
+                  where ss_quantity between 1 and 3) end bucket1,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 4 and 6) > 300
+            then (select cast(round(avg(ss_ext_sales_price), 2) as double) from store_sales
+                  where ss_quantity between 4 and 6)
+            else (select cast(round(avg(ss_net_profit), 2) as double) from store_sales
+                  where ss_quantity between 4 and 6) end bucket2,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 7 and 9) > 500
+            then (select cast(round(avg(ss_ext_sales_price), 2) as double) from store_sales
+                  where ss_quantity between 7 and 9)
+            else (select cast(round(avg(ss_net_profit), 2) as double) from store_sales
+                  where ss_quantity between 7 and 9) end bucket3
+from reason
+where r_reason_sk = 1
+""",
+    "TPC-DS spec q9 (CASE-routed bucket averages via 15 scalar subqueries over quantity bands, seeded from the reason table; thresholds kept, quantity bands narrowed to the fixture's 1..9 range).",
+    tags=("q09",),
+)
+
+register_tpcds(
+    "tpcds_q12_real",
+    """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       sum(ws_ext_sales_price) as itemrevenue,
+       sum(ws_ext_sales_price) * 100 / sum(sum(ws_ext_sales_price))
+         over (partition by i_class) as revenueratio
+from web_sales, item, date_dim
+where ws_item_sk = i_item_sk
+  and i_category in ('Category_0', 'Category_1', 'Category_2')
+  and ws_sold_date_sk = d_date_sk
+  and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 30)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio
+limit 100
+""",
+    "TPC-DS spec q12 (web item revenue with windowed class-share ratio — the q98 web twin; 30-day window anchored to the fixture's Feb-2000 trading date).",
+    tags=("q12",),
+)
+
+register_tpcds(
+    "tpcds_q13_real",
+    """
+select cast(round(avg(ss_quantity), 4) as double) as avg_qty,
+       cast(round(avg(ss_ext_sales_price), 2) as double) as avg_esp,
+       cast(round(avg(ss_ext_wholesale_cost), 2) as double) as avg_ewc,
+       cast(round(sum(ss_ext_wholesale_cost), 2) as double) as sum_ewc
+from store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+where s_store_sk = ss_store_sk
+  and ss_sold_date_sk = d_date_sk and d_year = 2001
+  and ((ss_hdemo_sk = hd_demo_sk and cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'M' and cd_education_status = 'College'
+        and ss_sales_price between 10.00 and 150.00 and hd_dep_count = 6)
+    or (ss_hdemo_sk = hd_demo_sk and cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'S' and cd_education_status = 'High School'
+        and ss_sales_price between 50.00 and 200.00 and hd_dep_count = 7)
+    or (ss_hdemo_sk = hd_demo_sk and cd_demo_sk = ss_cdemo_sk
+        and cd_marital_status = 'W' and cd_education_status = 'Primary'
+        and ss_sales_price between 5.00 and 100.00 and hd_dep_count = 0))
+  and ((ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('TN', 'OH', 'TX')
+        and ss_net_profit between 0 and 100)
+    or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('WA', 'NY', 'FL')
+        and ss_net_profit between 0 and 100)
+    or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('CA', 'GA', 'TX')
+        and ss_net_profit between 0 and 100))
+""",
+    'TPC-DS spec q13 (three-way demographic/price disjunction x three-way address/profit disjunction over one join tree; marital/education/dep-count triples mapped to residue-compatible fixture combinations, states to live fixture states).',
+    tags=("q13",),
+)
+
+register_tpcds(
+    "tpcds_q18_real",
+    """
+select i_item_id, ca_country, ca_state, ca_county,
+       cast(round(avg(cast(cs_quantity as double)), 4) as double) agg1,
+       cast(round(avg(cast(cs_list_price as double)), 4) as double) agg2,
+       cast(round(avg(cast(cs_coupon_amt as double)), 4) as double) agg3,
+       cast(round(avg(cast(cs_sales_price as double)), 4) as double) agg4,
+       cast(round(avg(cast(cs_net_profit as double)), 4) as double) agg5,
+       cast(round(avg(cast(c_birth_year as double)), 4) as double) agg6,
+       cast(round(avg(cast(cd1.cd_dep_count as double)), 4) as double) agg7
+from catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+where cs_sold_date_sk = d_date_sk
+  and cs_item_sk = i_item_sk
+  and cs_bill_cdemo_sk = cd1.cd_demo_sk
+  and cs_bill_customer_sk = c_customer_sk
+  and cd1.cd_gender = 'M' and cd1.cd_education_status = 'College'
+  and c_current_cdemo_sk = cd2.cd_demo_sk
+  and c_current_addr_sk = ca_address_sk
+  and c_birth_month in (1, 6, 8, 9, 12, 2)
+  and d_year = 2001
+  and ca_state in ('TN', 'CA', 'WA', 'GA', 'TX', 'NY', 'OH')
+group by rollup(i_item_id, ca_country, ca_state, ca_county)
+order by ca_country, ca_state, ca_county, i_item_id
+limit 100
+""",
+    "TPC-DS spec q18 (catalog AVGs over two customer_demographics roles + rollup(i_item_id, ca_country, ca_state, ca_county); spec's decimal(12,2) casts -> rounded doubles; gender F->M since the fixture's F/College residues are disjoint — noted).",
+    tags=("q18",),
+)
+
+register_tpcds(
+    "tpcds_q20_real",
+    """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       sum(cs_ext_sales_price) as itemrevenue,
+       sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price))
+         over (partition by i_class) as revenueratio
+from catalog_sales, item, date_dim
+where cs_item_sk = i_item_sk
+  and i_category in ('Category_0', 'Category_1', 'Category_2')
+  and cs_sold_date_sk = d_date_sk
+  and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 30)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio
+limit 100
+""",
+    'TPC-DS spec q20 (catalog twin of q12/q98 windowed class-share ratio).',
+    tags=("q20",),
+)
+
+register_tpcds(
+    "tpcds_q21_real",
+    """
+select w_warehouse_name, i_item_id,
+       cast(sum(case when d_date < cast('2001-04-30' as date)
+                then inv_quantity_on_hand else 0 end) as bigint) as inv_before,
+       cast(sum(case when d_date >= cast('2001-04-30' as date)
+                then inv_quantity_on_hand else 0 end) as bigint) as inv_after
+from inventory, warehouse, item, date_dim
+where i_current_price between 10 and 10 + 60
+  and i_item_sk = inv_item_sk
+  and inv_warehouse_sk = w_warehouse_sk
+  and inv_date_sk = d_date_sk
+  and d_date between (cast('2001-04-30' as date) - 45)
+                 and (cast('2001-04-30' as date) + 45)
+group by w_warehouse_name, i_item_id
+having (case when sum(case when d_date < cast('2001-04-30' as date)
+                      then inv_quantity_on_hand else 0 end) > 0
+             then cast(sum(case when d_date >= cast('2001-04-30' as date)
+                           then inv_quantity_on_hand else 0 end) as double)
+                  / sum(case when d_date < cast('2001-04-30' as date)
+                        then inv_quantity_on_hand else 0 end)
+             else null end) between 2.0 / 3.0 and 3.0 / 2.0
+order by w_warehouse_name, i_item_id
+limit 100
+""",
+    'TPC-DS spec q21 (warehouse inventory before/after a date split with a 2/3..3/2 HAVING band; anchor moved to 2001-04-30 +/-45d so both sides of the split hit fixture trading dates).',
+    tags=("q21",),
+)
+
+register_tpcds(
+    "tpcds_q22_real",
+    """
+select i_product_name, i_brand, i_class, i_category,
+       cast(round(avg(cast(inv_quantity_on_hand as double)), 6) as double) qoh
+from inventory, date_dim, item
+where inv_date_sk = d_date_sk
+  and inv_item_sk = i_item_sk
+  and d_month_seq between 1200 and 1200 + 11
+group by rollup(i_product_name, i_brand, i_class, i_category)
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100
+""",
+    'TPC-DS spec q22 (12-month average quantity-on-hand over rollup(product, brand, class, category)).',
+    tags=("q22",),
+)
+
+register_tpcds(
+    "tpcds_q27_real",
+    """
+select i_item_id, s_state,
+       cast(grouping(s_state) as int) g_state,
+       cast(round(avg(cast(ss_quantity as double)), 4) as double) agg1,
+       cast(round(avg(cast(ss_list_price as double)), 4) as double) agg2,
+       cast(round(avg(cast(ss_coupon_amt as double)), 4) as double) agg3,
+       cast(round(avg(cast(ss_sales_price as double)), 4) as double) agg4
+from store_sales, customer_demographics, date_dim, store, item
+where ss_sold_date_sk = d_date_sk
+  and ss_item_sk = i_item_sk
+  and ss_store_sk = s_store_sk
+  and ss_cdemo_sk = cd_demo_sk
+  and cd_gender = 'M' and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and d_year = 2000
+  and s_state in ('TN', 'CA', 'GA', 'TN', 'CA', 'GA')
+group by rollup(i_item_id, s_state)
+order by i_item_id, s_state
+limit 100
+""",
+    "TPC-DS spec q27 (store AVGs by item/state over rollup with grouping(s_state) flag; states mapped to the fixture's TN/CA/GA).",
+    tags=("q27",),
+)
+
+register_tpcds(
+    "tpcds_q29_real",
+    """
+select i_item_id, i_item_desc, s_store_id, s_store_name,
+       cast(sum(ss_quantity) as bigint) as store_sales_quantity,
+       cast(sum(sr_return_quantity) as bigint) as store_returns_quantity,
+       cast(sum(cs_quantity) as bigint) as catalog_sales_quantity
+from store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+where d1.d_moy = 5
+  and d1.d_year = 2001
+  and d1.d_date_sk = ss_sold_date_sk
+  and i_item_sk = ss_item_sk
+  and s_store_sk = ss_store_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_item_sk = sr_item_sk
+  and ss_ticket_number = sr_ticket_number
+  and sr_returned_date_sk = d2.d_date_sk
+  and d2.d_moy between 5 and 5 + 3
+  and d2.d_year = 2001
+  and sr_customer_sk = cs_bill_customer_sk
+  and sr_item_sk = cs_item_sk
+  and cs_sold_date_sk = d3.d_date_sk
+  and d3.d_year in (2001, 2001 + 1, 2001 + 2)
+group by i_item_id, i_item_desc, s_store_id, s_store_name
+order by i_item_id, i_item_desc, s_store_id, s_store_name
+limit 100
+""",
+    'TPC-DS spec q29 (quantity flow: store sale -> store return within 4 months -> catalog re-purchase within 3 years, three date_dim roles; d_moy 4->5 for the fixture trading calendar).',
+    tags=("q29",),
+)
+
+register_tpcds(
+    "tpcds_q32_real",
+    """
+select cast(round(sum(cs_ext_discount_amt), 2) as double) as excess_discount_amount
+from catalog_sales, item, date_dim
+where i_manufact_id = 103
+  and i_item_sk = cs_item_sk
+  and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 90)
+  and d_date_sk = cs_sold_date_sk
+  and cs_ext_discount_amt > (select 1.3 * avg(cs_ext_discount_amt)
+                             from catalog_sales, date_dim
+                             where cs_item_sk = i_item_sk
+                               and d_date between cast('2000-02-01' as date)
+                                              and (cast('2000-02-01' as date) + 90)
+                               and d_date_sk = cs_sold_date_sk)
+limit 100
+""",
+    'TPC-DS spec q32 (catalog excess discount: correlated 1.3x-average subquery per item; manufact id mapped to the fixture space).',
+    tags=("q32",),
+)
+
+register_tpcds(
+    "tpcds_q36_real",
+    """
+select cast(round(sum(ss_net_profit), 2) as double)
+         / cast(round(sum(ss_ext_sales_price), 2) as double) as gross_margin,
+       i_category, i_class,
+       cast(grouping(i_category) + grouping(i_class) as int) as lochierarchy,
+       rank() over (
+         partition by grouping(i_category) + grouping(i_class),
+         case when grouping(i_class) = 0 then i_category end
+         order by sum(ss_net_profit) / sum(ss_ext_sales_price) asc) as rank_within_parent
+from store_sales, date_dim d1, item, store
+where d1.d_year = 2001
+  and d1.d_date_sk = ss_sold_date_sk
+  and i_item_sk = ss_item_sk
+  and s_store_sk = ss_store_sk
+  and s_state in ('TN', 'CA', 'GA', 'TN', 'CA', 'GA')
+group by rollup(i_category, i_class)
+order by lochierarchy desc,
+         case when grouping(i_category) + grouping(i_class) = 0 then i_category end,
+         rank_within_parent, i_category, i_class
+limit 100
+""",
+    'TPC-DS spec q36 (gross-margin rollup with grouping()-derived lochierarchy and rank() partitioned by a CASE-of-grouping key — the q70-family shape; ORDER BY extended with the group keys for tie-stability).',
+    tags=("q36",),
+)
+
+register_tpcds(
+    "tpcds_q38_real",
+    """
+select count(*) as cnt
+from (select distinct c_last_name, c_first_name, d_date
+      from store_sales, date_dim, customer
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1188 and 1188 + 11
+      intersect
+      select distinct c_last_name, c_first_name, d_date
+      from catalog_sales, date_dim, customer
+      where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1188 and 1188 + 11
+      intersect
+      select distinct c_last_name, c_first_name, d_date
+      from web_sales, date_dim, customer
+      where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        and d_month_seq between 1188 and 1188 + 11) hot_cust
+limit 100
+""",
+    'TPC-DS spec q38 (three-channel INTERSECT of distinct customer-date tuples over a 12-month window).',
+    tags=("q38",),
+)
+
+register_tpcds(
+    "tpcds_q40_real",
+    """
+select w_state, i_item_id,
+       cast(round(sum(case when d_date < cast('2001-03-15' as date)
+                then cs_sales_price - coalesce(cr_return_amount, 0)
+                else 0 end), 2) as double) as sales_before,
+       cast(round(sum(case when d_date >= cast('2001-03-15' as date)
+                then cs_sales_price - coalesce(cr_return_amount, 0)
+                else 0 end), 2) as double) as sales_after
+from catalog_sales
+left outer join catalog_returns on (cs_order_number = cr_order_number
+                                    and cs_item_sk = cr_item_sk),
+     warehouse, item, date_dim
+where i_current_price between 10 and 10 + 60
+  and i_item_sk = cs_item_sk
+  and cs_warehouse_sk = w_warehouse_sk
+  and cs_sold_date_sk = d_date_sk
+  and d_date between (cast('2001-03-15' as date) - 30)
+                 and (cast('2001-03-15' as date) + 30)
+group by w_state, i_item_id
+order by w_state, i_item_id
+limit 100
+""",
+    'TPC-DS spec q40 (catalog sales net of returns by warehouse state before/after a date split, LEFT JOIN on order+item; anchor 2001-04-30-compatible window).',
+    tags=("q40",),
+)
+
+register_tpcds(
+    "tpcds_q43_real",
+    """
+select s_store_name, s_store_id,
+       cast(round(sum(case when (d_day_name = 'Sunday') then ss_sales_price else null end), 2) as double) sun_sales,
+       cast(round(sum(case when (d_day_name = 'Monday') then ss_sales_price else null end), 2) as double) mon_sales,
+       cast(round(sum(case when (d_day_name = 'Tuesday') then ss_sales_price else null end), 2) as double) tue_sales,
+       cast(round(sum(case when (d_day_name = 'Wednesday') then ss_sales_price else null end), 2) as double) wed_sales,
+       cast(round(sum(case when (d_day_name = 'Thursday') then ss_sales_price else null end), 2) as double) thu_sales,
+       cast(round(sum(case when (d_day_name = 'Friday') then ss_sales_price else null end), 2) as double) fri_sales,
+       cast(round(sum(case when (d_day_name = 'Saturday') then ss_sales_price else null end), 2) as double) sat_sales
+from date_dim, store_sales, store
+where d_date_sk = ss_sold_date_sk
+  and s_store_sk = ss_store_sk
+  and s_gmt_offset = -5
+  and d_year = 2000
+group by s_store_name, s_store_id
+order by s_store_name, s_store_id
+limit 100
+""",
+    'TPC-DS spec q43 (per-store day-of-week sales pivot via d_day_name CASE sums; s_gmt_offset -5 live in the fixture).',
+    tags=("q43",),
+)
+
+register_tpcds(
+    "tpcds_q45_real",
+    """
+select ca_zip, ca_city,
+       cast(round(sum(ws_sales_price), 2) as double) as sum_sales
+from web_sales, customer, customer_address, date_dim, item
+where ws_bill_customer_sk = c_customer_sk
+  and c_current_addr_sk = ca_address_sk
+  and ws_item_sk = i_item_sk
+  and (substr(ca_zip, 1, 5) in ('85669','86197','88274','83405','86475',
+                                '85392','85460','80348','81792')
+       or i_item_id in (select i_item_id from item
+                        where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19)))
+  and ws_sold_date_sk = d_date_sk
+  and d_qoy = 2 and d_year = 2001
+group by ca_zip, ca_city
+order by ca_zip, ca_city
+limit 100
+""",
+    'TPC-DS spec q45 (web sales by zip/city where zip-prefix IN list OR item IN subquery — the OR-of-semi-join shape).',
+    tags=("q45",),
+)
+
+register_tpcds(
+    "tpcds_q46_real",
+    """
+select c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+from (select ss_ticket_number, ss_customer_sk, ca_city bought_city,
+             sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      from store_sales, date_dim, store, household_demographics,
+           customer_address
+      where ss_sold_date_sk = d_date_sk
+        and ss_store_sk = s_store_sk
+        and ss_hdemo_sk = hd_demo_sk
+        and ss_addr_sk = ca_address_sk
+        and (hd_dep_count = 4 or hd_vehicle_count = 3)
+        and d_dow in (6, 0)
+        and d_year in (2000, 2000 + 1, 2000 + 2)
+        and s_city in ('Midway', 'Fairview')
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+where ss_customer_sk = c_customer_sk
+  and customer.c_current_addr_sk = current_addr.ca_address_sk
+  and current_addr.ca_city <> bought_city
+order by c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+limit 100
+""",
+    'TPC-DS spec q46 (per-ticket coupon/profit for weekend dom shoppers in two cities, bought-city <> current-city anti-predicate through two customer_address roles; d_dow weekend in (6,0)).',
+    tags=("q46",),
+)
+
+register_tpcds(
+    "tpcds_q48_real",
+    """
+select cast(sum(ss_quantity) as bigint) as qty_sum
+from store_sales, store, customer_demographics, customer_address, date_dim
+where s_store_sk = ss_store_sk
+  and ss_sold_date_sk = d_date_sk and d_year = 2000
+  and ((cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'M'
+        and cd_education_status = 'College'
+        and ss_sales_price between 10.00 and 150.00)
+    or (cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'S'
+        and cd_education_status = 'High School'
+        and ss_sales_price between 50.00 and 200.00)
+    or (cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'W'
+        and cd_education_status = 'Primary'
+        and ss_sales_price between 5.00 and 100.00))
+  and ((ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('TX', 'OH', 'WA') and ss_net_profit between 0 and 50)
+    or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('OR', 'NM', 'KY') and ss_net_profit between 10 and 60)
+    or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+        and ca_state in ('VA', 'CA', 'MS') and ss_net_profit between 20 and 70))
+""",
+    'TPC-DS spec q48 (single quantity sum through stacked demographic and address disjunctions; combos mapped to residue-compatible fixture values).',
+    tags=("q48",),
+)
+
+register_tpcds(
+    "tpcds_q50_real",
+    """
+select s_store_name, s_company_name,
+       cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30) then 1 else 0 end) as bigint) as days_30,
+       cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30)
+                      and (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end) as bigint) as days_31_60,
+       cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60)
+                      and (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end) as bigint) as days_61_90,
+       cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90)
+                      and (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end) as bigint) as days_91_120,
+       cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 120) then 1 else 0 end) as bigint) as days_over_120
+from store_sales, store_returns, store, date_dim d1, date_dim d2
+where d2.d_year = 2001 and d2.d_moy = 8
+  and ss_ticket_number = sr_ticket_number
+  and ss_item_sk = sr_item_sk
+  and ss_sold_date_sk = d1.d_date_sk
+  and sr_returned_date_sk = d2.d_date_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_store_sk = s_store_sk
+group by s_store_name, s_company_name
+order by s_store_name, s_company_name
+limit 100
+""",
+    "TPC-DS spec q50 (store return latency buckets: sold-vs-returned date_sk deltas bucketed 30/60/90/120, one returned-month slice; store output columns reduced to the fixture's name/company subset).",
+    tags=("q50",),
+)
+
+register_tpcds(
+    "tpcds_q51_real",
+    """
+with web_v1 as (
+  select ws_item_sk item_sk, d_date,
+         sum(sum(ws_sales_price)) over (partition by ws_item_sk
+                                        order by d_date
+                                        rows between unbounded preceding
+                                        and current row) cume_sales
+  from web_sales, date_dim
+  where ws_sold_date_sk = d_date_sk
+    and d_month_seq between 1200 and 1200 + 11
+    and ws_item_sk is not null
+  group by ws_item_sk, d_date),
+store_v1 as (
+  select ss_item_sk item_sk, d_date,
+         sum(sum(ss_sales_price)) over (partition by ss_item_sk
+                                        order by d_date
+                                        rows between unbounded preceding
+                                        and current row) cume_sales
+  from store_sales, date_dim
+  where ss_sold_date_sk = d_date_sk
+    and d_month_seq between 1200 and 1200 + 11
+    and ss_item_sk is not null
+  group by ss_item_sk, d_date)
+select item_sk, d_date, web_sales, store_sales, web_cumulative, store_cumulative
+from (select case when web.item_sk is not null then web.item_sk
+                  else store.item_sk end item_sk,
+             case when web.d_date is not null then web.d_date
+                  else store.d_date end d_date,
+             web.cume_sales web_sales,
+             store.cume_sales store_sales,
+             max(web.cume_sales) over (partition by case when web.item_sk is not null
+                                                         then web.item_sk
+                                                         else store.item_sk end
+                                       order by case when web.d_date is not null
+                                                     then web.d_date
+                                                     else store.d_date end
+                                       rows between unbounded preceding
+                                       and current row) web_cumulative,
+             max(store.cume_sales) over (partition by case when web.item_sk is not null
+                                                           then web.item_sk
+                                                           else store.item_sk end
+                                         order by case when web.d_date is not null
+                                                       then web.d_date
+                                                       else store.d_date end
+                                         rows between unbounded preceding
+                                         and current row) store_cumulative
+      from web_v1 web full outer join store_v1 store
+           on (web.item_sk = store.item_sk and web.d_date = store.d_date)) x
+where web_cumulative > store_cumulative
+order by item_sk, d_date
+limit 100
+""",
+    'TPC-DS spec q51 (web/store per-item cumulative sales via sum(sum()) OVER, FULL OUTER JOIN on item+date, running MAX windows over the coalesced key, web>store filter — the heaviest window composition in the suite).',
+    tags=("q51",),
+)
+
+register_tpcds(
+    "tpcds_q53_real",
+    """
+select i_manufact_id,
+       sum(ss_sales_price) sum_sales,
+       cast(round(avg(sum(ss_sales_price))
+         over (partition by i_manufact_id), 6) as double) avg_quarterly_sales
+from item, store_sales, date_dim, store
+where ss_item_sk = i_item_sk
+  and ss_sold_date_sk = d_date_sk
+  and ss_store_sk = s_store_sk
+  and d_month_seq in (1200, 1200+1, 1200+2, 1200+3, 1200+4, 1200+5,
+                      1200+6, 1200+7, 1200+8, 1200+9, 1200+10, 1200+11)
+  and ((i_category in ('Category_0', 'Category_1') and i_class_id in (1, 2))
+    or (i_category in ('Category_2') and i_class_id in (3, 4)))
+group by i_manufact_id, d_qoy
+order by avg_quarterly_sales, sum_sales, i_manufact_id
+limit 100
+""",
+    'TPC-DS spec q53 (quarterly manufacturer sales vs windowed average — the q63 family; category/class pairs mapped to fixture ids).',
+    tags=("q53",),
+)
+
+register_tpcds(
+    "tpcds_q62_real",
+    """
+select w_warehouse_name, sm_type, web_name,
+       cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30) then 1 else 0 end) as bigint) as days_30,
+       cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30)
+                      and (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end) as bigint) as days_31_60,
+       cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60)
+                      and (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end) as bigint) as days_61_90,
+       cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90)
+                      and (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end) as bigint) as days_91_120,
+       cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 120) then 1 else 0 end) as bigint) as days_over_120
+from web_sales, warehouse, ship_mode, web_site, date_dim
+where d_month_seq between 1200 and 1200 + 11
+  and ws_ship_date_sk = d_date_sk
+  and ws_warehouse_sk = w_warehouse_sk
+  and ws_ship_mode_sk = sm_ship_mode_sk
+  and ws_web_site_sk = web_site_sk
+group by w_warehouse_name, sm_type, web_name
+order by w_warehouse_name, sm_type, web_name
+limit 100
+""",
+    'TPC-DS spec q62 (web shipping latency buckets by warehouse x ship mode x site over a 12-month ship window).',
+    tags=("q62",),
+)
+
+register_tpcds(
+    "tpcds_q65_real",
+    """
+select s_store_name, i_item_desc, sc.revenue, i_current_price,
+       i_wholesale_cost, i_brand
+from store, item,
+     (select ss_store_sk, avg(revenue) as ave
+      from (select ss_store_sk, ss_item_sk,
+                   sum(ss_sales_price) as revenue
+            from store_sales, date_dim
+            where ss_sold_date_sk = d_date_sk
+              and d_month_seq between 1200 and 1200 + 11
+            group by ss_store_sk, ss_item_sk) sa
+      group by ss_store_sk) sb,
+     (select ss_store_sk, ss_item_sk,
+             sum(ss_sales_price) as revenue
+      from store_sales, date_dim
+      where ss_sold_date_sk = d_date_sk
+        and d_month_seq between 1200 and 1200 + 11
+      group by ss_store_sk, ss_item_sk) sc
+where sb.ss_store_sk = sc.ss_store_sk
+  and sc.revenue <= 0.9 * sb.ave
+  and s_store_sk = sc.ss_store_sk
+  and i_item_sk = sc.ss_item_sk
+order by s_store_name, i_item_desc, sc.revenue
+limit 100
+""",
+    "TPC-DS spec q65 (items selling at <= 0.9x their store's average item revenue: two derived aggregates joined store-wise; spec's 0.1 threshold selects nothing under the fixture's near-uniform revenues — noted).",
+    tags=("q65",),
+)
+
+register_tpcds(
+    "tpcds_q71_real",
+    """
+select i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+       cast(round(sum(ext_price), 2) as double) ext_price
+from item,
+     (select ws_ext_sales_price as ext_price,
+             ws_sold_date_sk as sold_date_sk,
+             ws_item_sk as sold_item_sk,
+             ws_sold_time_sk as time_sk
+      from web_sales, date_dim
+      where d_date_sk = ws_sold_date_sk and d_moy = 11 and d_year = 2000
+      union all
+      select cs_ext_sales_price as ext_price,
+             cs_sold_date_sk as sold_date_sk,
+             cs_item_sk as sold_item_sk,
+             cs_sold_time_sk as time_sk
+      from catalog_sales, date_dim
+      where d_date_sk = cs_sold_date_sk and d_moy = 11 and d_year = 2000
+      union all
+      select ss_ext_sales_price as ext_price,
+             ss_sold_date_sk as sold_date_sk,
+             ss_item_sk as sold_item_sk,
+             ss_sold_time_sk as time_sk
+      from store_sales, date_dim
+      where d_date_sk = ss_sold_date_sk and d_moy = 11 and d_year = 2000) tmp,
+     time_dim
+where sold_item_sk = i_item_sk
+  and i_manager_id = 1
+  and time_sk = t_time_sk
+  and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+group by i_brand, i_brand_id, t_hour, t_minute
+order by ext_price desc, i_brand_id, t_hour, t_minute
+limit 100
+""",
+    "TPC-DS spec q71 (brand revenue by breakfast/dinner half-hours: three-channel UNION ALL joined to time_dim's meal-time bands).",
+    tags=("q71",),
+)
+
+register_tpcds(
+    "tpcds_q73_real",
+    """
+select c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+from (select ss_ticket_number, ss_customer_sk, count(*) cnt
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and date_dim.d_dom between 1 and 2
+        and (household_demographics.hd_buy_potential = '>10000'
+             or household_demographics.hd_buy_potential = '5001-10000')
+        and household_demographics.hd_vehicle_count > 0
+        and date_dim.d_year in (2000, 2000 + 1, 2000 + 2)
+        and store.s_county in ('County_0', 'County_1')
+      group by ss_ticket_number, ss_customer_sk) dj, customer
+where ss_customer_sk = c_customer_sk
+  and cnt between 1 and 5
+order by cnt desc, c_last_name asc, ss_ticket_number
+limit 100
+""",
+    "TPC-DS spec q73 (per-ticket item counts 1..5 for high-buy-potential households on dom 1-2; counties mapped to the fixture's County_0/1).",
+    tags=("q73",),
+)
+
+register_tpcds(
+    "tpcds_q79_real",
+    """
+select c_last_name, c_first_name,
+       substr(s_city, 1, 30) s_city_pfx, ss_ticket_number, amt, profit
+from (select ss_ticket_number, ss_customer_sk, store.s_city,
+             sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and (household_demographics.hd_dep_count = 4
+             or household_demographics.hd_vehicle_count > 3)
+        and date_dim.d_dow = 1
+        and date_dim.d_year in (2000, 2000 + 1, 2000 + 2)
+        and store.s_number_employees between 200 and 295
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk,
+               store.s_city) ms, customer
+where ss_customer_sk = c_customer_sk
+order by c_last_name, c_first_name, s_city_pfx, profit, ss_ticket_number
+limit 100
+""",
+    'TPC-DS spec q79 (Monday shoppers per ticket with dep/vehicle household filter and store employee band; store city prefix output).',
+    tags=("q79",),
+)
+
+register_tpcds(
+    "tpcds_q82_real",
+    """
+select i_item_id, i_item_desc, i_current_price
+from item, inventory, date_dim, store_sales
+where i_current_price between 10 and 10 + 30
+  and inv_item_sk = i_item_sk
+  and d_date_sk = inv_date_sk
+  and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 60)
+  and i_manufact_id in (101, 102, 103, 104)
+  and inv_quantity_on_hand between 100 and 500
+  and ss_item_sk = i_item_sk
+group by i_item_id, i_item_desc, i_current_price
+order by i_item_id
+limit 100
+""",
+    'TPC-DS spec q82 (store twin of q37: item/inventory/date band join gated by store_sales existence).',
+    tags=("q82",),
+)
+
+register_tpcds(
+    "tpcds_q86_real",
+    """
+select cast(round(sum(ws_net_profit), 2) as double) as total_sum,
+       i_category, i_class,
+       cast(grouping(i_category) + grouping(i_class) as int) as lochierarchy,
+       rank() over (
+         partition by grouping(i_category) + grouping(i_class),
+         case when grouping(i_class) = 0 then i_category end
+         order by sum(ws_net_profit) desc) as rank_within_parent
+from web_sales, date_dim d1, item
+where d1.d_month_seq between 1200 and 1200 + 11
+  and d1.d_date_sk = ws_sold_date_sk
+  and i_item_sk = ws_item_sk
+group by rollup(i_category, i_class)
+order by lochierarchy desc,
+         case when grouping(i_category) + grouping(i_class) = 0 then i_category end,
+         rank_within_parent, i_category, i_class
+limit 100
+""",
+    'TPC-DS spec q86 (web net-profit rollup with grouping() lochierarchy + rank within parent — the q36 web twin).',
+    tags=("q86",),
+)
+
+register_tpcds(
+    "tpcds_q87_real",
+    """
+select count(*) as cnt
+from ((select distinct c_last_name, c_first_name, d_date
+       from store_sales, date_dim, customer
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1188 and 1188 + 11)
+      except
+      (select distinct c_last_name, c_first_name, d_date
+       from catalog_sales, date_dim, customer
+       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1188 and 1188 + 11)
+      except
+      (select distinct c_last_name, c_first_name, d_date
+       from web_sales, date_dim, customer
+       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1188 and 1188 + 11)) cool_cust
+""",
+    "TPC-DS spec q87 (three-channel EXCEPT chain of distinct customer-date tuples; the fixture's full channel overlap makes the true answer 0 on both engines).",
+    tags=("q87",),
+)
+
+register_tpcds(
+    "tpcds_q88_real",
+    """
+select *
+from (select count(*) h8_30_to_9
+      from store_sales, household_demographics, time_dim, store
+      where ss_sold_time_sk = time_dim.t_time_sk
+        and ss_hdemo_sk = household_demographics.hd_demo_sk
+        and ss_store_sk = s_store_sk
+        and time_dim.t_hour = 8 and time_dim.t_minute >= 30
+        and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count <= 4 + 2)
+          or (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count <= 2 + 2)
+          or (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count <= 0 + 2))
+        and store.s_store_name = 'Store_2') s1,
+     (select count(*) h9_to_9_30
+      from store_sales, household_demographics, time_dim, store
+      where ss_sold_time_sk = time_dim.t_time_sk
+        and ss_hdemo_sk = household_demographics.hd_demo_sk
+        and ss_store_sk = s_store_sk
+        and time_dim.t_hour = 9 and time_dim.t_minute < 30
+        and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count <= 4 + 2)
+          or (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count <= 2 + 2)
+          or (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count <= 0 + 2))
+        and store.s_store_name = 'Store_2') s2,
+     (select count(*) h9_30_to_10
+      from store_sales, household_demographics, time_dim, store
+      where ss_sold_time_sk = time_dim.t_time_sk
+        and ss_hdemo_sk = household_demographics.hd_demo_sk
+        and ss_store_sk = s_store_sk
+        and time_dim.t_hour = 9 and time_dim.t_minute >= 30
+        and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count <= 4 + 2)
+          or (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count <= 2 + 2)
+          or (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count <= 0 + 2))
+        and store.s_store_name = 'Store_2') s3,
+     (select count(*) h10_to_10_30
+      from store_sales, household_demographics, time_dim, store
+      where ss_sold_time_sk = time_dim.t_time_sk
+        and ss_hdemo_sk = household_demographics.hd_demo_sk
+        and ss_store_sk = s_store_sk
+        and time_dim.t_hour = 10 and time_dim.t_minute < 30
+        and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count <= 4 + 2)
+          or (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count <= 2 + 2)
+          or (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count <= 0 + 2))
+        and store.s_store_name = 'Store_2') s4
+""",
+    'TPC-DS spec q88 (time-slot census: four scalar-count subqueries cross-joined into one row; 8:30-10:30 half-hours, dep/vehicle disjunctions, one store).',
+    tags=("q88",),
+)
+
+register_tpcds(
+    "tpcds_q92_real",
+    """
+select cast(round(sum(ws_ext_discount_amt), 2) as double) as excess_discount_amount
+from web_sales, item, date_dim
+where i_manufact_id = 103
+  and i_item_sk = ws_item_sk
+  and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 90)
+  and d_date_sk = ws_sold_date_sk
+  and ws_ext_discount_amt > (select 1.3 * avg(ws_ext_discount_amt)
+                             from web_sales, date_dim
+                             where ws_item_sk = i_item_sk
+                               and d_date between cast('2000-02-01' as date)
+                                              and (cast('2000-02-01' as date) + 90)
+                               and d_date_sk = ws_sold_date_sk)
+order by excess_discount_amount
+limit 100
+""",
+    'TPC-DS spec q92 (web excess discount — the q32 web twin with ORDER BY over the single aggregate).',
+    tags=("q92",),
+)
+
+register_tpcds(
+    "tpcds_q93_real",
+    """
+select ss_customer_sk,
+       cast(round(sum(act_sales), 2) as double) sumsales
+from (select ss_item_sk, ss_ticket_number, ss_customer_sk,
+             case when sr_return_quantity is not null
+                  then (ss_quantity - sr_return_quantity) * ss_sales_price
+                  else ss_quantity * ss_sales_price end act_sales
+      from store_sales
+      left outer join store_returns
+        on (sr_item_sk = ss_item_sk and sr_ticket_number = ss_ticket_number),
+           reason
+      where sr_reason_sk = r_reason_sk and r_reason_desc = 'reason 3') t
+group by ss_customer_sk
+order by sumsales, ss_customer_sk
+limit 100
+""",
+    'TPC-DS spec q93 (actual sales net of returned quantity through a LEFT JOIN against store_returns and a reason filter).',
+    tags=("q93",),
+)
+
+register_tpcds(
+    "tpcds_q94_real",
+    """
+select count(distinct ws_order_number) as order_count,
+       cast(round(sum(ws_ext_ship_cost), 2) as double) as total_shipping_cost,
+       cast(round(sum(ws_net_profit), 2) as double) as total_net_profit
+from web_sales ws1, date_dim, customer_address, web_site
+where d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 60)
+  and ws1.ws_ship_date_sk = d_date_sk
+  and ws1.ws_ship_addr_sk = ca_address_sk
+  and ca_state = 'WA'
+  and ws1.ws_web_site_sk = web_site_sk
+  and web_company_name = 'pri'
+  and exists (select * from web_sales ws2
+              where ws1.ws_order_number = ws2.ws_order_number
+                and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  and not exists (select * from web_returns wr1
+                  where ws1.ws_order_number = wr1.wr_order_number)
+order by count(distinct ws_order_number)
+limit 100
+""",
+    'TPC-DS spec q94 (ship-window orders from multi-warehouse fulfilment with NO return: EXISTS self-join + NOT EXISTS web_returns — the anti twin of q95; state/site parameters mapped to the fixture slice that has a live non-returned order).',
+    tags=("q94",),
+)
+
+register_tpcds(
+    "tpcds_q97_real",
+    """
+with ssci as (
+  select ss_customer_sk customer_sk, ss_item_sk item_sk
+  from store_sales, date_dim
+  where ss_sold_date_sk = d_date_sk
+    and d_month_seq between 1200 and 1200 + 11
+  group by ss_customer_sk, ss_item_sk),
+csci as (
+  select cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+  from catalog_sales, date_dim
+  where cs_sold_date_sk = d_date_sk
+    and d_month_seq between 1200 and 1200 + 11
+  group by cs_bill_customer_sk, cs_item_sk)
+select cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) as bigint) store_only,
+       cast(sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) as bigint) catalog_only,
+       cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) as bigint) store_and_catalog
+from ssci full outer join csci
+  on (ssci.customer_sk = csci.customer_sk and ssci.item_sk = csci.item_sk)
+limit 100
+""",
+    'TPC-DS spec q97 (store/catalog customer-item overlap counts via FULL OUTER JOIN of two grouped CTEs).',
+    tags=("q97",),
+)
+
+register_tpcds(
+    "tpcds_q99_real",
+    """
+select w_warehouse_name, sm_type, cc_name,
+       cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30) then 1 else 0 end) as bigint) as days_30,
+       cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30)
+                      and (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end) as bigint) as days_31_60,
+       cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60)
+                      and (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end) as bigint) as days_61_90,
+       cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90)
+                      and (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end) as bigint) as days_91_120,
+       cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 120) then 1 else 0 end) as bigint) as days_over_120
+from catalog_sales, warehouse, ship_mode, call_center, date_dim
+where d_month_seq between 1200 and 1200 + 11
+  and cs_ship_date_sk = d_date_sk
+  and cs_warehouse_sk = w_warehouse_sk
+  and cs_ship_mode_sk = sm_ship_mode_sk
+  and cs_call_center_sk = cc_call_center_sk
+group by w_warehouse_name, sm_type, cc_name
+order by w_warehouse_name, sm_type, cc_name
+limit 100
+""",
+    'TPC-DS spec q99 (catalog shipping latency buckets by warehouse x ship mode x call center — the q62 catalog twin).',
+    tags=("q99",),
 )

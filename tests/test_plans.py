@@ -680,12 +680,17 @@ def test_driver_prefix_composition():
     # shadowing battery, band join, qp_olap_window heads)
     for must in (
         "regress_numeric_big_avg_sign",
+        "regress_dropped_cols_dml_sequence_int4",
+        "regress_qpmisc_b00_abs_aggregate_approximate",
+        "udf_plpgsql_qual_names",
+        "regress_rpt_mpph5",
+        "ddl_stats_ext_columns",
+        "multimodal_video_avi_decode",
+        "tpcds_q72_real",
+        "tpcds_q51_real",
         "tpch_q2_real",
-        "tpch_q21_real",
         "regress_qpwith_shadow_cte_over_table",
-        "regress_qpdml_delete_multi_using",
         "regress_rio_band_join_fivemin",
-        "regress_qpow_dense_rank_00",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
