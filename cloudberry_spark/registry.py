@@ -122,6 +122,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_with_world  # noqa: F401
     import cloudberry_spark.sql.qp_misc  # noqa: F401
     import cloudberry_spark.sql.rpt_tpch  # noqa: F401
+    import cloudberry_spark.sql.gporca  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -349,9 +350,9 @@ _LEAD = [
         "tpcds_q29_real",
         "tpcds_q21_real",
         "tpcds_q01_real",
-        "tpcds_q68_real",
-        "tpcds_q98_real",
-        "tpcds_q61_real",
+        "regress_gporca_outerref_countbug_both",
+        "regress_gporca_result_having_const",
+        "regress_gporca_cte_in_any",
         "tpch_q2_real",
         "tpch_q11_real",
         "tpch_q16_real",
