@@ -347,9 +347,9 @@ _LEAD = [
         "tpcds_q71_real",
         "tpcds_q13_real",
         "tpcds_q09_real",
-        "tpcds_q29_real",
-        "tpcds_q21_real",
-        "tpcds_q01_real",
+        "tpcds_q16_real",
+        "tpcds_q74_real",
+        "tpcds_q41_real",
         "regress_gporca_outerref_countbug_both",
         "regress_gporca_result_having_const",
         "regress_gporca_cte_in_any",

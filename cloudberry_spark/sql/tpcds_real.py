@@ -144,7 +144,9 @@ store_sales AS (
          CAST(i % 30 + 1 AS INT) AS ss_cdemo_sk,
          CAST(i % 40 + 1 AS INT) AS ss_addr_sk,
          CAST(i % 8 + 1 AS INT) AS ss_promo_sk,
-         CAST((i * 37) % 1440 AS INT) AS ss_sold_time_sk
+         CAST((i * 37) % 1440 AS INT) AS ss_sold_time_sk,
+         CAST((i * 23) % 170 + 30 AS DOUBLE) AS ss_net_paid,
+         CAST((i * 3) % 70 + 10 AS DOUBLE) AS ss_wholesale_cost
   FROM generate_series(0, 2999) AS gs(i)
 ),
 catalog_sales AS (
@@ -155,7 +157,7 @@ catalog_sales AS (
          CAST((i * 11) % 35 AS DOUBLE) AS cs_ext_discount_amt,
          CAST((i * 19) % 140 + 40 AS DOUBLE) AS cs_ext_sales_price,
          CAST((i * 13) % 20 + 1 AS INT) AS cs_item_sk,
-         CAST(i AS INT) AS cs_order_number,
+         CAST(floor(i / 2.0) AS INT) AS cs_order_number,
          CAST(i % 9 + 1 AS INT) AS cs_quantity,
          CAST((i * 23) % 110 + 20 AS DOUBLE) AS cs_list_price,
          CAST((i * 29) % 85 + 10 AS DOUBLE) AS cs_sales_price,
@@ -170,7 +172,10 @@ catalog_sales AS (
          CAST((i * 3) % 5 + 1 AS INT) AS cs_warehouse_sk,
          CAST(i % 2 + 1 AS INT) AS cs_call_center_sk,
          CAST((i * 7) % 49 + 1 AS INT) AS cs_ship_customer_sk,
-         CAST((i * 41) % 1440 AS INT) AS cs_sold_time_sk
+         CAST((i * 41) % 1440 AS INT) AS cs_sold_time_sk,
+         CAST((i * 11) % 40 + 1 AS INT) AS cs_ship_addr_sk,
+         CAST((i * 13) % 40 + 1 AS INT) AS cs_bill_addr_sk,
+         CAST((i * 9) % 45 + 5 AS DOUBLE) AS cs_ext_ship_cost
   FROM generate_series(0, 1999) AS gs(i)
 ),
 web_sales AS (
@@ -195,7 +200,9 @@ web_sales AS (
          CAST((i * 53) % 1440 AS INT) AS ws_sold_time_sk,
          CAST(i % 10 + 1 AS INT) AS ws_ship_hdemo_sk,
          CAST(i % 6 + 1 AS INT) AS ws_web_page_sk,
-         CAST((i * 7) % 5 + 1 AS INT) AS ws_ship_mode_sk
+         CAST((i * 7) % 5 + 1 AS INT) AS ws_ship_mode_sk,
+         CAST((i * 13) % 150 + 25 AS DOUBLE) AS ws_net_paid,
+         CAST((i * 19) % 40 + 1 AS INT) AS ws_bill_addr_sk
   FROM generate_series(0, 1999) AS gs(i)
 ),
 customer_address AS (
@@ -290,7 +297,9 @@ web_returns AS (
   -- from two warehouses)
   SELECT CAST((j * 2) % 399 AS INT) AS wr_order_number,
          CAST(((j * 2) * 7) % 20 + 1 AS INT) AS wr_item_sk,
-         CAST((j * 17) % 70 + 5 AS DOUBLE) AS wr_return_amt
+         CAST((j * 17) % 70 + 5 AS DOUBLE) AS wr_return_amt,
+         CAST((j * 3) % 49 + 1 AS INT) AS wr_returning_customer_sk,
+         CAST(2450000 + ((CAST(floor((j * 2) / 16.0) AS INT) % 25)) * 45 AS INT) AS wr_returned_date_sk
   FROM generate_series(0, 299) AS gs(j)
 ),
 time_dim AS (
@@ -329,7 +338,8 @@ ship_mode AS (
 ),
 call_center AS (
   SELECT CAST(i AS INT) AS cc_call_center_sk,
-         'CC_' || CAST(i AS STRING) AS cc_name
+         'CC_' || CAST(i AS STRING) AS cc_name,
+         'County_' || CAST(i % 2 AS STRING) AS cc_county
   FROM generate_series(1, 2) AS gs(i)
 ),
 t1 AS (
@@ -2569,4 +2579,359 @@ limit 100
 """,
     'TPC-DS spec q99 (catalog shipping latency buckets by warehouse x ship mode x call center — the q62 catalog twin).',
     tags=("q99",),
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 9, tranche 3: 10 more spec texts (70 real TPC-DS queries total)
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q16_real",
+    """
+select count(distinct cs_order_number) as order_count,
+       cast(round(sum(cs_ext_ship_cost), 2) as double) as total_shipping_cost,
+       cast(round(sum(cs_net_profit), 2) as double) as total_net_profit
+from catalog_sales cs1, date_dim, customer_address, call_center
+where d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + 60)
+  and cs1.cs_ship_date_sk = d_date_sk
+  and cs1.cs_ship_addr_sk = ca_address_sk
+  and ca_state = 'TX'
+  and cs1.cs_call_center_sk = cc_call_center_sk
+  and cc_county in ('County_0', 'County_1')
+  and exists (select * from catalog_sales cs2
+              where cs1.cs_order_number = cs2.cs_order_number
+                and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  and not exists (select * from catalog_returns cr1
+                  where cs1.cs_order_number = cr1.cr_order_number)
+order by count(distinct cs_order_number)
+limit 100
+""",
+    "TPC-DS spec q16 (catalog orders from multi-warehouse fulfilment with no return: EXISTS self-join + NOT EXISTS catalog_returns — the catalog twin of q94; the fixture's catalog orders are two-line so the warehouse-mismatch EXISTS is live).",
+    tags=("q16",),
+)
+
+register_tpcds(
+    "tpcds_q17_real",
+    """
+select i_item_id, i_item_desc, s_state,
+       count(ss_quantity) as store_sales_quantitycount,
+       cast(round(avg(ss_quantity), 4) as double) as store_sales_quantityave,
+       cast(round(stddev_samp(ss_quantity), 4) as double) as store_sales_quantitystdev,
+       count(sr_return_quantity) as store_returns_quantitycount,
+       cast(round(avg(sr_return_quantity), 4) as double) as store_returns_quantityave,
+       count(cs_quantity) as catalog_sales_quantitycount,
+       cast(round(avg(cs_quantity), 4) as double) as catalog_sales_quantityave
+from store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+where d1.d_qoy = 2
+  and d1.d_year = 2001
+  and d1.d_date_sk = ss_sold_date_sk
+  and i_item_sk = ss_item_sk
+  and s_store_sk = ss_store_sk
+  and ss_customer_sk = sr_customer_sk
+  and ss_item_sk = sr_item_sk
+  and ss_ticket_number = sr_ticket_number
+  and sr_returned_date_sk = d2.d_date_sk
+  and d2.d_qoy between 2 and 4
+  and d2.d_year = 2001
+  and sr_customer_sk = cs_bill_customer_sk
+  and sr_item_sk = cs_item_sk
+  and cs_sold_date_sk = d3.d_date_sk
+  and d3.d_qoy between 2 and 4
+  and d3.d_year = 2001
+group by i_item_id, i_item_desc, s_state
+order by i_item_id, i_item_desc, s_state
+limit 100
+""",
+    'TPC-DS spec q17 (store sale -> same-quarter return -> catalog re-purchase with count/avg/stddev_samp stats per item/state; stddev rounded at 4 digits on both engines).',
+    tags=("q17",),
+)
+
+register_tpcds(
+    "tpcds_q28_real",
+    """
+select *
+from (select cast(round(avg(ss_list_price), 2) as double) b1_lp,
+             count(ss_list_price) b1_cnt,
+             count(distinct ss_list_price) b1_cntd
+      from store_sales
+      where ss_quantity between 1 and 2
+        and (ss_list_price between 20 and 20 + 10
+             or ss_coupon_amt between 5 and 5 + 10
+             or ss_wholesale_cost between 30 and 30 + 20)) b1,
+     (select cast(round(avg(ss_list_price), 2) as double) b2_lp,
+             count(ss_list_price) b2_cnt,
+             count(distinct ss_list_price) b2_cntd
+      from store_sales
+      where ss_quantity between 3 and 4
+        and (ss_list_price between 30 and 30 + 10
+             or ss_coupon_amt between 10 and 10 + 10
+             or ss_wholesale_cost between 40 and 40 + 20)) b2,
+     (select cast(round(avg(ss_list_price), 2) as double) b3_lp,
+             count(ss_list_price) b3_cnt,
+             count(distinct ss_list_price) b3_cntd
+      from store_sales
+      where ss_quantity between 5 and 6
+        and (ss_list_price between 40 and 40 + 10
+             or ss_coupon_amt between 15 and 15 + 10
+             or ss_wholesale_cost between 50 and 50 + 20)) b3,
+     (select cast(round(avg(ss_list_price), 2) as double) b4_lp,
+             count(ss_list_price) b4_cnt,
+             count(distinct ss_list_price) b4_cntd
+      from store_sales
+      where ss_quantity between 7 and 8
+        and (ss_list_price between 50 and 50 + 10
+             or ss_coupon_amt between 20 and 20 + 10
+             or ss_wholesale_cost between 60 and 60 + 20)) b4
+limit 100
+""",
+    "TPC-DS spec q28 (four price-band buckets of avg/count/count-distinct list price cross-joined into one row; band constants mapped to the fixture's value ranges, six buckets reduced to four live ones).",
+    tags=("q28",),
+)
+
+register_tpcds(
+    "tpcds_q30_real",
+    """
+with customer_total_return as (
+ select wr_returning_customer_sk as ctr_customer_sk,
+        ca_state as ctr_state,
+        sum(wr_return_amt) as ctr_total_return
+ from web_returns, date_dim, customer_address, customer
+ where wr_returned_date_sk = d_date_sk and d_year = 2000
+   and wr_returning_customer_sk = c_customer_sk
+   and c_current_addr_sk = ca_address_sk
+ group by wr_returning_customer_sk, ca_state)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_month, c_birth_year,
+       cast(round(ctr_total_return, 2) as double) as ctr_total_return
+from customer_total_return ctr1, customer
+where ctr1.ctr_total_return > (select avg(ctr_total_return) * 1.2
+                               from customer_total_return ctr2
+                               where ctr1.ctr_state = ctr2.ctr_state)
+  and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_month, c_birth_year,
+         ctr_total_return
+limit 100
+""",
+    'TPC-DS spec q30 (web returns above 1.2x the per-state average: CTE reused by outer query and correlated AVG subquery — the q1/q81 family over web_returns).',
+    tags=("q30",),
+)
+
+register_tpcds(
+    "tpcds_q33_real",
+    """
+with ss as (
+ select i_manufact_id,
+        sum(ss_ext_sales_price) total_sales
+ from store_sales, date_dim, customer_address, item
+ where i_manufact_id in (select i_manufact_id from item
+                         where i_category in ('Category_1'))
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 11
+   and ss_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_manufact_id),
+cs as (
+ select i_manufact_id,
+        sum(cs_ext_sales_price) total_sales
+ from catalog_sales, date_dim, customer_address, item
+ where i_manufact_id in (select i_manufact_id from item
+                         where i_category in ('Category_1'))
+   and cs_item_sk = i_item_sk
+   and cs_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 11
+   and cs_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_manufact_id),
+ws as (
+ select i_manufact_id,
+        sum(ws_ext_sales_price) total_sales
+ from web_sales, date_dim, customer_address, item
+ where i_manufact_id in (select i_manufact_id from item
+                         where i_category in ('Category_1'))
+   and ws_item_sk = i_item_sk
+   and ws_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 11
+   and ws_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_manufact_id)
+select i_manufact_id,
+       cast(round(sum(total_sales), 2) as double) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_manufact_id
+order by total_sales, i_manufact_id
+limit 100
+""",
+    'TPC-DS spec q33 (per-manufacturer sales summed across three channel CTEs gated by a category IN-subquery and gmt offset; category mapped to Category_1).',
+    tags=("q33",),
+)
+
+register_tpcds(
+    "tpcds_q34_real",
+    """
+select c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+from (select ss_ticket_number, ss_customer_sk, count(*) cnt
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+        and (household_demographics.hd_buy_potential = '>10000'
+             or household_demographics.hd_buy_potential = '5001-10000')
+        and household_demographics.hd_vehicle_count > 0
+        and (case when household_demographics.hd_vehicle_count > 0
+                  then cast(household_demographics.hd_dep_count as double)
+                       / household_demographics.hd_vehicle_count
+                  else null end) > 1.2
+        and date_dim.d_year in (2000, 2000 + 1, 2000 + 2)
+        and store.s_county in ('County_0', 'County_1')
+      group by ss_ticket_number, ss_customer_sk) dn, customer
+where ss_customer_sk = c_customer_sk
+  and cnt between 1 and 20
+order by c_last_name, c_first_name, c_salutation, c_preferred_cust_flag desc,
+         ss_ticket_number
+limit 100
+""",
+    'TPC-DS spec q34 (per-ticket item counts for high-buy-potential households on dom 1-3/25-28 with a dep/vehicle ratio filter; counties mapped to the fixture).',
+    tags=("q34",),
+)
+
+register_tpcds(
+    "tpcds_q41_real",
+    """
+select distinct(i_product_name) as i_product_name
+from item i1
+where i_manufact_id between 100 and 100 + 40
+  and (select count(*) as item_cnt
+       from item
+       where (i_manufact = i1.i_manufact
+              and ((i_category = 'Category_0' and i_class in ('Class_0', 'Class_1'))
+                or (i_category = 'Category_1' and i_class in ('Class_2', 'Class_3'))))
+          or (i_manufact = i1.i_manufact
+              and ((i_category = 'Category_2' and i_class in ('Class_0', 'Class_2'))
+                or (i_category = 'Category_0' and i_class in ('Class_3'))))) > 0
+order by i_product_name
+limit 100
+""",
+    "TPC-DS spec q41 (distinct product names whose manufacturer has items matching nested category/class disjunctions — correlated COUNT over the same dimension table; color/units/size conjuncts mapped to the fixture's category/class space).",
+    tags=("q41",),
+)
+
+register_tpcds(
+    "tpcds_q74_real",
+    """
+with year_total as (
+ select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as year_,
+        sum(ss_net_paid) year_total, 's' sale_type
+ from customer, store_sales, date_dim
+ where c_customer_sk = ss_customer_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_year in (2001, 2001 + 1)
+ group by c_customer_id, c_first_name, c_last_name, d_year
+ union all
+ select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as year_,
+        sum(ws_net_paid) year_total, 'w' sale_type
+ from customer, web_sales, date_dim
+ where c_customer_sk = ws_bill_customer_sk
+   and ws_sold_date_sk = d_date_sk
+   and d_year in (2001, 2001 + 1)
+ group by c_customer_id, c_first_name, c_last_name, d_year)
+select t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+from year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+where t_s_secyear.customer_id = t_s_firstyear.customer_id
+  and t_s_firstyear.customer_id = t_w_secyear.customer_id
+  and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  and t_s_firstyear.sale_type = 's'
+  and t_w_firstyear.sale_type = 'w'
+  and t_s_secyear.sale_type = 's'
+  and t_w_secyear.sale_type = 'w'
+  and t_s_firstyear.year_ = 2001
+  and t_s_secyear.year_ = 2001 + 1
+  and t_w_firstyear.year_ = 2001
+  and t_w_secyear.year_ = 2001 + 1
+  and t_s_firstyear.year_total > 0
+  and t_w_firstyear.year_total > 0
+  and case when t_w_firstyear.year_total > 0
+           then t_w_secyear.year_total / t_w_firstyear.year_total
+           else null end
+      > case when t_s_firstyear.year_total > 0
+             then t_s_secyear.year_total / t_s_firstyear.year_total
+             else null end
+order by 1, 2, 3
+limit 100
+""",
+    'TPC-DS spec q74 (two-channel year-over-year net-paid ratio self-join — the q4/q11 family over ss/ws_net_paid; year column aliased year_ since YEAR is reserved on Spark).',
+    tags=("q74",),
+)
+
+register_tpcds(
+    "tpcds_q81_real",
+    """
+with customer_total_return as (
+ select cr_returning_customer_sk as ctr_customer_sk,
+        ca_state as ctr_state,
+        sum(cr_return_amt_inc_tax) as ctr_total_return
+ from catalog_returns, date_dim, customer_address, customer
+ where cr_returned_date_sk = d_date_sk and d_year = 2000
+   and cr_returning_customer_sk = c_customer_sk
+   and c_current_addr_sk = ca_address_sk
+ group by cr_returning_customer_sk, ca_state)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_state, ca_zip, ca_country,
+       cast(round(ctr_total_return, 2) as double) as ctr_total_return
+from customer_total_return ctr1, customer_address, customer
+where ctr1.ctr_total_return > (select avg(ctr_total_return) * 1.2
+                               from customer_total_return ctr2
+                               where ctr1.ctr_state = ctr2.ctr_state)
+  and ca_address_sk = c_current_addr_sk
+  and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_state, ca_zip, ca_country, ctr_total_return
+limit 100
+""",
+    'TPC-DS spec q81 (catalog returns above 1.2x the per-state average, output joined back through customer_address — the q30 catalog twin).',
+    tags=("q81",),
+)
+
+register_tpcds(
+    "tpcds_q89_real",
+    """
+select *
+from (select i_category, i_class, i_brand, s_store_name, s_company_name,
+             d_moy, sum(ss_sales_price) sum_sales,
+             avg(sum(ss_sales_price)) over (partition by i_category, i_brand,
+                                            s_store_name, s_company_name)
+               avg_monthly_sales
+      from item, store_sales, date_dim, store
+      where ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and ss_store_sk = s_store_sk
+        and d_year in (2000)
+        and ((i_category in ('Category_0', 'Category_1')
+              and i_class in ('Class_0', 'Class_1'))
+          or (i_category in ('Category_2')
+              and i_class in ('Class_2', 'Class_3')))
+      group by i_category, i_class, i_brand, s_store_name, s_company_name,
+               d_moy) tmp1
+where case when (avg_monthly_sales <> 0)
+           then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+           else null end > 0.1
+order by sum_sales - avg_monthly_sales, i_category, i_class, i_brand,
+         s_store_name, s_company_name, d_moy
+limit 100
+""",
+    "TPC-DS spec q89 (monthly class sales vs category/brand/store average via avg(sum()) OVER, 10% deviation filter; ORDER BY extended with the full group key after the spec's float delta so the LIMIT is deterministic).",
+    tags=("q89",),
 )
