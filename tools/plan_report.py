@@ -177,6 +177,36 @@ def main() -> None:
         "regress_partjoin_phv_foj_3way",
         "regress_joingp_rcte_spill_hashjoin",
         "regress_qpdml_join_update",
+        # round 9 additions
+        "tpcds_q72_real",
+        "tpcds_q70a_real",
+        "tpcds_q37_real",
+        "tpcds_q23_real",
+        "tpcds_q95_real",
+        "tpcds_q59_real",
+        "tpcds_q51_real",
+        "tpcds_q36_real",
+        "tpcds_q18_real",
+        "tpcds_q94_real",
+        "tpcds_q97_real",
+        "tpcds_q16_real",
+        "tpcds_q74_real",
+        "tpcds_q89_real",
+        "regress_dropped_cols_dml_sequence_int4",
+        "regress_dropped_cols_join_after_drop",
+        "regress_qpmisc_b00_abs_aggregate_approximate",
+        "regress_qpmisc_b13_is_join_like_ln",
+        "udf_plpgsql_qual_names",
+        "udf_plpgsql_record_into",
+        "regress_rpt_mpph5",
+        "regress_rpt_mpph8",
+        "regress_rpt_mpph18",
+        "ddl_stats_ext_columns",
+        "multimodal_video_avi_decode",
+        "regress_numeric_big_avg_sign",
+        "regress_gporca_outerref_countbug_both",
+        "regress_gporca_cte_shared_scalar",
+        "regress_gporca_materialize_or",
     ]
     from cloudberry_spark import planhook
 
