@@ -112,6 +112,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.compat_queries  # noqa: F401
     import cloudberry_spark.sql.regress  # noqa: F401
     import cloudberry_spark.sql.tpcds_real  # noqa: F401
+    import cloudberry_spark.sql.tpcds_real2  # noqa: F401
     import cloudberry_spark.sql.qp_derived  # noqa: F401
     import cloudberry_spark.sql.qp_functions  # noqa: F401
     import cloudberry_spark.sql.sirv  # noqa: F401

@@ -90,7 +90,10 @@ customer AS (
          CAST(i % 12 + 1 AS INT) AS c_birth_month,
          CAST(1950 + i % 40 AS INT) AS c_birth_year,
          CASE i % 3 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
-         CAST(i % 30 + 1 AS INT) AS c_current_cdemo_sk
+         CAST(i % 30 + 1 AS INT) AS c_current_cdemo_sk,
+         CAST(i % 10 + 1 AS INT) AS c_current_hdemo_sk,
+         CAST(2450000 + (i % 25) * 45 AS INT) AS c_first_sales_date_sk,
+         CAST(2450000 + ((i + 3) % 25) * 45 AS INT) AS c_first_shipto_date_sk
   FROM generate_series(1, 49) AS gs(i)
 ),
 item AS (
@@ -108,7 +111,13 @@ item AS (
          CAST(i % 5 + 5000 AS INT) AS i_brand_id,
          CAST(i % 3 + 1 AS INT) AS i_category_id,
          CAST(i % 4 + 1 AS INT) AS i_class_id,
-         CAST((i * 7) % 50 + 5 AS DOUBLE) AS i_wholesale_cost
+         CAST((i * 7) % 50 + 5 AS DOUBLE) AS i_wholesale_cost,
+         CASE i % 8 WHEN 0 THEN 'maroon' WHEN 1 THEN 'burnished' WHEN 2 THEN 'dim'
+              WHEN 3 THEN 'sky' WHEN 4 THEN 'navajo' WHEN 5 THEN 'chocolate'
+              WHEN 6 THEN 'slate' ELSE 'forest' END AS i_color,
+         CASE i % 4 WHEN 0 THEN 'small' WHEN 1 THEN 'medium'
+              WHEN 2 THEN 'large' ELSE 'extra large' END AS i_size,
+         CASE i % 3 WHEN 0 THEN 'Oz' WHEN 1 THEN 'Lb' ELSE 'Each' END AS i_units
   FROM generate_series(1, 20) AS gs(i)
 ),
 store AS (
@@ -121,7 +130,8 @@ store AS (
          lpad(CAST((i * 7) % 90000 + 10000 AS STRING), 5, '0') AS s_zip,
          CASE i % 2 WHEN 0 THEN 'Midway' ELSE 'Fairview' END AS s_city,
          CAST(0 - (i % 2 + 5) AS DOUBLE) AS s_gmt_offset,
-         CAST(200 + i * 25 AS INT) AS s_number_employees
+         CAST(200 + i * 25 AS INT) AS s_number_employees,
+         CAST(CASE i % 2 WHEN 0 THEN 8 ELSE 5 END AS INT) AS s_market_id
   FROM generate_series(1, 4) AS gs(i)
 ),
 store_sales AS (
@@ -175,7 +185,12 @@ catalog_sales AS (
          CAST((i * 41) % 1440 AS INT) AS cs_sold_time_sk,
          CAST((i * 11) % 40 + 1 AS INT) AS cs_ship_addr_sk,
          CAST((i * 13) % 40 + 1 AS INT) AS cs_bill_addr_sk,
-         CAST((i * 9) % 45 + 5 AS DOUBLE) AS cs_ext_ship_cost
+         CAST((i * 9) % 45 + 5 AS DOUBLE) AS cs_ext_ship_cost,
+         CAST(i % 10 + 1 AS INT) AS cs_catalog_page_sk,
+         CAST((i * 21) % 160 + 30 AS DOUBLE) AS cs_net_paid,
+         CAST((i * 21) % 160 + 45 AS DOUBLE) AS cs_net_paid_inc_tax,
+         CAST((i * 27) % 180 + 50 AS DOUBLE) AS cs_net_paid_inc_ship,
+         CAST((i * 11) % 60 + 12 AS DOUBLE) AS cs_wholesale_cost
   FROM generate_series(0, 1999) AS gs(i)
 ),
 web_sales AS (
@@ -202,7 +217,10 @@ web_sales AS (
          CAST(i % 6 + 1 AS INT) AS ws_web_page_sk,
          CAST((i * 7) % 5 + 1 AS INT) AS ws_ship_mode_sk,
          CAST((i * 13) % 150 + 25 AS DOUBLE) AS ws_net_paid,
-         CAST((i * 19) % 40 + 1 AS INT) AS ws_bill_addr_sk
+         CAST((i * 19) % 40 + 1 AS INT) AS ws_bill_addr_sk,
+         CASE WHEN i % 5 = 0 THEN CAST(NULL AS INT) ELSE CAST(i % 8 + 1 AS INT) END AS ws_promo_sk,
+         CAST((i * 23) % 170 + 40 AS DOUBLE) AS ws_net_paid_inc_tax,
+         CAST((i * 13) % 55 + 8 AS DOUBLE) AS ws_wholesale_cost
   FROM generate_series(0, 1999) AS gs(i)
 ),
 customer_address AS (
@@ -214,7 +232,10 @@ customer_address AS (
          'City_' || CAST(i % 6 AS STRING) AS ca_city,
          'County_' || CAST(i % 4 AS STRING) AS ca_county,
          CAST(0 - (i % 3 + 4) AS DOUBLE) AS ca_gmt_offset,
-         'United States' AS ca_country
+         'United States' AS ca_country,
+         CAST(i * 10 AS STRING) AS ca_street_number,
+         'Street_' || CAST(i % 7 AS STRING) AS ca_street_name,
+         CASE i % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
   FROM generate_series(1, 40) AS gs(i)
 ),
 customer_demographics AS (
@@ -237,7 +258,8 @@ household_demographics AS (
          CAST(i % 8 AS INT) AS hd_dep_count,
          CAST(i % 5 AS INT) AS hd_vehicle_count,
          CASE i % 3 WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
-              ELSE '501-1000' END AS hd_buy_potential
+              ELSE '501-1000' END AS hd_buy_potential,
+         CAST((i * 7) % 20 + 1 AS INT) AS hd_income_band_sk
   FROM generate_series(1, 10) AS gs(i)
 ),
 promotion AS (
@@ -251,7 +273,11 @@ promotion AS (
 warehouse AS (
   SELECT CAST(i AS INT) AS w_warehouse_sk,
          'Warehouse_' || CAST(i AS STRING) AS w_warehouse_name,
-         CASE i % 2 WHEN 0 THEN 'TN' ELSE 'CA' END AS w_state
+         CASE i % 2 WHEN 0 THEN 'TN' ELSE 'CA' END AS w_state,
+         CAST(i * 10000 + 50000 AS INT) AS w_warehouse_sq_ft,
+         'City_' || CAST(i % 3 AS STRING) AS w_city,
+         'County_' || CAST(i % 2 AS STRING) AS w_county,
+         'United States' AS w_country
   FROM generate_series(1, 5) AS gs(i)
 ),
 inventory AS (
@@ -276,7 +302,10 @@ store_returns AS (
          CAST((j * 13) % 180 + 20 AS DOUBLE) AS sr_return_amt,
          CAST((j * 7) % 90 + 10 AS DOUBLE) AS sr_net_loss,
          CAST(j % 5 + 1 AS INT) AS sr_reason_sk,
-         CAST(j % 7 + 1 AS INT) AS sr_return_quantity
+         CAST(j % 7 + 1 AS INT) AS sr_return_quantity,
+         CAST((j * 7) % 30 + 1 AS INT) AS sr_cdemo_sk,
+         CAST((j * 11) % 15 + 1 AS DOUBLE) AS sr_fee,
+         CAST((j * 13) % 190 + 25 AS DOUBLE) AS sr_return_amt_inc_tax
   FROM generate_series(0, 999) AS gs(j)
 ),
 catalog_returns AS (
@@ -288,7 +317,13 @@ catalog_returns AS (
          CAST(2450000 + ((CAST(floor((j * 5) / 80.0) AS INT) % 25) + 1) * 45 AS INT) AS cr_returned_date_sk,
          CAST((j * 13) % 70 + 7 AS DOUBLE) AS cr_return_amt_inc_tax,
          CAST(j % 6 + 1 AS INT) AS cr_return_quantity,
-         CAST((j * 3) % 5 + 1 AS INT) AS cr_warehouse_sk
+         CAST((j * 3) % 5 + 1 AS INT) AS cr_warehouse_sk,
+         CAST((j * 17) % 80 + 10 AS DOUBLE) AS cr_net_loss,
+         CAST(j % 2 + 1 AS INT) AS cr_call_center_sk,
+         CAST((j * 5) % 10 + 1 AS INT) AS cr_catalog_page_sk,
+         CAST((j * 7) % 50 + 5 AS DOUBLE) AS cr_refunded_cash,
+         CAST((j * 3) % 30 + 2 AS DOUBLE) AS cr_reversed_charge,
+         CAST((j * 5) % 25 + 1 AS DOUBLE) AS cr_store_credit
   FROM generate_series(0, 399) AS gs(j)
 ),
 web_returns AS (
@@ -299,11 +334,21 @@ web_returns AS (
          CAST(((j * 2) * 7) % 20 + 1 AS INT) AS wr_item_sk,
          CAST((j * 17) % 70 + 5 AS DOUBLE) AS wr_return_amt,
          CAST((j * 3) % 49 + 1 AS INT) AS wr_returning_customer_sk,
-         CAST(2450000 + ((CAST(floor((j * 2) / 16.0) AS INT) % 25)) * 45 AS INT) AS wr_returned_date_sk
+         CAST(2450000 + ((CAST(floor((j * 2) / 16.0) AS INT) % 25)) * 45 AS INT) AS wr_returned_date_sk,
+         CAST(j % 6 + 1 AS INT) AS wr_return_quantity,
+         CAST((j * 11) % 75 + 8 AS DOUBLE) AS wr_net_loss,
+         CAST((j * 5) % 6 + 1 AS INT) AS wr_web_page_sk,
+         CAST((j * 7) % 30 + 1 AS INT) AS wr_refunded_cdemo_sk,
+         CAST((j * 11) % 30 + 1 AS INT) AS wr_returning_cdemo_sk,
+         CAST((j * 13) % 40 + 1 AS INT) AS wr_refunded_addr_sk,
+         CAST(j % 5 + 1 AS INT) AS wr_reason_sk,
+         CAST((j * 3) % 20 + 2 AS DOUBLE) AS wr_fee,
+         CAST((j * 9) % 60 + 5 AS DOUBLE) AS wr_refunded_cash
   FROM generate_series(0, 299) AS gs(j)
 ),
 time_dim AS (
   SELECT CAST(i AS INT) AS t_time_sk,
+         CAST(i AS INT) AS t_time,
          CAST(floor(i / 60.0) AS INT) AS t_hour,
          CAST(i % 60 AS INT) AS t_minute,
          CASE WHEN i >= 360 AND i < 540 THEN 'breakfast'
@@ -339,8 +384,21 @@ ship_mode AS (
 call_center AS (
   SELECT CAST(i AS INT) AS cc_call_center_sk,
          'CC_' || CAST(i AS STRING) AS cc_name,
-         'County_' || CAST(i % 2 AS STRING) AS cc_county
+         'County_' || CAST(i % 2 AS STRING) AS cc_county,
+         'CC_ID_' || CAST(i AS STRING) AS cc_call_center_id,
+         'Manager_' || CAST(i AS STRING) AS cc_manager
   FROM generate_series(1, 2) AS gs(i)
+),
+catalog_page AS (
+  SELECT CAST(i AS INT) AS cp_catalog_page_sk,
+         'CP_' || lpad(CAST(i AS STRING), 3, '0') AS cp_catalog_page_id
+  FROM generate_series(1, 10) AS gs(i)
+),
+income_band AS (
+  SELECT CAST(i AS INT) AS ib_income_band_sk,
+         CAST((i - 1) * 10000 AS INT) AS ib_lower_bound,
+         CAST(i * 10000 AS INT) AS ib_upper_bound
+  FROM generate_series(1, 20) AS gs(i)
 ),
 t1 AS (
   -- cte_prune.sql:7-8: t1(v1,v2,v3) = (1..10, 11..20, 21..30)
