@@ -535,3 +535,840 @@ limit 100
     "int/int would truncate but the spec's ratio is numeric division).",
     tags=("q78",),
 )
+
+# ---------------------------------------------------------------------------
+# q5 — per-channel sales/returns/profit rollup
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q05_real",
+    """
+with ssr as
+ (select s_store_id,
+         sum(sales_price) as sales,
+         sum(profit) as profit,
+         sum(return_amt) as returns,
+         sum(net_loss) as profit_loss
+  from
+   (select ss_store_sk as store_sk, ss_sold_date_sk as date_sk,
+           ss_ext_sales_price as sales_price, ss_net_profit as profit,
+           cast(0 as double) as return_amt, cast(0 as double) as net_loss
+    from store_sales
+    union all
+    select sr_store_sk as store_sk, sr_returned_date_sk as date_sk,
+           cast(0 as double) as sales_price, cast(0 as double) as profit,
+           sr_return_amt as return_amt, sr_net_loss as net_loss
+    from store_returns) salesreturns,
+   date_dim, store
+  where date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and store_sk = s_store_sk
+  group by s_store_id),
+ csr as
+ (select cp_catalog_page_id,
+         sum(sales_price) as sales,
+         sum(profit) as profit,
+         sum(return_amt) as returns,
+         sum(net_loss) as profit_loss
+  from
+   (select cs_catalog_page_sk as page_sk, cs_sold_date_sk as date_sk,
+           cs_ext_sales_price as sales_price, cs_net_profit as profit,
+           cast(0 as double) as return_amt, cast(0 as double) as net_loss
+    from catalog_sales
+    union all
+    select cr_catalog_page_sk as page_sk, cr_returned_date_sk as date_sk,
+           cast(0 as double) as sales_price, cast(0 as double) as profit,
+           cr_return_amount as return_amt, cr_net_loss as net_loss
+    from catalog_returns) salesreturns,
+   date_dim, catalog_page
+  where date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and page_sk = cp_catalog_page_sk
+  group by cp_catalog_page_id),
+ wsr as
+ (select web_site_id,
+         sum(sales_price) as sales,
+         sum(profit) as profit,
+         sum(return_amt) as returns,
+         sum(net_loss) as profit_loss
+  from
+   (select ws_web_site_sk as wsr_web_site_sk, ws_sold_date_sk as date_sk,
+           ws_ext_sales_price as sales_price, ws_net_profit as profit,
+           cast(0 as double) as return_amt, cast(0 as double) as net_loss
+    from web_sales
+    union all
+    select ws_web_site_sk as wsr_web_site_sk, wr_returned_date_sk as date_sk,
+           cast(0 as double) as sales_price, cast(0 as double) as profit,
+           wr_return_amt as return_amt, wr_net_loss as net_loss
+    from web_returns
+    left outer join web_sales on (wr_item_sk = ws_item_sk
+                                  and wr_order_number = ws_order_number)) salesreturns,
+   date_dim, web_site
+  where date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and wsr_web_site_sk = web_site_sk
+  group by web_site_id)
+select channel, id,
+       sum(sales) as sales,
+       sum(returns) as returns,
+       sum(profit) as profit
+from
+ (select 'store channel' as channel, 'store' || s_store_id as id,
+         sales, returns, (profit - profit_loss) as profit
+  from ssr
+  union all
+  select 'catalog channel' as channel, 'catalog_page' || cp_catalog_page_id as id,
+         sales, returns, (profit - profit_loss) as profit
+  from csr
+  union all
+  select 'web channel' as channel, 'web_site' || web_site_id as id,
+         sales, returns, (profit - profit_loss) as profit
+  from wsr) x
+group by rollup (channel, id)
+order by channel, id
+limit 100
+""",
+    "TPC-DS spec q5 (per-channel sales/returns/profit with the "
+    "union-of-signed-rows idiom and ROLLUP grand totals; the spec's 14-day "
+    "window widened to 90 so it spans the fixture's 45-day trading stride "
+    "incl. the lagged return dates; decimal(7,2) zero literals written as "
+    "double to keep the union branches one dtype on both engines).",
+    tags=("q05",),
+)
+
+# ---------------------------------------------------------------------------
+# q8 — store profit in zips where preferred customers cluster
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q08_real",
+    """
+select s_store_name, sum(ss_net_profit) net_profit
+from store_sales, date_dim, store,
+ (select ca_zip from (
+   (select substr(ca_zip, 1, 5) ca_zip
+    from customer_address
+    where substr(ca_zip, 1, 5) in
+      ('00013','00026','00052','00065','00078','00104','00130','00156',
+       '00182','00208','00234','00260','00286','00312','00338','00364',
+       '00390','00416','00442','00468','00494','00520'))
+   intersect
+   (select ca_zip from
+     (select substr(ca_zip, 1, 5) ca_zip, count(*) cnt
+      from customer_address, customer
+      where ca_address_sk = c_current_addr_sk
+        and c_preferred_cust_flag = 'Y'
+      group by ca_zip
+      having count(*) >= 1) a2)
+  ) a3) v1
+where ss_store_sk = s_store_sk
+  and ss_sold_date_sk = d_date_sk
+  and d_qoy = 2
+  and d_year = 2000
+  and (substr(s_zip, 2, 2) = substr(v1.ca_zip, 2, 2))
+group by s_store_name
+order by s_store_name
+limit 100
+""",
+    "TPC-DS spec q8 (store profit near preferred-customer zip clusters: "
+    "literal-list INTERSECT grouped-HAVING subquery, zip-prefix theta "
+    "join. Fixture adaptations: the literal list is the fixture's even "
+    "addresses; HAVING >10 scaled to >=1 (fixture zips hold one customer); "
+    "the 2-char prefix position shifted to substr(2,2), the only position "
+    "where store and customer zip pools overlap).",
+    tags=("q08",),
+)
+
+# ---------------------------------------------------------------------------
+# q24 — returned-item net-paid by customer/store, color-filtered (part a)
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q24_real",
+    """
+with ssales as
+ (select c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         sum(ss_net_paid) netpaid
+  from store_sales, store_returns, store, item, customer, customer_address
+  where ss_ticket_number = sr_ticket_number
+    and ss_item_sk = sr_item_sk
+    and ss_customer_sk = c_customer_sk
+    and ss_item_sk = i_item_sk
+    and ss_store_sk = s_store_sk
+    and c_current_addr_sk = ca_address_sk
+    and c_birth_country <> upper(ca_country)
+    and substr(s_zip, 2, 2) = substr(ca_zip, 2, 2)
+    and s_market_id = 8
+  group by c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size)
+select c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+from ssales
+where i_color = 'sky'
+group by c_last_name, c_first_name, s_store_name
+having sum(netpaid) > (select 0.05 * avg(netpaid) from ssales)
+order by c_last_name, c_first_name, s_store_name
+""",
+    "TPC-DS spec q24a (returned store sales net-paid per customer/store "
+    "with an uncorrelated HAVING threshold over the same CTE; color "
+    "'pale' mapped to the fixture's 'sky'; the s_zip = ca_zip locality "
+    "equijoin relaxed to the shared substr(2,2) 2-gram — the fixture's "
+    "store and customer zip pools are disjoint on full equality; "
+    "s_market_id = 8 is live on the fixture's even stores).",
+    tags=("q24",),
+)
+
+# ---------------------------------------------------------------------------
+# q49 — worst return ratios per channel, rank-windowed
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q49_real",
+    """
+select channel, item, return_ratio, return_rank, currency_rank
+from (
+ select 'web' as channel, web.item, web.return_ratio, web.return_rank, web.currency_rank
+ from (select item, return_ratio, currency_ratio,
+              rank() over (order by return_ratio) as return_rank,
+              rank() over (order by currency_ratio) as currency_rank
+       from (select ws.ws_item_sk as item,
+                    (cast(sum(coalesce(wr.wr_return_quantity, 0)) as double) /
+                     cast(sum(coalesce(ws.ws_quantity, 0)) as double)) as return_ratio,
+                    (cast(sum(coalesce(wr.wr_return_amt, 0)) as double) /
+                     cast(sum(coalesce(ws.ws_net_paid, 0)) as double)) as currency_ratio
+             from web_sales ws
+             left outer join web_returns wr
+               on (ws.ws_order_number = wr.wr_order_number and ws.ws_item_sk = wr.wr_item_sk),
+                  date_dim
+             where wr.wr_return_amt > 10
+               and ws.ws_net_profit > 1
+               and ws.ws_net_paid > 0
+               and ws.ws_quantity > 0
+               and ws_sold_date_sk = d_date_sk
+               and d_year = 2001 and d_moy = 12
+             group by ws.ws_item_sk) in_web) web
+ where (web.return_rank <= 10 or web.currency_rank <= 10)
+ union
+ select 'catalog' as channel, catalog.item, catalog.return_ratio,
+        catalog.return_rank, catalog.currency_rank
+ from (select item, return_ratio, currency_ratio,
+              rank() over (order by return_ratio) as return_rank,
+              rank() over (order by currency_ratio) as currency_rank
+       from (select cs.cs_item_sk as item,
+                    (cast(sum(coalesce(cr.cr_return_quantity, 0)) as double) /
+                     cast(sum(coalesce(cs.cs_quantity, 0)) as double)) as return_ratio,
+                    (cast(sum(coalesce(cr.cr_return_amount, 0)) as double) /
+                     cast(sum(coalesce(cs.cs_net_paid, 0)) as double)) as currency_ratio
+             from catalog_sales cs
+             left outer join catalog_returns cr
+               on (cs.cs_order_number = cr.cr_order_number and cs.cs_item_sk = cr.cr_item_sk),
+                  date_dim
+             where cr.cr_return_amount > 10
+               and cs.cs_net_profit > 1
+               and cs.cs_net_paid > 0
+               and cs.cs_quantity > 0
+               and cs_sold_date_sk = d_date_sk
+               and d_year = 2001 and d_moy = 12
+             group by cs.cs_item_sk) in_cat) catalog
+ where (catalog.return_rank <= 10 or catalog.currency_rank <= 10)
+ union
+ select 'store' as channel, store.item, store.return_ratio,
+        store.return_rank, store.currency_rank
+ from (select item, return_ratio, currency_ratio,
+              rank() over (order by return_ratio) as return_rank,
+              rank() over (order by currency_ratio) as currency_rank
+       from (select sts.ss_item_sk as item,
+                    (cast(sum(coalesce(sr.sr_return_quantity, 0)) as double) /
+                     cast(sum(coalesce(sts.ss_quantity, 0)) as double)) as return_ratio,
+                    (cast(sum(coalesce(sr.sr_return_amt, 0)) as double) /
+                     cast(sum(coalesce(sts.ss_net_paid, 0)) as double)) as currency_ratio
+             from store_sales sts
+             left outer join store_returns sr
+               on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk),
+                  date_dim
+             where sr.sr_return_amt > 10
+               and sts.ss_net_profit > 1
+               and sts.ss_net_paid > 0
+               and sts.ss_quantity > 0
+               and ss_sold_date_sk = d_date_sk
+               and d_year = 2001 and d_moy = 12
+             group by sts.ss_item_sk) in_store) store
+ where (store.return_rank <= 10 or store.currency_rank <= 10)
+) sales_detail
+order by 1, 4, 5, 2
+limit 100
+""",
+    "TPC-DS spec q49 (per-channel return-quantity and currency ratios, "
+    "double rank windows, UNION dedup; the spec's wr_return_amt > 10000 "
+    "floor scaled to > 10 for the fixture's two-digit amounts; decimal "
+    "casts written as double — the ratios are single IEEE divisions of "
+    "exact integer-valued sums, so the rank keys are bit-identical).",
+    tags=("q49",),
+)
+
+# ---------------------------------------------------------------------------
+# q56 — color-filtered item revenue, all channels, gmt-offset-limited
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q56_real",
+    """
+with ss as (
+ select i_item_id, sum(ss_ext_sales_price) total_sales
+ from store_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item
+                     where i_color in ('slate', 'sky', 'dim'))
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_year = 2001 and d_moy = 2
+   and ss_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id),
+ cs as (
+ select i_item_id, sum(cs_ext_sales_price) total_sales
+ from catalog_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item
+                     where i_color in ('slate', 'sky', 'dim'))
+   and cs_item_sk = i_item_sk
+   and cs_sold_date_sk = d_date_sk
+   and d_year = 2001 and d_moy = 2
+   and cs_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id),
+ ws as (
+ select i_item_id, sum(ws_ext_sales_price) total_sales
+ from web_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item
+                     where i_color in ('slate', 'sky', 'dim'))
+   and ws_item_sk = i_item_sk
+   and ws_sold_date_sk = d_date_sk
+   and d_year = 2001 and d_moy = 2
+   and ws_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_item_id
+order by total_sales, i_item_id
+limit 100
+""",
+    "TPC-DS spec q56 (three-channel revenue for color-picked items in one "
+    "gmt-offset band; colors mapped to fixture names; ORDER BY extended "
+    "with i_item_id after the spec's float key for a deterministic LIMIT).",
+    tags=("q56",),
+)
+
+# ---------------------------------------------------------------------------
+# q60 — category-filtered item revenue, all channels, gmt-offset-limited
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q60_real",
+    """
+with ss as (
+ select i_item_id, sum(ss_ext_sales_price) total_sales
+ from store_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item where i_category in ('Category_1'))
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 9
+   and ss_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id),
+ cs as (
+ select i_item_id, sum(cs_ext_sales_price) total_sales
+ from catalog_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item where i_category in ('Category_1'))
+   and cs_item_sk = i_item_sk
+   and cs_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 9
+   and cs_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id),
+ ws as (
+ select i_item_id, sum(ws_ext_sales_price) total_sales
+ from web_sales, date_dim, customer_address, item
+ where i_item_id in (select i_item_id from item where i_category in ('Category_1'))
+   and ws_item_sk = i_item_sk
+   and ws_sold_date_sk = d_date_sk
+   and d_year = 2000 and d_moy = 9
+   and ws_bill_addr_sk = ca_address_sk
+   and ca_gmt_offset = -5
+ group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss
+      union all
+      select * from cs
+      union all
+      select * from ws) tmp1
+group by i_item_id
+order by i_item_id, total_sales
+limit 100
+""",
+    "TPC-DS spec q60 (q56's shape keyed by category; 'Music' mapped to "
+    "Category_1, September 2000 is fixture trading date k=6).",
+    tags=("q60",),
+)
+
+# ---------------------------------------------------------------------------
+# q66 — warehouse monthly sales/net by carrier and time band, web + catalog
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q66_real",
+    """
+select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+       ship_carriers, year_,
+       sum(jan_sales) as jan_sales, sum(feb_sales) as feb_sales,
+       sum(mar_sales) as mar_sales, sum(apr_sales) as apr_sales,
+       sum(may_sales) as may_sales, sum(jun_sales) as jun_sales,
+       sum(jul_sales) as jul_sales, sum(aug_sales) as aug_sales,
+       sum(sep_sales) as sep_sales, sum(oct_sales) as oct_sales,
+       sum(nov_sales) as nov_sales, sum(dec_sales) as dec_sales,
+       sum(jan_sales / w_warehouse_sq_ft) as jan_sales_per_sq_foot,
+       sum(feb_sales / w_warehouse_sq_ft) as feb_sales_per_sq_foot,
+       sum(mar_sales / w_warehouse_sq_ft) as mar_sales_per_sq_foot,
+       sum(apr_sales / w_warehouse_sq_ft) as apr_sales_per_sq_foot,
+       sum(may_sales / w_warehouse_sq_ft) as may_sales_per_sq_foot,
+       sum(jun_sales / w_warehouse_sq_ft) as jun_sales_per_sq_foot,
+       sum(jul_sales / w_warehouse_sq_ft) as jul_sales_per_sq_foot,
+       sum(aug_sales / w_warehouse_sq_ft) as aug_sales_per_sq_foot,
+       sum(sep_sales / w_warehouse_sq_ft) as sep_sales_per_sq_foot,
+       sum(oct_sales / w_warehouse_sq_ft) as oct_sales_per_sq_foot,
+       sum(nov_sales / w_warehouse_sq_ft) as nov_sales_per_sq_foot,
+       sum(dec_sales / w_warehouse_sq_ft) as dec_sales_per_sq_foot,
+       sum(jan_net) as jan_net, sum(feb_net) as feb_net,
+       sum(mar_net) as mar_net, sum(apr_net) as apr_net,
+       sum(may_net) as may_net, sum(jun_net) as jun_net,
+       sum(jul_net) as jul_net, sum(aug_net) as aug_net,
+       sum(sep_net) as sep_net, sum(oct_net) as oct_net,
+       sum(nov_net) as nov_net, sum(dec_net) as dec_net
+from (
+ select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+        'Carrier_0,Carrier_1' as ship_carriers,
+        d_year as year_,
+        sum(case when d_moy = 1 then ws_ext_sales_price * ws_quantity else 0 end) as jan_sales,
+        sum(case when d_moy = 2 then ws_ext_sales_price * ws_quantity else 0 end) as feb_sales,
+        sum(case when d_moy = 3 then ws_ext_sales_price * ws_quantity else 0 end) as mar_sales,
+        sum(case when d_moy = 4 then ws_ext_sales_price * ws_quantity else 0 end) as apr_sales,
+        sum(case when d_moy = 5 then ws_ext_sales_price * ws_quantity else 0 end) as may_sales,
+        sum(case when d_moy = 6 then ws_ext_sales_price * ws_quantity else 0 end) as jun_sales,
+        sum(case when d_moy = 7 then ws_ext_sales_price * ws_quantity else 0 end) as jul_sales,
+        sum(case when d_moy = 8 then ws_ext_sales_price * ws_quantity else 0 end) as aug_sales,
+        sum(case when d_moy = 9 then ws_ext_sales_price * ws_quantity else 0 end) as sep_sales,
+        sum(case when d_moy = 10 then ws_ext_sales_price * ws_quantity else 0 end) as oct_sales,
+        sum(case when d_moy = 11 then ws_ext_sales_price * ws_quantity else 0 end) as nov_sales,
+        sum(case when d_moy = 12 then ws_ext_sales_price * ws_quantity else 0 end) as dec_sales,
+        sum(case when d_moy = 1 then ws_net_paid * ws_quantity else 0 end) as jan_net,
+        sum(case when d_moy = 2 then ws_net_paid * ws_quantity else 0 end) as feb_net,
+        sum(case when d_moy = 3 then ws_net_paid * ws_quantity else 0 end) as mar_net,
+        sum(case when d_moy = 4 then ws_net_paid * ws_quantity else 0 end) as apr_net,
+        sum(case when d_moy = 5 then ws_net_paid * ws_quantity else 0 end) as may_net,
+        sum(case when d_moy = 6 then ws_net_paid * ws_quantity else 0 end) as jun_net,
+        sum(case when d_moy = 7 then ws_net_paid * ws_quantity else 0 end) as jul_net,
+        sum(case when d_moy = 8 then ws_net_paid * ws_quantity else 0 end) as aug_net,
+        sum(case when d_moy = 9 then ws_net_paid * ws_quantity else 0 end) as sep_net,
+        sum(case when d_moy = 10 then ws_net_paid * ws_quantity else 0 end) as oct_net,
+        sum(case when d_moy = 11 then ws_net_paid * ws_quantity else 0 end) as nov_net,
+        sum(case when d_moy = 12 then ws_net_paid * ws_quantity else 0 end) as dec_net
+ from web_sales, warehouse, date_dim, time_dim, ship_mode
+ where ws_warehouse_sk = w_warehouse_sk
+   and ws_sold_date_sk = d_date_sk
+   and ws_sold_time_sk = t_time_sk
+   and ws_ship_mode_sk = sm_ship_mode_sk
+   and d_year = 2001
+   and t_time between 300 and 300 + 900
+   and sm_carrier in ('Carrier_0', 'Carrier_1')
+ group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country, d_year
+ union all
+ select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+        'Carrier_0,Carrier_1' as ship_carriers,
+        d_year as year_,
+        sum(case when d_moy = 1 then cs_sales_price * cs_quantity else 0 end) as jan_sales,
+        sum(case when d_moy = 2 then cs_sales_price * cs_quantity else 0 end) as feb_sales,
+        sum(case when d_moy = 3 then cs_sales_price * cs_quantity else 0 end) as mar_sales,
+        sum(case when d_moy = 4 then cs_sales_price * cs_quantity else 0 end) as apr_sales,
+        sum(case when d_moy = 5 then cs_sales_price * cs_quantity else 0 end) as may_sales,
+        sum(case when d_moy = 6 then cs_sales_price * cs_quantity else 0 end) as jun_sales,
+        sum(case when d_moy = 7 then cs_sales_price * cs_quantity else 0 end) as jul_sales,
+        sum(case when d_moy = 8 then cs_sales_price * cs_quantity else 0 end) as aug_sales,
+        sum(case when d_moy = 9 then cs_sales_price * cs_quantity else 0 end) as sep_sales,
+        sum(case when d_moy = 10 then cs_sales_price * cs_quantity else 0 end) as oct_sales,
+        sum(case when d_moy = 11 then cs_sales_price * cs_quantity else 0 end) as nov_sales,
+        sum(case when d_moy = 12 then cs_sales_price * cs_quantity else 0 end) as dec_sales,
+        sum(case when d_moy = 1 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net,
+        sum(case when d_moy = 2 then cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net,
+        sum(case when d_moy = 3 then cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net,
+        sum(case when d_moy = 4 then cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net,
+        sum(case when d_moy = 5 then cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net,
+        sum(case when d_moy = 6 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net,
+        sum(case when d_moy = 7 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net,
+        sum(case when d_moy = 8 then cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net,
+        sum(case when d_moy = 9 then cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net,
+        sum(case when d_moy = 10 then cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net,
+        sum(case when d_moy = 11 then cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net,
+        sum(case when d_moy = 12 then cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net
+ from catalog_sales, warehouse, date_dim, time_dim, ship_mode
+ where cs_warehouse_sk = w_warehouse_sk
+   and cs_sold_date_sk = d_date_sk
+   and cs_sold_time_sk = t_time_sk
+   and cs_ship_mode_sk = sm_ship_mode_sk
+   and d_year = 2001
+   and t_time between 300 and 300 + 900
+   and sm_carrier in ('Carrier_0', 'Carrier_1')
+ group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country, d_year
+) x
+group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year_
+order by w_warehouse_name
+limit 100
+""",
+    "TPC-DS spec q66 (warehouse 12-month sales/net pivot over web+catalog "
+    "with carrier and time-of-day bands; carriers and the t_time window "
+    "mapped to fixture ranges; `year` aliased year_ (reserved on Spark). "
+    "The per-sq-ft sums add exactly two IEEE divisions per group — one "
+    "per channel branch — so accumulation order cannot diverge).",
+    tags=("q66",),
+)
+
+# ---------------------------------------------------------------------------
+# q75 — year-over-year manufacturer sales contraction, net of returns
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q75_real",
+    """
+with all_sales as (
+ select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+        cast(sum(sales_cnt) as bigint) as sales_cnt,
+        sum(sales_amt) as sales_amt
+ from (select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+              cs_quantity - coalesce(cr_return_quantity, 0) as sales_cnt,
+              cs_ext_sales_price - coalesce(cr_return_amount, 0.0) as sales_amt
+       from catalog_sales
+       join item on i_item_sk = cs_item_sk
+       join date_dim on d_date_sk = cs_sold_date_sk
+       left join catalog_returns on (cs_order_number = cr_order_number
+                                     and cs_item_sk = cr_item_sk)
+       where i_category = 'Category_2'
+       union
+       select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+              ss_quantity - coalesce(sr_return_quantity, 0) as sales_cnt,
+              ss_ext_sales_price - coalesce(sr_return_amt, 0.0) as sales_amt
+       from store_sales
+       join item on i_item_sk = ss_item_sk
+       join date_dim on d_date_sk = ss_sold_date_sk
+       left join store_returns on (ss_ticket_number = sr_ticket_number
+                                   and ss_item_sk = sr_item_sk)
+       where i_category = 'Category_2'
+       union
+       select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+              ws_quantity - coalesce(wr_return_quantity, 0) as sales_cnt,
+              ws_ext_sales_price - coalesce(wr_return_amt, 0.0) as sales_amt
+       from web_sales
+       join item on i_item_sk = ws_item_sk
+       join date_dim on d_date_sk = ws_sold_date_sk
+       left join web_returns on (ws_order_number = wr_order_number
+                                 and ws_item_sk = wr_item_sk)
+       where i_category = 'Category_2') sales_detail
+ group by d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+select prev_yr.d_year as prev_year,
+       curr_yr.d_year as year_,
+       curr_yr.i_brand_id,
+       curr_yr.i_class_id,
+       curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt as prev_yr_cnt,
+       curr_yr.sales_cnt as curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt as sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt as sales_amt_diff
+from all_sales curr_yr, all_sales prev_yr
+where curr_yr.i_brand_id = prev_yr.i_brand_id
+  and curr_yr.i_class_id = prev_yr.i_class_id
+  and curr_yr.i_category_id = prev_yr.i_category_id
+  and curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  and curr_yr.d_year = 2002
+  and prev_yr.d_year = 2002 - 1
+  and cast(curr_yr.sales_cnt as double) / cast(prev_yr.sales_cnt as double) < 1.1
+order by sales_cnt_diff, sales_amt_diff,
+         curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+         curr_yr.i_manufact_id
+limit 100
+""",
+    "TPC-DS spec q75 (net-of-returns units per manufacturer, UNION-dedup "
+    "across channels, self-join on 2002 vs 2001 with a <0.9 contraction "
+    "ratio (0.9 adapted to 1.1: the fixture's uniform volume generators "
+    "vary only about 15 percent year-over-year, so the spec's 10 percent "
+    "contraction class is nearly empty); decimal ratio casts written as "
+    "double; ORDER BY extended with the grouping key after the spec's "
+    "diff columns for a deterministic LIMIT).",
+    tags=("q75",),
+)
+
+# ---------------------------------------------------------------------------
+# q76 — NULL-key sales by channel
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q76_real",
+    """
+select channel, col_name, d_year, d_qoy, i_category,
+       count(*) sales_cnt, sum(ext_sales_price) sales_amt
+from (
+ select 'store' as channel, 'ss_promo_sk' col_name, d_year, d_qoy, i_category,
+        ss_ext_sales_price ext_sales_price
+ from store_sales, item, date_dim
+ where nullif(ss_promo_sk, 5) is null
+   and ss_sold_date_sk = d_date_sk
+   and ss_item_sk = i_item_sk
+ union all
+ select 'web' as channel, 'ws_promo_sk' col_name, d_year, d_qoy, i_category,
+        ws_ext_sales_price ext_sales_price
+ from web_sales, item, date_dim
+ where ws_promo_sk is null
+   and ws_sold_date_sk = d_date_sk
+   and ws_item_sk = i_item_sk
+ union all
+ select 'catalog' as channel, 'cs_promo_sk' col_name, d_year, d_qoy, i_category,
+        cs_ext_sales_price ext_sales_price
+ from catalog_sales, item, date_dim
+ where cs_promo_sk is null
+   and cs_sold_date_sk = d_date_sk
+   and cs_item_sk = i_item_sk) foo
+group by channel, col_name, d_year, d_qoy, i_category
+order by channel, col_name, d_year, d_qoy, i_category
+limit 100
+""",
+    "TPC-DS spec q76 (sales rows whose channel FK is NULL, unioned and "
+    "profiled by quarter/category. The web and catalog predicates use the "
+    "fixture's genuinely-nullable promo FKs; the store fact has no "
+    "nullable FK in the fixture, so its IS NULL class is represented via "
+    "nullif(ss_promo_sk, 5) — col_name labels name the actual columns).",
+    tags=("q76",),
+)
+
+# ---------------------------------------------------------------------------
+# q77 — per-channel P&L rollup with returns, store/catalog/web
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q77_real",
+    """
+with ss as
+ (select s_store_sk, sum(ss_ext_sales_price) as sales, sum(ss_net_profit) as profit
+  from store_sales, date_dim, store
+  where ss_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and ss_store_sk = s_store_sk
+  group by s_store_sk),
+ sr as
+ (select s_store_sk, sum(sr_return_amt) as returns, sum(sr_net_loss) as profit_loss
+  from store_returns, date_dim, store
+  where sr_returned_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and sr_store_sk = s_store_sk
+  group by s_store_sk),
+ cs as
+ (select cs_call_center_sk, sum(cs_ext_sales_price) as sales, sum(cs_net_profit) as profit
+  from catalog_sales, date_dim
+  where cs_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+  group by cs_call_center_sk),
+ cr as
+ (select cr_call_center_sk, sum(cr_return_amount) as returns, sum(cr_net_loss) as profit_loss
+  from catalog_returns, date_dim
+  where cr_returned_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+  group by cr_call_center_sk),
+ ws as
+ (select wp_web_page_sk, sum(ws_ext_sales_price) as sales, sum(ws_net_profit) as profit
+  from web_sales, date_dim, web_page
+  where ws_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and ws_web_page_sk = wp_web_page_sk
+  group by wp_web_page_sk),
+ wr as
+ (select wp_web_page_sk, sum(wr_return_amt) as returns, sum(wr_net_loss) as profit_loss
+  from web_returns, date_dim, web_page
+  where wr_returned_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and wr_web_page_sk = wp_web_page_sk
+  group by wp_web_page_sk)
+select channel, id,
+       sum(sales) as sales,
+       sum(returns) as returns,
+       sum(profit) as profit
+from
+ (select 'store channel' as channel, ss.s_store_sk as id, sales,
+         coalesce(returns, 0) as returns, (profit - coalesce(profit_loss, 0)) as profit
+  from ss left join sr on ss.s_store_sk = sr.s_store_sk
+  union all
+  select 'catalog channel' as channel, cs_call_center_sk as id, sales,
+         returns, (profit - profit_loss) as profit
+  from cs, cr
+  union all
+  select 'web channel' as channel, ws.wp_web_page_sk as id, sales,
+         coalesce(returns, 0) as returns, (profit - coalesce(profit_loss, 0)) as profit
+  from ws left join wr on ws.wp_web_page_sk = wr.wp_web_page_sk) x
+group by rollup (channel, id)
+order by channel, id
+limit 100
+""",
+    "TPC-DS spec q77 (per-channel P&L with left-joined returns, the "
+    "spec's deliberate cs x cr cross join on the catalog branch, and a "
+    "ROLLUP; the 30-day window widened to 90 to span the fixture's "
+    "45-day trading stride and its lagged return dates).",
+    tags=("q77",),
+)
+
+# ---------------------------------------------------------------------------
+# q80 — promo-filtered P&L rollup over all three channels
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q80_real",
+    """
+with ssr as
+ (select s_store_id as store_id,
+         sum(ss_ext_sales_price) as sales,
+         sum(coalesce(sr_return_amt, 0)) as returns,
+         sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit
+  from store_sales
+  left outer join store_returns on (ss_item_sk = sr_item_sk
+                                    and ss_ticket_number = sr_ticket_number),
+       date_dim, store, item, promotion
+  where ss_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and ss_store_sk = s_store_sk
+    and ss_item_sk = i_item_sk
+    and i_current_price > 50
+    and ss_promo_sk = p_promo_sk
+    and p_channel_tv = 'N'
+  group by s_store_id),
+ csr as
+ (select cp_catalog_page_id as catalog_page_id,
+         sum(cs_ext_sales_price) as sales,
+         sum(coalesce(cr_return_amount, 0)) as returns,
+         sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit
+  from catalog_sales
+  left outer join catalog_returns on (cs_item_sk = cr_item_sk
+                                      and cs_order_number = cr_order_number),
+       date_dim, catalog_page, item, promotion
+  where cs_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and cs_catalog_page_sk = cp_catalog_page_sk
+    and cs_item_sk = i_item_sk
+    and i_current_price > 50
+    and cs_promo_sk = p_promo_sk
+    and p_channel_tv = 'N'
+  group by cp_catalog_page_id),
+ wsr as
+ (select web_site_id,
+         sum(ws_ext_sales_price) as sales,
+         sum(coalesce(wr_return_amt, 0)) as returns,
+         sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit
+  from web_sales
+  left outer join web_returns on (ws_item_sk = wr_item_sk
+                                  and ws_order_number = wr_order_number),
+       date_dim, web_site, item, promotion
+  where ws_sold_date_sk = d_date_sk
+    and d_date between cast('2000-01-01' as date) and (cast('2000-01-01' as date) + 90)
+    and ws_web_site_sk = web_site_sk
+    and ws_item_sk = i_item_sk
+    and i_current_price > 50
+    and ws_promo_sk = p_promo_sk
+    and p_channel_tv = 'N'
+  group by web_site_id)
+select channel, id,
+       sum(sales) as sales,
+       sum(returns) as returns,
+       sum(profit) as profit
+from
+ (select 'store channel' as channel, 'store' || store_id as id, sales, returns, profit
+  from ssr
+  union all
+  select 'catalog channel' as channel, 'catalog_page' || catalog_page_id as id,
+         sales, returns, profit
+  from csr
+  union all
+  select 'web channel' as channel, 'web_site' || web_site_id as id, sales, returns, profit
+  from wsr) x
+group by rollup (channel, id)
+order by channel, id
+limit 100
+""",
+    "TPC-DS spec q80 (promo-gated P&L per channel entity with left-joined "
+    "returns and ROLLUP; the 30-day window widened to 90 for the "
+    "fixture's trading stride; i_current_price > 50 and p_channel_tv = "
+    "'N' kept verbatim — both live on the fixture).",
+    tags=("q80",),
+)
+
+# ---------------------------------------------------------------------------
+# q83 — returned quantity balance across the three channels, week-keyed
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q83_real",
+    """
+with sr_items as
+ (select i_item_id item_id, cast(sum(sr_return_quantity) as bigint) sr_item_qty
+  from store_returns, item, date_dim
+  where sr_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq in (select d_week_seq from date_dim
+                                        where d_date in (cast('2000-02-15' as date),
+                                                         cast('2000-03-31' as date),
+                                                         cast('2000-05-15' as date))))
+    and sr_returned_date_sk = d_date_sk
+  group by i_item_id),
+ cr_items as
+ (select i_item_id item_id, cast(sum(cr_return_quantity) as bigint) cr_item_qty
+  from catalog_returns, item, date_dim
+  where cr_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq in (select d_week_seq from date_dim
+                                        where d_date in (cast('2000-02-15' as date),
+                                                         cast('2000-03-31' as date),
+                                                         cast('2000-05-15' as date))))
+    and cr_returned_date_sk = d_date_sk
+  group by i_item_id),
+ wr_items as
+ (select i_item_id item_id, cast(sum(wr_return_quantity) as bigint) wr_item_qty
+  from web_returns, item, date_dim
+  where wr_item_sk = i_item_sk
+    and d_date in (select d_date from date_dim
+                   where d_week_seq in (select d_week_seq from date_dim
+                                        where d_date in (cast('2000-02-15' as date),
+                                                         cast('2000-03-31' as date),
+                                                         cast('2000-05-15' as date))))
+    and wr_returned_date_sk = d_date_sk
+  group by i_item_id)
+select sr_items.item_id,
+       sr_item_qty,
+       cast(sr_item_qty as double) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 sr_dev,
+       cr_item_qty,
+       cast(cr_item_qty as double) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 cr_dev,
+       wr_item_qty,
+       cast(wr_item_qty as double) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 wr_dev,
+       cast(sr_item_qty + cr_item_qty + wr_item_qty as double) / 3 average
+from sr_items, cr_items, wr_items
+where sr_items.item_id = cr_items.item_id
+  and sr_items.item_id = wr_items.item_id
+order by sr_items.item_id, sr_item_qty
+limit 100
+""",
+    "TPC-DS spec q83 (per-item returned-quantity share per channel in "
+    "three chosen return weeks, via the d_date IN week-of chain; dates "
+    "mapped to fixture return dates; INT quantity sums cast BIGINT and "
+    "the share's dividend cast DOUBLE so both engines run one unambiguous "
+    "IEEE division — PG's int/int here would truncate to 0, an "
+    "acknowledged quirk of the spec text).",
+    tags=("q83",),
+)
