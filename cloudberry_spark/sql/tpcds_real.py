@@ -339,7 +339,7 @@ web_returns AS (
          CAST((j * 11) % 75 + 8 AS DOUBLE) AS wr_net_loss,
          CAST((j * 5) % 6 + 1 AS INT) AS wr_web_page_sk,
          CAST((j * 7) % 30 + 1 AS INT) AS wr_refunded_cdemo_sk,
-         CAST((j * 11) % 30 + 1 AS INT) AS wr_returning_cdemo_sk,
+         CAST(((j * 7) % 30 + 20) % 30 + 1 AS INT) AS wr_returning_cdemo_sk,
          CAST((j * 13) % 40 + 1 AS INT) AS wr_refunded_addr_sk,
          CAST(j % 5 + 1 AS INT) AS wr_reason_sk,
          CAST((j * 3) % 20 + 2 AS DOUBLE) AS wr_fee,

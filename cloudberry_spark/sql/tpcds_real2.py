@@ -1372,3 +1372,347 @@ limit 100
     "acknowledged quirk of the spec text).",
     tags=("q83",),
 )
+
+# ---------------------------------------------------------------------------
+# q14 — cross-channel brand/class/category intersection (iteration 1)
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q14_real",
+    """
+with cross_items as
+ (select i_item_sk ss_item_sk
+  from item,
+   (select iss.i_brand_id brand_id, iss.i_class_id class_id,
+           iss.i_category_id category_id
+    from store_sales, item iss, date_dim d1
+    where ss_item_sk = iss.i_item_sk
+      and ss_sold_date_sk = d1.d_date_sk
+      and d1.d_year between 2000 and 2000 + 2
+    intersect
+    select ics.i_brand_id, ics.i_class_id, ics.i_category_id
+    from catalog_sales, item ics, date_dim d2
+    where cs_item_sk = ics.i_item_sk
+      and cs_sold_date_sk = d2.d_date_sk
+      and d2.d_year between 2000 and 2000 + 2
+    intersect
+    select iws.i_brand_id, iws.i_class_id, iws.i_category_id
+    from web_sales, item iws, date_dim d3
+    where ws_item_sk = iws.i_item_sk
+      and ws_sold_date_sk = d3.d_date_sk
+      and d3.d_year between 2000 and 2000 + 2) sq
+  where i_brand_id = brand_id
+    and i_class_id = class_id
+    and i_category_id = category_id),
+ avg_sales as
+ (select avg(quantity * list_price) average_sales
+  from (select ss_quantity quantity, ss_list_price list_price
+        from store_sales, date_dim
+        where ss_sold_date_sk = d_date_sk and d_year between 2000 and 2000 + 2
+        union all
+        select cs_quantity quantity, cs_list_price list_price
+        from catalog_sales, date_dim
+        where cs_sold_date_sk = d_date_sk and d_year between 2000 and 2000 + 2
+        union all
+        select ws_quantity quantity, ws_list_price list_price
+        from web_sales, date_dim
+        where ws_sold_date_sk = d_date_sk and d_year between 2000 and 2000 + 2) x)
+select channel, i_brand_id, i_class_id, i_category_id,
+       sum(sales) sum_sales, cast(sum(number_sales) as bigint) sum_number_sales
+from (
+ select 'store' channel, i_brand_id, i_class_id, i_category_id,
+        sum(ss_quantity * ss_list_price) sales, count(*) number_sales
+ from store_sales, item, date_dim
+ where ss_item_sk in (select ss_item_sk from cross_items)
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_year = 2000 + 2 and d_moy = 11
+ group by i_brand_id, i_class_id, i_category_id
+ having sum(ss_quantity * ss_list_price) > (select average_sales from avg_sales)
+ union all
+ select 'catalog' channel, i_brand_id, i_class_id, i_category_id,
+        sum(cs_quantity * cs_list_price) sales, count(*) number_sales
+ from catalog_sales, item, date_dim
+ where cs_item_sk in (select ss_item_sk from cross_items)
+   and cs_item_sk = i_item_sk
+   and cs_sold_date_sk = d_date_sk
+   and d_year = 2000 + 2 and d_moy = 11
+ group by i_brand_id, i_class_id, i_category_id
+ having sum(cs_quantity * cs_list_price) > (select average_sales from avg_sales)
+ union all
+ select 'web' channel, i_brand_id, i_class_id, i_category_id,
+        sum(ws_quantity * ws_list_price) sales, count(*) number_sales
+ from web_sales, item, date_dim
+ where ws_item_sk in (select ss_item_sk from cross_items)
+   and ws_item_sk = i_item_sk
+   and ws_sold_date_sk = d_date_sk
+   and d_year = 2000 + 2 and d_moy = 11
+ group by i_brand_id, i_class_id, i_category_id
+ having sum(ws_quantity * ws_list_price) > (select average_sales from avg_sales)
+) y
+group by rollup (channel, i_brand_id, i_class_id, i_category_id)
+order by channel, i_brand_id, i_class_id, i_category_id
+limit 100
+""",
+    "TPC-DS spec q14 iteration 1 (items whose brand/class/category sell "
+    "in ALL three channels via a two-level INTERSECT, filtered November "
+    "sales above the cross-channel average-basket scalar, ROLLUP totals; "
+    "years shifted to the fixture's 2000-2002, count sums cast BIGINT — "
+    "DuckDB widens sum(bigint) to int128).",
+    tags=("q14",),
+)
+
+# ---------------------------------------------------------------------------
+# q44 — best and worst performing items by store-4 average profit rank
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q44_real",
+    """
+select asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+from (select *
+      from (select item_sk, rank() over (order by rank_col asc) rnk
+            from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+                  from store_sales ss1
+                  where ss_store_sk = 4
+                  group by ss_item_sk
+                  having avg(ss_net_profit) > 0.9 *
+                    (select avg(ss_net_profit) rank_col
+                     from store_sales
+                     where ss_store_sk = 4 and ss_hdemo_sk = 5
+                     group by ss_store_sk)) v1) v11
+      where rnk < 11) asceding,
+     (select *
+      from (select item_sk, rank() over (order by rank_col desc) rnk
+            from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+                  from store_sales ss1
+                  where ss_store_sk = 4
+                  group by ss_item_sk
+                  having avg(ss_net_profit) > 0.9 *
+                    (select avg(ss_net_profit) rank_col
+                     from store_sales
+                     where ss_store_sk = 4 and ss_hdemo_sk = 5
+                     group by ss_store_sk)) v2) v21
+      where rnk < 11) descending,
+     item i1, item i2
+where asceding.rnk = descending.rnk
+  and i1.i_item_sk = asceding.item_sk
+  and i2.i_item_sk = descending.item_sk
+order by asceding.rnk
+limit 100
+""",
+    "TPC-DS spec q44 (top-10/bottom-10 items by store-4 average profit, "
+    "rank-joined; the spec's reference sub-population `ss_addr_sk is "
+    "null` holds no rows in the fixture — its scalar average would be "
+    "NULL and the HAVING would erase every group — so the baseline is "
+    "the live sub-population ss_hdemo_sk = 5, preserving the "
+    "avg-vs-0.9x-scalar-baseline shape).",
+    tags=("q44",),
+)
+
+# ---------------------------------------------------------------------------
+# q84 — customers in an income band with a store return
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q84_real",
+    """
+select c_customer_id as customer_id,
+       coalesce(c_last_name, '') || ', ' || coalesce(c_first_name, '') as customername
+from customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+where ca_city = 'City_2'
+  and c_current_addr_sk = ca_address_sk
+  and ib_lower_bound >= 80000
+  and ib_upper_bound <= 80000 + 90000
+  and ib_income_band_sk = hd_income_band_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and sr_cdemo_sk = cd_demo_sk
+order by c_customer_id
+limit 100
+""",
+    "TPC-DS spec q84 (income-band + city gate fanned out through the "
+    "returns-side demographics FK; city and the band bounds mapped to "
+    "the fixture's City_2 and 10k-step bands 9-17).",
+    tags=("q84",),
+)
+
+# ---------------------------------------------------------------------------
+# q85 — web return reasons by demographic/price and state/profit bands
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q85_real",
+    """
+select substr(r_reason_desc, 1, 20) reason_prefix,
+       cast(round(avg(ws_quantity), 4) as double) avg_quantity,
+       cast(round(avg(wr_refunded_cash), 4) as double) avg_refunded_cash,
+       cast(round(avg(wr_fee), 4) as double) avg_fee
+from web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+where ws_web_page_sk = wp_web_page_sk
+  and ws_item_sk = wr_item_sk
+  and ws_order_number = wr_order_number
+  and ws_sold_date_sk = d_date_sk
+  and d_year = 2000
+  and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  and cd2.cd_demo_sk = wr_returning_cdemo_sk
+  and ca_address_sk = wr_refunded_addr_sk
+  and r_reason_sk = wr_reason_sk
+  and ((cd1.cd_marital_status = 'M'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = 'High School'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 5.00 and 50.00)
+       or
+       (cd1.cd_marital_status = 'S'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = 'Secondary'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 20.00 and 70.00)
+       or
+       (cd1.cd_marital_status = 'W'
+        and cd1.cd_marital_status = cd2.cd_marital_status
+        and cd1.cd_education_status = 'College'
+        and cd1.cd_education_status = cd2.cd_education_status
+        and ws_sales_price between 40.00 and 90.00))
+  and ((ca_country = 'United States'
+        and ca_state in ('TN', 'CA', 'WA')
+        and ws_net_profit between -20 and 20)
+       or
+       (ca_country = 'United States'
+        and ca_state in ('GA', 'TX', 'NY')
+        and ws_net_profit between 0 and 50)
+       or
+       (ca_country = 'United States'
+        and ca_state in ('OH', 'FL', 'TN')
+        and ws_net_profit between 10 and 79))
+group by r_reason_desc
+order by reason_prefix, avg_quantity, avg_refunded_cash, avg_fee
+limit 100
+""",
+    "TPC-DS spec q85 (returned web sales matched on BOTH demographic "
+    "sides with OR-of-AND demographic/price and state/profit bands; "
+    "education/marital/state literals and the price/profit bands mapped "
+    "onto the fixture's value pools; INT avg wrapped in the round-cast "
+    "idiom).",
+    tags=("q85",),
+)
+
+# ---------------------------------------------------------------------------
+# q91 — call-center catalog-return losses by demographic segment
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q91_real",
+    """
+select cc_call_center_id call_center, cc_name call_center_name,
+       cc_manager manager, sum(cr_net_loss) returns_loss
+from call_center, catalog_returns, date_dim, customer,
+     customer_address, customer_demographics, household_demographics
+where cr_call_center_sk = cc_call_center_sk
+  and cr_returned_date_sk = d_date_sk
+  and cr_returning_customer_sk = c_customer_sk
+  and cd_demo_sk = c_current_cdemo_sk
+  and hd_demo_sk = c_current_hdemo_sk
+  and ca_address_sk = c_current_addr_sk
+  and d_year = 2000
+  and d_moy = 11
+  and ((cd_marital_status = 'M' and cd_education_status = 'Secondary')
+       or (cd_marital_status = 'W' and cd_education_status = 'Primary'))
+  and hd_buy_potential like '5001%'
+  and ca_gmt_offset = -5
+group by cc_call_center_id, cc_name, cc_manager, cd_marital_status, cd_education_status
+order by returns_loss desc, call_center
+limit 100
+""",
+    "TPC-DS spec q91 (call-center return losses for two demographic "
+    "segments; November 2000 is the fixture's lagged return date k=7, "
+    "literals mapped to fixture pools; ORDER BY desc loss with the "
+    "center id as tiebreaker).",
+    tags=("q91",),
+)
+
+# ---------------------------------------------------------------------------
+# q64 — cross-year repeat purchases of heavily-returned catalog items
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q64_real",
+    """
+with cs_ui as
+ (select cs_item_sk,
+         sum(cs_ext_list_price) as sale,
+         sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) as refund
+  from catalog_sales, catalog_returns
+  where cs_item_sk = cr_item_sk and cs_order_number = cr_order_number
+  group by cs_item_sk
+  having sum(cs_ext_list_price) > 2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+ cross_sales as
+ (select i_product_name product_name, i_item_sk item_sk,
+         s_store_name store_name, s_zip store_zip,
+         ad1.ca_street_number b_street_number, ad1.ca_street_name b_street_name,
+         ad1.ca_city b_city, ad1.ca_zip b_zip,
+         ad2.ca_street_number c_street_number, ad2.ca_street_name c_street_name,
+         ad2.ca_city c_city, ad2.ca_zip c_zip,
+         d1.d_year as syear, d2.d_year as fsyear, d3.d_year s2year,
+         count(*) cnt,
+         sum(ss_wholesale_cost) s1, sum(ss_list_price) s2, sum(ss_coupon_amt) s3
+  from store_sales, store_returns, cs_ui, date_dim d1, date_dim d2, date_dim d3,
+       store, customer, customer_demographics cd1, customer_demographics cd2,
+       promotion, household_demographics hd1, household_demographics hd2,
+       customer_address ad1, customer_address ad2, income_band ib1, income_band ib2, item
+  where ss_store_sk = s_store_sk
+    and ss_sold_date_sk = d1.d_date_sk
+    and ss_customer_sk = c_customer_sk
+    and ss_cdemo_sk = cd1.cd_demo_sk
+    and ss_hdemo_sk = hd1.hd_demo_sk
+    and ss_addr_sk = ad1.ca_address_sk
+    and ss_item_sk = i_item_sk
+    and ss_item_sk = sr_item_sk
+    and ss_ticket_number = sr_ticket_number
+    and ss_item_sk = cs_ui.cs_item_sk
+    and c_current_cdemo_sk = cd2.cd_demo_sk
+    and c_current_hdemo_sk = hd2.hd_demo_sk
+    and c_current_addr_sk = ad2.ca_address_sk
+    and c_first_sales_date_sk = d2.d_date_sk
+    and c_first_shipto_date_sk = d3.d_date_sk
+    and ss_promo_sk = p_promo_sk
+    and hd1.hd_income_band_sk = ib1.ib_income_band_sk
+    and hd2.hd_income_band_sk = ib2.ib_income_band_sk
+    and cd1.cd_marital_status <> cd2.cd_marital_status
+    and i_color in ('maroon', 'burnished', 'dim', 'sky', 'navajo', 'chocolate')
+    and i_current_price between 20 and 20 + 10
+    and i_current_price between 20 + 1 and 20 + 15
+  group by i_product_name, i_item_sk, s_store_name, s_zip,
+           ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city, ad1.ca_zip,
+           ad2.ca_street_number, ad2.ca_street_name, ad2.ca_city, ad2.ca_zip,
+           d1.d_year, d2.d_year, d3.d_year)
+select cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear syear1, cs1.cnt cnt1,
+       cs1.s1 as s11, cs1.s2 as s21, cs1.s3 as s31,
+       cs2.s1 as s12, cs2.s2 as s22, cs2.s3 as s32,
+       cs2.syear syear2, cs2.cnt cnt2
+from cross_sales cs1, cross_sales cs2
+where cs1.item_sk = cs2.item_sk
+  and cs1.syear = 2000
+  and cs2.syear = 2000 + 1
+  and cs2.cnt <= cs1.cnt
+  and cs1.store_name = cs2.store_name
+  and cs1.store_zip = cs2.store_zip
+order by cs1.product_name, cs1.store_name, cs2.cnt, cs1.s1, cs2.s1,
+         cs1.b_street_number, cs1.b_zip, cs1.c_street_number, cs1.c_zip,
+         cs1.syear, cs2.syear
+""",
+    "TPC-DS spec q64 (the 17-relation cross-year repeat-purchase monster: "
+    "heavily-returned catalog items (cs_ui HAVING sale > 2x refund), "
+    "store sales returned and re-bought, purchase-time vs current "
+    "demographics/household/address on both sides, income bands, three "
+    "date roles; colors and the price band mapped to the fixture, years "
+    "1999/2000 -> 2000/2001; ORDER BY extended with the address/year key "
+    "for deterministic output).",
+    tags=("q64",),
+)
