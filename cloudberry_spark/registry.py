@@ -355,13 +355,13 @@ _LEAD = [
         "regress_gporca_result_having_const",
         "regress_gporca_cte_in_any",
         "tpch_q2_real",
-        "tpch_q11_real",
-        "tpch_q16_real",
-        "tpch_q20_real",
         "tpch_q21_real",
-        "tpch_q22_real",
-        "tpch_q15_real",
-        "tpch_q17_real",
+        "tpcds_q64_real",
+        "tpcds_q14_real",
+        "tpcds_q02_real",
+        "tpcds_q49_real",
+        "tpcds_q05_real",
+        "tpcds_q75_real",
         "regress_qpwith_shadow_cte_over_table",
         "regress_qpwith_shadow_two_table_names",
         "regress_qpwith_cte_alias_same_name",
