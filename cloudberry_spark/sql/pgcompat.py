@@ -486,9 +486,13 @@ def _rewrite_masked(seg: str) -> str:
     # loudly — Spark allows a single top-level generator.
     seg = _rewrite_selectlist_srf(seg)
 
-    # generate_series(a, b) [AS] t(i) in FROM -> lateral explode(sequence)
+    # generate_series(a, b) [AS] t(i) in FROM -> lateral explode(sequence).
+    # The arg pattern admits two paren-nesting levels so scalar-subquery
+    # bounds — generate_series(0, (select max(x) from t)) — rewrite too
+    # (subselect_gp.sql's initplan-bounded series).
+    _gs_args = r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)"
     seg = re.sub(
-        r"\bgenerate_series\s*\(([^()]*)\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
+        r"\bgenerate_series\s*\(" + _gs_args + r"\)\s*(?:AS\s+)?(\w+)\s*\(\s*(\w+)\s*\)",
         r"(SELECT explode(sequence(\1)) AS \3) AS \2",
         seg,
         flags=re.I,
@@ -498,7 +502,7 @@ def _rewrite_masked(seg: str) -> str:
     # Keyword lookahead keeps `... generate_series(1,5) ORDER BY ...`
     # (no alias) untouched.
     seg = re.sub(
-        r"\bgenerate_series\s*\(([^()]*)\)\s+(?:AS\s+)?"
+        r"\bgenerate_series\s*\(" + _gs_args + r"\)\s+(?:AS\s+)?"
         r"(?!(?:ORDER|GROUP|WHERE|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|"
         r"JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ON|USING|WINDOW|AND|"
         r"OR|THEN|ELSE|END|FROM|SELECT)\b)(\w+)\b(?!\s*\()",
@@ -1393,24 +1397,55 @@ def _rewrite_distinct_on(masked: str) -> str:
     keep-first-row-per-key idiom — as a row_number window (the same
     rewrite the reference's planner performs via a unique-on-sort).
 
-    Runs on literal-masked text and targets the FINAL top-level SELECT,
-    so a query carrying a WITH prelude (the regress corpus shape) is
-    rewritten too; paren balance decides top-level (comments/literals
-    are already placeholders, so counts are reliable)."""
-    for m in _DISTINCT_ON_START_RE.finditer(masked):
-        prefix = masked[: m.start()]
-        if prefix.count("(") != prefix.count(")"):
-            continue
-        r = _DISTINCT_ON_RE.match(masked[m.start() :])
-        if not r:
-            continue
-        keys, cols, src, order = (g.strip() for g in r.groups())
-        return prefix + (
-            f"SELECT {cols} FROM ("
-            f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
-            f" AS rn__ FROM {src}) WHERE rn__ = 1"
-        )
-    return masked
+    Runs on literal-masked text. Handles the FINAL top-level SELECT (a
+    query carrying a WITH prelude — the regress corpus shape) AND the
+    parenthesized-subquery form `... IN (SELECT DISTINCT ON (k) ...)`
+    (subselect_gp.sql issue-12656 sublinks): for a nested match the span
+    ends at the parenthesis that closes the enclosing subquery; paren
+    balance decides both (comments/literals are already placeholders, so
+    counts are reliable)."""
+    out = masked
+    changed = True
+    while changed:
+        changed = False
+        for m in _DISTINCT_ON_START_RE.finditer(out):
+            prefix = out[: m.start()]
+            if prefix.count("(") == prefix.count(")"):
+                r = _DISTINCT_ON_RE.match(out[m.start() :])
+                if not r:
+                    continue
+                keys, cols, src, order = (g.strip() for g in r.groups())
+                return prefix + (
+                    f"SELECT {cols} FROM ("
+                    f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
+                    f" AS rn__ FROM {src}) WHERE rn__ = 1"
+                )
+            # nested: find the close paren of the enclosing subquery
+            depth, end = 0, None
+            for i in range(m.start(), len(out)):
+                ch = out[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+            if end is None:
+                continue
+            r = _DISTINCT_ON_RE.match(out[m.start() : end])
+            if not r:
+                continue
+            keys, cols, src, order = (g.strip() for g in r.groups())
+            rep = (
+                f"SELECT {cols} FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
+                f" AS rn__ FROM {src}) WHERE rn__ = 1"
+            )
+            out = out[: m.start()] + rep + out[end:]
+            changed = True
+            break
+    return out
 
 
 _EXISTS_OPEN_RE = re.compile(r"\bEXISTS\s*\(", re.I)

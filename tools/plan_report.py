@@ -207,6 +207,19 @@ def main() -> None:
         "regress_gporca_outerref_countbug_both",
         "regress_gporca_cte_shared_scalar",
         "regress_gporca_materialize_or",
+        # round 9 final TPC-DS tranches (spec suite complete)
+        "tpcds_q64_real",
+        "tpcds_q14_real",
+        "tpcds_q02_real",
+        "tpcds_q05_real",
+        "tpcds_q49_real",
+        "tpcds_q75_real",
+        "tpcds_q78_real",
+        "tpcds_q31_real",
+        "tpcds_q57_real",
+        "tpcds_q66_real",
+        "tpcds_q77_real",
+        "tpcds_q80_real",
     ]
     from cloudberry_spark import planhook
 
