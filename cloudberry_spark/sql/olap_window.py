@@ -1,0 +1,293 @@
+"""olap_window.sql ports — the original GPDB OLAP window battery.
+
+Reference: src/test/regress/sql/olap_window.sql (1,630 lines) over the
+Macbeth schema from src/test/regress/sql/olap_setup.sql (customer/
+vendor/product/sale verbatim below). The file mixes deterministic
+queries with ``row_number() over ()`` multi-valued-dependency checks
+and a 40-query error corpus; this module ports the deterministic
+result-bearing slice: rank/dense_rank orderings (incl. named WINDOW
+references), NULLS FIRST/LAST window orderings (inline and named),
+frame EXCLUDE CURRENT ROW / GROUP / TIES / NO OTHERS over the full
+ROWS frame (lowered by the frontend's _rewrite_window_exclude), mixed
+rank stacks sharing one named window, and windowed aggregates over
+joins and GROUP BY outputs.
+
+``row_number()`` appears only where its order key chain is unique (or
+the projected row multiset is invariant under tie permutation), per
+the file's own mvd annotations.
+"""
+
+from __future__ import annotations
+
+from cloudberry_spark.sql.regress import register_regress
+
+OLAPW_PRELUDE = """
+WITH customer(cn, cname, cloc) AS (
+  VALUES (1, 'Macbeth', 'Inverness'), (2, 'Duncan', 'Forres'),
+         (3, 'Lady Macbeth', 'Inverness'), (4, 'Witches, Inc', 'Lonely Heath')
+),
+vendor(vn, vname, vloc) AS (
+  VALUES (10, 'Witches, Inc', 'Lonely Heath'), (20, 'Lady Macbeth', 'Inverness'),
+         (30, 'Duncan', 'Forres'), (40, 'Macbeth', 'Inverness'),
+         (50, 'Macduff', 'Fife')
+),
+product(pn, pname, pcolor) AS (
+  VALUES (100, 'Sword', 'Black'), (200, 'Dream', 'Black'),
+         (300, 'Castle', 'Grey'), (400, 'Justice', 'Clear'),
+         (500, 'Donuts', 'Plain'), (600, 'Donuts', 'Chocolate'),
+         (700, 'Hamburger', 'Grey'), (800, 'Fries', 'Grey')
+),
+sale(cn, vn, pn, dt, qty, prc) AS (
+  VALUES (2, 40, 100, DATE '1401-01-01', 1100, CAST(2400 AS DOUBLE)),
+         (1, 10, 200, DATE '1401-03-01', 1, 0),
+         (3, 40, 200, DATE '1401-04-01', 1, 0),
+         (1, 20, 100, DATE '1401-05-01', 1, 0),
+         (1, 30, 300, DATE '1401-05-02', 1, 0),
+         (1, 50, 400, DATE '1401-06-01', 1, 0),
+         (2, 50, 400, DATE '1401-06-01', 1, 0),
+         (1, 30, 500, DATE '1401-06-01', 12, 5),
+         (3, 30, 500, DATE '1401-06-01', 12, 5),
+         (3, 30, 600, DATE '1401-06-01', 12, 5),
+         (4, 40, 700, DATE '1401-06-01', 1, 1),
+         (4, 40, 800, DATE '1401-06-01', 1, 1)
+),
+tbl_with_nulls(t, a, b) AS (
+  VALUES ('a', 1, 10), ('b', 1, 10), ('c', 1, 10), ('d', 2, 10),
+         ('e', 2, 20), ('f', 2, 20), ('g', NULL, 20), ('h', NULL, 20),
+         ('i', NULL, 30)
+)
+"""
+
+
+def _reg(name: str, sql: str, doc: str, oracle: str | None = "same") -> None:
+    register_regress(
+        name, sql, doc, tags=("olap_window",), oracle=oracle,
+        prelude=OLAPW_PRELUDE,
+    )
+
+
+# -- 5: ordered, non-partitioned specs ---------------------------------------
+
+_reg(
+    "regress_olapw_rank_order_cn",
+    """
+select cast(rank() over (order by cn) as bigint) r, cn, pn from sale order by cn, pn
+""",
+    "olap_window.sql:143 — rank over a tied ordering (ties share ranks).",
+)
+
+_reg(
+    "regress_olapw_rank_two_keys_desc",
+    """
+select cast(rank() over (order by pn, cn desc) as bigint) r, cn, pn
+from sale order by pn, cn desc
+""",
+    "olap_window.sql:149 — rank over a composite asc/desc ordering.",
+)
+
+_reg(
+    "regress_olapw_dense_rank_desc",
+    """
+select cast(dense_rank() over (order by pn desc) as bigint) r, cn, pn
+from sale order by pn desc, cn
+""",
+    "olap_window.sql:155 — dense_rank over a descending ordering.",
+)
+
+_reg(
+    "regress_olapw_rank_named_window",
+    """
+select cast(rank() over (w) as bigint) r, cn, pn
+from sale window w as (order by pn, cn desc)
+order by pn, cn desc
+""",
+    "olap_window.sql:169 — rank through a named WINDOW reference.",
+)
+
+_reg(
+    "regress_olapw_rownum_join_names",
+    """
+select cast(row_number() over (order by pname, cname) as bigint) rn
+from sale s, customer c, product p
+where s.cn = c.cn and s.pn = p.pn
+""",
+    "olap_window.sql:173 — row_number over a 3-way join's name ordering; "
+    "only the row_number column is projected, so the output multiset is "
+    "deterministic under ties (the file's own mvd 1->1 marker).",
+)
+
+_reg(
+    "regress_olapw_rownum_over_groupby",
+    """
+select cast(row_number() over (order by vn) as bigint) rn, vn,
+       count(*) as cnt
+from sale group by vn
+""",
+    "olap_window.sql:177 — window over the GROUP BY output (vn unique).",
+)
+
+# -- NULLS FIRST/LAST in window orderings ------------------------------------
+
+_reg(
+    "regress_olapw_nulls_first_last",
+    """
+select t, a, b,
+  first_value(t) over (order by a nulls first, t) f1,
+  first_value(t) over (order by a nulls last, t) f2,
+  first_value(t) over (partition by b order by a nulls first, t) f3,
+  first_value(t) over (partition by b order by a nulls last, t) f4
+from tbl_with_nulls order by t
+""",
+    "olap_window.sql:190 — explicit NULLS FIRST/LAST window orderings, "
+    "inline form (overrides the PG-default placement pass).",
+)
+
+_reg(
+    "regress_olapw_nulls_named_windows",
+    """
+select t, a, b,
+  first_value(t) over (w1) f1,
+  first_value(t) over (w2) f2,
+  first_value(t) over (w3) f3,
+  first_value(t) over (w4) f4
+from tbl_with_nulls
+window w1 as (order by a nulls first, t),
+       w2 as (order by a nulls last, t),
+       w3 as (partition by b order by a nulls first, t),
+       w4 as (partition by b order by a nulls last, t)
+order by t
+""",
+    "olap_window.sql:199 — the same four orderings as named windows.",
+)
+
+# -- 6: frame EXCLUDE clause --------------------------------------------------
+
+_reg(
+    "regress_olapw_exclude_current_row",
+    """
+select vn, cast(sum(vn) over (w) as bigint) s
+from sale
+window w as (order by vn rows between unbounded preceding and unbounded following exclude current row)
+order by vn, s
+""",
+    "olap_window.sql:212 — full-frame EXCLUDE CURRENT ROW, lowered by the "
+    "frontend to total-minus-own two-window arithmetic.",
+    oracle="""
+select vn, cast(sum(vn) over (order by vn rows between unbounded preceding and unbounded following exclude current row) as bigint) s
+from sale
+order by vn, s
+""",
+)
+
+_reg(
+    "regress_olapw_exclude_group",
+    """
+select vn, cast(sum(vn) over (w) as bigint) s
+from sale
+window w as (order by vn rows between unbounded preceding and unbounded following exclude group)
+order by vn, s
+""",
+    "olap_window.sql:216 — EXCLUDE GROUP (drop all peers of the current row).",
+    oracle="""
+select vn, cast(sum(vn) over (order by vn rows between unbounded preceding and unbounded following exclude group) as bigint) s
+from sale
+order by vn, s
+""",
+)
+
+_reg(
+    "regress_olapw_exclude_ties",
+    """
+select vn, cast(sum(vn) over (w) as bigint) s
+from sale
+window w as (order by vn rows between unbounded preceding and unbounded following exclude ties)
+order by vn, s
+""",
+    "olap_window.sql:220 — EXCLUDE TIES (drop peers, keep the current row).",
+    oracle="""
+select vn, cast(sum(vn) over (order by vn rows between unbounded preceding and unbounded following exclude ties) as bigint) s
+from sale
+order by vn, s
+""",
+)
+
+_reg(
+    "regress_olapw_exclude_no_others",
+    """
+select vn, cast(sum(vn) over (w) as bigint) s
+from sale
+window w as (order by vn rows between unbounded preceding and unbounded following exclude no others)
+order by vn, s
+""",
+    "olap_window.sql:224 — EXCLUDE NO OTHERS is the no-op spelling.",
+    oracle="""
+select vn, cast(sum(vn) over (order by vn rows between unbounded preceding and unbounded following exclude no others) as bigint) s
+from sale
+order by vn, s
+""",
+)
+
+# -- X: misc rank stacks ------------------------------------------------------
+
+_reg(
+    "regress_olapw_rank_stack_named",
+    """
+select cast(row_number() over (w) as bigint) rn,
+       cast(rank() over (w) as bigint) r,
+       cast(dense_rank() over (w) as bigint) dr,
+       cn, vn, pn, dt, qty, prc
+from sale
+window w as (order by cn, vn, pn)
+order by cn, vn, pn
+""",
+    "olap_window.sql:262 — three rank functions sharing one named window "
+    "(single Sort in the reference plan); the spec's bare (order by cn) "
+    "ordering extended with the primary key so row_number is "
+    "deterministic, per the file's mvd annotation discipline.",
+)
+
+_reg(
+    "regress_olapw_rank_two_orderings",
+    """
+select cn, vn, cast(rank() over (order by cn) as bigint) r1,
+       cast(rank() over (order by cn, vn) as bigint) r2
+from sale order by cn, vn, r1, r2
+""",
+    "olap_window.sql:274 — two rank orderings, one a prefix of the other.",
+)
+
+_reg(
+    "regress_olapw_dense_rank_join",
+    """
+select cast(dense_rank() over (order by pname, cname) as bigint) dr, cname, pname
+from sale s, customer c, product p
+where s.cn = c.cn and s.pn = p.pn
+order by pname, cname, dr
+""",
+    "olap_window.sql:291 — dense_rank over the joined name ordering.",
+)
+
+_reg(
+    "regress_olapw_avg_pct_rank_stack",
+    """
+select pn, cn, prc * qty as amt,
+       cast(avg(prc * qty) over (partition by pn) as double) a1,
+       cast(avg(prc * qty) over (partition by pn order by cn) as double) a2,
+       cast(percent_rank() over (partition by pn order by cn) as double) pr,
+       cast(rank() over (partition by pn order by cn) as bigint) r
+from sale order by pn, cn
+""",
+    "olap_window.sql:296 — mixed running/partition aggregates with "
+    "percent_rank and rank over one partitioned ordering (the spec's "
+    "row_number-over-unordered-partition column dropped: its pairing is "
+    "nondeterministic by the file's own mvd note).",
+)
+
+_reg(
+    "regress_olapw_avg_qty_partition",
+    """
+select cn, vn, pn, cast(avg(qty) over (partition by vn) as double) a
+from sale order by cn, vn, pn
+""",
+    "olap_window.sql:330 — windowed average over the vendor partition.",
+)

@@ -2007,6 +2007,120 @@ def _expand_window_inheritance(masked: str) -> str:
     return "".join(out)
 
 
+_EXCLUDE_KW_RE = re.compile(
+    r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b", re.I
+)
+_EXCLUDE_BODY_RE = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<p>.*?)\s+)?ORDER\s+BY\s+(?P<o>.*?)\s*"
+    r"ROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+UNBOUNDED\s+FOLLOWING\s+"
+    r"EXCLUDE\s+(?P<m>CURRENT\s+ROW|GROUP|TIES)\s*$",
+    re.I | re.S,
+)
+
+
+def _exclude_expr(agg: str, arg: str, body: str) -> str:
+    """Lower ``agg(arg) OVER (... ROWS UNBOUNDED..UNBOUNDED EXCLUDE m)``
+    to arithmetic over two plain windows (nodeWindowAgg.c frame
+    exclusion; the SQL-frontend analog of the win_exclude_* DataFrame
+    emulation). Full-partition frame only; SUM only (the shapes
+    olap_window.sql exercises) — anything else fails loudly."""
+    bm = _EXCLUDE_BODY_RE.match(body)
+    if not bm:
+        raise NotImplementedError(
+            f"window EXCLUDE outside the full-ROWS-frame SUM form: ({body})"
+        )
+    if agg.upper() != "SUM":
+        raise NotImplementedError(f"window EXCLUDE with {agg}() not supported")
+    part, order, mode = bm.group("p"), bm.group("o"), bm.group("m").upper()
+    keys = [
+        re.sub(r"\s+(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "", k, flags=re.I).strip()
+        for k in order.split(",")
+    ]
+    pcols = [p.strip() for p in part.split(",")] if part else []
+    pw = f"OVER (PARTITION BY {', '.join(pcols)})" if pcols else "OVER ()"
+    pk = f"OVER (PARTITION BY {', '.join(pcols + keys)})"
+    e = arg.strip()
+    own = f"(CASE WHEN {e} IS NULL THEN 0 ELSE 1 END)"
+    if mode == "CURRENT ROW":
+        return (
+            f"(CASE WHEN count({e}) {pw} - {own} = 0 THEN NULL "
+            f"ELSE sum({e}) {pw} - coalesce({e}, 0) END)"
+        )
+    if mode == "GROUP":
+        return (
+            f"(CASE WHEN count({e}) {pw} = count({e}) {pk} THEN NULL "
+            f"ELSE sum({e}) {pw} - coalesce(sum({e}) {pk}, 0) END)"
+        )
+    # TIES: drop peers, keep the current row
+    return (
+        f"(CASE WHEN count({e}) {pw} - count({e}) {pk} + {own} = 0 THEN NULL "
+        f"ELSE sum({e}) {pw} - coalesce(sum({e}) {pk}, 0) + coalesce({e}, 0) END)"
+    )
+
+
+_WINDOW_CLAUSE_RE = re.compile(
+    r"\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(", re.I
+)
+
+
+def _rewrite_window_exclude(masked: str) -> str:
+    """PG window frame EXCLUDE (CURRENT ROW | GROUP | TIES | NO OTHERS),
+    which Spark's parser rejects. NO OTHERS is a no-op and is stripped
+    anywhere; the other three lower to two-window arithmetic via
+    _exclude_expr, in both the inline ``OVER (...)`` form and the
+    single-definition named ``WINDOW w AS (...)`` form."""
+    if not _EXCLUDE_KW_RE.search(masked):
+        return masked
+    masked = re.sub(r"\s+EXCLUDE\s+NO\s+OTHERS\b", "", masked, flags=re.I)
+
+    # named windows: inline each EXCLUDE definition into its call sites
+    while True:
+        m = _WINDOW_CLAUSE_RE.search(masked)
+        if not m:
+            break
+        name = m.group(1)
+        o = masked.index("(", m.end() - 1)
+        c = _match_paren(masked, o)
+        body = masked[o + 1 : c]
+        if not _EXCLUDE_KW_RE.search(body):
+            break
+        def _call(cm: re.Match) -> str:
+            return _exclude_expr(cm.group(1), cm.group(2), body)
+        if re.match(r"\s*,", masked[c + 1 :]):
+            raise NotImplementedError(
+                "window EXCLUDE in a multi-definition WINDOW clause"
+            )
+        head = re.sub(
+            r"([A-Za-z_]\w*)\s*\(\s*([^()]*?)\s*\)\s+OVER\s*\(\s*"
+            + name + r"\s*\)",
+            _call,
+            masked[: m.start()],
+            flags=re.I,
+        )
+        masked = head + masked[c + 1 :]
+
+    # inline form
+    while True:
+        changed = False
+        for cm in re.finditer(
+            r"([A-Za-z_]\w*)\s*\(\s*([^()]*?)\s*\)\s+OVER\s*\(", masked, re.I
+        ):
+            o = masked.index("(", cm.end() - 1)
+            c = _match_paren(masked, o)
+            body = masked[o + 1 : c]
+            if not _EXCLUDE_KW_RE.search(body):
+                continue
+            rep = _exclude_expr(cm.group(1), cm.group(2), body)
+            masked = masked[: cm.start()] + rep + masked[c + 1 :]
+            changed = True
+            break
+        if not changed:
+            break
+    if _EXCLUDE_KW_RE.search(masked):
+        raise NotImplementedError("window EXCLUDE in an unsupported position")
+    return masked
+
+
 def _flatten_in_under_exists(masked: str) -> str:
     """Decorrelate `X IN (SELECT e FROM t WHERE w)` nested inside an
     EXISTS body when w correlates to the EXISTS body's own FROM tables
@@ -2480,6 +2594,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_to_char(masked, lits)
     masked = _rewrite_to_datetime(masked, lits)
     masked = _expand_window_inheritance(masked)
+    masked = _rewrite_window_exclude(masked)
     masked = _flatten_in_under_exists(masked)
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
