@@ -291,3 +291,77 @@ from sale order by cn, vn, pn
 """,
     "olap_window.sql:330 — windowed average over the vendor partition.",
 )
+
+# -- qp_misc_jiras.sql MPP-5223: year-over-year sales growth -------------------
+
+register_regress(
+    "regress_jira_sales_growth_range",
+    """
+select product, year_, sales,
+       100 * (1.0 - sales / (sum(sales) over (w))) as sales_growth_pct
+from
+  (select product,
+          cast(extract(year from time_) as bigint) as year_,
+          cast(extract(month from time_) as bigint) as month_,
+          sum(sales) as sales
+   from tbl5223_sales_fact
+   group by product, year_, month_
+  ) product_yearly_sales
+window w as (partition by product order by year_ * 12 + month_
+             range between 12 preceding and 1 preceding)
+order by year_, product, sales, month_
+""",
+    "qp_misc_jiras.sql:640 (MPP-5223) — trailing-12-month sales growth: "
+    "RANGE frame with both bounds PRECEDING over the computed month "
+    "index; the file's exact 90-row sales_fact (integer-cent values as "
+    "exact doubles so the ratio is one IEEE division); ORDER BY extended "
+    "with month_ — the spec's (year, product, sales) key repeats for "
+    "equal-priced months and the growth column then differs by frame. "
+    "DuckDB cannot reference a framed named window, so its oracle "
+    "inlines w.",
+    tags=("olap_window",),
+    oracle="""
+select product, year_, sales,
+       100 * (1.0 - sales / (sum(sales) over (partition by product
+            order by year_ * 12 + month_
+            range between 12 preceding and 1 preceding))) as sales_growth_pct
+from
+  (select product,
+          cast(extract(year from time_) as bigint) as year_,
+          cast(extract(month from time_) as bigint) as month_,
+          sum(sales) as sales
+   from tbl5223_sales_fact
+   group by product, year_, month_
+  ) product_yearly_sales
+order by year_, product, sales, month_
+""",
+    prelude="""
+WITH tbl5223_sales_fact(time_, product, sales) AS (
+  SELECT CAST(t AS TIMESTAMP), p, CAST(s AS DOUBLE) FROM (VALUES
+    ('2007-01-02', 1, 1.03), ('2007-01-06', 2, 13.25), ('2007-01-11', 3, 8.32),
+    ('2007-02-24', 1, 1.05), ('2007-02-08', 2, 15.25), ('2007-03-15', 3, 8.32),
+    ('2007-03-03', 1, 1.06), ('2007-03-02', 2, 10.25), ('2007-04-05', 3, 8.32),
+    ('2007-05-09', 1, 1.07), ('2007-06-28', 2, 12.25), ('2007-06-22', 3, 8.3),
+    ('2007-07-10', 1, 1.09), ('2007-08-08', 2, 15.25), ('2007-09-02', 3, 8.32),
+    ('2007-10-14', 1, 1.29), ('2007-11-12', 2, 13.25), ('2007-12-03', 3, 8.32),
+    ('2007-12-06', 3, 8.32), ('2007-12-10', 3, 8.32),
+    ('2007-01-02', 1, 1.39), ('2007-01-06', 2, 14.25), ('2007-01-11', 3, 8.32),
+    ('2007-02-24', 1, 1.44), ('2007-02-08', 2, 16.25), ('2007-03-15', 3, 8.32),
+    ('2007-03-03', 1, 1.52), ('2007-03-02', 2, 15.25), ('2007-04-05', 3, 8.32),
+    ('2007-05-09', 1, 1.42), ('2007-06-28', 2, 19.25), ('2007-06-22', 3, 8.32),
+    ('2007-07-10', 1, 1.45), ('2007-08-08', 2, 15.25), ('2007-09-02', 3, 8.32),
+    ('2007-10-14', 1, 1.90), ('2007-11-12', 2, 14.25), ('2007-12-03', 3, 8.32),
+    ('2007-12-06', 3, 8.32), ('2007-12-10', 3, 8.32),
+    ('2008-01-02', 1, 2.03), ('2008-01-06', 2, 23.25), ('2008-01-11', 3, 9.32),
+    ('2008-02-24', 1, 2.05), ('2008-02-08', 2, 25.25), ('2008-03-15', 3, 9.32),
+    ('2008-03-03', 1, 2.06), ('2008-03-02', 2, 20.25), ('2008-04-05', 3, 9.32),
+    ('2008-05-09', 1, 2.07), ('2008-06-28', 2, 22.25), ('2008-06-22', 3, 9.3),
+    ('2008-07-10', 1, 2.09), ('2008-08-08', 2, 25.25), ('2008-09-02', 3, 9.32),
+    ('2008-10-14', 2, 2.29), ('2008-11-12', 2, 23.25), ('2008-12-03', 3, 9.32),
+    ('2008-12-06', 3, 9.32), ('2008-12-10', 3, 10.32),
+    ('2008-01-02', 1, 2.39), ('2008-01-06', 2, 24.25), ('2008-01-11', 3, 2.32),
+    ('2008-02-24', 1, 2.44), ('2008-02-08', 2, 26.25)
+  ) v(t, p, s)
+)
+""",
+)

@@ -790,3 +790,80 @@ def test_negative_or_zero_subscript_loud():
         t("SELECT a[0] FROM x")
     # positive subscripts still rewrite
     assert "try_element_at(a, 1)" in t("SELECT a[1] FROM x")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 frontend additions: window EXCLUDE lowering, DISTINCT ON in
+# subqueries, generate_series with scalar-subquery bounds.
+# ---------------------------------------------------------------------------
+
+
+def test_window_exclude_current_row_lowering():
+    out = t(
+        "select vn, sum(vn) over (w) from sale window w as "
+        "(order by vn rows between unbounded preceding and unbounded "
+        "following exclude current row)"
+    )
+    assert "exclude" not in out.lower()
+    assert "window" not in out.lower()
+    assert "coalesce(vn, 0)" in out.lower()
+    assert "case when count(vn) over ()" in out.lower()
+
+
+def test_window_exclude_group_and_ties_lowering():
+    for mode, frag in (("group", "- coalesce(sum(vn) over"),
+                       ("ties", "+ coalesce(vn, 0)")):
+        out = t(
+            f"select sum(vn) over (order by vn rows between unbounded "
+            f"preceding and unbounded following exclude {mode}) from sale"
+        )
+        assert "exclude" not in out.lower()
+        assert frag in out.lower()
+        assert "partition by vn" in out.lower()
+
+
+def test_window_exclude_no_others_stripped():
+    out = t(
+        "select sum(vn) over (order by vn rows between unbounded preceding "
+        "and unbounded following exclude no others) from sale"
+    )
+    assert "exclude" not in out.lower()
+    assert "rows between unbounded preceding" in out.lower()
+
+
+def test_window_exclude_partial_frame_fails_loudly():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        t(
+            "select sum(vn) over (order by vn rows between 1 preceding and "
+            "current row exclude ties) from sale"
+        )
+
+
+def test_window_exclude_non_sum_fails_loudly():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        t(
+            "select avg(vn) over (order by vn rows between unbounded "
+            "preceding and unbounded following exclude group) from sale"
+        )
+
+
+def test_distinct_on_inside_subquery_rewritten():
+    out = t(
+        "select * from t0 where (i, j) in "
+        "(select distinct on (i) i, j from t0 order by i, j desc)"
+    )
+    assert "distinct on" not in out.lower()
+    assert "row_number()" in out.lower()
+    assert "rn__ = 1" in out
+
+
+def test_generate_series_subquery_bound():
+    out = t(
+        "select g from generate_series(0, (select max(x) from b)) gs(g)"
+    )
+    assert "generate_series" not in out.lower()
+    assert "explode(sequence(0, (select max(x) from b)))" in out.lower()
