@@ -876,3 +876,53 @@ def test_cbo_join_reorder_with_stats(spark):
             spark.conf.set(k, v)
         for t in ("cbo_big", "cbo_mid", "cbo_small"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _scan_files_read(df) -> int:
+    """Sum the numFiles metric over every file scan in the executed plan
+    (partition pruning verdict: how many partition files were touched)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        m = leaf.metrics()
+        if m.contains("numFiles"):
+            total += m.apply("numFiles").value()
+    return total
+
+
+@pytest.mark.parametrize(
+    "pred,nfiles",
+    [
+        ("true", 8),                        # full scan: 7 letters + null dir
+        ("a = 'a'", 1),
+        ("'a' = a", 1),                     # commuted (partition_prune.sql:44)
+        ("a > 'a' and a < 'd'", 2),         # b, c
+        ("a > 'a' and a <= 'd'", 3),        # b, c, d
+        ("a is null", 1),
+        ("a is not null", 7),
+        ("a = 'a' or a = 'c'", 2),
+        ("a <> 'g'", 6),                    # nulls excluded by <> too
+        ("a not in ('a', 'd')", 5),         # b, c, e, f, g
+    ],
+)
+def test_partition_prune_matrix(spark, tmp_path_factory, pred, nfiles):
+    """partition_prune.sql:38-51 list-partition pruning matrix, as a
+    files-actually-read audit over a hive-layout parquet (one file per
+    partition directory, a in 'a'..'g' plus the NULL partition): every
+    predicate class the reference EXPLAINs — equality, commuted
+    equality, ranges, IS [NOT] NULL, OR-of-equalities, <>, NOT IN —
+    must touch exactly the reference's partition set. This is the
+    static analog of test_dpp_prunes_fact_scan's runtime pruning."""
+    base = tmp_path_factory.getbasetemp() if hasattr(tmp_path_factory, "getbasetemp") else None
+    path = str((base or __import__("pathlib").Path("/tmp")) / "prune_lp_fixture")
+    import os
+    if not os.path.exists(path):
+        rows = [(c, i) for i, c in enumerate("abcdefg")] + [(None, 99)]
+        df = spark.createDataFrame(rows, "a string, payload int")
+        df.repartition("a").write.mode("overwrite").partitionBy("a").parquet(path)
+    lp = spark.read.parquet(path)
+    got = _scan_files_read(lp.filter(pred))
+    assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
