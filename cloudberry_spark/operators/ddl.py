@@ -237,3 +237,53 @@ def ddl_stats_ext_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(col_stats("n_regionkey"))
         .orderBy("col")
     )
+
+
+@register(
+    "ddl_storage_compression",
+    oracle="""
+        WITH agg AS (
+          SELECT COUNT(*) AS n,
+                 CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS price_sum,
+                 COUNT(DISTINCT l_returnflag) AS flags
+          FROM lineitem
+        )
+        SELECT codec, n, price_sum, flags
+        FROM (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec), agg
+        ORDER BY codec
+    """,
+    doc="AOCO_Compression.sql:194-201 / rle.sql — per-column ENCODING "
+    "(compresstype=zlib|rle_type|zstd, blocksize) as the parquet "
+    "storage model: the same lineitem slice written under gzip, snappy "
+    "and zstd column compression (PG's zlib≙gzip; rle_type is parquet's "
+    "built-in RLE_DICTIONARY encoding, always on for low-cardinality "
+    "columns — tests/test_operators_misc.py::test_storage_compression_"
+    "encodings pins both the codec metadata and the dictionary encoding "
+    "per column chunk). Returns identical content aggregates per codec: "
+    "compression must never change query results.",
+    tags=("ddl", "storage"),
+)
+def ddl_storage_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"
+    )
+    frames = []
+    base = _scratch(sf_dir, "storage_codecs")
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        frames.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2)
+                .cast("double")
+                .alias("price_sum"),
+                F.countDistinct("l_returnflag").alias("flags"),
+            ).select("codec", "n", "price_sum", "flags")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("codec")

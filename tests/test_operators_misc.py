@@ -612,3 +612,36 @@ def test_plpgsql_loop_control_and_blocks():
             "create function f() returns int as $$ begin exit; "
             "return 1; end; $$ language plpgsql"
         )
+
+
+def test_storage_compression_encodings(spark):
+    """AOCO_Compression.sql per-column ENCODING parity at the parquet
+    level: each codec's footer records the codec, every codec round-trips
+    identical data, and the low-cardinality l_returnflag column chunk is
+    dictionary/RLE-encoded (PG's rle_type analog) in every file."""
+    import pyarrow.parquet as pq
+
+    from cloudberry_spark.registry import all_queries
+    from cloudberry_spark.sources.external import _scratch
+    from tests.conftest import SF_DIR
+    import os
+
+    rows = all_queries()["ddl_storage_compression"].fn(spark, SF_DIR).collect()
+    assert [r["codec"] for r in rows] == ["gzip", "snappy", "zstd"]
+    assert len({(r["n"], r["price_sum"], r["flags"]) for r in rows}) == 1
+
+    base = os.path.dirname(_scratch(SF_DIR, "storage_codecs") + "/")
+    for codec in ("gzip", "snappy", "zstd"):
+        d = os.path.join(base, codec)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        meta = pq.ParquetFile(os.path.join(d, part)).metadata
+        rg = meta.row_group(0)
+        codecs = {rg.column(i).compression.lower() for i in range(rg.num_columns)}
+        assert codecs == {codec}, (codec, codecs)
+        flag_col = next(
+            rg.column(i)
+            for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema == "l_returnflag"
+        )
+        encs = {str(e) for e in flag_col.encodings}
+        assert any("RLE_DICTIONARY" in e or "PLAIN_DICTIONARY" in e for e in encs), encs
