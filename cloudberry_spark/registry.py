@@ -328,8 +328,8 @@ _LEAD = [
         "regress_dropped_cols_join_after_drop",
         "regress_qpmisc_b00_abs_aggregate_approximate",
         "regress_qpmisc_b13_is_join_like_ln",
-        "regress_qpmisc_b24_string_subquery_substring",
-        "regress_qpmisc_b10_distinct_empty_exact_except_exp",
+        "regress_olapw_exclude_group",
+        "regress_subgp_distinct_on_in_desc",
         "udf_plpgsql_qual_names",
         "udf_plpgsql_exit_label_nested",
         "udf_plpgsql_record_into",
@@ -358,19 +358,19 @@ _LEAD = [
         "tpcds_q41_real",
         "regress_gporca_outerref_countbug_both",
         "regress_gporca_result_having_const",
-        "regress_gporca_cte_in_any",
+        "ddl_part_split_exchange",
         "tpch_q2_real",
-        "tpch_q21_real",
+        "regress_matview_datastatus",
         "tpcds_q64_real",
         "tpcds_q14_real",
         "tpcds_q02_real",
         "tpcds_q49_real",
         "tpcds_q05_real",
         "tpcds_q75_real",
-        "regress_qpwith_shadow_cte_over_table",
-        "regress_qpwith_shadow_two_table_names",
-        "regress_qpwith_cte_alias_same_name",
-        "regress_rio_band_join_fivemin",
+        "regress_subgp_initplan_except_series",
+        "regress_subgp_pullup_count_limit",
+        "regress_rowsecurity_policies",
+        "ddl_storage_compression",
 ]
 
 

@@ -220,6 +220,17 @@ def main() -> None:
         "tpcds_q66_real",
         "tpcds_q77_real",
         "tpcds_q80_real",
+        # round 9 session 2: new batteries' heads + new operator classes
+        "regress_subgp_case_subplan_in_in",
+        "regress_subgp_xsupplier_semi",
+        "regress_subgp_pullup_count_eq",
+        "regress_olapw_exclude_group",
+        "regress_olapw_avg_pct_rank_stack",
+        "regress_jira_sales_growth_range",
+        "ddl_part_split_exchange",
+        "regress_matview_datastatus",
+        "regress_rowsecurity_policies",
+        "ddl_storage_compression",
     ]
     from cloudberry_spark import planhook
 
