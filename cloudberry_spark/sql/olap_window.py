@@ -365,3 +365,72 @@ WITH tbl5223_sales_fact(time_, product, sales) AS (
 )
 """,
 )
+
+# -- multirangetypes.sql: range_agg -> canonical disjoint multirange ----------
+
+register_regress(
+    "regress_multirange_range_agg",
+    """
+with raw(lo, hi) as (values
+  (1, 4), (3, 7), (7, 9), (12, 15), (14, 14), (20, 25), (22, 30), (35, 40)),
+rngs as (select lo, hi from raw where lo < hi),
+marked as (
+  select lo, hi,
+         case when lo > max(hi) over (order by lo, hi
+              rows between unbounded preceding and 1 preceding)
+              then 1 else 0 end as new_island
+  from rngs
+),
+islands as (
+  select lo, hi,
+         sum(new_island) over (order by lo, hi
+             rows between unbounded preceding and current row) as island
+  from marked
+)
+select cast(min(lo) as int) as mr_lo, cast(max(hi) as int) as mr_hi,
+       cast(count(*) as bigint) as merged_from
+from islands
+group by island
+order by mr_lo
+""",
+    "src/test/regress/sql/multirangetypes.sql — range_agg: collapsing a "
+    "bag of int4ranges into the canonical DISJOINT ordered multirange "
+    "(multirangetypes.c make_multirange normalization: overlapping and "
+    "ADJACENT ranges merge — [1,4)+[3,7)+[7,9) is one part; empties "
+    "drop). The merge is the gaps-islands cumulative-max window, one "
+    "sort at 100 TB; identical text on both engines.",
+    tags=("range",),
+    prelude="WITH _unused(x) AS (VALUES (0))",
+)
+
+register_regress(
+    "regress_multirange_membership",
+    """
+with raw(lo, hi) as (values (1, 4), (3, 9), (12, 15), (20, 30)),
+marked as (
+  select lo, hi,
+         case when lo > max(hi) over (order by lo, hi
+              rows between unbounded preceding and 1 preceding)
+              then 1 else 0 end as new_island
+  from raw
+),
+islands as (
+  select lo, hi,
+         sum(new_island) over (order by lo, hi
+             rows between unbounded preceding and current row) as island
+  from marked
+),
+mr as (select min(lo) as lo, max(hi) as hi from islands group by island),
+probes(p) as (values (0), (1), (8), (9), (13), (19), (29), (30))
+select p,
+       exists (select 1 from mr where p >= lo and p < hi) as contained,
+       cast((select count(*) from mr where p >= lo and p < hi) as bigint) as n_parts
+from probes
+order by p
+""",
+    "multirangetypes.sql — multirange @> elem: point containment against "
+    "the normalized parts (each probe hits at most one part, pinned by "
+    "n_parts <= 1); half-open [lo, hi) discrete semantics.",
+    tags=("range",),
+    prelude="WITH _unused(x) AS (VALUES (0))",
+)
