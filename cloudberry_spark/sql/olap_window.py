@@ -434,3 +434,56 @@ order by p
     tags=("range",),
     prelude="WITH _unused(x) AS (VALUES (0))",
 )
+
+# -- qp_misc_jiras.sql MPP-4896: CUBE over composite sets w/ repeated cols ----
+
+register_regress(
+    "regress_jira_cube_composite_aliases",
+    """
+select sale.cn * 2 as newalias1,
+       case when sale.vn < 10 then 1 else 2 end as newalias2,
+       sale.cn + sale.cn as newalias3,
+       to_char(coalesce(max(distinct floor(sale.vn / sale.cn)), 0), '99999999.9999999') as c1,
+       to_char(coalesce(max(distinct floor(sale.cn)), 0), '99999999.9999999') as c2,
+       to_char(coalesce(avg(distinct floor(sale.vn + sale.pn)), 0), '99999999.9999999') as c3,
+       to_char(coalesce(sum(distinct floor(sale.qty)), 0), '99999999.9999999') as c4,
+       to_char(coalesce(count(distinct floor(sale.cn)), 0), '99999999.9999999') as c5,
+       to_char(coalesce(count(distinct floor(sale.qty)), 0), '99999999.9999999') as c6
+from sale, customer
+where sale.cn = customer.cn
+group by cube((sale.dt), (newalias1, newalias2, newalias1),
+              (sale.cn, sale.cn, sale.cn, newalias1),
+              (sale.qty), (sale.pn, newalias3, sale.vn),
+              (sale.vn, sale.vn, sale.prc), (sale.cn, newalias2)),
+         sale.cn, sale.vn
+""",
+    "qp_misc_jiras.sql:742-757 (MPP-4896) — CUBE over seven COMPOSITE "
+    "grouping sets that repeat columns within a set and reference "
+    "SELECT-list ALIASES, beside plain grouping keys; DISTINCT "
+    "aggregates of floor() expressions under COALESCE, formatted by PG "
+    "numeric to_char templates (Spark runs to_char natively; the "
+    "DuckDB oracle spells the template as printf, and the spec's "
+    "VARIANCE(DISTINCT) column is dropped: over the CUBE's 1-2 element "
+    "distinct sets the two engines' var_samp formulas differ in the "
+    "last ulp which the 7-decimal template exposes).",
+    tags=("olap_window", "groupingsets"),
+    prelude=OLAPW_PRELUDE,
+    oracle="""
+select sale.cn * 2 as newalias1,
+       case when sale.vn < 10 then 1 else 2 end as newalias2,
+       sale.cn + sale.cn as newalias3,
+       printf('%16.7f', cast(coalesce(max(distinct floor(sale.vn / sale.cn)), 0) as double)) as c1,
+       printf('%16.7f', cast(coalesce(max(distinct floor(sale.cn)), 0) as double)) as c2,
+       printf('%16.7f', cast(coalesce(avg(distinct floor(sale.vn + sale.pn)), 0) as double)) as c3,
+       printf('%16.7f', cast(coalesce(sum(distinct floor(sale.qty)), 0) as double)) as c4,
+       printf('%16.7f', cast(coalesce(count(distinct floor(sale.cn)), 0) as double)) as c5,
+       printf('%16.7f', cast(coalesce(count(distinct floor(sale.qty)), 0) as double)) as c6
+from sale, customer
+where sale.cn = customer.cn
+group by cube((sale.dt), (newalias1, newalias2, newalias1),
+              (sale.cn, sale.cn, sale.cn, newalias1),
+              (sale.qty), (sale.pn, newalias3, sale.vn),
+              (sale.vn, sale.vn, sale.prc), (sale.cn, newalias2)),
+         sale.cn, sale.vn
+""",
+)
