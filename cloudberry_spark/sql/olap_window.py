@@ -55,6 +55,13 @@ tbl_with_nulls(t, a, b) AS (
   VALUES ('a', 1, 10), ('b', 1, 10), ('c', 1, 10), ('d', 2, 10),
          ('e', 2, 20), ('f', 2, 20), ('g', NULL, 20), ('h', NULL, 20),
          ('i', NULL, 30)
+),
+olap_tmp_for_window(g, h, i, x) AS (
+  SELECT 9, h, i, x
+  FROM (VALUES (1), (2)) r(rep),
+       (VALUES (1), (4)) hh(h),
+       (VALUES (1), (2)) ii(i),
+       (VALUES (1), (0), (1), (0)) xx(x)
 )
 """
 
@@ -485,5 +492,72 @@ group by cube((sale.dt), (newalias1, newalias2, newalias1),
               (sale.qty), (sale.pn, newalias3, sale.vn),
               (sale.vn, sale.vn, sale.prc), (sale.cn, newalias2)),
          sale.cn, sale.vn
+""",
+)
+
+# -- grouping()/rank over ROLLUP + aggregate-nesting equivalents --------------
+
+_reg(
+    "regress_olapw_rollup_grouping_rank",
+    """
+select cast(grouping(cn, vn, pn) as bigint) as gr, cn, vn, pn,
+       sum(qty * prc) as s,
+       cast(rank() over (partition by cn order by sum(qty * prc)) as bigint) as r
+from sale
+group by rollup(cn, vn, pn)
+order by 2, 6
+""",
+    "olap_window.sql:355 — multi-argument grouping() beside a rank "
+    "window ORDERED BY the same query's aggregate, over ROLLUP output "
+    "(the window partitions include the rollup's NULL key rows).",
+)
+
+_reg(
+    "regress_olapw_rollup_rank_derived",
+    """
+select g, cn, vn, pn, s,
+       cast(rank() over (partition by g order by s) as bigint) as r
+from
+  (select cast(grouping(cn, vn, pn) as bigint), cn, vn, pn, sum(qty * prc)
+   from sale
+   group by rollup(cn, vn, pn)) olap_tmp_for_window(g, cn, vn, pn, s)
+order by 1, 6
+""",
+    "olap_window.sql:459 — the file's 'equivalent' spelling: ROLLUP in a "
+    "derived table with a COLUMN ALIAS LIST, ranked outside by the "
+    "aliased grouping level.",
+)
+
+_reg(
+    "regress_olapw_count_any_running",
+    """
+select pn, cast(count(pn) over (order by pn) as bigint) as c
+from sale order by pn, c
+""",
+    "olap_window.sql:394 — count(col) (not count(*)) as a running window: "
+    "the 'any'-argument count inversion special case; peers share counts.",
+)
+
+_reg(
+    "regress_olapw_nested_agg_window_equiv",
+    """
+select g,
+       cast(avg(x) as double) as ax,
+       cast(avg(g) over (partition by h order by i) as double) as ag,
+       cast(sum(avg(x)) over (partition by i order by g) as double) as sax
+from olap_tmp_for_window
+group by g, h, i
+""",
+    "olap_window.sql:434-448 — windows over the SAME query's aggregates "
+    "(sum(avg(x)) nesting, the q47 family) with the file's asserted "
+    "equivalence to the derived-table spelling; the fixture's x in {0,1} "
+    "makes every avg an exact binary fraction.",
+    oracle="""
+select g,
+       cast(avg(x) as double) as ax,
+       cast(avg(g) over (partition by h order by i) as double) as ag,
+       cast(sum(avg(x)) over (partition by i order by g) as double) as sax
+from olap_tmp_for_window
+group by g, h, i
 """,
 )
