@@ -561,3 +561,118 @@ from olap_tmp_for_window
 group by g, h, i
 """,
 )
+
+# -- olap_window tier 3: framed/desc/grouping-partitioned windows -------------
+
+_reg(
+    "regress_olapw_rank_partition_by_grouping",
+    """
+select cast(grouping(cn, vn, pn) as bigint) as gr, cn, vn, pn,
+       sum(qty * prc) as s,
+       cast(rank() over (partition by grouping(cn, vn, pn)
+                         order by sum(qty * prc)) as bigint) as r
+from sale
+group by rollup(cn, vn, pn)
+order by 1, 6
+""",
+    "olap_window.sql:477 — the window PARTITIONED BY grouping() itself: "
+    "each rollup level ranks independently.",
+)
+
+_reg(
+    "regress_olapw_range_count_basic",
+    """
+select pn, cast(count(*) over (order by pn
+       range between 1 preceding and 1 following) as bigint) as c
+from sale
+order by pn
+""",
+    "olap_window.sql:485 — the basic value-RANGE framed count.",
+)
+
+_reg(
+    "regress_olapw_range_interval_date",
+    """
+select cn, dt, qty,
+       cast(sum(qty) over (order by dt
+            range between interval '12' month preceding
+                      and interval '1' month following) as bigint) as s
+from sale order by dt, cn, qty
+""",
+    "olap_window.sql:491 — RANGE frame with INTERVAL offsets over a DATE "
+    "ordering key (the date-arithmetic type-inference case the file "
+    "calls out); the spec's '1 year'::interval spelled INTERVAL '12' "
+    "MONTH so both frame bounds share one year-month interval type "
+    "(Spark requires matching bound types; 12 months == 1 year).",
+)
+
+_reg(
+    "regress_olapw_mixed_desc_fullframe",
+    """
+select sale.prc, sale.cn as cn1, sale.cn as cn2,
+       cast(avg(sale.pn) over (win1) as double) as avg_,
+       sale.vn, sale.pn,
+       cast(dense_rank() over (win2) as bigint) as dr
+from sale, vendor
+where sale.vn = vendor.vn
+window win1 as (order by sale.pn desc, sale.vn asc, sale.cn desc
+                rows between unbounded preceding and unbounded following),
+       win2 as (order by sale.pn asc)
+""",
+    "olap_window.sql:540 (MPP-1762) — mixed DESC/ASC three-key ordering "
+    "under a full ROWS frame (the average is frame-constant, so the "
+    "sort is pure plan exercise) beside an opposite-direction "
+    "dense_rank, both as named windows (DuckDB cannot reference a "
+    "framed named window, so its oracle inlines win1).",
+    oracle="""
+select sale.prc, sale.cn as cn1, sale.cn as cn2,
+       cast(avg(sale.pn) over (order by sale.pn desc, sale.vn asc, sale.cn desc
+                rows between unbounded preceding and unbounded following) as double) as avg_,
+       sale.vn, sale.pn,
+       cast(dense_rank() over (order by sale.pn asc) as bigint) as dr
+from sale, vendor
+where sale.vn = vendor.vn
+""",
+)
+
+_reg(
+    "regress_olapw_desc_range_frame",
+    """
+select sale.cn, sale.prc, sale.qty,
+       cast(sum(floor(sale.prc * sale.qty))
+            over (order by sale.cn desc
+                  range between 4 preceding and 4 following) as bigint) as foo
+from sale
+""",
+    "olap_window.sql:575 (MPP-1805) — symmetric value-RANGE frame over a "
+    "DESCENDING int ordering (preceding = larger keys).",
+)
+
+_reg(
+    "regress_olapw_grouping_partition_sum",
+    """
+select cn, vn, pn, gr,
+       cast(sum(vn) over (partition by gr order by cn) as bigint) as s
+from (select cn, vn, pn, cast(grouping(cn, vn, pn) as bigint) as gr
+      from sale group by rollup(cn, vn, pn)) t
+order by 4
+""",
+    "olap_window.sql:617-622 (MPP-1840) — grouping + windowing: running "
+    "sum partitioned by the rollup level with the default RANGE frame "
+    "(peers incl. the level's NULL-key rows share sums), in the file's "
+    "own begin/end-equivalent derived-table spelling (Spark cannot "
+    "window over a grouping column at the same level as ROLLUP).",
+)
+
+_reg(
+    "regress_olapw_reverse_running_sum",
+    """
+select sale.vn, sale.cn,
+       cast(sum(sale.cn) over (partition by sale.vn order by sale.cn desc
+            range between current row and unbounded following) as bigint) as s
+from sale
+""",
+    "olap_window.sql:613 (MPP-1804) — CURRENT ROW .. UNBOUNDED FOLLOWING "
+    "over a descending ordering (the suffix-sum that once returned the "
+    "wrong row count).",
+)
