@@ -676,3 +676,46 @@ from sale
     "over a descending ordering (the suffix-sum that once returned the "
     "wrong row count).",
 )
+
+# -- qp_olap_group2.sql: the ORCA GROUPING-fallback battery -------------------
+#
+# The file is a 4x6 template: {GROUPING(pname), GROUPING(pn),
+# GROUPING(pn)+1, SUM(pn)} x {three GROUPING SETS spellings incl. a
+# DUPLICATE set, three composite-ROLLUP spellings incl. repeated
+# columns}. Each query projects exactly one column, so the 24 variants
+# pack into batteries of (qnum, g1) rows; the spec's ORDER BY g1 is
+# dropped (the harness compares sorted multisets).
+
+_G2_EXPRS = [
+    ("grouping_pname", "cast(grouping(product.pname) as bigint)"),
+    ("grouping_pn", "cast(grouping(sale.pn) as bigint)"),
+    ("grouping_pn_plus1", "cast(grouping(sale.pn) + 1 as bigint)"),
+    ("sum_pn", "cast(sum(sale.pn) as bigint)"),
+]
+_G2_GROUPS = [
+    ("gs_two", "GROUPING SETS (sale.pn, product.pname)"),
+    ("gs_dup", "GROUPING SETS (sale.pn, product.pname, sale.pn)"),
+    ("gs_composite", "GROUPING SETS ((sale.pn), (product.pname, sale.pn))"),
+    ("rollup_pair", "ROLLUP((sale.pn, product.pname))"),
+    ("rollup_dupcol", "ROLLUP((sale.pn, product.pname, sale.pn))"),
+    ("rollup_three", "ROLLUP((sale.pn), (product.pname), (sale.pn))"),
+]
+
+for _gname, _gclause in _G2_GROUPS:
+    _arms = []
+    for _i, (_ename, _expr) in enumerate(_G2_EXPRS, 1):
+        _arms.append(
+            f"select '{_ename}' as variant, {_expr} as g1\n"
+            f"from product, sale where product.pn = sale.pn\n"
+            f"group by {_gclause}"
+        )
+    _reg(
+        f"regress_olapg2_{_gname}",
+        "\n".join(
+            ("union all\n" if i else "") + arm for i, arm in enumerate(_arms)
+        ),
+        f"qp_olap_group2.sql — the ORCA-fallback GROUPING battery arm "
+        f"`{_gclause}` under all four select templates (GROUPING of a "
+        f"join column / non-grouped duplicate handling / +1 arithmetic / "
+        f"SUM), packed as one UNION ALL battery.",
+    )
