@@ -231,6 +231,11 @@ def main() -> None:
         "regress_matview_datastatus",
         "regress_rowsecurity_policies",
         "ddl_storage_compression",
+        "regress_olapg2_gs_dup",
+        "regress_multirange_range_agg",
+        "regress_jira_cube_composite_aliases",
+        "regress_olapw_rollup_grouping_rank",
+        "regress_foreign_key_enforcement",
     ]
     from cloudberry_spark import planhook
 
