@@ -86,9 +86,15 @@ baz_s(i) AS (VALUES (9))
 """
 
 
-def _reg(name: str, sql: str, doc: str, oracle: str | None = "same") -> None:
+def _reg(
+    name: str,
+    sql: str,
+    doc: str,
+    oracle: str | None = "same",
+    extra_tags: tuple[str, ...] = (),
+) -> None:
     register_regress(
-        name, sql, doc, tags=("subselect_gp",), oracle=oracle,
+        name, sql, doc, tags=("subselect_gp",) + extra_tags, oracle=oracle,
         prelude=SUBGP_PRELUDE,
     )
 
@@ -147,6 +153,7 @@ _reg(
 select x from mrs_t1 where exists (select x from mrs_t1 where x < -1) order by 1
 """,
     "subselect_gp.sql:108 — uncorrelated EXISTS that is statically empty; 0 rows.",
+    extra_tags=("may_be_empty",),
 )
 
 _reg(
@@ -266,6 +273,7 @@ where 1 = (select count(*) from csq_pullup t1 where t0.n + t1.n = t1.i)
 order by t
 """,
     "subselect_gp.sql:399 — f(outervar, innervar1)=innervar2 qual blocks pullup.",
+    extra_tags=("may_be_empty",),
 )
 
 _reg(
@@ -322,6 +330,7 @@ select a from (values (1)) t1(a) where a = 1 and a = 2 and a > (select t2.b from
     "initplan unreachable; 0 rows, no error (the file's empty t1/t2 "
     "spelled as single-row VALUES so the contradiction, not emptiness, "
     "kills the plan).",
+    extra_tags=("may_be_empty",),
 )
 
 # -- Correlated IN with LIMIT/OFFSET (subselect_gp.sql:553-557) --------------
@@ -359,6 +368,7 @@ select g, t from initplan_x,
       where g <= (select max(content) from initplan_y)) s(g)
 order by 1
 """,
+    extra_tags=("may_be_empty",),
 )
 
 # -- Multi-param initplan row()= (subselect_gp.sql:590) ----------------------
@@ -454,6 +464,7 @@ order by 1
 """,
     "subselect_gp.sql:1056 — ungrouped aggregate always yields one row, so "
     "OFFSET 1 empties the EXISTS: 0 rows.",
+    extra_tags=("may_be_empty",),
 )
 
 _reg(

@@ -689,8 +689,14 @@ def test_driver_prefix_composition():
         "tpcds_q72_real",
         "tpcds_q51_real",
         "tpch_q2_real",
-        "regress_qpwith_shadow_cte_over_table",
-        "regress_rio_band_join_fivemin",
+        # session-2 re-pins: the riskiest new code paths
+        "tpcds_q64_real",
+        "regress_olapw_exclude_group",
+        "regress_subgp_distinct_on_in_desc",
+        "ddl_part_split_exchange",
+        "regress_matview_datastatus",
+        "regress_rowsecurity_policies",
+        "ddl_storage_compression",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
