@@ -210,16 +210,16 @@ def _scratch(sf_dir: str, name: str) -> str:
     "ddl_part_split_exchange",
     oracle="""
         WITH base AS (
-          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 7500
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1500
         ), exchanged AS (
           SELECT o_orderkey,
-                 CASE WHEN o_orderkey >= 2500 AND o_orderkey < 5000
+                 CASE WHEN o_orderkey >= 500 AND o_orderkey < 1000
                       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
           FROM base
         )
-        SELECT CASE WHEN o_orderkey < 1250 THEN 'p0a'
-                    WHEN o_orderkey < 2500 THEN 'p0b'
-                    WHEN o_orderkey < 5000 THEN 'p1'
+        SELECT CASE WHEN o_orderkey < 250 THEN 'p0a'
+                    WHEN o_orderkey < 500 THEN 'p0b'
+                    WHEN o_orderkey < 1000 THEN 'p1'
                     ELSE 'p2' END AS part,
                COUNT(*) AS n,
                CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
@@ -229,33 +229,34 @@ def _scratch(sf_dir: str, name: str) -> str:
     doc="partition.sql:77-141 — SPLIT PARTITION AT + EXCHANGE PARTITION "
     "FOR over a range-partitioned lakehouse table: split [0,2500) at "
     "1250, exchange [2500,5000) with a repriced staged table, verify "
-    "per-partition counts/sums. Siblings stay byte-identical "
-    "(tests/test_partition_ddl.py).",
+    "per-partition counts/sums (bounds sized to the sf0.001 key span so "
+    "every partition is live at every fixture scale). Siblings stay "
+    "byte-identical (tests/test_partition_ddl.py).",
     tags=("ddl", "partition_lifecycle"),
 )
 def ddl_part_split_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    base = orders.filter(F.col("o_orderkey") < 7500)
+    base = orders.filter(F.col("o_orderkey") < 1500)
     t = RangePartitionedTable.create(
         _scratch(sf_dir, "part_ddl_split_exchange"),
         base,
         "o_orderkey",
-        [(0, 2500), (2500, 5000), (5000, 7500)],
+        [(0, 500), (500, 1000), (1000, 1500)],
     )
-    t.split_partition(spark, value=0, at=1250)
+    t.split_partition(spark, value=0, at=250)
     staged = base.filter(
-        (F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 5000)
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
     ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-    t.exchange_partition(spark, value=2500, staged=staged)
+    t.exchange_partition(spark, value=500, staged=staged)
     df = t.read(spark)
     return (
         df.withColumn(
             "part",
-            F.when(F.col("o_orderkey") < 1250, "p0a")
-            .when(F.col("o_orderkey") < 2500, "p0b")
-            .when(F.col("o_orderkey") < 5000, "p1")
+            F.when(F.col("o_orderkey") < 250, "p0a")
+            .when(F.col("o_orderkey") < 500, "p0b")
+            .when(F.col("o_orderkey") < 1000, "p1")
             .otherwise("p2"),
         )
         .groupBy("part")
@@ -270,10 +271,10 @@ def ddl_part_split_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ddl_part_add_truncate",
     oracle="""
-        SELECT CASE WHEN o_orderkey < 5000 THEN 'kept' ELSE 'added' END AS part,
+        SELECT CASE WHEN o_orderkey < 1000 THEN 'kept' ELSE 'added' END AS part,
                COUNT(*) AS n
         FROM orders
-        WHERE o_orderkey >= 2500 AND o_orderkey < 7500
+        WHERE o_orderkey >= 500 AND o_orderkey < 1500
         GROUP BY 1 ORDER BY 1
     """,
     doc="partition_append.sql — ADD PARTITION (new fileset, siblings "
@@ -286,20 +287,20 @@ def ddl_part_add_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    base = orders.filter(F.col("o_orderkey") < 5000)
+    base = orders.filter(F.col("o_orderkey") < 1000)
     t = RangePartitionedTable.create(
         _scratch(sf_dir, "part_ddl_add_trunc"),
         base,
         "o_orderkey",
-        [(0, 2500), (2500, 5000)],
+        [(0, 500), (500, 1000)],
     )
-    t.add_partition(5000, 7500, orders)
-    t.truncate_partition(0)  # drops [0,2500) from the current snapshot
+    t.add_partition(1000, 1500, orders)
+    t.truncate_partition(0)  # drops [0,500) from the current snapshot
     df = t.read(spark)
     return (
         df.withColumn(
             "part",
-            F.when(F.col("o_orderkey") < 5000, "kept").otherwise("added"),
+            F.when(F.col("o_orderkey") < 1000, "kept").otherwise("added"),
         )
         .groupBy("part")
         .agg(F.count("*").alias("n"))
