@@ -368,7 +368,7 @@ _LEAD = [
         "tpcds_q49_real",
         "tpcds_q05_real",
         "tpcds_q75_real",
-        "regress_subgp_initplan_except_series",
+        "regress_tsearch_tsquery_battery",
         "regress_subgp_pullup_count_limit",
         "regress_rowsecurity_policies",
         "ddl_storage_compression",
