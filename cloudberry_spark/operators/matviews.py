@@ -24,7 +24,6 @@ queries FROM these matviews; this module owns their lifecycle.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -34,12 +34,14 @@ truncate, and time-travel properties at the filesystem level.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudberry_spark.catalog import load_table
 from cloudberry_spark.registry import register
+from cloudberry_spark.sources.external import _scratch
 from cloudberry_spark.sources.snapshot import SnapshotTable
 
 
@@ -58,11 +60,14 @@ class RangePartitionedTable:
     def _dirname(lo: int, hi: int, version: int) -> str:
         return f"part-{lo}_{hi}-v{version}"
 
-    @staticmethod
-    def _bounds(d: str) -> tuple[int, int]:
-        span = d.split("-")[1]
-        lo, hi = span.split("_")
-        return int(lo), int(hi)
+    _DIR_RE = re.compile(r"^part-(-?\d+)_(-?\d+)-v\d+$")
+
+    @classmethod
+    def _bounds(cls, d: str) -> tuple[int, int]:
+        m = cls._DIR_RE.match(d)
+        if not m:
+            raise ValueError(f"unparseable partition dir name: {d!r}")
+        return int(m.group(1)), int(m.group(2))
 
     def _parts(self) -> dict[tuple[int, int], str]:
         return {self._bounds(d): d for d in self.st.manifest()["dirs"]}
@@ -200,10 +205,6 @@ class RangePartitionedTable:
         raise KeyError(f"no partition covers {value}")
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    base = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scratch")
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(base, sf, name)
 
 
 @register(

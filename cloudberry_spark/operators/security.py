@@ -62,9 +62,10 @@ def fk_insert(
 ) -> DataFrame:
     """Set-based FK check: any batch row whose key has no match in the
     referenced table aborts the whole statement (foreign_key.sql)."""
+    refs = referenced.select(F.col(ref_key).alias("__fk_ref_key")).distinct()
     orphans = batch.join(
-        F.broadcast(referenced.select(ref_key).distinct()),
-        batch[key] == F.col(ref_key),
+        F.broadcast(refs),
+        batch[key] == F.col("__fk_ref_key"),
         "left_anti",
     ).count()
     if orphans:

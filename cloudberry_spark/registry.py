@@ -303,6 +303,27 @@ _DRIVER_SAMPLED = frozenset(
     multimodal_image_png_decode udf_plpgsql_conditional_divzero
     regress_partition_join_pruned regress_qpdml_join_update
     regress_qpdml_join_delete regress_qpdml_join_update_values
+    ddl_part_split_exchange ddl_stats_ext_columns
+    ddl_storage_compression multimodal_video_avi_decode
+    regress_dropped_cols_dml_sequence_int4
+    regress_dropped_cols_dml_sequence_int8
+    regress_dropped_cols_join_after_drop regress_dropped_cols_readd
+    regress_gporca_outerref_countbug_both
+    regress_gporca_result_having_const regress_matview_datastatus
+    regress_numeric_big_avg_sign regress_olapw_exclude_group
+    regress_qpmisc_b00_abs_aggregate_approximate
+    regress_qpmisc_b13_is_join_like_ln regress_rowsecurity_policies
+    regress_rpt_mpph18 regress_rpt_mpph5 regress_rpt_mpph8
+    regress_subgp_distinct_on_in_desc regress_subgp_pullup_count_limit
+    regress_tsearch_tsquery_battery tpcds_q02_real tpcds_q05_real
+    tpcds_q09_real tpcds_q13_real tpcds_q14_real tpcds_q16_real
+    tpcds_q18_real tpcds_q23_real tpcds_q36_real tpcds_q37_real
+    tpcds_q41_real tpcds_q49_real tpcds_q51_real tpcds_q59_real
+    tpcds_q64_real tpcds_q70a_real tpcds_q71_real tpcds_q72_real
+    tpcds_q74_real tpcds_q75_real tpcds_q94_real tpcds_q95_real
+    tpcds_q97_real tpch_q2_real udf_plpgsql_continue_when
+    udf_plpgsql_exit_label_nested udf_plpgsql_qual_names
+    udf_plpgsql_record_into
     """.split()
 )
 
@@ -315,63 +336,39 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-9 driver-sample pins, kept to exactly 50 (the sampled
-        # prefix size — overflow pushes pins out). New-code families
-        # first, then the reference-corpus TPC-DS texts and the
-        # published-slowest/most-complex spec shapes, then the
-        # never-sampled r8 leftovers. Everything demoted from here is
-        # still never-sampled and surfaces in later rounds via the
-        # interleaver's automatic hoisting.
-        "regress_numeric_big_avg_sign",
-        "regress_dropped_cols_dml_sequence_int4",
-        "regress_dropped_cols_dml_sequence_int8",
-        "regress_dropped_cols_readd",
-        "regress_dropped_cols_join_after_drop",
-        "regress_qpmisc_b00_abs_aggregate_approximate",
-        "regress_qpmisc_b13_is_join_like_ln",
-        "regress_olapw_exclude_group",
-        "regress_subgp_distinct_on_in_desc",
-        "udf_plpgsql_qual_names",
-        "udf_plpgsql_exit_label_nested",
-        "udf_plpgsql_record_into",
-        "udf_plpgsql_continue_when",
-        "regress_rpt_mpph5",
-        "regress_rpt_mpph8",
-        "regress_rpt_mpph18",
-        "ddl_stats_ext_columns",
-        "multimodal_video_avi_decode",
-        "tpcds_q72_real",
-        "tpcds_q70a_real",
-        "tpcds_q37_real",
-        "tpcds_q23_real",
-        "tpcds_q95_real",
-        "tpcds_q59_real",
-        "tpcds_q51_real",
-        "tpcds_q36_real",
-        "tpcds_q18_real",
-        "tpcds_q94_real",
-        "tpcds_q97_real",
-        "tpcds_q71_real",
-        "tpcds_q13_real",
-        "tpcds_q09_real",
-        "tpcds_q16_real",
-        "tpcds_q74_real",
-        "tpcds_q41_real",
-        "regress_gporca_outerref_countbug_both",
-        "regress_gporca_result_having_const",
-        "ddl_part_split_exchange",
-        "tpch_q2_real",
-        "regress_matview_datastatus",
-        "tpcds_q64_real",
-        "tpcds_q14_real",
-        "tpcds_q02_real",
-        "tpcds_q49_real",
-        "tpcds_q05_real",
-        "tpcds_q75_real",
-        "regress_tsearch_tsquery_battery",
-        "regress_subgp_pullup_count_limit",
-        "regress_rowsecurity_policies",
-        "ddl_storage_compression",
+        # round-10 driver-sample pins, kept to ~50 (the sampled prefix
+        # size — overflow pushes pins out). New-code families first
+        # (qp_dropped_cols battery breadth, alter_table slice,
+        # external_table battery, bb_mpph/agg_pushdown, qp_with_clause
+        # remainder, the spec-exact q69/q76 closure), then the r9
+        # never-sampled leftovers. Names registered later this round may
+        # appear here before their module lands — rank lookups are by
+        # name, so unknown names are inert.
+        "tpcds_q69_real",
+        "tpcds_q76_real_exact",
+        "regress_qpdc_addfirst_int",
+        "regress_qpdc_dropped_key_join",
+        "regress_qpdc_multidrop_agg",
+        "regress_qpdc_readd_same_name_type_change",
+        "regress_qpdc_drop_distkey_groupby",
+        "ddl_alter_type_widen_metadata_only",
+        "ddl_alter_type_rewrite_text",
+        "ddl_alter_set_default_backfill",
+        "ddl_alter_add_check_validate",
+        "ddl_alter_drop_default",
+        "regress_exttab_csv_options",
+        "regress_exttab_reject_limit_percent",
+        "regress_exttab_header_skip",
+        "regress_exttab_null_as",
+        "regress_mpph_aggpushdown_join",
+        "regress_mpph_heap_vs_ao_parity",
+        "regress_aggpushdown_groupbelow_join",
+        "regress_qpwith_dml_insert",
+        "regress_qpwith_deep_nesting",
+        "regress_qpwith_multi_consumer",
+        "regress_qpwith_sideways_union",
+        "tpcds_q04_real",
+        "tpcds_q11_real",
 ]
 
 

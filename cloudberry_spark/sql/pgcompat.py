@@ -2034,9 +2034,9 @@ def _exclude_expr(agg: str, arg: str, body: str) -> str:
     part, order, mode = bm.group("p"), bm.group("o"), bm.group("m").upper()
     keys = [
         re.sub(r"\s+(ASC|DESC|NULLS\s+(FIRST|LAST))\b", "", k, flags=re.I).strip()
-        for k in order.split(",")
+        for k in _split_args(order)
     ]
-    pcols = [p.strip() for p in part.split(",")] if part else []
+    pcols = [p.strip() for p in _split_args(part)] if part else []
     pw = f"OVER (PARTITION BY {', '.join(pcols)})" if pcols else "OVER ()"
     pk = f"OVER (PARTITION BY {', '.join(pcols + keys)})"
     e = arg.strip()
