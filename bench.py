@@ -92,6 +92,11 @@ PIPELINE = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_SUITE subsets the run for scale soaks: "all" (default),
+    # "tpch" (fixture-parquet TPC-H only — pair with SPARK_GRAFT_SF_DIR
+    # pointing at a scaled dataset), "spec" (tpch22_real + tpcds_real
+    # spec texts only — pair with SPARK_GRAFT_DS_SCALE), "pipeline".
+    suite = os.environ.get("SPARK_GRAFT_SUITE", "all")
     from cloudberry_spark.registry import all_queries
     from cloudberry_spark.session import get_session
 
@@ -106,8 +111,15 @@ def main() -> None:
     # SPARK_GRAFT_RUNS (default 3): raise to 5+ when verifying whether a
     # cross-round delta is noise (r7 verdict bench-hygiene item) — the
     # median of more steady-state runs tightens the spread estimate.
-    n_runs = max(3, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
-    for label, name in {**TPCH, **PIPELINE}.items():
+    # Default median-of-3; scale soaks may drop to 1 run/query (a soak
+    # measures plan survival at volume, not run-to-run drift).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    headline: dict[str, str] = {}
+    if suite in ("all", "tpch"):
+        headline.update(TPCH)
+    if suite in ("all", "pipeline"):
+        headline.update(PIPELINE)
+    for label, name in headline.items():
         runs = []
         for _ in range(n_runs):
             # Time fn() + execution together: operators that materialize
@@ -128,11 +140,17 @@ def main() -> None:
         spread[label] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
-    tpch_total = round(sum(timings[q] for q in TPCH), 3)
+    tpch_total = (
+        round(sum(timings[q] for q in TPCH), 3) if suite in ("all", "tpch") else None
+    )
 
     # Spec-text suites (fixed CTE fixture — frontend+plan+overhead cost,
-    # not data-scale): timed after the headline groups, separate totals.
-    for label, name in {**TPCH_REAL, **TPCDS_REAL}.items():
+    # not data-scale unless SPARK_GRAFT_DS_SCALE>1): timed after the
+    # headline groups, separate totals.
+    spec: dict[str, str] = (
+        {**TPCH_REAL, **TPCDS_REAL} if suite in ("all", "spec") else {}
+    )
+    for label, name in spec.items():
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -142,32 +160,37 @@ def main() -> None:
         runs.sort()
         timings[label] = round(runs[len(runs) // 2], 3)
         spread[label] = round(runs[-1] - runs[0], 3)
-    tpch_real_total = round(sum(timings[q] for q in TPCH_REAL), 3)
-    tpcds_real_total = round(sum(timings[q] for q in TPCDS_REAL), 3)
+    tpch_real_total = (
+        round(sum(timings[q] for q in TPCH_REAL), 3) if spec else None
+    )
+    tpcds_real_total = (
+        round(sum(timings[q] for q in TPCDS_REAL), 3) if spec else None
+    )
 
     # Multi-stream throughput (the MPP concurrency story): 4 distinct
     # query streams submitted from 4 threads share the scheduler; wall
     # clock well under the sum of their solo times shows inter-query
     # overlap. Reported as its own key, EXCLUDED from `value` so the
     # headline total stays comparable across rounds.
-    import threading
+    if suite in ("all", "tpch"):
+        import threading
 
-    streams = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q18"]
-    solo = sum(timings[s.replace("tpch_", "")] for s in streams)
+        streams = ["tpch_q3", "tpch_q5", "tpch_q10", "tpch_q18"]
+        solo = sum(timings[s.replace("tpch_", "")] for s in streams)
 
-    def _run(name: str) -> None:
-        queries[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        def _run(name: str) -> None:
+            queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
-    threads = [threading.Thread(target=_run, args=(s,)) for s in streams]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    timings["concurrent4_wall"] = round(time.perf_counter() - t0, 3)
-    timings["concurrent4_solo_sum"] = round(solo, 3)
+        threads = [threading.Thread(target=_run, args=(s,)) for s in streams]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        timings["concurrent4_wall"] = round(time.perf_counter() - t0, 3)
+        timings["concurrent4_solo_sum"] = round(solo, 3)
     try:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
@@ -186,6 +209,8 @@ def main() -> None:
                 "runs_per_query": 3,
                 "aggregation": "median",
                 "sf": sf,
+                "suite": suite,
+                "ds_scale": int(os.environ.get("SPARK_GRAFT_DS_SCALE", "1")),
             }
         )
     )

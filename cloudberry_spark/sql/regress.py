@@ -419,18 +419,25 @@ def register_regress(
     tags: tuple[str, ...] = (),
     oracle: str | None = "same",
     prelude: str | None = None,
+    scalable: bool = False,
 ) -> None:
     """Register one regress query: Spark side through translate_pg_sql,
     DuckDB oracle on the identical untranslated text (``oracle='same'``)
     or, where DuckDB lacks the construct, an equivalent spelled-out
     oracle (also run with the prelude). ``prelude`` overrides the
     shared fixture prelude for batteries carrying their own tables
-    (e.g. the qp_derived_table T0..T99 ports)."""
+    (e.g. the qp_derived_table T0..T99 ports). ``scalable`` opts the
+    Spark side into the bench-only SPARK_GRAFT_DS_SCALE fact multiplier
+    (sql/scale_fixture.py; identity when the env is unset)."""
     full = _with_prelude(sql, prelude)
     duck = full if oracle == "same" else _with_prelude(oracle, prelude)
 
     @register(name, oracle=duck, doc=doc, tags=("regress",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
+        if scalable:
+            from cloudberry_spark.sql.scale_fixture import scale_spec_fixture
+
+            _sql = scale_spec_fixture(_sql)
         return spark.sql(translate_pg_sql(_sql))
 
     _q.__name__ = name

@@ -1,0 +1,62 @@
+"""Bench-only scale knob for the deterministic spec-text fixtures.
+
+The TPC-H/TPC-DS spec suites (sql/tpch_real.py, sql/tpcds_real*.py) run
+the reference's own query texts over generate_series CTE preludes whose
+row formulas are pure mixed-radix functions of the series index — so
+multiplying a FACT table's series length by K keeps every foreign key
+inside its (fixed) dimension domain and simply deepens each join/agg
+group K-fold, exactly like raising the TPC scale factor with a frozen
+dimension census.
+
+``SPARK_GRAFT_DS_SCALE=K`` (read per query build, Spark side only)
+multiplies the fact bounds; the DuckDB oracle always sees the unscaled
+text and the correctness driver never sets the env, so hashes are
+unaffected. At K=1000 the fixture carries ~3M store_sales / 2.4M
+lineitem rows — real TPC-DS sf1 is 2.88M store_sales — which is the
+scale soak regime: execution dominates frontend+planning overhead and
+any broadcast-threshold or AQE-skew surprise becomes measurable.
+
+Only the exact fact-series literals below are rewritten; date_dim,
+time_dim and every dimension stay at census size (their literals do
+not appear in this table).
+"""
+
+from __future__ import annotations
+
+import os
+
+#: (series literal, rows at scale 1) for every FACT table across both
+#: spec preludes. tpcds_real.py: store_sales 3000, catalog_sales /
+#: web_sales 2000 (shared literal), inventory 2500, store_returns 1000,
+#: catalog_returns 400, web_returns 300. tpch_real.py: orders 600 and
+#: lineitem's outer orders series (shared literal — scaling one scales
+#: both, preserving the 4-lines-per-order join).
+_FACT_SERIES: tuple[tuple[str, int, int], ...] = (
+    ("generate_series(0, 2999)", 0, 3000),
+    ("generate_series(0, 1999)", 0, 2000),
+    ("generate_series(0, 2499)", 0, 2500),
+    ("generate_series(0, 999)", 0, 1000),
+    ("generate_series(0, 399)", 0, 400),
+    ("generate_series(0, 299)", 0, 300),
+    ("generate_series(1, 600)", 1, 600),
+)
+
+
+def scale_factor() -> int:
+    return max(1, int(os.environ.get("SPARK_GRAFT_DS_SCALE", "1")))
+
+
+def scale_spec_fixture(sql: str) -> str:
+    """Multiply the fact-table series bounds by SPARK_GRAFT_DS_SCALE."""
+    k = scale_factor()
+    if k == 1:
+        return sql
+    for lit, lo, n in _FACT_SERIES:
+        # BIGINT lower bound widens the whole series: the preludes'
+        # row formulas multiply the raw index (i * 8887 etc.), which
+        # overflows INT32 once K pushes i past ~250k.
+        sql = sql.replace(
+            lit,
+            f"generate_series(CAST({lo} AS BIGINT), {lo + n * k - 1})",
+        )
+    return sql

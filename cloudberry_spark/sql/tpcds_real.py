@@ -423,7 +423,11 @@ def register_tpcds(
 
     @register(name, oracle=full, doc=doc, tags=("tpcds_real",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
-        return spark.sql(translate_pg_sql(_sql))
+        # Bench-only scale knob (identity unless SPARK_GRAFT_DS_SCALE>1;
+        # the oracle always compares against the unscaled text).
+        from cloudberry_spark.sql.scale_fixture import scale_spec_fixture
+
+        return spark.sql(translate_pg_sql(scale_spec_fixture(_sql)))
 
     _q.__name__ = name
 
