@@ -109,6 +109,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.partition_ddl  # noqa: F401
     import cloudberry_spark.operators.matviews  # noqa: F401
     import cloudberry_spark.operators.security  # noqa: F401
+    import cloudberry_spark.operators.alter_table  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
