@@ -420,6 +420,7 @@ def register_regress(
     oracle: str | None = "same",
     prelude: str | None = None,
     scalable: bool = False,
+    scale_views: tuple[str, str] | None = None,
 ) -> None:
     """Register one regress query: Spark side through translate_pg_sql,
     DuckDB oracle on the identical untranslated text (``oracle='same'``)
@@ -433,10 +434,19 @@ def register_regress(
     duck = full if oracle == "same" else _with_prelude(oracle, prelude)
 
     @register(name, oracle=duck, doc=doc, tags=("regress",) + tags)
-    def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
+    def _q(spark: SparkSession, sf_dir: str, _sql: str = full,
+           _orig: str = sql) -> DataFrame:
         if scalable:
-            from cloudberry_spark.sql.scale_fixture import scale_spec_fixture
+            from cloudberry_spark.sql.scale_fixture import (
+                scale_factor,
+                scale_spec_fixture,
+                spec_views,
+            )
 
+            if scale_views is not None and scale_factor() > 1:
+                # parquet-backed prelude views: real stats at scale
+                spec_views(spark, scale_views[1], scale_views[0])
+                return spark.sql(translate_pg_sql(_orig))
             _sql = scale_spec_fixture(_sql)
         return spark.sql(translate_pg_sql(_sql))
 

@@ -60,3 +60,49 @@ def scale_spec_fixture(sql: str) -> str:
             f"generate_series(CAST({lo} AS BIGINT), {lo + n * k - 1})",
         )
     return sql
+
+
+_CTE_NAME_RE = None
+
+
+def spec_views(spark, prelude: str, tag: str) -> None:
+    """Materialize every prelude CTE to scratch parquet at the current
+    scale and register each as a temp view (once per (tag, K) session).
+
+    Why: at K>1 the exploded-series CTEs carry no Catalyst statistics,
+    so a million-row fact inlined as a CTE gets size-guessed tiny and
+    BROADCAST — the q05-class stall. Parquet-backed views give the
+    planner real sizes (facts shuffle, dims broadcast), predicate
+    pushdown, and AQE — exactly how the engine runs at real scale, so
+    the soak measures the plans a cluster would actually execute.
+    """
+    global _CTE_NAME_RE
+    import os
+    import re
+
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+    k = scale_factor()
+    if _CTE_NAME_RE is None:
+        _CTE_NAME_RE = re.compile(
+            r"(?m)^(?:WITH\s+)?(\w+)(?:\([^)]*\))?\s+AS\s+\(")
+    names = _CTE_NAME_RE.findall(prelude)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch", f"spec_{tag}_k{k}")
+    for t in names:
+        path = os.path.join(base, t)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df = spark.sql(translate_pg_sql(
+                scale_spec_fixture(prelude + f" SELECT * FROM {t}")))
+            df.write.mode("overwrite").parquet(path)
+        # always (re)register: spec names shadow same-named fixture
+        # catalog views (customer/orders/...), so the registration is
+        # per-query, not memoized...
+        spark.read.parquet(path).createOrReplaceTempView(t)
+    try:
+        # ...and the fixture catalog memo is invalidated so the next
+        # fixture-schema query re-asserts ITS views over these names.
+        spark.conf.set("cloudberry.catalog.dir", "")
+    except Exception:
+        pass

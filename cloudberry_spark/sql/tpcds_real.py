@@ -422,12 +422,18 @@ def register_tpcds(
     full = _with_prelude(sql)
 
     @register(name, oracle=full, doc=doc, tags=("tpcds_real",) + tags)
-    def _q(spark: SparkSession, sf_dir: str, _sql: str = full) -> DataFrame:
+    def _q(spark: SparkSession, sf_dir: str, _sql: str = full,
+           _orig: str = sql) -> DataFrame:
         # Bench-only scale knob (identity unless SPARK_GRAFT_DS_SCALE>1;
-        # the oracle always compares against the unscaled text).
-        from cloudberry_spark.sql.scale_fixture import scale_spec_fixture
+        # the oracle always compares against the unscaled text). At
+        # K>1 the prelude materializes to parquet-backed views so the
+        # planner sees real sizes — facts shuffle, dims broadcast.
+        from cloudberry_spark.sql.scale_fixture import scale_factor, spec_views
 
-        return spark.sql(translate_pg_sql(scale_spec_fixture(_sql)))
+        if scale_factor() > 1:
+            spec_views(spark, TPCDS_PRELUDE, "tpcds")
+            return spark.sql(translate_pg_sql(_orig))
+        return spark.sql(translate_pg_sql(_sql))
 
     _q.__name__ = name
 
