@@ -932,3 +932,46 @@ def test_partition_prune_matrix(spark, tmp_path_factory, pred, nfiles):
     lp = spark.read.parquet(path)
     got = _scan_files_read(lp.filter(pred))
     assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
+
+
+def _agg_below_join(plan: str) -> bool:
+    """True iff some HashAggregate sits deeper in the tree than the
+    first join operator (tree strings indent children, so a partial
+    aggregate below the join appears AFTER the join node textually)."""
+    join_pos = min(
+        (plan.find(t) for t in
+         ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(t) >= 0),
+        default=-1,
+    )
+    if join_pos < 0:
+        return False
+    return "HashAggregate" in plan[join_pos:]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "regress_aggpd_same_key",
+        "regress_aggpd_diff_group_key",
+        "regress_aggpd_equivclass",
+        "regress_aggpd_multi_keys",
+        "regress_aggpd_group_other_side",
+        "regress_aggpd_subquery_pushdown",
+    ],
+)
+def test_aggpd_partial_below_join(spark, name):
+    """agg_pushdown.sql shapes: the eager form must place a partial
+    aggregate on the fact side BELOW the join (CXformEagerAgg), so the
+    join input is one partial row per key union, not raw fact rows."""
+    plan = _plan(spark, name)
+    assert _agg_below_join(plan), f"{name}: no aggregate below the join"
+    assert "p_s" in plan or "slp" in plan  # partial columns flow the join
+
+
+def test_aggpd_distinct_keeps_naive_order(spark):
+    """COUNT(DISTINCT) is not decomposable across join fan-out: the
+    pushdown is correctly SKIPPED — no partial-sum column exists and
+    the only aggregates sit above the raw join."""
+    plan = _plan(spark, "regress_aggpd_distinct_no_pushdown")
+    assert "p_sum" not in plan
