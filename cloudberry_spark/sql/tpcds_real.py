@@ -408,31 +408,100 @@ t1 AS (
 """
 
 
-def _with_prelude(sql: str) -> str:
+def _with_prelude(sql: str, prelude: str | None = None) -> str:
     """Prepend the TPC-DS prelude, merging a leading WITH clause."""
+    base = TPCDS_PRELUDE if prelude is None else prelude
     m = re.match(r"\s*WITH\s+", sql, flags=re.I)
     if not m:
-        return TPCDS_PRELUDE + sql
-    return TPCDS_PRELUDE + ",\n" + sql[m.end():]
+        return base + sql
+    return base + ",\n" + sql[m.end():]
+
+
+def _split_single_cte(sql: str) -> tuple[str, str, str] | None:
+    """For the ``WITH <name> AS ( <body> ) <rest>`` single-CTE shape,
+    return (name, body, rest); None for anything else."""
+    m = re.match(r"\s*with\s+(\w+)\s+as\s*\(", sql, flags=re.I)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    body, rest = sql[m.end(): i - 1], sql[i:]
+    if re.match(r"\s*,", rest):  # a second CTE follows: not this shape
+        return None
+    return m.group(1), body, rest
+
+
+def materialize_hot_cte(
+    spark: SparkSession, sql: str, prelude: str | None, min_refs: int = 4
+) -> DataFrame | None:
+    """Build a many-referenced CTE ONCE as a scratch-parquet temp view
+    and run the remainder against it (the year_total q04/q11/q74
+    class: Catalyst inlines every CTE reference, so the 3-channel
+    year_total would otherwise be recomputed per self-join arm — 6×
+    in q04. The reference materializes shared CTEs once per slice;
+    this is that plan, and at 100 TB the only survivable one).
+    Returns None when the query isn't single-CTE with >= min_refs
+    references, leaving the inline path untouched."""
+    import os
+
+    split = _split_single_cte(sql)
+    if split is None:
+        return None
+    cte, body, rest = split
+    refs = len(re.findall(rf"\b{cte}\b", rest, flags=re.I))
+    if refs < min_refs:
+        return None
+    df = spark.sql(translate_pg_sql(_with_prelude(body, prelude)))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch", "cte_materialized", cte)
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(cte)
+    # the remainder still needs the dim CTEs -> merge the prelude, but
+    # rename nothing: the fresh temp view shadows no prelude table
+    return spark.sql(translate_pg_sql(_with_prelude(rest, prelude)))
 
 
 def register_tpcds(
-    name: str, sql: str, doc: str, tags: tuple[str, ...] = ()
+    name: str, sql: str, doc: str, tags: tuple[str, ...] = (),
+    prelude: str | None = None, materialize_cte: bool = False,
 ) -> None:
-    full = _with_prelude(sql)
+    """``prelude`` overrides the shared fixture (the nullable-FK
+    variant for q69/q76); override queries always run CTE-inline —
+    the scale soak's parquet views materialize the SHARED prelude.
+    ``materialize_cte`` opts the year_total-class texts into
+    materialize_hot_cte (build-once plan for a CTE referenced >= 4
+    times)."""
+    full = _with_prelude(sql, prelude)
 
     @register(name, oracle=full, doc=doc, tags=("tpcds_real",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full,
-           _orig: str = sql) -> DataFrame:
+           _orig: str = sql, _variant: bool = prelude is not None) -> DataFrame:
         # Bench-only scale knob (identity unless SPARK_GRAFT_DS_SCALE>1;
         # the oracle always compares against the unscaled text). At
         # K>1 the prelude materializes to parquet-backed views so the
         # planner sees real sizes — facts shuffle, dims broadcast.
         from cloudberry_spark.sql.scale_fixture import scale_factor, spec_views
 
-        if scale_factor() > 1:
+        if not _variant and scale_factor() > 1:
             spec_views(spark, TPCDS_PRELUDE, "tpcds")
+            if materialize_cte:
+                # empty prelude: the tables already exist as views
+                out = materialize_hot_cte(spark, _orig, "")
+                if out is not None:
+                    return out
             return spark.sql(translate_pg_sql(_orig))
+        if materialize_cte:
+            out = materialize_hot_cte(spark, _orig, prelude)
+            if out is not None:
+                return out
         return spark.sql(translate_pg_sql(_sql))
 
     _q.__name__ = name
@@ -571,6 +640,7 @@ limit 100
     "gp_cte_sharing showcase; on Spark the year_total CTE plan is reused "
     "per Catalyst CTE dedup and each branch is a partial-agg hash join.",
     tags=("q4",),
+    materialize_cte=True,
 )
 
 
@@ -808,6 +878,7 @@ limit 100
     "deterministic. Exercises the else-0.0 ratio variant (q4 uses "
     "else NULL).",
     tags=("q11",),
+    materialize_cte=True,
 )
 
 
@@ -2942,6 +3013,7 @@ limit 100
 """,
     'TPC-DS spec q74 (two-channel year-over-year net-paid ratio self-join — the q4/q11 family over ss/ws_net_paid; year column aliased year_ since YEAR is reserved on Spark).',
     tags=("q74",),
+    materialize_cte=True,
 )
 
 register_tpcds(

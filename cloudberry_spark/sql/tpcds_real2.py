@@ -1716,3 +1716,155 @@ order by cs1.product_name, cs1.store_name, cs2.cnt, cs1.s1, cs2.s1,
     "for deterministic output).",
     tags=("q64",),
 )
+
+
+# ---------------------------------------------------------------------------
+# Nullable-FK fixture variant (r9 verdict item 8): a thin parallel
+# prelude used ONLY by q69 and the spec-exact q76. Patches relative to
+# the shared TPCDS_PRELUDE (which stays byte-identical for every other
+# query): ss_store_sk / cs_ship_addr_sk gain NULL slices, web/catalog
+# customer FKs restrict to customers 1..40 (so 41..49 are store-only —
+# q69's EXISTS/NOT-EXISTS split becomes non-degenerate), and web_sales
+# gains the spec's ws_ship_customer_sk with its own NULL slice.
+# ---------------------------------------------------------------------------
+
+from cloudberry_spark.sql.tpcds_real import TPCDS_PRELUDE  # noqa: E402
+
+
+def _patched(src: str, old: str, new: str) -> str:
+    assert old in src, f"NFK prelude patch target missing: {old[:60]!r}"
+    return src.replace(old, new)
+
+
+TPCDS_PRELUDE_NFK = TPCDS_PRELUDE
+TPCDS_PRELUDE_NFK = _patched(
+    TPCDS_PRELUDE_NFK,
+    "CAST(CAST(floor(i / 20.0) AS INT) % 4 + 1 AS INT) AS ss_store_sk,",
+    "CASE WHEN i % 13 = 7 THEN CAST(NULL AS INT) "
+    "ELSE CAST(CAST(floor(i / 20.0) AS INT) % 4 + 1 AS INT) END AS ss_store_sk,",
+)
+TPCDS_PRELUDE_NFK = _patched(
+    TPCDS_PRELUDE_NFK,
+    "CAST((i * 9) % 49 + 1 AS INT) AS ws_bill_customer_sk,",
+    "CAST((i * 9) % 40 + 1 AS INT) AS ws_bill_customer_sk,\n"
+    "         CASE WHEN i % 7 = 0 THEN CAST(NULL AS INT) "
+    "ELSE CAST((i * 9 + 3) % 40 + 1 AS INT) END AS ws_ship_customer_sk,",
+)
+TPCDS_PRELUDE_NFK = _patched(
+    TPCDS_PRELUDE_NFK,
+    "CAST((i * 7) % 49 + 1 AS INT) AS cs_ship_customer_sk,",
+    "CAST((i * 7) % 40 + 1 AS INT) AS cs_ship_customer_sk,",
+)
+TPCDS_PRELUDE_NFK = _patched(
+    TPCDS_PRELUDE_NFK,
+    "CAST((i * 11) % 40 + 1 AS INT) AS cs_ship_addr_sk,",
+    "CASE WHEN i % 11 = 3 THEN CAST(NULL AS INT) "
+    "ELSE CAST((i * 11) % 40 + 1 AS INT) END AS cs_ship_addr_sk,",
+)
+
+
+# ---------------------------------------------------------------------------
+# q69 — store-only customers (EXISTS store AND NOT EXISTS web/catalog)
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q69_real",
+    """
+select
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3
+ from
+  customer c,customer_address ca,customer_demographics
+ where
+  c.c_current_addr_sk = ca.ca_address_sk and
+  ca_state in ('TN','GA','FL') and
+  cd_demo_sk = c.c_current_cdemo_sk and
+  exists (select *
+          from store_sales,date_dim
+          where c.c_customer_sk = ss_customer_sk and
+                ss_sold_date_sk = d_date_sk and
+                d_year = 2001 and
+                d_moy between 4 and 4+2) and
+   (not exists (select *
+            from web_sales,date_dim
+            where c.c_customer_sk = ws_bill_customer_sk and
+                  ws_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2) and
+    not exists (select *
+            from catalog_sales,date_dim
+            where c.c_customer_sk = cs_ship_customer_sk and
+                  cs_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2))
+ group by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ order by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ limit 100
+""",
+    "TPC-DS spec q69 (verbatim tpc.org text; year 2001 and the state "
+    "list mapped to the fixture's live domains per house rules) over "
+    "the nullable-FK prelude variant: customers 41..49 buy only in "
+    "store, so the EXISTS(store) AND NOT EXISTS(web) AND NOT "
+    "EXISTS(catalog) split is non-degenerate — closing the r9 "
+    "MIGRATION.md q69 exclusion.",
+    tags=("q69",),
+    prelude=TPCDS_PRELUDE_NFK,
+)
+
+
+# ---------------------------------------------------------------------------
+# q76 — spec-exact: NULL channel FKs profiled by quarter/category
+# ---------------------------------------------------------------------------
+
+register_tpcds(
+    "tpcds_q76_real_exact",
+    """
+select channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt,
+       SUM(ext_sales_price) sales_amt
+FROM (
+        SELECT 'store' as channel, 'ss_store_sk' col_name, d_year, d_qoy,
+               i_category, ss_ext_sales_price ext_sales_price
+         FROM store_sales, item, date_dim
+         WHERE ss_store_sk IS NULL
+           AND ss_sold_date_sk=d_date_sk
+           AND ss_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'web' as channel, 'ws_ship_customer_sk' col_name, d_year,
+               d_qoy, i_category, ws_ext_sales_price ext_sales_price
+         FROM web_sales, item, date_dim
+         WHERE ws_ship_customer_sk IS NULL
+           AND ws_sold_date_sk=d_date_sk
+           AND ws_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year,
+               d_qoy, i_category, cs_ext_sales_price ext_sales_price
+         FROM catalog_sales, item, date_dim
+         WHERE cs_ship_addr_sk IS NULL
+           AND cs_sold_date_sk=d_date_sk
+           AND cs_item_sk=i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+limit 100
+""",
+    "TPC-DS spec q76, VERBATIM tpc.org text (no nullif adaptation — "
+    "supersedes tpcds_q76_real's documented workaround): all three "
+    "channel branches live against the nullable-FK prelude variant "
+    "(ss_store_sk / ws_ship_customer_sk / cs_ship_addr_sk NULL "
+    "slices).",
+    tags=("q76",),
+    prelude=TPCDS_PRELUDE_NFK,
+)
