@@ -20,28 +20,46 @@ from __future__ import annotations
 
 from cloudberry_spark.sql.regress import register_regress
 
+#: Deterministic analog of the battery's MySQL-World schema, round 10:
+#: 12 countries across 4 continents with battery-consistent regions
+#: (continent='Asia' rows carry the Asian region names the queries
+#: filter on), governmentform / indepyear / gnpold for the
+#: bad_headofstates and FACT-CTE families, and enough city/language
+#: fan-out that every ported HAVING/aggregate is non-degenerate.
 WORLD_PRELUDE = """
 WITH city(id, name, countrycode, district, population) AS (
   SELECT CAST(i AS INT), 'City_' || CAST(i AS STRING),
-         'C' || CAST(i % 7 AS STRING), 'D' || CAST(i % 3 AS STRING),
+         'C' || CAST(i % 12 AS STRING), 'D' || CAST(i % 3 AS STRING),
          CAST(((i * 37) % 97) * 10000 + i AS INT)
   FROM generate_series(1, 60) AS t(i)
 ),
 country(code, name, continent, region, population, lifeexpectancy,
-        gnp, headofstate, capital) AS (
+        gnp, gnpold, headofstate, capital, governmentform, indepyear) AS (
   SELECT 'C' || CAST(i AS STRING), 'Country_' || CAST(i AS STRING),
-         CASE i % 3 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
-                    ELSE 'Africa' END,
-         'R' || CAST(i % 5 AS STRING),
-         CAST((i + 1) * 1000000 AS INT), CAST(60 + i AS DOUBLE),
-         CAST((i + 1) * 1111.5 AS DOUBLE), 'Head_' || CAST(i AS STRING),
-         CAST(i * 8 + 1 AS INT)
-  FROM generate_series(0, 6) AS t(i)
+         CASE i % 4 WHEN 0 THEN 'Europe' WHEN 1 THEN 'Asia'
+                    WHEN 2 THEN 'North America' ELSE 'South America' END,
+         CASE CAST(i AS INT)
+              WHEN 0 THEN 'Western Europe'   WHEN 1 THEN 'Southeast Asia'
+              WHEN 2 THEN 'Caribbean'        WHEN 3 THEN 'South America'
+              WHEN 4 THEN 'Eastern Europe'   WHEN 5 THEN 'Eastern Asia'
+              WHEN 6 THEN 'Central America'  WHEN 7 THEN 'South America'
+              WHEN 8 THEN 'Western Europe'   WHEN 9 THEN 'Middle East'
+              WHEN 10 THEN 'North America'   ELSE 'South America' END,
+         CAST((i + 1) * 1000000 AS INT), CAST(55 + i AS DOUBLE),
+         CAST((i + 1) * 1111.5 AS DOUBLE),
+         CASE WHEN i % 2 = 0 THEN CAST((i + 1) * 2223.0 AS DOUBLE)
+              ELSE CAST((i + 1) * 555.75 AS DOUBLE) END,
+         'Head_' || CAST(i AS STRING),
+         CAST(CASE WHEN i = 0 THEN 12 ELSE i + 12 * (i % 4) END AS INT),
+         CASE i % 3 WHEN 0 THEN 'Federal Republic' WHEN 1 THEN 'Monarchy'
+                    ELSE 'Republic' END,
+         CAST(1945 + i * 7 AS INT)
+  FROM generate_series(0, 11) AS t(i)
 ),
 countrylanguage(countrycode, language, isofficial, percentage) AS (
-  SELECT 'C' || CAST(i % 7 AS STRING), 'Lang_' || CAST(i % 4 AS STRING),
-         i % 2 = 0, CAST(((i * 3) % 8) * 10 AS DOUBLE)
-  FROM generate_series(1, 20) AS t(i)
+  SELECT 'C' || CAST(i % 12 AS STRING), 'Lang_' || CAST(i % 5 AS STRING),
+         i % 2 = 0, CAST(((i * 7) % 9) * 10 AS DOUBLE)
+  FROM generate_series(1, 40) AS t(i)
 )
 """
 
@@ -235,3 +253,649 @@ order by countrylanguage.COUNTRY,country.language,
 LIMIT 40
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: draining the battery's single-CTE / multi-consumer /
+# nested-pyramid / DML sections (r9 verdict item 7). Constants are
+# mapped to the fixture's live value ranges per house rules, noted per
+# query; unnamed aggregate outputs gain aliases (name-keyed hashes).
+# ---------------------------------------------------------------------------
+
+_w(
+    "regress_qpwith_from_capitals_join",
+    """
+with capitals as
+(select country.code,id,city.name from city,country
+ where city.countrycode = country.code AND city.id = country.capital)
+select capitals.code, capitals.id, capitals.name AS capital_name,
+       countrylanguage.countrycode, countrylanguage.language,
+       countrylanguage.isofficial, countrylanguage.percentage
+from
+capitals,countrylanguage
+where capitals.code = countrylanguage.countrycode and isofficial='true'
+order by capitals.code,countrylanguage.language
+""",
+    "qp_with_clause.sql:5407-5417 (query1, CTE in FROM): capitals CTE "
+    "joined to countrylanguage; SELECT * spelled out with aliases.",
+)
+
+_w(
+    "regress_qpwith_left_join_lang_total",
+    """
+with lang_total as
+( select count(*) as lang_count,country.code,countrylanguage.countrycode
+  from country join countrylanguage on (country.code=countrylanguage.countrycode and governmentform='Federal Republic')
+  group by country.code,countrylanguage.countrycode order by country.code)
+select lang_count,country.code,country.name,country.continent,country.region,country.population
+ from country left outer join lang_total
+ on (lang_total.code = country.code)
+ where country.indepyear > 1970 and lang_total.lang_count >=1 and lang_total.lang_count >=1
+  order by lang_total.lang_count desc, country.code
+""",
+    "qp_with_clause.sql:5420-5430 (query2): grouped CTE on the LEFT "
+    "OUTER JOIN's inner side with an outer-side filter that turns it "
+    "inner; ORDER BY extended with code for a total order.",
+)
+
+_w(
+    "regress_qpwith_where_scalar_max",
+    """
+with lang_total as
+( select lang_count,countrycode from
+  (
+  (
+   select count(*) as lang_count,country.code,countrylanguage.countrycode
+  from country join countrylanguage on (country.code=countrylanguage.countrycode and governmentform='Federal Republic')
+  group by country.code,countrylanguage.countrycode order by country.code)
+   UNION ALL
+  (
+   select count(*) as lang_count,country.code,countrylanguage.countrycode
+  from country join countrylanguage on (country.code=countrylanguage.countrycode and governmentform='Monarchy')
+  group by country.code,countrylanguage.countrycode order by country.code)
+ ) FOO1
+)
+select * from
+(
+select count(*) as cnt,country.code,country.name
+from
+country,countrylanguage
+where country.code=countrylanguage.countrycode group by country.code,country.name) AS FOO
+where foo.cnt = (select max(lang_count) from lang_total) order by foo.code
+""",
+    "qp_with_clause.sql:5435-5459 (query3, CTE in WHERE): a UNION ALL "
+    "CTE consumed only through a scalar MAX subquery in the outer "
+    "WHERE.",
+)
+
+_w(
+    "regress_qpwith_having_diversecountries",
+    """
+with diversecountries as
+(select country.code,country.name,country.capital,d.CNT
+ from country,
+ (select countrylanguage.countrycode,count(*) as CNT from countrylanguage group by countrycode
+  HAVING count(*) > 2) d
+ where d.countrycode = country.code and country.gnp > 5000)
+ select diversecountries.name AS country_name, city.name AS capital_name,
+        diversecountries.CNT
+ from diversecountries,city where city.id = diversecountries.capital
+ order by diversecountries.name
+""",
+    "qp_with_clause.sql:5461-5471 (query4): HAVING-filtered derived "
+    "table inside the CTE, joined back to city through the capital "
+    "FK. Constants mapped to the fixture's ranges (languages-per-"
+    "country > 2 for the spec's > 6; gnp > 5000 for > 100000).",
+)
+
+
+_w(
+    "regress_qpwith_union_having_nested",
+    """
+with somecheapasiandiversecountries as
+(
+ select FOO.code,FOO.COUNTRY,FOO.CAPITAL,FOO.headofstate,count(*) ASIAN_COUNT from
+ (
+ select country.code,country.name COUNTRY,city.name CAPITAL,country.headofstate
+ from country,city
+ where country.capital = city.id
+ and country.gnp < 10000
+ and country.region = 'Southeast Asia'
+ and country.continent = 'Asia'
+ UNION ALL
+ select country.code,country.name COUNTRY,city.name CAPITAL,country.headofstate
+ from country,city
+ where country.capital = city.id
+ and country.gnp < 10000
+ and country.region = 'Eastern Asia'
+ and country.continent = 'Asia'
+ UNION ALL
+ select country.code,country.name COUNTRY,city.name CAPITAL,country.headofstate
+ from country,city
+ where country.capital = city.id
+ and country.gnp < 10000
+ and country.region = 'Middle East'
+ and country.continent = 'Asia'
+ ) FOO, countrylanguage
+ where FOO.code = countrylanguage.countrycode
+ group by FOO.code,FOO.COUNTRY,FOO.CAPITAL,FOO.headofstate,countrylanguage.countrycode
+ HAVING count(*) >=
+ (select min(CNT) FROM
+   (select count(*) CNT,country.code from countrylanguage,country
+    where countrylanguage.countrycode=country.code
+    and country.continent = 'Asia'
+    and country.region = 'Middle East'
+    group by country.code
+   ) FOO1
+ )
+)
+select FOO.code,FOO.COUNTRY,FOO.CAPITAL,FOO.headofstate,count(*) COMPARED_WITH_CHEAP_ASIAN_CNT
+from
+(
+select country.code,country.name COUNTRY,city.name CAPITAL,country.headofstate
+from country,city
+where country.capital = city.id
+and country.continent = 'North America'
+UNION ALL
+select country.code,country.name COUNTRY,city.name CAPITAL,country.headofstate
+from country,city
+where country.capital = city.id
+and country.continent = 'South America'
+) FOO,countrylanguage
+where FOO.code = countrylanguage.countrycode
+group by FOO.code,FOO.COUNTRY,FOO.CAPITAL,FOO.headofstate
+HAVING count(*)  >=
+ (select min(ASIAN_COUNT) FROM
+   (select ASIAN_COUNT FROM somecheapasiandiversecountries,country
+    where somecheapasiandiversecountries.code = country.code
+   ) FOO2
+ )
+order by FOO.code
+""",
+    "qp_with_clause.sql:5518-5593 (query5): 3-arm UNION ALL inside a "
+    "HAVING-scalar-subquery CTE, consumed by ANOTHER 2-arm UNION ALL "
+    "aggregate through a second HAVING scalar over the CTE joined "
+    "back to country. 'Southern and Central Asia' mapped to the "
+    "fixture's live 'Middle East' region; ORDER BY added for "
+    "determinism (full group key is unique per code).",
+)
+
+_w(
+    "regress_qpwith_fact_union_leftjoin",
+    """
+select count(*) AS cnt from
+( select r.* from
+  ( with fact as
+     (
+      select country.name as COUNTRY,country.code,city.name as CAPITAL,S_POPULATION,S_GNP,AVG_LIFE,AGG1.region
+      from
+         (select
+         sum(case when (city.population >= 0.5 * country.population) then country.population else city.population end) as S_POPULATION,
+         sum(case when (gnp >= gnpold) then gnp else gnpold end) as S_GNP,
+         avg(case when (lifeexpectancy > 60) then 50 else lifeexpectancy end) as AVG_LIFE,country.region
+         from country,city
+         where governmentform != 'Constitutional Monarchy'
+         and country.capital = city.id
+         and indepyear > 0
+         group by country.region) AGG1
+         ,country,city
+         where country.capital = city.id
+         and country.region = AGG1.region
+      )
+     select code,COUNTRY,CAPITAL,S_POPULATION,S_GNP,AVG_LIFE,language as OFFICIALLANGUAGE,region
+     from fact,countrylanguage
+     where fact.code = countrylanguage.countrycode and isofficial = 'True'
+     and fact.region = 'South America'
+     UNION ALL
+     select code,COUNTRY,CAPITAL,S_POPULATION,S_GNP,AVG_LIFE,language as OFFICIALLANGUAGE,region
+     from fact,countrylanguage
+     where fact.code = countrylanguage.countrycode and isofficial = 'True'
+     and fact.region = 'North America'
+     UNION ALL
+     select code,COUNTRY,CAPITAL,S_POPULATION,S_GNP,AVG_LIFE,language as OFFICIALLANGUAGE,region
+     from fact,countrylanguage
+     where fact.code = countrylanguage.countrycode and isofficial = 'True'
+     and fact.region = 'Caribbean'
+ ) as r
+ left join
+  (
+   select 'ARG' as CODE UNION ALL
+   select 'BOL' as CODE UNION ALL
+   select 'BRA' as CODE UNION ALL
+   select 'PER' as CODE UNION ALL
+   select 'URY' as CODE UNION ALL
+   select 'IND' as CODE  UNION ALL
+   select 'LCA' as CODE UNION ALL
+   select 'VCT' as CODE
+   ) as r1
+on r.code = r1.code) AS FOO
+""",
+    "qp_with_clause.sql:5921-5975 (query6): region-level FACT CTE "
+    "(conditional SUM/AVG classes over a grouped self-join back to "
+    "country/city) consumed by three UNION ALL arms, left-joined to a "
+    "VALUES-style code list; count aliased.",
+)
+
+_w(
+    "regress_qpwith_alleuropean_twice",
+    """
+with alleuropeanlanguages as
+(select country.code,country.name COUNTRY, city.name CAPITAL, language, isofficial, percentage
+ FROM country,city,countrylanguage
+ WHERE country.code = countrylanguage.countrycode
+ and country.capital = city.id
+ and country.continent = 'Europe')
+select e1.code AS code1, e1.COUNTRY AS country1, e1.CAPITAL AS capital1,
+       e1.language AS language1, e1.isofficial AS isofficial1,
+       e1.percentage AS percentage1,
+       e2.code AS code2, e2.COUNTRY AS country2, e2.CAPITAL AS capital2,
+       e2.language AS language2, e2.isofficial AS isofficial2,
+       e2.percentage AS percentage2
+from
+(select * from alleuropeanlanguages where isofficial='True') e1,
+(select * from alleuropeanlanguages where percentage > 50) e2
+where e1.code = e2.code order by e2.COUNTRY,e1.language,e1.percentage,
+      e2.language,e2.percentage
+""",
+    "qp_with_clause.sql:5977-5989 (query7): one CTE consumed twice "
+    "through differently-filtered derived tables joined on code; "
+    "SELECT * spelled out, sort key extended to a total order.",
+)
+
+_w(
+    "regress_qpwith_same_name_every_level",
+    """
+select avg(population12) AS avg_pop, CITY12
+from
+(
+with city(CITY1,POPULATION1) as (select city.name,city.population from city where city.population >= 100)
+select CITY12,POPULATION12 from
+(
+  with city(CITY2,POPULATION2) as ( select city1,population1 from city where population1 >= 1000 )
+  select CITY12,POPULATION12 from
+  (
+     with city(CITY3,POPULATION3) as (select city2,population2 from city where population2 >= 5000)
+     select CITY12,POPULATION12 from
+     (
+       with city(CITY4,POPULATION4) as (select city3,population3 from  city where population3 >= 10000)
+       select CITY12,POPULATION12 from
+       (
+        with city(CITY5,POPULATION5) as (select city4,population4 from  city where population4 >= 20000)
+        select CITY12,POPULATION12 from
+        (
+         with city(CITY6,POPULATION6) as (select city5,population5 from  city where population5 >= 50000)
+         select CITY12,POPULATION12 from
+         (
+          with city(CITY7,POPULATION7) as (select city6,population6 from  city where population6 >= 100000)
+          select CITY12,POPULATION12 from
+          (
+           with city(CITY8,POPULATION8) as (select city7,population7 from  city where population7 >= 200000)
+           select CITY12,POPULATION12 from
+           (
+            with city(CITY9,POPULATION9) as (select city8,population8 from city where population8 >= 300000)
+            select CITY12,POPULATION12 from
+            (
+             with city(CITY10,POPULATION10) as (select city9,population9 from  city where population9 >= 400000)
+             select city12,population12 from
+             (
+              with city(CITY11,POPULATION11) as (select city10,population10 from city where population10 >= 650000)
+              select CITY12,POPULATION12 from
+              (
+               with city(CITY12,POPULATION12) as (select city11,population11 from city where population11 >= 700000)
+               select s1.city12,s1.population12 from city s1,city s2
+              ) FOO11
+             ) FOO10
+            ) FOO9
+           ) FOO8
+          ) FOO7
+         ) FOO6
+        ) FOO5
+       ) FOO4
+     )FOO3
+  ) FOO2
+) FOO1
+) FOO0 group by city12 order by city12
+""",
+    "qp_with_clause.sql:5664-5715 — the 12-level pyramid where EVERY "
+    "subquery level defines a CTE named `city` reading the PREVIOUS "
+    "level's `city` (each WITH body binds the name one scope out), "
+    "ending in a self cross-join. Population thresholds rescaled to "
+    "the fixture's <=970k city range (spec ran to 7,000,000); avg "
+    "aliased.",
+)
+
+
+# -- small issue-repro fixtures at the battery's tail ----------------------
+
+_TBL87_PRELUDE = """
+WITH tbl87(code, n) AS (
+  SELECT * FROM (VALUES ('abc', 1), ('xyz', 2), ('def', 3)) AS v(code, n)
+)
+"""
+
+register_regress(
+    "regress_qpwith_cte_scalar_count_or",
+    """
+SELECT * FROM (
+with cte as
+	(
+	select code, n, x
+	from tbl87
+	, (select 100 as x) d
+	)
+select code from tbl87 t where 1= (select count(*) from cte where cte.code=t.code or cte.code = t.code)
+) __q ORDER BY code
+""",
+    "qp_with_clause.sql:9780-9786 (tbl87 repro): CTE over a lateral-"
+    "style constant derived table, consumed only inside a correlated "
+    "scalar COUNT with an OR-duplicated predicate (::text casts "
+    "dropped — the fixture column is already text; ORDER BY added).",
+    tags=("qpwith", "cte"),
+    prelude=_TBL87_PRELUDE,
+)
+
+register_regress(
+    "regress_qpwith_cte_scalar_from_cte",
+    """
+SELECT * FROM (
+with cte as
+        (
+        select count(*) AS c from
+        (
+        select code, n, x
+        from tbl87
+        , (select 100 as x) d
+        ) FOO
+        )
+select code from tbl87 t where 1= (select c from cte) / 3
+) __q ORDER BY code
+""",
+    "qp_with_clause.sql:9788-9798: a COUNT CTE consumed as a bare "
+    "scalar subquery in WHERE arithmetic (count aliased; the spec's "
+    "1=(select * from cte) shape with the count divided back to the "
+    "fixture's 3 rows).",
+    tags=("qpwith", "cte"),
+    prelude=_TBL87_PRELUDE,
+)
+
+_CARZOO_PRELUDE = """
+WITH car(a, b) AS (
+  SELECT CAST(i AS INT), CAST(i + 1 AS INT) FROM generate_series(1, 10) AS t(i)
+),
+zoo(c, d) AS (
+  SELECT * FROM (VALUES (4, 4)) AS v(c, d)
+)
+"""
+
+register_regress(
+    "regress_qpwith_shareinput_same_slice",
+    """
+SELECT * FROM (
+WITH c as (SELECT CAST(sum(a) AS BIGINT) as a_sum, b FROM car GROUP BY b)
+SELECT c1.a_sum, c1.b, zoo.c, zoo.d FROM c as c1, zoo WHERE zoo.c != 4 AND c1.b = zoo.c
+UNION ALL
+SELECT c1.a_sum, c1.b, zoo.c, zoo.d FROM c as c1, zoo WHERE zoo.c = c1.b
+) __q ORDER BY a_sum, b, c, d
+""",
+    "qp_with_clause.sql:10336-10346 (gp_cte_sharing ShareInputScan-in-"
+    "same-slice repro): one grouped CTE consumed by two UNION ALL arms "
+    "with contradictory zoo filters — the first arm empty, the second "
+    "live; SELECT * spelled out, ORDER BY added.",
+    tags=("qpwith", "cte"),
+    prelude=_CARZOO_PRELUDE,
+)
+
+register_regress(
+    "regress_qpwith_nested_cte_in_derived",
+    """
+SELECT * FROM (
+WITH q AS (SELECT * FROM (WITH cte AS (SELECT * FROM car) SELECT * FROM car WHERE a > 7) t) SELECT * FROM q
+) __q ORDER BY a, b
+""",
+    "qp_with_clause.sql:10349-10350: a WITH inside a derived table "
+    "inside another CTE — the inner cte is defined and unused while "
+    "`car` must still bind to the base table (nested-CTE valid-plan "
+    "repro).",
+    tags=("qpwith", "cte"),
+    prelude=_CARZOO_PRELUDE,
+)
+
+
+# ---------------------------------------------------------------------------
+# WITH inside DML (qp_with_clause.sql:9545-9673, the bad_headofstates
+# family): CTAS, INSERT...(WITH...), UPDATE...FROM (WITH...), DELETE
+# USING (WITH...), DELETE WHERE x NOT IN (WITH...). The Spark side runs
+# the statements against a SnapshotTable (CTAS=init, INSERT=append
+# commit, UPDATE/DELETE=copy-on-write rewrite commits); every embedded
+# query runs through translate_pg_sql over the world prelude.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from cloudberry_spark.registry import register  # noqa: E402
+from cloudberry_spark.sources.external import _scratch  # noqa: E402
+from cloudberry_spark.sources.snapshot import SnapshotTable  # noqa: E402
+from cloudberry_spark.sql.pgcompat import translate_pg_sql  # noqa: E402
+
+#: The CTAS body (qp_with_clause.sql:9545-9567), avg aliased — the
+#: created table's columns are (avg, region, headofstate) exactly as
+#: PG names them.
+_BHS_SELECT = """
+with bad_headofstates as
+(
+ select country.code,country.name,country.headofstate,countrylanguage.language
+ from
+ country,countrylanguage
+ where country.code = countrylanguage.countrycode and countrylanguage.isofficial=true
+ and (country.gnp < country.gnpold or country.gnp < 3000)
+)
+select OUTERMOST_FOO.avg AS avg, OUTERMOST_FOO.region AS region, bad_headofstates.headofstate from (
+select avg(population) AS avg, region from
+(
+select FOO.code AS code, FOO.capital AS capital, FOO.region AS region,
+       FOO.population AS population, bad_headofstates.headofstate AS headofstate, city.name AS city_name
+from
+(select bad_headofstates.code,country.capital,country.region,country.population from
+bad_headofstates,country where bad_headofstates.code = country.code) FOO, bad_headofstates,city
+where FOO.code = bad_headofstates.code and FOO.capital = city.id) OUTER_FOO
+group by region ) OUTERMOST_FOO,bad_headofstates,country
+where country.code = bad_headofstates.code and country.region = OUTERMOST_FOO.region
+order by OUTERMOST_FOO.region,bad_headofstates.headofstate LIMIT 40
+"""
+
+#: The cm subquery (:9597-9622 / :9628-9650), avg aliased.
+_BHS_CM = """
+with bad_headofstates as
+(
+ select country.code,country.name,country.headofstate,countrylanguage.language
+ from
+ country,countrylanguage
+ where country.code = countrylanguage.countrycode and countrylanguage.isofficial=true
+ and (country.gnp < country.gnpold or country.gnp < 3000)
+)
+select avg(OUTERMOST_FOO.avg) AS cm_avg, OUTERMOST_FOO.region AS region from (
+select avg(population) AS avg, region from
+(
+select FOO.code AS code, FOO.capital AS capital, FOO.region AS region,
+       FOO.population AS population, bad_headofstates.headofstate AS headofstate, city.name AS city_name
+from
+(select bad_headofstates.code,country.capital,country.region,country.population from
+bad_headofstates,country where bad_headofstates.code = country.code) FOO, bad_headofstates,city
+where FOO.code = bad_headofstates.code and FOO.capital = city.id) OUTER_FOO
+group by region ) OUTERMOST_FOO,bad_headofstates,country
+where country.code = bad_headofstates.code and country.region = OUTERMOST_FOO.region
+and OUTERMOST_FOO.region = 'Central America'
+group by OUTERMOST_FOO.region
+order by OUTERMOST_FOO.region
+"""
+
+
+def _world(sql: str) -> str:
+    """Merge a (possibly WITH-carrying) statement into the world CTEs."""
+    import re as _re
+
+    m = _re.match(r"\s*with\s+", sql, flags=_re.I)
+    if not m:
+        return WORLD_PRELUDE + sql
+    return WORLD_PRELUDE + ",\n" + sql[m.end():]
+
+
+def _bhs_spark(spark: SparkSession) -> DataFrame:
+    return spark.sql(translate_pg_sql(_world(_BHS_SELECT)))
+
+
+@register(
+    "regress_qpwith_dml_ctas",
+    oracle=f"SELECT avg, region, headofstate FROM ({_world(_BHS_SELECT)}) q "
+    "ORDER BY region, headofstate",
+    doc="qp_with_clause.sql:9545-9569 (query1): CREATE TABLE AS over a "
+    "WITH query whose CTE is consumed at three nesting depths; the "
+    "snapshot init IS the CTAS, read back ordered.",
+    tags=("regress", "qpwith", "dml"),
+)
+def regress_qpwith_dml_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = SnapshotTable.init(
+        _scratch(sf_dir, "qpwith_bhs_ctas"), _bhs_spark(spark))
+    return t.read(spark).orderBy("region", "headofstate")
+
+
+@register(
+    "regress_qpwith_dml_insert_cte",
+    oracle=f"""
+        SELECT avg, region, headofstate FROM (
+          SELECT * FROM ({_world(_BHS_SELECT)}) a
+          UNION ALL
+          SELECT * FROM ({_world(_BHS_SELECT)}) b
+        ) q ORDER BY region, headofstate
+    """,
+    doc="qp_with_clause.sql:9571-9594 (query2): INSERT INTO ... (WITH "
+    "...) — the same WITH query appended to the CTAS table doubles "
+    "every row (an append commit; standing files untouched).",
+    tags=("regress", "qpwith", "dml"),
+)
+def regress_qpwith_dml_insert_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = SnapshotTable.init(
+        _scratch(sf_dir, "qpwith_bhs_insert"), _bhs_spark(spark))
+    t.commit_append(_bhs_spark(spark), t.current_version(), "insert-with")
+    return t.read(spark).orderBy("region", "headofstate")
+
+
+@register(
+    "regress_qpwith_dml_update_from_cte",
+    oracle=f"""
+        SELECT avg,
+               CASE WHEN region = 'Caribbean'
+                    THEN (SELECT region FROM ({_world(_BHS_CM)}) cm)
+                    ELSE region END AS region,
+               headofstate
+        FROM ({_world(_BHS_SELECT)}) q
+        ORDER BY avg, region, headofstate
+    """,
+    doc="qp_with_clause.sql:9596-9624 (query3): UPDATE ... FROM (WITH "
+    "...) cm — Caribbean rows take cm's single 'Central America' "
+    "region (the CTE subquery broadcast as a one-row frame, the "
+    "update one copy-on-write rewrite commit).",
+    tags=("regress", "qpwith", "dml"),
+)
+def regress_qpwith_dml_update_from_cte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = SnapshotTable.init(
+        _scratch(sf_dir, "qpwith_bhs_update"), _bhs_spark(spark))
+    cm = spark.sql(translate_pg_sql(_world(_BHS_CM)))
+    updated = (
+        t.read(spark)
+        .crossJoin(F.broadcast(cm.select(F.col("region").alias("__cm_region"))))
+        .withColumn(
+            "region",
+            F.when(F.col("region") == "Caribbean", F.col("__cm_region"))
+            .otherwise(F.col("region")),
+        )
+        .drop("__cm_region")
+    )
+    t.commit_rewrite(updated, t.current_version(), "update-from-with")
+    return t.read(spark).orderBy("avg", "region", "headofstate")
+
+
+@register(
+    "regress_qpwith_dml_delete_using_cte",
+    oracle=f"""
+        SELECT avg, region, headofstate
+        FROM ({_world(_BHS_SELECT)}) q
+        WHERE region NOT IN (SELECT region FROM ({_world(_BHS_CM)}) cm)
+        ORDER BY region, headofstate
+    """,
+    doc="qp_with_clause.sql:9626-9653 (query4): DELETE ... USING (WITH "
+    "...) cm — rows whose region matches cm's are deleted (survivors "
+    "anti-join the broadcast cm frame; one rewrite commit).",
+    tags=("regress", "qpwith", "dml"),
+)
+def regress_qpwith_dml_delete_using_cte(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = SnapshotTable.init(
+        _scratch(sf_dir, "qpwith_bhs_delete"), _bhs_spark(spark))
+    cm = spark.sql(translate_pg_sql(_world(_BHS_CM)))
+    survivors = t.read(spark).join(
+        F.broadcast(cm.select(F.col("region").alias("__cm_region"))),
+        F.col("region") == F.col("__cm_region"),
+        "left_anti",
+    )
+    t.commit_rewrite(survivors, t.current_version(), "delete-using-with")
+    return t.read(spark).orderBy("region", "headofstate")
+
+
+#: The NOT-IN subplan (:9658-9673), its OR binding at the reference's
+#: own precedence (the last disjunct spans the whole conjunction).
+_BHS_NOTIN_SUB = """
+with bad_headofstates as
+(
+ select country.code,country.name,country.headofstate,countrylanguage.language
+ from
+ country,countrylanguage
+ where country.code = countrylanguage.countrycode and countrylanguage.isofficial=true
+ and (country.gnp < country.gnpold or country.gnp < 3000)
+)
+select OUTERMOST_FOO.avg from (
+select avg(population) AS avg, region from
+(
+select FOO.code AS code, FOO.capital AS capital, FOO.region AS region,
+       FOO.population AS population, bad_headofstates.headofstate AS headofstate, city.name AS city_name
+from
+(select bad_headofstates.code,country.capital,country.region,country.population from
+bad_headofstates,country where bad_headofstates.code = country.code) FOO, bad_headofstates,city
+where FOO.code = bad_headofstates.code and FOO.capital = city.id) OUTER_FOO
+group by region ) OUTERMOST_FOO,bad_headofstates,country
+where country.code = bad_headofstates.code and country.region = OUTERMOST_FOO.region
+and OUTERMOST_FOO.region = 'Caribbean' or OUTERMOST_FOO.region = 'Eastern Asia'
+"""
+
+
+@register(
+    "regress_qpwith_dml_delete_notin_subplan",
+    oracle=f"""
+        SELECT avg, region, headofstate
+        FROM ({_world(_BHS_SELECT)}) q
+        WHERE NOT (avg NOT IN (SELECT avg FROM ({_world(_BHS_NOTIN_SUB)}) s))
+        ORDER BY region, headofstate
+    """,
+    doc="qp_with_clause.sql:9655-9675 (delete using CTE in its "
+    "subplan): DELETE WHERE avg NOT IN (WITH...) — survivors keep "
+    "NOT-IN's three-valued semantics (an UNKNOWN keeps nothing); the "
+    "spec's 'Australia and New Zealand' region mapped to the "
+    "fixture's live 'Caribbean'. One rewrite commit.",
+    tags=("regress", "qpwith", "dml"),
+)
+def regress_qpwith_dml_delete_notin_subplan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = SnapshotTable.init(
+        _scratch(sf_dir, "qpwith_bhs_delete_notin"), _bhs_spark(spark))
+    t.read(spark).createOrReplaceTempView("__bhs_notin")
+    survivors = spark.sql(translate_pg_sql(_world(
+        "select avg, region, headofstate from __bhs_notin "
+        f"where NOT (avg NOT IN (SELECT avg FROM ({_BHS_NOTIN_SUB}) s))"
+    )))
+    t.commit_rewrite(survivors, t.current_version(), "delete-notin-with")
+    return t.read(spark).orderBy("region", "headofstate")
