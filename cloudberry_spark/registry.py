@@ -340,39 +340,65 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-10 driver-sample pins, kept to ~50 (the sampled prefix
-        # size — overflow pushes pins out). New-code families first
-        # (qp_dropped_cols battery breadth, alter_table slice,
-        # external_table battery, bb_mpph/agg_pushdown, qp_with_clause
-        # remainder, the spec-exact q69/q76 closure), then the r9
-        # never-sampled leftovers. Names registered later this round may
-        # appear here before their module lands — rank lookups are by
-        # name, so unknown names are inert.
+        # round-10 driver-sample pins, kept to exactly 50 (the sampled
+        # prefix size — overflow pushes pins out). New-code families
+        # first: the spec-exact q69/q76 closure (NFK fixture variant),
+        # the qp_dropped_cols scenario battery (interpreter + EXCHANGE/
+        # SPLIT paths), the alter_table slice, the external_table
+        # battery, agg_pushdown eager-rewrite ports, and the
+        # qp_with_clause remainder incl. WITH-inside-DML. Everything
+        # demoted is still never-sampled and surfaces later via the
+        # interleaver's automatic hoisting.
         "tpcds_q69_real",
         "tpcds_q76_real_exact",
-        "regress_qpdc_addfirst_int",
-        "regress_qpdc_dropped_key_join",
-        "regress_qpdc_multidrop_agg",
-        "regress_qpdc_readd_same_name_type_change",
-        "regress_qpdc_drop_distkey_groupby",
+        "regress_qpdc_changedistpolicy_dml_pttab_int4",
+        "regress_qpdc_xchange_pttab_dropcol_dml_int4",
+        "regress_qpdc_xchange_pttab_dropcol_addcol_dml_char",
+        "regress_qpdc_dropcol_addcol_splitpt_dml_int4",
+        "regress_qpdc_dropcol_splitdfpt_dml_char",
+        "regress_qpdc_pttab_addpt_dropcol_addcol_dml_int4",
+        "regress_qpdc_reordered_col_dml_int4",
+        "regress_qpdc_defpt_dropcol_addcol_dml_char",
+        "regress_qpdc_drop_distcol_dml_int4",
+        "regress_qpdc_pttab_dropfirstcol_addpt_index_char",
         "ddl_alter_type_widen_metadata_only",
         "ddl_alter_type_rewrite_text",
-        "ddl_alter_set_default_backfill",
+        "ddl_alter_set_drop_default",
         "ddl_alter_add_check_validate",
-        "ddl_alter_drop_default",
-        "regress_exttab_csv_options",
+        "ddl_alter_fk_not_valid_validate",
+        "regress_exttab_reject_limit_rows",
         "regress_exttab_reject_limit_percent",
-        "regress_exttab_header_skip",
+        "regress_exttab_error_log",
         "regress_exttab_null_as",
-        "regress_mpph_aggpushdown_join",
-        "regress_mpph_heap_vs_ao_parity",
-        "regress_aggpushdown_groupbelow_join",
-        "regress_qpwith_dml_insert",
-        "regress_qpwith_deep_nesting",
-        "regress_qpwith_multi_consumer",
-        "regress_qpwith_sideways_union",
-        "tpcds_q04_real",
-        "tpcds_q11_real",
+        "regress_exttab_fill_missing",
+        "regress_exttab_header_skip",
+        "regress_exttab_execute_on",
+        "regress_aggpd_same_key",
+        "regress_aggpd_diff_group_key",
+        "regress_aggpd_multi_keys",
+        "regress_aggpd_group_other_side",
+        "regress_aggpd_subquery_pushdown",
+        "regress_aggpd_distinct_no_pushdown",
+        "regress_qpwith_dml_ctas",
+        "regress_qpwith_dml_insert_cte",
+        "regress_qpwith_dml_update_from_cte",
+        "regress_qpwith_dml_delete_using_cte",
+        "regress_qpwith_dml_delete_notin_subplan",
+        "regress_qpwith_union_having_nested",
+        "regress_qpwith_fact_union_leftjoin",
+        "regress_qpwith_same_name_every_level",
+        "regress_qpwith_alleuropean_twice",
+        "regress_qpwith_cte_scalar_count_or",
+        "regress_qpwith_shareinput_same_slice",
+        "regress_qpwith_from_capitals_join",
+        "regress_qpwith_where_scalar_max",
+        "regress_qpwith_having_diversecountries",
+        "regress_qpdc_drop_multicol_dml_char",
+        "regress_qpdc_dropcol_splitpt_idx_dml_int4",
+        "regress_qpdc_int4_pttab_dropcol_addcol_addpt_idx_dml",
+        "regress_qpdc_pttab_addcol_addpt_dropcol_char",
+        "regress_qpdc_drop_lastcol_index_dml_int4",
+        "regress_qpdc_drop_midcol_dml_char",
 ]
 
 
