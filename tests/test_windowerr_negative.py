@@ -137,3 +137,23 @@ def test_windowerr_is_loud_on_spark(spark, stmt):
     # also use variable-offset lead/lag — PG-only, a documented
     # MIGRATION.md gap that fails loudly too, so they stay out of this
     # sweep's scope.)
+
+
+def test_jiras_5246_mixed_range_offsets_loud(spark):
+    """qp_misc_jiras.sql:696 (tbl5246): RANGE BETWEEN interval
+    PRECEDING AND integer PRECEDING over a date key — the reference
+    ERRORs (qp_misc_jiras.out:1157 'not supported for column type
+    date and offset type integer'); here the same statement must
+    raise, never silently pick one offset type."""
+    from cloudberry_spark.session import configure_session
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+    configure_session(spark)
+    spark.sql(
+        "SELECT CAST(2 AS INT) AS cn, DATE '1401-01-01' AS dt"
+    ).createOrReplaceTempView("tbl5246_sale")
+    with pytest.raises(Exception):
+        spark.sql(translate_pg_sql(
+            "select cn, count(*) over (order by dt range between "
+            "'2 day'::interval preceding and 2 preceding) from tbl5246_sale"
+        )).collect()
