@@ -164,3 +164,193 @@ def regress_foreign_key_enforcement(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         rows, "step string, outcome string, n long"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Table privileges (GRANT/REVOKE) — privileges.sql:221-267 (atest1/2)
+# ---------------------------------------------------------------------------
+
+
+class PermissionDenied(RuntimeError):
+    """PG: ERROR: permission denied for table ..."""
+
+
+class AclTable:
+    """Object-level ACL over a DataFrame: the owner holds every
+    privilege implicitly; PUBLIC grants apply to all roles; role
+    membership (GRANT role TO role, aclchk.c has_privs_of_role) is
+    resolved transitively through a shared membership graph."""
+
+    PRIVS = ("SELECT", "INSERT", "UPDATE", "DELETE", "TRUNCATE")
+
+    def __init__(self, df: DataFrame, owner: str,
+                 memberships: dict[str, set[str]] | None = None):
+        self.df = df
+        self.owner = owner
+        self.acl: dict[str, set[str]] = {}
+        self.memberships = memberships if memberships is not None else {}
+
+    # -- grants ----------------------------------------------------------
+
+    def grant(self, privs: str, role: str) -> None:
+        got = (set(self.PRIVS) if privs.upper() == "ALL"
+               else {p.strip().upper() for p in privs.split(",")})
+        self.acl.setdefault(role, set()).update(got)
+
+    def revoke(self, privs: str, role: str) -> None:
+        got = (set(self.PRIVS) if privs.upper() == "ALL"
+               else {p.strip().upper() for p in privs.split(",")})
+        self.acl.setdefault(role, set()).difference_update(got)
+
+    # -- membership closure ----------------------------------------------
+
+    def _roles_of(self, role: str) -> set[str]:
+        out, todo = {role, "PUBLIC"}, [role]
+        while todo:
+            r = todo.pop()
+            for parent in self.memberships.get(r, ()):  # r IS MEMBER OF parent
+                if parent not in out:
+                    out.add(parent)
+                    todo.append(parent)
+        return out
+
+    def _check(self, role: str, priv: str) -> None:
+        effective = self._roles_of(role)
+        if self.owner in effective:
+            return
+        if not any(priv in self.acl.get(r, ()) for r in effective):
+            raise PermissionDenied(f"{role}: permission denied ({priv})")
+
+    # -- guarded operations ------------------------------------------------
+
+    def select(self, role: str) -> DataFrame:
+        self._check(role, "SELECT")
+        return self.df
+
+    def insert(self, role: str, rows: DataFrame) -> None:
+        self._check(role, "INSERT")
+        self.df = self.df.unionByName(rows)
+
+    def update(self, role: str, col: str, value, where: Column) -> None:
+        self._check(role, "UPDATE")
+        self.df = self.df.withColumn(
+            col, F.when(where, F.lit(value)).otherwise(F.col(col))
+        )
+
+
+@register(
+    "regress_privileges_table_acl",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'owner select atest1', 'ok: 1 rows'),
+            (2, 'user2 select after revoke-all-from-public', 'ERROR: permission denied'),
+            (3, 'user2 select after grant all', 'ok: 1 rows'),
+            (4, 'user2 insert atest1', 'ok'),
+            (5, 'user3 select atest1 (SELECT-only grant)', 'ok: 2 rows'),
+            (6, 'user3 insert atest1', 'ERROR: permission denied'),
+            (7, 'user2 insert atest2 (SELECT-only grant)', 'ERROR: permission denied'),
+            (8, 'user3 update atest2 (UPDATE-only grant)', 'ok'),
+            (9, 'user3 select atest2', 'ERROR: permission denied'),
+            (10, 'user6 select atest1 via membership in user1', 'ok: 2 rows')
+        ) t(stage, event, detail) ORDER BY stage
+    """,
+    doc="privileges.sql:221-267 (atest1/atest2): REVOKE ALL FROM "
+    "PUBLIC locks everyone but the owner out; GRANT ALL / SELECT / "
+    "UPDATE confer exactly the named operations (SELECT-only cannot "
+    "INSERT, UPDATE-only cannot SELECT); GRANT role TO role makes the "
+    "member inherit the granted role's (owner) privileges "
+    "transitively (aclchk.c has_privs_of_role).",
+    tags=("security", "privileges"),
+)
+def regress_privileges_table_acl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    memberships: dict[str, set[str]] = {}
+    atest1 = AclTable(
+        spark.createDataFrame([(1, "one")], "a int, b string"),
+        owner="user1", memberships=memberships)
+    atest2 = AclTable(
+        spark.createDataFrame([("foo", True)], "col1 string, col2 boolean"),
+        owner="user1", memberships=memberships)
+    rows: list[tuple[int, str, str]] = []
+
+    def attempt(stage: int, event: str, fn) -> None:
+        try:
+            out = fn()
+            n = f": {out.count()} rows" if isinstance(out, DataFrame) else ""
+            rows.append((stage, event, f"ok{n}"))
+        except PermissionDenied:
+            rows.append((stage, event, "ERROR: permission denied"))
+
+    attempt(1, "owner select atest1", lambda: atest1.select("user1"))
+    # REVOKE ALL ON atest1 FROM PUBLIC (the default state here: no
+    # PUBLIC grant exists) -> non-owner reads fail
+    attempt(2, "user2 select after revoke-all-from-public",
+            lambda: atest1.select("user2"))
+    atest1.grant("ALL", "user2")
+    atest1.grant("SELECT", "user3")
+    atest1.grant("SELECT", "user4")
+    atest2.grant("SELECT", "user2")
+    atest2.grant("UPDATE", "user3")
+    attempt(3, "user2 select after grant all", lambda: atest1.select("user2"))
+    attempt(4, "user2 insert atest1", lambda: atest1.insert(
+        "user2", spark.createDataFrame([(2, "two")], "a int, b string")))
+    attempt(5, "user3 select atest1 (SELECT-only grant)",
+            lambda: atest1.select("user3"))
+    attempt(6, "user3 insert atest1", lambda: atest1.insert(
+        "user3", spark.createDataFrame([(3, "three")], "a int, b string")))
+    attempt(7, "user2 insert atest2 (SELECT-only grant)",
+            lambda: atest2.insert(
+                "user2",
+                spark.createDataFrame([("bar", False)], "col1 string, col2 boolean")))
+    attempt(8, "user3 update atest2 (UPDATE-only grant)",
+            lambda: atest2.update("user3", "col2", False,
+                                  F.col("col1") == "foo"))
+    attempt(9, "user3 select atest2", lambda: atest2.select("user3"))
+    # GRANT user1 TO user6: user6 inherits the owner's privileges
+    memberships.setdefault("user6", set()).add("user1")
+    attempt(10, "user6 select atest1 via membership in user1",
+            lambda: atest1.select("user6"))
+    return spark.createDataFrame(
+        rows, "stage int, event string, detail string").orderBy("stage")
+
+
+@register(
+    "regress_privileges_role_membership",
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, 'user3 via chain u3->u2->u1', 'ok: 1 rows'),
+            (2, 'user3 after revoke u2 from u1-chain', 'ERROR: permission denied'),
+            (3, 'user2 direct membership intact', 'ok: 1 rows')
+        ) t(stage, event, detail) ORDER BY stage
+    """,
+    doc="privileges.sql:74-81 (role membership revocation): GRANT "
+    "user1 TO user2, GRANT user2 TO user3 — user3 reaches user1's "
+    "objects transitively; REVOKE user2's membership severs user3 "
+    "but leaves user2's direct membership intact (CASCADE dependency "
+    "semantics).",
+    tags=("security", "privileges"),
+)
+def regress_privileges_role_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    memberships: dict[str, set[str]] = {
+        "user2": {"user1"},
+        "user3": {"user2"},
+    }
+    t = AclTable(
+        spark.createDataFrame([(1,)], "a int"), owner="user1",
+        memberships=memberships)
+    rows: list[tuple[int, str, str]] = []
+
+    def attempt(stage: int, event: str, role: str) -> None:
+        try:
+            n = t.select(role).count()
+            rows.append((stage, event, f"ok: {n} rows"))
+        except PermissionDenied:
+            rows.append((stage, event, "ERROR: permission denied"))
+
+    attempt(1, "user3 via chain u3->u2->u1", "user3")
+    memberships["user3"].discard("user2")  # REVOKE user2 FROM user3
+    attempt(2, "user3 after revoke u2 from u1-chain", "user3")
+    attempt(3, "user2 direct membership intact", "user2")
+    return spark.createDataFrame(
+        rows, "stage int, event string, detail string").orderBy("stage")
