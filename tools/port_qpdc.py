@@ -370,7 +370,7 @@ def main() -> None:
 
     print(f"verified {len(kept)} distinct blocks; skips: {skipped}")
 
-    # curate: first PREFERRED type per family, max 2 types per family
+    # curate: PREFERRED types per family, max 3 types per family
     byfam: dict[str, list[dict]] = {}
     for k in kept:
         byfam.setdefault(k["family"], []).append(k)
@@ -379,7 +379,7 @@ def main() -> None:
         cands = byfam[fam]
         cands.sort(key=lambda k: PREFERRED.index(k["type"])
                    if k["type"] in PREFERRED else 99)
-        chosen.extend(cands[:2])
+        chosen.extend(cands[:3])
     print(f"curated {len(chosen)} across {len(byfam)} families")
 
     lines = [
