@@ -171,3 +171,64 @@ FROM tbl2788
     tags=("regress", "jiras"),
     prelude=_IN2788,
 )
+
+
+_TBL6027 = """
+WITH tbl6027_test(i, j, k, l, m) AS (
+  SELECT CAST(i AS INT), CAST(i % 100 AS BIGINT), CAST(i % 123 AS INT),
+         CAST(i % 234 AS INT), CAST(i % 345 AS INT)
+  FROM generate_series(1, 500) AS t(i)
+)
+"""
+
+register_regress(
+    "regress_jiras_6027_window_over_agg",
+    """
+select j, CAST(sum(k) AS BIGINT) AS sum_k,
+       row_number() over (partition by j order by sum(k)) AS rn
+from tbl6027_test group by j order by j limit 10
+""",
+    "qp_misc_jiras.sql:789-791 (tbl6027): a window function whose "
+    "ORDER BY is an AGGREGATE of the same grouped query — the window "
+    "runs over the post-aggregation rows (one per j, rn=1 "
+    "everywhere); sum aliased and cast for the dtype-strict hash.",
+    tags=("regress", "jiras"),
+    prelude=_TBL6027,
+)
+
+register_regress(
+    "regress_jiras_unknown_literal_joins",
+    """
+select x.b AS b, y.c AS c
+from ( ( select 'a' as a ) xx join (select 'a' as b) yy on a = b ) x
+join (select 'a' as c) y on a=c
+""",
+    "qp_misc_jiras.sql:786-788: single-quoted 'unknown'-typed literal "
+    "columns joined across nested derived tables (PG's unknown->text "
+    "resolution repro); the nested join's alias x exposes both "
+    "children's columns (x.b) and the join keys resolve unqualified.",
+    tags=("regress", "jiras"),
+    prelude=_TBL3511,
+)
+
+_JIRAS_BAR = """
+WITH qp_misc_jiras_bar(t, d, g) AS (
+  SELECT CAST(i % 7 AS INT), CAST(i % 5 AS INT), CAST(i % 3 AS INT)
+  FROM generate_series(1, 30) AS x(i)
+)
+"""
+
+register_regress(
+    "regress_jiras_correlated_in_group",
+    """
+select a.t from qp_misc_jiras_bar a
+where d in (select d from qp_misc_jiras_bar b where a.g=b.g)
+order by a.t
+""",
+    "qp_misc_jiras.sql:899-904: IN subquery correlated on a DIFFERENT "
+    "column (a.g=b.g) than the IN key (d) — decorrelates to a "
+    "semi-join on (g, d); seeded deterministically (the reference "
+    "inserts from generate_series).",
+    tags=("regress", "jiras"),
+    prelude=_JIRAS_BAR,
+)
