@@ -555,6 +555,7 @@ def _rewrite_masked(seg: str) -> str:
     seg = _rewrite_overlaps(seg)
     seg = _rewrite_window_filter(seg)
     seg = _rewrite_left_right(seg)
+    seg = _rewrite_substr_nonpositive(seg)
 
     # array_length(x, 1) -> size(x) (arrayfuncs.c array_length; Spark
     # has size()). Only dimension 1 — PG multidim arrays have no Spark
@@ -615,6 +616,46 @@ def _rewrite_left_right(seg: str) -> str:
                     f"greatest(length({sarg}) - ({narg}) + 1, 1)) "
                     f"ELSE substr({sarg}, "
                     f"least(1 - ({narg}), length({sarg}) + 1)) END"
+                )
+            seg = seg[:s] + repl + seg[c + 1 :]
+    return seg
+
+
+def _rewrite_substr_nonpositive(seg: str) -> str:
+    """PG substr(s, start[, n]) treats the string as starting at
+    position 1 with positions <= 0 addressable but empty (varlena.c
+    text_substring): substr('abc', 0, 2) = 'a' (the window [0,2)
+    clipped to [1,2)), substr('abc', -1, 3) = 'a'. Spark instead reads
+    start 0 as 1 with FULL length and NEGATIVE starts from the END —
+    silent divergence (qp_misc_jiras.sql tbl7404's substr(x,0,2) IN
+    class). Rewrite any call whose start argument is not a plain
+    positive integer literal to the clipped-window form. Innermost-
+    first; 2-arg form clips only the start."""
+    for fname in ("substr", "substring"):
+        for _ in range(50):
+            target = None
+            for s, o, c in _call_sites(seg, fname):
+                args = _split_args(seg[o + 1 : c])
+                # substring(x FROM ...) keyword form handled elsewhere;
+                # greatest( start marks an already-rewritten call
+                if (
+                    len(args) in (2, 3)
+                    and not re.fullmatch(r"\s*[1-9]\d*\s*", args[1])
+                    and not re.match(r"\s*greatest\s*\(", args[1], flags=re.I)
+                ):
+                    target = (s, c, args)
+                    break
+            if not target:
+                break
+            s, c, args = target
+            x, st = args[0].strip(), args[1].strip()
+            if len(args) == 2:
+                repl = f"substr({x}, greatest(({st}), 1))"
+            else:
+                n = args[2].strip()
+                repl = (
+                    f"substr({x}, greatest(({st}), 1), "
+                    f"greatest(({st}) + ({n}) - greatest(({st}), 1), 0))"
                 )
             seg = seg[:s] + repl + seg[c + 1 :]
     return seg

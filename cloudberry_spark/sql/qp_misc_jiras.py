@@ -232,3 +232,49 @@ order by a.t
     tags=("regress", "jiras"),
     prelude=_JIRAS_BAR,
 )
+
+
+_TBL7404 = """
+WITH tbl7404_t1(x) AS (
+  SELECT 'r' || CAST(i % 17 AS STRING) FROM generate_series(1, 40) AS t(i)
+),
+tbl7404_t2(x) AS (
+  SELECT 'r' || CAST(i % 5 AS STRING) FROM generate_series(1, 20) AS t(i)
+)
+"""
+
+register_regress(
+    "regress_jiras_7404_substr_zero_in",
+    """
+select count(*) AS n from tbl7404_t1
+where substr(x,0,2) in (select substr(x,0,2) from tbl7404_t2)
+""",
+    "qp_misc_jiras.sql:1314-1325 (tbl7404): substr with START 0 — PG "
+    "addresses position 0 as an empty slot so the [0,2) window clips "
+    "to one character (varlena.c text_substring); the frontend "
+    "rewrites non-positive starts to the clipped-window form "
+    "(sql/pgcompat.py _rewrite_substr_nonpositive) instead of Spark's "
+    "silent full-width read.",
+    tags=("regress", "jiras"),
+    prelude=_TBL7404,
+)
+
+_TBL7616 = """
+WITH tbl7616_test(a, b) AS (
+  SELECT CAST(i AS INT), CAST(i AS STRING) FROM generate_series(1, 1000) AS t(i)
+)
+"""
+
+register_regress(
+    "regress_jiras_7616_count_join_using",
+    """
+select count(a.b) AS n_b, count(*) AS n_all
+from tbl7616_test a inner join tbl7616_test b using (a)
+""",
+    "qp_misc_jiras.sql:1327-1331 (tbl7616): INNER JOIN ... USING with "
+    "qualified aggregate arguments over the join alias (the "
+    "reference's count(a.*) whole-row form spelled as count(a.b) + "
+    "count(*) — Spark has no whole-row star argument).",
+    tags=("regress", "jiras"),
+    prelude=_TBL7616,
+)
