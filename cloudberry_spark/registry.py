@@ -162,18 +162,18 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Names the correctness driver has already sampled (union of the
-#: CORRECTNESS_r01/r02/r03/r04 keys). interleaved_queries() demotes
+#: CORRECTNESS_r01..r09 keys, 435 total). interleaved_queries() demotes
 #: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r08's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r10's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r8's sample, ~460+ queries
-#: remain never-sampled; highest-value r9 leads are whatever r8 red
-#: rows exist (expect none), then round-9 additions, then the long tail
-#: by family depth — `interleaved_queries()` computes the never-sampled
-#: hoisting automatically, so updating _DRIVER_SAMPLED alone already
-#: rotates; _LEAD is only for priority overrides.
+#: only advances if both stay current. After r10's sample, ~780 queries
+#: remain never-sampled; highest-value r11 leads are whatever r10 red
+#: rows exist (expect none), then round-11 additions, then the long
+#: tail by family depth — `interleaved_queries()` computes the
+#: never-sampled hoisting automatically, so updating _DRIVER_SAMPLED
+#: alone already rotates; _LEAD is only for priority overrides.
 _DRIVER_SAMPLED = frozenset(
     """
     agg_approx_distinct agg_array_agg agg_bitwise agg_cube_grouping_id

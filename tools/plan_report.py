@@ -236,6 +236,24 @@ def main() -> None:
         "regress_jira_cube_composite_aliases",
         "regress_olapw_rollup_grouping_rank",
         "regress_foreign_key_enforcement",
+        # round 10: new batteries' heads + the q04-class CTE flip
+        "tpcds_q69_real",
+        "tpcds_q76_real_exact",
+        "tpcds_q11_real",
+        "tpcds_q74_real",
+        "regress_qpdc_changedistpolicy_dml_pttab_int4",
+        "regress_qpdc_xchange_pttab_dropcol_dml_int4",
+        "ddl_alter_type_widen_metadata_only",
+        "ddl_alter_add_check_validate",
+        "regress_exttab_reject_limit_rows",
+        "regress_exttab_error_log",
+        "regress_aggpd_same_key",
+        "regress_aggpd_distinct_no_pushdown",
+        "regress_qpwith_union_having_nested",
+        "regress_qpwith_same_name_every_level",
+        "regress_qpwith_dml_update_from_cte",
+        "regress_jiras_6027_window_over_agg",
+        "regress_privileges_table_acl",
     ]
     from cloudberry_spark import planhook
 
