@@ -673,30 +673,25 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-9 rotation: the r8 sample is folded into _DRIVER_SAMPLED, so
-    # the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's ADVICE-fix pin (widenum AVG sign/rounding-carry) and
-    # the never-sampled round-8 leads (remaining spec TPC-H texts, CTE
-    # shadowing battery, band join, qp_olap_window heads)
+    # round-10 rotation: the r9 sample is folded into _DRIVER_SAMPLED,
+    # so the prefix must consist ENTIRELY of first-time queries, led by
+    # this round's additions: the spec-exact q69/q76 closure, the
+    # qp_dropped_cols scenario battery, the alter_table slice, the
+    # external_table battery, eager-agg ports and WITH-inside-DML
     for must in (
-        "regress_numeric_big_avg_sign",
-        "regress_dropped_cols_dml_sequence_int4",
-        "regress_qpmisc_b00_abs_aggregate_approximate",
-        "udf_plpgsql_qual_names",
-        "regress_rpt_mpph5",
-        "ddl_stats_ext_columns",
-        "multimodal_video_avi_decode",
-        "tpcds_q72_real",
-        "tpcds_q51_real",
-        "tpch_q2_real",
-        # session-2 re-pins: the riskiest new code paths
-        "tpcds_q64_real",
-        "regress_olapw_exclude_group",
-        "regress_subgp_distinct_on_in_desc",
-        "ddl_part_split_exchange",
-        "regress_matview_datastatus",
-        "regress_rowsecurity_policies",
-        "ddl_storage_compression",
+        "tpcds_q69_real",
+        "tpcds_q76_real_exact",
+        "regress_qpdc_changedistpolicy_dml_pttab_int4",
+        "regress_qpdc_xchange_pttab_dropcol_dml_int4",
+        "ddl_alter_type_widen_metadata_only",
+        "ddl_alter_add_check_validate",
+        "regress_exttab_reject_limit_rows",
+        "regress_exttab_error_log",
+        "regress_aggpd_same_key",
+        "regress_aggpd_distinct_no_pushdown",
+        "regress_qpwith_dml_ctas",
+        "regress_qpwith_union_having_nested",
+        "regress_qpwith_same_name_every_level",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
@@ -773,11 +768,15 @@ def test_q4_shared_cte_materializes_year_total_once(spark):
         "channel generators leaked into the join plan"
     )
     assert plan.count("parquet") >= 1
-    # and the text-faithful variant does inline (the contrast the
-    # reference's gp_cte_sharing GUC exists to fix): the generator
-    # leaf (explode over OneRowRelation) appears once per CTE copy
+    # round 10: the text-faithful variant ALSO builds year_total once
+    # (materialize_hot_cte fires on >=4-referenced CTEs), so its final
+    # join plan likewise reads only the materialized relation — the
+    # r9 verdict's last weak plan shape is gone
     inline = _plan(spark, "tpcds_q04_real")
-    assert inline.count("OneRowRelation") >= 6
+    assert "OneRowRelation" not in inline, (
+        "tpcds_q04_real regressed to inlining year_total"
+    )
+    assert "cte_materialized" in inline
 
 
 def test_partition_join_pruned_filters(spark):
