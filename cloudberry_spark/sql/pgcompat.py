@@ -637,11 +637,15 @@ def _rewrite_substr_nonpositive(seg: str) -> str:
             for s, o, c in _call_sites(seg, fname):
                 args = _split_args(seg[o + 1 : c])
                 # substring(x FROM ...) keyword form handled elsewhere;
-                # greatest( start marks an already-rewritten call
+                # greatest( start marks an already-rewritten call; a
+                # masked string literal (\x01N\x02) as the second arg is
+                # PG's POSIX-REGEX extraction form substring(x, 'pat'),
+                # not a position — never a clipping candidate
                 if (
                     len(args) in (2, 3)
                     and not re.fullmatch(r"\s*[1-9]\d*\s*", args[1])
                     and not re.match(r"\s*greatest\s*\(", args[1], flags=re.I)
+                    and "\x01" not in args[1]
                 ):
                     target = (s, c, args)
                     break
