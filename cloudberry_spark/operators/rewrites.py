@@ -245,3 +245,111 @@ def aqumv_filter_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join below UNION ALL (ORCA CXformPushJoinBelowUnionAll;
+# qp_join_union_all.sql — GUC optimizer_enable_push_join_below_union_all)
+# ---------------------------------------------------------------------------
+
+
+def push_join_below_union(
+    parts: list[DataFrame], other: DataFrame, on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Distribute a join over a UNION ALL: (A ∪ B) ⋈ C  ≡  (A⋈C) ∪ (B⋈C).
+
+    Legal for inner joins and for outer joins preserving the union side
+    (the per-branch join sees exactly the branch's rows, so
+    null-extension happens per branch identically). Why it wins at
+    100 TB (the reference's intuition, qp_join_union_all.sql:11-16):
+    each branch keeps its own physical options — a branch colocated or
+    broadcastable against C joins with no exchange, instead of the
+    unioned whole being shuffled as one undifferentiated relation; and
+    a selective join on C prunes each branch BEFORE the union
+    materializes. Spark's Catalyst does not perform this rewrite."""
+    joined = [p.join(F.broadcast(other), on, how) for p in parts]
+    out = joined[0]
+    for j in joined[1:]:
+        out = out.unionByName(j)
+    return out
+
+
+_JUA_PRELUDE = """
+WITH dist_small_1(c1) AS (
+  SELECT CAST(i AS INT) FROM generate_series(1, 1000) AS t(i)
+),
+dist_small_2(c1) AS (
+  SELECT CAST(i AS INT) FROM generate_series(1, 1000) AS t(i)
+),
+dist_large_1(c1) AS (
+  SELECT CAST(i % 3000 AS INT) FROM generate_series(1, 9000) AS t(i)
+)
+"""
+
+
+def _jua_frames(spark: SparkSession):
+    s1 = spark.range(1, 1001).select(F.col("id").cast("int").alias("c1"))
+    s2 = spark.range(1, 1001).select(F.col("id").cast("int").alias("c1"))
+    large = spark.range(1, 9001).select(
+        (F.col("id") % 3000).cast("int").alias("c1"))
+    return s1, s2, large
+
+
+@register(
+    "regress_jua_push_inner_join",
+    oracle=f"""
+        {_JUA_PRELUDE}
+        SELECT u.c1, COUNT(*) AS n FROM (
+          SELECT c1 FROM dist_small_1 UNION ALL SELECT c1 FROM dist_small_2
+        ) u JOIN dist_large_1 l ON u.c1 = l.c1
+        GROUP BY u.c1 HAVING COUNT(*) > 3 ORDER BY u.c1
+    """,
+    doc="qp_join_union_all.sql (join of union all with distributed "
+    "table): the inner join DISTRIBUTES over the union "
+    "(CXformPushJoinBelowUnionAll) — each small branch joins the "
+    "large side independently (broadcast per branch, plan-pinned in "
+    "tests/test_plans.py), equivalent to the naive union-then-join "
+    "oracle.",
+    tags=("regress", "join-union-all", "rewrite"),
+)
+def regress_jua_push_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2, large = _jua_frames(spark)
+    pushed = push_join_below_union([s1, s2], large, "c1")
+    return (
+        pushed.groupBy("c1").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 3).orderBy("c1")
+    )
+
+
+@register(
+    "regress_jua_push_left_join",
+    oracle=f"""
+        {_JUA_PRELUDE}
+        SELECT CAST(SUM(CASE WHEN l.c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM (
+          SELECT c1 FROM dist_small_1 UNION ALL SELECT c1 FROM dist_small_2
+        ) u LEFT JOIN (SELECT DISTINCT c1 FROM dist_large_1 WHERE c1 <= 500) l
+        ON u.c1 = l.c1
+    """,
+    doc="qp_join_union_all.sql (outer-join variant): LEFT JOIN also "
+    "distributes over the union-side branches — null-extension "
+    "happens per branch identically, so unmatched counts equal the "
+    "naive form.",
+    tags=("regress", "join-union-all", "rewrite"),
+)
+def regress_jua_push_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2, large = _jua_frames(spark)
+    # branch joins need an unambiguous probe column: alias the dim side
+    d = (large.where(F.col("c1") <= 500).select("c1").distinct()
+         .select(F.col("c1").alias("__r")))
+    joined = [
+        p.join(F.broadcast(d), p["c1"] == F.col("__r"), "left")
+        for p in (s1, s2)
+    ]
+    out = joined[0].unionByName(joined[1])
+    return out.agg(
+        F.sum(F.when(F.col("__r").isNull(), 1).otherwise(0)).alias("unmatched"),
+        F.count(F.lit(1)).alias("total"),
+    )

@@ -974,3 +974,26 @@ def test_aggpd_distinct_keeps_naive_order(spark):
     the only aggregates sit above the raw join."""
     plan = _plan(spark, "regress_aggpd_distinct_no_pushdown")
     assert "p_sum" not in plan
+
+
+def test_jua_push_join_broadcasts_per_branch(spark):
+    """regress_jua_push_inner_join: the join distributed over the
+    UNION ALL gives each branch its OWN broadcast join — two BHJs in
+    the plan, and no exchange feeding a union-then-join."""
+    plan = _plan(spark, "regress_jua_push_inner_join")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:600]
+    assert "SortMergeJoin" not in plan
+
+
+def test_full_join_never_broadcasts(spark):
+    """qp_full_join class: a FULL join cannot null-extend a broadcast
+    build side, so every distribution pairing (hash/random/replicated/
+    universal) must run as a SortMergeJoin — the Spark analog of the
+    reference's <hash, hash> Motion requirement for FOJ."""
+    for name in ("regress_fj_dist_dist2", "regress_fj_rep_dist",
+                 "regress_fj_uni_dist"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin FullOuter" in plan or (
+            "SortMergeJoin" in plan and "FullOuter" in plan
+        ), f"{name}: FOJ not merge-joined"
+        assert "BroadcastHashJoin FullOuter" not in plan
