@@ -278,3 +278,32 @@ from tbl7616_test a inner join tbl7616_test b using (a)
     tags=("regress", "jiras"),
     prelude=_TBL7616,
 )
+
+
+_AWG_PRELUDE = """
+WITH foo(type, prod, quantity) AS (
+  SELECT * FROM (VALUES (1, 'Table', 100), (2, 'Chair', 250), (3, 'Bed', 300))
+  AS v(type, prod, quantity)
+)
+"""
+
+register_regress(
+    "regress_awg_groupingsets_over_limit",
+    """
+SELECT type, prod, CAST(sum(quantity) AS BIGINT) s_quant
+FROM
+(
+  SELECT type, prod, quantity
+  FROM foo F1
+  ORDER BY type
+  LIMIT 3
+) F2 GROUP BY GROUPING SETS((type, prod), (prod)) ORDER BY type, s_quant
+""",
+    "aggregate_with_groupingsets.sql (whole file): GROUPING SETS over "
+    "a LIMITed derived table — the Limit must complete below the "
+    "Expand; ORDER BY added inside the subquery so the LIMIT 3 of 3 "
+    "rows is deterministic on any engine, sum cast for the "
+    "dtype-strict hash.",
+    tags=("regress", "groupingsets"),
+    prelude=_AWG_PRELUDE,
+)
