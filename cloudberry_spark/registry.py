@@ -395,12 +395,12 @@ _LEAD = [
         "regress_qpwith_from_capitals_join",
         "regress_qpwith_where_scalar_max",
         "regress_qpwith_having_diversecountries",
-        "regress_qpdc_drop_multicol_dml_char",
-        "regress_qpdc_dropcol_splitpt_idx_dml_int4",
-        "regress_qpdc_int4_pttab_dropcol_addcol_addpt_idx_dml",
-        "regress_qpdc_pttab_addcol_addpt_dropcol_char",
-        "regress_qpdc_drop_lastcol_index_dml_int4",
-        "regress_qpdc_drop_midcol_dml_char",
+        "regress_fj_dist_dist2",
+        "regress_jua_push_inner_join",
+        "regress_jiras_7404_substr_zero_in",
+        "regress_jiras_satellite_mixed_joins",
+        "regress_awg_groupingsets_over_limit",
+        "regress_jiras_6027_window_over_agg",
 ]
 
 
