@@ -136,6 +136,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.agg_pushdown_gp  # noqa: F401
     import cloudberry_spark.sql.qp_misc_jiras  # noqa: F401
     import cloudberry_spark.sql.full_join_gp  # noqa: F401
+    import cloudberry_spark.sql.alias_sublink_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
