@@ -997,3 +997,33 @@ def test_full_join_never_broadcasts(spark):
             "SortMergeJoin" in plan and "FullOuter" in plan
         ), f"{name}: FOJ not merge-joined"
         assert "BroadcastHashJoin FullOuter" not in plan
+
+
+@pytest.mark.parametrize(
+    "pred,nfiles,nrows",
+    [
+        ("b > 4200", 1, 1),        # orca_static_pruning.sql:12-21
+        ("b = 4201", 1, 1),        # :23-32
+        ("b IN (4201, 4200)", 1, 1),  # :34-43
+        ("b < 10", 1, 1),
+        ("b >= 10 AND b < 20", 1, 1),
+        ("true", 3, 3),
+    ],
+)
+def test_orca_static_pruning_int_matrix(spark, pred, nfiles, nrows):
+    """orca_static_pruning.sql (range-partitioned rp with partitions
+    [MIN,10), [10,20), [4200,4203) and rows 0/11/4201): >, =, IN and
+    range-band predicates over the partition key must each touch
+    exactly one partition file — static pruning at planning time, the
+    same partition-selector decision the reference EXPLAIN-verifies."""
+    import os
+    path = "/tmp/prune_rp_fixture"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.createDataFrame(
+            [(0, 0, 0), (11, 11, 0), (4201, 4201, 0)], "a int, b int, c int")
+        df.repartition("b").write.mode("overwrite").partitionBy("b").parquet(path)
+    rp = spark.read.parquet(path)
+    filtered = rp.filter(pred)
+    got = _scan_files_read(filtered)
+    assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
+    assert filtered.count() == nrows
