@@ -1027,3 +1027,41 @@ def test_orca_static_pruning_int_matrix(spark, pred, nfiles, nrows):
     got = _scan_files_read(filtered)
     assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
     assert filtered.count() == nrows
+
+
+def test_direct_dispatch_bucket_pruning(spark, tmp_path):
+    """bfv_dd.sql / direct_dispatch.sql: when a predicate pins the
+    distribution key to literals, the reference dispatches the slice
+    to ONE segment instead of the whole gang. Spark analog: a scan of
+    a table bucketed by the key prunes to the matching bucket(s) —
+    SelectedBucketsCount k out of N with k = number of key literals'
+    buckets, not N."""
+    import re
+
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS dd_singlecol_px")
+        (spark.range(0, 1000)
+         .selectExpr("cast(id as int) a", "cast(id % 15 as int) b")
+         .repartition(4)
+         .write.bucketBy(8, "a").sortBy("a")
+         .option("path", str(tmp_path / "dd_singlecol_px"))
+         .mode("overwrite").saveAsTable("dd_singlecol_px"))
+        df = spark.table("dd_singlecol_px").filter("a = 1")
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+        assert m, "no bucket pruning in plan"
+        assert int(m.group(1)) < int(m.group(2)), p[:400]
+        # IN-list over the key (bfv_dd.sql 'a in (10,11,12)') prunes to
+        # at most 3 buckets
+        df2 = spark.table("dd_singlecol_px").filter("a in (10, 11, 12)")
+        df2.collect()
+        p2 = df2._jdf.queryExecution().executedPlan().toString()
+        m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p2)
+        assert m2 and int(m2.group(1)) <= 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dd_singlecol_px")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
