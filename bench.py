@@ -206,7 +206,7 @@ def main() -> None:
                 "tpch22_real_total": tpch_real_total,
                 "tpcds_real_total": tpcds_real_total,
                 "spread": spread,
-                "runs_per_query": 3,
+                "runs_per_query": n_runs,
                 "aggregation": "median",
                 "sf": sf,
                 "suite": suite,

@@ -722,6 +722,8 @@ def run_scenario(spark: SparkSession, sf_dir: str, name: str,
         else:
             raise UnsupportedStatement(st.op)
 
+    if not checkpoints:
+        raise UnsupportedStatement("block has no SELECT checkpoint")
     out = checkpoints[0]
     for c in checkpoints[1:]:
         out = out.unionAll(c)

@@ -20,6 +20,8 @@ side — the same precondition ORCA checks.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -255,7 +257,7 @@ def aqumv_filter_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def push_join_below_union(
     parts: list[DataFrame], other: DataFrame, on: list[str] | str,
-    how: str = "inner",
+    how: str = "inner", broadcast_other: bool = True,
 ) -> DataFrame:
     """Distribute a join over a UNION ALL: (A ∪ B) ⋈ C  ≡  (A⋈C) ∪ (B⋈C).
 
@@ -268,7 +270,16 @@ def push_join_below_union(
     unioned whole being shuffled as one undifferentiated relation; and
     a selective join on C prunes each branch BEFORE the union
     materializes. Spark's Catalyst does not perform this rewrite."""
-    joined = [p.join(F.broadcast(other), on, how) for p in parts]
+    if how not in ("inner", "left", "left_semi", "left_anti", "semi",
+                   "anti", "leftsemi", "leftanti", "left_outer"):
+        # right/full would null-extend (or duplicate unmatched) C rows
+        # once PER BRANCH — not equivalent to joining the union.
+        raise ValueError(
+            f"push_join_below_union: join type {how!r} does not "
+            "distribute over UNION ALL (only inner and union-side-"
+            "preserving joins do)")
+    rhs = F.broadcast(other) if broadcast_other else other
+    joined = [p.join(rhs, on, how) for p in parts]
     out = joined[0]
     for j in joined[1:]:
         out = out.unionByName(j)
@@ -353,3 +364,80 @@ def regress_jua_push_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__r").isNull(), 1).otherwise(0)).alias("unmatched"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair-explosion elimination for set-consumed self-join CTEs (the
+# TPC-DS q95 ws_wh class; ORCA would reach this via its semi-join +
+# groupby transforms, gporca CXformInnerJoin2SemiJoin family)
+# ---------------------------------------------------------------------------
+
+_SELFJOIN_CTE_RE = re.compile(
+    r"with\s+(\w+)\s+as\s*\(\s*"
+    r"select\s+(\w+)\.(\w+)\s*(?:,\s*\w+\.(\w+)\s+(\w+)\s*)?"
+    r"(?:,\s*\w+\.(\w+)\s+(\w+)\s*)?"
+    r"from\s+(\w+)\s+(\w+)\s*,\s*\8\s+(\w+)\s+"
+    r"where\s+\w+\.(\w+)\s*=\s*\w+\.\11\s+"
+    r"and\s+\w+\.(\w+)\s*<>\s*\w+\.\12\s*\)",
+    re.I,
+)
+
+
+def rewrite_selfjoin_distinct_in(sql: str) -> str:
+    """Rewrite a `WITH c AS (SELECT a.k,... FROM t a, t b WHERE
+    a.k = b.k AND a.w <> b.w)` CTE into
+    `SELECT k FROM t GROUP BY k HAVING count(DISTINCT w) > 1`
+    when the CTE is consumed ONLY as a set (IN subqueries projecting
+    the join key k). The shapes are equivalent there: a key joins a
+    <>-pair with itself iff it has >= 2 distinct w values, and IN
+    ignores multiplicity.
+
+    Why it matters at 100 TB: the naive self-join materializes
+    sum(n_k^2) pairs over key-group sizes n_k — 100M+ rows at the
+    K=100 soak (501 rows/key), unbounded at real scale — while the
+    aggregate is one pass with partial (map-side) count-distinct.
+    TPC-DS q95's ws_wh (tpcds_q95.sql) is the canonical instance.
+
+    Guards (all must hold, else the text returns unchanged):
+    - the CTE matches the exact self-join shape above;
+    - its non-key output aliases are never referenced downstream;
+    - every downstream reference to the CTE sits inside an
+      IN (SELECT ...) subquery, so set semantics apply.
+    """
+    m = _SELFJOIN_CTE_RE.search(sql)
+    if not m:
+        return sql
+    cte, key = m.group(1), m.group(3)
+    tbl, jkey, neq = m.group(8), m.group(11), m.group(12)
+    rest = sql[m.end():]
+    # non-key outputs (wh1/wh2) must be dead downstream
+    for alias in (m.group(5), m.group(7)):
+        if alias and re.search(rf"\b{alias}\b", rest, flags=re.I):
+            return sql
+    # every CTE reference must live inside an IN (...) subquery
+    for ref in re.finditer(rf"\b{cte}\b", rest, flags=re.I):
+        before = rest[: ref.start()].lower()
+        depth = before.count("(") - before.count(")")
+        if depth < 1 or before.rstrip().rfind("in") < 0:
+            return sql
+        opens = [i for i, ch in enumerate(before) if ch == "("]
+        # the innermost unclosed paren must be an IN (select ...) —
+        # walk unclosed opens and require one introduced by IN
+        unclosed, d = [], 0
+        for i, ch in enumerate(before):
+            if ch == "(":
+                unclosed.append(i)
+            elif ch == ")" and unclosed:
+                unclosed.pop()
+        if not any(
+            re.search(r"\bin\s*$", before[:i].rstrip()) for i in unclosed
+        ):
+            return sql
+    repl = (
+        f"with {cte} as (\n"
+        f" select {key}\n"
+        f" from {tbl}\n"
+        f" group by {key}\n"
+        f" having count(distinct {neq}) > 1)"
+    )
+    return sql[: m.start()] + repl + rest

@@ -137,6 +137,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_misc_jiras  # noqa: F401
     import cloudberry_spark.sql.full_join_gp  # noqa: F401
     import cloudberry_spark.sql.alias_sublink_gp  # noqa: F401
+    import cloudberry_spark.sql.rio_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -164,15 +165,15 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Names the correctness driver has already sampled (union of the
-#: CORRECTNESS_r01..r09 keys, 435 total). interleaved_queries() demotes
+#: CORRECTNESS_r01..r10 keys, 435 total). interleaved_queries() demotes
 #: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r10's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r11's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r10's sample, ~780 queries
-#: remain never-sampled; highest-value r11 leads are whatever r10 red
-#: rows exist (expect none), then round-11 additions, then the long
+#: only advances if both stay current. After r11's sample, ~830 queries
+#: remain never-sampled; highest-value r12 leads are whatever r11 red
+#: rows exist (expect none), then round-12 additions, then the long
 #: tail by family depth — `interleaved_queries()` computes the
 #: never-sampled hoisting automatically, so updating _DRIVER_SAMPLED
 #: alone already rotates; _LEAD is only for priority overrides.
@@ -331,6 +332,38 @@ _DRIVER_SAMPLED = frozenset(
     tpcds_q97_real tpch_q2_real udf_plpgsql_continue_when
     udf_plpgsql_exit_label_nested udf_plpgsql_qual_names
     udf_plpgsql_record_into
+    ddl_alter_add_check_validate ddl_alter_fk_not_valid_validate
+    ddl_alter_set_drop_default ddl_alter_type_rewrite_text
+    ddl_alter_type_widen_metadata_only regress_aggpd_diff_group_key
+    regress_aggpd_distinct_no_pushdown regress_aggpd_group_other_side
+    regress_aggpd_multi_keys regress_aggpd_same_key
+    regress_aggpd_subquery_pushdown regress_awg_groupingsets_over_limit
+    regress_exttab_error_log regress_exttab_execute_on
+    regress_exttab_fill_missing regress_exttab_header_skip
+    regress_exttab_null_as regress_exttab_reject_limit_percent
+    regress_exttab_reject_limit_rows regress_fj_dist_dist2
+    regress_jiras_6027_window_over_agg regress_jiras_7404_substr_zero_in
+    regress_jiras_satellite_mixed_joins regress_jua_push_inner_join
+    regress_qpdc_changedistpolicy_dml_pttab_int4
+    regress_qpdc_defpt_dropcol_addcol_dml_char
+    regress_qpdc_drop_distcol_dml_int4
+    regress_qpdc_dropcol_addcol_splitpt_dml_int4
+    regress_qpdc_dropcol_splitdfpt_dml_char
+    regress_qpdc_pttab_addpt_dropcol_addcol_dml_int4
+    regress_qpdc_pttab_dropfirstcol_addpt_index_char
+    regress_qpdc_reordered_col_dml_int4
+    regress_qpdc_xchange_pttab_dropcol_addcol_dml_char
+    regress_qpdc_xchange_pttab_dropcol_dml_int4
+    regress_qpwith_alleuropean_twice regress_qpwith_cte_scalar_count_or
+    regress_qpwith_dml_ctas regress_qpwith_dml_delete_notin_subplan
+    regress_qpwith_dml_delete_using_cte regress_qpwith_dml_insert_cte
+    regress_qpwith_dml_update_from_cte
+    regress_qpwith_fact_union_leftjoin regress_qpwith_from_capitals_join
+    regress_qpwith_having_diversecountries
+    regress_qpwith_same_name_every_level
+    regress_qpwith_shareinput_same_slice
+    regress_qpwith_union_having_nested regress_qpwith_where_scalar_max
+    tpcds_q69_real tpcds_q76_real_exact
     """.split()
 )
 

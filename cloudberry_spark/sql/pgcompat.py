@@ -554,6 +554,7 @@ def _rewrite_masked(seg: str) -> str:
     seg = _rewrite_row_constructors(seg)
     seg = _rewrite_overlaps(seg)
     seg = _rewrite_window_filter(seg)
+    seg = _strip_value_fn_frames(seg)
     seg = _rewrite_left_right(seg)
     seg = _rewrite_substr_nonpositive(seg)
 
@@ -657,11 +658,31 @@ def _rewrite_substr_nonpositive(seg: str) -> str:
                 repl = f"substr({x}, greatest(({st}), 1))"
             else:
                 n = args[2].strip()
-                repl = (
-                    f"substr({x}, greatest(({st}), 1), "
-                    f"greatest(({st}) + ({n}) - greatest(({st}), 1), 0))"
-                )
+                # PG raises 'negative substring length not allowed' for
+                # n < 0 (text_substring); keep that LOUD via raise_error
+                # instead of silently clamping to '' (ADVICE r10).
+                if re.fullmatch(r"\d+", n):
+                    length = (
+                        f"greatest(({st}) + ({n}) - greatest(({st}), 1), 0)"
+                    )
+                else:
+                    length = (
+                        f"CASE WHEN ({n}) < 0 THEN CAST(raise_error("
+                        f"'negative substring length not allowed') AS INT) "
+                        f"ELSE greatest(({st}) + ({n}) - greatest(({st}), 1),"
+                        f" 0) END"
+                    )
+                repl = f"substr({x}, greatest(({st}), 1), {length})"
             seg = seg[:s] + repl + seg[c + 1 :]
+        else:
+            import warnings
+
+            warnings.warn(
+                "_rewrite_substr_nonpositive hit its 50-iteration cap "
+                "with call sites left unrewritten; results for the "
+                "remaining substr() calls may diverge from PG",
+                RuntimeWarning,
+            )
     return seg
 
 
@@ -869,6 +890,73 @@ def _rewrite_case_isnotdistinct(seg: str) -> str:
             pos = tstart
         out.append(seg[pos:])
         seg = "".join(out)
+    return seg
+
+
+#: ranking/value window functions: PG parses-and-IGNORES any frame
+#: clause on these (windowfuncs.c uses the whole partition); Spark
+#: REJECTS an explicit frame ("Cannot specify window frame for lag").
+_VALUE_WIN_FNS = (
+    "lag", "lead", "rank", "dense_rank", "row_number", "percent_rank",
+    "cume_dist", "ntile", "first_value", "last_value", "nth_value",
+)
+#: frame spec is always the tail of a window definition
+_FRAME_TAIL_RE = re.compile(
+    r"\b(?:ROWS|RANGE|GROUPS)\s+(?:BETWEEN\b.*|UNBOUNDED\b.*|"
+    r"CURRENT\s+ROW.*|\d+\s+PRECEDING.*)$",
+    re.I | re.S,
+)
+#: frame-SENSITIVE value functions keep PG's default frame semantics
+#: (first_value/last_value/nth_value DO honor frames in PG) — only the
+#: frame-IGNORING ones are safe to strip.
+_FRAME_IGNORING_FNS = (
+    "lag", "lead", "rank", "dense_rank", "row_number", "percent_rank",
+    "cume_dist", "ntile",
+)
+
+
+def _strip_value_fn_frames(seg: str) -> str:
+    """Remove explicit frame clauses from windows consumed by
+    frame-ignoring functions (qp_misc_rio.sql Test 30: ``lag(j) OVER
+    (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)``). PG ignores frames for these functions; Spark errors.
+    Handles the inline ``fn(...) OVER (...)`` form and named ``WINDOW
+    w AS (...)`` definitions whose every ``OVER (w)`` consumer is
+    frame-ignoring."""
+    fns = "|".join(_FRAME_IGNORING_FNS)
+    inline = re.compile(
+        rf"\b({fns})\s*(\([^()]*(?:\([^()]*\)[^()]*)*\))\s*"
+        r"OVER\s*\(([^()]*)\)",
+        re.I,
+    )
+
+    def _one(m: re.Match) -> str:
+        spec = _FRAME_TAIL_RE.sub("", m.group(3)).rstrip()
+        return f"{m.group(1)}{m.group(2)} OVER ({spec})"
+
+    seg = inline.sub(_one, seg)
+
+    # named windows: strip the frame iff every OVER (name) consumer is
+    # a frame-ignoring function (a mixed consumer set keeps the frame —
+    # aggregates DO honor it). Re-scan after each mutation: earlier
+    # strips shift later match offsets.
+    pos = 0
+    while True:
+        m = _WINDOW_CLAUSE_RE.search(seg, pos)
+        if not m:
+            break
+        pos = m.end()
+        name = m.group(1)
+        users = re.findall(
+            rf"\b(\w+)\s*\([^()]*\)\s*OVER\s*\(\s*{name}\s*\)", seg,
+            flags=re.I,
+        )
+        if users and all(u.lower() in _FRAME_IGNORING_FNS for u in users):
+            o = seg.index("(", m.end() - 1)
+            c = _match_paren(seg, o)
+            if c > 0:
+                body = _FRAME_TAIL_RE.sub("", seg[o + 1 : c]).rstrip()
+                seg = seg[: o + 1] + body + seg[c:]
     return seg
 
 

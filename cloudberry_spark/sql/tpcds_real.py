@@ -52,6 +52,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cloudberry_spark.operators.rewrites import rewrite_selfjoin_distinct_in
 from cloudberry_spark.registry import register
 from cloudberry_spark.sql.pgcompat import translate_pg_sql
 
@@ -439,7 +440,8 @@ def _split_single_cte(sql: str) -> tuple[str, str, str] | None:
 
 
 def materialize_hot_cte(
-    spark: SparkSession, sql: str, prelude: str | None, min_refs: int = 4
+    spark: SparkSession, sql: str, prelude: str | None, min_refs: int = 4,
+    qname: str = "shared",
 ) -> DataFrame | None:
     """Build a many-referenced CTE ONCE as a scratch-parquet temp view
     and run the remainder against it (the year_total q04/q11/q74
@@ -459,29 +461,49 @@ def materialize_hot_cte(
     if refs < min_refs:
         return None
     df = spark.sql(translate_pg_sql(_with_prelude(body, prelude)))
+    # Key the scratch path AND the temp-view name by query so q04/q11/
+    # q74 (which share the CTE name year_total but not its definition)
+    # can never read each other's materialization, and parallel runs
+    # don't race on one path (ADVICE r10).
+    view = f"{qname}__{cte}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch", "cte_materialized", cte)
+        ".scratch", "cte_materialized", qname, cte)
     df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView(cte)
-    # the remainder still needs the dim CTEs -> merge the prelude, but
-    # rename nothing: the fresh temp view shadows no prelude table
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    # the remainder still needs the dim CTEs -> merge the prelude; the
+    # CTE's TABLE references retarget to the per-query view. Qualified
+    # column refs (q04's t_s_firstyear.year_total — the CTE exposes a
+    # column named like itself) must NOT be rewritten: skip matches
+    # preceded by '.' and matches in AS/alias position.
+    rest = re.sub(
+        rf"(?<![\w.]){cte}\b(?!\s*\()", view, rest, flags=re.I)
     return spark.sql(translate_pg_sql(_with_prelude(rest, prelude)))
 
 
 def register_tpcds(
     name: str, sql: str, doc: str, tags: tuple[str, ...] = (),
     prelude: str | None = None, materialize_cte: bool = False,
+    rewrite=None,
 ) -> None:
     """``prelude`` overrides the shared fixture (the nullable-FK
     variant for q69/q76); override queries always run CTE-inline —
     the scale soak's parquet views materialize the SHARED prelude.
     ``materialize_cte`` opts the year_total-class texts into
     materialize_hot_cte (build-once plan for a CTE referenced >= 4
-    times)."""
+    times). ``rewrite`` (str -> str) transforms the SPARK-side text
+    only — the oracle always runs the verbatim spec text, so the
+    driver hash-verifies the rewrite is semantics-preserving (the
+    q95 pair-explosion elimination rides this)."""
+    oracle_full = _with_prelude(sql, prelude)
+    if rewrite is not None:
+        rewritten = rewrite(sql)
+        assert rewritten != sql, f"{name}: rewrite hook did not fire"
+        sql = rewritten
     full = _with_prelude(sql, prelude)
 
-    @register(name, oracle=full, doc=doc, tags=("tpcds_real",) + tags)
+    @register(
+        name, oracle=oracle_full, doc=doc, tags=("tpcds_real",) + tags)
     def _q(spark: SparkSession, sf_dir: str, _sql: str = full,
            _orig: str = sql, _variant: bool = prelude is not None) -> DataFrame:
         # Bench-only scale knob (identity unless SPARK_GRAFT_DS_SCALE>1;
@@ -494,12 +516,12 @@ def register_tpcds(
             spec_views(spark, TPCDS_PRELUDE, "tpcds")
             if materialize_cte:
                 # empty prelude: the tables already exist as views
-                out = materialize_hot_cte(spark, _orig, "")
+                out = materialize_hot_cte(spark, _orig, "", qname=name)
                 if out is not None:
                     return out
             return spark.sql(translate_pg_sql(_orig))
         if materialize_cte:
-            out = materialize_hot_cte(spark, _orig, prelude)
+            out = materialize_hot_cte(spark, _orig, prelude, qname=name)
             if out is not None:
                 return out
         return spark.sql(translate_pg_sql(_sql))
@@ -1727,8 +1749,9 @@ where d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) 
 order by count(distinct ws_order_number)
 limit 100
 """,
-    'TPC-DS spec q95 IN FULL (ws_wh multi-warehouse self-join CTE reused three ways: FROM-less IN, and IN-join against web_returns; 60-day ship window, one-row aggregate output). Completes the cte_prune.sql fragment (tpcds_q95_order_warehouses) into the whole query.',
+    'TPC-DS spec q95 IN FULL (ws_wh multi-warehouse self-join CTE reused three ways: FROM-less IN, and IN-join against web_returns; 60-day ship window, one-row aggregate output). Completes the cte_prune.sql fragment (tpcds_q95_order_warehouses) into the whole query. Spark side runs the pair-explosion-free rewrite (ws_wh -> GROUP BY HAVING count(DISTINCT wh) > 1, operators/rewrites.py rewrite_selfjoin_distinct_in); the oracle runs the verbatim text, so the driver hash-verifies the rewrite.',
     tags=("q95",),
+    rewrite=rewrite_selfjoin_distinct_in,
 )
 
 register_tpcds(

@@ -645,3 +645,55 @@ def test_storage_compression_encodings(spark):
         )
         encs = {str(e) for e in flag_col.encodings}
         assert any("RLE_DICTIONARY" in e or "PLAIN_DICTIONARY" in e for e in encs), encs
+
+
+def test_push_join_below_union_rejects_nondistributive_how(spark):
+    """(A∪B)⋈C ≡ (A⋈C)∪(B⋈C) holds only for inner/union-side-
+    preserving joins; right/full would replicate C's unmatched rows
+    once per branch (ADVICE r10 fix)."""
+    import pytest as _pytest
+    from cloudberry_spark.operators.rewrites import push_join_below_union
+
+    a = spark.range(3).selectExpr("id AS k")
+    b = spark.range(3, 6).selectExpr("id AS k")
+    c = spark.range(10).selectExpr("id AS k")
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            push_join_below_union([a, b], c, "k", how=bad)
+    # the legal forms still work, with and without the broadcast hint
+    assert push_join_below_union([a, b], c, "k").count() == 6
+    assert push_join_below_union(
+        [a, b], c, "k", how="left", broadcast_other=False).count() == 6
+
+
+def test_substr_negative_length_is_loud(spark):
+    """PG raises 'negative substring length not allowed' for
+    substr(x, start, n<0); the clipped-window rewrite must surface
+    that via raise_error, not silently return '' (ADVICE r10 fix)."""
+    import pytest as _pytest
+    from cloudberry_spark.sql.pgcompat import translate_pg_sql
+
+    sql = translate_pg_sql(
+        "SELECT substr('abc', 0, 0 - cast(n AS int)) AS s "
+        "FROM (SELECT 1 AS n)")
+    with _pytest.raises(Exception, match="negative substring length"):
+        spark.sql(sql).collect()
+    # nonnegative dynamic lengths still clip correctly
+    ok = translate_pg_sql(
+        "SELECT substr('abc', 0, cast(n AS int)) AS s FROM (SELECT 2 AS n)")
+    assert spark.sql(ok).collect()[0]["s"] == "a"
+
+
+def test_qpdc_block_without_checkpoint_is_unsupported(spark):
+    """run_scenario on a block with no SELECT checkpoint must raise
+    UnsupportedStatement (the generator's skip contract), not a bare
+    IndexError (ADVICE r10 fix)."""
+    import pytest as _pytest
+    from cloudberry_spark.operators import qpdc_runtime as q
+
+    block = (
+        "create table qpdc_nock (a int, b int) distributed by (a);\n"
+        "insert into qpdc_nock values (1, 2);\n"
+    )
+    with _pytest.raises(q.UnsupportedStatement, match="no SELECT checkpoint"):
+        q.run_scenario(spark, SF_DIR, "nock", block)

@@ -1065,3 +1065,22 @@ def test_direct_dispatch_bucket_pruning(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS dd_singlecol_px")
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+
+def test_q95_selfjoin_rewritten_to_group_count(spark):
+    """tpcds_q95_real's ws_wh CTE (web_sales self-join on
+    ws_order_number with ws_warehouse_sk <>) is consumed only through
+    IN subqueries, so the engine rewrites it to GROUP BY order HAVING
+    count(DISTINCT warehouse) > 1 (rewrite_selfjoin_distinct_in —
+    oracle-verified against the verbatim spec text). The pair
+    explosion is sum(n_k^2) rows over key-group sizes — 100M+ at the
+    K=100 soak — so the plan must carry NO <> join predicate and must
+    carry the count-distinct aggregate instead."""
+    plan = _plan(spark, "tpcds_q95_real")
+    assert "NOT (ws_warehouse_sk" not in plan, (
+        "q95 regressed to the quadratic ws_wh self-join"
+    )
+    low = plan.lower()
+    assert "ws_warehouse_sk" in low and "count" in low
+    # the distinct-count runs partial (map-side) before any exchange
+    assert "HashAggregate" in plan
