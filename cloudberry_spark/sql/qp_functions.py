@@ -384,3 +384,318 @@ _qpff(
     "class — nested calls with no table at all (pure Result node in "
     "PG; a one-row projection here).",
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_functions_in_select.sql battery (regress_qpfis_*): the placement
+# sweep {column | constant | no-table} x {scalar | SETOF | table-reading}
+# x {plain | nested func2}. Volatility triplicates collapse as in the
+# qpff ports above (volatility is a PG planner axis; compiled SQL temp
+# functions are always inlined/pure). The MODIFIES SQL DATA cases are
+# expected-ERROR in the reference itself ("function cannot execute on a
+# QE slice", qp_functions_in_select.out:328) — categorical exclusion.
+# SRF-in-select-column is spelled as its LATERAL-join equivalent (PG
+# semantics for a single SRF in the tlist), with the function body
+# still the verbatim compiled plpgsql.
+# ---------------------------------------------------------------------------
+
+_F1_NOSQL = (
+    """
+    CREATE FUNCTION func1_nosql_imm(x int) RETURNS int AS $$
+    BEGIN
+    RETURN $1 +1;
+    END
+    $$ LANGUAGE plpgsql NO SQL IMMUTABLE
+    """,
+    False,
+)
+
+_F1_SQL_INT = (
+    """
+    CREATE FUNCTION func1_sql_int_stb(x int) RETURNS int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        SELECT $1 + 1 INTO r;
+        RETURN r;
+    END
+    $$ LANGUAGE plpgsql STABLE CONTAINS SQL
+    """,
+    False,
+)
+
+_F1_SETINT = (
+    """
+    CREATE FUNCTION func1_sql_setint_imm(x int) RETURNS setof int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        FOR r in SELECT generate_series($1, $1+5)
+        LOOP
+            RETURN NEXT r;
+        END LOOP;
+        RETURN;
+    END
+    $$ LANGUAGE plpgsql CONTAINS SQL IMMUTABLE
+    """,
+    False,
+)
+
+_F1_READ_INT = (
+    """
+    CREATE FUNCTION func1_read_int_sql_stb(x int) RETURNS int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        SELECT d FROM bar WHERE c = $1 LIMIT 1 INTO r;
+        RETURN r;
+    END
+    $$ LANGUAGE plpgsql STABLE READS SQL DATA
+    """,
+    False,
+)
+
+_F1_READ_SETINT = (
+    """
+    CREATE FUNCTION func1_read_setint_sql_stb(x int) RETURNS setof int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        FOR r in SELECT d FROM bar WHERE c <> $1
+        LOOP
+            RETURN NEXT r;
+        END LOOP;
+        RETURN;
+    END
+    $$ LANGUAGE plpgsql STABLE READS SQL DATA
+    """,
+    False,
+)
+
+_F2_NOSQL = (
+    """
+    CREATE FUNCTION func2_nosql_vol(x int) RETURNS int AS $$
+    BEGIN
+    RETURN $1 + 1;
+    END
+    $$ LANGUAGE plpgsql VOLATILE NO SQL
+    """,
+    False,
+)
+
+_F2_SQL_INT = (
+    """
+    CREATE FUNCTION func2_sql_int_imm(x int) RETURNS int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        SELECT $1 + 1 INTO r;
+        RETURN r;
+    END
+    $$ LANGUAGE plpgsql CONTAINS SQL IMMUTABLE
+    """,
+    False,
+)
+
+_F2_READ_INT = (
+    """
+    CREATE FUNCTION func2_read_int_stb(x int) RETURNS int AS $$
+    DECLARE
+        r int;
+    BEGIN
+        SELECT d FROM bar WHERE c = $1 LIMIT 1 INTO r;
+        RETURN r;
+    END
+    $$ LANGUAGE plpgsql STABLE READS SQL DATA
+    """,
+    False,
+)
+
+_BAR_CTE = """
+WITH bar(c, d) AS (
+  SELECT CAST(i AS INT), CAST(i + 1 AS INT)
+  FROM generate_series(1, 10) t(i)
+),
+foo(a, b) AS (
+  SELECT CAST(i AS INT), CAST(i + 1 AS INT)
+  FROM generate_series(1, 10) t(i)
+)
+"""
+
+_qpff(
+    "regress_qpfis_scalar_column",
+    [_F1_NOSQL],
+    "SELECT func1_nosql_imm(a) AS f FROM foo order by 1",
+    _BAR_CTE + "SELECT a + 1 AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:20 (function_in_select_column_2) — "
+    "NO SQL scalar over each row's column.",
+)
+
+_qpff(
+    "regress_qpfis_sql_scalar_column",
+    [_F1_SQL_INT],
+    "SELECT func1_sql_int_stb(a) AS f FROM foo order by 1",
+    _BAR_CTE + "SELECT a + 1 AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:26 (function_in_select_column_4) — "
+    "CONTAINS SQL scalar (SELECT ... INTO assignment body) per row.",
+)
+
+_qpff(
+    "regress_qpfis_setof_column",
+    [_F1_SETINT],
+    # PG: single SRF in the tlist multiplies rows (ProjectSet).
+    # Spark equivalent: LATERAL join against the compiled table
+    # function — same 60 rows.
+    "SELECT func1_sql_setint_imm AS f "
+    "FROM foo, LATERAL func1_sql_setint_imm(a) order by 1",
+    _BAR_CTE + "SELECT CAST(a + g AS INT) AS f FROM foo, "
+    "(SELECT unnest(generate_series(0, 5)) AS g) t ORDER BY 1",
+    "qp_functions_in_select.sql:32 (function_in_select_column_8) — "
+    "SETOF function in the SELECT list (ProjectSet): 10 rows x 6 "
+    "series values. Spelled as the LATERAL equivalent (noted "
+    "adaptation; the body is the verbatim FOR/RETURN NEXT loop, "
+    "compiled).",
+)
+
+_qpff(
+    "regress_qpfis_read_scalar_column",
+    [_F1_READ_INT],
+    "SELECT func1_read_int_sql_stb(a) AS f FROM foo order by 1",
+    _BAR_CTE + "SELECT (SELECT d FROM bar WHERE c = a LIMIT 1) AS f "
+    "FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:44 (function_in_select_column_10) — "
+    "READS SQL DATA scalar: each row probes bar (c = a LIMIT 1); "
+    "compiles to a correlated scalar subquery, which Spark "
+    "decorrelates to a join — no per-row execution.",
+)
+
+_qpff(
+    "regress_qpfis_read_setof_column",
+    [_F1_READ_SETINT],
+    "SELECT func1_read_setint_sql_stb AS f "
+    "FROM foo, LATERAL func1_read_setint_sql_stb(a) order by 1",
+    _BAR_CTE + "SELECT CAST(d AS INT) AS f FROM foo, "
+    "LATERAL (SELECT d FROM bar WHERE c <> a) t(d) ORDER BY 1",
+    "qp_functions_in_select.sql:47 (function_in_select_column_12) — "
+    "table-reading SETOF in the SELECT list: each of foo's 10 rows "
+    "fans out to bar's 9 non-matching rows (90 rows).",
+)
+
+_qpff(
+    "regress_qpfis_scalar_constant",
+    [_F1_NOSQL],
+    "SELECT func1_nosql_imm(5) AS f FROM foo order by 1",
+    _BAR_CTE + "SELECT 5 + 1 AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:715 (function_in_select_constant_0 "
+    "class) — constant-argument scalar still emitted once per foo "
+    "row (10 identical rows).",
+)
+
+_qpff(
+    "regress_qpfis_read_scalar_constant",
+    [_F1_READ_INT],
+    "SELECT func1_read_int_sql_stb(5) AS f FROM foo order by 1",
+    _BAR_CTE + "SELECT (SELECT d FROM bar WHERE c = 5 LIMIT 1) AS f "
+    "FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:742 (function_in_select_constant_9 "
+    "class) — table-reading scalar with a constant probe, per row.",
+)
+
+_qpff(
+    "regress_qpfis_setof_constant",
+    [_F1_SETINT],
+    "SELECT func1_sql_setint_imm AS f "
+    "FROM foo, LATERAL func1_sql_setint_imm(5) order by 1",
+    _BAR_CTE + "SELECT CAST(g AS INT) AS f FROM foo, "
+    "LATERAL generate_series(5, 10) t(g) ORDER BY 1",
+    "qp_functions_in_select.sql function_in_select_constant_6 class "
+    "— constant-argument SETOF in the list: every foo row fans to "
+    "the same 6 series values.",
+)
+
+_qpff(
+    "regress_qpfis_scalar_notable",
+    [_F1_NOSQL],
+    "SELECT func1_nosql_imm(5) AS f order by 1",
+    "SELECT 5 + 1 AS f",
+    "qp_functions_in_select.sql:1416 (function_in_select_notable_0 "
+    "class) — FROM-less scalar call (pure Result node).",
+)
+
+_qpff(
+    "regress_qpfis_setof_notable",
+    [_F1_SETINT],
+    "SELECT func1_sql_setint_imm AS f "
+    "FROM LATERAL func1_sql_setint_imm(5) order by 1",
+    "SELECT CAST(g AS INT) AS f FROM generate_series(5, 10) t(g) "
+    "ORDER BY 1",
+    "qp_functions_in_select.sql function_in_select_notable_7 class — "
+    "FROM-less SETOF call returning its 6 series rows.",
+)
+
+_qpff(
+    "regress_qpfis_read_setof_notable",
+    [_F1_READ_SETINT],
+    "SELECT func1_read_setint_sql_stb AS f "
+    "FROM LATERAL func1_read_setint_sql_stb(5) order by 1",
+    _BAR_CTE + "SELECT CAST(d AS INT) AS f "
+    "FROM (SELECT d FROM bar WHERE c <> 5) t(d) ORDER BY 1",
+    "qp_functions_in_select.sql:1449 (function_in_select_notable_11 "
+    "class) — FROM-less table-reading SETOF: bar's 9 non-matching "
+    "rows.",
+)
+
+_qpff(
+    "regress_qpfis_nested_column",
+    [_F1_SQL_INT, _F2_NOSQL],
+    "SELECT func1_sql_int_stb(func2_nosql_vol(a)) AS f "
+    "FROM foo order by 1",
+    _BAR_CTE + "SELECT a + 1 + 1 AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:209 "
+    "(function_in_select_column_withfunc2_40) — nested scalar calls "
+    "over the column: both bodies compile and inline.",
+)
+
+_qpff(
+    "regress_qpfis_nested_read_constant",
+    [_F1_READ_INT, _F2_NOSQL],
+    "SELECT func1_read_int_sql_stb(func2_nosql_vol(5)) AS f "
+    "FROM foo order by 1",
+    _BAR_CTE + "SELECT (SELECT d FROM bar WHERE c = 5 + 1 LIMIT 1) "
+    "AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:1115 "
+    "(function_in_select_constant_withfunc2_100) — table-reading "
+    "scalar probed with a nested function result.",
+)
+
+_qpff(
+    "regress_qpfis_nested_read_inner",
+    [_F1_SQL_INT, _F2_READ_INT],
+    "SELECT func1_sql_int_stb(func2_read_int_stb(a)) AS f "
+    "FROM foo order by 1",
+    _BAR_CTE + "SELECT (SELECT d FROM bar WHERE c = a LIMIT 1) + 1 "
+    "AS f FROM foo ORDER BY 1",
+    "qp_functions_in_select.sql:230 "
+    "(function_in_select_column_withfunc2_47) — the INNER call reads "
+    "bar per row, the outer adds 1: correlated-subquery result as a "
+    "scalar function argument.",
+)
+
+_qpff(
+    "regress_qpfis_nested_setof_arg",
+    [_F1_SETINT, _F2_SQL_INT],
+    # Spark rejects a SQL-UDF call as a SQLTableFunction argument
+    # (UNSUPPORTED_SQL_UDF_USAGE, same adaptation as
+    # regress_qpff_nested_func_args): hoist the inner call into a
+    # derived column, then lateral over it — both bodies still run
+    # compiled.
+    "SELECT func1_sql_setint_imm AS f FROM "
+    "(SELECT func2_sql_int_imm(a) AS aa FROM foo) foo2, "
+    "LATERAL func1_sql_setint_imm(aa) order by 1",
+    _BAR_CTE + "SELECT CAST(aa + g AS INT) AS f FROM "
+    "(SELECT a + 1 AS aa FROM foo) foo2, "
+    "(SELECT unnest(generate_series(0, 5)) AS g) t ORDER BY 1",
+    "qp_functions_in_select.sql function_in_select_column_withfunc2 "
+    "SETOF class — a nested scalar result feeding the SETOF "
+    "function's argument, lateral per row.",
+)
