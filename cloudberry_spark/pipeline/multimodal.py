@@ -125,27 +125,107 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+#: DuckDB reconstruction of the decode stub's feature algebra, over the
+#: payload's ACTUAL bytes (hex(encode(text)) -> per-byte values): for
+#: 0-based chunk i of width step=max(n//8,1), the feature is
+#: sum(bytes[i*step : i*step+step]) % 997 (zero-padded to 8). The Spark
+#: side recovers the same integer exactly via round(float32 * 997) —
+#: k/997 stored as float32 round-trips to k for k < 997.
+_DECODE_ORACLE = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              ELSE 'audio/wav' END AS media_type,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE doc_id % 3 <> 2
+),
+bytes AS (
+  SELECT doc_id, media_type, n,
+         list_transform(
+           generate_series(1, n),
+           i -> 16 * strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1))
+                + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 17
+         ) AS bs,
+         greatest(n // 8, 1) AS step
+  FROM media
+)
+SELECT doc_id, media_type,
+       CAST(n AS INT) AS n_bytes,
+       CAST(n % 64 + 1 AS INT) AS width,
+       CAST(n % 48 + 1 AS INT) AS height,
+       CAST(f.i AS INT) AS feat_idx,
+       CAST(CASE WHEN f.i * step < least(n, 8 * step)
+                 THEN list_sum(list_slice(
+                        bs, f.i * step + 1,
+                        least(f.i * step + step, n))) % 997
+                 ELSE 0 END AS BIGINT) AS feat_k
+FROM bytes, (SELECT unnest(generate_series(0, 7)) AS i) f
+ORDER BY doc_id, feat_idx
+"""
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode is a Python kernel — no SQL expression exists;
-    # pytest checks determinism, schema, and batch behavior instead.
+    oracle=_DECODE_ORACLE,
     doc="Multimodal decode pipeline: binary payload + metadata → "
     "mapInPandas(stub codec) → typed features. Metadata filter prunes "
-    "before decode (bytes never deserialized for filtered rows).",
+    "before decode (bytes never deserialized for filtered rows). The "
+    "registered projection explodes the 8-dim feature vector and "
+    "recovers each feature's exact integer chunk-sum (k = f*997), so "
+    "the ENTIRE decode round trip — Arrow batch in, per-byte kernel, "
+    "typed schema out — is differentially verified against a DuckDB "
+    "reconstruction of the byte algebra (r10 verdict item: this was "
+    "one of 6 rows-only queries).",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = fake_media(docs).where(F.col("media_type") != "video/mp4")
-    return decode_media(media).orderBy("doc_id")
+    decoded = decode_media(media)
+    return (
+        decoded.select(
+            "doc_id", "media_type", "n_bytes", "width", "height",
+            F.posexplode("features").alias("feat_idx", "f"),
+        )
+        .select(
+            "doc_id", "media_type", "n_bytes", "width", "height",
+            "feat_idx",
+            F.round(F.col("f").cast("double") * 997)
+            .cast("bigint").alias("feat_k"),
+        )
+        .orderBy("doc_id", "feat_idx")
+    )
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,
+    # the payload is the text's utf-8 bytes, so md5 over the binary
+    # concat (Spark) equals md5 over the string concat (DuckDB) —
+    # byte-identical digests, fully differential.
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, text,
+             CAST(floor(length(text) / 10.0) AS INT) AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(f.i AS INT) AS frame_idx,
+           md5(text || ':' || CAST(f.i AS VARCHAR)) AS frame_md5
+    FROM media,
+         LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 10))
+                  AS i) f
+    WHERE n_frames > 0
+    ORDER BY doc_id, frame_idx
+    """,
     doc="Frame sampling plumbing: one row per sampled frame index "
     "(every ~Nth 'frame' of video payloads), exploded JVM-side so the "
-    "per-frame decode UDF fans out across tasks.",
+    "per-frame decode UDF fans out across tasks. Each frame carries an "
+    "md5 digest of (payload bytes, frame index) standing in for the "
+    "decode result; the DuckDB oracle reproduces the digests exactly "
+    "(r10 verdict item: this was one of 6 rows-only queries).",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,9 +247,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.crc32(F.concat(F.col("payload"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
-            "frame_checksum"
-        ),
+        F.md5(
+            F.concat(
+                F.col("payload"),
+                F.lit(":").cast("binary"),
+                F.col("frame_idx").cast("string").cast("binary"),
+            )
+        ).alias("frame_md5"),
     ).orderBy("doc_id", "frame_idx")
 
 

@@ -237,12 +237,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: DuckDB reconstruction of the lookaround splits: Java lookarounds
+#: ((?<=[a-z])(?=[0-9]) etc.) have no RE2 form, but inserting a space
+#: at each boundary — letter→digit, digit→letter, and around every
+#: non-word/non-space char — yields the identical token multiset, so
+#: the COUNT is expressible as a whitespace split of the transformed
+#: text. Java's \\w is ASCII ([a-z0-9_] after lower()), matching the
+#: classes spelled here.
+_BPEISH_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(lower(text)), '\s+'))
+       END AS n_ws_tokens,
+       CAST(len(list_filter(
+         regexp_split_to_array(
+           regexp_replace(regexp_replace(regexp_replace(
+             lower(trim(text)),
+             '([a-z])([0-9])', '\1 \2', 'g'),
+             '([0-9])([a-z])', '\1 \2', 'g'),
+             '([^a-z0-9_\s])', ' \1 ', 'g'),
+           '\s+'),
+         p -> length(p) > 0)) AS BIGINT) AS n_bpeish_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 @register(
     "text_bpeish_token_count",
-    oracle=None,  # regex split boundary semantics differ across engines;
-    # pytest cross-checks against a Python reference tokenizer instead.
+    oracle=_BPEISH_ORACLE,
     doc="BPE-ish sub-word token counting (whitespace + punctuation + "
-    "letter/digit boundaries) for context-window budgeting.",
+    "letter/digit boundaries) for context-window budgeting. The Spark "
+    "side splits with Java lookarounds; the oracle reconstructs the "
+    "same boundaries in RE2-safe DuckDB by inserting spaces at each "
+    "boundary class, so the counts are fully differential (r10 "
+    "verdict item: this was one of 6 rows-only queries).",
     tags=("pipeline", "text"),
 )
 def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +279,8 @@ def text_bpeish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_ws_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("n_bpeish_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint")
+        .alias("n_bpeish_tokens"),
     ).orderBy("doc_id")
 
 

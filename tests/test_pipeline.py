@@ -58,16 +58,28 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, ddb):
 
 
 def test_multimodal_decode_deterministic_schema(spark):
-    q = QUERIES["multimodal_decode_features"]
-    df1 = q.fn(spark, SF_DIR)
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.multimodal import decode_media, fake_media
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df1 = decode_media(
+        fake_media(docs).where(F.col("media_type") != "video/mp4"))
     assert [f.name for f in df1.schema.fields] == [
         "doc_id", "media_type", "n_bytes", "width", "height", "features",
     ]
-    a = df1.collect()
-    b = q.fn(spark, SF_DIR).collect()
+    a = df1.orderBy("doc_id").collect()
+    b = decode_media(
+        fake_media(docs).where(F.col("media_type") != "video/mp4")
+    ).orderBy("doc_id").collect()
     assert a == b, "stub decode must be deterministic"
     assert all(len(r.features) == 8 for r in a)
     assert all(r.media_type in ("image/png", "audio/wav") for r in a)
+    # the registered (oracled) projection explodes to 8 rows per doc
+    q = QUERIES["multimodal_decode_features"]
+    rows = q.fn(spark, SF_DIR).collect()
+    assert len(rows) == 8 * len(a)
+    assert all(0 <= r.feat_k < 997 for r in rows)
 
 
 def test_multimodal_decode_unknown_type_raises(spark):
