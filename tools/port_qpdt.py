@@ -60,6 +60,40 @@ CHOSEN = [
      "derived table with both LOJ and ROJ under a scalar subquery"),
     (872, "regress_qpdt_derived_loj_scalarsub_c",
      "20-table derived/LOJ/scalar-subquery composition"),
+    # round 11: representatives of the largest classes QPDT_SWEEP.md
+    # found uncovered (one per structural signature, non-empty results
+    # preferred so the hash carries real values)
+    (133, "regress_qpdt_c_inner2",
+     "class inner2-limit (81 members): plain 3-table inner chain"),
+    (404, "regress_qpdt_c_inner4",
+     "class inner4+-limit (49 members): 5+-table inner chain"),
+    (146, "regress_qpdt_c_inner3",
+     "class inner3-limit (46 members): 4-table inner chain"),
+    (623, "regress_qpdt_c_loj_only",
+     "class inner0-loj1-limit (18 members): single LEFT OUTER JOIN, "
+     "no inner joins"),
+    (620, "regress_qpdt_c_roj_only",
+     "class inner0-roj1-limit (16 members): single RIGHT OUTER JOIN"),
+    (68, "regress_qpdt_c_inner3_tochar",
+     "class inner3-groupby-limit-tochar (14 members): to_char-rendered "
+     "AVG with quoted expression alias"),
+    (28, "regress_qpdt_c_roj_groupby",
+     "class inner1-roj1-groupby-limit (13 members)"),
+    (618, "regress_qpdt_c_loj_inner",
+     "class inner1-loj1-limit (13 members): LOJ above one inner join"),
+    (11, "regress_qpdt_c_inner1_tochar",
+     "class inner1-groupby-limit-tochar (12 members)"),
+    (646, "regress_qpdt_c_loj_roj",
+     "class inner0-loj1-roj1-limit (12 members): LOJ + ROJ, no inner"),
+    (816, "regress_qpdt_c_derived_scalarsub",
+     "class inner4+-derived-aliaslist-scalarsub-groupby-limit "
+     "(11 members)"),
+    (610, "regress_qpdt_c_single_table",
+     "class inner0-limit (10 members): single-relation projection"),
+    (622, "regress_qpdt_c_loj2",
+     "class inner0-loj2+-limit (8 members): stacked LEFT OUTER JOINs"),
+    (665, "regress_qpdt_c_inner_loj_roj",
+     "class inner2-loj1-roj1-limit (8 members): all three join kinds"),
 ]
 
 
@@ -111,8 +145,14 @@ def alias_outer(q: str) -> str:
     for n, it in enumerate(items, 1):
         txt = it.strip()
         am = re.search(r"\sAS\s+(C\d+)\s*$", txt, re.I)
+        qm = re.search(r'\sAS\s+"[^"]*"\s*$', txt, re.I)
         if am:
             name, txt = am.group(1).lower(), txt[: am.start()].strip()
+        elif qm:
+            # quoted expression alias (AS "AVG( ... )"): replace with a
+            # plain name — the quoted form is engine-fragile and the
+            # driver hash only needs identical names on both sides
+            name, txt = f"c{n}", txt[: qm.start()].strip()
         else:
             name = f"c{n}"
         if re.search(r"\bSUM\s*\(", txt, re.I):
