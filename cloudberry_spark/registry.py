@@ -377,66 +377,70 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD = [
-        # round-10 driver-sample pins, kept to exactly 50 (the sampled
+        # round-11 driver-sample pins, kept to exactly 50 (the sampled
         # prefix size — overflow pushes pins out). New-code families
-        # first: the spec-exact q69/q76 closure (NFK fixture variant),
-        # the qp_dropped_cols scenario battery (interpreter + EXCHANGE/
-        # SPLIT paths), the alter_table slice, the external_table
-        # battery, agg_pushdown eager-rewrite ports, and the
-        # qp_with_clause remainder incl. WITH-inside-DML. Everything
-        # demoted is still never-sampled and surfaces later via the
-        # interleaver's automatic hoisting.
-        "tpcds_q69_real",
-        "tpcds_q76_real_exact",
-        "regress_qpdc_changedistpolicy_dml_pttab_int4",
-        "regress_qpdc_xchange_pttab_dropcol_dml_int4",
-        "regress_qpdc_xchange_pttab_dropcol_addcol_dml_char",
-        "regress_qpdc_dropcol_addcol_splitpt_dml_int4",
-        "regress_qpdc_dropcol_splitdfpt_dml_char",
-        "regress_qpdc_pttab_addpt_dropcol_addcol_dml_int4",
-        "regress_qpdc_reordered_col_dml_int4",
-        "regress_qpdc_defpt_dropcol_addcol_dml_char",
-        "regress_qpdc_drop_distcol_dml_int4",
-        "regress_qpdc_pttab_dropfirstcol_addpt_index_char",
-        "ddl_alter_type_widen_metadata_only",
-        "ddl_alter_type_rewrite_text",
-        "ddl_alter_set_drop_default",
-        "ddl_alter_add_check_validate",
-        "ddl_alter_fk_not_valid_validate",
-        "regress_exttab_reject_limit_rows",
-        "regress_exttab_reject_limit_percent",
-        "regress_exttab_error_log",
-        "regress_exttab_null_as",
-        "regress_exttab_fill_missing",
-        "regress_exttab_header_skip",
-        "regress_exttab_execute_on",
-        "regress_aggpd_same_key",
-        "regress_aggpd_diff_group_key",
-        "regress_aggpd_multi_keys",
-        "regress_aggpd_group_other_side",
-        "regress_aggpd_subquery_pushdown",
-        "regress_aggpd_distinct_no_pushdown",
-        "regress_qpwith_dml_ctas",
-        "regress_qpwith_dml_insert_cte",
-        "regress_qpwith_dml_update_from_cte",
-        "regress_qpwith_dml_delete_using_cte",
-        "regress_qpwith_dml_delete_notin_subplan",
-        "regress_qpwith_union_having_nested",
-        "regress_qpwith_fact_union_leftjoin",
-        "regress_qpwith_same_name_every_level",
-        "regress_qpwith_alleuropean_twice",
-        "regress_qpwith_cte_scalar_count_or",
-        "regress_qpwith_shareinput_same_slice",
-        "regress_qpwith_from_capitals_join",
-        "regress_qpwith_where_scalar_max",
-        "regress_qpwith_having_diversecountries",
-        "regress_fj_dist_dist2",
-        "regress_jua_push_inner_join",
-        "regress_jiras_7404_substr_zero_in",
-        "regress_jiras_satellite_mixed_joins",
-        "regress_awg_groupingsets_over_limit",
-        "regress_jiras_6027_window_over_agg",
+        # first: the rio batteries (REAL reference tick/quote data +
+        # the qp_misc_rio misc drain incl. the new frame-strip and
+        # named-window-inheritance frontend paths), the three rows-only
+        # conversions (byte-level decode algebra, RE2-safe BPE-ish
+        # boundary counting, md5 frame digests), the olap_window_seq
+        # remainder (frame matrix, MPP regression family), the
+        # qp_functions_in_select placement sweep, and the qpdt class
+        # representatives. Everything demoted is still never-sampled
+        # and surfaces later via the interleaver's automatic hoisting.
+        "regress_rio_real_fivemin",
+        "regress_rio_real_vwap_bands",
+        "multimodal_decode_features",
+        "text_bpeish_token_count",
+        "multimodal_frame_sample",
+        "regress_ows_frame_matrix_rows_asc",
+        "regress_ows_frame_matrix_range_asc",
+        "regress_ows_frame_matrix_range_desc",
+        "regress_ows_mpp1840_grouping_window",
+        "regress_ows_window_over_groupby_aggs",
+        "regress_ows_mpp1907_range_equivalents",
+        "regress_ows_rollup_rank_by_grouping",
+        "regress_ows_mpp1762_multi_window_join",
+        "regress_ows_lead_default_expr",
+        "regress_ows_lastval_range_zero",
+        "regress_ows_firstval_following_frame",
+        "regress_ows_rank_cume_dist_shared_window",
+        "regress_rio_corr_count_square",
+        "regress_rio_xform_group_s5",
+        "regress_rio_lag_named_window",
+        "regress_rio_lag_window_inherits",
+        "regress_rio_lead_full_frame",
+        "regress_rio_window_over_using_join",
+        "regress_rio_median_over_rownumber",
+        "regress_rio_empty_window_scalar_sub",
+        "regress_qpfis_setof_column",
+        "regress_qpfis_read_setof_column",
+        "regress_qpfis_nested_setof_arg",
+        "regress_qpfis_read_scalar_column",
+        "regress_qpfis_nested_read_inner",
+        "regress_qpfis_setof_notable",
+        "regress_qpfis_read_setof_notable",
+        "regress_qpfis_nested_column",
+        "regress_qpfis_scalar_column",
+        "regress_qpdt_c_inner3_tochar",
+        "regress_qpdt_c_derived_scalarsub",
+        "regress_qpdt_c_loj_roj",
+        "regress_qpdt_c_inner_loj_roj",
+        "regress_qpdt_c_loj_inner",
+        "regress_qpdt_c_loj2",
+        "regress_qpdt_c_roj_groupby",
+        "regress_qpdt_c_inner2",
+        "regress_qpdt_c_single_table",
+        "regress_qpdt_c_roj_only",
+        "regress_qpdt_c_loj_only",
+        "regress_qpdt_c_inner4",
+        "regress_qpdt_c_inner1_tochar",
+        "regress_ows_multi_key_level_counts",
+        "regress_ows_mpp1804_desc_range_unbounded",
+        "regress_ows_ntile_partitioned_dates",
+        "regress_ows_count_inversion",
 ]
+
 
 
 def interleaved_queries() -> dict[str, Query]:

@@ -9,9 +9,11 @@ events.user_id→customer-ish ids, ...) hold within each replica. Group
 cardinalities on non-key columns stay fixed while group sizes grow K×,
 matching how TPC-H SF growth behaves for the fixture's query set.
 
-Usage:  python tools/make_sf1.py [SRC=/root/testdata/sf0.1] [K=10]
-Output: <repo>/.scratch/sf1/<table>.parquet   (dir-per-table, like the
-        driver fixture — catalog.ensure_views globs either layout)
+Usage:  python tools/make_sf1.py [SRC=/root/testdata/sf0.1] [K=10] [NAME=sf1]
+Output: <repo>/.scratch/<NAME>/<table>.parquet (dir-per-table, like the
+        driver fixture — catalog.ensure_views globs either layout).
+        K=100 NAME=sf10 builds the second scale decade (60M-row
+        lineitem, ~TPC-H sf10 volume).
 
 Then:   SPARK_GRAFT_SF_DIR=$PWD/.scratch/sf1 SPARK_GRAFT_SUITE=tpch \
         python bench.py
@@ -53,7 +55,8 @@ FILES = {"lineitem": 32, "orders": 16, "events": 16}
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    out = os.path.join(_REPO, ".scratch", "sf1")
+    name = sys.argv[3] if len(sys.argv) > 3 else "sf1"
+    out = os.path.join(_REPO, ".scratch", name)
 
     from cloudberry_spark.session import get_session
 
@@ -75,7 +78,8 @@ def main() -> None:
                 df = df.withColumn(
                     c, (F.col(c) + F.col("__replica") * F.lit(OFFSET)).cast("long")
                 )
-            df = df.drop("__replica").repartition(FILES.get(t, 8))
+            nf = FILES.get(t, 8) * max(1, k // 10)
+            df = df.drop("__replica").repartition(nf)
         dst = os.path.join(out, f"{t}.parquet")
         df.write.mode("overwrite").parquet(dst)
         print(f"{t}: -> {dst}")
