@@ -1084,3 +1084,29 @@ def test_q95_selfjoin_rewritten_to_group_count(spark):
     assert "ws_warehouse_sk" in low and "count" in low
     # the distinct-count runs partial (map-side) before any exchange
     assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize(
+    "pred,df_variant,nfiles",
+    [
+        ("col2 = 25", False, 1),            # partition_pruning.sql:178
+        ("col2 <> 10", False, 49),          # :180 (50 dirs - 1)
+        ("col2 > 10 AND col2 < 50", False, 39),  # :182
+        ("col2 BETWEEN 10 AND 50", False, 41),   # :186
+        ("col2 > 51", True, 9),             # :315 (52..60)
+        ("col2 IS NULL", True, 1),          # :330 (null directory)
+        ("col4 = False", False, 50),        # :396 (no pruning)
+    ],
+)
+def test_list_partition_pruning_matrix(spark, pred, df_variant, nfiles):
+    """partition_pruning.sql predicate classes over the list-partitioned
+    pt_lt_tab fixture (value directories, one file per col2 value; the
+    df variant adds 51..60 and a Hive null directory): each predicate
+    must touch exactly the matching partition files — static pruning
+    at planning time, the partition-selection decision the reference
+    EXPLAIN-verifies on every index permutation."""
+    from cloudberry_spark.sql.partition_pruning_gp import _fixture
+
+    df = _fixture(spark, SF_DIR, df_variant)
+    got = _scan_files_read(df.filter(pred))
+    assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
