@@ -142,6 +142,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.olap_window_seq2  # noqa: F401
     import cloudberry_spark.sql.table_functions_gp  # noqa: F401
     import cloudberry_spark.sql.partition_pruning_gp  # noqa: F401
+    import cloudberry_spark.sql.union_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401

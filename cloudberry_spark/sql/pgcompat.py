@@ -66,6 +66,48 @@ _PH = "\x01{}\x02"
 _PH_RE = re.compile("\x01(\\d+)\x02")
 
 
+def _rewrite_cast_as_type(seg: str, pg: str, sp: str) -> str:
+    """Rewrite ``CAST(expr AS <pg-type>)`` to the Spark type WITHOUT
+    touching `AS <word>` column aliases that happen to collide with a
+    type name (`text`, `name`, `bool`, ...). Walks CAST call sites and
+    rewrites only the type token after the argument's LAST top-level
+    AS."""
+    out, pos = [], 0
+    pat = re.compile(r"\bCAST\s*\(", re.I)
+    type_re = re.compile(rf"\bAS\s+({pg})\b", re.I)
+    while True:
+        m = pat.search(seg, pos)
+        if not m:
+            out.append(seg[pos:])
+            break
+        o = seg.index("(", m.end() - 1)
+        c = _match_paren(seg, o)
+        if c < 0:
+            out.append(seg[pos:])
+            break
+        inner = seg[o + 1 : c]
+        # last top-level AS in the cast argument
+        depth, last_as = 0, -1
+        for am in re.finditer(r"\(|\)|\bAS\b", inner, flags=re.I):
+            tok = am.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                last_as = am.start()
+        if last_as >= 0:
+            head, tail = inner[:last_as], inner[last_as:]
+            tail = type_re.sub(rf"AS {sp}", tail, count=1)
+            inner = head + tail
+        # recurse into the argument for nested CASTs
+        inner = _rewrite_cast_as_type(inner, pg, sp)
+        out.append(seg[pos : o + 1])
+        out.append(inner)
+        pos = c
+    return "".join(out)
+
+
 _SELECT_SPAN_END_RE = re.compile(
     r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|"
     r"WINDOW)\b",
@@ -237,7 +279,11 @@ def _rewrite_masked(seg: str) -> str:
     seg = re.sub(r"\bnumeric\s*\(", "decimal(", seg, flags=re.I)
     seg = re.sub(r"\bnumeric\b", "decimal(38,9)", seg, flags=re.I)
     for pg, sp in _TYPE_MAP.items():
-        seg = re.sub(rf"(::\s*|\bAS\s+){pg}\b", rf"\g<1>{sp}", seg, flags=re.I)
+        seg = re.sub(rf"(::\s*){pg}\b", rf"\g<1>{sp}", seg, flags=re.I)
+        # the AS arm only fires in CAST type position — a bare
+        # `... AS name` is a column ALIAS colliding with a type name
+        # (union_gp.sql's `AS name` columns), which must not rewrite
+        seg = _rewrite_cast_as_type(seg, pg, sp)
 
     # ARRAY[a, b] -> array(a, b), innermost-out for ARRAY[ARRAY[..], ..]
     for _ in range(10):  # bounded: malformed input must not loop forever

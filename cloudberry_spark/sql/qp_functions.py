@@ -699,3 +699,118 @@ _qpff(
     "SETOF class — a nested scalar result feeding the SETOF "
     "function's argument, lateral per row.",
 )
+
+
+# ---------------------------------------------------------------------------
+# qp_functions_in_subquery_column.sql / _constant.sql (regress_qpfsub_*):
+# the same function classes placed inside a DERIVED TABLE cross-joined
+# with foo (`SELECT * FROM foo, (SELECT func(...) FROM foo) r`).
+# Volatility triplicates collapse as above; MODIFIES SQL DATA cases are
+# expected-ERROR in the reference itself.
+# ---------------------------------------------------------------------------
+
+_qpff(
+    "regress_qpfsub_scalar_column",
+    [_F1_NOSQL],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_nosql_imm(a) AS f FROM foo) r order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT a + 1 AS f FROM foo) r ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_column.sql:12 "
+    "(function_in_subqry_column_2 class) — scalar function inside a "
+    "derived table, cross-joined with foo (100 rows).",
+)
+
+_qpff(
+    "regress_qpfsub_setof_column",
+    [_F1_SETINT],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_sql_setint_imm AS f FROM foo,"
+    " LATERAL func1_sql_setint_imm(a)) r order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT CAST(a + g AS INT) AS f FROM foo,"
+    " (SELECT unnest(generate_series(0, 5)) AS g) t) r"
+    " ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_column.sql:30 "
+    "(function_in_subqry_column_8 class) — SETOF function in the "
+    "derived table's select list: 60 inner rows x 10 outer (600).",
+)
+
+_qpff(
+    "regress_qpfsub_read_scalar_column",
+    [_F1_READ_INT],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_read_int_sql_stb(a) AS f FROM foo) r"
+    " order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT (SELECT d FROM bar WHERE c = a LIMIT 1) AS f FROM foo) r"
+    " ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_column.sql:39-42 — table-reading scalar "
+    "inside the derived table (correlated probe per inner row, "
+    "decorrelated to a join).",
+)
+
+_qpff(
+    "regress_qpfsub_read_setof_column",
+    [_F1_READ_SETINT],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_read_setint_sql_stb AS f FROM foo,"
+    " LATERAL func1_read_setint_sql_stb(a)) r order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT CAST(d AS INT) AS f FROM foo,"
+    " LATERAL (SELECT d FROM bar WHERE c <> a) t(d)) r"
+    " ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_column.sql:45 — table-reading SETOF in "
+    "the derived table: 90 inner rows x 10 outer (900).",
+)
+
+_qpff(
+    "regress_qpfsub_nested_column",
+    [_F1_SQL_INT, _F2_NOSQL],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_sql_int_stb(func2_nosql_vol(a)) AS f FROM foo) r"
+    " order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT a + 1 + 1 AS f FROM foo) r ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_column.sql:207 "
+    "(function_in_subqry_column_withfunc2_40) — nested calls inside "
+    "the derived table.",
+)
+
+_qpff(
+    "regress_qpfsub_scalar_constant",
+    [_F1_NOSQL],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_nosql_imm(5) AS f FROM foo) r order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT 5 + 1 AS f FROM foo) r ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_constant.sql:12 — constant-argument "
+    "scalar inside the derived table (10 identical inner rows).",
+)
+
+_qpff(
+    "regress_qpfsub_setof_constant",
+    [_F1_SETINT],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_sql_setint_imm AS f FROM foo,"
+    " LATERAL func1_sql_setint_imm(5)) r order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT CAST(g AS INT) AS f FROM foo,"
+    " (SELECT unnest(generate_series(5, 10)) AS g) t) r"
+    " ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_constant.sql:30 — constant-argument "
+    "SETOF in the derived table's list.",
+)
+
+_qpff(
+    "regress_qpfsub_read_scalar_constant",
+    [_F1_READ_INT],
+    "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT func1_read_int_sql_stb(5) AS f FROM foo) r"
+    " order by 1,2,3",
+    _BAR_CTE + "SELECT foo.a, foo.b, r.f FROM foo,"
+    " (SELECT (SELECT d FROM bar WHERE c = 5 LIMIT 1) AS f FROM foo) r"
+    " ORDER BY 1, 2, 3",
+    "qp_functions_in_subquery_constant.sql:39 — table-reading scalar "
+    "with a constant probe inside the derived table.",
+)

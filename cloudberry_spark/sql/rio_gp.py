@@ -276,9 +276,11 @@ bfv_legacy_mpp2(a) AS (
 """
 
 
-def _rio(name: str, sql: str, doc: str, oracle: str | None = "same") -> None:
+def _rio(name: str, sql: str, doc: str, oracle: str | None = "same",
+         extra_tags: tuple = ()) -> None:
     register_regress(
-        name, sql, doc, tags=("rio",), oracle=oracle, prelude=_RIO_PRELUDE
+        name, sql, doc, tags=("rio",) + extra_tags, oracle=oracle,
+        prelude=_RIO_PRELUDE,
     )
 
 
@@ -295,6 +297,7 @@ _rio(
     "qp_misc_rio.sql:20 (Test 9) — two same-partition windows over an "
     "empty table filtered on a distribution key; must plan and return "
     "0 rows, not error.",
+    extra_tags=("may_be_empty",),
 )
 
 _rio(
@@ -305,6 +308,7 @@ _rio(
     " from tb_function_test where c=1",
     "qp_misc_rio.sql:22 (Test 9) — same, filter on the second "
     "distribution key.",
+    extra_tags=("may_be_empty",),
 )
 
 _rio(
@@ -315,6 +319,7 @@ _rio(
     " from tb_function_test where a=1",
     "qp_misc_rio.sql:24 (Test 9) — same, filter on a non-distribution "
     "column.",
+    extra_tags=("may_be_empty",),
 )
 
 _rio(
@@ -326,6 +331,7 @@ _rio(
     " where b=(select a from tb_function_test limit 1)",
     "qp_misc_rio.sql:26 (Test 9) — filter via a scalar subquery over "
     "the same empty table (NULL comparison -> 0 rows).",
+    extra_tags=("may_be_empty",),
 )
 
 # Test 11 — correlated scalar count subquery: each outer group of n

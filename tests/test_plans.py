@@ -673,25 +673,24 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-10 rotation: the r9 sample is folded into _DRIVER_SAMPLED,
+    # round-11 rotation: the r10 sample is folded into _DRIVER_SAMPLED,
     # so the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's additions: the spec-exact q69/q76 closure, the
-    # qp_dropped_cols scenario battery, the alter_table slice, the
-    # external_table battery, eager-agg ports and WITH-inside-DML
+    # this round's additions: the rio real-data triangle, the rows-only
+    # conversions, the olap_window_seq remainder, the qpfis placement
+    # sweep, and the qpdt class representatives
     for must in (
-        "tpcds_q69_real",
-        "tpcds_q76_real_exact",
-        "regress_qpdc_changedistpolicy_dml_pttab_int4",
-        "regress_qpdc_xchange_pttab_dropcol_dml_int4",
-        "ddl_alter_type_widen_metadata_only",
-        "ddl_alter_add_check_validate",
-        "regress_exttab_reject_limit_rows",
-        "regress_exttab_error_log",
-        "regress_aggpd_same_key",
-        "regress_aggpd_distinct_no_pushdown",
-        "regress_qpwith_dml_ctas",
-        "regress_qpwith_union_having_nested",
-        "regress_qpwith_same_name_every_level",
+        "regress_rio_real_fivemin",
+        "regress_rio_real_vwap_bands",
+        "multimodal_decode_features",
+        "text_bpeish_token_count",
+        "multimodal_frame_sample",
+        "regress_ows_frame_matrix_rows_asc",
+        "regress_ows_frame_matrix_range_asc",
+        "regress_ows_mpp1840_grouping_window",
+        "regress_qpfis_setof_column",
+        "regress_qpfis_nested_setof_arg",
+        "regress_qpdt_c_inner3_tochar",
+        "regress_qpdt_c_derived_scalarsub",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
