@@ -143,6 +143,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.table_functions_gp  # noqa: F401
     import cloudberry_spark.sql.partition_pruning_gp  # noqa: F401
     import cloudberry_spark.sql.union_gp  # noqa: F401
+    import cloudberry_spark.sql.qp_with_functional_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -383,15 +384,19 @@ _DRIVER_SAMPLED = frozenset(
 _LEAD = [
         # round-11 driver-sample pins, kept to exactly 50 (the sampled
         # prefix size — overflow pushes pins out). New-code families
-        # first: the rio batteries (REAL reference tick/quote data +
-        # the qp_misc_rio misc drain incl. the new frame-strip and
-        # named-window-inheritance frontend paths), the three rows-only
-        # conversions (byte-level decode algebra, RE2-safe BPE-ish
-        # boundary counting, md5 frame digests), the olap_window_seq
-        # remainder (frame matrix, MPP regression family), the
-        # qp_functions_in_select placement sweep, and the qpdt class
-        # representatives. Everything demoted is still never-sampled
-        # and surfaces later via the interleaver's automatic hoisting.
+        # first: the merge.sql executor blocks (reference-expected
+        # oracles), the rio batteries (REAL reference tick/quote data,
+        # frame-strip + named-window-inheritance frontend paths), the
+        # three rows-only conversions, the olap_window_seq remainder,
+        # the table_functions anytable/SCATTER pipeline, partition
+        # pruning, union_gp (incl. the alias/type-name and quoted-
+        # identifier frontend fixes), qp_with_functional, the
+        # qp_functions placement sweeps, and qpdt class reps.
+        "regress_merge_upsert_with_delete",
+        "regress_merge_multi_action",
+        "regress_merge_wq_cond_chain",
+        "regress_merge_insert_dup_sources",
+        "regress_merge_self_merge",
         "regress_rio_real_fivemin",
         "regress_rio_real_vwap_bands",
         "multimodal_decode_features",
@@ -404,46 +409,41 @@ _LEAD = [
         "regress_ows_window_over_groupby_aggs",
         "regress_ows_mpp1907_range_equivalents",
         "regress_ows_rollup_rank_by_grouping",
-        "regress_ows_mpp1762_multi_window_join",
         "regress_ows_lead_default_expr",
         "regress_ows_lastval_range_zero",
         "regress_ows_firstval_following_frame",
-        "regress_ows_rank_cume_dist_shared_window",
-        "regress_rio_corr_count_square",
-        "regress_rio_xform_group_s5",
-        "regress_rio_lag_named_window",
-        "regress_rio_lag_window_inherits",
-        "regress_rio_lead_full_frame",
-        "regress_rio_window_over_using_join",
-        "regress_rio_median_over_rownumber",
-        "regress_rio_empty_window_scalar_sub",
+        "regress_tf_multiset_identity",
+        "regress_tf_order_scatter",
+        "regress_tf_scatter_by_expr",
+        "regress_tf_in_subquery",
+        "regress_tf_scalar_tf_in_from",
+        "regress_ppr_col2_eq",
+        "regress_ppr_df_null",
+        "regress_ppr_mixed_or",
+        "regress_ppr_df_gt51",
+        "regress_ugp_ctas_union_typmod",
+        "regress_ugp_window_branch_qual",
+        "regress_ugp_update_returning_except",
+        "regress_ugp_cte_union_selfjoin",
+        "regress_ugp_except_symdiff",
+        "regress_qpwf_quoted_collist_dep",
+        "regress_qpwf_multilevel_nesting",
+        "regress_qpwf_nested_same_name_renames",
+        "regress_qpwf_setop_except_all",
+        "regress_qpwf_csq_exists",
+        "regress_qpwf_mpp19436_window_group",
         "regress_qpfis_setof_column",
         "regress_qpfis_read_setof_column",
         "regress_qpfis_nested_setof_arg",
-        "regress_qpfis_read_scalar_column",
-        "regress_qpfis_nested_read_inner",
-        "regress_qpfis_setof_notable",
-        "regress_qpfis_read_setof_notable",
-        "regress_qpfis_nested_column",
-        "regress_qpfis_scalar_column",
+        "regress_qpfsub_setof_column",
+        "regress_qpfsub_read_setof_column",
         "regress_qpdt_c_inner3_tochar",
         "regress_qpdt_c_derived_scalarsub",
         "regress_qpdt_c_loj_roj",
-        "regress_qpdt_c_inner_loj_roj",
-        "regress_qpdt_c_loj_inner",
-        "regress_qpdt_c_loj2",
-        "regress_qpdt_c_roj_groupby",
-        "regress_qpdt_c_inner2",
-        "regress_qpdt_c_single_table",
-        "regress_qpdt_c_roj_only",
-        "regress_qpdt_c_loj_only",
-        "regress_qpdt_c_inner4",
-        "regress_qpdt_c_inner1_tochar",
-        "regress_ows_multi_key_level_counts",
-        "regress_ows_mpp1804_desc_range_unbounded",
-        "regress_ows_ntile_partitioned_dates",
-        "regress_ows_count_inversion",
+        "regress_rio_corr_count_square",
+        "regress_rio_lag_named_window",
 ]
+
 
 
 

@@ -275,6 +275,16 @@ def _rewrite_masked(seg: str) -> str:
     # E'...' prefix: the literal is already a placeholder; drop the E.
     seg = re.sub(r"\bE(?=\x01)", "", seg)
 
+    # PG double-quoted identifiers -> Spark backticks. String literals
+    # are already masked to placeholders at this point, so every
+    # remaining "..." token IS an identifier (qp_with_functional's
+    # quoted CTE column lists). SQL's doubled-quote escape collapses.
+    seg = re.sub(
+        r'"((?:[^"]|"")*)"',
+        lambda m: "`" + m.group(1).replace('""', '"') + "`",
+        seg,
+    )
+
     # numeric without precision -> decimal(38,9); numeric(p,s) -> decimal
     seg = re.sub(r"\bnumeric\s*\(", "decimal(", seg, flags=re.I)
     seg = re.sub(r"\bnumeric\b", "decimal(38,9)", seg, flags=re.I)
