@@ -254,6 +254,28 @@ def main() -> None:
         "regress_qpwith_dml_update_from_cte",
         "regress_jiras_6027_window_over_agg",
         "regress_privileges_table_acl",
+        # round 11: new batteries' heads (q95 rewrite shows in its
+        # existing row: 6 BHJ, 0 SMJ, no pair explosion)
+        "regress_rio_real_fivemin",
+        "regress_rio_real_vwap_bands",
+        "regress_merge_upsert_with_delete",
+        "regress_merge_multi_action",
+        "regress_tf_order_scatter",
+        "regress_tf_in_subquery",
+        "regress_ppr_col2_eq",
+        "regress_ppr_df_null",
+        "regress_ugp_quals_below_union",
+        "regress_ugp_update_returning_except",
+        "regress_ows_frame_matrix_range_desc",
+        "regress_ows_mpp1840_grouping_window",
+        "regress_qpwf_multilevel_nesting",
+        "regress_qpwf_csq_exists",
+        "regress_qpfis_setof_column",
+        "regress_qpfsub_read_setof_column",
+        "regress_qpdt_c_inner_loj_roj",
+        "multimodal_decode_features",
+        "text_bpeish_token_count",
+        "multimodal_frame_sample",
     ]
     from cloudberry_spark import planhook
 
