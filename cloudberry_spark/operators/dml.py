@@ -47,12 +47,27 @@ def update_table(
     assignments: dict[str, Column],
 ) -> None:
     """UPDATE t SET col=expr WHERE cond — conditional projection rewrite
-    committed as a new snapshot version."""
+    committed as a new snapshot version.
+
+    All assignment expressions AND the condition evaluate against the
+    OLD row (PG semantics: `SET (c,b) = ('car', a+b) WHERE c = 'foo'`
+    must not see c already rewritten, and `SET a=b, b=a` is a swap) —
+    one projection, not sequential withColumns (update.sql:52-68, the
+    round-11 port caught the sequential form re-evaluating the WHERE
+    against a just-assigned column)."""
     base = table.current_version()
     cur = table.read(spark, base)
-    for col, expr in assignments.items():
-        cur = cur.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-    table.commit_rewrite(cur, base, label="update")
+    out = cur.select(
+        *[
+            (
+                F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in cur.columns
+        ]
+    )
+    table.commit_rewrite(out, base, label="update")
 
 
 def delete_from(spark: SparkSession, table: SnapshotTable, cond: Column) -> None:
