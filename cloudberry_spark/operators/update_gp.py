@@ -177,3 +177,87 @@ _upd(
     "itself: SET (b,a) = (SELECT a+1, b ...), the row-local swap. "
     "Expected update.out:119-126.",
 )
+
+
+# ---------------------------------------------------------------------------
+# insert.sql: DEFAULT-in-target-list and VALUES-with-subselect blocks
+# (src/test/regress/sql/insert.sql:10-35; expected/insert.out:18-25,
+# :56-66). The NOT NULL violation (DEFAULT into col2) is expected-ERROR
+# in the reference and pinned in tests/test_merge_pg.py-adjacent DML
+# tests; column-count mismatches are parse errors on both engines. The
+# fillfactor/TOAST/field-indirection/domain/rules tiers are physical
+# or type-system machinery with no Spark analog (MIGRATION.md).
+# ---------------------------------------------------------------------------
+
+_INS_DEFAULTS = {"col3": "testing"}
+
+
+def _ins_seed(spark: SparkSession, sf_dir: str, tag: str) -> SnapshotTable:
+    df = spark.createDataFrame([], "col1 int, col2 int, col3 string")
+    return SnapshotTable.init(_scratch(sf_dir, f"ins_{tag}"), df)
+
+
+def _ins(spark: SparkSession, st: SnapshotTable, rows) -> None:
+    """INSERT with DEFAULT fill: None in col3 position means DEFAULT
+    ('testing'); col1 has no default (NULL)."""
+    filled = [
+        (c1, c2, _INS_DEFAULTS["col3"] if c3 is None else c3)
+        for c1, c2, c3 in rows
+    ]
+    insert_into(
+        spark, st,
+        st.read(spark).sparkSession.createDataFrame(
+            filled, "col1 int, col2 int, col3 string"),
+    )
+
+
+@register(
+    "regress_ins_defaults",
+    oracle="SELECT * FROM (VALUES (CAST(NULL AS INT), 3, 'testing'),"
+    " (CAST(NULL AS INT), 5, 'testing'), (CAST(NULL AS INT), 5, 'test'),"
+    " (CAST(NULL AS INT), 7, 'testing')) t(col1, col2, col3)"
+    " ORDER BY col2, col3",
+    doc="insert.sql:11-17 — DEFAULT in the target list: omitted col1 "
+    "(no default) -> NULL, omitted/DEFAULT col3 -> 'testing'; the "
+    "all-DEFAULT statement violates col2's NOT NULL and is "
+    "expected-ERROR in the reference (skipped, like the rolled-back "
+    "error statements in the merge ports). Expected insert.out:18-25.",
+    tags=("regress", "insert"),
+)
+def regress_ins_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _ins_seed(spark, sf_dir, "defaults")
+    _ins(spark, st, [(None, 3, None)])
+    _ins(spark, st, [(None, 5, None)])
+    _ins(spark, st, [(None, 5, "test")])
+    _ins(spark, st, [(None, 7, None)])
+    return st.read(spark).orderBy("col2", "col3")
+
+
+@register(
+    "regress_ins_values_subselects",
+    oracle="SELECT * FROM (VALUES (CAST(NULL AS INT), 3, 'testing'),"
+    " (CAST(NULL AS INT), 5, 'testing'), (CAST(NULL AS INT), 5, 'test'),"
+    " (CAST(NULL AS INT), 7, 'testing'), (10, 20, '40'),"
+    " (-1, 2, 'testing'), (2, 3, 'values are fun!'))"
+    " t(col1, col2, col3) ORDER BY col1 NULLS LAST, col2, col3",
+    doc="insert.sql:31-35 — multi-row VALUES mixing literals, DEFAULT, "
+    "and scalar subselects ((select 2), (select i from (values(3)) "
+    "foo(i))). Expected insert.out:56-66.",
+    tags=("regress", "insert"),
+)
+def regress_ins_values_subselects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    st = _ins_seed(spark, sf_dir, "valsub")
+    for r in [(None, 3, None), (None, 5, None), (None, 5, "test"),
+              (None, 7, None)]:
+        _ins(spark, st, [r])
+    # the scalar subselects evaluate to constants at statement level
+    sub2 = spark.sql("SELECT 2").collect()[0][0]
+    sub3 = spark.sql(
+        "SELECT i FROM (VALUES (3)) AS foo(i)").collect()[0][0]
+    _ins(spark, st, [(10, 20, "40"), (-1, 2, None),
+                     (sub2, sub3, "values are fun!")])
+    return st.read(spark).orderBy(
+        F.col("col1").asc_nulls_last(), "col2", "col3"
+    )
