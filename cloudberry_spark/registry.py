@@ -112,6 +112,7 @@ def _load_all() -> None:
     import cloudberry_spark.operators.alter_table  # noqa: F401
     import cloudberry_spark.operators.merge_pg  # noqa: F401
     import cloudberry_spark.operators.update_gp  # noqa: F401
+    import cloudberry_spark.operators.generated_cols  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.sources.exttab_battery  # noqa: F401
