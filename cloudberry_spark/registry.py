@@ -413,7 +413,7 @@ _LEAD = [
         "regress_ows_rollup_rank_by_grouping",
         "regress_ows_lead_default_expr",
         "regress_ows_lastval_range_zero",
-        "regress_ows_firstval_following_frame",
+        "regress_ins_values_subselects",
         "regress_tf_multiset_identity",
         "regress_tf_order_scatter",
         "regress_tf_scatter_by_expr",
@@ -441,9 +441,9 @@ _LEAD = [
         "regress_qpfsub_read_setof_column",
         "regress_qpdt_c_inner3_tochar",
         "regress_qpdt_c_derived_scalarsub",
-        "regress_qpdt_c_loj_roj",
-        "regress_rio_corr_count_square",
-        "regress_rio_lag_named_window",
+        "regress_upd_correlated_self_swap",
+        "regress_gen_update_recompute",
+        "regress_upd_multiset_mixed",
 ]
 
 
