@@ -194,11 +194,12 @@ def _out(st: SnapshotTable, spark: SparkSession) -> DataFrame:
     return st.read(spark).orderBy("tid")
 
 
-def _reg(name: str, expected: str, doc: str):
+def _reg(name: str, expected: str, doc: str, extra_tags: tuple = ()):
     """expected: DuckDB VALUES literal copied from expected/merge.out."""
 
     def deco(fn):
-        @register(name, oracle=expected, doc=doc, tags=("regress", "merge"))
+        @register(name, oracle=expected, doc=doc,
+                  tags=("regress", "merge") + extra_tags)
         def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
             return fn(spark, sf_dir)
 
@@ -482,6 +483,7 @@ def _m_wq_default(spark, sf_dir):
     " WHERE 1 = 0",
     "merge.sql:473-477: WHEN NOT MATCHED AND FALSE never fires — "
     "table stays empty. Expected merge.out:699-701 (0 rows).",
+    extra_tags=("may_be_empty",),
 )
 def _m_wq_false(spark, sf_dir):
     t0 = spark.createDataFrame([], "tid int, balance int")

@@ -81,12 +81,22 @@ class SnapshotTable:
 
     @classmethod
     def init(cls, root: str, df: DataFrame) -> "SnapshotTable":
-        """Create (or reset) a table at v0 from a seed DataFrame."""
+        """Create (or reset) a table at v0 from a seed DataFrame.
+
+        Re-initing a root that was already read in this session must
+        drop Spark's shared FileStatusCache entries for it: the old
+        listing names files the rmtree just deleted, and a later scan
+        through the cached listing dies with FAILED_READ_FILE
+        (surfaced by regress_merge_self_merge under the full suite)."""
         shutil.rmtree(root, ignore_errors=True)
         t = cls(root)
         os.makedirs(t._manifest_dir, exist_ok=True)
         d = "data-v0-seed"
         df.write.mode("overwrite").parquet(os.path.join(root, d))
+        try:
+            df.sparkSession.catalog.refreshByPath(root)
+        except Exception:
+            pass  # refresh is best-effort; first-time inits have no cache
         t._write_manifest(0, parent=None, dirs=[d])
         t._flip(0)
         return t

@@ -105,7 +105,7 @@ def _fixture(spark: SparkSession, sf_dir: str, df_variant: bool) -> DataFrame:
 
 
 def _ppr(name: str, predicate: str, doc: str, df_variant: bool = False,
-         select: str = "*") -> None:
+         select: str = "*", extra_tags: tuple = ()) -> None:
     tab = "pt_lt_tab_df" if df_variant else "pt_lt_tab"
     body = (
         f"SELECT {select} FROM {tab} WHERE {predicate} "
@@ -116,7 +116,7 @@ def _ppr(name: str, predicate: str, doc: str, df_variant: bool = False,
         name,
         oracle=_oracle_prelude(df_variant) + body,
         doc=doc,
-        tags=("regress", "partition_pruning"),
+        tags=("regress", "partition_pruning") + extra_tags,
     )
     def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _fixture(spark, sf_dir, df_variant)
@@ -178,6 +178,7 @@ _ppr(
     "col2 > 10 AND col1 = 10",
     "partition_pruning.sql:203 — partition key AND distribution key "
     "(empty result: col1=10 only exists at col2=10).",
+    extra_tags=("may_be_empty",),
 )
 
 _ppr(
