@@ -146,6 +146,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.partition_pruning_gp  # noqa: F401
     import cloudberry_spark.sql.union_gp  # noqa: F401
     import cloudberry_spark.sql.qp_with_functional_gp  # noqa: F401
+    import cloudberry_spark.sql.qp_subquery_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -173,16 +174,16 @@ def all_queries() -> dict[str, Query]:
 
 
 #: Names the correctness driver has already sampled (union of the
-#: CORRECTNESS_r01..r10 keys, 435 total). interleaved_queries() demotes
+#: CORRECTNESS_r01..r11 keys, 485 total). interleaved_queries() demotes
 #: these behind never-sampled siblings so each round's 50-query prefix
 #: maximizes the number of operators with at least one hard external
 #: confirmation.
-#: MAINTENANCE (next round): extend this set with CORRECTNESS_r11's keys
+#: MAINTENANCE (next round): extend this set with CORRECTNESS_r12's keys
 #: and rebuild _LEAD with that round's fixes/additions — the rotation
-#: only advances if both stay current. After r11's sample, ~830 queries
-#: remain never-sampled; highest-value r12 leads are whatever r11 red
-#: rows exist (expect none), then round-12 additions, then the long
-#: tail by family depth — `interleaved_queries()` computes the
+#: only advances if both stay current. After r12's sample, ~1,000
+#: queries remain never-sampled; highest-value r13 leads are whatever
+#: r12 red rows exist (expect none), then round-13 additions, then the
+#: long tail by family depth — `interleaved_queries()` computes the
 #: never-sampled hoisting automatically, so updating _DRIVER_SAMPLED
 #: alone already rotates; _LEAD is only for priority overrides.
 _DRIVER_SAMPLED = frozenset(
@@ -372,6 +373,33 @@ _DRIVER_SAMPLED = frozenset(
     regress_qpwith_shareinput_same_slice
     regress_qpwith_union_having_nested regress_qpwith_where_scalar_max
     tpcds_q69_real tpcds_q76_real_exact
+    multimodal_decode_features multimodal_frame_sample
+    regress_gen_update_recompute regress_ins_values_subselects
+    regress_merge_insert_dup_sources regress_merge_multi_action
+    regress_merge_self_merge regress_merge_upsert_with_delete
+    regress_merge_wq_cond_chain regress_ows_frame_matrix_range_asc
+    regress_ows_frame_matrix_range_desc
+    regress_ows_frame_matrix_rows_asc regress_ows_lastval_range_zero
+    regress_ows_lead_default_expr regress_ows_mpp1840_grouping_window
+    regress_ows_mpp1907_range_equivalents
+    regress_ows_rollup_rank_by_grouping
+    regress_ows_window_over_groupby_aggs regress_ppr_col2_eq
+    regress_ppr_df_gt51 regress_ppr_df_null regress_ppr_mixed_or
+    regress_qpdt_c_derived_scalarsub regress_qpdt_c_inner3_tochar
+    regress_qpfis_nested_setof_arg regress_qpfis_read_setof_column
+    regress_qpfis_setof_column regress_qpfsub_read_setof_column
+    regress_qpfsub_setof_column regress_qpwf_csq_exists
+    regress_qpwf_mpp19436_window_group regress_qpwf_multilevel_nesting
+    regress_qpwf_nested_same_name_renames
+    regress_qpwf_quoted_collist_dep regress_qpwf_setop_except_all
+    regress_rio_real_fivemin regress_rio_real_vwap_bands
+    regress_tf_in_subquery regress_tf_multiset_identity
+    regress_tf_order_scatter regress_tf_scalar_tf_in_from
+    regress_tf_scatter_by_expr regress_ugp_ctas_union_typmod
+    regress_ugp_cte_union_selfjoin regress_ugp_except_symdiff
+    regress_ugp_update_returning_except regress_ugp_window_branch_qual
+    regress_upd_correlated_self_swap regress_upd_multiset_mixed
+    text_bpeish_token_count
     """.split()
 )
 
@@ -383,67 +411,23 @@ _DRIVER_SAMPLED = frozenset(
 #: paths, then window and pipeline.ml depth. Names registered later this
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
-_LEAD = [
-        # round-11 driver-sample pins, kept to exactly 50 (the sampled
-        # prefix size — overflow pushes pins out). New-code families
-        # first: the merge.sql executor blocks (reference-expected
-        # oracles), the rio batteries (REAL reference tick/quote data,
-        # frame-strip + named-window-inheritance frontend paths), the
-        # three rows-only conversions, the olap_window_seq remainder,
-        # the table_functions anytable/SCATTER pipeline, partition
-        # pruning, union_gp (incl. the alias/type-name and quoted-
-        # identifier frontend fixes), qp_with_functional, the
-        # qp_functions placement sweeps, and qpdt class reps.
-        "regress_merge_upsert_with_delete",
-        "regress_merge_multi_action",
-        "regress_merge_wq_cond_chain",
-        "regress_merge_insert_dup_sources",
-        "regress_merge_self_merge",
-        "regress_rio_real_fivemin",
-        "regress_rio_real_vwap_bands",
-        "multimodal_decode_features",
-        "text_bpeish_token_count",
-        "multimodal_frame_sample",
-        "regress_ows_frame_matrix_rows_asc",
-        "regress_ows_frame_matrix_range_asc",
-        "regress_ows_frame_matrix_range_desc",
-        "regress_ows_mpp1840_grouping_window",
-        "regress_ows_window_over_groupby_aggs",
-        "regress_ows_mpp1907_range_equivalents",
-        "regress_ows_rollup_rank_by_grouping",
-        "regress_ows_lead_default_expr",
-        "regress_ows_lastval_range_zero",
-        "regress_ins_values_subselects",
-        "regress_tf_multiset_identity",
-        "regress_tf_order_scatter",
-        "regress_tf_scatter_by_expr",
-        "regress_tf_in_subquery",
-        "regress_tf_scalar_tf_in_from",
-        "regress_ppr_col2_eq",
-        "regress_ppr_df_null",
-        "regress_ppr_mixed_or",
-        "regress_ppr_df_gt51",
-        "regress_ugp_ctas_union_typmod",
-        "regress_ugp_window_branch_qual",
-        "regress_ugp_update_returning_except",
-        "regress_ugp_cte_union_selfjoin",
-        "regress_ugp_except_symdiff",
-        "regress_qpwf_quoted_collist_dep",
-        "regress_qpwf_multilevel_nesting",
-        "regress_qpwf_nested_same_name_renames",
-        "regress_qpwf_setop_except_all",
-        "regress_qpwf_csq_exists",
-        "regress_qpwf_mpp19436_window_group",
-        "regress_qpfis_setof_column",
-        "regress_qpfis_read_setof_column",
-        "regress_qpfis_nested_setof_arg",
-        "regress_qpfsub_setof_column",
-        "regress_qpfsub_read_setof_column",
-        "regress_qpdt_c_inner3_tochar",
-        "regress_qpdt_c_derived_scalarsub",
-        "regress_upd_correlated_self_swap",
-        "regress_gen_update_recompute",
-        "regress_upd_multiset_mixed",
+_LEAD: list[str] = [
+        # round-12 driver-sample pins (filled as round-12 batteries
+        # land; kept to at most 50 — the sampled prefix size).
+        # qp_subquery.sql drain — the tuple-NOT-IN three-valued matrix
+        # and the scalar-expression-nested subquery shapes:
+        "regress_qsub_tuple_notin_nulls_8352",
+        "regress_qsub_notin_union_inner",
+        "regress_qsub_notin_projected_null",
+        "regress_qsub_nlasj_indf",
+        "regress_qsub_nlasj_values_inner",
+        "regress_qsub_outerref_outer_join_qual",
+        "regress_qsub_any_all_array_literals",
+        "regress_qsub_all_in_concat",
+        "regress_qsub_case_in_sum_correlated",
+        "regress_qsub_hashed_subplan_json",
+        "regress_qsub_shared_initplan_cte",
+        "regress_qsub_notin_nested_join_on",
 ]
 
 

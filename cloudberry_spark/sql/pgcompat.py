@@ -2784,6 +2784,11 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_to_datetime(masked, lits)
     masked = _expand_window_inheritance(masked)
     masked = _rewrite_window_exclude(masked)
+    # PG accepts a bare VALUES list as an IN subquery (`x IN (VALUES
+    # (1),(2))`, qp_subquery.sql:486); Spark's parser wants a query
+    # expression there — prefix the row list with SELECT * FROM.
+    masked = re.sub(r"\bIN\s*\(\s*VALUES\b", "IN (SELECT * FROM VALUES",
+                    masked, flags=re.I)
     masked = _flatten_in_under_exists(masked)
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
