@@ -125,9 +125,10 @@ qsub_tab1(a, b) AS (VALUES ('1', '1'), ('2', '2'), ('3', '3'))
 """
 
 
-def _qsub(name: str, sql: str, doc: str, oracle: str | None = "same") -> None:
+def _qsub(name: str, sql: str, doc: str, oracle: str | None = "same",
+          tags: tuple[str, ...] = ()) -> None:
     register_regress(
-        name, sql, doc, tags=("qp_subquery",), oracle=oracle,
+        name, sql, doc, tags=("qp_subquery",) + tags, oracle=oracle,
         prelude=_PRELUDE,
     )
 
@@ -516,6 +517,7 @@ WHERE (tbl8352_t1.a, tbl8352_t1.b) NOT IN
 SELECT * FROM tbl8352_t1
 WHERE """ + _notin2("tbl8352_t1.a", "tbl8352_t1.b",
                     "SELECT a, b FROM tbl8352_t2"),
+    tags=("may_be_empty",),
 )
 
 _qsub(
@@ -793,6 +795,7 @@ WHERE """ + _notin2(
         "WHERE tbl07.a IS NOT DISTINCT FROM tbl08.a "
         "AND tbl07.b IS NOT DISTINCT FROM tbl08.b",
     ),
+    tags=("may_be_empty",),
 )
 
 _qsub(
@@ -980,6 +983,7 @@ WHERE (SELECT b FROM subselect_tab2) IS NULL
 """,
     "qp_subquery.sql:626 — scalar subquery inside a NULL test (the "
     "inner returns 2, so no rows).",
+    tags=("may_be_empty",),
 )
 
 _qsub(
@@ -1142,6 +1146,7 @@ SELECT * FROM (
   FROM qsub_np1, qsub_np2) t
 WHERE xx = 'dd'
 """,
+    tags=("may_be_empty",),
 )
 
 # ---------------------------------------------------------------------------
