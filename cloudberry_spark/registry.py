@@ -147,6 +147,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.union_gp  # noqa: F401
     import cloudberry_spark.sql.qp_with_functional_gp  # noqa: F401
     import cloudberry_spark.sql.qp_subquery_gp  # noqa: F401
+    import cloudberry_spark.sql.gp_dqa_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -428,6 +429,17 @@ _LEAD: list[str] = [
         "regress_qsub_hashed_subplan_json",
         "regress_qsub_shared_initplan_cte",
         "regress_qsub_notin_nested_join_on",
+        # gp_dqa.sql drain — multi-DQA/TupleSplit analogs:
+        "regress_dqa_mdqa_three_cols",
+        "regress_dqa_corr_three_way_mdqa",
+        "regress_dqa_filter_subquery",
+        "regress_dqa_filter_mixed_14728",
+        "regress_dqa_numeric_partial_state",
+        "regress_dqa_grouping_sets",
+        "regress_dqa_cast_normalization",
+        "regress_dqa_right_join",
+        "regress_dqa_distinct_over_mdqa",
+        "regress_dqa_null_corner",
 ]
 
 

@@ -1109,3 +1109,20 @@ def test_list_partition_pruning_matrix(spark, pred, df_variant, nfiles):
     df = _fixture(spark, SF_DIR, df_variant)
     got = _scan_files_read(df.filter(pred))
     assert got == nfiles, f"{pred}: read {got} files, expected {nfiles}"
+
+
+def test_multi_dqa_expand(spark):
+    """gp_dqa.sql's multi-DQA tier: two distinct columns in one
+    aggregate (regress_dqa_mdqa_two_cols) must plan as Spark's Expand
+    — one replicated stream per distinct column, the TupleSplit
+    analog — with a partial HashAggregate BELOW the exchange so each
+    stream is deduped map-side before any shuffle. A plan that
+    gathers raw rows to dedup on one node would melt at 100 TB."""
+    plan = _plan(spark, "regress_dqa_mdqa_two_cols")
+    assert "Expand" in plan, "multi-DQA lost its TupleSplit/Expand split"
+    assert "HashAggregate" in plan
+    # partial dedup precedes the exchange: the first aggregate in the
+    # bottom-up plan text (last occurrence) sits below the exchange
+    assert plan.rindex("HashAggregate") > plan.rindex("Exchange"), (
+        "no map-side partial aggregate below the shuffle"
+    )
