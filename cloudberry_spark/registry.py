@@ -148,6 +148,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_with_functional_gp  # noqa: F401
     import cloudberry_spark.sql.qp_subquery_gp  # noqa: F401
     import cloudberry_spark.sql.gp_dqa_gp  # noqa: F401
+    import cloudberry_spark.sql.regex_gp_file  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -440,6 +441,13 @@ _LEAD: list[str] = [
         "regress_dqa_right_join",
         "regress_dqa_distinct_over_mdqa",
         "regress_dqa_null_corner",
+        # regex_gp.sql drain — the real-dump pattern batteries:
+        "regress_regexgp_similar_to_battery",
+        "regress_regexgp_ilike_battery",
+        "regress_regexgp_substring_sql_escape",
+        "regress_regexgp_replace_table",
+        "regress_regexgp_matches_captures",
+        "regress_regexgp_posix_battery",
 ]
 
 

@@ -450,6 +450,13 @@ def _rewrite_masked(seg: str) -> str:
         flags=re.I,
     )
 
+    # LIKE operator aliases (PG ~~ family, regex_gp.sql): Spark has the
+    # keyword forms only. Longest first so !~~* never half-matches.
+    seg = re.sub(r"!~~\*", " NOT ILIKE ", seg)
+    seg = re.sub(r"!~~(?!\*)", " NOT LIKE ", seg)
+    seg = re.sub(r"~~\*", " ILIKE ", seg)
+    seg = re.sub(r"(?<!~)~~(?![*~])", " LIKE ", seg)
+
     # regex match operators (PG partial-match semantics == Spark RLIKE);
     # case-insensitive forms leave a placeholder op resolved after unmask.
     seg = re.sub(r"!~\*", " NOT__RLIKE_CI ", seg)
