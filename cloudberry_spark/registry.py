@@ -149,6 +149,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.qp_subquery_gp  # noqa: F401
     import cloudberry_spark.sql.gp_dqa_gp  # noqa: F401
     import cloudberry_spark.sql.regex_gp_file  # noqa: F401
+    import cloudberry_spark.sql.aqumv_battery  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -448,6 +449,13 @@ _LEAD: list[str] = [
         "regress_regexgp_replace_table",
         "regress_regexgp_matches_captures",
         "regress_regexgp_posix_battery",
+        # the new general AQUMV rewriter (operators/aqumv.py):
+        "regress_aqumv_expr_tree",
+        "regress_aqumv_candidates",
+        "regress_aqumv_rollup_cube",
+        "regress_aqumv_agg_battery",
+        "regress_aqumv_pred_subsumption",
+        "regress_aqumv_order_limit",
 ]
 
 

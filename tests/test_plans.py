@@ -1126,3 +1126,40 @@ def test_multi_dqa_expand(spark):
     assert plan.rindex("HashAggregate") > plan.rindex("Exchange"), (
         "no map-side partial aggregate below the shuffle"
     )
+
+
+def test_aqumv_answers_from_mv(spark):
+    """AQUMV (operators/aqumv.py, aqumv.sql): the answered query's
+    physical plan must scan ONLY the matview parquet — no trace of the
+    base relation. At 100 TB this is the whole point of the rewrite:
+    the matview is ~|filtered rows|, the base is the fact table."""
+    plan = _plan(spark, "regress_aqumv_expr_tree")
+    assert "aqumv" in plan and "parquet" in plan.lower(), plan[:500]
+    # the base is built from spark.range: any Range operator in the
+    # plan means the rewrite fell back to the base relation
+    assert "Range (" not in plan, "AQUMV fell back to the base table"
+
+
+def test_aqumv_rejects_uncontained_predicate(spark):
+    """A matview whose predicate is NOT contained in the query's must
+    be rejected (it may be missing rows) — aqumv.c's containment
+    check, the difference between an optimization and a wrong answer."""
+    import pytest as _pytest
+
+    from cloudberry_spark.operators.aqumv import (
+        AqumvCatalog,
+        NotAnswerable,
+    )
+    from cloudberry_spark.sources.external import _scratch
+    from tests.conftest import SF_DIR
+
+    base = spark.range(1, 101).selectExpr(
+        "CAST(id AS INT) AS c1", "CAST(id + 1 AS INT) AS c2"
+    )
+    cat = AqumvCatalog(spark, base, "aqumv_neg_base")
+    cat.create_mv("neg0", [("mc1", "c1"), ("mc2", "c2")],
+                  ["c1 > 50"], _scratch(SF_DIR, "aqumv/neg0"))
+    with _pytest.raises(NotAnswerable):
+        cat.answer([("c1", "c1")], where=["c1 > 10"])  # needs rows 11..50
+    with _pytest.raises(NotAnswerable):
+        cat.answer([("c1", "c1"), ("c3", "c1 * c2 + 999")], where=[])
