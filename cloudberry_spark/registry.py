@@ -150,6 +150,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.gp_dqa_gp  # noqa: F401
     import cloudberry_spark.sql.regex_gp_file  # noqa: F401
     import cloudberry_spark.sql.aqumv_battery  # noqa: F401
+    import cloudberry_spark.sql.rangefuncs_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -456,6 +457,12 @@ _LEAD: list[str] = [
         "regress_aqumv_agg_battery",
         "regress_aqumv_pred_subsumption",
         "regress_aqumv_order_limit",
+        # rangefuncs.sql — SRF-in-FROM / ordinality / zip:
+        "regress_rngf_rows_from_two_funcs",
+        "regress_rngf_multi_unnest_ordinality",
+        "regress_rngf_rows_from_unnest_gs",
+        "regress_rngf_lateral_correlated",
+        "regress_rngf_ordinality_filtered",
 ]
 
 

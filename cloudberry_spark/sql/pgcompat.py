@@ -394,6 +394,13 @@ def _rewrite_masked(seg: str) -> str:
 
     seg = _rewrite_rows_from(seg)
 
+    # Multi-argument unnest (rangefuncs.sql: `unnest(a1, a2, a3)
+    # [WITH ORDINALITY] AS t(c1, .., [ord])`): PG zips the arrays
+    # NULL-padded to the longest — exactly Spark's arrays_zip — so the
+    # rewrite is posexplode(arrays_zip(...)) with struct-field
+    # projection. Must run before the single-array forms below.
+    seg = _rewrite_multi_unnest(seg)
+
     # unnest(arr) WITH ORDINALITY [AS] t(v, o) -> 1-based posexplode
     # derived table (nodeFunctionscan.c ORDINALITY). Must run before
     # the plain unnest rewrite below. The single-alias form names the
@@ -1666,6 +1673,78 @@ _CLAUSE_KW_RE = re.compile(
 _ROWS_FROM_RE = re.compile(r"\bROWS\s+FROM\s*\(", re.I)
 
 
+_MULTI_UNNEST_RE = re.compile(
+    r"\bunnest\s*\(", flags=re.I
+)
+
+
+def _split_depth0(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_multi_unnest(seg: str) -> str:
+    """``unnest(a1, a2, ..) [WITH ORDINALITY] AS t(c1, .., [ord])`` ->
+    posexplode(arrays_zip(..)) over struct fields "0".."n-1"
+    (rangefuncs.sql; PG NULL-pads to the longest array, as does
+    arrays_zip)."""
+    out, pos = [], 0
+    while True:
+        m = _MULTI_UNNEST_RE.search(seg, pos)
+        if m is None:
+            out.append(seg[pos:])
+            return "".join(out)
+        # find matching close paren
+        depth, i = 1, m.end()
+        while i < len(seg) and depth:
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_depth0(seg[m.end():i - 1])
+        tail = re.match(
+            r"\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?(\w+)\s*\(([^()]*)\)",
+            seg[i:], flags=re.I,
+        )
+        if len(args) < 2 or tail is None:
+            out.append(seg[pos:m.end()])
+            pos = m.end()
+            continue
+        with_ord = bool(tail.group(1))
+        alias, cols = tail.group(2), _split_depth0(tail.group(3))
+        ncols = len(cols) - (1 if with_ord else 0)
+        if ncols != len(args):
+            out.append(seg[pos:m.end()])
+            pos = m.end()
+            continue
+        proj = ", ".join(
+            f"__z.`{k}` AS {c}" for k, c in enumerate(cols[:ncols])
+        )
+        if with_ord:
+            proj += f", pos + 1 AS {cols[-1]}"
+        zipped = "arrays_zip(" + ", ".join(args) + ")"
+        repl = (
+            f"(SELECT {proj} FROM "
+            f"(SELECT posexplode({zipped}) AS (pos, __z))) AS {alias}"
+        )
+        out.append(seg[pos:m.start()])
+        out.append(repl)
+        pos = i + tail.end()
+
+
 def _rewrite_rows_from(seg: str) -> str:
     """``ROWS FROM(f1(..), f2(..)) [WITH ORDINALITY] [AS] a(c1, ..)``
     -> index-driven zip (nodeFunctionscan.c multi-function scans,
@@ -1694,7 +1773,11 @@ def _rewrite_rows_from(seg: str) -> str:
                 r"\s*generate_series\s*\((.*)\)\s*", arg, re.I | re.S
             )
             if am:
-                arrays.append(am.group(1).strip())
+                # multi-argument unnest zips its arrays — one output
+                # column per array (rangefuncs.sql:37)
+                arrays.extend(
+                    a.strip() for a in _split_args(am.group(1).strip())
+                )
             elif gm:
                 arrays.append(f"sequence({gm.group(1).strip()})")
             else:
