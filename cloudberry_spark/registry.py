@@ -128,6 +128,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.join_gp  # noqa: F401
     import cloudberry_spark.sql.tpch_real  # noqa: F401
     import cloudberry_spark.sql.qp_olap_window  # noqa: F401
+    import cloudberry_spark.sql.qp_olap_window2  # noqa: F401
     import cloudberry_spark.sql.qp_with_world  # noqa: F401
     import cloudberry_spark.sql.qp_misc  # noqa: F401
     import cloudberry_spark.sql.rpt_tpch  # noqa: F401
