@@ -152,6 +152,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.regex_gp_file  # noqa: F401
     import cloudberry_spark.sql.aqumv_battery  # noqa: F401
     import cloudberry_spark.sql.rangefuncs_gp  # noqa: F401
+    import cloudberry_spark.sql.directory_table_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -464,6 +465,13 @@ _LEAD: list[str] = [
         "regress_rngf_rows_from_unnest_gs",
         "regress_rngf_lateral_correlated",
         "regress_rngf_ordinality_filtered",
+        # directory tables (sources/dirtable.py):
+        "regress_dirtable_metadata",
+        "regress_dirtable_content",
+        "regress_dirtable_remove_file",
+        # qp_olap_window pass-2 head:
+        "regress_qpow_percent_rank_rank_b000",
+        "regress_qpow_cume_dist_percent_rank_b004",
 ]
 
 
