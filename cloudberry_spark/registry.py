@@ -153,6 +153,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.aqumv_battery  # noqa: F401
     import cloudberry_spark.sql.rangefuncs_gp  # noqa: F401
     import cloudberry_spark.sql.directory_table_gp  # noqa: F401
+    import cloudberry_spark.sql.tag_battery  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -472,6 +473,9 @@ _LEAD: list[str] = [
         # qp_olap_window pass-2 head:
         "regress_qpow_percent_rank_rank_b000",
         "regress_qpow_cume_dist_percent_rank_b004",
+        # object tags (operators/tags.py):
+        "regress_tag_describe_objects",
+        "regress_tag_alter_lifecycle",
 ]
 
 
