@@ -154,6 +154,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.rangefuncs_gp  # noqa: F401
     import cloudberry_spark.sql.directory_table_gp  # noqa: F401
     import cloudberry_spark.sql.tag_battery  # noqa: F401
+    import cloudberry_spark.sql.timestamptz_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -476,6 +477,12 @@ _LEAD: list[str] = [
         # object tags (operators/tags.py):
         "regress_tag_describe_objects",
         "regress_tag_alter_lifecycle",
+        # timestamptz.sql — tz semantics + the new date_bin lowering:
+        "regress_tstz_date_bin_battery",
+        "regress_tstz_bin_offset_origin",
+        "regress_tstz_trunc_bin_equivalence",
+        "regress_tstz_at_time_zone_dst",
+        "regress_tstz_date_part_iso",
 ]
 
 

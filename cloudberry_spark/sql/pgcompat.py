@@ -1156,6 +1156,16 @@ _FIELD_REWRITES = [
         ),
         lambda a: f"extract(YEAROFWEEK FROM {a})",
     ),
+    (
+        # PG date_part('epoch', ts) returns float8 seconds (Spark's
+        # date_part has no epoch field; extract(epoch from ..) is
+        # handled separately in _rewrite_masked)
+        re.compile(
+            rf"\bdate_part\s*\(\s*'epoch'\s*,\s*{_ARG}\)",
+            re.I,
+        ),
+        lambda a: f"(unix_micros(CAST({a} AS TIMESTAMP)) / 1000000.0)",
+    ),
 ]
 
 
@@ -1671,6 +1681,77 @@ _CLAUSE_KW_RE = re.compile(
 
 
 _ROWS_FROM_RE = re.compile(r"\bROWS\s+FROM\s*\(", re.I)
+
+
+_INTERVAL_US = {
+    "day": 86_400_000_000, "days": 86_400_000_000, "d": 86_400_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000, "h": 3_600_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000, "min": 60_000_000,
+    "m": 60_000_000,
+    "second": 1_000_000, "seconds": 1_000_000, "s": 1_000_000,
+    "millisecond": 1_000, "milliseconds": 1_000, "ms": 1_000,
+    "microsecond": 1, "microseconds": 1, "us": 1,
+}
+
+
+def _interval_micros(lit: str) -> int | None:
+    """'1 hour 30 minutes' -> micros; None for month/year-bearing or
+    unparseable strides (PG date_bin rejects those — stay loud)."""
+    total = 0
+    parts = re.findall(r"(\d+)\s*([a-z]+)", lit.strip(), flags=re.I)
+    if not parts or len("".join(n + u for n, u in parts)) != len(
+            re.sub(r"\s", "", lit)):
+        return None
+    for n, unit in parts:
+        us = _INTERVAL_US.get(unit.lower())
+        if us is None:
+            return None
+        total += int(n) * us
+    return total if total > 0 else None
+
+
+_DATE_BIN_RE = re.compile(r"\bdate_bin\s*\(", flags=re.I)
+
+
+def _rewrite_date_bin(seg: str, lits: list[str] | None = None) -> str:
+    out, pos = [], 0
+    while True:
+        m = _DATE_BIN_RE.search(seg, pos)
+        if m is None:
+            out.append(seg[pos:])
+            return "".join(out)
+        depth, i = 1, m.end()
+        while i < len(seg) and depth:
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_depth0(seg[m.end():i - 1])
+        lit = None
+        if len(args) == 3:
+            arg0 = args[0].strip()
+            if lits is not None:
+                arg0 = _PH_RE.sub(lambda m: lits[int(m.group(1))], arg0)
+            lm = re.match(
+                r"(?:INTERVAL\s+)?'([^']+)'(?:\s*::\s*interval)?\s*$",
+                arg0, flags=re.I,
+            )
+            if lm:
+                lit = _interval_micros(lm.group(1))
+        if lit is None:
+            out.append(seg[pos:m.end()])
+            pos = m.end()
+            continue
+        ts, origin = args[1].strip(), args[2].strip()
+        repl = (
+            f"timestamp_micros(unix_micros(CAST({ts} AS TIMESTAMP)) - "
+            f"pmod(unix_micros(CAST({ts} AS TIMESTAMP)) - "
+            f"unix_micros(CAST({origin} AS TIMESTAMP)), {lit}))"
+        )
+        out.append(seg[pos:m.start()])
+        out.append(repl)
+        pos = i
 
 
 _MULTI_UNNEST_RE = re.compile(
@@ -2865,6 +2946,12 @@ def translate_pg_sql(sql: str) -> str:
                 out.append(c)
                 i += 1
         lits[idx] = "'" + "".join(out) + "'"
+    # date_bin(stride, ts, origin) (PG 14 timestamp.c timestamp_bin):
+    # Spark has no date_bin — lower to exact microsecond arithmetic,
+    # origin-aligned via positive modulo (pre-origin timestamps bin
+    # down, matching PG). Month/year strides raise in PG; the parser
+    # only accepts day-and-smaller units, so they stay loud.
+    masked = _rewrite_date_bin(masked, lits)
     masked = _rewrite_mixed_intervals(masked, lits)
     masked = _rewrite_array_literal_casts(masked, lits)
     masked = _rewrite_distinct_on(masked)
