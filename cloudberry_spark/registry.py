@@ -155,6 +155,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.directory_table_gp  # noqa: F401
     import cloudberry_spark.sql.tag_battery  # noqa: F401
     import cloudberry_spark.sql.timestamptz_gp  # noqa: F401
+    import cloudberry_spark.sql.inherit_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -483,6 +484,10 @@ _LEAD: list[str] = [
         "regress_tstz_trunc_bin_equivalence",
         "regress_tstz_at_time_zone_dst",
         "regress_tstz_date_part_iso",
+        # table inheritance (operators/inherit.py):
+        "regress_inh_scan_diamond",
+        "regress_inh_update_routing",
+        "regress_inh_delete_routing",
 ]
 
 
