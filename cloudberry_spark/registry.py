@@ -156,6 +156,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.tag_battery  # noqa: F401
     import cloudberry_spark.sql.timestamptz_gp  # noqa: F401
     import cloudberry_spark.sql.inherit_gp  # noqa: F401
+    import cloudberry_spark.sql.timeseries_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -432,10 +433,7 @@ _LEAD: list[str] = [
         "regress_qsub_nlasj_values_inner",
         "regress_qsub_outerref_outer_join_qual",
         "regress_qsub_any_all_array_literals",
-        "regress_qsub_all_in_concat",
         "regress_qsub_case_in_sum_correlated",
-        "regress_qsub_hashed_subplan_json",
-        "regress_qsub_shared_initplan_cte",
         "regress_qsub_notin_nested_join_on",
         # gp_dqa.sql drain — multi-DQA/TupleSplit analogs:
         "regress_dqa_mdqa_three_cols",
@@ -444,8 +442,6 @@ _LEAD: list[str] = [
         "regress_dqa_filter_mixed_14728",
         "regress_dqa_numeric_partial_state",
         "regress_dqa_grouping_sets",
-        "regress_dqa_cast_normalization",
-        "regress_dqa_right_join",
         "regress_dqa_distinct_over_mdqa",
         "regress_dqa_null_corner",
         # regex_gp.sql drain — the real-dump pattern batteries:
@@ -454,27 +450,23 @@ _LEAD: list[str] = [
         "regress_regexgp_substring_sql_escape",
         "regress_regexgp_replace_table",
         "regress_regexgp_matches_captures",
-        "regress_regexgp_posix_battery",
         # the new general AQUMV rewriter (operators/aqumv.py):
         "regress_aqumv_expr_tree",
         "regress_aqumv_candidates",
         "regress_aqumv_rollup_cube",
         "regress_aqumv_agg_battery",
         "regress_aqumv_pred_subsumption",
-        "regress_aqumv_order_limit",
         # rangefuncs.sql — SRF-in-FROM / ordinality / zip:
         "regress_rngf_rows_from_two_funcs",
         "regress_rngf_multi_unnest_ordinality",
         "regress_rngf_rows_from_unnest_gs",
         "regress_rngf_lateral_correlated",
-        "regress_rngf_ordinality_filtered",
         # directory tables (sources/dirtable.py):
         "regress_dirtable_metadata",
         "regress_dirtable_content",
         "regress_dirtable_remove_file",
         # qp_olap_window pass-2 head:
         "regress_qpow_percent_rank_rank_b000",
-        "regress_qpow_cume_dist_percent_rank_b004",
         # object tags (operators/tags.py):
         "regress_tag_describe_objects",
         "regress_tag_alter_lifecycle",
@@ -488,6 +480,12 @@ _LEAD: list[str] = [
         "regress_inh_scan_diamond",
         "regress_inh_update_routing",
         "regress_inh_delete_routing",
+        # timeseries.sql — interval_bound / scalar linear_interpolate:
+        "regress_tms_interval_bound_timestamp",
+        "regress_tms_interval_bound_numeric",
+        "regress_tms_li_int4_timestamp",
+        "regress_tms_generate_series_ts",
+        "regress_tms_interval_div_mod",
 ]
 
 
