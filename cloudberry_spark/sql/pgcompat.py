@@ -1114,9 +1114,10 @@ def _strip_empty_grouping(seg: str) -> str:
         items.append(seg[cur:end])
         kept = [it for it in items if it.strip() != "()"]
         if kept:
-            # trailing space: a dropped last item may have held the
-            # whitespace separating the list from HAVING/ORDER BY
-            out.append(m.group(0) + ",".join(kept) + " ")
+            # explicit spaces: a dropped FIRST item may have held the
+            # whitespace after GROUP BY (else `GROUP BYsale.pn`), and a
+            # dropped LAST item the one before HAVING/ORDER BY
+            out.append(m.group(0) + " " + ",".join(kept) + " ")
         elif items and not any(it.strip() for it in items):
             # not actually a list (e.g. malformed); leave untouched
             out.append(m.group(0) + seg[m.end() : end])
@@ -1922,6 +1923,397 @@ def _gs_flat_cols(kind: str, inner: str) -> list[str]:
     return cols
 
 
+_GB_TERM_RE = re.compile(
+    r"\b(HAVING|ORDER\s+BY|WINDOW|LIMIT|OFFSET|FETCH|UNION|INTERSECT"
+    r"|EXCEPT)\b",
+    re.I,
+)
+
+
+def _top_gb_clause(seg: str) -> tuple[int, int] | None:
+    """Span (start, end) of the single top-level GROUP BY clause's
+    item list, or None (absent, or multiple top-level GROUP BYs)."""
+    hits = [
+        m
+        for m in re.finditer(r"\bGROUP\s+BY\b", seg, re.I)
+        if _depth_at(seg, m.start()) == 0
+    ]
+    if len(hits) != 1:
+        return None
+    start = hits[0].end()
+    end = len(seg)
+    for tm in _GB_TERM_RE.finditer(seg, start):
+        if _depth_at(seg, tm.start()) == 0:
+            end = tm.start()
+            break
+    return start, end
+
+
+def _top_select_aliases(seg: str) -> dict[str, str]:
+    """Top-level SELECT-list ``expr AS alias`` map (lowercased names)."""
+    sm = next(
+        (
+            x
+            for x in re.finditer(r"\bSELECT\b", seg, re.I)
+            if _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    fm = next(
+        (
+            x
+            for x in re.finditer(r"\bFROM\b", seg, re.I)
+            if sm and x.start() > sm.end() and _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    aliases: dict[str, str] = {}
+    if sm and fm:
+        for item in _split_args(seg[sm.end() : fm.start()]):
+            am = re.fullmatch(r"(.*?)\s+AS\s+(\w+)", item.strip(),
+                              re.I | re.S)
+            if am:
+                aliases[am.group(2).lower()] = am.group(1).strip()
+    return aliases
+
+
+def _substitute_gb_aliases(seg: str) -> str:
+    """Spell SELECT-list aliases inside the GROUP BY clause as their
+    defining expressions (parse_clause.c resolves GROUP BY names to
+    output aliases when no input column matches; qp_olap_mdqa.sql puts
+    such aliases INSIDE ROLLUP/CUBE/GROUPING SETS composites, where
+    Spark's group-by-alias resolution does not reach). The caller's
+    alias names must not shadow input columns — PG would prefer the
+    column; ports that hit that case spell the expression inline."""
+    span = _top_gb_clause(seg)
+    if span is None:
+        return seg
+    aliases = _top_select_aliases(seg)
+    if not aliases:
+        return seg
+    start, end = span
+    clause = seg[start:end]
+
+    def _sub(m: re.Match) -> str:
+        name = m.group(0)
+        expr = aliases.get(name.lower())
+        if expr is None:
+            return name
+        pre = clause[: m.start()].rstrip()
+        post = clause[m.end() :].lstrip()
+        if pre.endswith(".") or post.startswith((".", "(")):
+            return name  # qualified reference or function call
+        return f"({expr})"
+
+    new = re.sub(r"\b[A-Za-z_]\w*\b", _sub, clause)
+    return seg[:start] + new + seg[end:]
+
+
+_NESTED_GS_RE = re.compile(r"\bGROUPING\s+SETS\s*\(", re.I)
+
+
+def _gs_sets_of(kind: str, inner: str) -> list[str]:
+    """Expand one construct's argument list into explicit grouping
+    sets, each rendered ``(e1, e2, ...)`` / ``()``."""
+
+    def elems(arg: str) -> list[str]:
+        arg = arg.strip()
+        if arg.startswith("(") and _match_paren(arg, 0) == len(arg) - 1:
+            return [p.strip() for p in _split_args(arg[1:-1]) if p.strip()]
+        return [arg] if arg else []
+
+    args = [a for a in (x.strip() for x in _split_args(inner)) if a]
+    if kind == "ROLLUP":
+        sets = []
+        for n in range(len(args), -1, -1):
+            cur: list[str] = []
+            for a in args[:n]:
+                cur.extend(elems(a))
+            sets.append("(" + ", ".join(cur) + ")")
+        return sets
+    if kind == "CUBE":
+        if len(args) > 10:
+            raise NotImplementedError(
+                "CUBE with more than 10 arguments inside GROUPING SETS"
+            )
+        sets = []
+        for mask in range(1 << len(args), 0, -1):
+            cur = []
+            for i, a in enumerate(args):
+                if (mask - 1) & (1 << (len(args) - 1 - i)):
+                    cur.extend(elems(a))
+            sets.append("(" + ", ".join(cur) + ")")
+        return sets
+    # plain GROUPING SETS list: each arg IS a set; nested constructs
+    # flatten recursively (groupingsets.sql:171 `grouping sets(a,
+    # grouping sets(a, cube(b)))` keeps duplicates)
+    sets = []
+    for a in args:
+        nm = re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", a, re.I)
+        if nm:
+            k = re.sub(r"\s+", " ", nm.group(1).upper())
+            k = "GROUPING SETS" if k.startswith("GROUPING") else k
+            o = a.index("(", nm.end() - 1)
+            sets.extend(_gs_sets_of(k, a[o + 1 : _match_paren(a, o)]))
+        else:
+            sets.append("(" + ", ".join(elems(a)) + ")")
+    return sets
+
+
+def _expand_nested_gs(seg: str) -> str:
+    """Expand ROLLUP/CUBE/GROUPING SETS nested INSIDE a GROUPING SETS
+    argument list into the explicit set list (parse_clause.c
+    expand_groupingset_node — PG composes them; Spark's parser resolves
+    a nested ``ROLLUP(..)`` as a function call and fails)."""
+    out, pos = [], 0
+    while True:
+        m = _NESTED_GS_RE.search(seg, pos)
+        if m is None:
+            out.append(seg[pos:])
+            return "".join(out)
+        o = seg.index("(", m.end() - 1)
+        c = _match_paren(seg, o)
+        args = [a.strip() for a in _split_args(seg[o + 1 : c]) if a.strip()]
+        if not any(
+            re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", a, re.I)
+            for a in args
+        ):
+            out.append(seg[pos : c + 1])
+            pos = c + 1
+            continue
+        sets: list[str] = []
+        for a in args:
+            nm = re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", a, re.I)
+            if nm:
+                kind = re.sub(r"\s+", " ", nm.group(1).upper())
+                kind = "GROUPING SETS" if kind.startswith("GROUPING") else kind
+                inner = a[a.index("(", nm.end() - 1) + 1 : _match_paren(
+                    a, a.index("(", nm.end() - 1))]
+                sets.extend(_gs_sets_of(kind, inner))
+            else:
+                sets.extend(_gs_sets_of("GROUPING SETS", a))
+        if len(sets) > 256:
+            # a 10-argument CUBE inside GROUPING SETS (and its cross
+            # product with sibling constructs) expands to thousands of
+            # sets — the Expand-node projection count stalls planning
+            # on BOTH engines (qp_olap_mdqa.sql's widest fuzzer rows).
+            # Combinatorial by construction; stay loud.
+            raise NotImplementedError(
+                f"GROUPING SETS expansion of {len(sets)} grouping sets "
+                "exceeds the 256-set support cap"
+            )
+        out.append(seg[pos : m.start()])
+        out.append("GROUPING SETS (" + ", ".join(sets) + ")")
+        pos = c + 1
+
+
+def _gb_construct_members(seg: str) -> list[str]:
+    """Flattened member expressions of every ROLLUP/CUBE/GROUPING SETS
+    construct in the top-level GROUP BY clause (masked text)."""
+    span = _top_gb_clause(seg)
+    if span is None:
+        return []
+    start, end = span
+    members: list[str] = []
+    for cm in re.finditer(
+        r"\b(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", seg[start:end], re.I
+    ):
+        o = start + seg[start:end].index("(", cm.end() - 1)
+        c = _match_paren(seg, o)
+        for x in _gs_flat_cols(
+            re.sub(r"\s+", " ", cm.group(1).upper()), seg[o + 1 : c]
+        ):
+            if x not in members:
+                members.append(x)
+    return members
+
+
+def _norm_expr(e: str) -> str:
+    e = e.strip()
+    # balanced outer parens are resolution-transparent (and the alias
+    # substitution pass adds a pair around every spelled expression)
+    while e.startswith("(") and _match_paren(e, 0) == len(e) - 1:
+        e = e[1:-1].strip()
+    return re.sub(r"\s+", "", e).upper()
+
+
+def _always_grouped_exprs(seg: str) -> set[str]:
+    """Normalized grouping items OUTSIDE any construct (bare items and
+    plain-composite members) of the top-level GROUP BY clause — these
+    are grouped in EVERY set of the cross product."""
+    always: set[str] = set()
+    span = _top_gb_clause(seg)
+    if span is None:
+        return always
+    for item in (x.strip() for x in _split_args(seg[span[0] : span[1]])):
+        if not item or item == "()" or re.match(
+            r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", item, re.I
+        ):
+            continue
+        if item.startswith("(") and _match_paren(item, 0) == len(item) - 1:
+            for p in (y.strip() for y in _split_args(item[1:-1])):
+                always.add(_norm_expr(p))
+        else:
+            always.add(_norm_expr(item))
+    return always
+
+
+def _dedupe_always_grouped(seg: str) -> str:
+    """Drop construct members that are ALSO grouped outside every
+    construct (bare / plain-composite items).
+
+    Set contents are unions, so removing an always-present expression
+    from a ROLLUP/CUBE/GROUPING SETS composite changes neither any
+    set's contents nor the set count — but it changes which grouping
+    COLUMN Spark resolves a matching targetlist expression to. With
+    the duplicate kept, Spark matches the construct occurrence and
+    nullifies the output in rolled-up sets; PG's set algebra keeps the
+    value because the expression is grouped in every set
+    (qp_olap_mdqa.sql `CUBE((..,newalias1,..)), (newalias1, ..)`
+    shapes)."""
+    always = _always_grouped_exprs(seg)
+    if not always:
+        return seg
+    span = _top_gb_clause(seg)
+    if span is None:
+        return seg
+    start, end = span
+    out: list[str] = []
+    for item in (x.strip() for x in _split_args(seg[start:end])):
+        cm = re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", item, re.I)
+        if not cm:
+            out.append(item)
+            continue
+        o = item.index("(", cm.end() - 1)
+        c = _match_paren(item, o)
+        args_out = []
+        for a in (y.strip() for y in _split_args(item[o + 1 : c])):
+            if a.startswith("(") and _match_paren(a, 0) == len(a) - 1:
+                kept = [
+                    p
+                    for p in (z.strip() for z in _split_args(a[1:-1]))
+                    if p and _norm_expr(p) not in always
+                ]
+                args_out.append("(" + ", ".join(kept) + ")")
+            elif a and _norm_expr(a) in always:
+                args_out.append("()")
+            else:
+                args_out.append(a)
+        kind = re.sub(r"\s+", " ", cm.group(1).upper())
+        kind = "GROUPING SETS" if kind.startswith("GROUPING") else kind
+        if kind != "GROUPING SETS" and "()" in args_out:
+            # Spark's parser rejects an empty composite inside ROLLUP/
+            # CUBE — expand to the explicit (now arg-reduced) set list
+            out.append(
+                "GROUPING SETS ("
+                + ", ".join(_gs_sets_of(kind, ", ".join(args_out)))
+                + ")"
+            )
+        else:
+            out.append(item[: o + 1] + ", ".join(args_out) + item[c:])
+    return seg[:start] + " " + ", ".join(out) + " " + seg[end:]
+
+
+def _plain_gb_grouping_zero(seg: str) -> str:
+    """GROUPING(x) over a plain (single-set) GROUP BY -> 0.
+
+    PG allows GROUPING() with any GROUP BY and returns 0 when the
+    argument is grouped in the (only) grouping set (parse_agg.c);
+    Spark rejects grouping() without GroupingSets/Cube/Rollup
+    (UNSUPPORTED_GROUPING_EXPRESSION). Applies to depth-0 calls only —
+    subquery grouping() calls sit at depth > 0 and keep their own
+    clause's semantics."""
+    span = _top_gb_clause(seg)
+    if span is None or _gb_construct_members(seg):
+        return seg
+    out, pos = [], 0
+    while True:
+        m = re.search(r"\bGROUPING\s*\(", seg[pos:], re.I)
+        if m is None:
+            out.append(seg[pos:])
+            return "".join(out)
+        st = pos + m.start()
+        if _depth_at(seg, st) != 0:
+            out.append(seg[pos : st + m.end() - m.start()])
+            pos = st + (m.end() - m.start())
+            continue
+        o = seg.index("(", st)
+        c = _match_paren(seg, o)
+        out.append(seg[pos:st])
+        out.append("0")
+        pos = c + 1
+
+
+def _rewrite_gs_dup_exprs(seg: str) -> str:
+    """Nullify SELECT items that syntactically match a grouping-set
+    member expression, per set.
+
+    PG resolves a targetlist expression that matches a grouping
+    expression to THAT grouping column (parse_agg.c
+    finalize_grouping_exprs), so the output goes NULL in sets where
+    the member is rolled up — even when the expression could also be
+    computed from other, still-grouped columns. Spark resolves through
+    the base columns when it can and keeps the value. Wrap the item:
+    ``CASE WHEN grouping(E) = 1 THEN NULL ELSE E END`` (qp_olap_mdqa
+    fuzzer shapes: `CASE WHEN vn < 10 ...` aliased twice, grouped once
+    via a ROLLUP composite and once via the always-grouped vn)."""
+    members = _gb_construct_members(seg)
+    if not members:
+        return seg
+    # grouping items OUTSIDE any construct are grouped in EVERY set of
+    # the cross product — a targetlist expression that is also one of
+    # those is never nullified (PG's set algebra; the dedupe pass has
+    # usually already removed such members from the constructs)
+    norm_members = (
+        {_norm_expr(x) for x in members} - _always_grouped_exprs(seg)
+    )
+    sm = next(
+        (
+            x
+            for x in re.finditer(r"\bSELECT\b", seg, re.I)
+            if _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    fm = next(
+        (
+            x
+            for x in re.finditer(r"\bFROM\b", seg, re.I)
+            if sm and x.start() > sm.end() and _depth_at(seg, x.start()) == 0
+        ),
+        None,
+    )
+    if not (sm and fm):
+        return seg
+    items = _split_args(seg[sm.end() : fm.start()])
+    changed = False
+    new_items = []
+    for item in items:
+        am = re.fullmatch(r"(.*?)(\s+AS\s+\w+\s*)", item, re.I | re.S)
+        expr, tail = (am.group(1), am.group(2)) if am else (item, "")
+        # only ALIASED, non-trivial expressions need the wrap: a bare
+        # column member that rolls up cannot be computed from other
+        # grouped columns, so Spark already nullifies it natively —
+        # and wrapping an unaliased item would rename the output
+        if (
+            not tail
+            or re.fullmatch(r"[\w.]+", expr.strip())
+            or _norm_expr(expr) not in norm_members
+        ):
+            new_items.append(item)
+            continue
+        lead = item[: len(item) - len(item.lstrip())]
+        e = expr.strip()
+        new_items.append(
+            f"{lead}CASE WHEN grouping({e}) = 1 THEN NULL "
+            f"ELSE {e} END{tail}"
+        )
+        changed = True
+    if not changed:
+        return seg
+    return seg[: sm.end()] + ",".join(new_items) + seg[fm.start() :]
+
+
 def _rewrite_group_id(seg: str) -> str:
     """GROUP_ID() -> row_number over the grouping keys, minus one.
 
@@ -1934,40 +2326,52 @@ def _rewrite_group_id(seg: str) -> str:
     """
     if not re.search(r"\bGROUP_ID\s*\(\s*\)", seg, re.I):
         return seg
-    m = _GS_HEAD_RE.search(seg)
-    if m is None:
+    span = _top_gb_clause(seg)
+    if span is None:
         raise NotImplementedError(
-            "GROUP_ID() is only supported together with a GROUP BY "
-            "GROUPING SETS/CUBE/ROLLUP clause"
+            "GROUP_ID() is only supported with a single top-level "
+            "GROUP BY clause"
         )
-    o = seg.index("(", m.end() - 1)
-    c = _match_paren(seg, o)
-    cols = _gs_flat_cols(m.group(1).upper(), seg[o + 1 : c])
-    # composite GROUP BY: bare items AFTER the construct (`GROUP BY
-    # CUBE(..), cn, pn`) are grouped in EVERY set and must join the
-    # row_number partition, else distinct groups would number as
-    # duplicates (qp_olap_mdqa.sql shapes)
-    tm = re.match(
-        r"\s*,\s*((?:[A-Za-z_][\w.]*)(?:\s*,\s*[A-Za-z_][\w.]*)*)",
-        seg[c + 1 :],
-    )
-    if tm:
-        # a trailing item followed by '(' is a second composite
-        # construct (`GROUP BY CUBE(a), ROLLUP(b,c)`), not a bare
-        # column — treating its keyword as a partition key would drop
-        # b/c from the numbering; fail loudly instead (ADVICE r7,
-        # mirroring the alias-grouping-item guard)
-        if seg[c + 1 :][tm.end() :].lstrip().startswith("("):
-            raise NotImplementedError(
-                "GROUP_ID() with multiple composite grouping "
-                "constructs (CUBE/ROLLUP/GROUPING SETS) in one GROUP "
-                "BY is not supported; spell the sets out as a single "
-                "GROUPING SETS list"
-            )
-        for p in tm.group(1).split(","):
-            p = p.strip()
-            if p and p not in cols:
-                cols.append(p)
+    # collect EVERY grouping expression of the clause — construct
+    # members, composite-item members and bare items alike — so the
+    # numbering partition distinguishes all distinct grouping sets
+    # even across `ROLLUP(..), CUBE(..), col` composition
+    # (qp_olap_mdqa.sql shapes)
+    cols: list[str] = []
+    seen: set[str] = set()
+    has_construct = False
+
+    def _add(x: str) -> None:
+        # dedupe on the NORMALIZED spelling: Spark's grouping_id()
+        # rejects duplicate columns (GROUPING_ID_COLUMN_MISMATCH), and
+        # the fuzzer repeats members across composites with varied
+        # whitespace/parens (qp_olap_mdqa.sql)
+        key = _norm_expr(x)
+        if key and key not in seen:
+            seen.add(key)
+            cols.append(x)
+
+    for item in (x.strip() for x in _split_args(seg[span[0] : span[1]])):
+        if not item or item == "()":
+            continue
+        cm = re.match(r"(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(", item, re.I)
+        if cm:
+            has_construct = True
+            o = item.index("(", cm.end() - 1)
+            for x in _gs_flat_cols(
+                re.sub(r"\s+", " ", cm.group(1).upper()),
+                item[o + 1 : _match_paren(item, o)],
+            ):
+                _add(x)
+        elif item.startswith("(") and _match_paren(item, 0) == len(item) - 1:
+            for p in (y.strip() for y in _split_args(item[1:-1])):
+                _add(p)
+        else:
+            _add(item)
+    if not has_construct:
+        # plain (possibly composite-item) GROUP BY is ONE grouping
+        # set: GROUP_ID() is 0 on every row (parse_agg.c)
+        return re.sub(r"\bGROUP_ID\s*\(\s*\)", "0", seg, flags=re.I)
     if not cols:
         raise NotImplementedError("GROUP_ID() over empty grouping sets")
     # grouping keys that are SELECT-list aliases must be spelled as
@@ -2815,6 +3219,24 @@ def _rewrite_to_char(masked: str, lits: list[str]) -> str:
                 continue
             raw = lits[int(ph.group(1))]
             inner = raw[1:-1]
+            nm = re.fullmatch(r"[90]+(\.([90]+))?", inner)
+            if nm:
+                # numeric template -> printf lowering. Spark's own
+                # to_char needs a DECIMAL of matching scale (DOUBLE
+                # operands with long binary fractions render as '####'
+                # overflow) AND drops the minus sign without an 'S'
+                # token (qp_olap_mdqa floor(a-b) aggregates). A
+                # %<width>.<scale>f format_string reproduces the
+                # template rendering for in-range values and is the
+                # exact twin of the DuckDB oracle's printf.
+                scale = len(nm.group(2) or "")
+                target = (
+                    s,
+                    c,
+                    f"__NUMFMT__{len(inner)}_{scale}__",
+                    args[0].strip(),
+                )
+                break
             if not inner or not _TO_CHAR_OK_RE.match(inner):
                 continue
             out = []
@@ -2834,6 +3256,17 @@ def _rewrite_to_char(masked: str, lits: list[str]) -> str:
         if not target:
             break
         s, c, arg0, ph_new = target
+        ncm = re.fullmatch(r"__NUMFMT__(\d+)_(\d+)__", arg0)
+        if ncm:
+            w, p = ncm.group(1), ncm.group(2)
+            lits.append(f"'%{w}.{p}f'")
+            masked = (
+                masked[:s]
+                + f"format_string({_PH.format(len(lits) - 1)}, "
+                + f"CAST(({ph_new}) AS DOUBLE))"
+                + masked[c + 1 :]
+            )
+            continue
         masked = (
             masked[:s] + f"date_format({arg0}, {ph_new})" + masked[c + 1 :]
         )
@@ -2955,6 +3388,9 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_mixed_intervals(masked, lits)
     masked = _rewrite_array_literal_casts(masked, lits)
     masked = _rewrite_distinct_on(masked)
+    # before _rewrite_masked: its multi-arg GROUPING() expansion wraps
+    # the calls in parens, hiding them from the depth-0 scan below
+    masked = _plain_gb_grouping_zero(masked)
     masked = _rewrite_masked(masked)
     masked = _rewrite_format(masked, lits)
     masked = _rewrite_to_char(masked, lits)
@@ -2967,6 +3403,10 @@ def translate_pg_sql(sql: str) -> str:
     masked = re.sub(r"\bIN\s*\(\s*VALUES\b", "IN (SELECT * FROM VALUES",
                     masked, flags=re.I)
     masked = _flatten_in_under_exists(masked)
+    masked = _substitute_gb_aliases(masked)
+    masked = _expand_nested_gs(masked)
+    masked = _dedupe_always_grouped(masked)
+    masked = _rewrite_gs_dup_exprs(masked)
     masked = _rewrite_group_id(masked)
     masked = _gs_empty_input_fallback(masked)
     masked = _rewrite_array_quantified(masked, lits)

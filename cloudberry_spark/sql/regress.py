@@ -3499,8 +3499,29 @@ ORDER BY 1 NULLS FIRST, 2, 3, 4, 5, 6, 7
     "composites reference the SELECT ALIAS (newalias1) and repeat "
     "columns, mixed with an empty grouping item the frontend strips "
     "and a plain grouping column. 23 grouping-set rows, TO_CHAR "
-    "formatting covered separately by scalar_formatting_family.",
+    "formatting covered separately by scalar_formatting_family. "
+    "Oracle spells the alias inline: PG deduplicates identical "
+    "grouping expressions to ONE sortgroupref (transformGroupClause), "
+    "so qty — also a bare grouping item — is grouped in EVERY set and "
+    "never nulls; DuckDB's occurrence-level binding would null the "
+    "raw alias spelling (round-12 _dedupe_always_grouped brings the "
+    "Spark side to the PG reading).",
     ("agg",),
+    oracle="""
+SELECT sale.qty as newalias1, GROUPING(sale.qty) AS g,
+       CAST(COALESCE(MIN(DISTINCT floor(sale.qty+sale.qty)),0) AS BIGINT)
+           AS m1,
+       CAST(COALESCE(SUM(DISTINCT floor(sale.pn/sale.cn)),0) AS BIGINT)
+           AS s1,
+       round(COALESCE(AVG(DISTINCT floor(sale.prc*sale.qty)),0), 6) AS a1,
+       round(COALESCE(STDDEV(DISTINCT floor(sale.prc+sale.pn)),0), 6) AS sd1,
+       round(COALESCE(VARIANCE(DISTINCT floor(sale.vn)),0), 6) AS v1
+FROM sale
+GROUP BY ROLLUP(((sale.qty)),((sale.qty),sale.cn,sale.cn),
+                (sale.vn,sale.dt)),
+         sale.qty
+ORDER BY 1 NULLS FIRST, 2, 3, 4, 5, 6, 7
+""",
 )
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from cloudberry_spark.sql.pgcompat import translate_pg_sql as t
 
 
@@ -494,9 +496,11 @@ def test_to_char_datetime_mapping():
     assert "date_format(col1, 'yyyy')" in out
     out = t("select to_char(col1, 'YYYY-MM-DD HH24:MI:SS') from d")
     assert "date_format(col1, 'yyyy-MM-dd HH:mm:ss')" in out
-    # numeric templates are Spark-native to_char: untouched
+    # numeric templates lower to printf-style format_string (round
+    # 12): Spark's own to_char needs DECIMAL-scale inputs and drops
+    # the minus sign without an 'S' token (qp_olap_mdqa.sql)
     out = t("select to_char(x, '999.99') from d")
-    assert "to_char(x, '999.99')" in out
+    assert "format_string('%6.2f', CAST((x) AS DOUBLE))" in out
 
 
 def test_array_length_dim1_mapping():
@@ -697,10 +701,15 @@ def test_group_id_rewrite():
         "GROUP BY GROUPING SETS ((a), (a))"
     )
     assert "row_number() OVER (PARTITION BY grouping_id(a), a" in out
-    import pytest
-
-    with pytest.raises(NotImplementedError, match="GROUP_ID"):
-        t("SELECT GROUP_ID() FROM t GROUP BY a")
+    # round 12: plain GROUP BY is a single grouping set, so GROUP_ID()
+    # is the constant 0 (parse_agg.c) instead of raising
+    out = t("SELECT GROUP_ID() FROM t GROUP BY a")
+    assert "GROUP_ID" not in out.upper() or "0" in out
+    assert re.search(r"SELECT\s+0\s+FROM", out)
+    # round 12: multiple composed constructs number over the union of
+    # ALL grouping expressions (qp_olap_mdqa.sql shapes)
+    out = t("SELECT a, GROUP_ID() FROM t GROUP BY ROLLUP(a), CUBE(b), c")
+    assert "grouping_id(a, b, c), a, b, c" in out
 
 
 def test_mixed_interval_split():
@@ -746,14 +755,16 @@ def test_multiarg_grouping_subset_arithmetic():
     assert "GROUPING(a)" in t("SELECT GROUPING(a) FROM x GROUP BY CUBE (a)")
 
 
-def test_group_id_alias_grouping_items_loud():
-    import pytest
-
-    with pytest.raises(NotImplementedError, match="alias"):
-        t(
-            "SELECT a + 1 AS ka, GROUP_ID() FROM x "
-            "GROUP BY GROUPING SETS ((ka), (ka))"
-        )
+def test_group_id_alias_grouping_items_spelled():
+    # round 12: _substitute_gb_aliases spells SELECT aliases inside
+    # grouping constructs as their defining expressions, so GROUP_ID()
+    # no longer needs to refuse them (qp_olap_mdqa.sql)
+    out = t(
+        "SELECT a + 1 AS ka, GROUP_ID() FROM x "
+        "GROUP BY GROUPING SETS ((ka), (ka))"
+    )
+    assert "GROUPING SETS (((a + 1)), ((a + 1)))" in out
+    assert "row_number() OVER (PARTITION BY grouping_id((a + 1))" in out
 
 
 def test_null_ordering_trailing_comment_not_swallowed():
