@@ -113,6 +113,8 @@ def _load_all() -> None:
     import cloudberry_spark.operators.merge_pg  # noqa: F401
     import cloudberry_spark.operators.update_gp  # noqa: F401
     import cloudberry_spark.operators.generated_cols  # noqa: F401
+    import cloudberry_spark.operators.partition_spec  # noqa: F401
+    import cloudberry_spark.operators.partition_prune  # noqa: F401
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.sources.exttab_battery  # noqa: F401
@@ -157,6 +159,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.timestamptz_gp  # noqa: F401
     import cloudberry_spark.sql.inherit_gp  # noqa: F401
     import cloudberry_spark.sql.timeseries_gp  # noqa: F401
+    import cloudberry_spark.sql.qp_olap_mdqa_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401
@@ -430,8 +433,6 @@ _LEAD: list[str] = [
         "regress_qsub_notin_union_inner",
         "regress_qsub_notin_projected_null",
         "regress_qsub_nlasj_indf",
-        "regress_qsub_nlasj_values_inner",
-        "regress_qsub_outerref_outer_join_qual",
         "regress_qsub_any_all_array_literals",
         "regress_qsub_case_in_sum_correlated",
         "regress_qsub_notin_nested_join_on",
@@ -440,9 +441,7 @@ _LEAD: list[str] = [
         "regress_dqa_corr_three_way_mdqa",
         "regress_dqa_filter_subquery",
         "regress_dqa_filter_mixed_14728",
-        "regress_dqa_numeric_partial_state",
         "regress_dqa_grouping_sets",
-        "regress_dqa_distinct_over_mdqa",
         "regress_dqa_null_corner",
         # regex_gp.sql drain — the real-dump pattern batteries:
         "regress_regexgp_similar_to_battery",
@@ -453,13 +452,10 @@ _LEAD: list[str] = [
         # the new general AQUMV rewriter (operators/aqumv.py):
         "regress_aqumv_expr_tree",
         "regress_aqumv_candidates",
-        "regress_aqumv_rollup_cube",
         "regress_aqumv_agg_battery",
-        "regress_aqumv_pred_subsumption",
         # rangefuncs.sql — SRF-in-FROM / ordinality / zip:
         "regress_rngf_rows_from_two_funcs",
         "regress_rngf_multi_unnest_ordinality",
-        "regress_rngf_rows_from_unnest_gs",
         "regress_rngf_lateral_correlated",
         # directory tables (sources/dirtable.py):
         "regress_dirtable_metadata",
@@ -486,6 +482,15 @@ _LEAD: list[str] = [
         "regress_tms_li_int4_timestamp",
         "regress_tms_generate_series_ts",
         "regress_tms_interval_div_mod",
+        # qp_olap_mdqa.sql — composed grouping sets + MDQA (round 12):
+        "regress_qpmdqa_q05",
+        "regress_qpmdqa_q15",
+        "regress_qpmdqa_q57",
+        "regress_qpmdqa_q08",
+        # partition1.sql — CREATE-time partition spec language:
+        "regress_part1_rank_template",
+        "regress_part1_every_days",
+        "regress_part1_default_partition",
 ]
 
 

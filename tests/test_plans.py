@@ -673,24 +673,27 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-11 rotation: the r10 sample is folded into _DRIVER_SAMPLED,
+    # round-12 rotation: the r11 sample is folded into _DRIVER_SAMPLED,
     # so the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's additions: the rio real-data triangle, the rows-only
-    # conversions, the olap_window_seq remainder, the qpfis placement
-    # sweep, and the qpdt class representatives
+    # this round's additions: the qp_subquery/gp_dqa/regex/aqumv/
+    # rangefuncs round-11-late batteries plus round 12's timeseries
+    # (interval_bound / linear_interpolate), the qp_olap_mdqa grouping
+    # fuzzer, and the partition1 spec-language engine
     for must in (
-        "regress_rio_real_fivemin",
-        "regress_rio_real_vwap_bands",
-        "multimodal_decode_features",
-        "text_bpeish_token_count",
-        "multimodal_frame_sample",
-        "regress_ows_frame_matrix_rows_asc",
-        "regress_ows_frame_matrix_range_asc",
-        "regress_ows_mpp1840_grouping_window",
-        "regress_qpfis_setof_column",
-        "regress_qpfis_nested_setof_arg",
-        "regress_qpdt_c_inner3_tochar",
-        "regress_qpdt_c_derived_scalarsub",
+        "regress_tms_interval_bound_timestamp",
+        "regress_tms_interval_bound_numeric",
+        "regress_tms_li_int4_timestamp",
+        "regress_tms_generate_series_ts",
+        "regress_qpmdqa_q05",
+        "regress_qpmdqa_q15",
+        "regress_qpmdqa_q57",
+        "regress_qpmdqa_q08",
+        "regress_part1_rank_template",
+        "regress_part1_every_days",
+        "regress_part1_default_partition",
+        "regress_qsub_tuple_notin_nulls_8352",
+        "regress_dqa_mdqa_three_cols",
+        "regress_aqumv_expr_tree",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
