@@ -160,6 +160,7 @@ def _load_all() -> None:
     import cloudberry_spark.sql.inherit_gp  # noqa: F401
     import cloudberry_spark.sql.timeseries_gp  # noqa: F401
     import cloudberry_spark.sql.qp_olap_mdqa_gp  # noqa: F401
+    import cloudberry_spark.sql.qp_indexscan_gp  # noqa: F401
     import cloudberry_spark.pipeline.dedup  # noqa: F401
     import cloudberry_spark.pipeline.similarity  # noqa: F401
     import cloudberry_spark.pipeline.text  # noqa: F401

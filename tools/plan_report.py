@@ -276,6 +276,23 @@ def main() -> None:
         "multimodal_decode_features",
         "text_bpeish_token_count",
         "multimodal_frame_sample",
+        # round 12: new batteries' heads — the mdqa Expand-heavy
+        # grouping fuzzers, timeseries scalar lowerings, partition
+        # spec routing, and the pruning matrices
+        "regress_qpmdqa_q05",
+        "regress_qpmdqa_q15",
+        "regress_qpmdqa_q16",
+        "regress_qpmdqa_q57",
+        "regress_tms_interval_bound_timestamp",
+        "regress_tms_li_int4_timestamp",
+        "regress_part1_rank_template",
+        "regress_part1_every_months_routing",
+        "regress_prune_rlp_matrix",
+        "regress_qsub_tuple_notin_nulls_8352",
+        "regress_dqa_mdqa_three_cols",
+        "regress_inh_scan_diamond",
+        "regress_tstz_date_bin_battery",
+        "regress_aqumv_expr_tree",
     ]
     from cloudberry_spark import planhook
 
