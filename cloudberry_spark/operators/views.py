@@ -419,3 +419,199 @@ def dml_view_check_option(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
     )
+
+
+class StackedView:
+    """A view over another view — the WITH LOCAL/CASCADED CHECK OPTION
+    tier (updatable_views.sql:1030-1120; rewriteTargetView's
+    WithCheckOption accumulation):
+
+    * CASCADED (the bare ``WITH CHECK OPTION``): this view's qual AND
+      every underlying view's qual are enforced, each violation named
+      after the view whose qual failed (the -5 insert through rw_view2
+      errors on "rw_view1");
+    * LOCAL: this view's qual, plus underlying quals only where the
+      underlying view declares its OWN option (the -10 insert lands in
+      the base but outside both views).
+
+    Columns pass through 1:1 (the battery's SELECT * shapes), so DML
+    maps straight onto the bottom SnapshotTable.
+    """
+
+    def __init__(self, name: str, under, where: str | None,
+                 check: str | None = None):
+        self.name = name
+        self.under = under  # UpdatableView | StackedView
+        self.where = where  # base-namespace predicate
+        self.check = check  # None | 'local' | 'cascaded'
+
+    # -- chain helpers ---------------------------------------------------
+
+    def _levels(self) -> list[tuple[str, str | None, str | None]]:
+        """(name, where, check) from THIS view down to the bottom."""
+        out = [(self.name, self.where, self.check)]
+        u = self.under
+        while isinstance(u, StackedView):
+            out.append((u.name, u.where, u.check))
+            u = u.under
+        out.append((
+            u.name, u.where, "cascaded" if u.check_option else None))
+        return out
+
+    def _base(self) -> SnapshotTable:
+        u = self.under
+        while isinstance(u, StackedView):
+            u = u.under
+        return u.base
+
+    def _enforced(self) -> list[tuple[str, str]]:
+        """Ordered (viewname, qual) pairs to check, BOTTOM-most first
+        (PG names the deepest failing view)."""
+        out: list[tuple[str, str]] = []
+        cascade = False
+        for name, where, check in self._levels():
+            owns = check in ("local", "cascaded")
+            if (owns or cascade) and where:
+                out.append((name, where))
+            cascade = cascade or check == "cascaded"
+        return list(reversed(out))
+
+    # -- reads / DML -----------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = self._base().read(spark)
+        for _name, where, _check in reversed(self._levels()):
+            if where:
+                df = df.filter(F.expr(where))
+        return df
+
+    def insert(self, spark: SparkSession, rows: DataFrame) -> None:
+        base_df = self._base().read(spark)
+        out = rows.select(
+            *[
+                (F.col(f.name).cast(f.dataType)
+                 if f.name in rows.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in base_df.schema.fields
+            ]
+        )
+        for vname, qual in self._enforced():
+            bad = out.filter(~F.coalesce(F.expr(qual), F.lit(False)))
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    f'new row violates check option for view "{vname}"'
+                )
+        insert_into(spark, self._base(), out)
+
+    def update(self, spark: SparkSession, where: str | None,
+               sets: dict[str, str]) -> None:
+        cond = F.lit(True)
+        for _n, q, _c in self._levels():
+            if q:
+                cond = cond & F.expr(q)
+        if where:
+            cond = cond & F.expr(where)
+        assigns = {c: F.expr(e) for c, e in sets.items()}
+        probe = self._base().read(spark).filter(cond)
+        for c, e in assigns.items():
+            probe = probe.withColumn(c, e)
+        for vname, qual in self._enforced():
+            bad = probe.filter(~F.coalesce(F.expr(qual), F.lit(False)))
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    f'new row violates check option for view "{vname}"'
+                )
+        update_table(spark, self._base(), cond, assigns)
+
+
+def _chain_fixture(spark: SparkSession, sf_dir: str, tag: str,
+                   check: str) -> "StackedView":
+    st = SnapshotTable.init(
+        _scratch(sf_dir, f"uv_chain_{tag}"),
+        spark.createDataFrame([], "a INT"),
+    )
+    v1 = UpdatableView(
+        "rw_view1", st, {"a": "a"}, "a > 0", check_option=False)
+    return StackedView("rw_view2", v1, "a < 10", check=check)
+
+
+@register(
+    "regress_uv_cascaded_chain",
+    oracle="""
+SELECT * FROM (VALUES
+  ('insert -5',  'ERROR rw_view1'),
+  ('insert 5',   'ok'),
+  ('insert 15',  'ERROR rw_view2'),
+  ('update -10', 'ERROR rw_view1'),
+  ('update +10', 'ERROR rw_view2'),
+  ('base', '5')
+) t(op, outcome)
+""",
+    doc="updatable_views.sql:1040-1060 — implicitly CASCADED check "
+        "option on a view-over-view chain: BOTH quals enforced, each "
+        "violation named after the view whose qual failed (the -5 "
+        "insert errors on rw_view1 even though the DML targets "
+        "rw_view2); final base holds only the 5 row "
+        "(expected/updatable_views.out).",
+    tags=("dml", "view"),
+)
+def regress_uv_cascaded_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v2 = _chain_fixture(spark, sf_dir, "casc", "cascaded")
+    out = []
+
+    def try_op(label, fn):
+        try:
+            fn()
+            out.append((label, "ok"))
+        except ValueError as ex:
+            m = re.search(r'view "(\w+)"', str(ex))
+            out.append((label, f"ERROR {m.group(1)}"))
+
+    mk = lambda v: spark.createDataFrame([(v,)], "a INT")  # noqa: E731
+    try_op("insert -5", lambda: v2.insert(spark, mk(-5)))
+    try_op("insert 5", lambda: v2.insert(spark, mk(5)))
+    try_op("insert 15", lambda: v2.insert(spark, mk(15)))
+    try_op("update -10",
+           lambda: v2.update(spark, None, {"a": "a - 10"}))
+    try_op("update +10",
+           lambda: v2.update(spark, None, {"a": "a + 10"}))
+    base = [str(r.a) for r in
+            v2._base().read(spark).orderBy("a").collect()]
+    out.append(("base", ",".join(base)))
+    return spark.createDataFrame(out, "op STRING, outcome STRING")
+
+
+@register(
+    "regress_uv_local_chain",
+    oracle="""
+SELECT * FROM (VALUES
+  ('insert -10', 'ok'),
+  ('insert 20',  'ERROR rw_view2'),
+  ('base', '-10')
+) t(op, outcome)
+""",
+    doc="updatable_views.sql:1062-1075 — LOCAL check option: only "
+        "rw_view2's own qual is enforced (rw_view1 declares none), so "
+        "the -10 insert succeeds and lands in the base OUTSIDE both "
+        "views; 20 still violates rw_view2.",
+    tags=("dml", "view"),
+)
+def regress_uv_local_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v2 = _chain_fixture(spark, sf_dir, "local", "local")
+    out = []
+    try:
+        v2.insert(spark, spark.createDataFrame([(-10,)], "a INT"))
+        out.append(("insert -10", "ok"))
+    except ValueError as ex:
+        m = re.search(r'view "(\w+)"', str(ex))
+        out.append(("insert -10", f"ERROR {m.group(1)}"))
+    try:
+        v2.insert(spark, spark.createDataFrame([(20,)], "a INT"))
+        out.append(("insert 20", "ok"))
+    except ValueError as ex:
+        m = re.search(r'view "(\w+)"', str(ex))
+        out.append(("insert 20", f"ERROR {m.group(1)}"))
+    base = [str(r.a) for r in
+            v2._base().read(spark).orderBy("a").collect()]
+    out.append(("base", ",".join(base)))
+    return spark.createDataFrame(out, "op STRING, outcome STRING")
