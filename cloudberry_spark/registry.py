@@ -118,6 +118,7 @@ def _load_all() -> None:
     import cloudberry_spark.sources.external  # noqa: F401
     import cloudberry_spark.sources.pyfdw  # noqa: F401
     import cloudberry_spark.sources.exttab_battery  # noqa: F401
+    import cloudberry_spark.sources.gpcopy  # noqa: F401
     import cloudberry_spark.functions.udx  # noqa: F401
     import cloudberry_spark.sql.compat_queries  # noqa: F401
     import cloudberry_spark.sql.regress  # noqa: F401
