@@ -2214,6 +2214,37 @@ def _dedupe_always_grouped(seg: str) -> str:
     return seg[:start] + " " + ", ".join(out) + " " + seg[end:]
 
 
+def _drop_singleton_empty_gs(seg: str) -> str:
+    """Drop a ``GROUPING SETS (())`` construct from a composite GROUP
+    BY when other items remain: its single empty set is the identity
+    of the cross product (parse_clause.c expand_grouping_sets), so
+    the clause is really a PLAIN grouping — which unlocks the
+    GROUPING()->0 / GROUP_ID()->0 lowering (qp_olap_mdqa.sql
+    ``GROUP BY (a,a),(b),GROUPING SETS(()),c``). A multi-empty
+    ``GROUPING SETS ((),())`` is NOT dropped: the duplicate sets
+    multiply the output."""
+    span = _top_gb_clause(seg)
+    if span is None:
+        return seg
+    start, end = span
+    items = [x.strip() for x in _split_args(seg[start:end]) if x.strip()]
+    kept = []
+    dropped = False
+    for item in items:
+        m = re.match(r"GROUPING\s+SETS\s*\(", item, re.I)
+        if m:
+            o = item.index("(", m.end() - 1)
+            inner = item[o + 1 : _match_paren(item, o)]
+            args = [a.strip() for a in _split_args(inner) if a.strip()]
+            if len(args) == 1 and args[0] == "()":
+                dropped = True
+                continue
+        kept.append(item)
+    if not dropped or not kept:
+        return seg
+    return seg[:start] + " " + ", ".join(kept) + " " + seg[end:]
+
+
 def _plain_gb_grouping_zero(seg: str) -> str:
     """GROUPING(x) over a plain (single-set) GROUP BY -> 0.
 
@@ -3045,6 +3076,25 @@ def _rewrite_mixed_intervals(masked: str, lits: list[str]) -> str:
     masked = re.sub(
         r"([+-])\s*INTERVAL\s+\x01(\d+)\x02", _repl, masked, flags=re.I
     )
+    # single-kind literals with PG abbreviations Spark rejects
+    # ('2 mins', '3 hrs', '1 mon' — qp_olap_mdqa.sql): normalize the
+    # unit words in place
+    _ABBR = {
+        "mon": "months", "mons": "months", "yr": "years",
+        "yrs": "years", "hr": "hours", "hrs": "hours",
+        "min": "minutes", "mins": "minutes", "sec": "seconds",
+        "secs": "seconds", "ms": "milliseconds", "us": "microseconds",
+    }
+    for m in re.finditer(r"\bINTERVAL\s+\x01(\d+)\x02", masked, re.I):
+        idx = int(m.group(1))
+        body = lits[idx][1:-1]
+        fixed = re.sub(
+            r"[A-Za-z]+",
+            lambda w: _ABBR.get(w.group(0).lower(), w.group(0)),
+            body,
+        )
+        if fixed != body:
+            lits[idx] = f"'{fixed}'"
     for m in re.finditer(r"\bINTERVAL\s+\x01(\d+)\x02", masked, re.I):
         if _split_interval_text(lits[int(m.group(1))][1:-1]) is not None:
             raise NotImplementedError(
@@ -3390,6 +3440,7 @@ def translate_pg_sql(sql: str) -> str:
     masked = _rewrite_distinct_on(masked)
     # before _rewrite_masked: its multi-arg GROUPING() expansion wraps
     # the calls in parens, hiding them from the depth-0 scan below
+    masked = _drop_singleton_empty_gs(masked)
     masked = _plain_gb_grouping_zero(masked)
     masked = _rewrite_masked(masked)
     masked = _rewrite_format(masked, lits)

@@ -47,10 +47,12 @@ from tools.sweep_mdqa import duck_text, extract  # noqa: E402
 SET_CAP = {1, 51, 55}
 #: HAVING GROUPING()/GROUP_ID() — hoisted form registered instead
 HOIST = {12, 22, 26, 28, 44, 56, 57, 58, 64, 67, 68}
-#: date + interval in the targetlist — timestamp-cast form registered
-DTCAST = {8, 27, 43}
-#: residual analyzer divergence, excluded with MIGRATION notes
-EXCLUDE = {61, 70}
+#: date + interval in the targetlist — timestamp-cast + string
+#: readout form registered (1401-era dates overflow pandas ns)
+DTCAST = {8, 27, 43, 70}
+#: residual exclusions (none — rounds of frontend fixes drained the
+#: analyzer-divergence set)
+EXCLUDE: set[int] = set()
 
 
 def _dtcast_fix(q: str) -> str:
