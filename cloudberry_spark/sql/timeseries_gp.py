@@ -43,13 +43,17 @@ matrices pin the reference's own expected/timeseries.out states
 (converted to ISO); generate_series runs the same series on DuckDB
 natively.
 
+The timestamptz matrix is ported too: ``interval_bound_tstz``
+localizes the timestamp algorithm into the reference's US/Pacific
+session zone (from_utc_timestamp / to_utc_timestamp around
+interval_bound_ts), reproducing DST-aware day widths and LMT-era
+offsets; fixtures and expected states are the .out values converted
+to UTC instants.
+
 Exclusions (MIGRATION.md): timestamp 'infinity'/'now' probes (no
-Spark timestamp infinity; 'now' is unstable by design), the
-timestamptz interval_bound matrix (zone-localized bucketing under a
-US/Pacific session zone — the engine runs UTC sessions; the
-timestamp matrix pins the algorithm, timestamptz_gp.py pins zone
-semantics), width<=0 / non-finite-reg / overflow / unsupported-type
-error probes (loud-fail pins in tests/test_timeseries.py).
+Spark timestamp infinity; 'now' is unstable by design), width<=0 /
+non-finite-reg / overflow / unsupported-type error probes
+(loud-fail pins in tests/test_timeseries.py).
 """
 
 from __future__ import annotations
@@ -111,9 +115,24 @@ END
 """
 
 
+_IB_TSTZ = """
+CREATE OR REPLACE TEMPORARY FUNCTION interval_bound_tstz(
+  v TIMESTAMP, wm INT, wus BIGINT,
+  s INT DEFAULT NULL, r TIMESTAMP DEFAULT NULL)
+RETURNS TIMESTAMP RETURN
+to_utc_timestamp(
+  interval_bound_ts(
+    from_utc_timestamp(v, 'US/Pacific'), wm, wus, s,
+    from_utc_timestamp(coalesce(r, TIMESTAMP '1970-01-01 00:00:00'),
+                       'US/Pacific')),
+  'US/Pacific')
+"""
+
+
 def _setup(spark: SparkSession) -> None:
     spark.sql(_IB_NUM)
     spark.sql(_IB_TS)
+    spark.sql(_IB_TSTZ)
 
 
 def _ts(name: str, spark_sql: str, oracle: str, doc: str,
@@ -662,4 +681,88 @@ _ts(
     "behaves). Overflow/unsupported-type probes are loud-fail pins "
     "in tests/test_timeseries.py.",
     tags=("linear_interpolate",),
+)
+
+# ---------------------------------------------------------------------------
+# 7. interval_bound with timestamptz (timeseries.sql:148-169) — the
+#    reference ran under `set TimeZone to 'US/Pacific'`; literals and
+#    the expected/timeseries.out states are converted to UTC instants
+#    (zoneinfo, LMT-era offsets included), and the engine localizes
+#    the calendar arithmetic exactly like timestamptz_interval_bound:
+#    day widths add WALL-CLOCK days (the 100-day span crossing the
+#    2100 spring-forward lands an hour earlier in UTC), month widths
+#    step calendar months in the session zone, epoch registration is
+#    the UTC epoch INSTANT (16:00 local boundaries).
+# ---------------------------------------------------------------------------
+
+_TSTZ_ROWS = [
+    ("TIMESTAMP '2012-01-12 18:00:10'", "NULL", str(7 * _D),
+     "TIMESTAMP '2012-04-02 04:00:00'", "4"),
+    ("TIMESTAMP '1929-10-30 06:33:44.55'", "12", "NULL",
+     "TIMESTAMP '1991-01-17 10:34:56.78'", "NULL"),
+    ("TIMESTAMP '1991-01-17 10:34:56.78'", "11", "NULL",
+     "TIMESTAMP '1776-07-04 17:30:58'", "-1"),
+    ("TIMESTAMP '2100-03-01 11:11:11.11'", "NULL", str(100 * _D),
+     "TIMESTAMP '1929-10-30 06:33:44.55'", "1"),
+    ("TIMESTAMP '1776-07-04 20:27:54'", "1", "NULL",
+     "TIMESTAMP '2012-04-01 00:00:00'", "1"),
+    ("CAST(NULL AS TIMESTAMP)", "NULL", str(7 * _D),
+     "TIMESTAMP '1911-09-09 23:16:17'", "3"),
+    ("TIMESTAMP '1999-10-30 20:01:01'", "NULL", "NULL",
+     "TIMESTAMP '1970-04-05 20:00:00'", "1"),
+    ("TIMESTAMP '1999-10-30 20:01:01'", "NULL", str(_D),
+     "CAST(NULL AS TIMESTAMP)", "1"),
+]
+# expected/timeseries.out:309-327 PST/PDT/LMT renderings -> UTC
+_TSTZ_EXP = [
+    ("2012-01-12 00:00:00", "2012-02-09 00:00:00",
+     "2012-02-06 05:00:00"),
+    ("1929-01-01 00:00:00", "1929-01-01 00:00:00",
+     "1929-01-17 10:34:56.78"),
+    ("1990-03-01 00:00:00", "1989-04-01 00:00:00",
+     "1990-02-04 17:38:00"),
+    ("2100-01-19 00:00:00", "2100-04-28 23:00:00",
+     "2100-05-26 05:33:44.55"),
+    ("1776-06-30 23:52:58", "1776-07-31 23:52:58",
+     "1776-08-01 00:52:58"),
+    (None, None, None),
+    (None, None, None),
+    ("1999-10-29 23:00:00", "1999-10-30 23:00:00",
+     "1999-10-30 23:00:00"),
+]
+
+_ibtz_values = ", ".join(
+    f"({v}, CAST({wm} AS INT), CAST({wus} AS BIGINT), {r}, "
+    f"CAST({s} AS INT))"
+    for v, wm, wus, r, s in _TSTZ_ROWS
+)
+_ibtz_exp = " UNION ALL ".join(
+    f"SELECT {row[0]} AS v, "
+    f"CAST({row[1]} AS INT) AS wm, CAST({row[2]} AS BIGINT) AS wus, "
+    f"{row[3]} AS r, CAST({row[4]} AS INT) AS s, "
+    f"{_tlit(e[0])} AS normal, {_tlit(e[1])} AS shifted_s, "
+    f"{_tlit(e[2])} AS registered_r"
+    for row, e in zip(_TSTZ_ROWS, _TSTZ_EXP)
+)
+
+_ts(
+    "regress_tms_interval_bound_timestamptz",
+    f"""
+SELECT v, wm, wus, r, s,
+       interval_bound_tstz(v, wm, wus) AS normal,
+       interval_bound_tstz(v, wm, wus, s) AS shifted_s,
+       interval_bound_tstz(v, wm, wus, s, r) AS registered_r
+FROM (VALUES {_ibtz_values}) t(v, wm, wus, r, s)
+""",
+    _ibtz_exp,
+    "timeseries.sql:154-169 — the timestamptz interval_bound matrix "
+    "under the reference's US/Pacific session: the tstz instantiation "
+    "localizes the timestamp algorithm (from_utc_timestamp -> "
+    "interval_bound_ts -> to_utc_timestamp), reproducing wall-clock "
+    "day widths across DST (the 100-day shift over the 2100 "
+    "spring-forward), calendar month stepping in-zone, LMT-era "
+    "offsets (1776 boundaries at :52:58), and the epoch-instant "
+    "default registration (16:00-local boundaries). Oracle = "
+    "expected/timeseries.out:309-327 converted to UTC instants.",
+    tags=("timestamptz",),
 )

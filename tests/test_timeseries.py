@@ -126,3 +126,23 @@ def test_plit_parses_typed_literals():
     assert _plit("'85 minutes'::interval") == ("interval", "85 minutes")
     assert _plit("'2010-01-03T02:00:00'::timestamp") == (
         "timestamp", "2010-01-03T02:00:00")
+
+
+def test_interval_bound_tstz_dst_and_lmt(spark):
+    # expected/timeseries.out:309-327 — localized day arithmetic: the
+    # +100-day shift crossing the 2100 spring-forward is 99 days 23 h
+    # of absolute time, and the 1776 LMT offset surfaces as :52:58
+    _setup(spark)
+    [(shifted,)] = _vals(
+        spark,
+        "SELECT CAST(interval_bound_tstz(TIMESTAMP "
+        "'2100-03-01 11:11:11.11', NULL, CAST(8640000000000 AS "
+        "BIGINT), 1) AS STRING)",
+    )
+    assert shifted == "2100-04-28 23:00:00"
+    [(lmt,)] = _vals(
+        spark,
+        "SELECT CAST(interval_bound_tstz(TIMESTAMP "
+        "'1776-07-04 20:27:54', 1, NULL) AS STRING)",
+    )
+    assert lmt == "1776-06-30 23:52:58"
