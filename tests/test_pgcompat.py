@@ -878,3 +878,39 @@ def test_generate_series_subquery_bound():
     )
     assert "generate_series" not in out.lower()
     assert "explode(sequence(0, (select max(x) from b)))" in out.lower()
+
+
+def test_round12_grouping_passes():
+    # alias spelled inside a composite (PG parse_clause alias
+    # resolution); Spark can't reach aliases inside construct parens
+    out = t("SELECT a+1 AS k, count(*) FROM x GROUP BY ROLLUP((k, b))")
+    assert "ROLLUP(((a+1), b))" in out
+    # nested constructs inside GROUPING SETS expand to explicit sets,
+    # recursively, duplicates kept (groupingsets.sql:171)
+    out = t("SELECT count(*) FROM x "
+            "GROUP BY GROUPING SETS(a, GROUPING SETS(a, CUBE(b)))")
+    assert "GROUPING SETS ((a), (a), (b), ())" in out
+    # a member also grouped OUTSIDE every construct is dropped from
+    # the construct (PG merges identical grouping exprs into one
+    # sortgroupref -> the column never nulls)
+    out = t("SELECT a, count(*) FROM x GROUP BY ROLLUP((a),(b)), a")
+    assert "GROUPING SETS ((b), (), ())" in out or \
+           "ROLLUP((), (b))" in out
+    # GROUPING SETS(()) is the cross-product identity: dropped, which
+    # unlocks the plain-grouping GROUP_ID()/GROUPING() -> 0 lowering
+    out = t("SELECT GROUPING(a), GROUP_ID(), count(*) FROM x "
+            "GROUP BY (a,a), GROUPING SETS(()), b")
+    assert "GROUPING SETS" not in out.upper()
+    assert "grouping(" not in out.lower()
+    # targetlist expression matching a construct member nullifies
+    # per set
+    out = t("SELECT a+b AS k, count(*) FROM x "
+            "GROUP BY ROLLUP((a+b),(c)), a, b")
+    assert "CASE WHEN grouping(a+b) = 1 THEN NULL ELSE a+b END" in out
+
+
+def test_round12_interval_abbreviations():
+    out = t("SELECT d + interval '2 mins' FROM x")
+    assert "interval '2 minutes'" in out
+    out = t("SELECT d + interval '3 hrs' FROM x")
+    assert "interval '3 hours'" in out
