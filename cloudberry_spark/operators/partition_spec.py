@@ -299,6 +299,7 @@ class GpPartitionedTable:
         if not hm:
             raise PartitionSpecError("no partition spec")
         lvl1 = _Level(hm.group(1), hm.group(2))
+        self.range_key = lvl1.key
         if "," in lvl1.key and lvl1.kind == "RANGE":
             raise PartitionSpecError(
                 "too many columns for RANGE partition -- only one "
@@ -777,3 +778,115 @@ def regress_part1_list_coercion(spark: SparkSession, sf_dir: str):
         "partition by list(a) (partition aa values(1, 2))")
     t.insert_values([(10, "1"), (20, "2")])
     return t.routing().select(F.col("__leaf").alias("leaf"), "i")
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ADD / DROP PARTITION (partition1.sql:700-900, MPP-3350,
+# MPP-3607 open intervals)
+# ---------------------------------------------------------------------------
+
+
+def _pred_bounds(pred: str):
+    """(lo, hi) of a leaf predicate (None = open side)."""
+    lo = re.search(r">=?\s*(DATE '[^']+'|-?[\d.]+)", pred)
+    hi = re.search(r"<=?\s*(DATE '[^']+'|-?[\d.]+)", pred)
+
+    def val(m):
+        if m is None:
+            return None
+        tok = m.group(1)
+        return _parse_value(tok if not tok.upper().startswith("DATE")
+                            else tok.lower())
+
+    return val(lo), val(hi)
+
+
+class GpAlterPartitionMixin:
+    """ADD/DROP PARTITION over GpPartitionedTable's leaf list.
+
+    Open-bound derivation (MPP-3607): an end-only ADD takes its start
+    from the greatest existing END strictly BELOW the new end (none ->
+    open below), an start-only ADD takes its end from the smallest
+    existing START strictly ABOVE the new start (none -> open above);
+    overlap is then validated against every existing leaf, naming the
+    overlapped child exactly like expected/partition1.out:743-790.
+    """
+
+    def add_partition(self, entry: str) -> None:
+        dm = re.match(r"\s*default\s+partition\s+(\w+)\s*$", entry, re.I)
+        if dm:
+            leaf = f"{self.name}_1_prt_{dm.group(1)}"
+            if self.default_leaf is not None:
+                if self.default_leaf == leaf:
+                    raise PartitionSpecError(
+                        f'relation "{leaf}" already exists')
+                raise PartitionSpecError(
+                    f'partition "{leaf}" conflicts with existing '
+                    f'default partition "{self.default_leaf}"')
+            self.default_leaf = leaf
+            return
+        p = _parse_entry_range(
+            "partition " + entry.strip()
+            if not re.match(r"\s*(partition\b|start\b|end\b)", entry,
+                            re.I) else entry.strip(), "partition")
+        if p.name is None:
+            p.name = str(
+                1 + sum(1 for leaf, _ in self.leaves
+                        if re.fullmatch(
+                            rf"{re.escape(self.name)}_1_prt_\d+", leaf)))
+        leaf = f"{self.name}_1_prt_{p.name}"
+        if any(leaf == x for x, _ in self.leaves):
+            raise PartitionSpecError(
+                f'relation "{leaf}" already exists')
+        if not p.start_given and not p.end_given:
+            raise PartitionSpecError(
+                "missing boundary specification in partition "
+                f'"{p.name}" of type RANGE')
+        bounds = [(x, *_pred_bounds(pred)) for x, pred in self.leaves]
+        if p.start_given and not p.end_given:
+            above = [lo for _x, lo, _hi in bounds
+                     if lo is not None and _lt(p.start, lo)]
+            if above:
+                p.end = min(above, key=_sort_key)
+        elif p.end_given and not p.start_given:
+            below = [hi for _x, _lo, hi in bounds
+                     if hi is not None and _lt(hi, p.end)]
+            if below:
+                p.start = max(below, key=_sort_key)
+                p.start_given = True
+        if (p.start_given and p.end is not None
+                and not _lt(p.start, p.end)):
+            raise PartitionSpecError(
+                f'empty range bound specified for partition "{leaf}"')
+        for x, lo, hi in bounds:
+            # intervals [lo, hi) with None = open; overlap iff each
+            # starts below the other's end
+            new_lo, new_hi = (p.start if p.start_given else None), p.end
+            lo_ok = hi is None or new_lo is None or _lt(new_lo, hi)
+            hi_ok = new_hi is None or lo is None or _lt(lo, new_hi)
+            if lo_ok and hi_ok:
+                raise PartitionSpecError(
+                    f'partition "{leaf}" would overlap partition '
+                    f'"{x}"')
+        conds = []
+        kcol = self.range_key
+        if p.start_given or p.start is not None:
+            conds.append(f"{kcol} >= {_render(p.start)}")
+        if p.end is not None:
+            conds.append(f"{kcol} < {_render(p.end)}")
+        self.leaves.append((leaf, " AND ".join(conds) or "TRUE"))
+
+    def drop_partition(self, name: str) -> None:
+        leaf = f"{self.name}_1_prt_{name}"
+        for i, (x, _pred) in enumerate(self.leaves):
+            if x == leaf:
+                del self.leaves[i]
+                self.df = self.df.filter(F.col("__leaf") != leaf)
+                return
+        raise PartitionSpecError(
+            f'relation "public.{leaf}" does not exist')
+
+
+# attach without disturbing the class layout
+GpPartitionedTable.add_partition = GpAlterPartitionMixin.add_partition
+GpPartitionedTable.drop_partition = GpAlterPartitionMixin.drop_partition

@@ -157,3 +157,81 @@ def test_every_month_clamp(spark):
     leaves = [p for p, _ in t.leaf_bounds()]
     assert len(leaves) == 4
     assert "2008-02-29" in dict(t.leaf_bounds())["e1_1_prt_1_2"]
+
+
+def test_add_partition_corpus(spark):
+    # partition1.sql:700-790 / .out:743-790
+    t = _mk(spark, "partition by range (b) ("
+                   "partition aa start (date '2007-01-01') "
+                   "end (date '2008-01-01'), "
+                   "partition bb start (date '2008-01-01') "
+                   "end (date '2009-01-01'))", name="hhh")
+    with pytest.raises(PartitionSpecError,
+                       match='relation "hhh_1_prt_aa" already exists'):
+        t.add_partition("partition aa start (date '2010-01-01') "
+                        "end (date '2011-01-01')")
+    with pytest.raises(PartitionSpecError,
+                       match='missing boundary specification in '
+                             'partition "cc" of type RANGE'):
+        t.add_partition("partition cc")
+    with pytest.raises(PartitionSpecError,
+                       match='"hhh_1_prt_cc" would overlap partition '
+                             '"hhh_1_prt_bb"'):
+        t.add_partition("partition cc start (date '2008-01-01') "
+                        "end (date '2010-01-01')")
+    with pytest.raises(PartitionSpecError,
+                       match='would overlap partition "hhh_1_prt_aa"'):
+        t.add_partition("partition cc end (date '2008-01-01')")
+    with pytest.raises(PartitionSpecError,
+                       match='empty range bound specified'):
+        t.add_partition("partition cc start (date '2010-01-01') "
+                        "end (date '2009-01-01')")
+    t.add_partition("partition cc end (date '2010-01-01')")
+    assert dict(t.leaf_bounds())["hhh_1_prt_cc"] == (
+        "b >= DATE '2009-01-01' AND b < DATE '2010-01-01'")
+    t.add_partition("end (date '2010-02-01')")  # anonymous, MPP-3350
+    assert "hhh_1_prt_1" in dict(t.leaf_bounds())
+
+
+def test_add_partition_open_intervals(spark):
+    # MPP-3607 (.out:765-790): open-ended neighbours
+    ne = _mk(spark, "partition by range (b) (partition foo start (3))",
+             cols="a STRING, b INT", name="no_end1")
+    for entry in ("partition baz end (4)", "partition baz start (5)"):
+        with pytest.raises(PartitionSpecError,
+                           match='would overlap partition '
+                                 '"no_end1_1_prt_foo"'):
+            ne.add_partition(entry)
+    ne.add_partition("partition baz start (2)")  # terminates on foo
+    assert dict(ne.leaf_bounds())["no_end1_1_prt_baz"] == (
+        "b >= 2 AND b < 3")
+    ne.add_partition("partition baz2 end (1)")   # ends before baz
+    ns = _mk(spark, "partition by range (b) (partition foo end (3))",
+             cols="a STRING, b INT", name="no_start1")
+    for entry in ("partition baz start (2)", "partition baz end (1)"):
+        with pytest.raises(PartitionSpecError, match="would overlap"):
+            ns.add_partition(entry)
+    ns.add_partition("partition baz end (4)")    # starts on foo end
+    assert dict(ns.leaf_bounds())["no_start1_1_prt_baz"] == (
+        "b >= 3 AND b < 4")
+
+
+def test_add_default_conflict_and_drop(spark):
+    t = _mk(spark, "partition by range (b) ("
+                   "partition j1 end (date '2008-01-01'), "
+                   "default partition j3)", name="jjj")
+    with pytest.raises(PartitionSpecError,
+                       match='"jjj_1_prt_j3" already exists'):
+        t.add_partition("default partition j3")
+    with pytest.raises(PartitionSpecError,
+                       match='conflicts with existing default '
+                             'partition "jjj_1_prt_j3"'):
+        t.add_partition("default partition j4")
+    # a BOUNDED add with a default present is fine (.out:838)
+    t.add_partition("partition j5 start (date '2009-01-01') "
+                    "end (date '2010-01-01')")
+    t.drop_partition("j5")
+    with pytest.raises(PartitionSpecError,
+                       match='relation "public.jjj_1_prt_j5" does '
+                             "not exist"):
+        t.drop_partition("j5")
