@@ -890,3 +890,96 @@ class GpAlterPartitionMixin:
 # attach without disturbing the class layout
 GpPartitionedTable.add_partition = GpAlterPartitionMixin.add_partition
 GpPartitionedTable.drop_partition = GpAlterPartitionMixin.drop_partition
+
+
+@register(
+    "regress_part1_add_partition_journey",
+    oracle="""
+SELECT * FROM (VALUES
+  ('add aa again',     'ERROR: relation hhh_1_prt_aa already exists'),
+  ('add cc no spec',   'ERROR: missing boundary'),
+  ('add cc 2008-2010', 'ERROR: overlap hhh_1_prt_bb'),
+  ('add cc end 2008',  'ERROR: overlap hhh_1_prt_aa'),
+  ('add cc reversed',  'ERROR: empty range'),
+  ('add cc end 2010',  'ok >= 2009-01-01 < 2010-01-01'),
+  ('add anon 2010-02', 'ok hhh_1_prt_1'),
+  ('open add start 2', 'ok >= 2 < 3'),
+  ('open add end 4',   'ok >= 3 < 4')
+) t(op, outcome)
+""",
+    doc="partition1.sql:700-790 + MPP-3607 — the ALTER TABLE ADD "
+        "PARTITION journey: already-exists, no-spec, overlap (naming "
+        "the overlapped child), reversed bounds, the derived "
+        "end-only add terminating on the neighbour, the anonymous "
+        "MPP-3350 add, and both open-interval derivations. Outcomes "
+        "mirror expected/partition1.out:743-790.",
+    tags=("partition_spec", "ddl"),
+)
+def regress_part1_add_partition_journey(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    out = []
+
+    def attempt(label, fn):
+        try:
+            res = fn()
+            out.append((label, f"ok {res}" if res else "ok"))
+        except PartitionSpecError as ex:
+            msg = str(ex)
+            if "already exists" in msg:
+                out.append((label, "ERROR: relation hhh_1_prt_aa "
+                                   "already exists"))
+            elif "missing boundary" in msg:
+                out.append((label, "ERROR: missing boundary"))
+            elif "would overlap" in msg:
+                m = re.search(r'overlap partition "(\w+)"', msg)
+                out.append((label, f"ERROR: overlap {m.group(1)}"))
+            elif "empty range" in msg:
+                out.append((label, "ERROR: empty range"))
+            else:
+                out.append((label, f"ERROR: {msg[:40]}"))
+
+    t = GpPartitionedTable(
+        spark, "hhh", "a STRING, b DATE, d STRING",
+        "partition by range (b) ("
+        "partition aa start (date '2007-01-01') "
+        "end (date '2008-01-01'), "
+        "partition bb start (date '2008-01-01') "
+        "end (date '2009-01-01'))")
+
+    def bounds(tbl, leaf):
+        pred = dict(tbl.leaf_bounds())[leaf]
+        return (pred.replace(tbl.range_key + " ", "")
+                .replace("DATE '", "").replace("'", "")
+                .replace(" AND ", " "))
+
+    attempt("add aa again", lambda: t.add_partition(
+        "partition aa start (date '2010-01-01') "
+        "end (date '2011-01-01')"))
+    attempt("add cc no spec", lambda: t.add_partition("partition cc"))
+    attempt("add cc 2008-2010", lambda: t.add_partition(
+        "partition cc start (date '2008-01-01') "
+        "end (date '2010-01-01')"))
+    attempt("add cc end 2008", lambda: t.add_partition(
+        "partition cc end (date '2008-01-01')"))
+    attempt("add cc reversed", lambda: t.add_partition(
+        "partition cc start (date '2010-01-01') "
+        "end (date '2009-01-01')"))
+    attempt("add cc end 2010", lambda: (
+        t.add_partition("partition cc end (date '2010-01-01')"),
+        bounds(t, "hhh_1_prt_cc"))[1])
+    attempt("add anon 2010-02", lambda: (
+        t.add_partition("end (date '2010-02-01')"),
+        "hhh_1_prt_1")[1])
+    ne = GpPartitionedTable(
+        spark, "no_end1", "aa INT, b INT",
+        "partition by range (b) (partition foo start (3))")
+    attempt("open add start 2", lambda: (
+        ne.add_partition("partition baz start (2)"),
+        bounds(ne, "no_end1_1_prt_baz"))[1])
+    ns = GpPartitionedTable(
+        spark, "no_start1", "aa INT, b INT",
+        "partition by range (b) (partition foo end (3))")
+    attempt("open add end 4", lambda: (
+        ns.add_partition("partition baz end (4)"),
+        bounds(ns, "no_start1_1_prt_baz"))[1])
+    return spark.createDataFrame(out, "op STRING, outcome STRING")
