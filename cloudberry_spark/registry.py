@@ -433,15 +433,12 @@ _LEAD: list[str] = [
         # and the scalar-expression-nested subquery shapes:
         "regress_qsub_tuple_notin_nulls_8352",
         "regress_qsub_notin_union_inner",
-        "regress_qsub_notin_projected_null",
-        "regress_qsub_nlasj_indf",
         "regress_qsub_any_all_array_literals",
         "regress_qsub_case_in_sum_correlated",
         "regress_qsub_notin_nested_join_on",
         # gp_dqa.sql drain — multi-DQA/TupleSplit analogs:
         "regress_dqa_mdqa_three_cols",
         "regress_dqa_corr_three_way_mdqa",
-        "regress_dqa_filter_subquery",
         "regress_dqa_filter_mixed_14728",
         "regress_dqa_grouping_sets",
         "regress_dqa_null_corner",
@@ -449,14 +446,12 @@ _LEAD: list[str] = [
         "regress_regexgp_similar_to_battery",
         "regress_regexgp_ilike_battery",
         "regress_regexgp_substring_sql_escape",
-        "regress_regexgp_replace_table",
         "regress_regexgp_matches_captures",
         # the new general AQUMV rewriter (operators/aqumv.py):
         "regress_aqumv_expr_tree",
         "regress_aqumv_candidates",
         "regress_aqumv_agg_battery",
         # rangefuncs.sql — SRF-in-FROM / ordinality / zip:
-        "regress_rngf_rows_from_two_funcs",
         "regress_rngf_multi_unnest_ordinality",
         "regress_rngf_lateral_correlated",
         # directory tables (sources/dirtable.py):
@@ -467,7 +462,6 @@ _LEAD: list[str] = [
         "regress_qpow_percent_rank_rank_b000",
         # object tags (operators/tags.py):
         "regress_tag_describe_objects",
-        "regress_tag_alter_lifecycle",
         # timestamptz.sql — tz semantics + the new date_bin lowering:
         "regress_tstz_date_bin_battery",
         "regress_tstz_bin_offset_origin",
@@ -493,6 +487,14 @@ _LEAD: list[str] = [
         "regress_part1_rank_template",
         "regress_part1_every_days",
         "regress_part1_default_partition",
+        # round-12 late additions — pruning matrices, COPY semantics,
+        # stacked-view check options, ALTER ADD PARTITION, tstz bound:
+        "regress_prune_rlp_matrix",
+        "regress_gpcopy_text_escapes",
+        "regress_uv_cascaded_chain",
+        "regress_part1_add_partition_journey",
+        "regress_tms_interval_bound_timestamptz",
+        "regress_qpis_where_plus_topk",
 ]
 
 
