@@ -103,6 +103,23 @@ SELECT date_trunc('week',
     "timestamptz.sql:139-141 — date_trunc fields incl. ISO week "
     "(2004-02-29 is a Sunday; the week truncates to Monday the "
     "23rd).",
+    # DuckDB types date_trunc('week'/'day'/'quarter', ts) as DATE while
+    # Spark (and PG) keep TIMESTAMP; the values are identical midnights.
+    # The oracle casts them back so both engines present the same type
+    # to the dtype-sensitive comparator (Spark side untouched).
+    oracle="""
+SELECT CAST(date_trunc('week',
+         CAST('2004-02-29 15:44:17.71393+00' AS TIMESTAMP)) AS TIMESTAMP)
+         AS week_trunc,
+       CAST(date_trunc('day',
+         CAST('2001-02-16 20:38:40+00' AS TIMESTAMP)) AS TIMESTAMP)
+         AS day_trunc,
+       date_trunc('hour',
+         CAST('2001-02-16 20:38:40+00' AS TIMESTAMP)) AS hour_trunc,
+       CAST(date_trunc('quarter',
+         CAST('2004-02-29 15:44:17+00' AS TIMESTAMP)) AS TIMESTAMP)
+         AS quarter_trunc
+""",
 )
 
 _tz(
