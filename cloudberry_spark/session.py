@@ -63,11 +63,23 @@ def get_session(app_name: str = "cloudberry-spark") -> SparkSession:
     cheap; undersizing caps parallelism).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # JIT code cache: a long-lived analytics session compiles one or more
+    # Janino classes per distinct plan; a few hundred distinct queries
+    # overflow the JVM default (240 MB), after which freshly generated
+    # code runs INTERPRETED — measured here as a uniform ~5x collapse of
+    # the whole bench's tail (ds_real suite 488s -> 119s cold once the
+    # cache is sized for the workload; see OPTIMIZATION_r12.md §1). Same
+    # knob a production cluster sets for any plan-diverse workload.
+    java_opts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
