@@ -34,12 +34,19 @@ from cloudberry_spark.pipeline.hashing import (
     duckdb_base_hash,
     duckdb_perm,
     duckdb_shingle_hashes,
+    make_arrow_minhash_udf,
+    make_arrow_shingle_udf,
     spark_base_hash,
     spark_perm,
     spark_shingle_hashes,
     spark_word_hashes,
 )
 from cloudberry_spark.registry import register
+
+#: Arrow-vectorized shingle/MinHash kernels, instantiated once so every
+#: query references the same serialized function (plan/exchange reuse).
+_SHINGLE_UDF = make_arrow_shingle_udf()
+_MINHASH_UDF = make_arrow_minhash_udf()
 
 N_HASHES = 8  # k minhash permutations
 N_BANDS = 4  # LSH bands of r = k/bands rows each
@@ -68,12 +75,22 @@ def shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     """(id, __sha: array<bigint>): per-document 3-word shingle hashes.
 
     Fully row-local: words → per-word md5 hash → polynomial combine of
-    each consecutive triple. No shingle strings are ever built (~35%
-    cheaper than md5-per-shingle) and no explode/shuffle happens.
+    each consecutive triple, computed by the Arrow-vectorized kernel
+    (pipeline.hashing.make_arrow_shingle_udf — C md5 on whole batches;
+    bit-identical to the spark_word_hashes/spark_shingle_hashes column
+    expressions, whose HOF lambdas are interpreted per word and were
+    the engine's hottest CPU path). No explode/shuffle happens.
+
+    The per-row hashing is the most CPU-expensive map in the dedup
+    family, so the input is fanned out first when it arrives unsplit
+    (catalog.spread — a no-op on pre-split cluster-scale inputs, where
+    this stays a pure map-side projection).
     """
-    return docs.select(
-        F.col(id_col), spark_word_hashes(words_col(F.col(text_col))).alias("__wh")
-    ).select(id_col, spark_shingle_hashes(F.col("__wh")).alias("__sha"))
+    from cloudberry_spark.catalog import spread
+
+    return spread(docs, id_col).select(
+        F.col(id_col), _SHINGLE_UDF(F.col(text_col)).alias("__sha")
+    )
 
 
 def exploded_shingle_hashes(
@@ -81,60 +98,36 @@ def exploded_shingle_hashes(
 ) -> DataFrame:
     """(id, h): one row per shingle hash — the explode-safe form.
 
-    Exploding the ready-made shingle array (``explode(__sha)`` over a
-    projection that computes it) is a 20x trap: Catalyst inlines the
-    array expression into the Generate node and re-evaluates the FULL
-    word-hash pipeline once per emitted element (measured 50s vs 2.7s
-    at sf0.1). Instead, materialize the per-word hash array as a column,
-    explode only the cheap shingle POSITIONS, and combine the 3 word
-    hashes per output row with element_at — per-row work is then O(1).
-    Semantics identical to spark_shingle_hashes including the <3-word
-    degenerate forms (sentinel positions -1/-2).
+    The shingle array comes from the Arrow kernel, which materializes a
+    PHYSICAL column before the Generate node — so ``explode`` iterates
+    ready-made values and cannot re-evaluate the hash pipeline per
+    element (the 20x inlined-expression trap the previous
+    position-explode formulation worked around).
     """
-    wh_df = docs.select(
-        F.col(id_col), spark_word_hashes(words_col(F.col(text_col))).alias("__wh")
-    )
-    n = F.size("__wh")
-    idx = (
-        F.when(n >= 3, F.sequence(F.lit(1), n - 2))
-        .when(n == 2, F.array(F.lit(-2)))
-        .otherwise(F.array(F.lit(-1)))
-    )
-    pos = wh_df.select(F.col(id_col), "__wh", F.explode(idx).alias("__i"))
-    i = F.col("__i")
-    h = (
-        F.when(i == -1, _comb3(F.lit(0), F.lit(0), F.element_at("__wh", 1)))
-        .when(i == -2, _comb3(F.lit(0), F.element_at("__wh", 1), F.element_at("__wh", 2)))
-        .otherwise(
-            _comb3(
-                F.element_at("__wh", i),
-                F.element_at("__wh", i + 1),
-                F.element_at("__wh", i + 2),
-            )
-        )
-    )
-    return pos.select(id_col, h.alias("h"))
+    from cloudberry_spark.catalog import spread
+
+    return spread(docs, id_col).select(
+        F.col(id_col), _SHINGLE_UDF(F.col(text_col)).alias("__sha")
+    ).select(id_col, F.explode("__sha").alias("h"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, mh0..mh{k-1}): k-permutation MinHash signature per document.
 
-    Shape: shingle-hash array → array_min over each permutation — pure
-    map-side projection, ZERO shuffles (min is duplicate-insensitive, so
-    no dedup is needed either). The reference has no sketch operators at
-    all; at 100 TB this plan is embarrassingly parallel: signature cost
-    scales with bytes scanned, no exchange, no state.
+    Shape: one Arrow-vectorized kernel computes shingle hashes and all
+    k permutation minima per document — pure map-side projection, ZERO
+    shuffles (min is duplicate-insensitive, so no dedup is needed
+    either). The reference has no sketch operators at all; at 100 TB
+    this plan is embarrassingly parallel: signature cost scales with
+    bytes scanned, no exchange, no state.
     """
-    base = shingle_hash_arrays(docs, id_col, text_col)
+    from cloudberry_spark.catalog import spread
 
-    def sig(i: int):
-        # Unary lambda on purpose: transform() passes the element index
-        # to binary lambdas, which would shadow the permutation number.
-        return F.array_min(
-            F.transform(F.col("__sha"), lambda h: spark_perm(h, i))
-        ).alias(f"mh{i}")
-
-    return base.select(id_col, *[sig(i) for i in range(N_HASHES)])
+    return spread(docs, id_col).select(
+        F.col(id_col), _MINHASH_UDF(F.col(text_col)).alias("__s")
+    ).select(
+        id_col, *[F.col(f"__s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)]
+    )
 
 
 def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
@@ -204,14 +197,24 @@ def lsh_candidate_pairs(
     return all_pairs.unionByName(star).distinct()
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard for given candidate pairs.
 
     The verify stage after LSH: joins each side's distinct shingle set,
     intersects via an equi-join on the shingle hash (never materializes
-    the cross product).
+    the cross product). ``sh`` lets the caller pass a precomputed
+    (id, h) distinct-shingle table (e.g. materialized once): the three
+    consumers below (both join sides + per-doc sizes) otherwise each
+    re-run the full word-hash -> shingle pipeline from raw text.
     """
-    sh = exploded_shingle_hashes(docs, id_col, text_col).distinct()
+    if sh is None:
+        sh = exploded_shingle_hashes(docs, id_col, text_col).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("h"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("h"))
@@ -542,13 +545,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "contamination", "scale"),
 )
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = spread(docs, "doc_id").select(
         "doc_id",
         "source",
-        F.array_distinct(
-            spark_shingle_hashes(spark_word_hashes(words_col(F.col("text"))))
-        ).alias("sl"),
+        F.array_distinct(_SHINGLE_UDF(F.col("text"))).alias("sl"),
     )
     bench = (
         sh.where(F.col("doc_id") % 97 == 0)
@@ -994,7 +997,16 @@ def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
         .distinct()
     )
-    ver = ngram_jaccard(docs, cand, "doc_id", "text").filter(
+    # The verify stage reads the distinct shingle table THREE times
+    # (both join sides + per-doc sizes); materialized once, the
+    # word-hash -> shingle pipeline runs a single pass over the corpus
+    # instead of one per consumer (at scale: the standing shingle
+    # index next to the band index).
+    sh = _materialize(
+        exploded_shingle_hashes(docs, "doc_id", "text").distinct(),
+        spark, sf_dir, "dedup_shingle_index",
+    )
+    ver = ngram_jaccard(docs, cand, "doc_id", "text", sh=sh).filter(
         F.col("jaccard") >= 0.5
     )
     per_doc = ver.groupBy("id_a").agg(

@@ -22,6 +22,10 @@ not correctness.
 
 from __future__ import annotations
 
+# Module-level so the pandas UDF factories' postponed type hints
+# ("pd.Series" under `from __future__ import annotations`) resolve.
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -115,6 +119,105 @@ def spark_shingle_hashes(wh: Column, n_words: int = 3) -> Column:
             ).otherwise(_comb3(F.lit(0), F.lit(0), F.element_at(wh, 1)))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized twins (the hot-path implementations)
+# ---------------------------------------------------------------------------
+#
+# The column-expression forms above evaluate md5 through Catalyst
+# higher-order-function lambdas, which are never whole-stage-codegen'd:
+# every word hash walks an interpreted eval tree. Besides the ~10-30x
+# per-row interpreter overhead, the interpreted path's wall time is
+# JIT-state dependent (measured 0.2s..20s for the SAME corpus pass in
+# one session as C2 compiles/deopts the megamorphic eval call sites).
+# The pandas_udf twins below compute the IDENTICAL integers (C md5 via
+# hashlib + int64 numpy arithmetic; differentially pinned against the
+# expression forms in tests/test_pipeline.py) with stable wall time,
+# batch-wise over Arrow — the guide's §4.2 pattern. All arithmetic
+# stays exact: word hashes < 2^31, so every product below fits int64.
+
+def _py_shingle_fn():
+    """Build the per-document Python twin of spark_word_hashes +
+    spark_shingle_hashes (text -> numpy int64 shingle-hash array).
+    Everything is closure-local so the pandas UDFs below serialize by
+    value — no import of this module is needed on the worker."""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+
+    P, A = MERSENNE_P, SHINGLE_A
+    # Java regex \s (Spark's split) == the ASCII whitespace class;
+    # Spark's trim strips 0x20 only.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def shingles(text):
+        words = ws.split(text.strip(" ").lower())
+        h = np.fromiter(
+            (
+                int(md5(w.encode("utf-8")).hexdigest()[17:32], 16) % P
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+        n = len(h)
+        if n >= 3:
+            # word hashes < P < 2^31 and A ~ 2^20: products fit int64.
+            return (((h[:-2] * A + h[1:-1]) % P) * A + h[2:]) % P
+        if n == 2:
+            return (h[:1] * A + h[1:]) % P
+        return h  # one word: _comb3(0, 0, h1) == h1 (already < P)
+
+    return shingles
+
+
+def make_arrow_shingle_udf():
+    """pandas_udf: text -> array<bigint> of 3-word shingle hashes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    shingles = _py_shingle_fn()
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_hashes(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else shingles(t).tolist()
+        )
+
+    return shingle_hashes
+
+
+def make_arrow_minhash_udf():
+    """pandas_udf: text -> struct<mh0..mh{k-1}> MinHash signature."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    shingles = _py_shingle_fn()
+    P = MERSENNE_P
+    k = len(PERM_PARAMS)
+    a = np.array([p[0] for p in PERM_PARAMS], dtype=np.int64)
+    b = np.array([p[1] for p in PERM_PARAMS], dtype=np.int64)
+    schema = T.StructType(
+        [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    )
+
+    @F.pandas_udf(schema)
+    def minhash_sig(texts: pd.Series) -> pd.DataFrame:
+        out = np.empty((len(texts), k), dtype=np.int64)
+        for j, t in enumerate(texts):
+            sha = shingles(t)
+            # sha < P and a < P, so sha*a < 2^62: exact in int64.
+            out[j] = ((sha[:, None] * a[None, :] + b[None, :]) % P).min(
+                axis=0
+            )
+        return pd.DataFrame(out, columns=[f"mh{i}" for i in range(k)])
+
+    return minhash_sig
 
 
 def duckdb_shingle_hashes(text_expr: str) -> str:

@@ -270,3 +270,55 @@ def test_lsh_small_buckets_keep_all_pairs(spark):
         for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()
     }
     assert got == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_arrow_hash_kernels_match_column_expressions(spark):
+    """The Arrow-vectorized shingle/MinHash kernels (the hot path since
+    the r12 optimization round) must produce bit-identical integers to
+    the original column-expression forms they replaced — on the real
+    fixture corpus plus whitespace/degenerate edge cases."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.dedup import (
+        _MINHASH_UDF,
+        _SHINGLE_UDF,
+        N_HASHES,
+        words_col,
+    )
+    from cloudberry_spark.pipeline.hashing import (
+        spark_perm,
+        spark_shingle_hashes,
+        spark_word_hashes,
+    )
+    from tests.conftest import SF_DIR
+
+    edge = spark.createDataFrame(
+        [
+            (9001, "one"),
+            (9002, "two words"),
+            (9003, "  leading and trailing  "),
+            (9004, "tabs\tand\nnewlines\tsplit   too"),
+            (9005, "MiXeD CaSe TEXT lowercases First"),
+            (9006, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    both = docs.unionByName(edge)
+
+    expr_sha = spark_shingle_hashes(spark_word_hashes(words_col(F.col("text"))))
+    sha_diff = (
+        both.select("doc_id", expr_sha.alias("e"), _SHINGLE_UDF("text").alias("a"))
+        .where(F.col("e") != F.col("a"))
+        .count()
+    )
+    assert sha_diff == 0
+
+    expr_mh = [
+        F.array_min(F.transform(expr_sha, lambda h: spark_perm(h, i))).alias(f"e{i}")
+        for i in range(N_HASHES)
+    ]
+    mh = both.select("doc_id", _MINHASH_UDF("text").alias("s"), *expr_mh)
+    cond = " OR ".join(f"s.mh{i} <> e{i}" for i in range(N_HASHES))
+    assert mh.where(cond).count() == 0
