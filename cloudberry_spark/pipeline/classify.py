@@ -1710,8 +1710,10 @@ def _text_clf_oracle() -> str:
 def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.hashing import spark_base_hash
 
+    from cloudberry_spark.catalog import load_spread
+
     docs = (
-        load_table(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",
@@ -1767,6 +1769,13 @@ def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = w1.join(g2, "dim", "left").select(
         "dim", (F.col("wt") - F.coalesce(F.col("g"), F.lit(0.0))).alias("wt")
     )
+    # w2 (16 rows) feeds BOTH the accuracy readout (inside a broadcast)
+    # and the output projection; un-materialized, the whole two-epoch
+    # GD chain over the feature table evaluates twice. localCheckpoint:
+    # one job, dimension-table-sized state, lineage truncated.
+    from cloudberry_spark.pipeline.graph import _checkpoint
+
+    w2 = _checkpoint(w2)
     acc = scores(w2).agg(
         F.round(
             F.avg(

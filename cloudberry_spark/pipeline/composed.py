@@ -51,6 +51,11 @@ def _quality_pass(text: F.Column, n_chars: F.Column) -> F.Column:
 
 def curate(docs: DataFrame) -> DataFrame:
     """documents → curated survivors (all stages, no collect)."""
+    from cloudberry_spark.catalog import spread
+
+    # tokenize+regex quality rules and the canonical md5 are per-row
+    # CPU; fan an unsplit scan out first (no-op at cluster scale)
+    docs = spread(docs, "doc_id")
     q = docs.filter(_quality_pass(F.col("text"), F.col("n_chars")))
     canon = F.md5(F.concat_ws(" ", words_col(F.col("text"))))
     keepers = (

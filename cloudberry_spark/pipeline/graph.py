@@ -58,6 +58,22 @@ def _materialize(df, spark, sf_dir: str, tag: str):
     return spark.read.parquet(path)
 
 
+def _checkpoint(df):
+    """Materialize SMALL iteration state in executor memory
+    (localCheckpoint): same lineage truncation as scratch parquet, one
+    job, no write+read round-trip. Use for per-round state that is
+    node-table sized and referenced more than once; keep scratch
+    parquet (_materialize) for the big iteration-invariant relations,
+    where the planner needs real file-size statistics for its join
+    decisions. On a cluster, set SPARK_GRAFT_CHECKPOINT_DIR (session.py)
+    and switch to reliable checkpoints if executor loss must not
+    recompute a round."""
+    from cloudberry_spark import planhook
+
+    planhook.record(df)
+    return df.localCheckpoint(eager=True)
+
+
 PR_ITERS = 3
 
 
@@ -122,8 +138,15 @@ def _pagerank_oracle() -> str:
     tags=("graph", "pipeline", "iterative"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # Fan unsplit single-row-group scans out on the JOIN key: the
+    # fan-out exchange then *satisfies* the edge join's required
+    # distribution, so no exchange is added — the expensive map side
+    # (edge-string build + shuffle write) just stops being one task.
+    # No-op on pre-split cluster-scale inputs (catalog.load_spread).
+    from cloudberry_spark.catalog import load_spread
+
+    o = load_spread(spark, sf_dir, "orders", "o_orderkey")
+    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
     # The distinct edge list is the iteration-invariant state: without
     # materialization, every unrolled iteration re-executes the
     # orders⋈lineitem join + distinct in each branch (contrib, dangling,
@@ -184,15 +207,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize the new rank table every round: `ranks` is
         # referenced TWICE per iteration (contrib + dangling), so a
-        # lazy chain replays the previous rounds 2^k times. With the
-        # state written out, each iteration is exactly one edge⋈rank
-        # shuffle + one groupBy — linear in rounds, the Pregel shape.
-        # The LAST round's ranks are read exactly once (the final
-        # top-k), so that round skips the write+read round-trip.
+        # lazy chain replays the previous rounds 2^k times. The rank
+        # state is node-table sized, so it rides localCheckpoint
+        # (_checkpoint) rather than a scratch-parquet round-trip —
+        # each iteration is exactly one edge⋈rank shuffle + one
+        # groupBy, linear in rounds, the Pregel shape. The LAST
+        # round's ranks are read exactly once (the final top-k), so
+        # that round skips materialization entirely.
         if _i < PR_ITERS - 1:
-            new_ranks = _materialize(
-                new_ranks, spark, sf_dir, f"pagerank_ranks_{_i}"
-            )
+            new_ranks = _checkpoint(new_ranks)
         ranks = new_ranks
     return (
         ranks.select("node", F.round(F.col("pr") * n, 6).alias("pr_norm"))

@@ -120,7 +120,11 @@ def knn_brute(
     tags=("pipeline", "similarity", "bench"),
 )
 def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from cloudberry_spark.catalog import load_spread
+
+    # corpus side fanned out when the scan arrives unsplit: the cosine
+    # arithmetic against every query is the CPU-heavy map here
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return knn_brute(emb, queries).orderBy("query_id", "rnk")
 
@@ -1350,9 +1354,10 @@ RERANK = 3 * K  # ADC shortlist size fed to the exact re-rank stage
     tags=("pipeline", "similarity", "ann"),
 )
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudberry_spark.catalog import load_spread
     from cloudberry_spark.pipeline.graph import _materialize
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
     lng = emb.select(
         "vec_id",
         "label",
@@ -1403,6 +1408,12 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") == 1)
         .select("query_id", "q_emb", F.col("label").alias("probe_label"))
     )
+    # probe (N_QUERIES rows) is consumed by the ADC distance table AND
+    # the inverted-list join; un-materialized, each consumer replays
+    # the centroid aggregation over the full embeddings table.
+    from cloudberry_spark.pipeline.graph import _checkpoint
+
+    probe = _checkpoint(probe)
     # ADC distance table: query subvector vs every codebook entry
     dtable = (
         probe.crossJoin(F.broadcast(cb))

@@ -112,7 +112,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from cloudberry_spark.catalog import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
@@ -1411,8 +1413,24 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl_p = os.path.join(root, "doclen")
     stats_p = os.path.join(root, "stats")
 
-    if not os.path.exists(os.path.join(root, "_INDEX_READY")):
-        docs = load_table(spark, sf_dir, "documents")
+    # The ready-marker is keyed on THIS process: run 1 of a bench
+    # invocation always rebuilds the index from the parquet inputs
+    # (runs 2-3 amortize it, which is the documented probe-cost
+    # methodology); a marker left by an earlier process never lets a
+    # fresh invocation skip the build.
+    marker = os.path.join(root, "_INDEX_READY")
+
+    def _index_ready() -> bool:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip() == str(os.getpid())
+        except OSError:
+            return False
+
+    if not _index_ready():
+        from cloudberry_spark.catalog import load_spread
+
+        docs = load_spread(spark, sf_dir, "documents", "doc_id")
         tok = docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("w")
         )
@@ -1434,8 +1452,8 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
         ).write.mode("overwrite").parquet(stats_p)
-        with open(os.path.join(root, "_INDEX_READY"), "w") as fh:
-            fh.write("1")
+        with open(marker, "w") as fh:
+            fh.write(str(os.getpid()))
 
     # ---- query time: touch only the query terms' buckets (bucket ids
     # computed driver-side from the same md5 prefix — no job runs) ----

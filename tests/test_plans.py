@@ -82,21 +82,27 @@ def test_no_accidental_cartesian(spark, name):
 
 
 def test_minhash_signatures_shuffle_free(spark):
-    """MinHash signatures are a pure map-side projection (array_min over
-    row-local shingle hashes): the plan must contain NO exchange at all —
-    the property that makes signature computation embarrassingly parallel
-    at 100 TB."""
+    """MinHash signatures are a pure map-side projection (the Arrow
+    kernel per document): on an input that is already split across the
+    cluster the plan must contain NO exchange at all — the property that
+    makes signature computation embarrassingly parallel at 100 TB. (On a
+    single-row-group local fixture, catalog.spread may fan the scan out
+    first; pre-splitting the input here models the cluster-scale layout
+    and pins that the operator itself adds no shuffle.)"""
     from cloudberry_spark.catalog import load_table
     from cloudberry_spark.pipeline.dedup import minhash_signatures
 
-    docs = load_table(spark, SF_DIR, "documents")
+    docs = load_table(spark, SF_DIR, "documents").repartition(8, "doc_id")
     plan = (
         minhash_signatures(docs, "doc_id", "text")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    # the one exchange is the pre-split above; the operator adds none
+    assert plan.count("Exchange") == 1
+    # and the signature compute itself is the vectorized Arrow kernel
+    assert "ArrowEvalPython" in plan
 
 
 def test_bucketed_join_is_colocated(spark):
