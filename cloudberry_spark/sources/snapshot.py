@@ -203,13 +203,35 @@ class SnapshotTable:
         shutil.rmtree(root, ignore_errors=True)
         t = cls(root)
         os.makedirs(t._manifest_dir, exist_ok=True)
+        # ONE scan + one distributed write for all partitions (was: one
+        # filtered scan+write job per value — N full passes over the
+        # seed). partitionBy on a duplicate key column (__p) keeps the
+        # real partition column in the data files, so each emitted
+        # directory is a self-contained fileset; the dirs are then
+        # renamed into the manifest's per-partition layout. Values the
+        # seed doesn't contain become empty filesets, as before.
+        from urllib.parse import unquote
+
+        staging = os.path.join(root, "_staging-v0")
+        df.withColumn("__p", df[part_col].cast("string")).write.mode(
+            "overwrite"
+        ).partitionBy("__p").parquet(staging)
+        emitted = {
+            unquote(e[len("__p=") :]): e
+            for e in os.listdir(staging)
+            if e.startswith("__p=")
+        }
         parts = {}
         for v in values:
             d = f"data-v0-{part_col}-{v}"
-            df.where(df[part_col] == v).write.mode("overwrite").parquet(
-                os.path.join(root, d)
-            )
+            dst = os.path.join(root, d)
+            src = emitted.get(str(v))
+            if src is not None:
+                os.rename(os.path.join(staging, src), dst)
+            else:
+                os.makedirs(dst, exist_ok=True)
             parts[str(v)] = d
+        shutil.rmtree(staging, ignore_errors=True)
         payload = {"parts": parts}
         t._write_manifest_payload(0, parent=None, extra=payload)
         t._flip(0)
