@@ -7,12 +7,22 @@ oracle get a weaker runs-and-returns-rows check.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cloudberry_spark.registry import all_queries
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 QUERIES = all_queries()
+
+#: Opt-in sharding for parallel local runs: SPARK_GRAFT_TEST_SHARD="k:n"
+#: takes every nth query starting at k. Unset (the default, and the
+#: driver's configuration) runs everything.
+_SHARD = os.environ.get("SPARK_GRAFT_TEST_SHARD")
+if _SHARD:
+    _k, _n = (int(x) for x in _SHARD.split(":"))
+    QUERIES = dict(sorted(QUERIES.items())[_k::_n])
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

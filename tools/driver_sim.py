@@ -166,13 +166,21 @@ def main() -> int:
     # "first:N" filter replays exactly the driver's prefix sample
     if FILT.startswith("first:"):
         names = names[: int(FILT.split(":")[1])]
+    # "shard:K:N" takes every Nth query starting at K (parallel full runs)
+    if FILT.startswith("shard:"):
+        _, k, n = FILT.split(":")
+        names = names[int(k) :: int(n)]
     # comma-separated filters are substring alternatives (OR)
     alts = [f for f in FILT.split(",") if f] if "," in FILT else None
     for name in names:
         if alts is not None:
             if not any(f in name for f in alts):
                 continue
-        elif FILT and not FILT.startswith("first:") and FILT not in name:
+        elif (
+            FILT
+            and not FILT.startswith(("first:", "shard:"))
+            and FILT not in name
+        ):
             continue
         t0 = time.time()
         try:
