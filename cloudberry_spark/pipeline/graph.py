@@ -207,15 +207,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Materialize the new rank table every round: `ranks` is
         # referenced TWICE per iteration (contrib + dangling), so a
-        # lazy chain replays the previous rounds 2^k times. The rank
-        # state is node-table sized, so it rides localCheckpoint
-        # (_checkpoint) rather than a scratch-parquet round-trip —
-        # each iteration is exactly one edge⋈rank shuffle + one
-        # groupBy, linear in rounds, the Pregel shape. The LAST
-        # round's ranks are read exactly once (the final top-k), so
-        # that round skips materialization entirely.
+        # lazy chain replays the previous rounds 2^k times. With the
+        # state written out, each iteration is exactly one edge⋈rank
+        # shuffle + one groupBy — linear in rounds, the Pregel shape.
+        # Scratch parquet, NOT localCheckpoint: the rank state is
+        # node-table sized (big at 100 TB), and a checkpointed RDD has
+        # no size statistics — measured here to flip the contrib join
+        # from broadcast-the-rank-state (parquet stats) to SMJ /
+        # broadcast-the-EDGES, exactly the wrong side at scale
+        # (plans/r12/graph_pagerank_*). Locally parquet vs checkpoint
+        # measured the same (r4 note above). The LAST round's ranks
+        # are read exactly once (the final top-k), so that round
+        # skips the write+read round-trip.
         if _i < PR_ITERS - 1:
-            new_ranks = _checkpoint(new_ranks)
+            new_ranks = _materialize(
+                new_ranks, spark, sf_dir, f"pagerank_ranks_{_i}"
+            )
         ranks = new_ranks
     return (
         ranks.select("node", F.round(F.col("pr") * n, 6).alias("pr_norm"))
