@@ -42,8 +42,25 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+
+def _fresh(name: str) -> str:
+    """Unique fileset directory name.
+
+    A data directory path is NEVER reused for different contents:
+    Spark's shared FileStatusCache caches file listings per path
+    forever (spark.sql.metadataCacheTTLSeconds=-1), so re-initing a
+    table root and rewriting a same-named dir makes later scans read
+    the STALE listing and die with FAILED_READ_FILE (reproduced by
+    running regress_merge_self_merge twice in one session; catalog
+    refreshByPath does not reach this cache). Unique immutable names
+    are the same discipline every lakehouse format uses.
+    """
+    return f"{name}-{uuid.uuid4().hex[:8]}"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -91,7 +108,7 @@ class SnapshotTable:
         shutil.rmtree(root, ignore_errors=True)
         t = cls(root)
         os.makedirs(t._manifest_dir, exist_ok=True)
-        d = "data-v0-seed"
+        d = _fresh("data-v0-seed")
         df.write.mode("overwrite").parquet(os.path.join(root, d))
         try:
             df.sparkSession.catalog.refreshByPath(root)
@@ -137,7 +154,7 @@ class SnapshotTable:
                 f"(current is v{self.current_version()})"
             )
         new_v = expected_version + 1
-        d = f"data-v{new_v}-{label}"
+        d = _fresh(f"data-v{new_v}-{label}")
         df.write.mode("overwrite").parquet(os.path.join(self.root, d))
         self._write_manifest(new_v, parent=expected_version, dirs=[d])
         self._flip(new_v)
@@ -154,7 +171,7 @@ class SnapshotTable:
                 f"(current is v{self.current_version()})"
             )
         new_v = expected_version + 1
-        d = f"data-v{new_v}-{label}"
+        d = _fresh(f"data-v{new_v}-{label}")
         df.write.mode("overwrite").parquet(os.path.join(self.root, d))
         dirs = self.manifest(expected_version)["dirs"] + [d]
         self._write_manifest(new_v, parent=expected_version, dirs=dirs)
@@ -212,7 +229,7 @@ class SnapshotTable:
         # seed doesn't contain become empty filesets, as before.
         from urllib.parse import unquote
 
-        staging = os.path.join(root, "_staging-v0")
+        staging = os.path.join(root, _fresh("_staging-v0"))
         df.withColumn("__p", df[part_col].cast("string")).write.mode(
             "overwrite"
         ).partitionBy("__p").parquet(staging)
@@ -223,7 +240,7 @@ class SnapshotTable:
         }
         parts = {}
         for v in values:
-            d = f"data-v0-{part_col}-{v}"
+            d = _fresh(f"data-v0-{part_col}-{v}")
             dst = os.path.join(root, d)
             src = emitted.get(str(v))
             if src is not None:
@@ -273,7 +290,7 @@ class SnapshotTable:
         new_v = expected_version + 1
         parts = dict(self.manifest(expected_version)["parts"])
         for v, df in updates.items():
-            d = f"data-v{new_v}-{label}-{v}"
+            d = _fresh(f"data-v{new_v}-{label}-{v}")
             df.write.mode("overwrite").parquet(os.path.join(self.root, d))
             parts[str(v)] = d
         self._write_manifest_payload(
