@@ -84,54 +84,6 @@ def ensure_views(spark: SparkSession, sf_dir: str | None = None) -> None:
         pass
 
 
-#: Memo of raw-scan partition counts per (sf_dir, table): the count is a
-#: property of the file layout, not of any query, so one probe per
-#: session is enough (the probe itself runs no job).
-_SCAN_PARTS: dict[tuple[str, str], int] = {}
-
-
-def spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Scale-adaptive fan-out for CPU-heavy per-row operators.
-
-    A fixture parquet written as a single row group scans as ONE task no
-    matter how many cores the session has (parquet splits are row-group
-    granular), so every expensive per-row map (shingle/minhash hashing,
-    tokenization, vector math, codec decode) runs single-threaded. When
-    the scan's partition count is well below the session's parallelism,
-    hash-repartition on the table's key so the per-row work uses the
-    whole machine.
-
-    At cluster scale the inputs arrive pre-split (many files / many row
-    groups), the condition is false, and NO exchange is added — the
-    100 TB plan is unchanged. Only apply to operators whose per-row CPU
-    dwarfs one shuffle of the (projected) input; cheap relational
-    scan→agg paths are faster unspread (measured: tpch_q1 0.56s→0.95s
-    spread, LSH banding 0.68s→0.26s spread at sf0.1 on 32 cores).
-    """
-    sess = df.sparkSession
-    p = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= p:
-        if key_cols:
-            return df.repartition(p, *[F.col(c) for c in key_cols])
-        return df.repartition(p)
-    return df
-
-
-def load_spread(
-    spark: SparkSession, sf_dir: str, name: str, *key_cols: str
-) -> DataFrame:
-    """load_table + scale-adaptive fan-out (memoized partition probe)."""
-    df = load_table(spark, sf_dir, name)
-    key = (sf_dir, name)
-    if key not in _SCAN_PARTS:
-        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
-    p = spark.sparkContext.defaultParallelism
-    if _SCAN_PARTS[key] * 2 <= p:
-        cols = [F.col(c) for c in key_cols]
-        return df.repartition(p, *cols) if cols else df.repartition(p)
-    return df
-
-
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table, broadcast-hinted if it is a replicated-class dim."""
     df = load_table(spark, sf_dir, name)

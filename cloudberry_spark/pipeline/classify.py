@@ -1710,10 +1710,8 @@ def _text_clf_oracle() -> str:
 def ml_text_classifier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.hashing import spark_base_hash
 
-    from cloudberry_spark.catalog import load_spread
-
     docs = (
-        load_spread(spark, sf_dir, "documents", "doc_id")
+        load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",

@@ -81,14 +81,12 @@ def shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     expressions, whose HOF lambdas are interpreted per word and were
     the engine's hottest CPU path). No explode/shuffle happens.
 
-    The per-row hashing is the most CPU-expensive map in the dedup
-    family, so the input is fanned out first when it arrives unsplit
-    (catalog.spread — a no-op on pre-split cluster-scale inputs, where
-    this stays a pure map-side projection).
+    Pure map-side projection — no fan-out repartition: interleaved
+    A/B at sf0.1/32 cores (r12 opt) showed the Arrow kernel saturates
+    fast enough that an up-front exchange of the text payload costs
+    more than the single-task scan it parallelizes, with fatter tails.
     """
-    from cloudberry_spark.catalog import spread
-
-    return spread(docs, id_col).select(
+    return docs.select(
         F.col(id_col), _SHINGLE_UDF(F.col(text_col)).alias("__sha")
     )
 
@@ -104,9 +102,7 @@ def exploded_shingle_hashes(
     element (the 20x inlined-expression trap the previous
     position-explode formulation worked around).
     """
-    from cloudberry_spark.catalog import spread
-
-    return spread(docs, id_col).select(
+    return docs.select(
         F.col(id_col), _SHINGLE_UDF(F.col(text_col)).alias("__sha")
     ).select(id_col, F.explode("__sha").alias("h"))
 
@@ -121,9 +117,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     this plan is embarrassingly parallel: signature cost scales with
     bytes scanned, no exchange, no state.
     """
-    from cloudberry_spark.catalog import spread
-
-    return spread(docs, id_col).select(
+    return docs.select(
         F.col(id_col), _MINHASH_UDF(F.col(text_col)).alias("__s")
     ).select(
         id_col, *[F.col(f"__s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)]
@@ -545,10 +539,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "contamination", "scale"),
 )
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudberry_spark.catalog import spread
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = spread(docs, "doc_id").select(
+    sh = docs.select(
         "doc_id",
         "source",
         F.array_distinct(_SHINGLE_UDF(F.col("text"))).alias("sl"),

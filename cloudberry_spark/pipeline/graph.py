@@ -138,15 +138,8 @@ def _pagerank_oracle() -> str:
     tags=("graph", "pipeline", "iterative"),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fan unsplit single-row-group scans out on the JOIN key: the
-    # fan-out exchange then *satisfies* the edge join's required
-    # distribution, so no exchange is added — the expensive map side
-    # (edge-string build + shuffle write) just stops being one task.
-    # No-op on pre-split cluster-scale inputs (catalog.load_spread).
-    from cloudberry_spark.catalog import load_spread
-
-    o = load_spread(spark, sf_dir, "orders", "o_orderkey")
-    li = load_spread(spark, sf_dir, "lineitem", "l_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     # The distinct edge list is the iteration-invariant state: without
     # materialization, every unrolled iteration re-executes the
     # orders⋈lineitem join + distinct in each branch (contrib, dangling,

@@ -133,11 +133,7 @@ def knn_brute(
     tags=("pipeline", "similarity", "bench"),
 )
 def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudberry_spark.catalog import load_spread
-
-    # corpus side fanned out when the scan arrives unsplit: the cosine
-    # arithmetic against every query is the CPU-heavy map here
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return knn_brute(emb, queries).orderBy("query_id", "rnk")
 
@@ -1367,10 +1363,9 @@ RERANK = 3 * K  # ADC shortlist size fed to the exact re-rank stage
     tags=("pipeline", "similarity", "ann"),
 )
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudberry_spark.catalog import load_spread
     from cloudberry_spark.pipeline.graph import _materialize
 
-    emb = load_spread(spark, sf_dir, "embeddings", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
     lng = emb.select(
         "vec_id",
         "label",

@@ -112,9 +112,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudberry_spark.catalog import load_spread
-
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    # no scan fan-out (measured, r12 opt): the per-row scoring here is
+    # cheap regex/size arithmetic feeding one projection+agg — the
+    # added exchange shuffles the text payload and costs more than the
+    # single-task scan saves at fixture scale
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
@@ -1428,9 +1430,7 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             return False
 
     if not _index_ready():
-        from cloudberry_spark.catalog import load_spread
-
-        docs = load_spread(spark, sf_dir, "documents", "doc_id")
+        docs = load_table(spark, sf_dir, "documents")
         tok = docs.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("w")
         )

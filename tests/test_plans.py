@@ -83,24 +83,20 @@ def test_no_accidental_cartesian(spark, name):
 
 def test_minhash_signatures_shuffle_free(spark):
     """MinHash signatures are a pure map-side projection (the Arrow
-    kernel per document): on an input that is already split across the
-    cluster the plan must contain NO exchange at all — the property that
-    makes signature computation embarrassingly parallel at 100 TB. (On a
-    single-row-group local fixture, catalog.spread may fan the scan out
-    first; pre-splitting the input here models the cluster-scale layout
-    and pins that the operator itself adds no shuffle.)"""
+    kernel per document): the plan must contain NO exchange at all —
+    the property that makes signature computation embarrassingly
+    parallel at 100 TB."""
     from cloudberry_spark.catalog import load_table
     from cloudberry_spark.pipeline.dedup import minhash_signatures
 
-    docs = load_table(spark, SF_DIR, "documents").repartition(8, "doc_id")
+    docs = load_table(spark, SF_DIR, "documents")
     plan = (
         minhash_signatures(docs, "doc_id", "text")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # the one exchange is the pre-split above; the operator adds none
-    assert plan.count("Exchange") == 1
+    assert "Exchange" not in plan
     # and the signature compute itself is the vectorized Arrow kernel
     assert "ArrowEvalPython" in plan
 
