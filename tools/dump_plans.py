@@ -35,6 +35,10 @@ def main() -> None:
         )
         fmt = df._jdf.queryExecution().explainString(mode)
         df.write.format("noop").mode("overwrite").save()
+        # The noop write runs its OWN QueryExecution; drive the frame's
+        # own QE too so executedPlan() below is the FINAL adaptive plan
+        # (isFinalPlan=true, ReusedExchange / AQEShuffleRead visible).
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
