@@ -440,45 +440,80 @@ def _split_single_cte(sql: str) -> tuple[str, str, str] | None:
 
 
 def materialize_hot_cte(
-    spark: SparkSession, sql: str, prelude: str | None, min_refs: int = 4,
+    spark: SparkSession, sql: str, prelude: str | None, min_refs: int = 3,
     qname: str = "shared",
 ) -> DataFrame | None:
-    """Build a many-referenced CTE ONCE as a scratch-parquet temp view
-    and run the remainder against it (the year_total q04/q11/q74
+    """Build many-referenced CTEs ONCE as scratch-parquet temp views
+    and run the remainder against them (the year_total q04/q11/q74
     class: Catalyst inlines every CTE reference, so the 3-channel
     year_total would otherwise be recomputed per self-join arm — 6×
-    in q04. The reference materializes shared CTEs once per slice;
-    this is that plan, and at 100 TB the only survivable one).
-    Returns None when the query isn't single-CTE with >= min_refs
-    references, leaving the inline path untouched."""
+    in q04; q14's cross_items/avg_sales pair inlines into a
+    176-exchange plan. The reference materializes shared CTEs once
+    per slice; this is that plan, and at 100 TB the only survivable
+    one). Handles multi-CTE texts by peeling leading CTEs in order:
+    each with >= min_refs references downstream is materialized, the
+    rest stay inline. Returns None when nothing qualifies, leaving
+    the inline path untouched."""
     import os
 
-    split = _split_single_cte(sql)
-    if split is None:
+    kept: list[tuple[str, str]] = []
+    made = 0
+    remaining = sql
+    while True:
+        m = re.match(r"\s*with\s+(\w+)\s+as\s*\(", remaining, flags=re.I)
+        if not m:
+            break
+        depth, i = 1, m.end()
+        while i < len(remaining) and depth:
+            if remaining[i] == "(":
+                depth += 1
+            elif remaining[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return None
+        cte, body = m.group(1), remaining[m.end(): i - 1]
+        rest = remaining[i:]
+        mm = re.match(r"\s*,\s*", rest)
+        # re-open the WITH for the next CTE so the loop peels it too
+        rest_q = ("with " + rest[mm.end():]) if mm else rest
+        refs = len(re.findall(rf"\b{cte}\b", rest_q, flags=re.I))
+        # a body referencing a KEPT (still-inline) earlier CTE cannot
+        # be materialized independently — keep it inline as well
+        dependent = any(
+            re.search(rf"\b{k}\b", body, flags=re.I) for k, _ in kept
+        )
+        if refs >= min_refs and not dependent:
+            df = spark.sql(translate_pg_sql(_with_prelude(body, prelude)))
+            # Key the scratch path AND the temp-view name by query so
+            # q04/q11/q74 (which share the CTE name year_total but not
+            # its definition) can never read each other's
+            # materialization, and parallel runs don't race on one
+            # path (ADVICE r10).
+            view = f"{qname}__{cte}"
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+                ".scratch", "cte_materialized", qname, cte)
+            df.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path).createOrReplaceTempView(view)
+            # downstream TABLE references retarget to the per-query
+            # view (later CTE bodies included). Qualified column refs
+            # (q04's t_s_firstyear.year_total — the CTE exposes a
+            # column named like itself) must NOT be rewritten: skip
+            # matches preceded by '.' and matches in call position.
+            rest_q = re.sub(
+                rf"(?<![\w.]){cte}\b(?!\s*\()", view, rest_q, flags=re.I)
+            made += 1
+        else:
+            kept.append((cte, body))
+        remaining = rest_q
+    if not made:
         return None
-    cte, body, rest = split
-    refs = len(re.findall(rf"\b{cte}\b", rest, flags=re.I))
-    if refs < min_refs:
-        return None
-    df = spark.sql(translate_pg_sql(_with_prelude(body, prelude)))
-    # Key the scratch path AND the temp-view name by query so q04/q11/
-    # q74 (which share the CTE name year_total but not its definition)
-    # can never read each other's materialization, and parallel runs
-    # don't race on one path (ADVICE r10).
-    view = f"{qname}__{cte}"
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch", "cte_materialized", qname, cte)
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path).createOrReplaceTempView(view)
-    # the remainder still needs the dim CTEs -> merge the prelude; the
-    # CTE's TABLE references retarget to the per-query view. Qualified
-    # column refs (q04's t_s_firstyear.year_total — the CTE exposes a
-    # column named like itself) must NOT be rewritten: skip matches
-    # preceded by '.' and matches in AS/alias position.
-    rest = re.sub(
-        rf"(?<![\w.]){cte}\b(?!\s*\()", view, rest, flags=re.I)
-    return spark.sql(translate_pg_sql(_with_prelude(rest, prelude)))
+    if kept:
+        heads = ", ".join(f"{n} as ({b})" for n, b in kept)
+        remaining = f"with {heads} {remaining}"
+    # the remainder still needs the dim CTEs -> merge the prelude
+    return spark.sql(translate_pg_sql(_with_prelude(remaining, prelude)))
 
 
 def register_tpcds(

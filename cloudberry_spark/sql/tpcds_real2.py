@@ -1460,6 +1460,11 @@ limit 100
     "years shifted to the fixture's 2000-2002, count sums cast BIGINT — "
     "DuckDB widens sum(bigint) to int128).",
     tags=("q14",),
+    # cross_items (3 channel INTERSECT aggregates) and avg_sales are
+    # each referenced 3x downstream; inlined they blow the plan up to
+    # 176 exchanges / 150 BHJ (r12 opt measurement). Built once each,
+    # the remainder is a normal 3-channel union.
+    materialize_cte=True,
 )
 
 # ---------------------------------------------------------------------------
