@@ -65,21 +65,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (sf_dir, name) -> DataFrame, valid for the session it was built in.
+#: Re-asserting a temp view from a cached frame is a metadata-only
+#: catalog op (~ms); re-reading parquet footers per re-assert is not —
+#: and fixture views and spec-prelude views (scale_fixture.spec_views)
+#: legitimately re-assert over each other's names between queries.
+_VIEW_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+#: name -> (owner, session): who currently owns each temp-view name.
+#: The fixture catalog ("fixture:<sf_dir>") and the spec preludes
+#: ("spec:<tag>:k<K>", scale_fixture.spec_views) share a handful of
+#: names (customer, orders, lineitem, ...); tracking ownership per
+#: name means an interleaved bench re-asserts ONLY the names the other
+#: side actually shadowed (1 view between consecutive TPC-DS spec
+#: queries, not all 35) instead of ping-ponging full registrations.
+VIEW_OWNER: dict[str, tuple[str, object]] = {}
+
+
 def ensure_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every fixture table as a temp view named exactly as in
     TESTDATA.md. Cheap (metadata-only) but memoized per (session, dir)
     so query functions can call it unconditionally."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    key = "cloudberry.catalog.dir"
+    me = (f"fixture:{sf_dir}", spark)
+    needed = [n for n in TABLES if VIEW_OWNER.get(n) != me]
+    if not needed:
+        return
+    for name in needed:
+        df = _VIEW_DF_CACHE.get((sf_dir, name))
+        if df is None or df.sparkSession is not spark:
+            df = load_table(spark, sf_dir, name)
+            _VIEW_DF_CACHE[(sf_dir, name)] = df
+        df.createOrReplaceTempView(name)
+        VIEW_OWNER[name] = me
     try:
-        if spark.conf.get(key, None) == sf_dir:
-            return
-    except Exception:
-        pass
-    for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    try:
-        spark.conf.set(key, sf_dir)
+        # informational only (ownership drives the logic above)
+        spark.conf.set("cloudberry.catalog.dir", sf_dir)
     except Exception:
         pass
 

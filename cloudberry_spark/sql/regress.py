@@ -443,8 +443,9 @@ def register_regress(
                 spec_views,
             )
 
-            if scale_views is not None and scale_factor() > 1:
-                # parquet-backed prelude views: real stats at scale
+            if scale_views is not None:
+                # parquet-backed prelude views: real stats at scale,
+                # and no per-call prelude re-parse at K=1 (r12 opt)
                 spec_views(spark, scale_views[1], scale_views[0])
                 return spark.sql(translate_pg_sql(_orig))
             _sql = scale_spec_fixture(_sql)

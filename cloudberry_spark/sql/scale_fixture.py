@@ -64,6 +64,9 @@ def scale_spec_fixture(sql: str) -> str:
 
 _CTE_NAME_RE = None
 
+#: (base, table) -> reader DataFrame for cheap re-registration.
+_SPEC_DF_CACHE: dict = {}
+
 
 def spec_views(spark, prelude: str, tag: str) -> None:
     """Materialize every prelude CTE to scratch parquet at the current
@@ -75,6 +78,13 @@ def spec_views(spark, prelude: str, tag: str) -> None:
     planner real sizes (facts shuffle, dims broadcast), predicate
     pushdown, and AQE — exactly how the engine runs at real scale, so
     the soak measures the plans a cluster would actually execute.
+
+    Since the r12 optimization round this also serves K=1: every spec
+    query otherwise re-parses + re-analyzes the ~19KB inline prelude
+    per call — measured 25-30% of each call. At K=1 the build dir is
+    keyed by PID so EVERY process rebuilds the fixture from its
+    generators once (no cross-invocation reuse of intermediates);
+    concurrent processes (test shards) can never race on one path.
     """
     global _CTE_NAME_RE
     import os
@@ -82,27 +92,59 @@ def spec_views(spark, prelude: str, tag: str) -> None:
 
     from cloudberry_spark.sql.pgcompat import translate_pg_sql
 
+    from cloudberry_spark.catalog import VIEW_OWNER
+
     k = scale_factor()
+    me = (f"spec:{tag}:k{k}", spark)
     if _CTE_NAME_RE is None:
         _CTE_NAME_RE = re.compile(
             r"(?m)^(?:WITH\s+)?(\w+)(?:\([^)]*\))?\s+AS\s+\(")
     names = _CTE_NAME_RE.findall(prelude)
-    base = os.path.join(
+    # Ownership fast path (catalog.VIEW_OWNER): re-assert only names
+    # the fixture catalog (or another spec tag) shadowed since our
+    # last assertion — between consecutive same-tag spec queries that
+    # is the overlap set only (e.g. just `customer` for TPC-DS), a
+    # metadata-only catalog op per name, not a full re-registration.
+    needed = [t for t in names if VIEW_OWNER.get(t) != me]
+    if not needed:
+        return
+    scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch", f"spec_{tag}_k{k}")
-    for t in names:
+        ".scratch")
+    if k == 1:
+        base = os.path.join(scratch, f"spec_{tag}_k1_pid{os.getpid()}")
+        _sweep_stale_pid_dirs(scratch, f"spec_{tag}_k1_pid")
+    else:
+        base = os.path.join(scratch, f"spec_{tag}_k{k}")
+    for t in needed:
         path = os.path.join(base, t)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df = spark.sql(translate_pg_sql(
                 scale_spec_fixture(prelude + f" SELECT * FROM {t}")))
             df.write.mode("overwrite").parquet(path)
-        # always (re)register: spec names shadow same-named fixture
-        # catalog views (customer/orders/...), so the registration is
-        # per-query, not memoized...
-        spark.read.parquet(path).createOrReplaceTempView(t)
+            _SPEC_DF_CACHE.pop((base, t), None)
+        rdf = _SPEC_DF_CACHE.get((base, t))
+        if rdf is None or rdf.sparkSession is not spark:
+            rdf = spark.read.parquet(path)
+            _SPEC_DF_CACHE[(base, t)] = rdf
+        rdf.createOrReplaceTempView(t)
+        VIEW_OWNER[t] = me
+
+
+def _sweep_stale_pid_dirs(scratch: str, prefix: str) -> None:
+    """Best-effort cleanup of per-PID spec fixture dirs left by dead
+    processes (a killed run cannot clean up after itself)."""
+    import os
+    import shutil
+
     try:
-        # ...and the fixture catalog memo is invalidated so the next
-        # fixture-schema query re-asserts ITS views over these names.
-        spark.conf.set("cloudberry.catalog.dir", "")
-    except Exception:
+        for e in os.listdir(scratch):
+            if not e.startswith(prefix):
+                continue
+            pid = e[len(prefix):]
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            if not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(scratch, e), ignore_errors=True)
+    except OSError:
         pass

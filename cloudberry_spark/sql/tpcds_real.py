@@ -547,7 +547,11 @@ def register_tpcds(
         # planner sees real sizes — facts shuffle, dims broadcast.
         from cloudberry_spark.sql.scale_fixture import scale_factor, spec_views
 
-        if not _variant and scale_factor() > 1:
+        if not _variant:
+            # parquet-backed prelude views at every K (r12 opt): at K>1
+            # they fix the no-stats broadcast stall; at K=1 they remove
+            # the ~19KB per-call prelude re-parse/re-analyze (25-30% of
+            # each spec call) and give the planner file stats
             spec_views(spark, TPCDS_PRELUDE, "tpcds")
             if materialize_cte:
                 # empty prelude: the tables already exist as views
