@@ -35,6 +35,7 @@ from cloudberry_spark.pipeline.hashing import (
     duckdb_perm,
     duckdb_shingle_hashes,
     make_arrow_minhash_udf,
+    make_arrow_shingle_sig_udf,
     make_arrow_shingle_udf,
     spark_base_hash,
     spark_perm,
@@ -47,6 +48,7 @@ from cloudberry_spark.registry import register
 #: query references the same serialized function (plan/exchange reuse).
 _SHINGLE_UDF = make_arrow_shingle_udf()
 _MINHASH_UDF = make_arrow_minhash_udf()
+_SHINGLE_SIG_UDF = make_arrow_shingle_sig_udf()
 
 N_HASHES = 8  # k minhash permutations
 N_BANDS = 4  # LSH bands of r = k/bands rows each
@@ -953,31 +955,45 @@ def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Incremental dedup against a PERSISTED corpus index — the "
     "production growth path (index once, probe every new batch) that "
-    "plain all-corpus LSH lacks: the even-doc_id half builds the LSH "
-    "band index and is written to scratch parquet (at scale: the "
-    "standing index table, partitioned by band bucket); the odd half "
-    "is the incoming batch, whose bands are a pure map-side "
-    "projection probed against the index with one equi-join, and "
-    "survivors verify with exact shingle Jaccard >= 0.5 joined only "
-    "on candidates. Reports per-source batch size, near-dup count and "
-    "distinct index docs hit. Incoming text never joins the index by "
-    "content — only 128-bit band keys move.",
+    "plain all-corpus LSH lacks: one Arrow kernel pass writes the "
+    "standing shingle+signature table to scratch parquet (at scale: "
+    "the standing index — shingle sets for verify next to MinHash "
+    "signatures for banding); the even-doc_id half's bands are the "
+    "index, the odd half is the incoming batch whose bands probe it "
+    "with one equi-join, and survivors verify with exact shingle "
+    "Jaccard >= 0.5 joined only on candidates. Reports per-source "
+    "batch size, near-dup count and distinct index docs hit. "
+    "Incoming text never joins the index by content — only 128-bit "
+    "band keys move.",
     tags=("pipeline", "dedup", "incremental"),
 )
 def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.graph import _materialize
 
     docs = load_table(spark, sf_dir, "documents")
-    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    batch = docs.filter(F.col("doc_id") % 2 == 1)
-    # the standing index: banded signatures of the existing corpus,
-    # persisted (re-read per batch instead of recomputed)
-    index = _materialize(
-        lsh_bands(minhash_signatures(index_docs, "doc_id", "text"), "doc_id"),
-        spark, sf_dir, "dedup_lsh_index",
+    # The standing index, ONE Arrow pass + ONE materialization per run
+    # (r12 opt; was: separate passes for the even-half signatures, the
+    # odd-half probe signatures, and the full-corpus shingle table —
+    # three text decodes + md5 sweeps and two scratch writes): the
+    # combined kernel emits each doc's shingle array AND its MinHash
+    # signature together, and every downstream consumer (index bands,
+    # probe bands, Jaccard-verify shingle sets) derives map-side from
+    # the scratch table. At scale this IS the standing index layout:
+    # shingle sets for verify next to signatures for banding.
+    sig = _materialize(
+        docs.select(
+            "doc_id", _SHINGLE_SIG_UDF(F.col("text")).alias("__s")
+        ).select(
+            "doc_id",
+            F.col("__s.sha").alias("sha"),
+            *[F.col(f"__s.mh{i}").alias(f"mh{i}") for i in range(N_HASHES)],
+        ),
+        spark, sf_dir, "dedup_shingle_sig_index",
     )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = lsh_bands(sig.filter(F.col("doc_id") % 2 == 0), "doc_id")
     probe = lsh_bands(
-        minhash_signatures(batch, "doc_id", "text"), "doc_id"
+        sig.filter(F.col("doc_id") % 2 == 1), "doc_id"
     ).select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
     cand = (
         probe.join(
@@ -989,15 +1005,11 @@ def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
         .distinct()
     )
-    # The verify stage reads the distinct shingle table THREE times
-    # (both join sides + per-doc sizes); materialized once, the
-    # word-hash -> shingle pipeline runs a single pass over the corpus
-    # instead of one per consumer (at scale: the standing shingle
-    # index next to the band index).
-    sh = _materialize(
-        exploded_shingle_hashes(docs, "doc_id", "text").distinct(),
-        spark, sf_dir, "dedup_shingle_index",
-    )
+    # the verify stage's distinct shingle table, map-side off the same
+    # scratch table (read three times: both join sides + sizes)
+    sh = sig.select(
+        "doc_id", F.explode("sha").alias("h")
+    ).distinct()
     ver = ngram_jaccard(docs, cand, "doc_id", "text", sh=sh).filter(
         F.col("jaccard") >= 0.5
     )

@@ -220,6 +220,50 @@ def make_arrow_minhash_udf():
     return minhash_sig
 
 
+def make_arrow_shingle_sig_udf():
+    """pandas_udf: text -> struct<sha: array<bigint>, mh0..mh{k-1}>.
+
+    One kernel pass computing BOTH the shingle-hash array and the
+    MinHash signature (the signature is a k-vector of permutation
+    minima over exactly that array): operators that need both — the
+    incremental-dedup standing index is shingle sets for verify plus
+    signatures for banding — pay one text decode + md5 pass instead
+    of two. Bit-identical to make_arrow_shingle_udf /
+    make_arrow_minhash_udf by construction (same shingles()).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    shingles = _py_shingle_fn()
+    P = MERSENNE_P
+    k = len(PERM_PARAMS)
+    a = np.array([p[0] for p in PERM_PARAMS], dtype=np.int64)
+    b = np.array([p[1] for p in PERM_PARAMS], dtype=np.int64)
+    schema = T.StructType(
+        [T.StructField("sha", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    )
+
+    @F.pandas_udf(schema)
+    def shingle_sig(texts: pd.Series) -> pd.DataFrame:
+        shas = [None] * len(texts)
+        mh = np.empty((len(texts), k), dtype=np.int64)
+        for j, t in enumerate(texts):
+            sha = shingles(t)
+            shas[j] = sha.tolist()
+            # sha < P and a < P, so sha*a < 2^62: exact in int64.
+            mh[j] = ((sha[:, None] * a[None, :] + b[None, :]) % P).min(
+                axis=0
+            )
+        out = pd.DataFrame(mh, columns=[f"mh{i}" for i in range(k)])
+        out.insert(0, "sha", shas)
+        return out
+
+    return shingle_sig
+
+
 def duckdb_shingle_hashes(text_expr: str) -> str:
     """The identical word-hash → shingle-hash pipeline as DuckDB SQL,
     yielding a BIGINT list (mirrors spark_word_hashes+spark_shingle_hashes
