@@ -86,6 +86,22 @@ SELECT CAST('1997-02-10 17:32:01' AS TIMESTAMP)
     "timestamptz.sql:62-71 — AT TIME ZONE across the DST boundary: "
     "New York is -05 in February but -04 in July; Helsinki +02/+03 "
     "(2050 dates prove the zone rules, not hardcoded offsets).",
+    # DuckDB types `timestamp AT TIME ZONE zone` as TIMESTAMPTZ
+    # (tz-aware pandas dtype) while the Spark translation
+    # (to_utc_timestamp) yields plain TIMESTAMP holding the same UTC
+    # instant. Same dtype-only divergence as regress_tstz_date_trunc:
+    # the oracle re-projects the instant to a naive UTC stamp with a
+    # second AT TIME ZONE 'UTC' (Spark side untouched).
+    oracle="""
+SELECT (CAST('1997-02-10 17:32:01' AS TIMESTAMP)
+         AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS winter_est,
+       (CAST('1997-07-10 17:32:01' AS TIMESTAMP)
+         AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS summer_edt,
+       (CAST('2050-07-10 17:32:01' AS TIMESTAMP)
+         AT TIME ZONE 'Europe/Helsinki') AT TIME ZONE 'UTC' AS hel_dst,
+       (CAST('2050-01-10 17:32:01' AS TIMESTAMP)
+         AT TIME ZONE 'Europe/Helsinki') AT TIME ZONE 'UTC' AS hel_winter
+""",
 )
 
 _tz(
