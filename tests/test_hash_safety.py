@@ -18,16 +18,21 @@ operators/arrays.py:188).
 
 from __future__ import annotations
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, budget_queries
 
 from cloudberry_spark.registry import all_queries
 from tools.hash_safety_audit import DUCK_COMPLEX, complex_fields
 
 
 def test_spark_outputs_hash_safe(spark):
+    # fn() is eager for DML/index operators, so replaying all ~1,842
+    # registered queries costs ~20 min — the single largest item in the
+    # driver's overran pytest budget (r12). Default to the interleaved
+    # prefix (new/never-sampled queries first — exactly where a fresh
+    # hash-safety offender would be); SPARK_GRAFT_TEST_FULL=1 sweeps all.
     offenders: list[str] = []
     errors: list[str] = []
-    for name, q in sorted(all_queries().items()):
+    for name, q in sorted(budget_queries(all_queries()).items()):
         if q.oracle is None:
             continue
         try:
