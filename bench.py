@@ -89,6 +89,17 @@ PIPELINE = {
     "part_update": "dml_partition_confined_update",
 }
 
+#: Round 13: the two operator families that previously had NO bench
+#: entry (streaming/IVM and multimodal decode) so they were invisible
+#: to optimization. Timed with the same methodology but EXCLUDED from
+#: the headline `value` (adding them to `value` would break the
+#: round-over-round comparability of the total; their per-query numbers
+#: live in `queries` like the spec suites).
+EXTRA = {
+    "ivm_refresh": "ivm_incremental_refresh",
+    "mm_decode": "multimodal_decode_features",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,6 +178,20 @@ def main() -> None:
         round(sum(timings[q] for q in TPCDS_REAL), 3) if spec else None
     )
 
+    # Streaming/IVM + multimodal baselines (round 13): timed, reported
+    # in `queries`, excluded from the headline `value`.
+    if suite in ("all", "pipeline"):
+        for label, name in EXTRA.items():
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = queries[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            timings[label] = round(runs[len(runs) // 2], 3)
+            spread[label] = round(runs[-1] - runs[0], 3)
+
     # Multi-stream throughput (the MPP concurrency story): 4 distinct
     # query streams submitted from 4 threads share the scheduler; wall
     # clock well under the sum of their solo times shows inter-query
@@ -195,24 +220,31 @@ def main() -> None:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = None
+    # Key order matters for robustness, not semantics: every scalar
+    # (headline value, per-family totals, run metadata) is emitted
+    # BEFORE the two ~450-entry dicts, so a capture that truncates the
+    # tail of the line still contains the headline numbers in its
+    # parseable prefix (round-13 verdict item: BENCH_r11's one-line JSON
+    # was tail-truncated driver-side and lost the totals entirely).
     print(
         json.dumps(
             {
                 "metric": "tpch22+pipeline total wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "tpch22_total": tpch_total,
                 "tpch22_real_total": tpch_real_total,
                 "tpcds_real_total": tpcds_real_total,
-                "spread": spread,
                 "runs_per_query": n_runs,
                 "aggregation": "median",
                 "sf": sf,
                 "suite": suite,
                 "ds_scale": int(os.environ.get("SPARK_GRAFT_DS_SCALE", "1")),
+                "queries": timings,
+                "spread": spread,
             }
-        )
+        ),
+        flush=True,
     )
 
 
