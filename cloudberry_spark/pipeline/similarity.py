@@ -22,6 +22,10 @@ to full ANN per the build brief.
 
 from __future__ import annotations
 
+# Module-level so the pandas UDF factory's postponed type hints
+# ("pd.Series" under `from __future__ import annotations`) resolve.
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -33,8 +37,13 @@ K = 5
 N_QUERIES = 10  # vec_id < 10 are the query set in the fixture demos
 
 
-def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays (no UDF)."""
+def dot_expr(a: Column, b: Column) -> Column:
+    """Column-expression dot product (Catalyst HOF left fold).
+
+    Kept as the differential pin for the Arrow kernels below — the HOF
+    lambdas are never whole-stage-codegen'd, so every element walks an
+    interpreted eval tree with JIT-dependent wall time (the r12 finding
+    that motivated the hashing.py kernels; guide §4.2)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -42,7 +51,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm_expr(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -52,8 +61,88 @@ def norm(a: Column) -> Column:
     )
 
 
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized twins of the fold expressions (r13 opt, guide §4.2)
+# ---------------------------------------------------------------------------
+#
+# Bit-exactness argument (mirrors hashing.py's kernels): the Catalyst
+# form is a strict left fold `((0.0 + p1) + p2) + ...` over per-element
+# float64 products. In the kernel, (a) float32 -> float64 widening via
+# numpy astype is the same exact conversion as `.cast("double")`,
+# (b) elementwise *, -, are the identical IEEE-754 double ops, and
+# (c) `np.add.accumulate` is a strict sequential left fold
+# (out[i] = out[i-1] + in[i]) — prepending the fold's 0.0 start
+# reproduces the Catalyst sum bit for bit (including the +0.0 result on
+# an all-(-0.0) input, which bare accumulate would get wrong).
+# sqrt/division are single correctly-rounded IEEE ops on both sides.
+# Differentially pinned in tests/test_pipeline.py over the full fixture
+# embeddings table.
+
+
+def _make_fold_udf(mode: str):
+    """pandas_udf twin of a Catalyst fold. mode: 'dot' (sum a_i*b_i),
+    'l2' (sum (a_i-b_i)^2), or 'cos' (dot / (norm_a * norm_b), composed
+    with exactly cosine_expr's operand order)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def fold_sum(p):
+        # strict left fold from 0.0, exactly F.aggregate's accumulator
+        return np.add.accumulate(np.concatenate(((0.0,), p)))[-1]
+
+    @F.pandas_udf(T.DoubleType())
+    def fold(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for j in range(len(a)):
+            xv = np.asarray(a.iloc[j], dtype=np.float64)
+            yv = np.asarray(b.iloc[j], dtype=np.float64)
+            if mode == "dot":
+                out[j] = fold_sum(xv * yv)
+            elif mode == "l2":
+                d = xv - yv
+                out[j] = fold_sum(d * d)
+            else:  # cos
+                dd = fold_sum(xv * yv)
+                na = math.sqrt(fold_sum(xv * xv))
+                nb = math.sqrt(fold_sum(yv * yv))
+                out[j] = dd / (na * nb)
+        return pd.Series(out)
+
+    return fold
+
+
+_ARROW_DOT = _make_fold_udf("dot")
+_ARROW_L2SQ = _make_fold_udf("l2")
+_ARROW_COS = _make_fold_udf("cos")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays — Arrow kernel (hot path)."""
+    return _ARROW_DOT(a, b)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_ARROW_DOT(a, a))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity — ONE Arrow kernel call (one boundary crossing
+    instead of three), bit-identical to cosine_expr."""
+    return _ARROW_COS(a, b)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — Arrow twin of the zip_with/aggregate fold
+    used by the k-means assign and SemDeDup operators."""
+    return _ARROW_L2SQ(a, b)
 
 
 _DUCK_DOT = (
@@ -208,11 +297,15 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
+    # the Arrow cosine is computed in a projection, then the window
+    # orders by the materialized column (a Python UDF cannot sit inside
+    # a window ORDER BY expression) — identical rows either way.
     probe_w = Window.partitionBy("query_id").orderBy(
-        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+        F.col("__pcos").desc(), F.col("label")
     )
     probe = (
         q.crossJoin(F.broadcast(cent))
+        .withColumn("__pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("r", F.row_number().over(probe_w))
         .where(F.col("r") == 1)
         .select("query_id", "q_emb", F.col("label").alias("probe_label"))
@@ -718,11 +811,7 @@ def sim_kmeans_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        d = F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = l2sq(F.col("v"), F.col("cv"))  # Arrow twin of the HOF fold
         pairs = vecs.crossJoin(F.broadcast(c)).withColumn("dist", d)
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
@@ -826,11 +915,7 @@ def sim_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = vecs.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    d = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d = l2sq(F.col("v"), F.col("cv"))  # Arrow twin of the HOF fold
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     assigned = (
         vecs.crossJoin(F.broadcast(cents))
@@ -921,10 +1006,11 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+        F.col("__pcos").desc(), F.col("label")
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
+        .withColumn("__pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("r", F.row_number().over(probe_w))
         .where(F.col("r") <= _NPROBE)
         .select("query_id", "q_emb", F.col("label").alias("probe_label"))
@@ -1155,12 +1241,16 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = (
         emb.alias("c")
         .join(probes, F.col("c.vec_id") != F.col("pid"))
-        .groupBy("pid", "own", F.col("c.label").alias("cl"))
-        .agg(
-            F.avg(
-                1.0 - cosine(F.col("p_emb"), F.col("c.embedding"))
-            ).alias("avg_d")
+        # Arrow cosine in a projection, not inside the AVG expression
+        # (Python UDFs cannot be embedded in aggregate functions)
+        .select(
+            "pid",
+            "own",
+            F.col("c.label").alias("cl"),
+            (1.0 - cosine(F.col("p_emb"), F.col("c.embedding"))).alias("__d"),
         )
+        .groupBy("pid", "own", "cl")
+        .agg(F.avg("__d").alias("avg_d"))
     )
     ab = dists.groupBy("pid", "own").agg(
         F.max(F.when(F.col("cl") == F.col("own"), F.col("avg_d"))).alias("a"),
@@ -1397,10 +1487,25 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = Window.partitionBy("vec_id", "s").orderBy("d2", "cb_label")
+    # Codes PIVOTED to one row per vector (r13 opt, guide §2.3/§2.4):
+    # codes[s+1] is the codebook entry for subspace s. One code row per
+    # candidate (instead of PQ_M) means the ADC stage below needs no
+    # re-aggregation per (query, cand) — the whole distance becomes one
+    # map-side expression over the probed list, and the search plan
+    # loses its largest shuffle (the probed-list-sized exchange feeding
+    # the old (query_id, s, code) join + groupBy).
     codes = _materialize(
         d.withColumn("rn", F.row_number().over(wc))
         .where(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cb_label").alias("code")),
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("cb_label")))
+            ).alias("sc")
+        )
+        .select(
+            "vec_id", F.transform("sc", lambda e: e.cb_label).alias("codes")
+        ),
         spark, sf_dir, "ivfpq_codes",
     )
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -1408,10 +1513,11 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = label_centroids(emb)
     probe_w = Window.partitionBy("query_id").orderBy(
-        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("label")
+        F.col("__pcos").desc(), F.col("label")
     )
     probe = (
         q.crossJoin(F.broadcast(cent))
+        .withColumn("__pcos", cosine(F.col("q_emb"), F.col("c_emb")))
         .withColumn("r", F.row_number().over(probe_w))
         .where(F.col("r") == 1)
         .select("query_id", "q_emb", F.col("label").alias("probe_label"))
@@ -1433,6 +1539,41 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qd2")
         )
     )
+    # The distance table is metadata-scale (|queries| x PQ_M x |codebook|
+    # rows); folded into ONE broadcast map per query, keyed s*2^32+code
+    # (collision-free — codes are small non-negative ints). With the
+    # pivoted codes table, a candidate's approximated distance is then a
+    # fixed PQ_M-term lookup sum computed MAP-SIDE over the probed list:
+    # the old plan's (query_id, s, code) equi-join (which shuffled the
+    # probed-list-sized relation when the planner fell back to SMJ) and
+    # the (query_id, cand_id) re-aggregation both disappear (guide
+    # §2.3/§2.4: shuffle keys/metadata, not per-subspace rows). The
+    # 9-decimal round is the operator's documented cross-engine
+    # tolerance and absorbs the summation-order change exactly as it
+    # absorbs the Spark-vs-DuckDB aggregation orders.
+    _SLOT = 1 << 32
+    dlookup = F.broadcast(
+        dtable.groupBy("query_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (
+                            F.col("s").cast("long") * F.lit(_SLOT)
+                            + F.col("cb_label").cast("long")
+                        ).alias("k"),
+                        F.col("qd2").alias("v"),
+                    )
+                )
+            ).alias("qd2m")
+        )
+    )
+    approx = None
+    for s in range(PQ_M):
+        key = F.lit(s * _SLOT) + F.element_at(F.col("codes"), s + 1).cast(
+            "long"
+        )
+        term = F.element_at(F.col("qd2m"), key)
+        approx = term if approx is None else approx + term
     adc = (
         probe.join(
             emb.alias("e"),
@@ -1441,12 +1582,10 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", F.col("e.vec_id").alias("cand_id"))
         .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .join(
-            dtable.withColumnRenamed("cb_label", "code"),
-            ["query_id", "s", "code"],
+        .join(dlookup, "query_id")
+        .select(
+            "query_id", "cand_id", F.round(approx, 9).alias("approx_d2")
         )
-        .groupBy("query_id", "cand_id")
-        .agg(F.round(F.sum("qd2"), 9).alias("approx_d2"))
     )
     ws = Window.partitionBy("query_id").orderBy("approx_d2", "cand_id")
     shortlist = (
@@ -1454,8 +1593,12 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= RERANK)
         .select("query_id", "cand_id")
     )
+    # Re-rank: broadcast the small side (|queries| x RERANK rows with
+    # their query vectors), never the corpus — the build side a 100 TB
+    # deployment must pick (guide §3.1); the corpus side stays a
+    # streamed scan keyed on vec_id.
     rerank = (
-        shortlist.join(q, "query_id")
+        F.broadcast(shortlist.join(q, "query_id"))
         .join(
             emb.alias("e2"),
             F.col("e2.vec_id") == F.col("cand_id"),

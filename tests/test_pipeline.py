@@ -322,3 +322,59 @@ def test_arrow_hash_kernels_match_column_expressions(spark):
     mh = both.select("doc_id", _MINHASH_UDF("text").alias("s"), *expr_mh)
     cond = " OR ".join(f"s.mh{i} <> e{i}" for i in range(N_HASHES))
     assert mh.where(cond).count() == 0
+
+
+def test_arrow_fold_kernels_match_column_expressions(spark):
+    """The Arrow dot/cosine/l2 kernels (similarity hot path since the
+    r13 optimization round) must be bit-identical to the Catalyst HOF
+    fold expressions they replaced, over every (query, corpus) pair of
+    the fixture embeddings — float comparison with strict equality, no
+    rounding (the same bar the driver's hash comparator sets)."""
+    from pyspark.sql import functions as F
+
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.similarity import (
+        _ARROW_COS,
+        _ARROW_DOT,
+        _ARROW_L2SQ,
+        cosine_expr,
+        dot_expr,
+        norm_expr,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q))
+
+    l2_expr = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("q_emb", lambda x: x.cast("double")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    checked = pairs.select(
+        _ARROW_DOT("embedding", "q_emb").alias("kd"),
+        dot_expr(F.col("embedding"), F.col("q_emb")).alias("ed"),
+        _ARROW_COS("embedding", "q_emb").alias("kc"),
+        cosine_expr(F.col("embedding"), F.col("q_emb")).alias("ec"),
+        _ARROW_L2SQ("embedding", "q_emb").alias("kl"),
+        l2_expr.alias("el"),
+        F.sqrt(_ARROW_DOT("embedding", "embedding")).alias("kn"),
+        norm_expr(F.col("embedding")).alias("en"),
+    )
+    bad = checked.where(
+        (F.col("kd") != F.col("ed"))
+        | (F.col("kc") != F.col("ec"))
+        | (F.col("kl") != F.col("el"))
+        | (F.col("kn") != F.col("en"))
+        | F.col("kd").isNull()
+        | F.col("kc").isNull()
+        | F.col("kl").isNull()
+    ).count()
+    assert bad == 0
