@@ -49,7 +49,11 @@ def _quality_pass(text: F.Column, n_chars: F.Column) -> F.Column:
     )
 
 
-def curate(docs: DataFrame) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    spark: SparkSession | None = None,
+    sf_dir: str | None = None,
+) -> DataFrame:
     """documents → curated survivors (all stages, no collect)."""
     # NO scan fan-out here (measured, r12 opt): curate branches the
     # corpus five ways (quality filter -> keepers agg, join sides, LSH
@@ -68,6 +72,21 @@ def curate(docs: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     s1 = q.join(keepers, "doc_id")
+    if spark is not None and sf_dir is not None:
+        # Materialize the exact-dedup survivors ONCE to scratch parquet
+        # (r13 opt, guide §3.3/§6): downstream, s1 feeds the LSH chain
+        # (whose star/pair branches re-derive their input lineage), the
+        # final anti-join AND the consumer's closing aggregation —
+        # without this every branch re-evaluates the quality-filter
+        # regexes and the keepers groupBy over the full text payload
+        # (~5 logical corpus passes; AQE's ReusedExchange dedups only
+        # the band exchange above it). One pass computes the survivors;
+        # every branch then reads a columnar file relation with real
+        # size stats. Rebuilt inside fn() on every call
+        # (mode=overwrite in _materialize) — never reused across runs.
+        from cloudberry_spark.pipeline.graph import _materialize
+
+        s1 = _materialize(s1, spark, sf_dir, "curate_survivors")
     drops = (
         lsh_candidate_pairs(s1, "doc_id", "text")
         .select(F.col("id_b").alias("doc_id"))
@@ -134,7 +153,7 @@ def _oracle() -> str:
 )
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    final = curate(docs)
+    final = curate(docs, spark, sf_dir)
     return final.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
@@ -206,7 +225,7 @@ def pipeline_curate_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    final = curate(docs)
+    final = curate(docs, spark, sf_dir)
     seeded = final.select(
         "doc_id",
         F.concat(
@@ -292,7 +311,7 @@ def pipeline_curate_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudberry_spark.pipeline.text import _distributed_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
-    survivors = curate(docs)
+    survivors = curate(docs, spark, sf_dir)
     t = survivors.select(
         "doc_id",
         token_count(F.col("text")).alias("tok"),
