@@ -415,8 +415,38 @@ _DRIVER_SAMPLED = frozenset(
     regress_ugp_update_returning_except regress_ugp_window_branch_qual
     regress_upd_correlated_self_swap regress_upd_multiset_mixed
     text_bpeish_token_count
+    regress_aqumv_agg_battery regress_aqumv_candidates
+    regress_aqumv_expr_tree regress_dirtable_content
+    regress_dirtable_metadata regress_dirtable_remove_file
+    regress_dqa_corr_three_way_mdqa regress_dqa_filter_mixed_14728
+    regress_dqa_mdqa_three_cols regress_dqa_null_corner
+    regress_gpcopy_text_escapes regress_inh_delete_routing
+    regress_inh_scan_diamond regress_inh_update_routing
+    regress_part1_add_partition_journey regress_part1_default_partition
+    regress_part1_every_days regress_part1_rank_template
+    regress_prune_rlp_matrix regress_qpis_where_plus_topk
+    regress_qpmdqa_q05 regress_qpmdqa_q08 regress_qpmdqa_q15
+    regress_qpmdqa_q57 regress_qpow_percent_rank_rank_b000
+    regress_qsub_any_all_array_literals
+    regress_qsub_case_in_sum_correlated
+    regress_qsub_notin_nested_join_on regress_qsub_notin_union_inner
+    regress_qsub_tuple_notin_nulls_8352 regress_regexgp_ilike_battery
+    regress_regexgp_matches_captures regress_regexgp_similar_to_battery
+    regress_regexgp_substring_sql_escape regress_rngf_lateral_correlated
+    regress_rngf_multi_unnest_ordinality regress_tag_describe_objects
+    regress_tms_generate_series_ts regress_tms_interval_bound_numeric
+    regress_tms_interval_bound_timestamp
+    regress_tms_interval_bound_timestamptz regress_tms_interval_div_mod
+    regress_tms_li_int4_timestamp regress_tstz_bin_offset_origin
+    regress_tstz_date_bin_battery regress_tstz_date_part_iso
+    regress_tstz_trunc_bin_equivalence regress_uv_cascaded_chain
     """.split()
 )
+# ^ the trailing block is CORRECTNESS_r12's 48 passing keys (r13
+# rotation maintenance). The 2 r12 FAILURES (regress_tstz_at_time_zone
+# _dst, regress_dqa_grouping_sets) are deliberately NOT added: fixed
+# this round, they lead _LEAD below so the r13 driver sample re-proves
+# them externally.
 
 #: Queries that must lead their family in interleaved_queries():
 #: recently fixed or newly added operators whose correctness most needs
@@ -427,74 +457,31 @@ _DRIVER_SAMPLED = frozenset(
 #: round may appear here before their module lands — rank lookups are
 #: by name, so unknown names are inert.
 _LEAD: list[str] = [
-        # round-12 driver-sample pins (filled as round-12 batteries
-        # land; kept to at most 50 — the sampled prefix size).
-        # qp_subquery.sql drain — the tuple-NOT-IN three-valued matrix
-        # and the scalar-expression-nested subquery shapes:
-        "regress_qsub_tuple_notin_nulls_8352",
-        "regress_qsub_notin_union_inner",
-        "regress_qsub_any_all_array_literals",
-        "regress_qsub_case_in_sum_correlated",
-        "regress_qsub_notin_nested_join_on",
-        # gp_dqa.sql drain — multi-DQA/TupleSplit analogs:
-        "regress_dqa_mdqa_three_cols",
-        "regress_dqa_corr_three_way_mdqa",
-        "regress_dqa_filter_mixed_14728",
-        "regress_dqa_grouping_sets",
-        "regress_dqa_null_corner",
-        # regex_gp.sql drain — the real-dump pattern batteries:
-        "regress_regexgp_similar_to_battery",
-        "regress_regexgp_ilike_battery",
-        "regress_regexgp_substring_sql_escape",
-        "regress_regexgp_matches_captures",
-        # the new general AQUMV rewriter (operators/aqumv.py):
-        "regress_aqumv_expr_tree",
-        "regress_aqumv_candidates",
-        "regress_aqumv_agg_battery",
-        # rangefuncs.sql — SRF-in-FROM / ordinality / zip:
-        "regress_rngf_multi_unnest_ordinality",
-        "regress_rngf_lateral_correlated",
-        # directory tables (sources/dirtable.py):
-        "regress_dirtable_metadata",
-        "regress_dirtable_content",
-        "regress_dirtable_remove_file",
-        # qp_olap_window pass-2 head:
-        "regress_qpow_percent_rank_rank_b000",
-        # object tags (operators/tags.py):
-        "regress_tag_describe_objects",
-        # timestamptz.sql — tz semantics + the new date_bin lowering:
-        "regress_tstz_date_bin_battery",
-        "regress_tstz_bin_offset_origin",
-        "regress_tstz_trunc_bin_equivalence",
+        # round-13 driver-sample leads. First, the two round-12 oracle
+        # failures FIXED this round (VERDICT item 1) — the r13 sample
+        # must confirm them externally:
         "regress_tstz_at_time_zone_dst",
-        "regress_tstz_date_part_iso",
-        # table inheritance (operators/inherit.py):
-        "regress_inh_scan_diamond",
-        "regress_inh_update_routing",
-        "regress_inh_delete_routing",
-        # timeseries.sql — interval_bound / scalar linear_interpolate:
-        "regress_tms_interval_bound_timestamp",
-        "regress_tms_interval_bound_numeric",
-        "regress_tms_li_int4_timestamp",
-        "regress_tms_generate_series_ts",
-        "regress_tms_interval_div_mod",
-        # qp_olap_mdqa.sql — composed grouping sets + MDQA (round 12):
-        "regress_qpmdqa_q05",
-        "regress_qpmdqa_q15",
-        "regress_qpmdqa_q57",
-        "regress_qpmdqa_q08",
-        # partition1.sql — CREATE-time partition spec language:
-        "regress_part1_rank_template",
-        "regress_part1_every_days",
-        "regress_part1_default_partition",
-        # round-12 late additions — pruning matrices, COPY semantics,
-        # stacked-view check options, ALTER ADD PARTITION, tstz bound:
-        "regress_prune_rlp_matrix",
-        "regress_gpcopy_text_escapes",
-        "regress_uv_cascaded_chain",
-        "regress_part1_add_partition_journey",
-        "regress_tms_interval_bound_timestamptz",
-        "regress_qpis_where_plus_topk",
+        "regress_dqa_grouping_sets",
+        # then the never-sampled queries whose INTERNALS this
+        # optimization round changed (curate() materialization; the
+        # Arrow dot/cosine/l2 kernels replacing the interpreted HOF
+        # folds; the IVF-PQ pivoted-codes/broadcast-ADC restructure):
+        "pipeline_end_to_end",
+        "pipeline_curate_to_shards",
+        "sim_ivf_multiprobe",
+        "sim_cosine_neardup",
+        "sim_semdedup_clusters",
+        "sim_kmeans_index_build",
+        "sim_embedding_outliers",
+        "ml_kmeans_silhouette",
+        "ml_knn_classifier",
+        "emb_matryoshka_recall",
+        # remaining high-value never-sampled heads: the other composed
+        # pipeline readouts and the streaming/IVM + multimodal families
+        # now carrying bench entries:
+        "ivm_join_view_refresh",
+        "stream_tumbling_daily",
+        "multimodal_metadata_stats",
 ]
 
 
