@@ -802,10 +802,11 @@ def sim_kmeans_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    # raw float32 arrays: the Arrow l2 kernel widens to float64 exactly
+    # (same conversion the old per-element cast-transform did, but
+    # without an interpreted HOF sweep per row-pair, and with half the
+    # bytes crossing the Python boundary)
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
     cents = vecs.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -908,21 +909,30 @@ def sim_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    # raw float32 arrays — see sim_kmeans_index_build: the Arrow
+    # kernels widen exactly, so the values are bit-identical to the old
+    # cast-transform + double-fold form while the per-pair boundary
+    # payload halves and the interpreted cast sweep disappears
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
     cents = vecs.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     d = l2sq(F.col("v"), F.col("cv"))  # Arrow twin of the HOF fold
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    assigned = (
+    # The assignment feeds BOTH self-join sides and the final grouped
+    # readout — un-materialized, the broadcast-K assign pass (and its
+    # window) re-runs three times over the corpus. One scratch-parquet
+    # materialization (r13 opt, guide §5/§3.3) computes it once and
+    # gives the self-join real file statistics; rebuilt per call.
+    from cloudberry_spark.pipeline.graph import _materialize
+
+    assigned = _materialize(
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("dist", d)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "cid"),
+        spark, sf_dir, "semdedup_assigned",
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("cid"), F.col("v").alias("v_a")

@@ -30,6 +30,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # maximizing parallelism (r13 opt, guide §2.2): with the default
+    # (true), AQE deliberately keeps ~2x-cores post-shuffle partitions
+    # even for KB-sized shuffles, so tiny-input plans pay 32-way task
+    # launch per exchange — measured as the 8-cores-beats-32 inversion
+    # on the K=1 spec suite (PERF_r12 scaling block; in-session A/B:
+    # 11-query inversion list 8.27s -> 6.93s median). At real data
+    # volumes partitions exceed the 64MB advisory size and this setting
+    # changes nothing — it is scale-adaptive, not a local tuning.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
