@@ -98,22 +98,48 @@ def _make_fold_udf(mode: str):
         # strict left fold from 0.0, exactly F.aggregate's accumulator
         return np.add.accumulate(np.concatenate(((0.0,), p)))[-1]
 
+    def fold_sum2d(P):
+        # the same strict per-row left fold, whole batch at once:
+        # np.add.accumulate(axis=1) is sequential within each row
+        # (out[i] = out[i-1] + in[i]), and the final `+ 0.0` reproduces
+        # the fold's 0.0 seed on the only input it can differ for (an
+        # all-(-0.0) row) — Catalyst's fold can never yield -0.0.
+        return np.add.accumulate(P, axis=1)[:, -1] + 0.0
+
     @F.pandas_udf(T.DoubleType())
     def fold(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = np.empty(len(a), dtype=np.float64)
-        for j in range(len(a)):
-            xv = np.asarray(a.iloc[j], dtype=np.float64)
-            yv = np.asarray(b.iloc[j], dtype=np.float64)
-            if mode == "dot":
-                out[j] = fold_sum(xv * yv)
-            elif mode == "l2":
-                d = xv - yv
-                out[j] = fold_sum(d * d)
-            else:  # cos
-                dd = fold_sum(xv * yv)
-                na = math.sqrt(fold_sum(xv * xv))
-                nb = math.sqrt(fold_sum(yv * yv))
-                out[j] = dd / (na * nb)
+        try:
+            # batch-vectorized path (guide §4.2: whole Arrow batches
+            # through numpy, no per-row Python loop) — equal-length,
+            # null-free vector columns, i.e. every engine call site
+            A = np.vstack(a.to_numpy()).astype(np.float64)
+            B = np.vstack(b.to_numpy()).astype(np.float64)
+        except ValueError:  # ragged/null rows: exact row-wise fallback
+            out = np.empty(len(a), dtype=np.float64)
+            for j in range(len(a)):
+                xv = np.asarray(a.iloc[j], dtype=np.float64)
+                yv = np.asarray(b.iloc[j], dtype=np.float64)
+                if mode == "dot":
+                    out[j] = fold_sum(xv * yv)
+                elif mode == "l2":
+                    d = xv - yv
+                    out[j] = fold_sum(d * d)
+                else:  # cos
+                    dd = fold_sum(xv * yv)
+                    na = math.sqrt(fold_sum(xv * xv))
+                    nb = math.sqrt(fold_sum(yv * yv))
+                    out[j] = dd / (na * nb)
+            return pd.Series(out)
+        if mode == "dot":
+            out = fold_sum2d(A * B)
+        elif mode == "l2":
+            D = A - B
+            out = fold_sum2d(D * D)
+        else:  # cos — exactly cosine_expr's operand order
+            dd = fold_sum2d(A * B)
+            na = np.sqrt(fold_sum2d(A * A))
+            nb = np.sqrt(fold_sum2d(B * B))
+            out = dd / (na * nb)
         return pd.Series(out)
 
     return fold
@@ -123,26 +149,40 @@ _ARROW_DOT = _make_fold_udf("dot")
 _ARROW_L2SQ = _make_fold_udf("l2")
 _ARROW_COS = _make_fold_udf("cos")
 
-
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two float arrays — Arrow kernel (hot path)."""
-    return _ARROW_DOT(a, b)
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(_ARROW_DOT(a, a))
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity — ONE Arrow kernel call (one boundary crossing
-    instead of three), bit-identical to cosine_expr."""
-    return _ARROW_COS(a, b)
+# Default entry points: the EXPRESSION forms. Decision record (r13,
+# OPTIMIZATION_r13.md §2): interleaved ABAB at BOTH 8 and 32 cores,
+# across four sessions, had the expression folds beating the Arrow
+# kernels on every per-pair vector-scoring site at bench scale
+# (sim_knn_brute 1.14s vs 2.50s, sim_ivf_knn 1.85 vs 2.24, semdedup
+# ~even) — a 64-element arithmetic fold is cheap enough that the
+# kernel's fixed costs (Python boundary round-trip of both vectors per
+# pair, plus the exchange the EvalPython node's lost output
+# partitioning re-inserts) never amortize, and unlike the md5 HOF
+# lambdas (16-20x kernel win, kept in pipeline/hashing.py) the
+# arithmetic interpreters showed no JIT pathology in ~40 measured
+# invocations. The kernels stay bit-identical-pinned
+# (tests/test_pipeline.py) — at real per-task volumes they are the
+# flip-ready option, and sim_ivfpq_search's hot path needs neither:
+# its probed-list scoring is pure codegen lookup arithmetic after the
+# ADC restructure below.
+dot = dot_expr
+norm = norm_expr
+cosine = cosine_expr
 
 
 def l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance — Arrow twin of the zip_with/aggregate fold
-    used by the k-means assign and SemDeDup operators."""
-    return _ARROW_L2SQ(a, b)
+    """Squared L2 distance over float arrays, widening inline (same
+    values as the old cast-transform + double fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 _DUCK_DOT = (
