@@ -675,27 +675,30 @@ def test_driver_prefix_composition():
 
     qs = interleaved_queries()
     prefix = list(qs)[:50]
-    # round-12 rotation: the r11 sample is folded into _DRIVER_SAMPLED,
-    # so the prefix must consist ENTIRELY of first-time queries, led by
-    # this round's additions: the qp_subquery/gp_dqa/regex/aqumv/
-    # rangefuncs round-11-late batteries plus round 12's timeseries
-    # (interval_bound / linear_interpolate), the qp_olap_mdqa grouping
-    # fuzzer, and the partition1 spec-language engine
+    # round-13 rotation: the r12 sample is folded into _DRIVER_SAMPLED,
+    # so the prefix must consist ENTIRELY of first-time-confirmable
+    # queries, led by the two round-12 oracle failures fixed this round
+    # (the sample must re-prove them externally), then the never-sampled
+    # queries whose internals the optimization round changed (curate
+    # materialization, vector-fold entry points, IVF-PQ ADC restructure,
+    # semdedup/kmeans raw-float32 + single assignment pass), then the
+    # streaming/IVM + multimodal heads now carrying bench entries
     for must in (
-        "regress_tms_interval_bound_timestamp",
-        "regress_tms_interval_bound_numeric",
-        "regress_tms_li_int4_timestamp",
-        "regress_tms_generate_series_ts",
-        "regress_qpmdqa_q05",
-        "regress_qpmdqa_q15",
-        "regress_qpmdqa_q57",
-        "regress_qpmdqa_q08",
-        "regress_part1_rank_template",
-        "regress_part1_every_days",
-        "regress_part1_default_partition",
-        "regress_qsub_tuple_notin_nulls_8352",
-        "regress_dqa_mdqa_three_cols",
-        "regress_aqumv_expr_tree",
+        "regress_tstz_at_time_zone_dst",
+        "regress_dqa_grouping_sets",
+        "pipeline_end_to_end",
+        "pipeline_curate_to_shards",
+        "sim_ivf_multiprobe",
+        "sim_cosine_neardup",
+        "sim_semdedup_clusters",
+        "sim_kmeans_index_build",
+        "sim_embedding_outliers",
+        "ml_kmeans_silhouette",
+        "ml_knn_classifier",
+        "emb_matryoshka_recall",
+        "ivm_join_view_refresh",
+        "stream_tumbling_daily",
+        "multimodal_metadata_stats",
     ):
         assert must in prefix, f"{must} fell out of the sampled prefix"
     never = sum(1 for n in prefix if n not in _DRIVER_SAMPLED)
