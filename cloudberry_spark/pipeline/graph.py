@@ -25,6 +25,8 @@ Edges derive from the fixtures: customer→supplier from co-occurring
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -46,8 +48,17 @@ def _materialize(df, spark, sf_dir: str, tag: str):
     """
     from cloudberry_spark import planhook
     from cloudberry_spark.sources.external import _scratch
+    from cloudberry_spark.sql.scale_fixture import _sweep_stale_pid_dirs
 
-    path = _scratch(sf_dir, tag)
+    # Per-PID scratch dir: concurrent processes at the same SF (test
+    # shards, parallel bench invocations) must never overwrite a path
+    # another process is mid-read on (FAILED_READ_FILE otherwise).
+    # Same keying + dead-PID sweep as the spec fixture views
+    # (sql/scale_fixture.py); nothing is reused across invocations —
+    # every call still rewrites its own path with mode=overwrite.
+    base = _scratch(sf_dir, f"matpid{os.getpid()}")
+    _sweep_stale_pid_dirs(os.path.dirname(base), "matpid")
+    path = os.path.join(base, tag)
     # the final plan only shows the post-materialization read; record
     # this step's plan so tools/plan_report.py counts the real work
     planhook.record(df)

@@ -378,3 +378,30 @@ def test_arrow_fold_kernels_match_column_expressions(spark):
         | F.col("kl").isNull()
     ).count()
     assert bad == 0
+
+
+def test_materialize_scratch_path_is_per_process(spark, tmp_path):
+    """Concurrent processes at the same SF (test shards, parallel bench
+    invocations) must not overwrite each other's scratch
+    materializations mid-read: the path is keyed by PID, and a second
+    call with the same tag rewrites (not appends) its own path."""
+    import os
+
+    from cloudberry_spark.pipeline.graph import _materialize
+    from cloudberry_spark.sources.external import _scratch
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+    out = _materialize(df, spark, str(tmp_path / "sfX"), "ppid_probe")
+    assert out.count() == 5
+    base = _scratch(str(tmp_path / "sfX"), f"matpid{os.getpid()}")
+    path = os.path.join(base, "ppid_probe")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # overwrite semantics: a second call with different data replaces
+    out2 = _materialize(
+        spark.range(3).withColumnRenamed("id", "v"),
+        spark, str(tmp_path / "sfX"), "ppid_probe",
+    )
+    assert out2.count() == 3
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
