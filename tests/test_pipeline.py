@@ -83,10 +83,41 @@ def test_multimodal_decode_deterministic_schema(spark):
 
 
 def test_multimodal_decode_unknown_type_raises(spark):
-    from cloudberry_spark.pipeline.multimodal import _decode_stub
+    from cloudberry_spark.catalog import load_table
+    from cloudberry_spark.pipeline.multimodal import (
+        _decode_stub, decode_media, fake_media,
+    )
+    from pyspark.sql import functions as F
 
     with pytest.raises(NotImplementedError):
         _decode_stub(b"xx", "application/pdf")
+    # the batched kernel keeps the codec error path: an unknown media
+    # type fails the decode task, same as the per-row stub
+    docs = load_table(spark, SF_DIR, "documents").limit(4)
+    bad = fake_media(docs).withColumn("media_type", F.lit("application/pdf"))
+    with pytest.raises(Exception, match="no codec for application/pdf"):
+        decode_media(bad).collect()
+
+
+def test_multimodal_decode_block_matches_stub():
+    """Differential pin for the vectorized decode kernel (r13 §11):
+    _decode_block must be BIT-exact with the per-row _decode_stub —
+    same chunk windows, same integer sums, same float division — over
+    real fixture payloads plus the length edge cases (0..10 bytes, the
+    exact-8 and tail-remainder shapes)."""
+    import pandas as pd
+
+    from cloudberry_spark.pipeline.multimodal import _decode_block, _decode_stub
+
+    pq = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    payloads = [t.encode("utf-8") for t in pq["text"]]
+    payloads += [bytes(range(k)) for k in range(0, 11)]
+    payloads += [b"\xff" * 8, b"\x01" * 16, b"\x7f" * 17]
+    width, height, feats = _decode_block(payloads)
+    for i, p in enumerate(payloads):
+        w, h, f = _decode_stub(p, "image/png")
+        assert (width[i], height[i]) == (w, h), (i, len(p))
+        assert feats[i].tolist() == f, (i, len(p))
 
 
 def test_multimodal_frame_sample_counts(spark):
