@@ -482,6 +482,12 @@ _LEAD: list[str] = [
         "ivm_join_view_refresh",
         "stream_tumbling_daily",
         "multimodal_metadata_stats",
+        # §11 continuation: the queries whose internals the second
+        # session changed (vectorized decode kernel; one-scan IVM
+        # seeds) — external confirmation wanted, same rule as above:
+        "multimodal_decode_features",
+        "ivm_incremental_refresh",
+        "ivm_count_distinct_refresh",
 ]
 
 
