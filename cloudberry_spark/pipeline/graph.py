@@ -158,6 +158,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file relations carry exact size stats, so AQE keeps broadcasting
     # the rank/contrib sides (a cached InMemoryRelation was measured
     # 2x SLOWER here — it pins memory and degrades the join planning).
+    # NOTE (r13 §11, measured negative): distinct-ing the raw INT key
+    # pair and concat-ing the node strings AFTER (a narrower distinct
+    # exchange, row-identical output) was built and REVERTED — the
+    # narrower shuffle let AQE coalesce the materialized edge fileset
+    # to a single parquet file, and every iteration's join probe then
+    # scanned edges in ONE task (47 MB < maxPartitionBytes): iterations
+    # went 12.3s -> 16.6-18s at sf1. String-keyed distinct keeps the
+    # fileset wide enough to parallelize the per-iteration scans.
     edges = _materialize(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -175,11 +183,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
+    # src ("c:*") and dst ("s:*") namespaces are disjoint, so the node
+    # set is exactly outdeg's keys (every src, with its degree) plus
+    # the distinct dsts (dangling, deg NULL): one narrow distinct over
+    # dst replaces the 2|E|-row union-distinct AND the left join back
+    # to outdeg (r13 §11; row-identical by the disjointness argument).
     nodes = _materialize(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .join(outdeg, "node", "left"),
+        outdeg.unionByName(
+            edges.select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("deg", F.lit(None).cast("double"))
+        ),
         spark, sf_dir, "pagerank_nodes",
     )
     n = float(nodes.count())
